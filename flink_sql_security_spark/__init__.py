@@ -6,4 +6,9 @@ Spark: pure-Python AST rewriting in front of ``spark.sql``, with Catalyst doing
 all optimization of the rewritten plan.
 """
 
+from .context import SecurityContext  # noqa: F401
+from .policy import (  # noqa: F401
+    DataMaskPolicy, DataMaskType, PolicyManager, RowFilterPolicy,
+)
+
 __version__ = "0.1.0"
