@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query routes through ``SecurityContext`` — the security layer is the
+query gateway, exactly as in the reference (``SecurityContext.java`` is its
+only entry point). Policies for the demo users live in
+``flink_sql_security_spark/presets.py`` (FIXTURES.md table mapping).
+
+Oracle notes:
+- money/quantity doubles are cast to DECIMAL(18,2) *before* aggregation in
+  both dialects — the synthetic data is 2-decimal, so the casts are exact and
+  the sums engine-independent.
+- masks are emulated in DuckDB with regexp_replace chains
+  (functions/masks.py duckdb_* emitters document the equivalence).
 """
 
 from __future__ import annotations
@@ -13,26 +19,290 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_sql_security_spark.presets import (
+    USER_FILTER, USER_HASH, USER_MASK, USER_MIXED, USER_NULL, demo_context,
+)
+from flink_sql_security_spark.sources import register_tables
+
+_NOBODY = "user_nobody"  # no policies: SecurityContext passes queries through
+
+# DuckDB-side mask emulations (see functions/masks.py duckdb_* emitters)
+_DUCK_MASK_DEFAULT = (
+    "regexp_replace(regexp_replace(regexp_replace({c}, '[A-Z]', 'X', 'g'), "
+    "'[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')"
+)
+_DUCK_MASK_ALL_X = (
+    "regexp_replace(regexp_replace(regexp_replace({c}, '[A-Z]', 'x', 'g'), "
+    "'[a-z]', 'x', 'g'), '[0-9]', 'x', 'g')"
+)
+_DUCK_SHOW_FIRST_4 = (
+    "concat(substring({c}, 1, 4), "
+    + _DUCK_MASK_ALL_X.format(c="substring({c}, 5)") + ")"
+)
+
+_REVENUE = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+
+
+_CURRENT_SF: dict[int, str] = {}
+
+
+def _ensure_tables(spark: SparkSession, sf_dir: str) -> None:
+    # re-register whenever the session's active sf_dir changes; a seen-set
+    # would serve stale views after interleaving two sf_dirs on one session
+    if _CURRENT_SF.get(id(spark)) != sf_dir:
+        register_tables(spark, sf_dir)
+        _CURRENT_SF[id(spark)] = sf_dir
+
+
+def _run(user: str, sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_tables(spark, sf_dir)
+        return demo_context(spark).sql(user, sql)
+    return call
+
+
+# --------------------------------------------------------------------------
+# Query corpus: (spark SQL through SecurityContext, DuckDB oracle SQL)
+# --------------------------------------------------------------------------
+
+_QUERIES: dict[str, tuple[str, str, str]] = {
+    # ---- security layer: row filters (SURVEY §2.A4-A6, A9) ----
+    "rls_select": (
+        USER_FILTER,
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders",
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders "
+        "WHERE o_orderpriority = '1-URGENT'",
+    ),
+    "rls_or_where": (
+        USER_FILTER,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 150000 OR o_orderstatus = 'F'",
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE (o_totalprice > 150000 OR o_orderstatus = 'F') "
+        "AND o_orderpriority = '1-URGENT'",
+    ),
+    "rls_join_3way": (
+        USER_FILTER,
+        "SELECT l_orderkey, l_linenumber, o_totalprice, c_custkey "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey",
+        "SELECT l_orderkey, l_linenumber, o_totalprice, c_custkey "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderpriority = '1-URGENT' AND c_mktsegment = 'BUILDING'",
+    ),
+    "rls_subquery": (
+        USER_FILTER,
+        "SELECT t.o_orderkey, t.o_totalprice FROM "
+        "(SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+        " WHERE o_orderstatus = 'O') AS t WHERE t.o_totalprice > 100000",
+        "SELECT o_orderkey, o_totalprice FROM "
+        "(SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+        " WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT') t "
+        "WHERE t.o_totalprice > 100000",
+    ),
+    "rls_groupby": (
+        USER_FILTER,
+        "SELECT o_orderstatus, count(*) AS cnt, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total "
+        "FROM orders GROUP BY o_orderstatus",
+        "SELECT o_orderstatus, count(*) AS cnt, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total "
+        "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus",
+    ),
+    # ---- security layer: data masks (SURVEY §2.A7, §2.9) ----
+    "mask_show_first": (
+        USER_MASK,
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+        "SELECT c_custkey, " + _DUCK_SHOW_FIRST_4.format(c="c_name")
+        + " AS c_name, c_mktsegment FROM customer",
+    ),
+    "mask_default_supplier": (
+        USER_MASK,
+        "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+        "SELECT s_suppkey, " + _DUCK_MASK_DEFAULT.format(c="s_name")
+        + " AS s_name, s_nationkey FROM supplier",
+    ),
+    "mask_join": (
+        USER_MASK,
+        "SELECT o_orderkey, c_name FROM orders "
+        "JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 250000",
+        "SELECT o_orderkey, " + _DUCK_SHOW_FIRST_4.format(c="c_name")
+        + " AS c_name FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_totalprice > 250000",
+    ),
+    "mask_hash": (
+        USER_HASH,
+        "SELECT c_custkey, c_name FROM customer",
+        "SELECT c_custkey, sha256(c_name) AS c_name FROM customer",
+    ),
+    "mask_null": (
+        USER_NULL,
+        "SELECT c_custkey, c_name, c_acctbal FROM customer",
+        "SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal FROM customer",
+    ),
+    # ---- security layer: mixed (filter-then-mask, SURVEY §2.A10) ----
+    "mixed_flagship": (
+        USER_MIXED,
+        "SELECT c_name, count(*) AS cnt, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_name",
+        "SELECT " + _DUCK_SHOW_FIRST_4.format(c="c_name") + " AS c_name, "
+        "count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_orderpriority = '1-URGENT' AND c_mktsegment = 'BUILDING' "
+        "GROUP BY 1",
+    ),
+    # ---- relational surface: scan/filter/agg/join/sort (SURVEY §2.B) ----
+    "q1_pricing_summary": (
+        _NOBODY,
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, "
+        f"sum({_REVENUE}) AS sum_disc_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus",
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price, "
+        f"sum({_REVENUE}) AS sum_disc_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus",
+    ),
+    "q3_shipping_priority": (
+        _NOBODY,
+        "SELECT l_orderkey, "
+        f"sum({_REVENUE}) AS revenue, o_orderdate "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+        "SELECT l_orderkey, "
+        f"sum({_REVENUE}) AS revenue, o_orderdate "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY l_orderkey, o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    ),
+    "q5_regional_revenue": (
+        _NOBODY,
+        f"SELECT n_name, sum({_REVENUE}) AS revenue "
+        "FROM region JOIN nation ON r_regionkey = n_regionkey "
+        "JOIN customer ON n_nationkey = c_nationkey "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE r_name = 'ASIA' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name",
+        f"SELECT n_name, sum({_REVENUE}) AS revenue "
+        "FROM region JOIN nation ON r_regionkey = n_regionkey "
+        "JOIN customer ON n_nationkey = c_nationkey "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE r_name = 'ASIA' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name",
+    ),
+    "window_topk_orders": (
+        _NOBODY,
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM "
+        "(SELECT o_custkey, o_orderkey, o_totalprice, "
+        " row_number() OVER (PARTITION BY o_custkey "
+        "   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t "
+        "WHERE t.rn <= 3",
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM "
+        "(SELECT o_custkey, o_orderkey, o_totalprice, "
+        " row_number() OVER (PARTITION BY o_custkey "
+        "   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t "
+        "WHERE t.rn <= 3",
+    ),
+    "distinct_custkeys": (
+        _NOBODY,
+        "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust "
+        "FROM orders GROUP BY o_orderpriority",
+        "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust "
+        "FROM orders GROUP BY o_orderpriority",
+    ),
+    "union_customers": (
+        _NOBODY,
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "UNION SELECT c_custkey FROM customer WHERE c_acctbal > 9000",
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "UNION SELECT c_custkey FROM customer WHERE c_acctbal > 9000",
+    ),
+    "rollup_nation_region": (
+        _NOBODY,
+        "SELECT r_name, n_name, count(*) AS cnt "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP(r_name, n_name)",
+        "SELECT r_name, n_name, count(*) AS cnt "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP(r_name, n_name)",
+    ),
+    "exists_semi_join": (
+        _NOBODY,
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+        "(SELECT 1 AS one FROM orders WHERE o_custkey = c_custkey "
+        " AND o_orderpriority = '1-URGENT')",
+        "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+        "(SELECT 1 AS one FROM orders WHERE o_custkey = c_custkey "
+        " AND o_orderpriority = '1-URGENT')",
+    ),
+    "not_exists_anti_join": (
+        _NOBODY,
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 AS one FROM orders WHERE o_custkey = c_custkey "
+        " AND o_orderpriority = '1-URGENT')",
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 AS one FROM orders WHERE o_custkey = c_custkey "
+        " AND o_orderpriority = '1-URGENT')",
+    ),
+    "case_buckets": (
+        _NOBODY,
+        "SELECT CASE WHEN o_totalprice < 50000 THEN 'low' "
+        "WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END AS bucket, "
+        "count(*) AS cnt FROM orders GROUP BY 1".replace("GROUP BY 1",
+            "GROUP BY CASE WHEN o_totalprice < 50000 THEN 'low' "
+            "WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END"),
+        "SELECT CASE WHEN o_totalprice < 50000 THEN 'low' "
+        "WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END AS bucket, "
+        "count(*) AS cnt FROM orders GROUP BY 1",
+    ),
+    "having_big_customers": (
+        _NOBODY,
+        "SELECT o_custkey, count(*) AS n_orders FROM orders "
+        "GROUP BY o_custkey HAVING count(*) > 15",
+        "SELECT o_custkey, count(*) AS n_orders FROM orders "
+        "GROUP BY o_custkey HAVING count(*) > 15",
+    ),
+    "events_daily": (
+        _NOBODY,
+        "SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day, event_type, "
+        "count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS total "
+        "FROM events GROUP BY CAST(date_trunc('DAY', ts) AS DATE), event_type",
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
+        "count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS total "
+        "FROM events GROUP BY 1, 2",
+    ),
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    register_tables(spark, "/root/testdata/sf0.001")
+    user, sql, _ = _QUERIES["mixed_flagship"]
+    return demo_context(spark).sql(user, sql)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _run(user, sql) for name, (user, sql, _) in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: oracle for name, (_, _, oracle) in _QUERIES.items()}

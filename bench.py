@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline query corpus at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line with per-query wall seconds.
+
+The BASELINE.md target is the "security tax": secured total ≤ 2.0× (stretch
+1.1×) of the same queries without the rewrite layer. ``rewrite_ms`` tracks the
+driver-side AST-rewrite latency separately — at scale it is plan-time only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from flink_sql_security_spark.sources import build_session, register_tables
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_session("flink-sql-security-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    register_tables(spark, sf_dir)
+
+    queries = entry_mod.queries()
+    # warm the JVM + parquet footers with one light query
+    spark.sql("SELECT count(*) AS n FROM region").collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full execution; result sizes stay driver-safe
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+
+    # driver-side rewrite latency (plan-time security tax), median of corpus
+    from flink_sql_security_spark.presets import demo_context
+    ctx = demo_context(spark)
+    lat = []
+    for name, (user, sql, _) in entry_mod._QUERIES.items():
+        t0 = time.perf_counter()
+        ctx.mixed_rewrite(user, sql)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    rewrite_ms = round(1000 * lat[len(lat) // 2], 3)
+
+    print(json.dumps({
+        "metric": "secured_corpus_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "rewrite_median_ms": rewrite_ms,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -390,7 +390,7 @@ class _Parser:
 
     def parse_not(self) -> Expr:
         if self.at_word("NOT") and not (
-            self.peek().kind == WORD and self.peek().upper() in ("IN", "LIKE", "RLIKE", "ILIKE", "BETWEEN", "EXISTS")
+            self.peek().kind == WORD and self.peek().upper() in ("IN", "LIKE", "RLIKE", "ILIKE", "BETWEEN")
         ):
             self.advance()
             return UnaryOp("NOT", self.parse_not())

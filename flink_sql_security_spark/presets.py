@@ -1,0 +1,33 @@
+"""Demo policy preset mapping the reference's policy fixtures onto the
+driver's TPC-H-ish tables (FIXTURES.md "Driver synthetic-table mapping"):
+
+- ``orders.o_orderpriority = '1-URGENT'`` ← analogue of ``orders.region = 'beijing'``
+- ``customer.c_mktsegment = 'BUILDING'`` ← second row-filter table (join cases)
+- ``customer.c_name`` mask targets ← analogue of ``orders.customer_name``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .context import SecurityContext
+from .policy import DataMaskPolicy, RowFilterPolicy
+
+USER_FILTER = "user_filter"      # row filters only
+USER_MASK = "user_mask"          # masks only
+USER_MIXED = "user_mixed"        # both
+USER_HASH = "user_hash"          # hash mask
+USER_NULL = "user_null"          # nullify mask
+
+
+def demo_context(spark: SparkSession) -> SecurityContext:
+    ctx = SecurityContext(spark)
+    for user in (USER_FILTER, USER_MIXED):
+        ctx.add_policy(RowFilterPolicy(user, "orders", "o_orderpriority = '1-URGENT'"))
+        ctx.add_policy(RowFilterPolicy(user, "customer", "c_mktsegment = 'BUILDING'"))
+    for user in (USER_MASK, USER_MIXED):
+        ctx.add_policy(DataMaskPolicy(user, "customer", "c_name", "MASK_SHOW_FIRST_4"))
+        ctx.add_policy(DataMaskPolicy(user, "supplier", "s_name", "MASK"))
+    ctx.add_policy(DataMaskPolicy(USER_HASH, "customer", "c_name", "MASK_HASH"))
+    ctx.add_policy(DataMaskPolicy(USER_NULL, "customer", "c_name", "MASK_NULL"))
+    return ctx

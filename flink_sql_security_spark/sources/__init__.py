@@ -1,0 +1,66 @@
+"""Source registration: parquet-backed catalog tables for the test corpus.
+
+The reference reads MySQL-CDC changelog tables registered in a Hive catalog
+(``AbstractBasicTest.java:179-233``). Here sources are parquet scans registered
+as temp views — Catalyst gets full predicate pushdown / column pruning /
+partition pruning on them, which is what makes the injected security
+constructs free at scale (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+TPCH_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    tables: tuple[str, ...] = TPCH_TABLES) -> None:
+    """Register each ``{sf_dir}/{t}.parquet`` as temp view ``t`` (idempotent).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; it is read with ``nanosAsLong`` (the conf must stay set for the
+    lifetime of the lazy scan) and the column floor-converted to µs timestamps,
+    matching DuckDB's µs truncation of the same file.
+    """
+    from pyspark.sql import functions as F
+
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        if t == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.expr("timestamp_micros(ts div 1000)")
+                )
+            df.createOrReplaceTempView(t)
+        else:
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def build_session(app_name: str = "flink-sql-security-spark",
+                  cpus: int | None = None) -> SparkSession:
+    """Session tuned for the local test harness; cluster deploys override via
+    spark-submit conf. AQE handles skew-join + partition coalescing at scale."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
