@@ -293,6 +293,131 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
 }
 
 
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis) —
+# DataFrame-native, with portable-hash DuckDB oracles. See operators/dedup.py,
+# operators/similarity.py, functions/text.py.
+# --------------------------------------------------------------------------
+
+_DUCK_SHINGLES = (
+    "w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS shingle "
+    "       FROM w, UNNEST(range(greatest(len(ws)-2, 0))) AS t(i))"
+)
+_DUCK_COS = (
+    "round("
+    " list_sum(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /"
+    " (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *"
+    "  sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+)
+
+
+def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    from pyspark.sql import functions as F
+
+    from flink_sql_security_spark.functions import text as T
+    from flink_sql_security_spark.operators import dedup as D
+    from flink_sql_security_spark.operators import similarity as S
+
+    def with_tables(builder):
+        def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_tables(spark, sf_dir)
+            return builder(spark)
+        return call
+
+    def docs(spark):
+        return spark.table("documents")
+
+    def emb(spark):
+        return spark.table("embeddings")
+
+    out: dict[str, tuple[Callable, str | None]] = {}
+
+    out["dedup_exact_groups"] = (
+        with_tables(lambda s: D.exact_dedup_groups(
+            docs(s).select("doc_id", F.substring("text", 1, 30).alias("text")))),
+        "SELECT md5(lower(regexp_replace(trim(substring(text,1,30)), '\\s+', ' ', 'g')))"
+        " AS dup_key, min(doc_id) AS keep_id, count(*) AS n_dups"
+        " FROM documents GROUP BY 1",
+    )
+    out["dedup_minhash_pairs"] = (
+        with_tables(lambda s: D.minhash_lsh_candidate_pairs(
+            docs(s), num_hashes=16, bands=4)),
+        "WITH " + _DUCK_SHINGLES + ", "
+        "mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash"
+        "       FROM sh, UNNEST(range(16)) AS s(seed) GROUP BY doc_id, seed), "
+        "band AS (SELECT doc_id, seed % 4 AS band,"
+        "         md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_sig"
+        "         FROM mh GROUP BY doc_id, seed % 4) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig "
+        "WHERE a.doc_id < b.doc_id",
+    )
+    out["dedup_jaccard_pairs"] = (
+        with_tables(lambda s: D.ngram_jaccard_pairs(docs(s), threshold=0.05)),
+        "WITH " + _DUCK_SHINGLES + ", "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "          FROM sh a JOIN sh b ON a.shingle = b.shingle WHERE a.doc_id < b.doc_id"
+        "          GROUP BY 1, 2) "
+        "SELECT id_a, id_b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05",
+    )
+    out["dedup_simhash"] = (
+        with_tables(lambda s: D.simhash(docs(s))),
+        D.simhash_duckdb_sql(),
+    )
+    out["emb_cosine_pairs"] = (
+        with_tables(lambda s: S.cosine_pairs(emb(s), threshold=0.4)),
+        "WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding ea, b.embedding eb"
+        "           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) "
+        f"SELECT id_a, id_b, {_DUCK_COS} AS cosine FROM p WHERE {_DUCK_COS} >= 0.4",
+    )
+    out["emb_cosine_topk"] = (
+        with_tables(lambda s: S.cosine_topk(
+            emb(s), emb(s).where("vec_id < 20"), k=5)),
+        "WITH p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.embedding ea, n.embedding eb"
+        "           FROM embeddings q, embeddings n WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id), "
+        f"scored AS (SELECT q_id, n_id, {_DUCK_COS} AS cosine FROM p), "
+        "ranked AS (SELECT q_id, n_id, cosine,"
+        " row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM scored) "
+        "SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5",
+    )
+    # ANN (LSH-bucketed) — Spark conv() has no DuckDB analogue: rows-only check
+    out["emb_ann_pairs"] = (
+        with_tables(lambda s: S.ann_candidate_pairs(
+            emb(s), bits=4, tables=8, threshold=0.4)),
+        None,
+    )
+
+    def text_stats(s):
+        return docs(s).select(
+            "doc_id",
+            T.word_count(F.col("text")).alias("n_words"),
+            T.bpe_token_count(F.col("text")).alias("n_bpe"),
+            T.quality_score(F.col("text")).alias("quality"),
+        )
+
+    out["text_stats"] = (
+        with_tables(text_stats),
+        f"SELECT doc_id, {T.word_count_sql('text')} AS n_words, "
+        f"{T.bpe_token_count_sql('text')} AS n_bpe, "
+        f"{T.quality_score_sql('text')} AS quality FROM documents",
+    )
+    out["text_langid"] = (
+        with_tables(lambda s: docs(s).select(
+            "doc_id", T.lang_id(F.col("text")).alias("lang_pred"))),
+        f"SELECT doc_id, {T.lang_id_sql('text')} AS lang_pred FROM documents",
+    )
+    out["text_fingerprint"] = (
+        with_tables(lambda s: docs(s).select(
+            "doc_id", T.fingerprint(F.col("text")).alias("fp"))),
+        f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents",
+    )
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     register_tables(spark, "/root/testdata/sf0.001")
@@ -301,8 +426,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _run(user, sql) for name, (user, sql, _) in _QUERIES.items()}
+    out = {name: _run(user, sql) for name, (user, sql, _) in _QUERIES.items()}
+    out.update({name: fn for name, (fn, _) in _pipeline_queries().items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: oracle for name, (_, _, oracle) in _QUERIES.items()}
+    out = {name: oracle for name, (_, _, oracle) in _QUERIES.items()}
+    out.update({
+        name: oracle
+        for name, (_, oracle) in _pipeline_queries().items()
+        if oracle is not None
+    })
+    return out

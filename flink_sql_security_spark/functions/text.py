@@ -1,0 +1,169 @@
+"""Text-analysis functions for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Each function has a Spark Column form and a paired DuckDB SQL emitter with
+identical semantics (the oracle harness runs both). All expressions are
+built-in string/regex functions — JVM-side, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# language → marker stopwords (tiny deterministic heuristic; accuracy is not
+# the point — engine-identical scoring is)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+_WS = r"\s+"
+# BPE-ish tokenization: letter runs, digit runs, single punctuation marks
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+# -- token counting --------------------------------------------------------
+
+def word_count(text: Column) -> Column:
+    return F.size(F.split(F.lower(F.trim(text)), _WS))
+
+
+def word_count_sql(c: str) -> str:
+    return f"len(string_split_regex(lower(trim({c})), '{_WS}'))"
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def bpe_token_count_sql(c: str) -> str:
+    return f"len(regexp_extract_all({c}, '{BPE_TOKEN_PATTERN}'))"
+
+
+# -- quality scoring -------------------------------------------------------
+
+def _ratio(n: Column, d: Column) -> Column:
+    return F.round(n / F.greatest(d, F.lit(1)), 6)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """length, word count, mean word length, digit/punct ratios, stopword
+    ratio — the standard cheap quality signals."""
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    n_digits = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(text)), _WS),
+            lambda w: w.isin(*LANG_MARKERS["en"]),
+        )
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": _ratio(
+            F.length(F.regexp_replace(F.lower(F.trim(text)), _WS, "")), n_words),
+        "digit_ratio": _ratio(n_digits, n_chars),
+        "punct_ratio": _ratio(n_punct, n_chars),
+        "stopword_ratio": _ratio(n_stop, n_words),
+    }
+
+
+def quality_features_sql(c: str) -> dict[str, str]:
+    stop_list = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    n_words = word_count_sql(c)
+    return {
+        "n_chars": f"length({c})",
+        "n_words": n_words,
+        "mean_word_len": (
+            f"round(length(regexp_replace(lower(trim({c})), '{_WS}', '', 'g'))"
+            f" / greatest({n_words}, 1), 6)"
+        ),
+        "digit_ratio": (
+            f"round((length({c}) - length(regexp_replace({c}, '[0-9]', '', 'g')))"
+            f" / greatest(length({c}), 1), 6)"
+        ),
+        "punct_ratio": (
+            f"round((length({c}) - length(regexp_replace({c}, '[^\\w\\s]', '', 'g')))"
+            f" / greatest(length({c}), 1), 6)"
+        ),
+        "stopword_ratio": (
+            f"round(len(list_filter(string_split_regex(lower(trim({c})), '{_WS}'),"
+            f" w -> w IN ({stop_list}))) / greatest({n_words}, 1), 6)"
+        ),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0,1]: rewards prose-like word length and
+    stopword presence, penalizes digit/punct-heavy text."""
+    f = quality_features(text)
+    score = (
+        F.lit(0.4) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.3) * F.least(f["mean_word_len"] / 8, F.lit(1.0))
+        + F.lit(0.3) * (1 - F.least((f["digit_ratio"] + f["punct_ratio"]) * 2, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def quality_score_sql(c: str) -> str:
+    f = quality_features_sql(c)
+    return (
+        "round(0.4 * least(" + f["stopword_ratio"] + " * 4, 1.0)"
+        " + 0.3 * least(" + f["mean_word_len"] + " / 8, 1.0)"
+        " + 0.3 * (1 - least((" + f["digit_ratio"] + " + " + f["punct_ratio"] + ") * 2, 1.0)), 6)"
+    )
+
+
+# -- language identification ----------------------------------------------
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    words = F.split(F.lower(F.trim(text)), _WS)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(words, lambda w: w.isin(*markers)))
+        out[lang] = _ratio(hits, F.size(words))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-stopword hit ratios; 'und' when nothing matches.
+    Ties resolve by language-code order (deterministic in both engines)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def lang_id_sql(c: str) -> str:
+    parts = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        ws = f"string_split_regex(lower(trim({c})), '{_WS}')"
+        parts.append(
+            (lang,
+             f"round(len(list_filter({ws}, w -> w IN ({lst})))"
+             f" / greatest(len({ws}), 1), 6)")
+        )
+    best = "greatest(" + ", ".join(s for _, s in parts) + ")"
+    expr = "'und'"
+    for lang, s in sorted(parts, key=lambda x: x[0], reverse=True):
+        expr = f"CASE WHEN {s} = {best} THEN '{lang}' ELSE {expr} END"
+    return f"CASE WHEN {best} > 0 THEN {expr} ELSE 'und' END"
+
+
+# -- fingerprinting --------------------------------------------------------
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of case/whitespace-normalized text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), _WS, " ")))
+
+
+def fingerprint_sql(c: str) -> str:
+    return f"md5(lower(regexp_replace(trim({c}), '{_WS}', ' ', 'g')))"

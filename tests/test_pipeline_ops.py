@@ -1,0 +1,194 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal.
+
+Oracle-grade equivalence runs in the driver harness (__spark_entry__); these
+tests pin operator semantics on small controlled inputs.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from flink_sql_security_spark.functions import text as T
+from flink_sql_security_spark.operators import dedup as D
+from flink_sql_security_spark.operators import multimodal as M
+from flink_sql_security_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup
+        (3, "THE  quick   brown fox jumps over the lazy dog"),       # ws/case dup
+        (4, "the quick brown fox jumps over the lazy cat today"),    # near dup
+        (5, "completely different words entirely unrelated text"),
+        (6, "el perro y el gato de la casa que corre"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["keep_id"]: r["n_dups"]
+              for r in D.exact_dedup_groups(docs).collect()}
+    # 1,2,3 collapse (normalization folds case + whitespace)
+    assert groups[1] == 3
+    assert groups[4] == 1 and groups[5] == 1 and groups[6] == 1
+
+
+def test_exact_dedup_keeps_representatives(docs):
+    kept = {r["doc_id"] for r in D.exact_dedup(docs).collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_word_shingles(docs):
+    sh = D.word_shingles(docs.where("doc_id = 1"), n=3).collect()
+    shingles = {r["shingle"] for r in sh}
+    assert "the quick brown" in shingles
+    assert "over the lazy" in shingles
+    assert len(shingles) == 7  # 9 words → 7 trigrams, all distinct
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "two words")], ["doc_id", "text"])
+    assert D.word_shingles(df, n=3).count() == 0
+
+
+def test_minhash_pairs_detect_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.minhash_lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()}
+    # identical docs always collide on every band
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    # unrelated doc never pairs with anything
+    assert not any(5 in p for p in pairs)
+
+
+def test_jaccard_pairs_exact_values(docs):
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
+    assert rows[(1, 2)] == 1.0
+    # docs 1 and 4 share 6 trigrams, union 9 → 2/3
+    assert rows[(1, 4)] == pytest.approx(2 / 3, abs=1e-5)
+    assert (1, 5) not in rows
+
+
+def test_simhash_properties(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]          # identical text → identical simhash
+    assert sh[1] == sh[3]          # normalization folds case/whitespace
+    assert sh[1] != sh[5]          # different text → different simhash
+    assert all(0 <= v < 2 ** 48 for v in sh.values())
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup is closer in hamming space than an unrelated doc
+    assert hamming(sh[1], sh[4]) < hamming(sh[1], sh[5])
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),     # identical
+        (3, [0.9, 0.1, 0.0, 0.0]),     # close
+        (4, [0.0, 1.0, 0.0, 0.0]),     # orthogonal to 1
+        (5, [-1.0, 0.0, 0.0, 0.0]),    # opposite
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+
+
+def test_cosine_pairs(vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in S.cosine_pairs(vectors, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == pytest.approx(0.993884, abs=1e-6)
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_cosine_topk_deterministic(vectors):
+    top = [(r["n_id"], r["rank"]) for r in
+           S.cosine_topk(vectors, vectors.where("vec_id = 1"), k=3).collect()]
+    # rank 1 = identical vector; tie-breaks by id
+    assert top[0] == (2, 1)
+    assert top[1] == (3, 2)
+
+
+def test_ann_buckets_group_similar(vectors):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in S.ann_candidate_pairs(vectors, bits=4, dim=4,
+                                            threshold=0.9).collect()}
+    # identical vectors share every sign bit → same bucket, found
+    assert (1, 2) in pairs
+    # opposite vector flips every bit → never a candidate
+    assert not any(5 in p for p in pairs)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog ran to the house."),
+         (2, "el perro y la casa de que el gato y la"),
+         (3, "12345 67890 !!!")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        T.word_count(F.col("text")).alias("wc"),
+        T.bpe_token_count(F.col("text")).alias("bpe"),
+        T.lang_id(F.col("text")).alias("lang"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert out[1]["wc"] == 9
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "es"
+    assert out[3]["lang"] == "und"
+    assert out[1]["q"] > out[3]["q"]  # prose scores above digit soup
+    assert out[1]["bpe"] == 10        # 9 words + trailing period
+    assert len(out[1]["fp"]) == 32
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other")],
+        ["doc_id", "text"])
+    fps = [r["fp"] for r in
+           df.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+           .orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        Row(media_id="img1", kind="image", content=b"\x89PNG fake bytes",
+            mime="image/png", width=64, height=64, duration_ms=None),
+        Row(media_id="img2", kind="image", content=b"other bytes",
+            mime="image/png", width=32, height=32, duration_ms=None),
+        Row(media_id="vid1", kind="video", content=b"\x00\x00video",
+            mime="video/mp4", width=1920, height=1080, duration_ms=3500),
+    ]
+    return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+
+def test_multimodal_fake_features(media):
+    rows = {r["media_id"]: r for r in M.extract_features(media, fake=True).collect()}
+    assert rows["img1"]["n_bytes"] == 15
+    assert len(rows["img1"]["features"]) == M.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in rows["img1"]["features"])
+    # deterministic: same bytes → same features, different bytes → different
+    again = {r["media_id"]: r["features"]
+             for r in M.extract_features(media, fake=True).collect()}
+    assert again["img1"] == rows["img1"]["features"]
+    assert again["img1"] != again["img2"]
+
+
+def test_multimodal_real_decode_stubbed(media):
+    with pytest.raises(Exception) as exc_info:
+        M.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError)
+
+
+def test_frame_sample_plan(media):
+    frames = M.frame_sample_plan(media, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
+        ("vid1", 0), ("vid1", 1000), ("vid1", 2000), ("vid1", 3000)]
