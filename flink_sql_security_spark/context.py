@@ -93,15 +93,17 @@ class SecurityContext:
         """Secured spark.sql: mixed rewrite, returns the (lazy) DataFrame."""
         return self.spark.sql(self.mixed_rewrite(username, sql))
 
-    def table(self, username: str, name: str) -> DataFrame:
-        """Secured spark.table: masks + filters applied via the DataFrame API.
+    def apply_policies(self, username: str, df: DataFrame,
+                       table_name: str) -> DataFrame:
+        """Apply a user's row filter + masks to any DataFrame (batch OR
+        streaming) whose schema matches ``table_name``'s policies.
 
-        Fast path that skips SQL printing entirely: masks become a ``select``
-        of lowered expressions, the row filter becomes ``F.expr`` — both stay
-        in whole-stage codegen and Catalyst pushes the filter into the scan.
+        The shared fast path: the row filter becomes ``F.expr`` (Catalyst
+        pushes it into the scan), masks become a ``select`` of lowered
+        expressions CAST back to the column's type — all whole-stage codegen,
+        valid on streaming DataFrames too (stateless projections/filters).
         """
-        parts = name.split(".")
-        df = self.spark.table(name)
+        parts = table_name.split(".")
         mask_policies = {
             c: p
             for c, p in self.policy_manager.get_table_mask_policies(
@@ -116,19 +118,21 @@ class SecurityContext:
             visitor = DataMaskVisitor(
                 self.policy_manager, username, self.catalog.get_table
             )
-            entity = self.catalog.get_table(parts)
-            if entity is None:
-                raise ValueError(f"unknown table: {name}")
             cols = []
-            for col in entity.columns:
-                policy = mask_policies.get(col.column_name.lower())
+            for field in df.schema.fields:
+                policy = mask_policies.get(field.name.lower())
                 if policy is None:
-                    cols.append(F.col(col.column_name))
+                    cols.append(F.col(field.name))
                 else:
-                    masked = visitor._mask_expr(policy, col.column_name)
+                    masked = visitor._mask_expr(policy, field.name)
                     cols.append(
-                        F.expr(masked.sql()).cast(col.column_type.lower())
-                        .alias(col.column_name)
+                        F.expr(masked.sql())
+                        .cast(field.dataType)
+                        .alias(field.name)
                     )
             df = df.select(*cols)
         return df
+
+    def table(self, username: str, name: str) -> DataFrame:
+        """Secured spark.table: masks + filters applied via the DataFrame API."""
+        return self.apply_policies(username, self.spark.table(name), name)

@@ -87,11 +87,16 @@ SHIPMENTS_ROWS = [
 ]
 
 
-@pytest.fixture(scope="session")
-def demo_tables(spark):
-    """orders / products / shipments / print_sink temp views."""
+def register_demo_tables(spark):
     spark.createDataFrame(ORDERS_ROWS, ORDERS_SCHEMA).createOrReplaceTempView("orders")
     spark.createDataFrame(PRODUCTS_ROWS, PRODUCTS_SCHEMA).createOrReplaceTempView("products")
     spark.createDataFrame(SHIPMENTS_ROWS, SHIPMENTS_SCHEMA).createOrReplaceTempView("shipments")
     spark.createDataFrame([], ORDERS_SCHEMA).createOrReplaceTempView("print_sink")
+
+
+@pytest.fixture()
+def demo_tables(spark):
+    """orders / products / shipments / print_sink temp views (re-registered
+    per test: other modules overwrite these view names with TPC-H tables)."""
+    register_demo_tables(spark)
     return spark
