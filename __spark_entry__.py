@@ -304,11 +304,16 @@ _DUCK_SHINGLES = (
     "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS shingle "
     "       FROM w, UNNEST(range(greatest(len(ws)-2, 0))) AS t(i))"
 )
-_DUCK_COS = (
-    "round("
-    " list_sum(list_transform(list_zip(ea, eb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /"
-    " (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *"
-    "  sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+# unit-vector CTE matching operators/similarity.unit_vectors: normalize once,
+# cosine = plain dot of unit vectors (identical op order → identical doubles)
+_DUCK_UNIT = (
+    "u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS unit"
+    " FROM (SELECT vec_id, embedding,"
+    " sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n"
+    " FROM embeddings))"
+)
+_DUCK_UNIT_DOT = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), 6)"
 )
 
 
@@ -370,16 +375,19 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     )
     out["emb_cosine_pairs"] = (
         with_tables(lambda s: S.cosine_pairs(emb(s), threshold=0.4)),
-        "WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding ea, b.embedding eb"
-        "           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id) "
-        f"SELECT id_a, id_b, {_DUCK_COS} AS cosine FROM p WHERE {_DUCK_COS} >= 0.4",
+        "WITH " + _DUCK_UNIT + ", "
+        "scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        + _DUCK_UNIT_DOT.format(a="a.unit", b="b.unit") + " AS cosine"
+        " FROM u a, u b WHERE a.vec_id < b.vec_id) "
+        "SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4",
     )
     out["emb_cosine_topk"] = (
         with_tables(lambda s: S.cosine_topk(
             emb(s), emb(s).where("vec_id < 20"), k=5)),
-        "WITH p AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.embedding ea, n.embedding eb"
-        "           FROM embeddings q, embeddings n WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id), "
-        f"scored AS (SELECT q_id, n_id, {_DUCK_COS} AS cosine FROM p), "
+        "WITH " + _DUCK_UNIT + ", "
+        "scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, "
+        + _DUCK_UNIT_DOT.format(a="q.unit", b="n.unit") + " AS cosine"
+        " FROM u q, u n WHERE q.vec_id < 20 AND q.vec_id <> n.vec_id), "
         "ranked AS (SELECT q_id, n_id, cosine,"
         " row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM scored) "
         "SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5",

@@ -53,6 +53,18 @@ def main() -> None:
     lat.sort()
     rewrite_ms = round(1000 * lat[len(lat) // 2], 3)
 
+    # security tax (BASELINE.md): same SQL corpus executed with vs without
+    # the SecurityContext rewrite. target ≤ 2.0x, stretch ≤ 1.1x.
+    secured_t = unsecured_t = 0.0
+    for name, (user, sql, _) in entry_mod._QUERIES.items():
+        t0 = time.perf_counter()
+        spark.sql(sql).count()
+        unsecured_t += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ctx.sql(user, sql).count()
+        secured_t += time.perf_counter() - t0
+    tax = round(secured_t / unsecured_t, 3) if unsecured_t else None
+
     print(json.dumps({
         "metric": "secured_corpus_total",
         "value": round(total, 3),
@@ -60,6 +72,9 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "rewrite_median_ms": rewrite_ms,
+        "security_tax_ratio": tax,
+        "secured_sql_sec": round(secured_t, 3),
+        "unsecured_sql_sec": round(unsecured_t, 3),
     }))
     spark.stop()
 

@@ -46,6 +46,68 @@ def register_tables(spark: SparkSession, sf_dir: str,
             spark.read.parquet(path).createOrReplaceTempView(t)
 
 
+def register_jdbc_table(spark: SparkSession, name: str, url: str, table: str,
+                        user: str = "", password: str = "",
+                        partition_column: str | None = None,
+                        num_partitions: int = 8,
+                        lower_bound: int | None = None,
+                        upper_bound: int | None = None) -> None:
+    """Register a JDBC-backed table — the batch analogue of the reference's
+    ``mysql-cdc`` connector tables (``AbstractBasicTest.java:179-187``).
+
+    For scale, always pass ``partition_column`` + bounds: without them the
+    whole table is read through one connection on one task. Streaming parity
+    for live changelogs is ``streaming.secure_stream`` over a CDC-capable
+    source (file/Kafka/Delta CDF); plain JDBC has no changelog.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+    )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC reads need lower/upper bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    reader.load().createOrReplaceTempView(name)
+
+
+def register_file_table(spark: SparkSession, name: str, path: str,
+                        fmt: str = "parquet", **options: str) -> None:
+    """Register a file-backed table (parquet/csv/json/orc); csv defaults to
+    header+inferSchema for the interactive case — pass an explicit schema
+    option in production so the scan doesn't pre-read the data."""
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    reader.load(path).createOrReplaceTempView(name)
+
+
+def print_sink(df, n: int = 20, truncate: bool = True) -> None:
+    """Batch analogue of the reference's ``print`` connector sink
+    (``AbstractBasicTest.java:239-253``)."""
+    df.show(n=n, truncate=truncate)
+
+
+def console_stream_sink(df, trigger_seconds: int = 5):
+    """Streaming print sink: returns the started StreamingQuery."""
+    return (
+        df.writeStream.format("console")
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def build_session(app_name: str = "flink-sql-security-spark",
                   cpus: int | None = None) -> SparkSession:
     """Session tuned for the local test harness; cluster deploys override via

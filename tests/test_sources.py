@@ -1,0 +1,61 @@
+"""Source/sink surface: file-format registration, sinks, session builder.
+
+JDBC is exercised to the option-plumbing boundary only (no database server in
+this environment); the reader construction and partitioning guard are real.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+
+from flink_sql_security_spark import PolicyManager, RowFilterPolicy, SecurityContext
+from flink_sql_security_spark.sources import (
+    print_sink, register_file_table, register_jdbc_table, register_tables,
+)
+
+
+def test_register_csv_table(spark, demo_tables):
+    path = tempfile.mkdtemp(prefix="fss_csv")
+    try:
+        spark.table("products").write.mode("overwrite") \
+            .option("header", "true").csv(path)
+        register_file_table(spark, "products_csv", path, fmt="csv")
+        assert spark.table("products_csv").count() == 9
+        # and the security layer applies to file-registered tables
+        ctx = SecurityContext(spark, PolicyManager())
+        ctx.add_policy(RowFilterPolicy("u", "products_csv", "name = 'hammer'"))
+        assert ctx.execute_row_filter(
+            "u", "SELECT id FROM products_csv", 10).__len__() == 3
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_register_json_table(spark, demo_tables):
+    path = tempfile.mkdtemp(prefix="fss_json")
+    try:
+        spark.table("shipments").write.mode("overwrite").json(path)
+        register_file_table(spark, "shipments_json", path, fmt="json")
+        assert spark.table("shipments_json").count() == 3
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_jdbc_requires_bounds_with_partition_column(spark):
+    with pytest.raises(ValueError):
+        register_jdbc_table(
+            spark, "t", "jdbc:mysql://localhost/db", "orders",
+            partition_column="id")
+
+
+def test_print_sink(spark, demo_tables, capsys):
+    print_sink(spark.table("shipments"), n=5)
+    out = capsys.readouterr().out
+    assert "shipment_id" in out and "Beijing" in out
+
+
+def test_register_tables_idempotent(spark):
+    register_tables(spark, "/root/testdata/sf0.001")
+    n1 = spark.table("orders").count()
+    register_tables(spark, "/root/testdata/sf0.001")
+    assert spark.table("orders").count() == n1 == 1500
