@@ -423,6 +423,36 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             "doc_id", T.fingerprint(F.col("text")).alias("fp"))),
         f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents",
     )
+
+    def sessionized(s):
+        from flink_sql_security_spark.streaming.sessionize import sessionize_batch
+        ev = s.table("events").select(
+            "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("value"))
+        return sessionize_batch(ev, gap_minutes=30)
+
+    out["sessionize_events"] = (
+        with_tables(sessionized),
+        # identical gap/cumsum arithmetic; floor(epoch) matches Spark's
+        # unix_timestamp seconds; decimal sums are engine-stable
+        """
+WITH e AS (SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS value FROM events),
+b AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM b
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS INTEGER) AS n_events, sum(value) AS total_value
+FROM s GROUP BY user_id, session_id
+""",
+    )
     return out
 
 

@@ -1,0 +1,125 @@
+"""Skew-mitigation helpers and the sessionization operator (batch + stateful
+streaming form)."""
+
+import datetime
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_sql_security_spark.operators.skew import (
+    salted_groupby_agg, salted_groupby_count, salted_join,
+)
+from flink_sql_security_spark.streaming.sessionize import (
+    sessionize_batch, sessionize_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # one hot key (90% of rows) + a uniform tail
+    hot = spark.range(900).select(
+        F.lit("hot").alias("k"), (F.col("id") % 7).cast("double").alias("v"))
+    tail = spark.range(100).select(
+        F.concat(F.lit("k"), (F.col("id") % 10).cast("string")).alias("k"),
+        F.col("id").cast("double").alias("v"))
+    return hot.unionByName(tail)
+
+
+def test_salted_count_matches_plain(skewed):
+    plain = {r["k"]: r["cnt"] for r in
+             skewed.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    salted = {r["k"]: r["cnt"] for r in
+              salted_groupby_count(skewed, ["k"], salt_buckets=8).collect()}
+    assert salted == plain
+    assert salted["hot"] == 900
+
+
+def test_salted_agg_matches_plain(skewed):
+    plain = {r["k"]: (r["s"], r["c"], r["mn"], r["mx"]) for r in
+             skewed.groupBy("k").agg(
+                 F.sum("v").alias("s"), F.count("v").alias("c"),
+                 F.min("v").alias("mn"), F.max("v").alias("mx")).collect()}
+    salted = {r["k"]: (r["sum_v"], r["count_v"], r["min_v"], r["max_v"])
+              for r in salted_groupby_agg(skewed, ["k"], "v", 8).collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, skewed):
+    dim = spark.createDataFrame(
+        [("hot", "HOT"), ("k1", "K1"), ("k5", "K5")], ["k", "label"])
+    plain = sorted(tuple(r) for r in
+                   skewed.join(dim, "k").select("k", "v", "label").collect())
+    salted = sorted(tuple(r) for r in
+                    salted_join(skewed, dim, "k", salt_buckets=4)
+                    .select("k", "v", "label").collect())
+    assert salted == plain
+    assert len(plain) == 900 + 10 + 10
+
+
+def _ts(s):
+    return datetime.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+
+EVENTS = [
+    # user 1: two sessions split by a 2h gap
+    (1, _ts("2024-01-01 10:00:00"), 1.0),
+    (1, _ts("2024-01-01 10:10:00"), 2.0),
+    (1, _ts("2024-01-01 10:20:00"), 3.0),
+    (1, _ts("2024-01-01 13:00:00"), 4.0),
+    (1, _ts("2024-01-01 13:05:00"), 5.0),
+    # user 2: one session
+    (2, _ts("2024-01-01 09:00:00"), 10.0),
+    (2, _ts("2024-01-01 09:29:00"), 20.0),
+]
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return spark.createDataFrame(EVENTS, ["user_id", "ts", "value"])
+
+
+def test_sessionize_batch(events_df):
+    rows = {(r["user_id"], str(r["session_start"])): r
+            for r in sessionize_batch(events_df, gap_minutes=30).collect()}
+    assert len(rows) == 3
+    s1 = rows[(1, "2024-01-01 10:00:00")]
+    assert s1["n_events"] == 3 and s1["total_value"] == 6.0
+    assert str(s1["session_end"]) == "2024-01-01 10:20:00"
+    s2 = rows[(1, "2024-01-01 13:00:00")]
+    assert s2["n_events"] == 2 and s2["total_value"] == 9.0
+    s3 = rows[(2, "2024-01-01 09:00:00")]
+    assert s3["n_events"] == 2 and s3["total_value"] == 30.0
+
+
+def test_sessionize_batch_exact_gap_boundary(spark):
+    # gap of exactly 30min does NOT split (strict > in the operator)
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 1.0),
+         (1, _ts("2024-01-01 10:30:00"), 1.0)],
+        ["user_id", "ts", "value"])
+    assert sessionize_batch(df, gap_minutes=30).count() == 1
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, events_df):
+    """Streaming form over a file stream: in-batch gap splits emit closed
+    sessions; still-open sessions remain in state (timeout would flush them
+    in a live stream)."""
+    path = tempfile.mkdtemp(prefix="fss_sessions")
+    try:
+        events_df.write.mode("overwrite").parquet(path)
+        stream = spark.readStream.schema(events_df.schema).parquet(path)
+        out = sessionize_stream(stream, gap_minutes=30)
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("sess_sink")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = {(r["user_id"], str(r["session_start"])): r
+               for r in spark.table("sess_sink").collect()}
+        # user 1's first session closed by the in-stream gap; open sessions
+        # (1's second, 2's only) are held in state awaiting timeout
+        s1 = got[(1, "2024-01-01 10:00:00")]
+        assert s1["n_events"] == 3 and s1["total_value"] == 6.0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
