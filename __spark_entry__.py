@@ -348,22 +348,16 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     out["dedup_minhash_pairs"] = (
         with_tables(lambda s: D.minhash_lsh_candidate_pairs(
             docs(s), num_hashes=16, bands=4)),
-        "WITH " + _DUCK_SHINGLES + ", "
-        "mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minhash"
-        "       FROM sh, UNNEST(range(16)) AS s(seed) GROUP BY doc_id, seed), "
-        "band AS (SELECT doc_id, seed % 4 AS band,"
-        "         md5(array_to_string(list_sort(list(CAST(seed AS VARCHAR) || ':' || minhash)), '|')) AS band_sig"
-        "         FROM mh GROUP BY doc_id, seed % 4) "
-        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
-        "FROM band a JOIN band b ON a.band = b.band AND a.band_sig = b.band_sig "
-        "WHERE a.doc_id < b.doc_id",
+        D.minhash_lsh_duckdb_sql(_DUCK_SHINGLES, num_hashes=16, bands=4),
     )
     out["dedup_jaccard_pairs"] = (
         with_tables(lambda s: D.ngram_jaccard_pairs(docs(s), threshold=0.05)),
         "WITH " + _DUCK_SHINGLES + ", "
-        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "hs AS (SELECT DISTINCT doc_id, CAST(concat('0x', substring(md5(shingle), 1, "
+        f"{D.SHINGLE_HASH_HEX})) AS BIGINT) AS h FROM sh), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM hs GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
-        "          FROM sh a JOIN sh b ON a.shingle = b.shingle WHERE a.doc_id < b.doc_id"
+        "          FROM hs a JOIN hs b ON a.h = b.h WHERE a.doc_id < b.doc_id"
         "          GROUP BY 1, 2) "
         "SELECT id_a, id_b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
         "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
@@ -398,6 +392,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             emb(s), bits=4, tables=8, threshold=0.4)),
         None,
     )
+    # IVF (centroid-probe) ANN — k-means assignment is not SQL-expressible:
+    # rows-only check; recall vs brute force pinned in test_pipeline_ops
+    out["emb_ivf_topk"] = (
+        with_tables(lambda s: S.ivf_topk(
+            emb(s), emb(s).where("vec_id < 20"), k=5,
+            n_cells=16, n_probe=4)),
+        None,
+    )
 
     def text_stats(s):
         return docs(s).select(
@@ -422,6 +424,16 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(lambda s: docs(s).select(
             "doc_id", T.fingerprint(F.col("text")).alias("fp"))),
         f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents",
+    )
+
+    def cleaned(s):
+        from flink_sql_security_spark.operators.corpus import clean_corpus
+        return clean_corpus(docs(s))
+
+    from flink_sql_security_spark.operators.corpus import clean_corpus_duckdb_sql
+    out["pipeline_clean_corpus"] = (
+        with_tables(cleaned),
+        clean_corpus_duckdb_sql(),
     )
 
     def sessionized(s):

@@ -1,0 +1,100 @@
+"""End-to-end corpus cleaning: the composed training-data pipeline.
+
+The flagship composition of the pipeline operators — what a 100 TB
+pretraining-data job actually runs: language gate → quality gate → exact
+dedup → near-dup removal → per-doc token stats. Every stage is a
+DataFrame transform from this package (functions/text.py, operators/
+dedup.py), so the whole pipeline stays declarative: Catalyst sees one
+plan and prunes/pushes across stage boundaries (e.g. the language and
+quality gates reach the parquet scan before any shingling happens).
+
+Scale shape (per stage, n docs surviving to that point):
+- gates: narrow projections, no shuffle, fully codegen
+- exact dedup: one groupBy(md5) shuffle of (hash, id) pairs
+- near-dup: shingle self-join on hashed shingles (operators/dedup.py
+  notes) — the only super-linear stage; swap `ngram_jaccard_pairs` for
+  `minhash_lsh_candidate_pairs` above ~10⁷ docs
+- stats: narrow projection
+
+Near-dup removal rule: a doc is dropped when it is similar (jaccard ≥
+threshold) to ANY lower-id doc — deterministic, order-independent, and
+expressible as an anti-join (no iterative connected components). This
+keeps exactly the canonical (lowest-id) member of every similarity
+cluster chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_sql_security_spark.functions import text as T
+from flink_sql_security_spark.operators import dedup as D
+
+
+def clean_corpus(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", lang: str = "en",
+                 min_quality: float = 0.3,
+                 jaccard_threshold: float = 0.5) -> DataFrame:
+    """(doc_id, lang_pred, quality, n_words, n_bpe) for surviving docs."""
+    text = F.col(text_col)
+    gated = (
+        df.select(F.col(id_col), text,
+                  T.lang_id(text).alias("lang_pred"),
+                  T.quality_score(text).alias("quality"))
+        .where((F.col("lang_pred") == lang)
+               & (F.col("quality") >= min_quality))
+    )
+    deduped = D.exact_dedup(gated, text_col, id_col)
+    near = D.ngram_jaccard_pairs(deduped, text_col, id_col,
+                                 threshold=jaccard_threshold)
+    drop = near.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        deduped.join(drop, on=id_col, how="left_anti")
+        .select(F.col(id_col), "lang_pred", "quality",
+                T.word_count(text).alias("n_words"),
+                T.bpe_token_count(text).alias("n_bpe"))
+    )
+
+
+def clean_corpus_duckdb_sql(table: str = "documents",
+                            text_col: str = "text",
+                            id_col: str = "doc_id", lang: str = "en",
+                            min_quality: float = 0.3,
+                            jaccard_threshold: float = 0.5) -> str:
+    """DuckDB SQL computing the identical cleaned corpus (oracle emitter)."""
+    c = text_col
+    gated = (
+        f"gated AS (SELECT {id_col}, {c}, {T.lang_id_sql(c)} AS lang_pred, "
+        f"{T.quality_score_sql(c)} AS quality FROM {table} "
+        f"WHERE {T.lang_id_sql(c)} = '{lang}' "
+        f"AND {T.quality_score_sql(c)} >= {min_quality})"
+    )
+    # exact dedup: keep min(id) per normalized-text hash
+    exact = (
+        f"keep AS (SELECT min({id_col}) AS {id_col} FROM gated GROUP BY "
+        f"md5(lower(regexp_replace(trim({c}), '\\s+', ' ', 'g')))), "
+        f"ded AS (SELECT g.* FROM gated g JOIN keep USING ({id_col}))"
+    )
+    shingles = (
+        f"w AS (SELECT {id_col}, string_split_regex(lower(trim({c})), '\\s+') AS ws FROM ded), "
+        f"sh AS (SELECT DISTINCT {id_col}, array_to_string(ws[i+1:i+3], ' ') AS shingle "
+        f"       FROM w, UNNEST(range(greatest(len(ws)-2, 0))) AS t(i)), "
+        f"hs AS (SELECT DISTINCT {id_col}, CAST(concat('0x', substring(md5(shingle), 1, "
+        f"{D.SHINGLE_HASH_HEX})) AS BIGINT) AS h FROM sh), "
+        f"sizes AS (SELECT {id_col}, count(*) AS n_sh FROM hs GROUP BY {id_col}), "
+        f"inter AS (SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS n_inter "
+        f"          FROM hs a JOIN hs b ON a.h = b.h WHERE a.{id_col} < b.{id_col} "
+        f"          GROUP BY 1, 2), "
+        f"drop_ids AS (SELECT DISTINCT id_b AS {id_col} FROM inter "
+        f"  JOIN sizes sa ON sa.{id_col} = inter.id_a "
+        f"  JOIN sizes sb ON sb.{id_col} = inter.id_b "
+        f"  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {jaccard_threshold})"
+    )
+    return (
+        f"WITH {gated}, {exact}, {shingles} "
+        f"SELECT d.{id_col}, d.lang_pred, d.quality, "
+        f"{T.word_count_sql('d.' + c)} AS n_words, "
+        f"{T.bpe_token_count_sql('d.' + c)} AS n_bpe "
+        f"FROM ded d WHERE NOT EXISTS "
+        f"(SELECT 1 FROM drop_ids x WHERE x.{id_col} = d.{id_col})"
+    )

@@ -54,11 +54,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+                  n: int = 3, distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle).
 
     Tokenization is lower + whitespace split, shingle = space-joined n-gram —
     byte-identical to the DuckDB oracle's string_split_regex formulation.
+    ``distinct=True`` gives set semantics (a full shuffle of the shingle
+    strings) — required for Jaccard's |A∩B|/|A∪B| counts. Pass False for
+    consumers invariant to duplicates (minhash: min over a bag equals min
+    over its set) to skip that shuffle entirely.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = F.expr(
@@ -66,54 +70,83 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         f"transform(sequence(0, size(_w) - {n}), i -> concat_ws(' ', slice(_w, i + 1, {n}))) "
         "ELSE array() END"
     )
-    return (
-        df.select(F.col(id_col), words.alias("_w"))
+    # Hash-repartition on id BEFORE exploding: (a) parallelizes shingle
+    # construction even when the scan yields few partitions (one small file
+    # → one task otherwise), (b) moves ~doc-sized rows through the exchange
+    # instead of ~n_grams× that after explode, and (c) every downstream
+    # per-doc operation (distinct, minhash groupBy) reuses the partitioning
+    # — HashPartitioning(id) satisfies ClusteredDistribution(id, …), so no
+    # further exchange.
+    out = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words.alias("_w"))
         .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+MERSENNE_31 = (1 << 31) - 1
+
+
+def uhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) for the universal-hash family
+    h_k(x) = (a_k·(x mod p) + b_k) mod p, p = 2^31 − 1, derived from
+    md5(k) so both engines embed identical literals.
+
+    p must be small enough that a_k·x wraps p many times (a_k, x < p →
+    product < 2^62: int64-safe in Spark and DuckDB, yet ~2^31 wraps).
+    A wider modulus (e.g. 2^61−1) with int64-safe multipliers would wrap
+    at most a few times, leaving h_k monotone in x — every minhash then
+    collapses onto the same min-x shingle and LSH degenerates.
+    """
+    import hashlib
+
+    out = []
+    for k in range(num_hashes):
+        a = int(hashlib.md5(f"a|{k}".encode()).hexdigest()[:8], 16) % MERSENNE_31 or 1
+        b = int(hashlib.md5(f"b|{k}".encode()).hexdigest()[:8], 16) % MERSENNE_31
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(shingle_df: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 16) -> DataFrame:
-    """(id, seed, minhash): minhash_k(doc) = min over shingles of md5(k|shingle).
+    """Wide signatures (id, mh_0 … mh_{n-1}): min over shingles of each
+    universal hash of the shingle's 32-bit md5 prefix.
 
-    One explode (seeds) + one shuffle (groupBy id,seed with map-side min).
+    One md5 per shingle (not per shingle×seed) + num_hashes codegen'd
+    integer multiply-adds, then a single shuffle: groupBy(id) with
+    map-side partial min on num_hashes LONG columns. At 100 TB this moves
+    8·num_hashes bytes per doc through the exchange — the 16×-row explode
+    formulation this replaces moved every md5 string 16 times.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle")))
-    return (
-        shingle_df.select(F.col(id_col), F.col("shingle"))
-        .select(F.col(id_col), seeds, F.col("shingle"))
-        .select(F.col(id_col), F.col("seed"), hashed.alias("h"))
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    x = (f"(CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+         f" % {MERSENNE_31})")
+    mins = [
+        F.min(F.expr(f"({a} * {x} + {b}) % {MERSENNE_31}")).alias(f"mh_{k}")
+        for k, (a, b) in enumerate(uhash_constants(num_hashes))
+    ]
+    return shingle_df.groupBy(id_col).agg(*mins)
 
 
 def lsh_band_signatures(sig_df: DataFrame, id_col: str = "doc_id",
-                        bands: int = 4) -> DataFrame:
-    """(id, band, band_sig): band_sig hashes the band's minhashes order-
-    independently (sorted seed:minhash list) so engines need no ordered agg."""
-    return (
-        sig_df.withColumn("band", F.col("seed") % bands)
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.sort_array(
-                        F.collect_list(
-                            F.concat_ws(":", F.col("seed").cast("string"),
-                                        F.col("minhash"))
-                        )
-                    ),
-                )
-            ).alias("band_sig")
-        )
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(id, band, band_sig): md5 over the band's minhash slice, all bands
+    emitted in ONE stack() projection — no per-band shuffle at all."""
+    rows_per_band = num_hashes // bands
+    sigs = []
+    for band in range(bands):
+        cols = ", ".join(
+            f"CAST(mh_{band * rows_per_band + i} AS STRING)"
+            for i in range(rows_per_band))
+        sigs.append(f"{band}, md5(concat_ws(':', {cols}))")
+    return sig_df.select(
+        F.col(id_col),
+        F.expr(f"stack({bands}, {', '.join(sigs)})").alias("band", "band_sig"),
     )
 
 
@@ -123,12 +156,14 @@ def minhash_lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                                 bands: int = 4) -> DataFrame:
     """Candidate near-dup pairs: documents sharing any LSH band signature.
 
-    The band self-join is the scale path: shuffle on (band, band_sig) buckets
-    only — never all-pairs. Returns distinct (id_a, id_b), id_a < id_b.
+    shingles → one groupBy(id) (wide min signature) → stack to bands →
+    self-join on (band, band_sig). The band join is the scale path:
+    shuffle on bucket keys only — never all-pairs. Returns distinct
+    (id_a, id_b), id_a < id_b.
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = word_shingles(df, text_col, id_col, n, distinct=False)
     sig = minhash_signatures(sh, id_col, num_hashes)
-    band = lsh_band_signatures(sig, id_col, bands)
+    band = lsh_band_signatures(sig, id_col, num_hashes, bands)
     a = band.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = band.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (
@@ -139,25 +174,80 @@ def minhash_lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def minhash_lsh_duckdb_sql(shingles_cte: str, num_hashes: int = 16,
+                           bands: int = 4, id_col: str = "doc_id") -> str:
+    """DuckDB SQL computing identical candidate pairs (oracle emitter).
+
+    ``shingles_cte`` must define a CTE named ``sh`` with (id, shingle).
+    The 32-bit md5 prefix parses via DuckDB's ('0x'||hex)::BIGINT (Spark
+    side uses conv(,16,10) — same uint32 value), then the same (a,b)
+    literals; BIGINT arithmetic matches exactly.
+    """
+    x = (f"(CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT)"
+         f" % {MERSENNE_31})")
+    mins = ", ".join(
+        f"min(({a} * {x} + {b}) % {MERSENNE_31}) AS mh_{k}"
+        for k, (a, b) in enumerate(uhash_constants(num_hashes)))
+    rows_per_band = num_hashes // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT {id}, {band} AS band, md5(concat_ws(':', {cols})) AS band_sig FROM sig"
+        .format(
+            id=id_col, band=band,
+            cols=", ".join(
+                f"CAST(mh_{band * rows_per_band + i} AS VARCHAR)"
+                for i in range(rows_per_band)))
+        for band in range(bands))
+    return (
+        f"WITH {shingles_cte}, "
+        f"sig AS (SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}), "
+        f"bnd AS ({band_rows}) "
+        f"SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b "
+        f"FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_sig = b.band_sig "
+        f"WHERE a.{id_col} < b.{id_col}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
+
+SHINGLE_HASH_HEX = 15  # 60-bit md5 prefix: positive BIGINT in both engines
+
+
+def hashed_shingles(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct (id, h): shingles as 60-bit ints instead of strings.
+
+    Shuffling/joining 8-byte longs instead of ~n·6-char strings cuts both
+    exchanges (distinct + self-join) severalfold. Collisions are harmless
+    for engine-parity: the oracle hashes identically, so both engines see
+    the same (astronomically rare) merge.
+    """
+    h = F.expr(
+        f"CAST(conv(substring(md5(shingle), 1, {SHINGLE_HASH_HEX}), 16, 10)"
+        " AS BIGINT)")
+    return (
+        word_shingles(df, text_col, id_col, n, distinct=False)
+        .select(F.col(id_col), h.alias("h"))
+        .distinct()
+    )
+
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.2) -> DataFrame:
     """Exact Jaccard similarity over word n-gram sets for co-shingled pairs.
 
-    |I| via shingle self-join (only pairs sharing ≥1 shingle are ever
+    |I| via hashed-shingle self-join (only pairs sharing ≥1 shingle are ever
     materialized), |U| = |A|+|B|-|I|. At scale, run on LSH candidates instead
     of all co-shingled pairs (compose with minhash_lsh_candidate_pairs).
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = hashed_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "h")
+    b = sh.select(F.col(id_col).alias("id_b"), "h")
     inter = (
-        a.join(b, on="shingle")
+        a.join(b, on="h")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
@@ -195,7 +285,8 @@ def simhash(df: DataFrame, text_col: str = "text",
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = (
-        df.select(F.col(id_col), F.explode(words).alias("token"))
+        df.repartition(F.col(id_col))  # parallelize + pre-cluster for groupBy
+        .select(F.col(id_col), F.explode(words).alias("token"))
         .where(F.col("token") != "")
         .select(F.col(id_col), F.md5("token").alias("th"))
     )

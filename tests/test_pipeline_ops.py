@@ -192,3 +192,70 @@ def test_frame_sample_plan(media):
     frames = M.frame_sample_plan(media, every_ms=1000).collect()
     assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
         ("vid1", 0), ("vid1", 1000), ("vid1", 2000), ("vid1", 3000)]
+
+
+def test_blas_prefilter_matches_crossjoin(vectors):
+    fast = sorted((r["id_a"], r["id_b"], r["cosine"]) for r in
+                  S.cosine_pairs(vectors, threshold=0.5).collect())
+    slow = sorted((r["id_a"], r["id_b"], r["cosine"]) for r in
+                  S.cosine_pairs(vectors, threshold=0.5,
+                                 prefilter=False).collect())
+    assert fast == slow  # bit-identical: prefilter only prunes, exact rescoring
+
+
+def test_uhash_family_not_monotone():
+    # regression: int64-safe multipliers with a 2^61-1 modulus never wrap,
+    # making every h_k monotone in x and collapsing all minhashes onto the
+    # min-x shingle. With p=2^31-1 the per-hash argmin must differ.
+    consts = D.uhash_constants(8)
+    xs = list(range(1, 2000, 7))
+    argmins = {min(range(len(xs)), key=lambda i: (a * xs[i] + b) % D.MERSENNE_31)
+               for a, b in consts}
+    assert len(argmins) > 1
+
+
+def test_ivf_assign_partitions_corpus(vectors):
+    cells = {r["vec_id"]: r["cell"]
+             for r in S.ivf_assign(vectors, n_cells=2).collect()}
+    assert set(cells) == {1, 2, 3, 4, 5}
+    assert cells[1] == cells[2]          # identical vectors → same cell
+    assert cells[1] != cells[5]          # opposite vector → other cell
+
+
+def test_ivf_topk_high_recall_on_fixture(spark):
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    )
+    queries = emb.where("vec_id < 10")
+    exact = {(r["q_id"], r["n_id"]) for r in
+             S.cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r["q_id"], r["n_id"]) for r in
+              S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6
+    # any pair IVF returns must carry the exact brute-force cosine
+    exact_cos = {(r["q_id"], r["n_id"]): r["cosine"] for r in
+                 S.cosine_topk(emb, queries, k=5).collect()}
+    for r in S.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect():
+        if (r["q_id"], r["n_id"]) in exact_cos:
+            assert r["cosine"] == exact_cos[(r["q_id"], r["n_id"])]
+
+
+def test_clean_corpus_drops_dups_and_low_quality(spark):
+    from flink_sql_security_spark.operators.corpus import clean_corpus
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs to the house"),
+        (2, "the quick brown fox jumps over the lazy dog and runs to the house"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog and runs to a barn"),     # near dup of 1
+        (4, "el perro y el gato de la casa que corre y salta"),                    # not english
+        (5, "the engine and the pipeline of a data team to scale and the work"),   # survives
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in clean_corpus(df, jaccard_threshold=0.3).collect()}
+    assert 1 in out          # canonical member kept
+    assert 2 not in out      # exact dup dropped
+    assert 3 not in out      # near dup dropped
+    assert 4 not in out      # language gate
+    assert 5 in out
+    assert out[1]["n_words"] == 14
