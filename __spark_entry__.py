@@ -426,6 +426,18 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents",
     )
 
+    from flink_sql_security_spark.operators import profile as P
+    _PROF_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out["profile_lineitem"] = (
+        with_tables(lambda s: P.profile_numeric(
+            s.table("lineitem"), _PROF_COLS)),
+        P.profile_numeric_duckdb_sql("lineitem", _PROF_COLS),
+    )
+    out["vocab_top_tokens"] = (
+        with_tables(lambda s: T.top_tokens(docs(s), k=50)),
+        T.top_tokens_sql(k=50),
+    )
+
     def cleaned(s):
         from flink_sql_security_spark.operators.corpus import clean_corpus
         return clean_corpus(docs(s))

@@ -167,3 +167,51 @@ def fingerprint(text: Column) -> Column:
 
 def fingerprint_sql(c: str) -> str:
     return f"md5(lower(regexp_replace(trim({c}), '{_WS}', ' ', 'g')))"
+
+
+# -- vocabulary ------------------------------------------------------------
+
+def top_tokens(df, text_col: str = "text", k: int = 100,
+               id_col: str = "doc_id"):
+    """Top-k tokens by total frequency: (token, n_total, n_docs, rank).
+
+    The tokenizer-training primitive (vocab selection). One explode + one
+    groupBy(token) shuffle with map-side partial agg; the final top-k is a
+    single ordered limit (Spark plans TakeOrderedAndProject — no global
+    sort materialization). Ties break lexicographically for determinism.
+    The pre-explode repartition parallelizes single-file scans and is the
+    cheaper exchange (doc-sized rows, not token-sized).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col),
+                F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS))
+                .alias("token"))
+        .where(F.col("token") != "")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count("*").alias("n_total"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"))
+    w = Window.orderBy(F.desc("n_total"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def top_tokens_sql(table: str = "documents", text_col: str = "text",
+                   k: int = 100, id_col: str = "doc_id") -> str:
+    """DuckDB SQL producing the identical vocabulary (oracle emitter)."""
+    return (
+        f"WITH toks AS (SELECT {id_col}, t.token FROM {table}, "
+        f"UNNEST(string_split_regex(lower(trim({text_col})), '{_WS}')) AS t(token) "
+        f"WHERE t.token <> ''), "
+        f"counts AS (SELECT token, count(*) AS n_total, "
+        f"count(DISTINCT {id_col}) AS n_docs FROM toks GROUP BY token), "
+        f"ranked AS (SELECT *, row_number() OVER "
+        f"(ORDER BY n_total DESC, token) AS rank FROM counts) "
+        f"SELECT token, n_total, n_docs, rank FROM ranked WHERE rank <= {k}"
+    )

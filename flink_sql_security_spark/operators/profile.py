@@ -1,0 +1,64 @@
+"""Table profiling: per-column statistics for pipeline data QA.
+
+The standard pre-training data-quality primitive: one pass over the table
+computing count / nulls / distinct / min / max / sum / mean per numeric
+column. Emitted in long format (one row per column) via a single wide
+aggregate + ``stack`` — the whole profile is ONE job with map-side partial
+aggregation, no per-column scans.
+
+Scale notes:
+- n_distinct is exact (count(distinct)) — Spark plans multiple distinct
+  aggregates with one expand + two-stage agg; for >10⁹-cardinality columns
+  swap in approx_count_distinct (HLL) via ``exact_distinct=False``
+- money columns are cast DECIMAL(18,2) before summing: exact, order-
+  independent, engine-portable (memory: synthetic data is 2-decimal)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_numeric(df: DataFrame, cols: list[str],
+                    exact_distinct: bool = True) -> DataFrame:
+    """(column, n, n_null, n_distinct, min, max, sum, mean) per column."""
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("decimal(18,2)")
+        nd = (F.count_distinct(F.col(c)) if exact_distinct
+              else F.approx_count_distinct(F.col(c)))
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            nd.alias(f"nd_{c}"),
+            F.min(d).cast("double").alias(f"mn_{c}"),
+            F.max(d).cast("double").alias(f"mx_{c}"),
+            F.sum(d).cast("double").alias(f"sm_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', n_{c}, nn_{c}, nd_{c}, mn_{c}, mx_{c}, sm_{c}" for c in cols)
+    return (
+        wide.select(F.expr(
+            f"stack({len(cols)}, {stacked})")
+            .alias("column", "n", "n_null", "n_distinct", "min", "max", "sum"))
+        .withColumn("mean", F.round(F.col("sum") / F.col("n"), 6))
+        .withColumn("sum", F.round("sum", 2))
+    )
+
+
+def profile_numeric_duckdb_sql(table: str, cols: list[str]) -> str:
+    """DuckDB SQL producing the identical profile (oracle emitter)."""
+    parts = []
+    for c in cols:
+        d = f"CAST({c} AS DECIMAL(18,2))"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", count({c}) AS n, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"CAST(min({d}) AS DOUBLE) AS \"min\", "
+            f"CAST(max({d}) AS DOUBLE) AS \"max\", "
+            f"round(CAST(sum({d}) AS DOUBLE), 2) AS \"sum\", "
+            f"round(CAST(sum({d}) AS DOUBLE) / count({c}), 6) AS mean "
+            f"FROM {table}")
+    return " UNION ALL ".join(parts)

@@ -259,3 +259,24 @@ def test_clean_corpus_drops_dups_and_low_quality(spark):
     assert 4 not in out      # language gate
     assert 5 in out
     assert out[1]["n_words"] == 14
+
+
+def test_profile_numeric(spark):
+    from flink_sql_security_spark.operators import profile as P
+    df = spark.createDataFrame(
+        [(1.5, 10), (2.5, None), (2.5, 30)], ["a", "b"])
+    rows = {r["column"]: r for r in P.profile_numeric(df, ["a", "b"]).collect()}
+    assert rows["a"]["n"] == 3 and rows["a"]["n_null"] == 0
+    assert rows["a"]["n_distinct"] == 2
+    assert rows["a"]["min"] == 1.5 and rows["a"]["max"] == 2.5
+    assert rows["a"]["sum"] == 6.5
+    assert rows["a"]["mean"] == pytest.approx(2.166667, abs=1e-6)
+    assert rows["b"]["n"] == 2 and rows["b"]["n_null"] == 1
+
+
+def test_top_tokens_rank_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a b c")], ["doc_id", "text"])
+    rows = [(r["token"], r["n_total"], r["n_docs"], r["rank"])
+            for r in T.top_tokens(df, k=2).orderBy("rank").collect()]
+    assert rows == [("a", 3, 2, 1), ("b", 2, 2, 2)]

@@ -9,6 +9,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from flink_sql_security_spark import (
     DataMaskPolicy, PolicyManager, RowFilterPolicy, SecurityContext,
@@ -100,3 +101,45 @@ def test_rate_source_shape(spark):
         "order_id", "order_date", "customer_name", "product_id",
         "price", "order_status", "region",
     ]
+
+
+def test_streaming_dedup_drops_duplicate_content(spark):
+    """dropDuplicates on the content key matches batch exact_dedup semantics."""
+    import time
+    from flink_sql_security_spark.streaming.dedup import (
+        dedup_stream, dedup_stream_watermarked)
+
+    path = tempfile.mkdtemp(prefix="fss_stream_docs")
+    try:
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "the quick brown fox"),
+             (2, "2024-01-01 00:01:00", "THE  quick  brown  FOX"),   # dup (normalized)
+             (3, "2024-01-01 00:02:00", "something else entirely"),
+             (4, "2024-01-01 09:00:00", "the quick brown fox")],     # dup, far later
+            ["doc_id", "ts", "text"]
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .write.mode("overwrite").parquet(path)
+
+        src = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string").parquet(path)
+
+        q = dedup_stream(src, "text").writeStream \
+            .format("memory").queryName("dd_exact").outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+        exact_ids = {r["doc_id"] for r in spark.sql(
+            "SELECT doc_id FROM dd_exact").collect()}
+        # one doc per distinct content; which duplicate wins is batch-order
+        # dependent, so assert on count + the unique doc
+        assert len(exact_ids) == 2 and 3 in exact_ids
+
+        qw = dedup_stream_watermarked(src, "ts", "text", "10 minutes") \
+            .writeStream.format("memory").queryName("dd_wm") \
+            .outputMode("append").start()
+        qw.processAllAvailable(); qw.stop()
+        wm_rows = spark.sql("SELECT doc_id FROM dd_wm").collect()
+        wm_ids = {r["doc_id"] for r in wm_rows}
+        # within one batch all four arrive together: 1/2 collapse; 4 is
+        # outside the 10-minute horizon of 1 → may be kept as new state.
+        assert 3 in wm_ids and len(wm_ids) >= 2
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
