@@ -44,9 +44,24 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative row per identical (normalized) text."""
-    groups = exact_dedup_groups(df, text_col, id_col)
-    return df.join(groups.select(F.col("keep_id").alias(id_col)), on=id_col)
+    """Keep one representative (min-id) row per identical (normalized) text.
+
+    Window idiom — row_number over (dup_key, id) — instead of
+    groupBy+self-join: ONE shuffle on dup_key and the input subtree is
+    evaluated once (the join form re-computes the upstream plan for both
+    branches, which matters when df is itself an expensive pipeline
+    stage).
+    """
+    from pyspark.sql.window import Window
+
+    text = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    w = Window.partitionBy("_dup_key").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_dup_key", F.md5(text))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_dup_key", "_rn")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -126,3 +126,26 @@ def build_session(app_name: str = "flink-sql-security-spark",
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def write_bucketed(df, name: str, bucket_col: str, num_buckets: int = 32,
+                   sort_col: str | None = None) -> None:
+    """Persist ``df`` as a bucketed catalog table (``bucketBy`` + parquet).
+
+    Bucketing is the repeated-join/agg optimization at scale: two tables
+    bucketed on the same key with the same bucket count join with NO
+    exchange on either side (Spark trusts the on-disk hash layout), and
+    groupBy(bucket_col) skips its shuffle too. For a 100 TB fact table
+    joined every run on the same key, this converts the dominant
+    per-query shuffle into a one-time write-side cost. The reference has
+    no physical-layout story (it delegates to Flink); this is the
+    Spark-native equivalent of co-partitioned state.
+
+    Sorted buckets (``sort_col``) additionally enable merge-join without
+    per-task sorting.
+    """
+    writer = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)

@@ -98,3 +98,60 @@ def test_ann_no_cartesian_product(spark):
     # cartesian product
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from flink_sql_security_spark.operators.dedup import exact_dedup
+    register_tables(spark, SF_DIR)
+    df = exact_dedup(spark.table("documents"))
+    # simple mode prints each physical node once — countable
+    tree = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    # window idiom: exactly one Exchange (hash on dup_key), no join, and
+    # WindowGroupLimit pushes the top-1-per-key partially to the map side
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "WindowGroupLimit" in tree
+
+
+def test_profile_is_one_aggregate_pass(spark):
+    from flink_sql_security_spark.operators.profile import profile_numeric
+    register_tables(spark, SF_DIR)
+    df = profile_numeric(
+        spark.table("lineitem"), ["l_quantity", "l_extendedprice"])
+    tree = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    assert "Join" not in tree            # never one scan per column
+    assert tree.count("FileScan parquet") == 1
+
+
+def test_vocab_topk_avoids_global_sort(spark):
+    from flink_sql_security_spark.functions.text import top_tokens
+    register_tables(spark, SF_DIR)
+    plan = explain(top_tokens(spark.table("documents"), k=10))
+    # rank<=k over a single ordered window; no Python, no cartesian
+    assert "PythonUDF" not in plan and "Cartesian" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    from flink_sql_security_spark.sources import write_bucketed
+    register_tables(spark, SF_DIR)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    write_bucketed(spark.table("orders"), "b_orders", "o_custkey", 8)
+    write_bucketed(spark.table("customer"), "b_customer", "c_custkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            spark.table("b_orders").o_custkey
+            == spark.table("b_customer").c_custkey)
+        plan = explain(joined)
+        assert "Exchange" not in plan    # co-located: bucket layout trusted
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
