@@ -426,6 +426,26 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents",
     )
 
+    def salted(s):
+        from flink_sql_security_spark.operators.skew import salted_groupby_agg
+        base = s.table("orders").select(
+            "o_orderpriority",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("val"))
+        return salted_groupby_agg(base, ["o_orderpriority"], "val",
+                                  salt_buckets=16)
+
+    # salted two-phase agg must equal the plain GROUP BY (oracle) — the
+    # salt is pure physical redistribution, invisible in the result
+    out["skew_salted_agg"] = (
+        with_tables(salted),
+        "SELECT o_orderpriority, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_val, "
+        "count(CAST(o_totalprice AS DECIMAL(18,2))) AS count_val, "
+        "min(CAST(o_totalprice AS DECIMAL(18,2))) AS min_val, "
+        "max(CAST(o_totalprice AS DECIMAL(18,2))) AS max_val "
+        "FROM orders GROUP BY o_orderpriority",
+    )
+
     from flink_sql_security_spark.operators import profile as P
     _PROF_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     out["profile_lineitem"] = (

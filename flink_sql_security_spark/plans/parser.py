@@ -20,7 +20,8 @@ from .nodes import (
     Select, SetOp, Star, SubqueryRef, Subscript, TableRef, UnaryOp, WindowSpec,
     With,
 )
-from .tokens import EOF, NUMBER, OP, QIDENT, STRING, WORD, Token, tokenize
+from .tokens import (EOF, NUMBER, OP, QIDENT, STRING, WORD, SqlTokenizeError,
+                     Token, tokenize)
 
 
 class SqlParseError(ValueError):
@@ -678,12 +679,19 @@ class _Parser:
 
 def parse_statement(sql: str) -> Node:
     """SQL string → AST; single statement only (ParserImplExtension.java:67-76)."""
-    return _Parser(sql).parse_statement()
+    try:
+        return _Parser(sql).parse_statement()
+    except SqlTokenizeError as e:
+        # lexical errors surface as parse errors: callers need one catch
+        raise SqlParseError(str(e)) from e
 
 
 def parse_query(sql: str) -> Query:
-    p = _Parser(sql)
-    q = p.parse_query()
+    try:
+        p = _Parser(sql)
+        q = p.parse_query()
+    except SqlTokenizeError as e:
+        raise SqlParseError(str(e)) from e
     if p.cur.kind != EOF:
         raise SqlParseError(f"trailing input at pos {p.cur.pos}")
     return q
@@ -691,8 +699,11 @@ def parse_query(sql: str) -> Query:
 
 def parse_expression(sql: str) -> Expr:
     """Expression fragment → AST (ParserImplExtension.java:54-58 analogue)."""
-    p = _Parser(sql)
-    e = p.parse_expr()
+    try:
+        p = _Parser(sql)
+        e = p.parse_expr()
+    except SqlTokenizeError as e:
+        raise SqlParseError(str(e)) from e
     if p.cur.kind != EOF:
         raise SqlParseError(f"trailing input at pos {p.cur.pos}")
     return e

@@ -148,3 +148,21 @@ def test_string_escape_round_trip():
 def test_backtick_identifier():
     e = parse_expression("`weird col` > 1")
     assert e.sql() == "`weird col` > 1"
+
+
+def test_policy_condition_injection_rejected():
+    """A hostile policy condition cannot smuggle a second statement or
+    non-expression SQL through the rewriter into the engine."""
+    for evil in (
+        "region = 'beijing'; DROP TABLE orders",
+        "region = 'beijing') UNION ALL (SELECT * FROM secrets",
+        "1 = 1; --",
+    ):
+        with pytest.raises(SqlParseError):
+            parse_expression(evil)
+
+
+def test_unterminated_literals_rejected():
+    for bad in ("SELECT 'abc FROM t", "SELECT `col FROM t", "SELECT \"x"):
+        with pytest.raises(SqlParseError):
+            parse_statement(bad)
