@@ -363,6 +363,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
         "WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05",
     )
+    # near-dup clustering: components over the jaccard pair graph; the
+    # oracle nests the pairs query inside a recursive transitive closure
+    out["dedup_components"] = (
+        with_tables(lambda s: D.connected_components(
+            D.ngram_jaccard_pairs(docs(s), threshold=0.05))),
+        D.connected_components_duckdb_sql(out["dedup_jaccard_pairs"][1]),
+    )
+
     out["dedup_simhash"] = (
         with_tables(lambda s: D.simhash(docs(s))),
         D.simhash_duckdb_sql(),

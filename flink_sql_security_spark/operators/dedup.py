@@ -346,3 +346,82 @@ def simhash_duckdb_sql(table: str = "documents", text_col: str = "text",
         f" SELECT {id_col}, {', '.join(bit_sums)} FROM tok GROUP BY {id_col}"
         f") SELECT {id_col}, {terms} AS simhash FROM sums"
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pairs (cluster assignment)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 50) -> DataFrame:
+    """(doc_id, component_id): min-id label propagation over pair edges.
+
+    The dedup clustering step: near-dup PAIRS (from jaccard / minhash /
+    cosine) become CLUSTERS, so one canonical doc per cluster survives.
+    component_id = min doc id reachable through the pair graph —
+    deterministic under any partitioning.
+
+    Iterative DataFrame algorithm (Spark SQL has no recursive CTE):
+    each round joins labels across edges and takes the elementwise min;
+    convergence when the label sum stops falling (labels only decrease,
+    so the integer sum is a strictly decreasing monotone — no row-level
+    diff join needed). Rounds = graph diameter; near-dup clusters are
+    shallow (pairs share content), so this is 2-4 rounds in practice.
+    `localCheckpoint` truncates lineage each round — without it the plan
+    doubles per iteration and planning cost explodes at scale.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .distinct()
+        # materialize once: every iteration re-reads edges, and without
+        # this the (possibly expensive) pair-generation pipeline upstream
+        # would re-execute per round
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "id")
+        )
+        labels = (
+            labels.join(nbr, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")))
+                .alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component_id"))
+
+
+def connected_components_duckdb_sql(pairs_sql: str) -> str:
+    """DuckDB SQL for identical components via recursive transitive
+    closure (oracle emitter). ``pairs_sql`` must yield (id_a, id_b).
+    Closure size is Σ|component|² — fine for near-dup-sized clusters."""
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs_sql}), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "          UNION SELECT id_b, id_a FROM pairs), "
+        "reach(id, r) AS ("
+        "  SELECT src, src FROM edges "
+        "  UNION SELECT e.src, re.r FROM edges e JOIN reach re ON re.id = e.dst"
+        ") "
+        "SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id"
+    )

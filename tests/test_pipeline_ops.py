@@ -280,3 +280,21 @@ def test_top_tokens_rank_and_ties(spark):
     rows = [(r["token"], r["n_total"], r["n_docs"], r["rank"])
             for r in T.top_tokens(df, k=2).orderBy("rank").collect()]
     assert rows == [("a", 3, 2, 1), ("b", 2, 2, 2)]
+
+
+def test_connected_components_chain_and_isolate(spark):
+    # chain 1-2-3 plus isolated pair 8-9: labels converge to component min
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], ["id_a", "id_b"])
+    cc = {r["doc_id"]: r["component_id"]
+          for r in D.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # diameter > 2 exercises the iteration loop + convergence detection
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 17)], ["id_a", "id_b"])
+    cc = {r["doc_id"]: r["component_id"]
+          for r in D.connected_components(pairs).collect()}
+    assert set(cc.values()) == {10}
