@@ -58,6 +58,25 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
 
+    # approximate-search quality at this SF: recall of the LSH / IVF paths
+    # vs the exact brute-force answer (speed without recall is meaningless)
+    from flink_sql_security_spark.operators import similarity as S
+    emb = spark.table("embeddings")
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in
+                   S.cosine_pairs(emb, threshold=0.4).collect()}
+    ann_pairs = {(r["id_a"], r["id_b"]) for r in
+                 S.ann_candidate_pairs(emb, bits=4, tables=8,
+                                       threshold=0.4).collect()}
+    ann_recall = (round(len(exact_pairs & ann_pairs) / len(exact_pairs), 4)
+                  if exact_pairs else None)
+    q20 = emb.where("vec_id < 20")
+    exact_top = {(r["q_id"], r["n_id"]) for r in
+                 S.cosine_topk(emb, q20, k=5).collect()}
+    ivf_top = {(r["q_id"], r["n_id"]) for r in
+               S.ivf_topk(emb, q20, k=5, n_cells=16, n_probe=4).collect()}
+    ivf_recall = (round(len(exact_top & ivf_top) / len(exact_top), 4)
+                  if exact_top else None)
+
     # driver-side rewrite latency (plan-time security tax), median of corpus
     from flink_sql_security_spark.presets import demo_context
     ctx = demo_context(spark)
@@ -87,6 +106,8 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "cold_total_sec": round(cold_total, 3),
+        "ann_recall": ann_recall,
+        "ivf_recall": ivf_recall,
         "sf": sf,
         "rewrite_median_ms": rewrite_ms,
         "security_tax_ratio": tax,

@@ -166,3 +166,11 @@ def test_unterminated_literals_rejected():
     for bad in ("SELECT 'abc FROM t", "SELECT `col FROM t", "SELECT \"x"):
         with pytest.raises(SqlParseError):
             parse_statement(bad)
+
+
+def test_unicode_identifiers_roundtrip():
+    sql = "SELECT `名前`, 金額 FROM `テーブル` WHERE 名前 = 'ユーザー'"
+    out = parse_statement(sql).sql()
+    assert "名前" in out and "ユーザー" in out
+    # stable under re-parse
+    assert parse_statement(out).sql() == out

@@ -143,3 +143,32 @@ def test_streaming_dedup_drops_duplicate_content(spark):
         assert 3 in wm_ids and len(wm_ids) >= 2
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_text_gates_apply_to_streams(spark):
+    """The corpus-cleaning GATES (lang-ID, quality, token counts) are
+    stateless projections — they run unchanged on a stream."""
+    from flink_sql_security_spark.functions import text as T
+
+    path = tempfile.mkdtemp(prefix="fss_stream_text")
+    try:
+        spark.createDataFrame(
+            [(1, "the cat and the dog ran to the house of a friend"),
+             (2, "el perro y la casa de que el gato y la"),
+             (3, "!!!! 123")],
+            ["doc_id", "text"]).write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema("doc_id long, text string").parquet(path)
+        gated = (
+            src.select("doc_id", F.col("text"),
+                       T.lang_id(F.col("text")).alias("lang"),
+                       T.quality_score(F.col("text")).alias("q"),
+                       T.word_count(F.col("text")).alias("wc"))
+            .where(F.col("lang") == "en")
+        )
+        q = gated.writeStream.format("memory").queryName("txt_gate") \
+            .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+        rows = spark.sql("SELECT doc_id, wc FROM txt_gate").collect()
+        assert [(r["doc_id"], r["wc"]) for r in rows] == [(1, 12)]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
