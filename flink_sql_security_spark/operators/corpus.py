@@ -34,8 +34,17 @@ from flink_sql_security_spark.operators import dedup as D
 def clean_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", lang: str = "en",
                  min_quality: float = 0.3,
-                 jaccard_threshold: float = 0.5) -> DataFrame:
-    """(doc_id, lang_pred, quality, n_words, n_bpe) for surviving docs."""
+                 jaccard_threshold: float = 0.5,
+                 materialize: bool = True) -> DataFrame:
+    """(doc_id, lang_pred, quality, n_words, n_bpe) for surviving docs.
+
+    ``materialize`` checkpoints the gated+deduped stage: downstream the
+    near-dup join references it three times and the final projection a
+    fourth — without materialization Catalyst re-evaluates the regex
+    gates per reference. This is the standard super-stage boundary of a
+    multi-stage pipeline (at cluster scale the same role is played by
+    writing the stage to parquet).
+    """
     text = F.col(text_col)
     gated = (
         df.select(F.col(id_col), text,
@@ -45,6 +54,8 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                & (F.col("quality") >= min_quality))
     )
     deduped = D.exact_dedup(gated, text_col, id_col)
+    if materialize:
+        deduped = deduped.localCheckpoint()
     near = D.ngram_jaccard_pairs(deduped, text_col, id_col,
                                  threshold=jaccard_threshold)
     drop = near.select(F.col("id_b").alias(id_col)).distinct()
