@@ -322,6 +322,7 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
 
     from flink_sql_security_spark.functions import text as T
     from flink_sql_security_spark.operators import dedup as D
+    from flink_sql_security_spark.operators import sampling as SM
     from flink_sql_security_spark.operators import similarity as S
 
     def with_tables(builder):
@@ -374,6 +375,26 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     out["dedup_simhash"] = (
         with_tables(lambda s: D.simhash(docs(s))),
         D.simhash_duckdb_sql(),
+    )
+    # banded-LSH hamming pairs (Spark side); brute-force self-join oracle
+    out["dedup_simhash_pairs"] = (
+        with_tables(lambda s: D.simhash_hamming_pairs(docs(s), max_hamming=8)),
+        D.simhash_hamming_pairs_duckdb_sql(max_hamming=8),
+    )
+    out["split_hash_assign"] = (
+        with_tables(lambda s: SM.hash_split(docs(s).select("doc_id"))),
+        SM.hash_split_duckdb_sql(select="doc_id"),
+    )
+    out["sample_hash_fraction"] = (
+        with_tables(lambda s: SM.stratified_hash_sample(
+            docs(s).select("doc_id", "source"), 0.25)),
+        SM.stratified_hash_sample_duckdb_sql(0.25, select="doc_id, source"),
+    )
+    out["quota_per_source"] = (
+        with_tables(lambda s: SM.per_key_quota(
+            docs(s).select("doc_id", "source"), "source", n=20)),
+        SM.per_key_quota_duckdb_sql("documents", "source", n=20,
+                                    select="doc_id, source"),
     )
     out["emb_cosine_pairs"] = (
         with_tables(lambda s: S.cosine_pairs(emb(s), threshold=0.4)),

@@ -425,3 +425,85 @@ def connected_components_duckdb_sql(pairs_sql: str) -> str:
         ") "
         "SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id"
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming-distance pairs via banded LSH (pigeonhole)
+# ---------------------------------------------------------------------------
+
+def _simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) for max_hamming+1 contiguous bands of 48 bits.
+
+    Pigeonhole: two signatures within hamming distance k agree exactly on
+    at least one of k+1 disjoint bands, so the banded equi-join loses no
+    true pair."""
+    nbits = 4 * SIMHASH_HEX_CHARS
+    b = max_hamming + 1
+    base, extra = divmod(nbits, b)
+    bands, start = [], 0
+    for i in range(b):
+        width = base + (1 if i < extra else 0)
+        bands.append((start, width))
+        start += width
+    return bands
+
+
+def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) for document pairs whose 48-bit SimHash
+    signatures differ in at most ``max_hamming`` bits.
+
+    Scale path: NO cartesian product.  Signatures are banded into
+    ``max_hamming + 1`` bit-ranges; candidates come from equi-joins on
+    band values (shuffle keyed on 12-bit-ish band content), then the
+    exact ``bit_count(xor)`` filter runs on candidates only.  The plan
+    is exact (pigeonhole guarantee), unlike probabilistic MinHash
+    banding.  Candidate volume is governed by band-value collisions;
+    AQE's skew-join split handles a hot band value (e.g. the
+    all-zeros signature of trivial documents)."""
+    sig = simhash(df, text_col=text_col, id_col=id_col)
+    band_cols = []
+    for i, (start, width) in enumerate(_simhash_bands(max_hamming)):
+        band_cols.append(
+            F.expr(f"CAST(floor(simhash / {2 ** start}) AS BIGINT) "
+                   f"% {2 ** width}").alias(f"band_{i}")
+        )
+    banded = sig.select(F.col(id_col), F.col("simhash"), *band_cols)
+    cand = None
+    a, b = banded.alias("a"), banded.alias("b")
+    for i in range(len(band_cols)):
+        pairs_i = (
+            a.join(b, F.col(f"a.band_{i}") == F.col(f"b.band_{i}"))
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+        )
+        cand = pairs_i if cand is None else cand.unionByName(pairs_i)
+    out = (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming",
+                    F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return out
+
+
+def simhash_hamming_pairs_duckdb_sql(table: str = "documents",
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id",
+                                     max_hamming: int = 3) -> str:
+    """DuckDB oracle: brute-force O(n²) self-join over the identical
+    SimHash signatures (fine at test SFs; the Spark side is the banded
+    scale path)."""
+    sigs = simhash_duckdb_sql(table=table, text_col=text_col, id_col=id_col)
+    return (
+        f"WITH sigs AS ({sigs}) "
+        f"SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, "
+        f"CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        f"FROM sigs a JOIN sigs b ON a.{id_col} < b.{id_col} "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )

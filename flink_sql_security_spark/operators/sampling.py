@@ -1,0 +1,149 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+Beyond-reference scope (driver brief: "operations a large-scale
+training-data pipeline would need").  Everything here is *content-hash
+deterministic*: the assignment of a row depends only on its id, never on
+partitioning, task order, or cluster size — so a 100 TB re-run on a
+different cluster layout reproduces the same split bit-for-bit, and an
+oracle engine (DuckDB) can recompute it exactly.
+
+Scale notes
+-----------
+- ``hash_split`` / ``stratified_hash_sample`` are narrow maps: no
+  shuffle, no state, trivially parallel at any scale.
+- ``per_key_quota`` is the one-shuffle ``row_number`` idiom; Spark's
+  WindowGroupLimit pushes the top-n map-side, so the exchange carries at
+  most ``n`` rows per key per input partition.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_split", "hash_split_duckdb_sql",
+           "stratified_hash_sample", "stratified_hash_sample_duckdb_sql",
+           "per_key_quota"]
+
+# 32-bit hash prefix folded into 10k buckets: plenty of resolution for
+# split fractions expressed in 0.01% steps, and exact integer arithmetic
+# in every engine (no float thresholds to drift).
+_BUCKETS = 10_000
+
+
+def _bucket_expr(id_col: str, salt: str) -> str:
+    """Spark SQL for the deterministic [0, 10000) bucket of a row id."""
+    return (
+        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+        f"':{salt}')), 1, 8), 16, 10) AS BIGINT) % {_BUCKETS}"
+    )
+
+
+def _bucket_duckdb(id_col: str, salt: str) -> str:
+    """Identical bucket arithmetic in DuckDB."""
+    return (
+        f"(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || "
+        f"':{salt}'), 1, 8))::BIGINT) % {_BUCKETS}"
+    )
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+               names: tuple[str, ...] = ("train", "val", "test"),
+               salt: str = "split") -> DataFrame:
+    """Assign each row to a named split, deterministically by id hash.
+
+    Returns the input columns plus ``bucket`` (0..9999) and ``split``.
+    The reference has no sampling surface (its corpus is 18 fixture rows,
+    ``data/database/mysql_init.sql:1-29``); this is the standard
+    train/val/test split of a data pipeline, keyed on content id so the
+    assignment survives re-partitioning and incremental re-runs.
+    """
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = sum(weights)
+    cuts, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        cuts.append(int(round(_BUCKETS * acc / total)))
+    bucket = F.expr(_bucket_expr(id_col, salt))
+    case = F.when(bucket < cuts[0], F.lit(names[0]))
+    for i in range(1, len(cuts)):
+        case = case.when(bucket < cuts[i], F.lit(names[i]))
+    case = case.otherwise(F.lit(names[-1]))
+    return df.withColumn("bucket", bucket).withColumn("split", case)
+
+
+def hash_split_duckdb_sql(table: str = "documents", id_col: str = "doc_id",
+                          weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+                          names: tuple[str, ...] = ("train", "val", "test"),
+                          salt: str = "split",
+                          select: str = "*") -> str:
+    """DuckDB SQL computing the identical split assignment (oracle)."""
+    total = sum(weights)
+    cuts, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        cuts.append(int(round(_BUCKETS * acc / total)))
+    b = _bucket_duckdb(id_col, salt)
+    whens = " ".join(
+        f"WHEN bucket < {c} THEN '{n}'" for c, n in zip(cuts, names)
+    )
+    return (
+        f"SELECT {select}, bucket, CASE {whens} ELSE '{names[-1]}' END AS split "
+        f"FROM (SELECT {select}, {b} AS bucket FROM {table}) s"
+    )
+
+
+def stratified_hash_sample(df: DataFrame, fraction: float,
+                           id_col: str = "doc_id",
+                           salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows: bucket < fraction*10000.
+
+    Unlike ``df.sample`` this is reproducible across runs, partitionings
+    and engines — the property a training-data pipeline needs so that a
+    resumed 100 TB job keeps exactly the rows the first attempt kept.
+    """
+    cut = int(round(_BUCKETS * fraction))
+    return df.where(F.expr(_bucket_expr(id_col, salt)) < cut)
+
+
+def stratified_hash_sample_duckdb_sql(fraction: float,
+                                      table: str = "documents",
+                                      id_col: str = "doc_id",
+                                      salt: str = "sample",
+                                      select: str = "*") -> str:
+    cut = int(round(_BUCKETS * fraction))
+    return (f"SELECT {select} FROM {table} "
+            f"WHERE {_bucket_duckdb(id_col, salt)} < {cut}")
+
+
+def per_key_quota(df: DataFrame, key_col: str, id_col: str = "doc_id",
+                  n: int = 10, salt: str = "quota") -> DataFrame:
+    """Cap rows per key at ``n``, picking a deterministic pseudo-random
+    subset (ordered by md5(id) so the quota is unbiased w.r.t. insertion
+    order, with id as total-order tiebreak).
+
+    The per-domain / per-source quota of corpus curation.  Physical
+    shape: ONE hash exchange on ``key_col``; WindowGroupLimit keeps only
+    the running top-n on the map side before the shuffle.
+    """
+    pref = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(key_col).orderBy(pref.asc(), F.col(id_col).asc())
+    return (df.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= n)
+              .drop("rn"))
+
+
+def per_key_quota_duckdb_sql(table: str, key_col: str,
+                             id_col: str = "doc_id", n: int = 10,
+                             salt: str = "quota",
+                             select: str = "*") -> str:
+    """DuckDB oracle for :func:`per_key_quota`."""
+    return (
+        f"SELECT {select} FROM ("
+        f" SELECT {select}, row_number() OVER ("
+        f"  PARTITION BY {key_col}"
+        f"  ORDER BY md5(CAST({id_col} AS VARCHAR) || ':{salt}') ASC,"
+        f"  {id_col} ASC) AS rn"
+        f" FROM {table}) q WHERE rn <= {n}"
+    )

@@ -298,3 +298,73 @@ def test_connected_components_long_chain_converges(spark):
     cc = {r["doc_id"]: r["component_id"]
           for r in D.connected_components(pairs).collect()}
     assert set(cc.values()) == {10}
+
+
+# ---------------------------------------------------------------------------
+# Sampling / splitting (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+def test_hash_split_deterministic_and_total(docs):
+    from flink_sql_security_spark.operators import sampling as SM
+    import hashlib
+    a = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in SM.hash_split(docs.select("doc_id")).collect()}
+    b = {r["doc_id"]: (r["bucket"], r["split"])
+         for r in SM.hash_split(docs.select("doc_id")).collect()}
+    assert a == b                      # rerun-stable
+    assert set(a) == {1, 2, 3, 4, 5, 6}  # total: every row assigned
+    for doc_id, (bucket, split) in a.items():
+        expected = int(hashlib.md5(f"{doc_id}:split".encode())
+                       .hexdigest()[:8], 16) % 10000
+        assert bucket == expected      # content-hash, not partition-dependent
+        assert split in ("train", "val", "test")
+        assert split == ("train" if bucket < 8000
+                         else "val" if bucket < 9000 else "test")
+
+
+def test_hash_split_bad_weights(docs):
+    from flink_sql_security_spark.operators import sampling as SM
+    with pytest.raises(ValueError):
+        SM.hash_split(docs, weights=(0.5, 0.5), names=("a", "b", "c"))
+
+
+def test_stratified_sample_is_subset_of_split_logic(docs):
+    from flink_sql_security_spark.operators import sampling as SM
+    full = {r["doc_id"] for r in docs.collect()}
+    kept = {r["doc_id"]
+            for r in SM.stratified_hash_sample(docs, 0.5).collect()}
+    assert kept <= full
+    again = {r["doc_id"]
+             for r in SM.stratified_hash_sample(docs, 0.5).collect()}
+    assert kept == again               # deterministic, unlike df.sample
+    assert {r["doc_id"]
+            for r in SM.stratified_hash_sample(docs, 1.0).collect()} == full
+    assert SM.stratified_hash_sample(docs, 0.0).count() == 0
+
+
+def test_per_key_quota_caps_and_is_deterministic(spark):
+    from flink_sql_security_spark.operators import sampling as SM
+    rows = [(i, "big" if i < 25 else "small") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = SM.per_key_quota(df, "source", n=5).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_key["big"]) == 5     # capped
+    assert len(by_key["small"]) == 5   # under quota → all kept
+    rerun = SM.per_key_quota(df, "source", n=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rerun))
+
+
+def test_simhash_hamming_pairs_match_bruteforce(docs):
+    from itertools import combinations
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    for k in (2, 8):
+        expected = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for a, b in combinations(sorted(sigs), 2)
+            if bin(sigs[a] ^ sigs[b]).count("1") <= k
+        }
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in D.simhash_hamming_pairs(docs, max_hamming=k).collect()}
+        assert got == expected         # pigeonhole banding is exact

@@ -155,3 +155,38 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_hash_split_is_shuffle_free(spark):
+    from flink_sql_security_spark.operators.sampling import hash_split
+    register_tables(spark, SF_DIR)
+    df = hash_split(spark.table("documents").select("doc_id"))
+    tree = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    # pure narrow map: assignment must not exchange or aggregate
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+
+
+def test_per_key_quota_single_shuffle(spark):
+    from flink_sql_security_spark.operators.sampling import per_key_quota
+    register_tables(spark, SF_DIR)
+    df = per_key_quota(spark.table("documents").select("doc_id", "source"),
+                       "source", n=20)
+    tree = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    # row_number window idiom: one hash exchange on the key, map-side top-n
+    assert tree.count("Exchange") == 1
+    assert "WindowGroupLimit" in tree
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    from flink_sql_security_spark.operators.dedup import simhash_hamming_pairs
+    register_tables(spark, SF_DIR)
+    plan = explain(simhash_hamming_pairs(spark.table("documents"),
+                                         max_hamming=3))
+    # banded LSH must equi-join on band values, never cross-join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
