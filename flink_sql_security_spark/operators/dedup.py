@@ -463,33 +463,31 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     AQE's skew-join split handles a hot band value (e.g. the
     all-zeros signature of trivial documents)."""
     sig = simhash(df, text_col=text_col, id_col=id_col)
-    band_cols = []
-    for i, (start, width) in enumerate(_simhash_bands(max_hamming)):
-        band_cols.append(
-            F.expr(f"CAST(floor(simhash / {2 ** start}) AS BIGINT) "
-                   f"% {2 ** width}").alias(f"band_{i}")
-        )
-    banded = sig.select(F.col(id_col), F.col("simhash"), *band_cols)
-    cand = None
-    a, b = banded.alias("a"), banded.alias("b")
-    for i in range(len(band_cols)):
-        pairs_i = (
-            a.join(b, F.col(f"a.band_{i}") == F.col(f"b.band_{i}"))
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.simhash").alias("sig_a"),
-                    F.col("b.simhash").alias("sig_b"))
-        )
-        cand = pairs_i if cand is None else cand.unionByName(pairs_i)
-    out = (
-        cand.dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming",
-                    F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    bands = _simhash_bands(max_hamming)
+    # unpivot bands into rows (stack = zero-shuffle generator) so ONE
+    # equi-join on (band_i, band_v) covers every band — the same shape
+    # as the MinHash LSH join; a per-band join loop would re-evaluate
+    # the signature subtree 2x per band
+    stack_args = ", ".join(
+        f"{i}, CAST(floor(simhash / {2 ** start}) AS BIGINT) % {2 ** width}"
+        for i, (start, width) in enumerate(bands)
     )
-    return out
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.expr(f"stack({len(bands)}, {stack_args}) AS (band_i, band_v)"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sig_a"), "band_i", "band_v")
+    b = banded.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sig_b"), "band_i", "band_v")
+    return (
+        a.join(b, ["band_i", "band_v"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.expr("bit_count(sig_a ^ sig_b)") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b",
+                F.expr("bit_count(sig_a ^ sig_b)").cast("int")
+                .alias("hamming"))
+    )
 
 
 def simhash_hamming_pairs_duckdb_sql(table: str = "documents",
