@@ -426,7 +426,7 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     out["emb_ivf_topk"] = (
         with_tables(lambda s: S.ivf_topk(
             emb(s), emb(s).where("vec_id < 20"), k=5,
-            n_cells=16, n_probe=4)),
+            n_cells=16, n_probe=6)),
         None,
     )
 
