@@ -371,36 +371,35 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     `localCheckpoint` truncates lineage each round — without it the plan
     doubles per iteration and planning cost explodes at scale.
     """
+    a, b = F.col(id_a), F.col(id_b)
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"),
-                            F.col(id_a).alias("dst")))
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .union(pairs.select(b.alias("src"), a.alias("dst")))
+        # self-loops: the per-round min over neighbors then includes the
+        # node's own label, so each round is ONE join + groupBy (no
+        # left-join repair step to merge old labels back in)
+        .union(pairs.select(a.alias("src"), a.alias("dst")))
+        .union(pairs.select(b.alias("src"), b.alias("dst")))
         .distinct()
         # materialize once: every iteration re-reads edges, and without
         # this the (possibly expensive) pair-generation pipeline upstream
-        # would re-execute per round
+        # would re-execute per round.  Pre-partition on the join key so
+        # the per-round join only shuffles the (smaller) label side.
+        .repartition(F.col("dst"))
         .localCheckpoint()
     )
+    # init fuses the first propagation round: label0 = min(self, neighbors)
     labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src").agg(F.min("dst").alias("label"))
+        .withColumnRenamed("src", "id")
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
-            .groupBy("src").agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("src", "id")
-        )
         labels = (
-            labels.join(nbr, on="id", how="left")
-            .select(
-                "id",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nbr_label"), F.col("label")))
-                .alias("label"),
-            )
+            edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
+            .groupBy("src").agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "id")
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
