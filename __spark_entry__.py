@@ -404,6 +404,22 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         " FROM u a, u b WHERE a.vec_id < b.vec_id) "
         "SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4",
     )
+    # embedding-space near-dup removal: cosine pairs -> components -> keep
+    _dup_pairs_sql = (
+        "WITH " + _DUCK_UNIT + ", "
+        "scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        + _DUCK_UNIT_DOT.format(a="a.unit", b="b.unit") + " AS cosine"
+        " FROM u a, u b WHERE a.vec_id < b.vec_id) "
+        "SELECT id_a, id_b FROM scored WHERE cosine >= 0.4"
+    )
+    out["emb_semantic_dedup"] = (
+        with_tables(lambda s: S.semantic_dedup(emb(s), threshold=0.4)),
+        "SELECT e.vec_id, coalesce(c.component_id, e.vec_id) AS component_id,"
+        " (coalesce(c.component_id, e.vec_id) = e.vec_id) AS is_kept"
+        " FROM embeddings e LEFT JOIN ("
+        + D.connected_components_duckdb_sql(_dup_pairs_sql)
+        + ") c ON e.vec_id = c.doc_id",
+    )
     out["emb_cosine_topk"] = (
         with_tables(lambda s: S.cosine_topk(
             emb(s), emb(s).where("vec_id < 20"), k=5)),

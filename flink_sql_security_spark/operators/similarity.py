@@ -384,3 +384,38 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: cosine-threshold pairs -> clusters -> canonical survivor
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   threshold: float = 0.4) -> DataFrame:
+    """(vec_id, component_id, is_kept): embedding-space near-dup removal.
+
+    The third dedup modality of a training pipeline (after exact and
+    lexical near-dup): pairs within cosine ``threshold`` are clustered by
+    connected components and one canonical row (the min id) survives per
+    cluster; rows in no pair survive trivially.
+
+    Scale shape: pair generation is the blocked-BLAS + exact-rescore path
+    of :func:`cosine_pairs`; components iterate over the (tiny) pair set
+    only; the final labeling is a broadcast-able left join of the
+    component map back onto the corpus — the full corpus is never
+    shuffled.
+    """
+    from flink_sql_security_spark.operators.dedup import connected_components
+
+    pairs = cosine_pairs(df, vec_col=vec_col, id_col=id_col,
+                         threshold=threshold).select("id_a", "id_b")
+    comp = connected_components(pairs).withColumnRenamed("doc_id", id_col)
+    return (
+        df.select(F.col(id_col))
+        .join(F.broadcast(comp), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"))
+        .withColumn("is_kept", F.col("component_id") == F.col(id_col))
+    )

@@ -368,3 +368,23 @@ def test_simhash_hamming_pairs_match_bruteforce(docs):
         got = {(r["id_a"], r["id_b"], r["hamming"])
                for r in D.simhash_hamming_pairs(docs, max_hamming=k).collect()}
         assert got == expected         # pigeonhole banding is exact
+
+
+def test_semantic_dedup_clusters_and_survivors(spark):
+    from flink_sql_security_spark.operators.similarity import semantic_dedup
+    # 1~2 near-identical, 3 close to them, 4 orthogonal, 5 isolated-ish
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),
+        (3, [0.97, 0.24, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: (r["component_id"], r["is_kept"])
+           for r in semantic_dedup(df, threshold=0.95).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)      # clustered with 1, not kept
+    assert out[3] == (1, False)      # transitively clustered via 2
+    assert out[4] == (4, True)       # no pair -> survives
+    assert out[5] == (5, True)
