@@ -390,6 +390,17 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             docs(s).select("doc_id", "source"), 0.25)),
         SM.stratified_hash_sample_duckdb_sql(0.25, select="doc_id, source"),
     )
+    # benchmark-contamination check: near-dup pairs straddling splits
+    out["split_contamination"] = (
+        with_tables(lambda s: SM.cross_split_contamination(
+            docs(s), threshold=0.05)),
+        "WITH pairs AS (" + out["dedup_jaccard_pairs"][1] + "), "
+        "assign AS (" + SM.hash_split_duckdb_sql(select="doc_id") + ") "
+        "SELECT p.id_a, a.split AS split_a, p.id_b, b.split AS split_b, "
+        "p.jaccard "
+        "FROM pairs p JOIN assign a ON p.id_a = a.doc_id "
+        "JOIN assign b ON p.id_b = b.doc_id WHERE a.split <> b.split",
+    )
     out["quota_per_source"] = (
         with_tables(lambda s: SM.per_key_quota(
             docs(s).select("doc_id", "source"), "source", n=20)),

@@ -147,3 +147,32 @@ def per_key_quota_duckdb_sql(table: str, key_col: str,
         f"  {id_col} ASC) AS rn"
         f" FROM {table}) q WHERE rn <= {n}"
     )
+
+
+def cross_split_contamination(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.2,
+                              weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+                              names: tuple[str, ...] = ("train", "val", "test"),
+                              salt: str = "split") -> DataFrame:
+    """(id_a, split_a, id_b, split_b, jaccard): near-dup pairs that straddle
+    split boundaries — the benchmark-contamination check of a training
+    pipeline (an eval doc lexically near a train doc invalidates the eval).
+
+    Composition of :func:`hash_split` (zero-shuffle assignment) with
+    n-gram Jaccard near-dup pairs; the split map joins onto the (small)
+    pair set, never the other way round, so the corpus itself is only
+    read by the pair generator.
+    """
+    from flink_sql_security_spark.operators.dedup import ngram_jaccard_pairs
+
+    assign = hash_split(df.select(F.col(id_col)), id_col=id_col,
+                        weights=weights, names=names, salt=salt)
+    pairs = ngram_jaccard_pairs(df, text_col, id_col, threshold=threshold)
+    a = assign.select(F.col(id_col).alias("id_a"),
+                      F.col("split").alias("split_a"))
+    b = assign.select(F.col(id_col).alias("id_b"),
+                      F.col("split").alias("split_b"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .where(F.col("split_a") != F.col("split_b"))
+            .select("id_a", "split_a", "id_b", "split_b", "jaccard"))

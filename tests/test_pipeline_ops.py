@@ -388,3 +388,19 @@ def test_semantic_dedup_clusters_and_survivors(spark):
     assert out[3] == (1, False)      # transitively clustered via 2
     assert out[4] == (4, True)       # no pair -> survives
     assert out[5] == (5, True)
+
+
+def test_cross_split_contamination(docs):
+    from flink_sql_security_spark.operators import sampling as SM
+    out = SM.cross_split_contamination(docs, threshold=0.2).collect()
+    splits = {r["doc_id"]: r["split"]
+              for r in SM.hash_split(docs.select("doc_id")).collect()}
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    expected = {(a, b) for (a, b) in pairs if splits[a] != splits[b]}
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert got == expected           # exactly the straddling near-dup pairs
+    for r in out:
+        assert r["split_a"] == splits[r["id_a"]]
+        assert r["split_b"] == splits[r["id_b"]]
+        assert r["jaccard"] == pairs[(r["id_a"], r["id_b"])]
