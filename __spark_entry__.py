@@ -390,6 +390,44 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             docs(s).select("doc_id", "source"), 0.25)),
         SM.stratified_hash_sample_duckdb_sql(0.25, select="doc_id, source"),
     )
+    # multimodal plumbing through the driver: a deterministic media table
+    # derived from documents (text bytes as the opaque payload) runs the
+    # real Arrow mapInPandas feature pipeline; the oracle recomputes the
+    # metadata outputs (payload size) relationally
+    from flink_sql_security_spark.operators import multimodal as MM
+
+    def media(s):
+        d = docs(s)
+        return d.select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.when(F.col("doc_id") % 3 == 0, "image")
+             .when(F.col("doc_id") % 3 == 1, "audio")
+             .otherwise("video").alias("kind"),
+            F.encode("text", "UTF-8").alias("content"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        )
+
+    out["multimodal_features"] = (
+        with_tables(lambda s: MM.extract_features(media(s), fake=True)
+                    .select("media_id", "kind",
+                            F.col("n_bytes").cast("long").alias("n_bytes"))),
+        "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, "
+        "octet_length(encode(text)) AS n_bytes FROM documents",
+    )
+    out["multimodal_frame_plan"] = (
+        with_tables(lambda s: MM.frame_sample_plan(media(s), every_ms=1000)
+                    .select("media_id",
+                            F.col("frame_ts_ms").cast("long")
+                            .alias("frame_ts_ms"))),
+        "SELECT CAST(doc_id AS VARCHAR) AS media_id, t.ts AS frame_ts_ms "
+        "FROM documents, UNNEST(generate_series(0, n_chars * 10, 1000)) "
+        "AS t(ts) WHERE doc_id % 3 = 2",
+    )
     # benchmark-contamination check: near-dup pairs straddling splits
     out["split_contamination"] = (
         with_tables(lambda s: SM.cross_split_contamination(
