@@ -20,7 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_sql_security_spark.presets import (
-    USER_FILTER, USER_HASH, USER_MASK, USER_MIXED, USER_NULL, demo_context,
+    USER_DATE, USER_FILTER, USER_HASH, USER_MASK, USER_MIXED, USER_NULL,
+    demo_context,
 )
 from flink_sql_security_spark.sources import register_tables
 
@@ -141,6 +142,12 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         USER_NULL,
         "SELECT c_custkey, c_name, c_acctbal FROM customer",
         "SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal FROM customer",
+    ),
+    "mask_date_year": (
+        USER_DATE,
+        "SELECT o_orderkey, o_orderdate FROM orders",
+        "SELECT o_orderkey, CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)"
+        " AS o_orderdate FROM orders",
     ),
     # ---- security layer: mixed (filter-then-mask, SURVEY §2.A10) ----
     "mixed_flagship": (
@@ -280,6 +287,132 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         "GROUP BY o_custkey HAVING count(*) > 15",
         "SELECT o_custkey, count(*) AS n_orders FROM orders "
         "GROUP BY o_custkey HAVING count(*) > 15",
+    ),
+    # TPC-H-shaped breadth: EXISTS+date-range agg (q4), 4-way-join top-N
+    # (q10), CASE aggregation over a join (q12), conditional-agg ratio (q14),
+    # disjunctive multi-predicate join (q19) — same text in both dialects
+    "q4_priority_count": (
+        _NOBODY,
+        "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+        "AND EXISTS (SELECT 1 AS one FROM lineitem "
+        " WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+        "AND EXISTS (SELECT 1 AS one FROM lineitem "
+        " WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    ),
+    "q10_returned_items": (
+        _NOBODY,
+        "SELECT c_custkey, c_name, "
+        f"sum({_REVENUE}) AS revenue, n_name "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20",
+        "SELECT c_custkey, c_name, "
+        f"sum({_REVENUE}) AS revenue, n_name "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    ),
+    "q12_priority_case": (
+        _NOBODY,
+        "SELECT l_linestatus, "
+        "sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' "
+        "THEN 1 ELSE 0 END) AS high_line_count, "
+        "sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' "
+        "THEN 1 ELSE 0 END) AS low_line_count "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY l_linestatus ORDER BY l_linestatus",
+        "SELECT l_linestatus, "
+        "sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' "
+        "THEN 1 ELSE 0 END) AS high_line_count, "
+        "sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' "
+        "THEN 1 ELSE 0 END) AS low_line_count "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "GROUP BY l_linestatus ORDER BY l_linestatus",
+    ),
+    # ratio of two exact decimal sums, divided as doubles → engine-stable
+    "q14_promo_share": (
+        _NOBODY,
+        "SELECT round(CAST(100.0 AS DOUBLE) * "
+        f"CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REVENUE} "
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / "
+        f"CAST(sum({_REVENUE}) AS DOUBLE), 6) AS promo_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey",
+        "SELECT round(CAST(100.0 AS DOUBLE) * "
+        f"CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REVENUE} "
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / "
+        f"CAST(sum({_REVENUE}) AS DOUBLE), 6) AS promo_pct "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey",
+    ),
+    "q19_disjunctive_join": (
+        _NOBODY,
+        f"SELECT sum({_REVENUE}) AS revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)",
+        f"SELECT sum({_REVENUE}) AS revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11) "
+        "OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20) "
+        "OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)",
+    ),
+    # correlated scalar subquery (max is order-independent → exact)
+    "corr_max_order": (
+        _NOBODY,
+        "SELECT o.o_custkey, o.o_orderkey, o.o_totalprice FROM orders AS o "
+        "WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders AS o2 "
+        "WHERE o2.o_custkey = o.o_custkey)",
+        "SELECT o.o_custkey, o.o_orderkey, o.o_totalprice FROM orders AS o "
+        "WHERE o.o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2 "
+        "WHERE o2.o_custkey = o.o_custkey)",
+    ),
+    "in_subquery_debtors": (
+        _NOBODY,
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal < 0)",
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal < 0)",
+    ),
+    "intersect_building_urgent": (
+        _NOBODY,
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'",
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'",
+    ),
+    "except_building_urgent": (
+        _NOBODY,
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'",
+        "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'",
+    ),
+    "cube_priority_status": (
+        _NOBODY,
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS cnt FROM orders "
+        "GROUP BY CUBE(o_orderpriority, o_orderstatus)",
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS cnt FROM orders "
+        "GROUP BY CUBE(o_orderpriority, o_orderstatus)",
+    ),
+    "events_json_extract": (
+        _NOBODY,
+        "SELECT event_id, CAST(get_json_object(props, '$.k') AS INT) AS k "
+        "FROM events",
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k "
+        "FROM events",
     ),
     "events_daily": (
         _NOBODY,

@@ -18,6 +18,7 @@ USER_MASK = "user_mask"          # masks only
 USER_MIXED = "user_mixed"        # both
 USER_HASH = "user_hash"          # hash mask
 USER_NULL = "user_null"          # nullify mask
+USER_DATE = "user_date"          # date mask (MASK_DATE_SHOW_YEAR)
 
 
 def demo_context(spark: SparkSession) -> SecurityContext:
@@ -30,4 +31,6 @@ def demo_context(spark: SparkSession) -> SecurityContext:
         ctx.add_policy(DataMaskPolicy(user, "supplier", "s_name", "MASK"))
     ctx.add_policy(DataMaskPolicy(USER_HASH, "customer", "c_name", "MASK_HASH"))
     ctx.add_policy(DataMaskPolicy(USER_NULL, "customer", "c_name", "MASK_NULL"))
+    ctx.add_policy(DataMaskPolicy(USER_DATE, "orders", "o_orderdate",
+                                  "MASK_DATE_SHOW_YEAR"))
     return ctx

@@ -111,6 +111,22 @@ def test_mixed_execute_by_user(ctx):
     }
 
 
+def test_execute_date_mask_show_year(ctx):
+    # MASK_DATE_SHOW_YEAR (data_mask_types.json itemId 12): day→1, month→Jan,
+    # year kept — truncate-to-year, re-cast to the declared TIMESTAMP type
+    import datetime
+
+    ctx.add_policy(DataMaskPolicy("user_C", "orders", "order_date",
+                                  "MASK_DATE_SHOW_YEAR"))
+    rows = {(r[0], r[1]) for r in ctx.execute_data_mask(
+        "user_C", "SELECT order_id, order_date FROM orders")}
+    jan1 = {2020: datetime.datetime(2020, 1, 1), 2022: datetime.datetime(2022, 1, 1)}
+    assert rows == {
+        (10001, jan1[2020]), (10002, jan1[2020]), (10003, jan1[2020]),
+        (10004, jan1[2022]), (10005, jan1[2022]), (10006, jan1[2022]),
+    }
+
+
 def test_fetch_size_limit(ctx):
     # SecurityContext.java:190-201 — default fetch is first N rows
     assert len(ctx.execute(QUERY, 3)) == 3
