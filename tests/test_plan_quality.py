@@ -182,6 +182,40 @@ def test_per_key_quota_single_shuffle(spark):
     assert "WindowGroupLimit" in tree
 
 
+def test_q10_topk_no_global_sort(ctx):
+    # q10 shape: ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    # partition top-N + driver merge), never a global Sort of the aggregate
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q10_returned_items"](ctx.spark, SF_DIR)
+    plan = explain(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_correlated_scalar_subquery_decorrelates(ctx):
+    # Catalyst must rewrite the per-row scalar subquery into one aggregate
+    # + equi-join — a nested-loop re-execution per outer row would be
+    # quadratic at scale
+    import __spark_entry__ as entry
+
+    df = entry.queries()["corr_max_order"](ctx.spark, SF_DIR)
+    plan = explain(df)
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunctive_filters_pushed(ctx):
+    # the brand IN-set implied by the OR groups must reach the part scan
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q19_disjunctive_join"](ctx.spark, SF_DIR)
+    plan = explain(df)
+    assert "PushedFilters" in plan
+    assert "In(p_brand" in plan or "Or(EqualTo(p_brand" in plan
+
+
 def test_simhash_pairs_no_cartesian(spark):
     from flink_sql_security_spark.operators.dedup import simhash_hamming_pairs
     register_tables(spark, SF_DIR)
