@@ -497,6 +497,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
         "WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05",
     )
+    # the scale path: LSH candidate pruning then exact-Jaccard verification
+    # restricted to candidates (prune-then-verify, not all co-shingled pairs)
+    out["dedup_lsh_verified"] = (
+        with_tables(lambda s: D.lsh_verified_jaccard_pairs(
+            docs(s), num_hashes=16, bands=4, threshold=0.05)),
+        D.lsh_verified_jaccard_duckdb_sql(_DUCK_SHINGLES, num_hashes=16,
+                                          bands=4, threshold=0.05),
+    )
     # near-dup clustering: components over the jaccard pair graph; the
     # oracle nests the pairs query inside a recursive transitive closure
     out["dedup_components"] = (

@@ -189,9 +189,9 @@ def minhash_lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_lsh_duckdb_sql(shingles_cte: str, num_hashes: int = 16,
-                           bands: int = 4, id_col: str = "doc_id") -> str:
-    """DuckDB SQL computing identical candidate pairs (oracle emitter).
+def _minhash_ctes(shingles_cte: str, num_hashes: int, bands: int,
+                  id_col: str) -> str:
+    """Shared CTE prefix (sh → sig → bnd → cand) for the MinHash oracles.
 
     ``shingles_cte`` must define a CTE named ``sh`` with (id, shingle).
     The 32-bit md5 prefix parses via DuckDB's ('0x'||hex)::BIGINT (Spark
@@ -213,13 +213,20 @@ def minhash_lsh_duckdb_sql(shingles_cte: str, num_hashes: int = 16,
                 for i in range(rows_per_band)))
         for band in range(bands))
     return (
-        f"WITH {shingles_cte}, "
+        f"{shingles_cte}, "
         f"sig AS (SELECT {id_col}, {mins} FROM sh GROUP BY {id_col}), "
-        f"bnd AS ({band_rows}) "
-        f"SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b "
+        f"bnd AS ({band_rows}), "
+        f"cand AS (SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b "
         f"FROM bnd a JOIN bnd b ON a.band = b.band AND a.band_sig = b.band_sig "
-        f"WHERE a.{id_col} < b.{id_col}"
+        f"WHERE a.{id_col} < b.{id_col})"
     )
+
+
+def minhash_lsh_duckdb_sql(shingles_cte: str, num_hashes: int = 16,
+                           bands: int = 4, id_col: str = "doc_id") -> str:
+    """DuckDB SQL computing identical candidate pairs (oracle emitter)."""
+    return ("WITH " + _minhash_ctes(shingles_cte, num_hashes, bands, id_col)
+            + " SELECT id_a, id_b FROM cand")
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +282,66 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               num_hashes: int = 16, bands: int = 4,
+                               threshold: float = 0.2) -> DataFrame:
+    """The 100 TB near-dup path: MinHash-LSH candidate pruning, then exact
+    Jaccard verification on candidates only.
+
+    ``ngram_jaccard_pairs`` alone materializes every co-shingled pair —
+    quadratic in the hottest shingle's doc-frequency. Here the only
+    all-pairs-shaped join is the banded LSH join (bounded by band-bucket
+    collisions), and the shingle-level intersection join runs just on the
+    LSH survivors: candidates broadcast-or-shuffle onto the hashed-shingle
+    table twice (id_a side, id_b side), count matches, apply the exact
+    |I|/|U| filter. Output ⊆ ngram_jaccard_pairs output by construction
+    (LSH can only lose pairs, never invent them) — the band count tunes
+    the recall/cost trade.
+    """
+    cand = minhash_lsh_candidate_pairs(df, text_col, id_col, n,
+                                       num_hashes, bands)
+    sh = hashed_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_verified_jaccard_duckdb_sql(shingles_cte: str, num_hashes: int = 16,
+                                    bands: int = 4, threshold: float = 0.2,
+                                    id_col: str = "doc_id") -> str:
+    """DuckDB oracle for ``lsh_verified_jaccard_pairs``: the same MinHash
+    CTE chain, then exact Jaccard restricted to the candidate set."""
+    return (
+        "WITH " + _minhash_ctes(shingles_cte, num_hashes, bands, id_col) + ", "
+        "hs AS (SELECT DISTINCT doc_id, CAST(concat('0x', substring(md5(shingle), 1, "
+        f"{SHINGLE_HASH_HEX})) AS BIGINT) AS h FROM sh), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM hs GROUP BY doc_id), "
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter "
+        "          FROM cand c JOIN hs a ON a.doc_id = c.id_a "
+        "          JOIN hs b ON b.doc_id = c.id_b AND b.h = a.h "
+        "          GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        f"WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}"
     )
 
 

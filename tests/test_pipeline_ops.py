@@ -70,6 +70,21 @@ def test_jaccard_pairs_exact_values(docs):
     assert (1, 5) not in rows
 
 
+def test_lsh_verified_subset_of_brute_force(docs):
+    brute = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
+    verified = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in D.lsh_verified_jaccard_pairs(
+                    docs, num_hashes=8, bands=4, threshold=0.01).collect()}
+    # LSH pruning can drop pairs but never invent them, and the verify
+    # stage recomputes the exact same jaccard values
+    assert set(verified) <= set(brute)
+    for pair, j in verified.items():
+        assert j == brute[pair]
+    # identical docs collide on every band — always survive pruning
+    assert (1, 2) in verified and verified[(1, 2)] == 1.0
+
+
 def test_simhash_properties(docs):
     sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
     assert sh[1] == sh[2]          # identical text → identical simhash
