@@ -703,6 +703,22 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         clean_corpus_duckdb_sql(),
     )
 
+    # the watermark-windowed streaming aggregate, checked on batch input
+    # (watermark is a no-op there; the window arithmetic is what the oracle
+    # verifies — time_bucket aligns to the same epoch-hour boundaries)
+    def windowed(s):
+        from flink_sql_security_spark.streaming import windowed_event_counts
+        return windowed_event_counts(s.table("events"), window="1 hour")
+
+    out["events_hourly_window"] = (
+        with_tables(windowed),
+        "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, "
+        "time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end, "
+        "event_type, count(*) AS cnt, "
+        "sum(CAST(value AS DECIMAL(18,2))) AS total "
+        "FROM events GROUP BY 1, 2, 3",
+    )
+
     def sessionized(s):
         from flink_sql_security_spark.streaming.sessionize import sessionize_batch
         ev = s.table("events").select(

@@ -41,6 +41,13 @@ IDENTITY_CORPUS = [
     "AND region NOT IN ('shanghai') AND order_status = FALSE",
     "SELECT r, n FROM (SELECT region AS r, count(DISTINCT customer_name) AS n "
     "FROM orders GROUP BY region) x ORDER BY n DESC, r",
+    "SELECT region FROM orders INTERSECT SELECT origin AS region FROM shipments",
+    "SELECT region FROM orders EXCEPT SELECT destination AS region FROM shipments",
+    "SELECT region, order_status, count(*) AS cnt FROM orders "
+    "GROUP BY CUBE(region, order_status)",
+    "SELECT o.order_id, o.price FROM orders AS o WHERE o.price = "
+    "(SELECT max(o2.price) FROM orders AS o2 WHERE o2.region = o.region)",
+    "SELECT order_id, get_json_object('{\"k\": 1}', '$.k') AS k FROM orders",
 ]
 
 
