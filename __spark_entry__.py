@@ -20,8 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_sql_security_spark.presets import (
-    USER_DATE, USER_FILTER, USER_HASH, USER_MASK, USER_MIXED, USER_NULL,
-    demo_context,
+    USER_CUSTOM, USER_DATE, USER_FILTER, USER_HASH, USER_MASK, USER_MIXED,
+    USER_NULL, demo_context,
 )
 from flink_sql_security_spark.sources import register_tables
 
@@ -142,6 +142,12 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         USER_NULL,
         "SELECT c_custkey, c_name, c_acctbal FROM customer",
         "SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal FROM customer",
+    ),
+    "mask_custom_template": (
+        USER_CUSTOM,
+        "SELECT c_custkey, c_name FROM customer",
+        "SELECT c_custkey, concat(substring(c_name, 1, 2), repeat('*', 6)) "
+        "AS c_name FROM customer",
     ),
     "mask_date_year": (
         USER_DATE,
@@ -406,6 +412,13 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         "GROUP BY CUBE(o_orderpriority, o_orderstatus)",
         "SELECT o_orderpriority, o_orderstatus, count(*) AS cnt FROM orders "
         "GROUP BY CUBE(o_orderpriority, o_orderstatus)",
+    ),
+    "grouping_sets_priority": (
+        _NOBODY,
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS cnt FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())",
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS cnt FROM orders "
+        "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())",
     ),
     "events_json_extract": (
         _NOBODY,

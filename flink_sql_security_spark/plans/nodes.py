@@ -474,12 +474,12 @@ class Select(Query):
             parts.append("FROM " + self.from_.sql())
         if self.where is not None:
             parts.append("WHERE " + self.where.sql())
-        if self.group_by:
+        if self.group_by or self.group_modifier:
             cols = ", ".join(e.sql() for e in self.group_by)
             if self.group_modifier in ("ROLLUP", "CUBE"):
                 parts.append(f"GROUP BY {self.group_modifier}({cols})")
-            elif self.group_modifier:  # raw grouping sets
-                parts.append(f"GROUP BY {self.group_modifier}")
+            elif self.group_modifier:  # raw GROUPING SETS text (group_by is
+                parts.append(f"GROUP BY {self.group_modifier}")  # empty then)
             else:
                 parts.append("GROUP BY " + cols)
         if self.having is not None:

@@ -19,6 +19,7 @@ USER_MIXED = "user_mixed"        # both
 USER_HASH = "user_hash"          # hash mask
 USER_NULL = "user_null"          # nullify mask
 USER_DATE = "user_date"          # date mask (MASK_DATE_SHOW_YEAR)
+USER_CUSTOM = "user_custom"      # CUSTOM mask with a {col} SQL template
 
 
 def demo_context(spark: SparkSession) -> SecurityContext:
@@ -33,4 +34,7 @@ def demo_context(spark: SparkSession) -> SecurityContext:
     ctx.add_policy(DataMaskPolicy(USER_NULL, "customer", "c_name", "MASK_NULL"))
     ctx.add_policy(DataMaskPolicy(USER_DATE, "orders", "o_orderdate",
                                   "MASK_DATE_SHOW_YEAR"))
+    ctx.add_policy(DataMaskPolicy(
+        USER_CUSTOM, "customer", "c_name", "CUSTOM",
+        custom_transformer="concat(substring({col}, 1, 2), repeat('*', 6))"))
     return ctx

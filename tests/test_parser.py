@@ -47,6 +47,9 @@ ROUND_TRIP_CASES = [
     "SELECT a FROM t LEFT SEMI JOIN u ON t.k = u.k",
     "SELECT a FROM t LEFT ANTI JOIN u USING (k)",
     "SELECT CASE WHEN a > 1 THEN 'x' ELSE 'y' END AS c FROM t",
+    # GROUPING SETS must survive printing (regression: the raw-text modifier
+    # was dropped when group_by was empty, silently un-grouping the query)
+    "SELECT a, b, count(*) AS cnt FROM t GROUP BY GROUPING SETS ((a), (b), ())",
 ]
 
 

@@ -52,6 +52,34 @@ def test_secure_stream_filters_and_masks(spark, ctx, stream_dir):
     }
 
 
+def test_sql_string_rewrite_over_streaming_view(spark, ctx, stream_dir):
+    # the reference's actual execution model: rewrite the SQL *string*, hand
+    # it to the engine in streaming mode (SecurityContext.java:106-108,
+    # 190-212). Spark parity: a streaming temp view behind the same table
+    # name — the identical rewrite output plans as an unbounded query.
+    stream = (
+        spark.readStream.schema(spark.table("orders").schema)
+        .parquet(stream_dir)
+    )
+    stream.createOrReplaceTempView("orders_live")
+    try:
+        ctx.add_policy(RowFilterPolicy("user_A", "orders_live",
+                                       "region = 'beijing'"))
+        ctx.add_policy(DataMaskPolicy("user_A", "orders_live",
+                                      "customer_name", "MASK"))
+        df = ctx.sql(
+            "user_A",
+            "SELECT order_id, customer_name, region FROM orders_live")
+        assert df.isStreaming
+        rows = fetch_stream_rows(df, size=10)
+        assert {tuple(r) for r in rows} == {
+            (10001, "Xxxx", "beijing"),
+            (10002, "Xxxxx", "beijing"),
+        }
+    finally:
+        spark.catalog.dropTempView("orders_live")
+
+
 def test_secure_stream_rejects_batch_df(spark, ctx, demo_tables):
     with pytest.raises(ValueError):
         secure_stream(ctx, "user_A", spark.table("orders"), "orders")
