@@ -559,8 +559,13 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
              .otherwise("video").alias("kind"),
             F.encode("text", "UTF-8").alias("content"),
             F.lit("application/octet-stream").alias("mime"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            # deterministic dims for image rows (drive the resize planner)
+            F.when(F.col("doc_id") % 3 == 0,
+                   ((F.col("doc_id") % 8 + 4) * 64).cast("int"))
+             .otherwise(F.lit(None).cast("int")).alias("width"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   ((F.col("doc_id") % 5 + 2) * 100).cast("int"))
+             .otherwise(F.lit(None).cast("int")).alias("height"),
             (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
         )
 
@@ -572,6 +577,20 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
         "ELSE 'video' END AS kind, "
         "octet_length(encode(text)) AS n_bytes FROM documents",
+    )
+    # aspect-preserving resize planning: metadata-only arithmetic (the pixel
+    # kernel is decode_media→resize_media, exercised in test_pipeline_ops)
+    out["multimodal_resize_plan"] = (
+        with_tables(lambda s: MM.resize_plan(media(s), max_side=224)),
+        "SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind, "
+        "w AS width, h AS height, "
+        "CASE WHEN greatest(w, h) > 224 THEN greatest(1, "
+        "CAST(floor(w * 224 / greatest(w, h)) AS INT)) ELSE w END AS out_width, "
+        "CASE WHEN greatest(w, h) > 224 THEN greatest(1, "
+        "CAST(floor(h * 224 / greatest(w, h)) AS INT)) ELSE h END AS out_height "
+        "FROM (SELECT doc_id, CAST((doc_id % 8 + 4) * 64 AS INT) AS w, "
+        "CAST((doc_id % 5 + 2) * 100 AS INT) AS h FROM documents "
+        "WHERE doc_id % 3 = 0) t",
     )
     out["multimodal_frame_plan"] = (
         with_tables(lambda s: MM.frame_sample_plan(media(s), every_ms=1000)
@@ -645,7 +664,7 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     out["emb_ivf_topk"] = (
         with_tables(lambda s: S.ivf_topk(
             emb(s), emb(s).where("vec_id < 20"), k=5,
-            n_cells=16, n_probe=6)),
+            n_cells=16, n_probe=8)),
         None,
     )
 

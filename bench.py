@@ -73,7 +73,7 @@ def main() -> None:
     exact_top = {(r["q_id"], r["n_id"]) for r in
                  S.cosine_topk(emb, q20, k=5).collect()}
     ivf_top = {(r["q_id"], r["n_id"]) for r in
-               S.ivf_topk(emb, q20, k=5, n_cells=16, n_probe=6).collect()}
+               S.ivf_topk(emb, q20, k=5, n_cells=16, n_probe=8).collect()}
     ivf_recall = (round(len(exact_top & ivf_top) / len(exact_top), 4)
                   if exact_top else None)
 

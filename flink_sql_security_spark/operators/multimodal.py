@@ -83,6 +83,113 @@ def extract_features(df: DataFrame, fake: bool = False,
     return df.mapInPandas(decode, schema=_FEATURES_SCHEMA)
 
 
+_DECODED_SCHEMA = StructType([
+    StructField("media_id", StringType(), False),
+    StructField("kind", StringType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("channels", IntegerType(), True),
+    StructField("pixels", BinaryType(), True),      # H*W*C row-major bytes
+])
+
+_FAKE_DECODE_SIDE = 8  # stub decodes to an 8×8 RGB buffer
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """media rows → decoded pixel buffers (media_id, kind, w, h, c, pixels).
+
+    The decode kernel is the stubbed step (Pillow/ffmpeg absent here): with
+    ``fake=True`` every payload deterministically becomes an 8×8×3 buffer
+    whose bytes cycle the payload's md5 — stable across runs/engines, so
+    downstream kernels (resize, features) are testable for real. The
+    surrounding plumbing is production-shaped: Arrow batches in, explicit
+    output schema, payload bytes never surface into JVM row objects larger
+    than one batch.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        side = _FAKE_DECODE_SIDE
+        npix = side * side * 3
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires Pillow/torchaudio/ffmpeg, not "
+                    "available in this environment; pass fake=True for the "
+                    "deterministic stub"
+                )
+
+            def buf(b):
+                digest = hashlib.md5(bytes(b) if b is not None else b"").digest()
+                return bytes(digest[i % len(digest)] for i in range(npix))
+
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": side,
+                "height": side,
+                "channels": 3,
+                "pixels": pdf["content"].map(buf),
+            })
+
+    return df.mapInPandas(decode, schema=_DECODED_SCHEMA)
+
+
+def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Target-dimension planning for aspect-preserving downscale — pure JVM
+    arithmetic on metadata columns, no payload access, fully codegen'd
+    (and therefore DuckDB-oracle-checkable).
+
+    out = floor(dim · max_side / longest_side), clamped ≥1; rows already
+    within bounds keep their dimensions. ``floor`` (not round) keeps the
+    arithmetic unambiguous across engines.
+    """
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    scale_needed = longest > max_side
+    out_w = F.when(scale_needed, F.greatest(
+        F.lit(1), F.floor(w * max_side / longest).cast("int"))).otherwise(w)
+    out_h = F.when(scale_needed, F.greatest(
+        F.lit(1), F.floor(h * max_side / longest).cast("int"))).otherwise(h)
+    return (
+        df.where(w.isNotNull() & h.isNotNull())
+        .select("media_id", "kind", "width", "height",
+                out_w.alias("out_width"), out_h.alias("out_height"))
+    )
+
+
+def resize_media(decoded: DataFrame, out_side: int = 4) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel buffers to out_side².
+
+    Runs for real (numpy index-gather on the Arrow batch — no media lib
+    needed once buffers are decoded); with the fake decode stub upstream
+    this exercises the full decode→transform kernel chain end to end.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b, w, h, c in zip(pdf["pixels"], pdf["width"],
+                                  pdf["height"], pdf["channels"]):
+                if b is None:
+                    outs.append(None)
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8).reshape(h, w, c)
+                ys = (np.arange(out_side) * h) // out_side
+                xs = (np.arange(out_side) * w) // out_side
+                outs.append(arr[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": out_side,
+                "height": out_side,
+                "channels": pdf["channels"],
+                "pixels": outs,
+            })
+
+    return decoded.mapInPandas(kernel, schema=_DECODED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Planning-only frame sampler: one row per (video, frame_ts) without
     touching payload bytes — metadata-driven explode, fully JVM-side."""

@@ -203,6 +203,44 @@ def test_multimodal_real_decode_stubbed(media):
         exc_info.value, NotImplementedError)
 
 
+def test_decode_resize_kernel_chain(media):
+    import hashlib
+
+    decoded = M.decode_media(media, fake=True)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    side = M._FAKE_DECODE_SIDE
+    assert rows["img1"]["width"] == side and rows["img1"]["height"] == side
+    assert len(bytes(rows["img1"]["pixels"])) == side * side * 3
+    # stub is deterministic: buffer bytes cycle md5(payload)
+    digest = hashlib.md5(b"\x89PNG fake bytes").digest()
+    assert bytes(rows["img1"]["pixels"])[:16] == digest
+
+    resized = {r["media_id"]: r
+               for r in M.resize_media(decoded, out_side=4).collect()}
+    assert resized["img2"]["width"] == 4 and resized["img2"]["height"] == 4
+    assert len(bytes(resized["img2"]["pixels"])) == 4 * 4 * 3
+    # nearest-neighbor on a 2× downscale picks every other pixel row/col
+    src = bytes(rows["img2"]["pixels"])
+    out = bytes(resized["img2"]["pixels"])
+    assert out[0:3] == src[0:3]  # top-left pixel survives
+
+
+def test_resize_plan_arithmetic(media):
+    plans = {r["media_id"]: r for r in
+             M.resize_plan(media, max_side=224).collect()}
+    # within bounds: unchanged
+    assert (plans["img1"]["out_width"], plans["img1"]["out_height"]) == (64, 64)
+    # 1920×1080 → floor-scaled to longest side 224
+    assert (plans["vid1"]["out_width"], plans["vid1"]["out_height"]) == (224, 126)
+
+
+def test_real_decode_stubbed_with_named_dependency(media):
+    with pytest.raises(Exception) as exc_info:
+        M.decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError)
+
+
 def test_frame_sample_plan(media):
     frames = M.frame_sample_plan(media, every_ms=1000).collect()
     assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [

@@ -216,6 +216,46 @@ def test_q19_disjunctive_filters_pushed(ctx):
     assert "In(p_brand" in plan or "Or(EqualTo(p_brand" in plan
 
 
+def test_partitioned_table_prunes_directories(spark):
+    from flink_sql_security_spark.sources import write_partitioned
+    register_tables(spark, SF_DIR)
+    spark.sql("DROP TABLE IF EXISTS p_events")
+    write_partitioned(spark.table("events"), "p_events", ["event_type"])
+    try:
+        plan = explain(spark.table("p_events").where("event_type = 'click'")
+                       .select("event_id", "value"))
+        # the literal predicate must land in PartitionFilters (directory
+        # skipping), NOT in the data Filter/PushedFilters path
+        pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+        assert "event_type" in pf
+    finally:
+        spark.sql("DROP TABLE IF EXISTS p_events")
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    from flink_sql_security_spark.sources import write_partitioned
+    register_tables(spark, SF_DIR)
+    spark.sql("DROP TABLE IF EXISTS p_events2")
+    write_partitioned(spark.table("events"), "p_events2", ["event_type"])
+    try:
+        dim = spark.createDataFrame(
+            [("click", 1), ("view", 2), ("purchase", 3)],
+            ["event_type", "priority"])
+        dim.createOrReplaceTempView("event_dim")
+        joined = spark.sql(
+            "SELECT e.event_id, d.priority FROM p_events2 e "
+            "JOIN event_dim d ON e.event_type = d.event_type "
+            "WHERE d.priority = 1")
+        plan = explain(joined)
+        # the partition filter on the fact side must come from the dim at
+        # runtime — scanning all partitions then joining would read the
+        # whole fact table
+        assert "dynamicpruning" in plan.lower()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS p_events2")
+        spark.catalog.dropTempView("event_dim")
+
+
 def test_simhash_pairs_no_cartesian(spark):
     from flink_sql_security_spark.operators.dedup import simhash_hamming_pairs
     register_tables(spark, SF_DIR)
