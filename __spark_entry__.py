@@ -143,6 +143,13 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         "SELECT c_custkey, c_name, c_acctbal FROM customer",
         "SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal FROM customer",
     ),
+    "mask_show_last": (
+        USER_MASK,
+        "SELECT p_partkey, p_name FROM part",
+        "SELECT p_partkey, concat("
+        + _DUCK_MASK_ALL_X.format(c="substring(p_name, 1, length(p_name) - 4)")
+        + ", right(p_name, 4)) AS p_name FROM part",
+    ),
     "mask_custom_template": (
         USER_CUSTOM,
         "SELECT c_custkey, c_name FROM customer",
@@ -517,6 +524,15 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             docs(s), num_hashes=16, bands=4, threshold=0.05)),
         D.lsh_verified_jaccard_duckdb_sql(_DUCK_SHINGLES, num_hashes=16,
                                           bands=4, threshold=0.05),
+    )
+    # ingest-time dedup: the new batch (doc_id >= 250) probes the existing
+    # corpus (doc_id < 250) — exact hash semi-join + asymmetric LSH→verify
+    out["dedup_incremental_batch"] = (
+        with_tables(lambda s: D.incremental_dedup(
+            docs(s).where("doc_id >= 250"), docs(s).where("doc_id < 250"),
+            num_hashes=16, bands=4, threshold=0.05)),
+        D.incremental_dedup_duckdb_sql(250, num_hashes=16, bands=4,
+                                       threshold=0.05),
     )
     # near-dup clustering: components over the jaccard pair graph; the
     # oracle nests the pairs query inside a recursive transitive closure

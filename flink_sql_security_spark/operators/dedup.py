@@ -345,6 +345,127 @@ def lsh_verified_jaccard_duckdb_sql(shingles_cte: str, num_hashes: int = 16,
     )
 
 
+def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.2) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against an EXISTING corpus:
+    (doc_id, status) with status ∈ {'kept','exact_dup','near_dup'}.
+
+    The production shape for continuous crawling: the 100 TB corpus is
+    never re-paired against itself — only the (small) incoming batch
+    probes it. Exact stage: content-hash semi-join (batch hashes vs the
+    corpus hash set — at scale the corpus side is a pre-built hash
+    table/bloom layer, here a plain distinct). Near stage: asymmetric
+    LSH — batch band signatures equi-join corpus band signatures, then
+    exact Jaccard verification on the candidates only. Within-batch
+    duplicates are deliberately out of scope (run ``clean_corpus`` /
+    ``exact_dedup`` on the batch first); statuses are therefore purely
+    batch-vs-corpus and order-independent.
+    """
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
+    new_keys = new_df.select(F.col(id_col), norm.alias("_k"))
+    corpus_keys = corpus_df.select(norm.alias("_k")).distinct()
+    exact = (
+        new_keys.join(corpus_keys, "_k", "left_semi")
+        .select(F.col(id_col).alias("_ex_id"))
+        .distinct()
+    )
+
+    def bandify(df):
+        sh = word_shingles(df, text_col, id_col, n, distinct=False)
+        return lsh_band_signatures(
+            minhash_signatures(sh, id_col, num_hashes), id_col,
+            num_hashes, bands)
+
+    cand = (
+        bandify(new_df).select(F.col(id_col).alias("id_new"), "band", "band_sig")
+        .join(bandify(corpus_df)
+              .select(F.col(id_col).alias("id_old"), "band", "band_sig"),
+              ["band", "band_sig"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sh_new = hashed_shingles(new_df, text_col, id_col, n)
+    sh_old = hashed_shingles(corpus_df, text_col, id_col, n)
+    sizes_new = sh_new.groupBy(id_col).agg(F.count("*").alias("n_new"))
+    sizes_old = sh_old.groupBy(id_col).agg(F.count("*").alias("n_old"))
+    inter = (
+        cand.join(sh_new.select(F.col(id_col).alias("id_new"), "h"), "id_new")
+        .join(sh_old.select(F.col(id_col).alias("id_old"), "h"),
+              ["id_old", "h"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_new") + F.col("n_old") - F.col("n_inter"))
+    near = (
+        inter
+        .join(sizes_new.select(F.col(id_col).alias("id_new"),
+                               "n_new"), "id_new")
+        .join(sizes_old.select(F.col(id_col).alias("id_old"),
+                               "n_old"), "id_old")
+        .where(F.round(jac, 6) >= threshold)
+        .select(F.col("id_new").alias("_nr_id"))
+        .distinct()
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(exact, new_df[id_col] == exact["_ex_id"], "left")
+        .join(near, new_df[id_col] == near["_nr_id"], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_ex_id").isNotNull(), "exact_dup")
+            .when(F.col("_nr_id").isNotNull(), "near_dup")
+            .otherwise("kept").alias("status"),
+        )
+    )
+
+
+def incremental_dedup_duckdb_sql(split_id: int, table: str = "documents",
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id", num_hashes: int = 16,
+                                 bands: int = 4,
+                                 threshold: float = 0.2) -> str:
+    """DuckDB oracle for ``incremental_dedup`` where corpus = rows with
+    ``id < split_id`` and the new batch = rows with ``id >= split_id``
+    of the same table (how the driver query carves the fixture)."""
+    shingles = (
+        f"w AS (SELECT {id_col}, string_split_regex(lower(trim({text_col})), '\\s+') AS ws FROM {table}), "
+        f"sh AS (SELECT DISTINCT {id_col}, array_to_string(ws[i+1:i+3], ' ') AS shingle "
+        f"       FROM w, UNNEST(range(greatest(len(ws)-2, 0))) AS t(i))"
+    )
+    ctes = _minhash_ctes(shingles, num_hashes, bands, id_col)
+    # _minhash_ctes' cand is the symmetric self-join; restrict it to
+    # (new ≥ split) × (old < split) pairs in either orientation
+    return (
+        "WITH " + ctes + ", "
+        f"keys AS (SELECT {id_col}, md5(lower(regexp_replace(trim({text_col}), "
+        f"'\\s+', ' ', 'g'))) AS k FROM {table}), "
+        f"exact_ids AS (SELECT DISTINCT b.{id_col} FROM keys b "
+        f" WHERE b.{id_col} >= {split_id} AND EXISTS "
+        f" (SELECT 1 FROM keys c WHERE c.{id_col} < {split_id} AND c.k = b.k)), "
+        f"across AS (SELECT greatest(id_a, id_b) AS id_new, "
+        f"least(id_a, id_b) AS id_old FROM cand "
+        f" WHERE greatest(id_a, id_b) >= {split_id} "
+        f" AND least(id_a, id_b) < {split_id}), "
+        "hs AS (SELECT DISTINCT doc_id, CAST(concat('0x', substring(md5(shingle), 1, "
+        f"{SHINGLE_HASH_HEX})) AS BIGINT) AS h FROM sh), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM hs GROUP BY doc_id), "
+        "inter AS (SELECT a.id_new, a.id_old, count(*) AS n_inter "
+        "          FROM across a JOIN hs x ON x.doc_id = a.id_new "
+        "          JOIN hs y ON y.doc_id = a.id_old AND y.h = x.h "
+        "          GROUP BY 1, 2), "
+        "near_ids AS (SELECT DISTINCT id_new FROM inter "
+        " JOIN sizes sn ON sn.doc_id = id_new JOIN sizes so ON so.doc_id = id_old "
+        f" WHERE round(n_inter / (sn.n_sh + so.n_sh - n_inter), 6) >= {threshold}) "
+        f"SELECT d.{id_col}, CASE "
+        f"WHEN d.{id_col} IN (SELECT {id_col} FROM exact_ids) THEN 'exact_dup' "
+        f"WHEN d.{id_col} IN (SELECT id_new FROM near_ids) THEN 'near_dup' "
+        f"ELSE 'kept' END AS status "
+        f"FROM {table} d WHERE d.{id_col} >= {split_id}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (48-bit, engine-portable)
 # ---------------------------------------------------------------------------

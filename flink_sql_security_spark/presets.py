@@ -30,6 +30,7 @@ def demo_context(spark: SparkSession) -> SecurityContext:
     for user in (USER_MASK, USER_MIXED):
         ctx.add_policy(DataMaskPolicy(user, "customer", "c_name", "MASK_SHOW_FIRST_4"))
         ctx.add_policy(DataMaskPolicy(user, "supplier", "s_name", "MASK"))
+        ctx.add_policy(DataMaskPolicy(user, "part", "p_name", "MASK_SHOW_LAST_4"))
     ctx.add_policy(DataMaskPolicy(USER_HASH, "customer", "c_name", "MASK_HASH"))
     ctx.add_policy(DataMaskPolicy(USER_NULL, "customer", "c_name", "MASK_NULL"))
     ctx.add_policy(DataMaskPolicy(USER_DATE, "orders", "o_orderdate",

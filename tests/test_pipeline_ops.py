@@ -85,6 +85,22 @@ def test_lsh_verified_subset_of_brute_force(docs):
     assert (1, 2) in verified and verified[(1, 2)] == 1.0
 
 
+def test_incremental_dedup_statuses(spark):
+    corpus = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "totally unrelated corpus content right here friends"),
+    ], ["doc_id", "text"])
+    batch = spark.createDataFrame([
+        (10, "THE  quick brown fox JUMPS over the lazy dog"),   # exact (norm)
+        (11, "the quick brown fox jumps over the lazy cat today"),  # near
+        (12, "fresh new document with entirely novel words"),   # kept
+    ], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["status"]
+            for r in D.incremental_dedup(batch, corpus, num_hashes=8,
+                                         bands=4, threshold=0.2).collect()}
+    assert rows == {10: "exact_dup", 11: "near_dup", 12: "kept"}
+
+
 def test_simhash_properties(docs):
     sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
     assert sh[1] == sh[2]          # identical text → identical simhash
