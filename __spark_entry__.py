@@ -767,6 +767,22 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         "FROM events GROUP BY 1, 2, 3",
     )
 
+    # the repo's thesis in one query: the SECURITY layer gates what the
+    # TRAINING-DATA pipeline may even see — clean_corpus runs over the
+    # user's policy-filtered view of the corpus, and Catalyst pushes the
+    # injected source gate beneath the shingling stages to the scan
+    def secured_cleaned(s):
+        from flink_sql_security_spark.operators.corpus import clean_corpus
+        from flink_sql_security_spark.presets import USER_DOCS
+        return clean_corpus(demo_context(s).table(USER_DOCS, "documents"))
+
+    from flink_sql_security_spark.operators.corpus import clean_corpus_duckdb_sql
+    out["secured_clean_corpus"] = (
+        with_tables(secured_cleaned),
+        clean_corpus_duckdb_sql(
+            table="(SELECT * FROM documents WHERE source <> 'src0') AS d0"),
+    )
+
     def sessionized(s):
         from flink_sql_security_spark.streaming.sessionize import sessionize_batch
         ev = s.table("events").select(

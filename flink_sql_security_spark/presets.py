@@ -20,6 +20,7 @@ USER_HASH = "user_hash"          # hash mask
 USER_NULL = "user_null"          # nullify mask
 USER_DATE = "user_date"          # date mask (MASK_DATE_SHOW_YEAR)
 USER_CUSTOM = "user_custom"      # CUSTOM mask with a {col} SQL template
+USER_DOCS = "user_docs"          # RLS on the documents corpus (source gate)
 
 
 def demo_context(spark: SparkSession) -> SecurityContext:
@@ -38,4 +39,7 @@ def demo_context(spark: SparkSession) -> SecurityContext:
     ctx.add_policy(DataMaskPolicy(
         USER_CUSTOM, "customer", "c_name", "CUSTOM",
         custom_transformer="concat(substring({col}, 1, 2), repeat('*', 6))"))
+    # training-data governance: per-user source restriction on the corpus —
+    # pipeline ops run over ctx.table(user, "documents") and inherit the gate
+    ctx.add_policy(RowFilterPolicy(USER_DOCS, "documents", "source <> 'src0'"))
     return ctx

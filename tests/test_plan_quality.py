@@ -216,6 +216,20 @@ def test_q19_disjunctive_filters_pushed(ctx):
     assert "In(p_brand" in plan or "Or(EqualTo(p_brand" in plan
 
 
+def test_secured_pipeline_pushes_source_gate_to_scan(spark):
+    # security gate composed UNDER the corpus pipeline: the injected
+    # source filter must reach the parquet scan before shingling
+    from flink_sql_security_spark.operators.corpus import clean_corpus
+    from flink_sql_security_spark.presets import USER_DOCS, demo_context
+
+    register_tables(spark, SF_DIR)
+    df = clean_corpus(demo_context(spark).table(USER_DOCS, "documents"),
+                      materialize=False)
+    plan = explain(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("src0" in l for l in pushed)
+
+
 def test_partitioned_table_prunes_directories(spark):
     from flink_sql_security_spark.sources import write_partitioned
     register_tables(spark, SF_DIR)
