@@ -443,6 +443,176 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         "count(*) AS cnt, sum(CAST(value AS DECIMAL(18,2))) AS total "
         "FROM events GROUP BY 1, 2",
     ),
+    # ---- TPC-H shapes q6/q7/q13/q15/q17/q18/q22 (reduced schemas) ----
+    "q6_forecast_revenue": (
+        _NOBODY,
+        "SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_discount AS DECIMAL(18,2))) AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+        "SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_discount AS DECIMAL(18,2))) AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    ),
+    # q7: two-nation volume shipping — same nation table joined twice
+    "q7_volume_shipping": (
+        _NOBODY,
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        f"year(l_shipdate) AS l_year, sum({_REVENUE}) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation AS n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation AS n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+        "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+        "AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' "
+        "AND TIMESTAMP '1996-12-31' "
+        "GROUP BY n1.n_name, n2.n_name, year(l_shipdate)",
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        f"year(l_shipdate) AS l_year, sum({_REVENUE}) AS revenue "
+        "FROM lineitem "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+        "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+        "AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' "
+        "AND TIMESTAMP '1996-12-31' "
+        "GROUP BY n1.n_name, n2.n_name, year(l_shipdate)",
+    ),
+    # q13: order-count distribution — LEFT JOIN with compound ON, nested agg
+    "q13_custdist": (
+        _NOBODY,
+        "SELECT c_count, count(*) AS custdist FROM "
+        "(SELECT c_custkey, count(o_orderkey) AS c_count FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' "
+        "GROUP BY c_custkey) AS c_orders GROUP BY c_count",
+        "SELECT c_count, count(*) AS custdist FROM "
+        "(SELECT c_custkey, count(o_orderkey) AS c_count FROM customer "
+        "LEFT JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' "
+        "GROUP BY c_custkey) c_orders GROUP BY c_count",
+    ),
+    # q15: top supplier — derived revenue view + uncorrelated scalar max
+    # (DECIMAL sums are exact, so the equality join is engine-stable)
+    "q15_top_supplier": (
+        _NOBODY,
+        "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+        f"JOIN (SELECT l_suppkey, sum({_REVENUE}) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' "
+        "GROUP BY l_suppkey) AS revenue0 ON s_suppkey = l_suppkey "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM "
+        f"(SELECT l_suppkey, sum({_REVENUE}) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' "
+        "GROUP BY l_suppkey) AS r2)",
+        "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+        f"JOIN (SELECT l_suppkey, sum({_REVENUE}) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' "
+        "GROUP BY l_suppkey) revenue0 ON s_suppkey = l_suppkey "
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM "
+        f"(SELECT l_suppkey, sum({_REVENUE}) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' "
+        "GROUP BY l_suppkey) r2)",
+    ),
+    # q17: small-quantity revenue. The classic correlated
+    # `l_quantity < 0.2 * avg(...)` is decorrelated into a pre-aggregated
+    # join, and the avg comparison rewritten exactly:
+    # q < 0.2 * (S/C)  ⟺  5*q*C < S  (all DECIMAL/BIGINT, engine-exact)
+    "q17_small_qty_revenue": (
+        _NOBODY,
+        "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) / 7.0, 6) AS avg_yearly "
+        "FROM lineitem "
+        "JOIN part ON p_partkey = l_partkey "
+        "JOIN (SELECT l_partkey AS a_partkey, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq, count(*) AS cq "
+        "FROM lineitem GROUP BY l_partkey) AS agg ON a_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#23' "
+        "AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq",
+        "SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) "
+        "AS DOUBLE) / 7.0, 6) AS avg_yearly "
+        "FROM lineitem "
+        "JOIN part ON p_partkey = l_partkey "
+        "JOIN (SELECT l_partkey AS a_partkey, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq, count(*) AS cq "
+        "FROM lineitem GROUP BY l_partkey) agg ON a_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#23' "
+        "AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq",
+    ),
+    # q18: large orders — IN-subquery with GROUP BY + HAVING
+    "q18_large_orders": (
+        _NOBODY,
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty "
+        "FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey "
+        "HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) "
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice",
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty "
+        "FROM customer "
+        "JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey "
+        "HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) "
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice",
+    ),
+    # q22: above-mean-balance customers with no high-value orders (anti-join).
+    # `bal > avg(bal)` rewritten exactly as `bal * C > S`; country code is
+    # the last two digits of c_name (the reduced schema has no phone col)
+    "q22_global_sales": (
+        _NOBODY,
+        "SELECT cntrycode, count(*) AS numcust, "
+        "sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal FROM "
+        "(SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey "
+        "FROM customer WHERE c_acctbal > 0.0) AS custsale "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) "
+        "AND CAST(c_acctbal AS DECIMAL(18,2)) * "
+        "(SELECT count(*) FROM customer WHERE c_acctbal > 0.0) > "
+        "(SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer "
+        "WHERE c_acctbal > 0.0) "
+        "GROUP BY cntrycode",
+        "SELECT cntrycode, count(*) AS numcust, "
+        "sum(CAST(c_acctbal AS DECIMAL(18,2))) AS totacctbal FROM "
+        "(SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey "
+        "FROM customer WHERE c_acctbal > 0.0) custsale "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) "
+        "AND CAST(c_acctbal AS DECIMAL(18,2)) * "
+        "(SELECT count(*) FROM customer WHERE c_acctbal > 0.0) > "
+        "(SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer "
+        "WHERE c_acctbal > 0.0) "
+        "GROUP BY cntrycode",
+    ),
+    # ---- interval (range) join: purchases within 1h after a click ----
+    "interval_click_purchase": (
+        _NOBODY,
+        "SELECT a.event_id AS click_id, b.event_id AS purchase_id, "
+        "a.user_id, a.ts AS click_ts, b.ts AS purchase_ts "
+        "FROM events AS a JOIN events AS b ON a.user_id = b.user_id "
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '1' HOUR "
+        "WHERE a.event_type = 'click' AND b.event_type = 'purchase'",
+        "SELECT a.event_id AS click_id, b.event_id AS purchase_id, "
+        "a.user_id, a.ts AS click_ts, b.ts AS purchase_ts "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '1' HOUR "
+        "WHERE a.event_type = 'click' AND b.event_type = 'purchase'",
+    ),
 }
 
 
@@ -811,6 +981,42 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS INTEGER) AS n_events, sum(value) AS total_value
 FROM s GROUP BY user_id, session_id
 """,
+    )
+
+    # as-of join: each purchase attributed to the user's most recent prior
+    # click (operators/asof.py: union + ordered-window, one shuffle). The
+    # right side is deduped per (user_id, ts) so ties are deterministic;
+    # DuckDB's native ASOF JOIN is the oracle.
+    def asof_attrib(spark):
+        from flink_sql_security_spark.operators.asof import asof_join
+
+        ev = spark.table("events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").cast("decimal(18,2)").alias("purchase_value"),
+        )
+        clicks = (
+            ev.where(F.col("event_type") == "click")
+            .groupBy("user_id", F.col("ts").alias("click_ts"))
+            .agg(F.max("event_id").alias("click_id"))
+        )
+        return asof_join(purchases, clicks, on="user_id",
+                         left_ts="purchase_ts", right_ts="click_ts",
+                         how="inner")
+
+    out["asof_purchase_click"] = (
+        with_tables(asof_attrib),
+        "WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,"
+        " CAST(value AS DECIMAL(18,2)) AS purchase_value FROM events"
+        " WHERE event_type = 'purchase'), "
+        "c AS (SELECT user_id, ts AS click_ts, max(event_id) AS click_id"
+        " FROM events WHERE event_type = 'click' GROUP BY user_id, ts) "
+        "SELECT purchase_id, p.user_id, purchase_ts, purchase_value,"
+        " click_ts, click_id "
+        "FROM p ASOF JOIN c ON p.user_id = c.user_id"
+        " AND p.purchase_ts >= c.click_ts",
     )
     return out
 
