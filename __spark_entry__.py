@@ -1006,6 +1006,35 @@ FROM s GROUP BY user_id, session_id
                          left_ts="purchase_ts", right_ts="click_ts",
                          how="inner")
 
+    # free-text PII scrubbing (functions/text.py redact_pii): the blob is
+    # built deterministically from customer fields so the redaction has
+    # real work to do on every row; both engines build the identical blob
+    def pii_redacted(spark):
+        c = spark.table("customer")
+        blob = F.concat(
+            F.lit("reach "), F.col("c_name"), F.lit(" at "),
+            F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+            F.lit("@example.com or 555-"),
+            F.substring(F.col("c_name"), 13, 3), F.lit("-"),
+            F.substring(F.col("c_name"), 15, 4),
+            F.lit(" ip 10.0."),
+            (F.col("c_custkey") % 256).cast("string"),
+            F.lit(".77 ssn 123-45-6789"),
+        )
+        return c.select("c_custkey", T.redact_pii(blob).alias("contact"))
+
+    _DUCK_BLOB = (
+        "concat('reach ', c_name, ' at ', lower(replace(c_name, '#', '.')), "
+        "'@example.com or 555-', substring(c_name, 13, 3), '-', "
+        "substring(c_name, 15, 4), ' ip 10.0.', "
+        "CAST(c_custkey % 256 AS VARCHAR), '.77 ssn 123-45-6789')"
+    )
+    out["text_pii_redact"] = (
+        with_tables(pii_redacted),
+        "SELECT c_custkey, " + T.redact_pii_sql(_DUCK_BLOB)
+        + " AS contact FROM customer",
+    )
+
     out["asof_purchase_click"] = (
         with_tables(asof_attrib),
         "WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,"

@@ -169,6 +169,42 @@ def fingerprint_sql(c: str) -> str:
     return f"md5(lower(regexp_replace(trim({c}), '{_WS}', ' ', 'g')))"
 
 
+# -- PII redaction ---------------------------------------------------------
+#
+# Regex-only (JVM codegen'd on Spark, RE2 on DuckDB — patterns stay inside
+# the dialect-common subset: char classes, bounded repeats, groups, no
+# backrefs/lookarounds). Extends the reference's mask-function family
+# (SURVEY §2.9) from column-level masks to free-text scrubbing — the form a
+# training-data pipeline needs before text leaves the secure zone. Order is
+# load-bearing: EMAIL first (its local part contains dots/digits that the
+# IP/phone patterns could otherwise bite), CARD before PHONE (4-4-4-4
+# contains 3-3-4 substrings), IP last.
+
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"[0-9]{4}([- ][0-9]{4}){3}", "[CARD]"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+    (r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "[PHONE]"),
+    (r"[0-9]{1,3}(\.[0-9]{1,3}){3}", "[IP]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / card numbers / SSNs / phones / IPv4s with tags."""
+    out = text
+    for pat, tag in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def redact_pii_sql(c: str) -> str:
+    """DuckDB emitter producing identical redaction (oracle)."""
+    out = c
+    for pat, tag in _PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out
+
+
 # -- vocabulary ------------------------------------------------------------
 
 def top_tokens(df, text_col: str = "text", k: int = 100,

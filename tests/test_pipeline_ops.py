@@ -187,6 +187,29 @@ def test_fingerprint_normalizes(spark):
     assert fps[0] == fps[1] != fps[2]
 
 
+def test_redact_pii_goldens(spark):
+    cases = [
+        ("mail bob.smith+x@corp.example.org now", "mail [EMAIL] now"),
+        ("card 4111 1111 1111 1111 exp", "card [CARD] exp"),
+        ("ssn 123-45-6789.", "ssn [SSN]."),
+        ("call 555-867-5309 or 555.867.5309", "call [PHONE] or [PHONE]"),
+        ("host 192.168.0.1 up", "host [IP] up"),
+        ("clean text stays", "clean text stays"),
+        # email wins over the digits-with-dots inside its local part
+        ("a.1.2.3.4@ex.io", "[EMAIL]"),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)],
+                               ["i", "t"])
+    got = [r["r"] for r in df.select(
+        "i", T.redact_pii(F.col("t")).alias("r")).orderBy("i").collect()]
+    assert got == [want for _, want in cases]
+    # DuckDB emitter agrees on the same inputs
+    import duckdb
+    for s, want in cases:
+        expr = T.redact_pii_sql("'" + s.replace("'", "''") + "'")
+        assert duckdb.sql(f"SELECT {expr}").fetchone()[0] == want
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [

@@ -200,3 +200,59 @@ def test_text_gates_apply_to_streams(spark):
         assert [(r["doc_id"], r["wc"]) for r in rows] == [(1, 12)]
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    """Watermarked stream-stream interval join ≡ the batch interval join."""
+    from flink_sql_security_spark.streaming.interval_join import (
+        interval_join_streams)
+
+    cdir = tempfile.mkdtemp(prefix="fss_ij_clicks")
+    pdir = tempfile.mkdtemp(prefix="fss_ij_purch")
+    try:
+        clicks = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 7),
+             (2, "2024-01-01 11:00:00", 7),
+             (3, "2024-01-01 10:05:00", 8)],
+            ["click_id", "click_ts", "user_id"]
+        ).withColumn("click_ts", F.col("click_ts").cast("timestamp"))
+        purchases = spark.createDataFrame(
+            [(101, "2024-01-01 10:30:00", 7),   # in window of click 1
+             (102, "2024-01-01 11:30:01", 7),   # in window of click 2 only
+             (103, "2024-01-01 12:59:00", 8),   # outside any window
+             (104, "2024-01-01 10:05:00", 8)],  # equal ts: strict > excludes
+            ["purchase_id", "purchase_ts", "user_id"]
+        ).withColumn("purchase_ts", F.col("purchase_ts").cast("timestamp"))
+        clicks.write.mode("overwrite").parquet(cdir)
+        purchases.write.mode("overwrite").parquet(pdir)
+
+        cs = spark.readStream.schema(
+            "click_id long, click_ts timestamp, user_id long").parquet(cdir)
+        ps = spark.readStream.schema(
+            "purchase_id long, purchase_ts timestamp, user_id long").parquet(pdir)
+        q = interval_join_streams(cs, ps, on="user_id", left_ts="click_ts",
+                                  right_ts="purchase_ts", window="1 hour") \
+            .writeStream.format("memory").queryName("ij_out") \
+            .outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+        got = {(r.click_id, r.purchase_id) for r in
+               spark.sql("SELECT click_id, purchase_id FROM ij_out").collect()}
+        assert got == {(1, 101), (2, 102)}
+
+        batch = clicks.alias("l").join(
+            purchases.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.purchase_ts") > F.col("l.click_ts"))
+            & (F.col("r.purchase_ts")
+               <= F.col("l.click_ts") + F.expr("INTERVAL 1 hour")),
+            "inner")
+        assert {(r.click_id, r.purchase_id)
+                for r in batch.select("click_id", "purchase_id").collect()} == got
+
+        with pytest.raises(ValueError, match="collide"):
+            interval_join_streams(
+                cs, ps.withColumnRenamed("purchase_id", "click_id"),
+                on="user_id", left_ts="click_ts", right_ts="purchase_ts")
+    finally:
+        shutil.rmtree(cdir, ignore_errors=True)
+        shutil.rmtree(pdir, ignore_errors=True)
