@@ -599,6 +599,169 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         "WHERE c_acctbal > 0.0) "
         "GROUP BY cntrycode",
     ),
+    # q2: best-balance supplier per part (correlated scalar over a join;
+    # lineitem stands in for partsupp — this schema has no supply table, so
+    # "supplies p" means "ever shipped p"). DISTINCT collapses repeat
+    # shipments of the same (part, supplier) pair.
+    "q2_best_supplier": (
+        _NOBODY,
+        "SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_size = 15 AND s_acctbal = ("
+        "SELECT max(s2.s_acctbal) FROM supplier AS s2 "
+        "JOIN lineitem AS l2 ON s2.s_suppkey = l2.l_suppkey "
+        "WHERE l2.l_partkey = p_partkey)",
+        "SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_size = 15 AND s_acctbal = ("
+        "SELECT max(s2.s_acctbal) FROM supplier s2 "
+        "JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey "
+        "WHERE l2.l_partkey = p_partkey)",
+    ),
+    # q8: market share of one nation per order-year (conditional-agg ratio;
+    # exact decimal sums cast to double only for the final division)
+    "q8_market_share": (
+        _NOBODY,
+        "SELECT year(o_orderdate) AS o_year, "
+        f"CAST(sum(CASE WHEN n_name = 'NATION_1' THEN {_REVENUE} "
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / "
+        f"CAST(sum({_REVENUE}) AS DOUBLE) AS mkt_share "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY year(o_orderdate)",
+        "SELECT year(o_orderdate) AS o_year, "
+        f"CAST(sum(CASE WHEN n_name = 'NATION_1' THEN {_REVENUE} "
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / "
+        f"CAST(sum({_REVENUE}) AS DOUBLE) AS mkt_share "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "GROUP BY year(o_orderdate)",
+    ),
+    # q9: profit by nation and year over a 5-table join with a LIKE scan
+    # filter ('red' parts); supply cost approximated as half the quantity
+    "q9_product_profit": (
+        _NOBODY,
+        "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+        f"sum({_REVENUE} - CAST(0.5 AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(18,2))) AS sum_profit "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_name LIKE '%red%' "
+        "GROUP BY n_name, year(o_orderdate)",
+        "SELECT n_name AS nation, year(o_orderdate) AS o_year, "
+        f"sum({_REVENUE} - CAST(0.5 AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(18,2))) AS sum_profit "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_name LIKE '%red%' "
+        "GROUP BY n_name, year(o_orderdate)",
+    ),
+    # q11: parts whose shipped value from one nation exceeds a fraction of
+    # that nation's total (scalar subquery in HAVING; all-decimal arithmetic
+    # keeps the threshold comparison exact in both engines)
+    "q11_important_parts": (
+        _NOBODY,
+        "SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(18,2))) AS part_value "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_1' GROUP BY l_partkey "
+        "HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(18,2))) > ("
+        "SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(18,2))) * CAST(0.001 AS DECIMAL(6,3)) "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1')",
+        "SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(18,2))) AS part_value "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_1' GROUP BY l_partkey "
+        "HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(18,2))) > ("
+        "SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(l_quantity AS DECIMAL(18,2))) * CAST(0.001 AS DECIMAL(6,3)) "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1')",
+    ),
+    # q16: supplier diversity per part attribute (count DISTINCT + NOT LIKE
+    # + NOT IN subquery excluding negative-balance suppliers)
+    "q16_parts_suppliers": (
+        _NOBODY,
+        "SELECT p_brand, p_type, p_size, "
+        "count(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand <> 'Brand#12' AND p_type NOT LIKE 'PROMO%' "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) "
+        "GROUP BY p_brand, p_type, p_size",
+        "SELECT p_brand, p_type, p_size, "
+        "count(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand <> 'Brand#12' AND p_type NOT LIKE 'PROMO%' "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0) "
+        "GROUP BY p_brand, p_type, p_size",
+    ),
+    # q20: nation's suppliers who shipped > 100 units of 'small' parts
+    # (IN over a grouped+HAVING subquery; decimal sum keeps the threshold
+    # comparison exact)
+    "q20_heavy_suppliers": (
+        _NOBODY,
+        "SELECT s_name, s_acctbal FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_1' AND s_suppkey IN ("
+        "SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_name LIKE 'small%' GROUP BY l_suppkey "
+        "HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 100)",
+        "SELECT s_name, s_acctbal FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_1' AND s_suppkey IN ("
+        "SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_name LIKE 'small%' GROUP BY l_suppkey "
+        "HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 100)",
+    ),
+    # q21: suppliers who were the sole returner on multi-supplier finished
+    # orders (correlated EXISTS + NOT EXISTS against self-joined lineitem)
+    "q21_waiting_supplier": (
+        _NOBODY,
+        "SELECT s_name, count(*) AS numwait "
+        "FROM supplier JOIN lineitem AS l1 ON s_suppkey = l1.l_suppkey "
+        "JOIN orders ON o_orderkey = l1.l_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+        "AND n_name = 'NATION_1' "
+        "AND EXISTS (SELECT 1 FROM lineitem AS l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem AS l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+        "GROUP BY s_name",
+        "SELECT s_name, count(*) AS numwait "
+        "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+        "JOIN orders ON o_orderkey = l1.l_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+        "AND n_name = 'NATION_1' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') "
+        "GROUP BY s_name",
+    ),
     # ---- interval (range) join: purchases within 1h after a click ----
     "interval_click_purchase": (
         _NOBODY,

@@ -278,3 +278,54 @@ def test_simhash_pairs_no_cartesian(spark):
     # banded LSH must equi-join on band values, never cross-join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_exists_decorrelates_to_semi_anti(ctx):
+    # the EXISTS / NOT EXISTS pair must lower to LeftSemi + LeftAnti hash
+    # joins on l_orderkey (one pass over lineitem each), never a per-row
+    # nested-loop re-execution of the subquery
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q21_waiting_supplier"](ctx.spark, SF_DIR)
+    plan = explain(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_like_filter_and_broadcast_dims(ctx):
+    # 5-table star join: every dimension broadcasts (lineitem never
+    # shuffles for the join), and the LIKE gate reaches the part scan
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q9_product_profit"](ctx.spark, SF_DIR)
+    plan = explain(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "StringContains" in plan or "Contains" in plan
+
+
+def test_q2_correlated_max_decorrelates(ctx):
+    # the per-part max-acctbal scalar subquery must become one grouped
+    # aggregate joined back on (acctbal, partkey) — not a re-executed
+    # subquery per outer row
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q2_best_supplier"](ctx.spark, SF_DIR)
+    plan = explain(df)
+    assert "max(s_acctbal)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_not_like_pushed_and_anti_join(ctx):
+    # NOT LIKE 'PROMO%' must push as a StartsWith data filter; the NOT IN
+    # lowers to a (null-aware) anti join against the small supplier side
+    import __spark_entry__ as entry
+
+    df = entry.queries()["q16_parts_suppliers"](ctx.spark, SF_DIR)
+    plan = explain(df)
+    assert "StartsWith" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
