@@ -875,6 +875,23 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         D.connected_components_duckdb_sql(out["dedup_jaccard_pairs"][1]),
     )
 
+    # eval-set decontamination: docs with doc_id % 50 == 0 stand in for the
+    # benchmark; training docs sharing any word 4-gram with them are flagged
+    out["dedup_decontaminate"] = (
+        with_tables(lambda s: D.decontaminate(
+            docs(s).where("doc_id % 50 <> 0"),
+            docs(s).where("doc_id % 50 = 0"), n=4)),
+        D.decontaminate_duckdb_sql("doc_id % 50 = 0", n=4),
+    )
+    # Gopher-style repetition gates, computed shuffle-free per row
+    out["text_repetition"] = (
+        with_tables(lambda s: T.repetition_select(docs(s))),
+        "SELECT doc_id, "
+        + T.repetition_sql("text")["dup_word_frac"] + " AS dup_word_frac, "
+        + T.repetition_sql("text")["dup_gram_frac"] + " AS dup_gram_frac, "
+        + T.repetition_sql("text")["top_word_frac"] + " AS top_word_frac "
+        "FROM documents",
+    )
     out["dedup_simhash"] = (
         with_tables(lambda s: D.simhash(docs(s))),
         D.simhash_duckdb_sql(),

@@ -251,3 +251,96 @@ def top_tokens_sql(table: str = "documents", text_col: str = "text",
         f"(ORDER BY n_total DESC, token) AS rank FROM counts) "
         f"SELECT token, n_total, n_docs, rank FROM ranked WHERE rank <= {k}"
     )
+
+
+# -- within-document repetition (Gopher-style quality rules) ---------------
+#
+# Repetitious documents (boilerplate, scraped spam, degenerate generations)
+# are the classic LLM-pretraining poison; the Gopher/MassiveText rules gate
+# on duplicate-n-gram fractions and most-common-token share. All three
+# signals here are computed per-row with JVM higher-order array functions —
+# no explode, no shuffle, no Python: at 100 TB this is a pure narrow map
+# over the scan.
+
+def _word_grams(words: Column, n: int) -> Column:
+    return F.expr(
+        f"CASE WHEN size(_rw) >= {n} THEN "
+        f"transform(sequence(0, size(_rw) - {n}), "
+        f"i -> concat_ws(' ', slice(_rw, i + 1, {n}))) "
+        "ELSE array() END"
+    )
+
+
+def repetition_metrics(text: Column, n: int = 2) -> dict[str, Column]:
+    """dup_word_frac, dup_gram_frac (n-grams), top_word_frac per document.
+
+    ``top_word_frac`` (share of the most frequent word) is a max-run-length
+    scan over the sorted word array via ``aggregate`` — max frequency in a
+    multiset equals the longest equal-run in its sorted order. Callers must
+    alias ``_rw`` to the split word array first (see ``repetition_select``).
+    """
+    words = F.col("_rw")
+    n_words = F.size(words)
+    grams = _word_grams(words, n)
+    n_grams = F.size(grams)
+    best_run = F.aggregate(
+        F.array_sort(words),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best")),
+        lambda acc: acc.best,
+    )
+    return {
+        "dup_word_frac": _ratio(n_words - F.size(F.array_distinct(words)), n_words),
+        "dup_gram_frac": F.when(n_grams == 0, F.lit(0.0)).otherwise(
+            _ratio(n_grams - F.size(F.array_distinct(grams)), n_grams)),
+        "top_word_frac": _ratio(best_run, n_words),
+    }
+
+
+def repetition_select(df, text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 2):
+    """(id, dup_word_frac, dup_gram_frac, top_word_frac) per document."""
+    staged = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), _WS).alias("_rw"))
+    m = repetition_metrics(F.col("_rw"), n=n)
+    return staged.select(
+        F.col(id_col),
+        m["dup_word_frac"].alias("dup_word_frac"),
+        m["dup_gram_frac"].alias("dup_gram_frac"),
+        m["top_word_frac"].alias("top_word_frac"),
+    )
+
+
+def repetition_sql(c: str, n: int = 2) -> dict[str, str]:
+    """DuckDB emitters with identical semantics (list-native, no unnest).
+
+    The most-frequent-word share is computed as a per-distinct-word count
+    scan — mathematically identical to the Spark sorted-run formulation.
+    """
+    ws = f"string_split_regex(lower(trim({c})), '{_WS}')"
+    grams = (
+        f"list_transform(range(greatest(len({ws}) - {n - 1}, 0)), "
+        f"i -> array_to_string(({ws})[i+1:i+{n}], ' '))"
+    )
+    best = (
+        f"list_max(list_transform(list_distinct({ws}), "
+        f"x -> len(list_filter({ws}, y -> y = x))))"
+    )
+    return {
+        "dup_word_frac": (
+            f"round((len({ws}) - len(list_distinct({ws})))"
+            f" / greatest(len({ws}), 1), 6)"),
+        "dup_gram_frac": (
+            f"CASE WHEN len({grams}) = 0 THEN 0.0 ELSE "
+            f"round((len({grams}) - len(list_distinct({grams})))"
+            f" / greatest(len({grams}), 1), 6) END"),
+        "top_word_frac": f"round({best} / greatest(len({ws}), 1), 6)",
+    }

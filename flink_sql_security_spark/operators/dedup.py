@@ -692,3 +692,49 @@ def simhash_hamming_pairs_duckdb_sql(table: str = "documents",
         f"FROM sigs a JOIN sigs b ON a.{id_col} < b.{id_col} "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (exact n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+def decontaminate(train_df: DataFrame, bench_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 4) -> DataFrame:
+    """Training docs sharing ≥1 word n-gram with the benchmark set:
+    (doc_id, n_overlap) — the GPT-3/PaLM-style eval-decontamination gate.
+
+    Scale shape: benchmarks are tiny next to the corpus, so the distinct
+    benchmark shingle set BROADCASTS — the 100 TB training side is never
+    shuffled for the probe (its shingles stream map-side through the hash
+    join); the only exchange is the per-doc overlap count, which reuses
+    the id-hash partitioning ``word_shingles`` already installed. Raising
+    ``n`` tightens the match (classic choice: 8-13 on real prose; the
+    short synthetic fixtures use 4).
+    """
+    t = word_shingles(train_df, text_col, id_col, n=n, distinct=True)
+    b = (word_shingles(bench_df, text_col, id_col, n=n, distinct=False)
+         .select("shingle").distinct())
+    return (
+        t.join(F.broadcast(b), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def decontaminate_duckdb_sql(bench_pred: str, table: str = "documents",
+                             text_col: str = "text", id_col: str = "doc_id",
+                             n: int = 4) -> str:
+    """DuckDB oracle: benchmark = rows satisfying ``bench_pred``, training
+    = the rest of the same table (how the driver query carves the fixture)."""
+    return (
+        f"WITH w AS (SELECT {id_col}, "
+        f"string_split_regex(lower(trim({text_col})), '\\s+') AS ws FROM {table}), "
+        f"sh AS (SELECT DISTINCT {id_col}, array_to_string(ws[i+1:i+{n}], ' ') AS shingle "
+        f"       FROM w, UNNEST(range(greatest(len(ws)-{n - 1}, 0))) AS t(i)), "
+        f"bench AS (SELECT DISTINCT shingle FROM sh WHERE {bench_pred}) "
+        f"SELECT s.{id_col}, count(*) AS n_overlap FROM sh s "
+        f"JOIN bench b ON s.shingle = b.shingle "
+        f"WHERE NOT ({bench_pred.replace(id_col, 's.' + id_col)}) "
+        f"GROUP BY s.{id_col}"
+    )

@@ -496,3 +496,55 @@ def test_cross_split_contamination(docs):
         assert r["split_a"] == splits[r["id_a"]]
         assert r["split_b"] == splits[r["id_b"]]
         assert r["jaccard"] == pairs[(r["id_a"], r["id_b"])]
+
+
+def test_repetition_metrics_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z"), (3, "")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in T.repetition_select(df).collect()}
+    # "a a a b": 4 words, 2 distinct -> dup 0.5; top word 'a' 3/4;
+    # bigrams [aa, aa, ab]: 3 total, 2 distinct -> dup 1/3
+    assert rows[1]["dup_word_frac"] == 0.5
+    assert rows[1]["top_word_frac"] == 0.75
+    assert rows[1]["dup_gram_frac"] == round(1 / 3, 6)
+    # all-unique doc: no repetition anywhere
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["top_word_frac"] == 0.25
+    assert rows[2]["dup_gram_frac"] == 0.0
+    # empty text splits to [""] (one word, one distinct, run 1)
+    assert rows[3]["dup_word_frac"] == 0.0
+    assert rows[3]["top_word_frac"] == 1.0
+
+
+def test_repetition_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    tree = T.repetition_select(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    # per-row array arithmetic: narrow map only — no Exchange, no explode
+    assert "Exchange" not in tree
+    assert "Generate" not in tree
+
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "totally unrelated training text here")], ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs away")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_overlap"]
+           for r in D.decontaminate(train, bench, n=4).collect()}
+    # doc 1 shares exactly one 4-gram ("the quick brown fox"); doc 2 none
+    assert got == {1: 1}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    train = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, "a b c d f")], ["doc_id", "text"])
+    plan = D.decontaminate(train, bench)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    # the benchmark shingle set must broadcast: the training side is never
+    # shuffled for the probe join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
