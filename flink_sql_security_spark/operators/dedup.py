@@ -178,7 +178,9 @@ def minhash_lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     """
     sh = word_shingles(df, text_col, id_col, n, distinct=False)
     sig = minhash_signatures(sh, id_col, num_hashes)
-    band = lsh_band_signatures(sig, id_col, num_hashes, bands)
+    # both self-join sides read the banded signatures — persist() computes
+    # the shingle→signature pipeline (the expensive part) once, not twice
+    band = lsh_band_signatures(sig, id_col, num_hashes, bands).persist()
     a = band.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = band.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     return (

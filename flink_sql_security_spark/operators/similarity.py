@@ -363,7 +363,9 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
     tables. Tune (bits, tables) to the target cosine: near-dups (≥0.9) work
     with bits=8/tables=4; looser thresholds need more tables.
     """
-    b = lsh_buckets(df, vec_col, id_col, bits, dim, tables)
+    # both self-join sides read the bucket table — persist() runs the
+    # (numpy hyperplane-projection) bucket assignment once, not twice
+    b = lsh_buckets(df, vec_col, id_col, bits, dim, tables).persist()
     a = b.select(F.col(id_col).alias("id_a"), "table", "bucket")
     c = b.select(F.col(id_col).alias("id_b"), "table", "bucket")
     # dedupe candidate ids across tables BEFORE touching vectors: the distinct
