@@ -68,36 +68,46 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # Shingling
 # ---------------------------------------------------------------------------
 
+def _grams_expr(text_col: str, n: int):
+    """Array-of-shingles Column: lower + whitespace split + space-joined
+    n-grams. The array form is the load-bearing choice: shingle SETS are a
+    per-document property, so set-building (array_distinct), set size, and
+    per-doc minima over the set are all narrow per-row operations — no
+    explode→distinct→groupBy shuffle chain anywhere in the dedup family."""
+    words = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"transform(sequence(0, size({words}) - {n}), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))) "
+        "ELSE array() END"
+    )
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, distinct: bool = True) -> DataFrame:
     """Word n-gram shingles per document: (id, shingle).
 
     Tokenization is lower + whitespace split, shingle = space-joined n-gram —
     byte-identical to the DuckDB oracle's string_split_regex formulation.
-    ``distinct=True`` gives set semantics (a full shuffle of the shingle
-    strings) — required for Jaccard's |A∩B|/|A∪B| counts. Pass False for
-    consumers invariant to duplicates (minhash: min over a bag equals min
-    over its set) to skip that shuffle entirely.
+    ``distinct=True`` gives set semantics; because a shingle set is local to
+    its document, it is array_distinct BEFORE exploding — per-row, zero
+    shuffle (a global ``.distinct()`` over (id, shingle) computes the same
+    rows through a full exchange of the shingle strings).
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.expr(
-        f"CASE WHEN size(_w) >= {n} THEN "
-        f"transform(sequence(0, size(_w) - {n}), i -> concat_ws(' ', slice(_w, i + 1, {n}))) "
-        "ELSE array() END"
-    )
+    grams = _grams_expr(text_col, n)
+    if distinct:
+        grams = F.array_distinct(grams)
     # Hash-repartition on id BEFORE exploding: (a) parallelizes shingle
     # construction even when the scan yields few partitions (one small file
     # → one task otherwise), (b) moves ~doc-sized rows through the exchange
     # instead of ~n_grams× that after explode, and (c) every downstream
-    # per-doc operation (distinct, minhash groupBy) reuses the partitioning
-    # — HashPartitioning(id) satisfies ClusteredDistribution(id, …), so no
+    # per-doc operation (overlap-count groupBy) reuses the partitioning —
+    # HashPartitioning(id) satisfies ClusteredDistribution(id, …), so no
     # further exchange.
-    out = (
+    return (
         df.repartition(F.col(id_col))
-        .select(F.col(id_col), words.alias("_w"))
         .select(F.col(id_col), F.explode(grams).alias("shingle"))
     )
-    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +158,37 @@ def minhash_signatures(shingle_df: DataFrame, id_col: str = "doc_id",
     return shingle_df.groupBy(id_col).agg(*mins)
 
 
+def minhash_signatures_narrow(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3,
+                              num_hashes: int = 16) -> DataFrame:
+    """Wide signatures computed per-row with ZERO shuffle.
+
+    A document's minhash is a function of its own shingle set, so the
+    min runs over an in-row array: one md5 per shingle into ``_xs``, then
+    ``array_min`` per hash function. Identical values to
+    :func:`minhash_signatures` (min over a bag = min over its set), but
+    the explode + groupBy(id) exchange disappears — at 100 TB the whole
+    signature stage becomes a narrow map over the corpus scan. Documents
+    with fewer than ``n`` words yield no shingles and are dropped
+    (matching the exploded form, where they produce zero rows).
+    """
+    xs = F.expr(
+        f"transform(_grams, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10)"
+        f" AS BIGINT) % {MERSENNE_31})")
+    mins = [
+        F.expr(f"array_min(transform(_xs, x -> ({a} * x + {b}) % {MERSENNE_31}))")
+        .alias(f"mh_{k}")
+        for k, (a, b) in enumerate(uhash_constants(num_hashes))
+    ]
+    return (
+        df.repartition(F.col(id_col))  # parallelize hashing on few-partition scans
+        .select(F.col(id_col), _grams_expr(text_col, n).alias("_grams"))
+        .where(F.size("_grams") > 0)
+        .select(F.col(id_col), xs.alias("_xs"))
+        .select(F.col(id_col), *mins)
+    )
+
+
 def lsh_band_signatures(sig_df: DataFrame, id_col: str = "doc_id",
                         num_hashes: int = 16, bands: int = 4) -> DataFrame:
     """(id, band, band_sig): md5 over the band's minhash slice, all bands
@@ -171,13 +212,12 @@ def minhash_lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                                 bands: int = 4) -> DataFrame:
     """Candidate near-dup pairs: documents sharing any LSH band signature.
 
-    shingles → one groupBy(id) (wide min signature) → stack to bands →
-    self-join on (band, band_sig). The band join is the scale path:
-    shuffle on bucket keys only — never all-pairs. Returns distinct
-    (id_a, id_b), id_a < id_b.
+    Narrow per-row signatures (zero-shuffle) → stack to bands →
+    self-join on (band, band_sig). The band join is the ONLY shuffle in
+    the whole candidate generation — keyed on bucket signatures, never
+    all-pairs. Returns distinct (id_a, id_b), id_a < id_b.
     """
-    sh = word_shingles(df, text_col, id_col, n, distinct=False)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    sig = minhash_signatures_narrow(df, text_col, id_col, n, num_hashes)
     # both self-join sides read the banded signatures — persist() computes
     # the shingle→signature pipeline (the expensive part) once, not twice
     band = lsh_band_signatures(sig, id_col, num_hashes, bands).persist()
@@ -238,22 +278,43 @@ def minhash_lsh_duckdb_sql(shingles_cte: str, num_hashes: int = 16,
 SHINGLE_HASH_HEX = 15  # 60-bit md5 prefix: positive BIGINT in both engines
 
 
+def hashed_shingle_sets(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, hs array<bigint>, n_sh): each document's DISTINCT shingle-hash
+    set as an in-row array, plus its size — all narrow per-row work.
+
+    This is the zero-shuffle form of the shingle set: array_distinct
+    replaces a global distinct exchange, size() replaces a groupBy(id)
+    count, and carrying n_sh through the downstream join replaces two
+    joins against a separate sizes table. Documents with no shingles
+    (< n words) are dropped, matching the exploded formulations.
+    """
+    hs = F.expr(
+        f"array_distinct(transform(_grams, s -> "
+        f"CAST(conv(substring(md5(s), 1, {SHINGLE_HASH_HEX}), 16, 10)"
+        f" AS BIGINT)))")
+    return (
+        df.repartition(F.col(id_col))  # parallelize hashing on few-partition scans
+        .select(F.col(id_col), _grams_expr(text_col, n).alias("_grams"))
+        .where(F.size("_grams") > 0)
+        .select(F.col(id_col), hs.alias("hs"))
+        .select(F.col(id_col), "hs", F.size("hs").alias("n_sh"))
+    )
+
+
 def hashed_shingles(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Distinct (id, h): shingles as 60-bit ints instead of strings.
 
-    Shuffling/joining 8-byte longs instead of ~n·6-char strings cuts both
-    exchanges (distinct + self-join) severalfold. Collisions are harmless
-    for engine-parity: the oracle hashes identically, so both engines see
-    the same (astronomically rare) merge.
+    Joining 8-byte longs instead of ~n·6-char strings cuts the self-join
+    exchange severalfold; per-doc distinctness comes free from
+    :func:`hashed_shingle_sets` (array_distinct, no shuffle). Collisions
+    are harmless for engine-parity: the oracle hashes identically, so
+    both engines see the same (astronomically rare) merge.
     """
-    h = F.expr(
-        f"CAST(conv(substring(md5(shingle), 1, {SHINGLE_HASH_HEX}), 16, 10)"
-        " AS BIGINT)")
     return (
-        word_shingles(df, text_col, id_col, n, distinct=False)
-        .select(F.col(id_col), h.alias("h"))
-        .distinct()
+        hashed_shingle_sets(df, text_col, id_col, n)
+        .select(F.col(id_col), F.explode("hs").alias("h"))
     )
 
 
@@ -266,26 +327,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     materialized), |U| = |A|+|B|-|I|. At scale, run on LSH candidates instead
     of all co-shingled pairs (compose with minhash_lsh_candidate_pairs).
 
-    The shingle table feeds three plan subtrees (both join sides + the
-    size table) — persist() collapses them onto one computation + one
-    shuffle instead of three (spill-able, so safe at any scale).
+    Shuffle census: ONE repartition of the docs (parallelism), the
+    self-join exchange on h, and the pair groupBy — set sizes ride along
+    as columns (grouping on (id, n) adds nothing: n is functionally
+    dependent on id), so the sizes-table joins of the classic
+    formulation don't exist. persist() computes the per-doc set build
+    once for both join sides.
     """
-    sh = hashed_shingles(df, text_col, id_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "h")
-    b = sh.select(F.col(id_col).alias("id_b"), "h")
+    sh = hashed_shingle_sets(df, text_col, id_col, n).persist()
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+                  F.explode("hs").alias("h"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+                  F.explode("hs").alias("h"))
     inter = (
         a.join(b, on="h")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -310,21 +372,21 @@ def lsh_verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     cand = minhash_lsh_candidate_pairs(df, text_col, id_col, n,
                                        num_hashes, bands)
-    # three consumers of the shingle table → persist (see ngram_jaccard_pairs)
-    sh = hashed_shingles(df, text_col, id_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # both verification sides read the shingle sets → persist (one build)
+    sh = hashed_shingle_sets(df, text_col, id_col, n).persist()
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+                  F.explode("hs").alias("h"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+                  F.explode("hs").alias("h"))
     inter = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), "h"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "h"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -380,10 +442,9 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
     )
 
     def bandify(df):
-        sh = word_shingles(df, text_col, id_col, n, distinct=False)
         return lsh_band_signatures(
-            minhash_signatures(sh, id_col, num_hashes), id_col,
-            num_hashes, bands)
+            minhash_signatures_narrow(df, text_col, id_col, n, num_hashes),
+            id_col, num_hashes, bands)
 
     cand = (
         bandify(new_df).select(F.col(id_col).alias("id_new"), "band", "band_sig")
@@ -393,24 +454,21 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
         .select("id_new", "id_old")
         .distinct()
     )
-    sh_new = hashed_shingles(new_df, text_col, id_col, n)
-    sh_old = hashed_shingles(corpus_df, text_col, id_col, n)
-    sizes_new = sh_new.groupBy(id_col).agg(F.count("*").alias("n_new"))
-    sizes_old = sh_old.groupBy(id_col).agg(F.count("*").alias("n_old"))
+    sh_new = hashed_shingle_sets(new_df, text_col, id_col, n).select(
+        F.col(id_col).alias("id_new"), F.col("n_sh").alias("n_new"),
+        F.explode("hs").alias("h"))
+    sh_old = hashed_shingle_sets(corpus_df, text_col, id_col, n).select(
+        F.col(id_col).alias("id_old"), F.col("n_sh").alias("n_old"),
+        F.explode("hs").alias("h"))
     inter = (
-        cand.join(sh_new.select(F.col(id_col).alias("id_new"), "h"), "id_new")
-        .join(sh_old.select(F.col(id_col).alias("id_old"), "h"),
-              ["id_old", "h"])
-        .groupBy("id_new", "id_old")
+        cand.join(sh_new, "id_new")
+        .join(sh_old, ["id_old", "h"])
+        .groupBy("id_new", "id_old", "n_new", "n_old")
         .agg(F.count("*").alias("n_inter"))
     )
     jac = F.col("n_inter") / (F.col("n_new") + F.col("n_old") - F.col("n_inter"))
     near = (
         inter
-        .join(sizes_new.select(F.col(id_col).alias("id_new"),
-                               "n_new"), "id_new")
-        .join(sizes_old.select(F.col(id_col).alias("id_old"),
-                               "n_old"), "id_old")
         .where(F.round(jac, 6) >= threshold)
         .select(F.col("id_new").alias("_nr_id"))
         .distinct()

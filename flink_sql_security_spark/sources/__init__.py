@@ -122,7 +122,14 @@ def build_session(app_name: str = "flink-sql-security-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # long multi-query sessions: dropped checkpoint RDDs / broadcasts
+        # are reaped by the ContextCleaner only after a JVM GC collects
+        # their weak refs — with a big heap that can lag until an
+        # eviction/GC storm lands mid-query (measured: sub-second queries
+        # ballooning to 15s+ late in an 87-query run). A periodic GC keeps
+        # cleanup paced with the workload.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
