@@ -83,7 +83,9 @@ def profile_numeric_duckdb_sql(table: str, cols: list[str]) -> str:
         d = f"CAST({c} AS DECIMAL(18,2))"
         parts.append(
             f"SELECT '{c}' AS \"column\", count({c}) AS n, "
-            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            # CAST: DuckDB sums of INTEGER return HUGEINT (→ float64 in
+            # pandas); Spark's is BIGINT — align the pandas dtypes exactly
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
             f"count(DISTINCT {c}) AS n_distinct, "
             f"CAST(min({d}) AS DOUBLE) AS \"min\", "
             f"CAST(max({d}) AS DOUBLE) AS \"max\", "

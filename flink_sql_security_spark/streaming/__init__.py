@@ -82,7 +82,10 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     return (
         df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("cnt"),
-             F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+             # sum in DECIMAL (exact, order-independent), surface as DOUBLE
+             # (engine-portable pandas dtype for the oracle hash)
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+             .alias("total"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -1,11 +1,15 @@
-"""Local replica of the driver's DuckDB-oracle correctness gate.
+"""Local replica of the driver's DuckDB-oracle correctness gate — STRICT.
 
-Runs every ``__spark_entry__.queries()`` entry and its ``oracle_sql()`` SQL
-side by side (default sf0.01), normalizes both result sets the same way the
-driver does (columns sorted by name, rows sorted, value-normalized), and
-reports match/mismatch per query.
+Round-1 forensics: the driver compares the Spark result (``.toPandas()``)
+against the DuckDB oracle (``.df()``) by stringifying values, so a Spark
+``Decimal('277.00')`` vs a DuckDB ``277.0`` float — same number — hash-
+mismatches, as do ``int64`` vs ``float64`` (DuckDB sums of integers come
+back HUGEINT → float64) and ``date`` vs ``datetime64``. This checker
+therefore normalizes values *type-faithfully*: two results only pass if
+they would stringify identically after pandas conversion on both sides.
 
 Usage: python tools/check_oracles.py [query_name ...]
+       SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 (default)
 """
 
 from __future__ import annotations
@@ -16,34 +20,47 @@ import math
 import os
 import sys
 
+import numpy as np
+import pandas as pd
+
 
 def _norm_value(v):
+    """Canonical token per value; distinct types that str() differently
+    (int vs float, Decimal vs float, date vs timestamp) stay distinct."""
     if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("nan",)
+        return ("f", repr(f))
     if isinstance(v, decimal.Decimal):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+        return ("dec", str(v))
+    if isinstance(v, pd.Timestamp):
+        return ("ts", str(v))
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return ("ts", str(pd.Timestamp(v)))
     if isinstance(v, datetime.date):
-        return v.isoformat()
+        return ("date", v.isoformat())
     if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_value(x) for x in v)
-    return v
+        return ("bytes", v.hex())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("arr", tuple(_norm_value(x) for x in v))
+    if v is pd.NaT:
+        return ("nan",)
+    return ("s", str(v))
 
 
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_value(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return [cols[i] for i in order], out
+def _norm_frame(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_value(v) for v in r)
+            for r in df[cols].itertuples(index=False, name=None)]
+    rows.sort(key=repr)
+    return cols, rows
 
 
 def main() -> int:
@@ -78,34 +95,30 @@ def main() -> int:
             print(f"{name}: rows-only n={n}")
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            s_cols = list(sdf.columns)
-            s_rows = [tuple(r) for r in sdf.collect()]
-            o = con.execute(oracles[name])
-            o_cols = [d[0] for d in o.description]
-            o_rows = o.fetchall()
+            spd = fn(spark, sf_dir).toPandas()
+            dpd = con.execute(oracles[name]).df()
         except Exception as ex:  # surface which side broke
             failures += 1
             print(f"{name}: ERROR {type(ex).__name__}: {ex}")
             continue
-        s_cols_n, s_norm = _norm_rows(s_cols, s_rows)
-        o_cols_n, o_norm = _norm_rows(o_cols, o_rows)
-        if s_cols_n != o_cols_n:
+        s_cols, s_rows = _norm_frame(spd)
+        o_cols, o_rows = _norm_frame(dpd)
+        if s_cols != o_cols:
             failures += 1
-            print(f"{name}: COLUMN MISMATCH spark={s_cols_n} duckdb={o_cols_n}")
+            print(f"{name}: COLUMN MISMATCH spark={s_cols} duckdb={o_cols}")
             continue
-        if len(s_norm) != len(o_norm):
+        if len(s_rows) != len(o_rows):
             failures += 1
-            print(f"{name}: ROWCOUNT MISMATCH spark={len(s_norm)} duckdb={len(o_norm)}")
+            print(f"{name}: ROWCOUNT MISMATCH spark={len(s_rows)} duckdb={len(o_rows)}")
             continue
-        diff = next((i for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b), None)
+        diff = next((i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b), None)
         if diff is not None:
             failures += 1
-            print(f"{name}: VALUE MISMATCH at sorted row {diff}:")
-            print(f"  spark : {s_norm[diff]}")
-            print(f"  duckdb: {o_norm[diff]}")
+            print(f"{name}: VALUE MISMATCH at sorted row {diff} (cols {s_cols}):")
+            print(f"  spark : {s_rows[diff]}")
+            print(f"  duckdb: {o_rows[diff]}")
         else:
-            print(f"{name}: OK rows={len(s_norm)}")
+            print(f"{name}: OK rows={len(s_rows)}")
     print(f"\n{'FAIL' if failures else 'PASS'} ({failures} mismatching queries)")
     return 1 if failures else 0
 
