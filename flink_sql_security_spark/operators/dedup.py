@@ -77,7 +77,14 @@ def _with_words(df: DataFrame, text_col: str) -> DataFrame:
     PER SHINGLE (~n_words× per document — measured 7.6s vs 1.1s for the
     sf0.1 shingle build). Binding the split to a column first makes it a
     once-per-row projection; the lambda then references the bound array.
+
+    ``_ws`` is a reserved working name: refuse inputs that already carry
+    it rather than silently overwriting the caller's column.
     """
+    if "_ws" in df.columns:
+        raise ValueError(
+            "_with_words: input already has a column named '_ws' "
+            "(reserved working column; rename it before shingling)")
     return df.withColumn(
         "_ws", F.expr(f"split(lower(trim({text_col})), '\\\\s+')"))
 
@@ -185,6 +192,13 @@ def minhash_signatures_narrow(df: DataFrame, text_col: str = "text",
     signature stage becomes a narrow map over the corpus scan. Documents
     with fewer than ``n`` words yield no shingles and are dropped
     (matching the exploded form, where they produce zero rows).
+
+    The short-document gate is a filter on the RAW text (one extra split
+    per row in the scan stage), not on ``_grams``: predicate pushdown
+    substitutes the filtered column's defining expression into the
+    predicate, so ``size(_grams) > 0`` below the exchange re-built the
+    whole shingle array per row just to measure it — measured 12× slower
+    (3.2s vs 0.27s for the sf0.1 signature build).
     """
     xs = F.expr(
         f"transform(_grams, s -> CAST(conv(substring(md5(s), 1, 8), 16, 10)"
@@ -194,11 +208,12 @@ def minhash_signatures_narrow(df: DataFrame, text_col: str = "text",
         .alias(f"mh_{k}")
         for k, (a, b) in enumerate(uhash_constants(num_hashes))
     ]
+    pre = df.where(
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= n)
     return (
-        _with_words(df.repartition(F.col(id_col)), text_col)
+        _with_words(pre.repartition(F.col(id_col)), text_col)
         # parallelize hashing on few-partition scans ^
         .select(F.col(id_col), _grams_expr(n).alias("_grams"))
-        .where(F.size("_grams") > 0)
         .select(F.col(id_col), xs.alias("_xs"))
         .select(F.col(id_col), *mins)
     )
@@ -303,16 +318,22 @@ def hashed_shingle_sets(df: DataFrame, text_col: str = "text",
     count, and carrying n_sh through the downstream join replaces two
     joins against a separate sizes table. Documents with no shingles
     (< n words) are dropped, matching the exploded formulations.
+
+    The short-document gate filters the RAW text (see
+    :func:`minhash_signatures_narrow`): a filter on ``_grams`` pushes
+    below the exchange and re-builds the shingle array inside the
+    predicate.
     """
     hs = F.expr(
         f"array_distinct(transform(_grams, s -> "
         f"CAST(conv(substring(md5(s), 1, {SHINGLE_HASH_HEX}), 16, 10)"
         f" AS BIGINT)))")
+    pre = df.where(
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= n)
     return (
-        _with_words(df.repartition(F.col(id_col)), text_col)
+        _with_words(pre.repartition(F.col(id_col)), text_col)
         # parallelize hashing on few-partition scans ^
         .select(F.col(id_col), _grams_expr(n).alias("_grams"))
-        .where(F.size("_grams") > 0)
         .select(F.col(id_col), hs.alias("hs"))
         .select(F.col(id_col), "hs", F.size("hs").alias("n_sh"))
     )
