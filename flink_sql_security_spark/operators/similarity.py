@@ -51,6 +51,61 @@ def unit_vectors(df: DataFrame, vec_col: str = "embedding",
 _UNIT_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
 
+# -- exact JVM-arithmetic reproduction (Python side) ------------------------
+#
+# The blocked-BLAS stages below emit FINAL cosine values from Python instead
+# of re-scoring candidates with the interpreted `aggregate` expression (two
+# broadcast joins + one interpreted fold per pair — measured ~1s/query at
+# sf0.1). That is only sound because these helpers reproduce the JVM
+# arithmetic bit-for-bit:
+# - norms and dots are SEQUENTIAL left folds (same IEEE add/mul order as
+#   `aggregate(..., 0D, (acc, v) -> acc + v)`); numpy's pairwise sums would
+#   drift by ~1 ulp
+# - rounding mirrors Spark's round(): Java BigDecimal.valueOf(double) parses
+#   the shortest decimal repr — Decimal(repr(x)) is the Python equivalent
+#   (Decimal(x) would keep the exact binary expansion and can round the
+#   other way on .5-at-scale boundaries); HALF_UP == half-away-from-zero
+#   for the positive cosines that survive thresholds
+
+def _seq_sq_norms(M):
+    """Per-row sqrt of the sequential-fold sum of squares."""
+    import math
+
+    out = []
+    for row in M:
+        acc = 0.0
+        for x in row:
+            acc += x * x
+        out.append(math.sqrt(acc))
+    import numpy as np
+
+    return np.asarray(out, dtype=np.float64)
+
+
+def _exact_unit_matrix(vec_lists):
+    """float vectors → exact unit float64 matrix (JVM-identical values:
+    float→double widening is exact, IEEE division is correctly rounded)."""
+    import numpy as np
+
+    M = np.asarray([np.asarray(v, dtype=np.float64) for v in vec_lists])
+    return M / _seq_sq_norms(M)[:, None]
+
+
+def _seq_dot(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _round_half_up(x: float, nd: int = 6) -> float:
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-nd)
+    return float(decimal.Decimal(repr(x)).quantize(
+        q, rounding=decimal.ROUND_HALF_UP))
+
+
 def cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id", threshold: float = 0.4,
                  round_to: int = 6, prefilter: bool = True) -> DataFrame:
@@ -62,18 +117,19 @@ def cosine_pairs(df: DataFrame, vec_col: str = "embedding",
       side is broadcast as an n×d numpy matrix; ``mapInPandas`` tasks each
       take a chunk of rows and do a chunk×n matmul (vectorized, ~GFLOP/s)
       keeping only pairs within ``margin`` of the threshold. Survivors —
-      typically a tiny fraction of n²/2 — are re-scored with the exact
-      sequential-order `aggregate` expression, so output values are
-      bit-identical to the naive path (and to the DuckDB oracle). The n²
-      work distributes across executors; the broadcast bounds n to what
-      fits in executor memory (~10⁶·d doubles) — beyond that, use
+      typically a tiny fraction of n²/2 — are re-scored in-task with the
+      exact sequential fold + HALF_UP rounding (see the module helpers),
+      so output values are bit-identical to the naive path (and to the
+      DuckDB oracle) with ZERO post-join re-scoring. The n² work
+      distributes across executors; the broadcast bounds n to what fits
+      in executor memory (~10⁶·d doubles) — beyond that, use
       `ann_candidate_pairs`, the documented scale path.
     - ``prefilter=False``: pure crossJoin + interpreted higher-order
       functions. Spark's HOFs are not codegen'd, so this is ~100× slower
       per pair; kept as the reference semantics / fallback.
     """
-    u = unit_vectors(df, vec_col, id_col)
     if not prefilter:
+        u = unit_vectors(df, vec_col, id_col)
         a = u.select(F.col(id_col).alias("id_a"), F.col("unit").alias("ua"))
         b = u.select(F.col(id_col).alias("id_b"), F.col("unit").alias("ub"))
         cos = F.round(F.expr(_UNIT_DOT.format(a="ua", b="ub")), round_to)
@@ -84,36 +140,17 @@ def cosine_pairs(df: DataFrame, vec_col: str = "embedding",
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine")
         )
-    cand = _blas_candidate_pairs(u, id_col, threshold, round_to)
-    ua = u.select(F.col(id_col).alias("id_a"), F.col("unit").alias("ua"))
-    ub = u.select(F.col(id_col).alias("id_b"), F.col("unit").alias("ub"))
-    cos = F.round(F.expr(_UNIT_DOT.format(a="ua", b="ub")), round_to)
-    return (
-        cand.join(F.broadcast(ua), "id_a")
-        .join(F.broadcast(ub), "id_b")
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
-
-
-def _blas_candidate_pairs(u: DataFrame, id_col: str, threshold: float,
-                          round_to: int) -> DataFrame:
-    """(id_a, id_b) candidate superset via broadcast matrix × chunked matmul.
-
-    The margin covers both float-associativity drift between BLAS pairwise
-    summation and the exact sequential sum (~1e-15) and the final
-    `round(cos, round_to)` step (a raw value 0.5·10^-r below the threshold
-    still rounds up to it). Guarantees the candidate set is a superset of
-    the exact answer; the caller re-scores exactly and re-filters.
-    """
     import numpy as np
 
+    # the margin covers BLAS pairwise-sum drift vs the exact sequential
+    # fold (~1e-15) plus the round step (a raw value 0.5·10^-r below the
+    # threshold still rounds up to it); exact re-score decides the rest
     margin = 0.5 * 10.0 ** (-round_to) + 1e-9
-    pdf = u.toPandas()
+    raw = df.select(id_col, vec_col)
+    pdf = raw.toPandas()
     ids_all = pdf[id_col].to_numpy()
-    mat = np.array(pdf["unit"].tolist(), dtype=np.float64)
-    bc = u.sparkSession.sparkContext.broadcast((ids_all, mat))
+    U = _exact_unit_matrix(pdf[vec_col].tolist())
+    bc = df.sparkSession.sparkContext.broadcast((ids_all, U))
 
     def gen(batches):
         import pandas as pd
@@ -122,41 +159,84 @@ def _blas_candidate_pairs(u: DataFrame, id_col: str, threshold: float,
         for chunk in batches:
             if not len(chunk):
                 continue
-            A = np.array(chunk["unit"].tolist(), dtype=np.float64)
+            A = _exact_unit_matrix(chunk[vec_col].tolist())
             ids_a = chunk[id_col].to_numpy()
             S = A @ B.T
             ia, ib = np.nonzero(S >= threshold - margin)
             keep = ids_a[ia] < ids_b[ib]
+            out_a, out_b, out_c = [], [], []
+            for i, j in zip(ia[keep], ib[keep]):
+                c = _round_half_up(_seq_dot(A[i], B[j]), round_to)
+                if c >= threshold:
+                    out_a.append(ids_a[i]); out_b.append(ids_b[j])
+                    out_c.append(c)
             yield pd.DataFrame({
-                "id_a": ids_a[ia][keep].astype("int64"),
-                "id_b": ids_b[ib][keep].astype("int64"),
+                "id_a": pd.array(out_a, dtype="int64"),
+                "id_b": pd.array(out_b, dtype="int64"),
+                "cosine": pd.array(out_c, dtype="float64"),
             })
 
-    return u.mapInPandas(gen, "id_a long, id_b long")
+    return raw.mapInPandas(gen, "id_a long, id_b long, cosine double")
 
 
 def cosine_topk(df: DataFrame, queries_df: DataFrame,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 k: int = 5, round_to: int = 6) -> DataFrame:
-    """Top-k neighbors per query vector (brute force + per-query window).
+    """Top-k neighbors per query vector (brute force, exact).
 
-    Deterministic: ties broken by neighbor id. One shuffle for the window.
+    Physical shape: the (small) query side broadcasts as a unit matrix;
+    corpus chunks stream through one ``mapInPandas`` doing a Q×chunk BLAS
+    matmul, keep each query's CHUNK-LOCAL top-k (± a float-drift margin —
+    any global top-k element is a fortiori in its chunk's top-k, so the
+    union over chunks is a guaranteed superset), re-score survivors with
+    the exact sequential fold, and a final window picks the global top-k.
+    The window input is ~n_chunks·|Q|·k rows, never the full n·|Q| cross
+    product. Deterministic: ties broken by neighbor id.
     """
+    import numpy as np
     from pyspark.sql.window import Window
 
-    q = unit_vectors(queries_df, vec_col, id_col).select(
-        F.col(id_col).alias("q_id"), F.col("unit").alias("qu"))
-    c = unit_vectors(df, vec_col, id_col).select(
-        F.col(id_col).alias("n_id"), F.col("unit").alias("nu"))
-    cos = F.round(F.expr(_UNIT_DOT.format(a="qu", b="nu")), round_to)
-    scored = (
-        q.crossJoin(c)
-        .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cosine", cos)
-    )
+    qpdf = queries_df.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    Q = _exact_unit_matrix(qpdf[vec_col].tolist())
+    bc = df.sparkSession.sparkContext.broadcast((q_ids, Q))
+    margin = 1e-8
+
+    def gen(batches):
+        import pandas as pd
+
+        ids_q, Qm = bc.value
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            A = _exact_unit_matrix(chunk[vec_col].tolist())
+            ids_n = chunk[id_col].to_numpy()
+            S = Qm @ A.T                       # |Q| × chunk
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(ids_q)):
+                s = S[qi]
+                eligible = ids_n != ids_q[qi]  # exclude self before the cut
+                idx = np.nonzero(eligible)[0]
+                if not len(idx):
+                    continue
+                if len(idx) > k:
+                    kth = np.partition(s[idx], len(idx) - k)[len(idx) - k]
+                    idx = idx[s[idx] >= kth - margin]
+                for j in idx:
+                    out_q.append(ids_q[qi]); out_n.append(ids_n[j])
+                    out_c.append(_round_half_up(_seq_dot(Qm[qi], A[j]),
+                                                round_to))
+            yield pd.DataFrame({
+                "q_id": pd.array(out_q, dtype="int64"),
+                "n_id": pd.array(out_n, dtype="int64"),
+                "cosine": pd.array(out_c, dtype="float64"),
+            })
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        gen, "q_id long, n_id long, cosine double")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
     )
@@ -253,41 +333,59 @@ def ivf_topk(df: DataFrame, queries_df: DataFrame,
 
     C = _ivf_centroids(unit_vectors(df, vec_col, id_col), id_col,
                        n_cells, iters, sample)
-    assigned = ivf_assign(df, vec_col, id_col, n_cells, iters, sample,
-                          centroids=C)
-    corpus = assigned.select(
-        F.col(id_col).alias("n_id"), "cell", F.col("unit").alias("nu"))
 
-    uq = unit_vectors(queries_df, vec_col, id_col)
-    bcq = uq.sparkSession.sparkContext.broadcast(C)
+    # probe assignment for the (small) query side happens driver-side; the
+    # corpus pass fuses cell assignment + probed-cell scoring into ONE
+    # mapInPandas: chunk vectors are unit-normalized (exact fold), assigned
+    # by argmax against the broadcast centroids, and scored against the
+    # queries probing their cell; chunk-local top-k (± margin) bounds the
+    # emitted candidates, the final window picks the global top-k. The
+    # corpus is scanned once, no vector ever joins or shuffles.
+    qpdf = queries_df.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy()
+    Q = _exact_unit_matrix(qpdf[vec_col].tolist())
+    p = min(n_probe, len(C))
+    q_cells = np.argsort(-(Q @ C.T), kind="stable", axis=1)[:, :p]
+    bcq = df.sparkSession.sparkContext.broadcast((q_ids, Q, q_cells, C))
+    margin = 1e-8
 
-    def probes(batches):
+    def score(batches):
         import pandas as pd
 
-        cm = bcq.value
-        p = min(n_probe, len(cm))
+        ids_q, Qm, probes, cm = bcq.value
         for chunk in batches:
             if not len(chunk):
                 continue
-            A = np.array(chunk["unit"].tolist(), dtype=np.float64)
-            top = np.argsort(-(A @ cm.T), axis=1)[:, :p]
-            idx = np.repeat(np.arange(len(chunk)), p)
+            A = _exact_unit_matrix(chunk[vec_col].tolist())
+            ids_n = chunk[id_col].to_numpy()
+            cell = np.argmax(A @ cm.T, axis=1)
+            S = Qm @ A.T
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(ids_q)):
+                in_probe = np.isin(cell, probes[qi])
+                eligible = in_probe & (ids_n != ids_q[qi])
+                idx = np.nonzero(eligible)[0]
+                if not len(idx):
+                    continue
+                s = S[qi]
+                if len(idx) > k:
+                    kth = np.partition(s[idx], len(idx) - k)[len(idx) - k]
+                    idx = idx[s[idx] >= kth - margin]
+                for j in idx:
+                    out_q.append(ids_q[qi]); out_n.append(ids_n[j])
+                    out_c.append(_round_half_up(_seq_dot(Qm[qi], A[j]),
+                                                round_to))
             yield pd.DataFrame({
-                "q_id": chunk[id_col].to_numpy()[idx],
-                "cell": top.ravel().astype("int32"),
-                "qu": chunk["unit"].iloc[idx].to_numpy(),
+                "q_id": pd.array(out_q, dtype="int64"),
+                "n_id": pd.array(out_n, dtype="int64"),
+                "cosine": pd.array(out_c, dtype="float64"),
             })
 
-    q_probe = uq.mapInPandas(probes, "q_id long, cell int, qu array<double>")
-    cos = F.round(F.expr(_UNIT_DOT.format(a="qu", b="nu")), round_to)
-    scored = (
-        q_probe.join(corpus, "cell")
-        .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cosine", cos)
-    )
+    cand = df.select(id_col, vec_col).mapInPandas(
+        score, "q_id long, n_id long, cosine double")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "cosine", "rank")
     )
@@ -376,16 +474,46 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
         .select("id_a", "id_b")
         .distinct()
     )
-    u = unit_vectors(df, vec_col, id_col)
-    ua = u.select(F.col(id_col).alias("id_a"), F.col("unit").alias("ua"))
-    ub = u.select(F.col(id_col).alias("id_b"), F.col("unit").alias("ub"))
-    cos = F.round(F.expr(_UNIT_DOT.format(a="ua", b="ub")), 6)
-    return (
-        cand.join(ua, "id_a").join(ub, "id_b")
-        .withColumn("cosine", cos)
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    # exact scoring per candidate against the broadcast unit matrix, no
+    # vector joins. Coarse buckets can emit ~10² candidates per true pair,
+    # so the batch is first scored with one vectorized row-wise-dot pass
+    # and only near-threshold survivors get the exact sequential fold
+    # (bit-identical to the brute-force path).
+    import numpy as np
+    import pandas as pd
+
+    pdf = df.select(id_col, vec_col).toPandas()
+    U = _exact_unit_matrix(pdf[vec_col].tolist())
+    idx_map = pd.Series(
+        np.arange(len(pdf)), index=pdf[id_col].to_numpy())
+    bc = df.sparkSession.sparkContext.broadcast((idx_map, U))
+    margin = 0.5e-6 + 1e-9
+
+    def score(batches):
+        import pandas as pd
+
+        idx, Um = bc.value
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            ia = idx[chunk["id_a"].to_numpy()].to_numpy()
+            ib = idx[chunk["id_b"].to_numpy()].to_numpy()
+            s = np.einsum("ij,ij->i", Um[ia], Um[ib])
+            near = np.nonzero(s >= threshold - margin)[0]
+            out_a, out_b, out_c = [], [], []
+            for t in near:
+                cv = _round_half_up(_seq_dot(Um[ia[t]], Um[ib[t]]), 6)
+                if cv >= threshold:
+                    out_a.append(chunk["id_a"].iloc[t])
+                    out_b.append(chunk["id_b"].iloc[t])
+                    out_c.append(cv)
+            yield pd.DataFrame({
+                "id_a": pd.array(out_a, dtype="int64"),
+                "id_b": pd.array(out_b, dtype="int64"),
+                "cosine": pd.array(out_c, dtype="float64"),
+            })
+
+    return cand.mapInPandas(score, "id_a long, id_b long, cosine double")
 
 
 # ---------------------------------------------------------------------------
