@@ -575,35 +575,32 @@ def incremental_dedup_duckdb_sql(split_id: int, table: str = "documents",
 SIMHASH_HEX_CHARS = 12  # 48 bits: stays clear of BIGINT sign even when summed
 
 
-def _hex_val(char_expr: str) -> str:
-    """SQL: hex char → 0..15 via position lookup (portable, no conv())."""
-    return f"(locate({char_expr}, '0123456789abcdef') - 1)"
-
-
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """48-bit SimHash over whitespace tokens, weighted by occurrence count.
 
-    Bit b of token-hash = bit (b%4) of hex char (b//4) of md5(token); sign-sum
-    over tokens, bit set where the sum is positive. Pure arithmetic on md5 hex
-    → identical in any engine; single explode + single groupBy shuffle.
+    Token hash = integer value of the first 12 md5 hex chars; bit i of the
+    signature sign-sums bit i of the token hashes, set where the sum is
+    positive. The 48 per-bit tests are single shift-and-mask ops on one
+    ``conv``-parsed BIGINT per token (the per-hex-char locate/floor/mod
+    chain this replaces was ~25% slower at sf0.1). Pure integer arithmetic
+    on md5 → identical in any engine; single explode + single groupBy
+    shuffle, map-side partial aggregation collapses the per-token rows.
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = (
         df.repartition(F.col(id_col))  # parallelize + pre-cluster for groupBy
         .select(F.col(id_col), F.explode(words).alias("token"))
         .where(F.col("token") != "")
-        .select(F.col(id_col), F.md5("token").alias("th"))
+        .select(F.col(id_col), F.expr(
+            f"CAST(conv(substring(md5(token), 1, {SIMHASH_HEX_CHARS}),"
+            " 16, 10) AS BIGINT)").alias("x"))
     )
-    bit_sums = []
-    for k in range(SIMHASH_HEX_CHARS):
-        val = _hex_val(f"substring(th, {k + 1}, 1)")
-        for j in range(4):
-            bit = f"(CAST(floor({val} / {2 ** j}) AS BIGINT) % 2)"
-            bit_sums.append(
-                F.sum(F.expr(f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END"))
-                .alias(f"s_{4 * k + j}")
-            )
+    bit_sums = [
+        F.sum(F.expr(f"CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END"))
+        .alias(f"s_{i}")
+        for i in range(4 * SIMHASH_HEX_CHARS)
+    ]
     sums = tok.groupBy(id_col).agg(*bit_sums)
     sim = None
     for i in range(4 * SIMHASH_HEX_CHARS):
@@ -615,21 +612,18 @@ def simhash(df: DataFrame, text_col: str = "text",
 def simhash_duckdb_sql(table: str = "documents", text_col: str = "text",
                        id_col: str = "doc_id") -> str:
     """DuckDB SQL computing the identical 48-bit SimHash (oracle emitter)."""
-    bit_sums = []
-    for k in range(SIMHASH_HEX_CHARS):
-        val = f"(strpos('0123456789abcdef', substring(th, {k + 1}, 1)) - 1)"
-        for j in range(4):
-            bit = f"(CAST(floor({val} / {2 ** j}) AS BIGINT) % 2)"
-            bit_sums.append(
-                f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s_{4 * k + j}"
-            )
+    bit_sums = [
+        f"sum(CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(4 * SIMHASH_HEX_CHARS)
+    ]
     terms = " + ".join(
         f"(CASE WHEN s_{i} > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
         for i in range(4 * SIMHASH_HEX_CHARS)
     )
     return (
         f"WITH tok AS ("
-        f" SELECT {id_col}, md5(t.token) AS th"
+        f" SELECT {id_col}, CAST(concat('0x', substring(md5(t.token), 1,"
+        f" {SIMHASH_HEX_CHARS})) AS BIGINT) AS x"
         f" FROM {table}, UNNEST(string_split_regex(lower(trim({text_col})), '\\s+')) AS t(token)"
         f" WHERE t.token <> ''"
         f"), sums AS ("
@@ -803,7 +797,7 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     # as the MinHash LSH join; a per-band join loop would re-evaluate
     # the signature subtree 2x per band
     stack_args = ", ".join(
-        f"{i}, CAST(floor(simhash / {2 ** start}) AS BIGINT) % {2 ** width}"
+        f"{i}, (simhash >> {start}) & {2 ** width - 1}"
         for i, (start, width) in enumerate(bands)
     )
     banded = sig.select(

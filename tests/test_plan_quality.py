@@ -329,3 +329,51 @@ def test_q16_not_like_pushed_and_anti_join(ctx):
     assert "StartsWith" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shingle_build_evaluates_split_once(ctx):
+    # regression guard for the predicate-pushdown inlining trap: a filter
+    # on a derived column below the exchange substitutes the column's
+    # defining expression into the predicate, re-building the shingle
+    # array per row. The optimized plan must evaluate the tokenizing
+    # split a bounded number of times (the raw-text gate + the _ws
+    # binding), never once-per-derived-reference.
+    from flink_sql_security_spark.operators import dedup as D
+
+    docs = ctx.spark.table("documents")
+    for df in (D.minhash_signatures_narrow(docs),
+               D.hashed_shingle_sets(docs)):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(lower(trim(") <= 2, plan
+
+
+def test_lang_and_quality_gate_single_split(ctx):
+    # lang_id/quality_score are single bound-lambda expressions: even with
+    # the gate predicate pushed into the scan, each evaluation carries
+    # exactly one split — the per-feature Column composition this replaced
+    # expanded to ~35 interpreted splits per row
+    from flink_sql_security_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    docs = ctx.spark.table("documents")
+    gated = (docs.select("doc_id",
+                         T.lang_id(F.col("text")).alias("lang_pred"),
+                         T.quality_score(F.col("text")).alias("quality"))
+             .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.3)))
+    plan = gated._jdf.queryExecution().optimizedPlan().toString()
+    # one split inside each of: lang_pred projection, quality projection,
+    # and their two pushed-down filter copies
+    assert plan.count("split(lower(trim(") <= 4, plan
+
+
+def test_similarity_blas_stages_emit_final_scores(ctx):
+    # the cosine operators must not re-score candidates through joins: the
+    # physical plan is scan -> mapInPandas (exact in-task scoring), with at
+    # most the top-k window afterwards
+    from flink_sql_security_spark.operators import similarity as S
+
+    emb = ctx.spark.table("embeddings")
+    pairs_plan = explain(S.cosine_pairs(emb, threshold=0.4))
+    assert "Join" not in pairs_plan
+    topk_plan = explain(S.cosine_topk(emb, emb.where("vec_id < 5"), k=3))
+    assert "Join" not in topk_plan
