@@ -667,24 +667,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
       plan doubles per iteration and planning cost explodes at scale.
     """
     a, b = F.col(id_a), F.col(id_b)
-    # materialize the (possibly expensive) pair-generation pipeline ONCE
-    # before fanning out into the 4 union branches — otherwise each branch
-    # re-executes the whole upstream LSH/cosine pipeline
+    # materialize the (possibly expensive) pair-generation pipeline ONCE —
+    # the size probe and every consumer below re-read these edges
     pairs = pairs.select(a, b).localCheckpoint()
-    base = (
-        pairs.select(a.alias("src"), b.alias("dst"))
-        .union(pairs.select(b.alias("src"), a.alias("dst")))
-        # self-loops: the per-round min over neighbors then includes the
-        # node's own label, so each round is ONE join + groupBy (no
-        # left-join repair step to merge old labels back in)
-        .union(pairs.select(a.alias("src"), a.alias("dst")))
-        .union(pairs.select(b.alias("src"), b.alias("dst")))
-        .distinct()
-        # materialize: every iteration (and the size probe) re-reads edges
-        .localCheckpoint()
-    )
-    n_edges = base.count()
+    n_edges = pairs.count()
     if n_edges <= driver_threshold:
+        # driver union-find needs only the RAW pair list — none of the
+        # symmetrized/self-loop ceremony the distributed rounds require
         parent: dict = {}
 
         def find(x):
@@ -695,7 +684,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 parent[x], x = root, parent[x]
             return root
 
-        for row in base.collect():
+        for row in pairs.collect():
             s, d = row[0], row[1]
             parent.setdefault(s, s)
             parent.setdefault(d, d)
@@ -705,12 +694,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 lo, hi = (rs, rd) if rs < rd else (rd, rs)
                 parent[hi] = lo
         spark = pairs.sparkSession
-        out_schema = base.select(
-            F.col("src").alias("doc_id"),
-            F.col("src").alias("component_id")).schema
+        out_schema = pairs.select(
+            a.alias("doc_id"), a.alias("component_id")).schema
         return spark.createDataFrame(
-            [(x, find(x)) for x in parent], out_schema)
+            sorted((x, find(x)) for x in parent), out_schema)
 
+    base = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .union(pairs.select(b.alias("src"), a.alias("dst")))
+        # self-loops: the per-round min over neighbors then includes the
+        # node's own label, so each round is ONE join + groupBy (no
+        # left-join repair step to merge old labels back in)
+        .union(pairs.select(a.alias("src"), a.alias("dst")))
+        .union(pairs.select(b.alias("src"), b.alias("dst")))
+        .distinct()
+    )
     # pre-partition on the join key so the per-round join only shuffles
     # the (smaller) label side
     edges = base.repartition(F.col("dst")).localCheckpoint()
