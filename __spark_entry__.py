@@ -1102,6 +1102,10 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(lambda s: T.top_tokens(docs(s), k=50)),
         T.top_tokens_sql(k=50),
     )
+    out["text_tfidf_terms"] = (
+        with_tables(lambda s: T.tfidf_top_terms(docs(s), k=3)),
+        T.tfidf_top_terms_sql(k=3),
+    )
 
     def cleaned(s):
         from flink_sql_security_spark.operators.corpus import clean_corpus

@@ -304,6 +304,71 @@ def top_tokens_sql(table: str = "documents", text_col: str = "text",
     )
 
 
+def tfidf_top_terms(df, text_col: str = "text", k: int = 3,
+                    id_col: str = "doc_id", n_docs: int | None = None):
+    """Top-k characteristic terms per document by tf·idf:
+    (doc_id, token, tf, df, tfidf, rank).
+
+    The keyword/topic-extraction primitive of a corpus-analysis pipeline.
+    tf = in-document occurrences, idf = ln(N / df) with df = documents
+    containing the token. Shuffle census: explode → groupBy(doc, token)
+    (reuses the id-hash partitioning for the doc side), one groupBy(token)
+    for document frequencies (map-side combine → ~|vocab| rows), one
+    broadcast join of the (small) df table back onto term counts, one
+    window shuffle for the per-doc top-k. N is resolved driver-side once
+    (count of input docs) so the plan carries a literal, not a scalar
+    subquery re-scan. Ties break lexicographically; tfidf is rounded to
+    6 so both engines' ln() agree at output precision.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if n_docs is None:
+        n_docs = df.count()
+    toks = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col),
+                F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS))
+                .alias("token"))
+        .where(F.col("token") != "")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .withColumn("tfidf", F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def tfidf_top_terms_sql(table: str = "documents", text_col: str = "text",
+                        k: int = 3, id_col: str = "doc_id") -> str:
+    """DuckDB SQL producing the identical per-doc tf·idf terms (oracle)."""
+    return (
+        f"WITH toks AS (SELECT {id_col}, t.token FROM {table}, "
+        f"UNNEST(string_split_regex(lower(trim({text_col})), '{_WS}')) AS t(token) "
+        f"WHERE t.token <> ''), "
+        f"tf AS (SELECT {id_col}, token, count(*) AS tf FROM toks "
+        f"GROUP BY {id_col}, token), "
+        f"dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+        f"n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {table}), "
+        f"scored AS (SELECT {id_col}, tf.token, tf, df, "
+        f"round(tf * ln(n_docs / df), 6) AS tfidf FROM tf "
+        f"JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n), "
+        f"ranked AS (SELECT *, row_number() OVER (PARTITION BY {id_col} "
+        f"ORDER BY tfidf DESC, token) AS rank FROM scored) "
+        f"SELECT {id_col}, token, tf, df, tfidf, rank FROM ranked "
+        f"WHERE rank <= {k}"
+    )
+
+
 # -- within-document repetition (Gopher-style quality rules) ---------------
 #
 # Repetitious documents (boilerplate, scraped spam, degenerate generations)

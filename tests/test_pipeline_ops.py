@@ -548,3 +548,24 @@ def test_decontaminate_broadcasts_benchmark(spark):
     # shuffled for the probe join
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_top_terms(docs):
+    from flink_sql_security_spark.functions.text import tfidf_top_terms
+
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        assert len(doc_rows) <= 2
+        ranks = sorted(r["rank"] for r in doc_rows)
+        assert ranks == list(range(1, len(doc_rows) + 1))
+        # ranking follows tfidf desc, token asc
+        ordered = sorted(doc_rows, key=lambda r: (-r["tfidf"], r["token"]))
+        assert [r["rank"] for r in ordered] == ranks
+    # a token appearing in every document has idf ln(1) = 0
+    n = docs.count()
+    for r in rows:
+        if r["df"] == n:
+            assert r["tfidf"] == 0.0
