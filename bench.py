@@ -89,7 +89,7 @@ def main() -> None:
     exact_pairs = {(r["id_a"], r["id_b"]) for r in
                    S.cosine_pairs(emb, threshold=0.4).collect()}
     ann_pairs = {(r["id_a"], r["id_b"]) for r in
-                 S.ann_candidate_pairs(emb, bits=4, tables=8,
+                 S.ann_candidate_pairs(emb, bits=4, tables=24,
                                        threshold=0.4).collect()}
     ann_recall = (round(len(exact_pairs & ann_pairs) / len(exact_pairs), 4)
                   if exact_pairs else None)
@@ -97,7 +97,7 @@ def main() -> None:
     exact_top = {(r["q_id"], r["n_id"]) for r in
                  S.cosine_topk(emb, q20, k=5).collect()}
     ivf_top = {(r["q_id"], r["n_id"]) for r in
-               S.ivf_topk(emb, q20, k=5, n_cells=16, n_probe=8).collect()}
+               S.ivf_topk(emb, q20, k=5, n_cells=16, n_probe=12).collect()}
     ivf_recall = (round(len(exact_top & ivf_top) / len(exact_top), 4)
                   if exact_top else None)
 
