@@ -393,11 +393,14 @@ def repetition_metrics(text: Column, n: int = 2) -> dict[str, Column]:
     ``top_word_frac`` (share of the most frequent word) is a max-run-length
     scan over the sorted word array via ``aggregate`` — max frequency in a
     multiset equals the longest equal-run in its sorted order. Callers must
-    alias ``_rw`` to the split word array first (see ``repetition_select``).
+    alias ``_rw`` to the split word array and ``_rg`` to the gram array
+    first (see ``repetition_select``) — the gram build is an interpreted
+    higher-order function, so referencing an unbound gram expression twice
+    (size + array_distinct) would run it twice per row.
     """
     words = F.col("_rw")
     n_words = F.size(words)
-    grams = _word_grams(words, n)
+    grams = F.col("_rg")
     n_grams = F.size(grams)
     best_run = F.aggregate(
         F.array_sort(words),
@@ -425,7 +428,10 @@ def repetition_select(df, text_col: str = "text", id_col: str = "doc_id",
     """(id, dup_word_frac, dup_gram_frac, top_word_frac) per document."""
     staged = df.select(
         F.col(id_col),
-        F.split(F.lower(F.trim(F.col(text_col))), _WS).alias("_rw"))
+        F.split(F.lower(F.trim(F.col(text_col))), _WS).alias("_rw"),
+    ).select(
+        F.col(id_col), F.col("_rw"),
+        _word_grams(F.col("_rw"), n).alias("_rg"))
     m = repetition_metrics(F.col("_rw"), n=n)
     return staged.select(
         F.col(id_col),
