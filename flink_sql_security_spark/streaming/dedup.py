@@ -45,3 +45,34 @@ def dedup_stream_watermarked(stream: DataFrame, ts_col: str = "ts",
     keyed = stream.withColumn("dup_key", content_key(text_col)) \
         .withWatermark(ts_col, delay)
     return keyed.dropDuplicatesWithinWatermark(["dup_key"])
+
+
+def incremental_dedup_stream(stream: DataFrame, corpus_df: DataFrame, sink,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             **dedup_kwargs):
+    """Ingest-time NEAR-dedup of a stream against a static corpus:
+    every micro-batch runs the full batch ``operators.dedup.incremental_dedup``
+    (content-hash semi-join + asymmetric MinHash-LSH + exact-Jaccard
+    verification) and hands the (doc_id, status) result to
+    ``sink(result_df, batch_id)``.
+
+    ``foreachBatch`` is the standard Structured Streaming shape for reusing
+    verified batch logic whose joins/aggregations exceed what pure
+    stream-static operators allow (the Jaccard verification join would
+    need stream-side aggregation). Scale shape per batch = the batch
+    operator's: the corpus side is never re-paired against itself, only
+    the incoming batch probes it; no streaming state is held (a static
+    corpus snapshot per run — restart the query to pick up a new one).
+
+    Returns the ``DataStreamWriter`` (caller configures checkpoint/trigger
+    and calls ``.start()``).
+    """
+    from flink_sql_security_spark.operators.dedup import incremental_dedup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(incremental_dedup(batch_df, corpus_df, text_col, id_col,
+                               **dedup_kwargs), batch_id)
+
+    return stream.writeStream.foreachBatch(_process)

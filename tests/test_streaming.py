@@ -256,3 +256,43 @@ def test_stream_stream_interval_join_matches_batch(spark):
     finally:
         shutil.rmtree(cdir, ignore_errors=True)
         shutil.rmtree(pdir, ignore_errors=True)
+
+
+def test_incremental_dedup_stream_matches_batch(spark):
+    """foreachBatch near-dedup of a stream vs a static corpus produces the
+    batch operator's exact statuses."""
+    from flink_sql_security_spark.operators.dedup import incremental_dedup
+    from flink_sql_security_spark.streaming.dedup import incremental_dedup_stream
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "completely different content about spark streams here")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),        # exact
+         (11, "the quick brown fox jumps over a lazy dog today"),    # near
+         (12, "nothing like anything in the corpus at all folks")],  # kept
+        ["doc_id", "text"])
+
+    expected = {(r["doc_id"], r["status"]) for r in incremental_dedup(
+        batch, corpus, num_hashes=16, bands=8, threshold=0.3).collect()}
+    assert ("10", "exact_dup") not in expected  # sanity: ids are longs
+
+    path = tempfile.mkdtemp(prefix="fss_stream_inc")
+    try:
+        batch.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema("doc_id long, text string").parquet(path)
+        got = set()
+
+        def sink(df, batch_id):
+            got.update((r["doc_id"], r["status"]) for r in df.collect())
+
+        q = incremental_dedup_stream(
+            src, corpus, sink, num_hashes=16, bands=8, threshold=0.3).start()
+        q.processAllAvailable(); q.stop()
+        assert got == expected
+        assert dict(got)[10] == "exact_dup"
+        assert dict(got)[12] == "kept"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
