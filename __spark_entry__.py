@@ -1023,21 +1023,31 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         " row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM scored) "
         "SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5",
     )
-    # ANN (LSH-bucketed) — Spark conv() has no DuckDB analogue: rows-only check
+    # ANN (LSH-bucketed), fully hash-checked: the deterministic hyperplanes
+    # embed as literals in the DuckDB oracle, and the Spark side's
+    # near-zero sequential recheck makes bucket ids fold-order-exact.
     # 24 OR-amplification tables: ~0.98 recall at the loose 0.4 threshold
     # (vectorized candidate scoring makes table count nearly free)
     out["emb_ann_pairs"] = (
         with_tables(lambda s: S.ann_candidate_pairs(
             emb(s), bits=4, tables=24, threshold=0.4)),
-        None,
+        S.ann_candidate_pairs_duckdb_sql(bits=4, tables=24, threshold=0.4),
     )
-    # IVF (centroid-probe) ANN — k-means assignment is not SQL-expressible:
-    # rows-only check; recall vs brute force pinned in test_pipeline_ops
+    # IVF (centroid-probe) ANN, fully hash-checked: centroids + probe sets
+    # are deterministic driver-side artifacts, so the oracle re-derives
+    # them with the same numpy code from the parquet and embeds literals;
+    # the SQL verifies assignment + scoring + ranking. The correctness
+    # harness runs at sf0.01 (driver contract), hence the default path.
+    import os as _os
+    _emb_path = _os.path.join(
+        _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet")
     out["emb_ivf_topk"] = (
         with_tables(lambda s: S.ivf_topk(
             emb(s), emb(s).where("vec_id < 20"), k=5,
             n_cells=16, n_probe=12)),
-        None,
+        S.ivf_topk_duckdb_sql(_emb_path, query_pred="vec_id < 20", k=5,
+                              n_cells=16, n_probe=12),
     )
 
     def text_stats(s):
@@ -1274,11 +1284,16 @@ _CHECK_ORDER = [
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
     "q11_important_parts", "q12_priority_case", "q18_large_orders",
     "q22_global_sales", "events_daily",
-    # training-data pipeline operators, one per family
-    "dedup_exact_groups", "dedup_minhash_pairs", "dedup_lsh_verified",
-    "dedup_jaccard_pairs", "dedup_incremental_batch", "dedup_components",
+    # training-data pipeline operators, one per family. dedup_minhash_pairs
+    # and dedup_jaccard_pairs are strict sub-computations of
+    # dedup_lsh_verified (candidate generation / exact verification), so
+    # the window carries the composition and gives their slots to the
+    # ANN paths, which are now fully hash-checked too.
+    "dedup_exact_groups", "dedup_lsh_verified",
+    "dedup_incremental_batch", "dedup_components",
     "dedup_decontaminate", "dedup_simhash_pairs",
     "emb_cosine_pairs", "emb_cosine_topk", "emb_semantic_dedup",
+    "emb_ann_pairs", "emb_ivf_topk",
     "text_stats", "text_langid", "text_repetition", "text_fingerprint",
     "text_pii_redact", "vocab_top_tokens",
     "split_hash_assign", "sample_hash_fraction", "quota_per_source",

@@ -256,6 +256,15 @@ def _ivf_centroids(u: DataFrame, id_col: str, n_cells: int,
 
     pdf = u.orderBy(id_col).limit(sample).toPandas()
     X = np.array(pdf["unit"].tolist(), dtype=np.float64)
+    return _ivf_centroids_np(X, n_cells, iters)
+
+
+def _ivf_centroids_np(X, n_cells: int, iters: int):
+    """Shared numpy k-means core — the SQL-oracle emitter runs the same
+    code on the same unit matrix so both engines embed identical centroid
+    values."""
+    import numpy as np
+
     n_cells = min(n_cells, len(X))
     # farthest-point init: start at row 0, greedily add the point with the
     # lowest max-similarity to chosen centroids
@@ -358,7 +367,15 @@ def ivf_topk(df: DataFrame, queries_df: DataFrame,
                 continue
             A = _exact_unit_matrix(chunk[vec_col].tolist())
             ids_n = chunk[id_col].to_numpy()
-            cell = np.argmax(A @ cm.T, axis=1)
+            B = A @ cm.T
+            # near-tie cells: recompute that row's centroid dots with the
+            # sequential fold so argmax matches the SQL oracle's list_sum
+            # arithmetic (BLAS drift can flip a ~equal top-2)
+            if B.shape[1] > 1:
+                top2 = np.partition(B, B.shape[1] - 2, axis=1)[:, -2:]
+                for r in np.nonzero(top2[:, 1] - top2[:, 0] < 1e-9)[0]:
+                    B[r] = [_seq_dot(A[r], c) for c in cm]
+            cell = np.argmax(B, axis=1)
             S = Qm @ A.T
             out_q, out_n, out_c = [], [], []
             for qi in range(len(ids_q)):
@@ -436,7 +453,14 @@ def lsh_buckets(df: DataFrame, vec_col: str = "embedding",
             if not len(chunk):
                 continue
             A = np.array(chunk[vec_col].tolist(), dtype=np.float64)
-            signs = (A @ Hm.T) > 0.0                 # n × (tables·bits)
+            S = A @ Hm.T                             # n × (tables·bits)
+            # knife-edge dots: BLAS pairwise summation can flip the sign of
+            # a ~0 projection vs the sequential fold; recompute those few
+            # sequentially so bucket ids are fold-order-exact (and therefore
+            # reproducible by the SQL-oracle's list_sum)
+            for i, p in np.argwhere(np.abs(S) < 1e-9):
+                S[i, p] = _seq_dot(A[i], Hm[p])
+            signs = S > 0.0
             buckets = signs.reshape(len(A), tables, bits) @ w  # n × tables
             ids = chunk[id_col].to_numpy()
             idx = np.repeat(np.arange(len(A)), tables)
@@ -514,6 +538,130 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
             })
 
     return cand.mapInPandas(score, "id_a long, id_b long, cosine double")
+
+
+def ann_candidate_pairs_duckdb_sql(table: str = "embeddings",
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id", bits: int = 6,
+                                   dim: int = 64, threshold: float = 0.4,
+                                   tables: int = 4) -> str:
+    """DuckDB SQL reproducing ``ann_candidate_pairs`` exactly.
+
+    The hyperplanes are deterministic driver-side constants, so they embed
+    as double literals (repr round-trips to the identical IEEE value).
+    Sign tests run on DuckDB's sequential ``list_sum`` fold — which the
+    Spark side matches exactly via its near-zero sequential recheck — so
+    bucket ids, candidate pairs, and the unit-dot cosines all agree
+    bit-for-bit.
+    """
+    def dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(h) for h in plane)
+        return (f"list_sum(list_transform(list_zip({vec_col}, [{lits}]), "
+                "x -> CAST(x[1] AS DOUBLE) * x[2]))")
+
+    bucket_exprs = []
+    for t in range(tables):
+        terms = " + ".join(
+            f"(CASE WHEN {dot(_hyperplane(t, p, dim))} > 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+            for p in range(bits))
+        bucket_exprs.append(f"({terms})")
+    buckets_list = ", ".join(bucket_exprs)
+    unit = (
+        f"u AS (SELECT {id_col}, list_transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE) / n) AS unit"
+        f" FROM (SELECT {id_col}, {vec_col}, "
+        f"sqrt(list_sum(list_transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n"
+        f" FROM {table}))"
+    )
+    return (
+        f"WITH bk AS (SELECT {id_col}, [{buckets_list}] AS bs FROM {table}), "
+        f"banded AS (SELECT {id_col}, t.i AS tbl, bs[t.i + 1] AS bucket "
+        f"FROM bk, UNNEST(range({tables})) AS t(i)), "
+        f"cand AS (SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b "
+        "FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket "
+        f"WHERE a.{id_col} < b.{id_col}), "
+        + unit + " "
+        "SELECT id_a, id_b, round(list_sum(list_transform("
+        "list_zip(ua.unit, ub.unit), x -> x[1] * x[2])), 6) AS cosine "
+        f"FROM cand JOIN u ua ON ua.{id_col} = id_a "
+        f"JOIN u ub ON ub.{id_col} = id_b "
+        "WHERE round(list_sum(list_transform(list_zip(ua.unit, ub.unit), "
+        f"x -> x[1] * x[2])), 6) >= {threshold}"
+    )
+
+
+def ivf_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                        iters: int = 5, sample: int = 4096,
+                        round_to: int = 6) -> str:
+    """DuckDB SQL reproducing ``ivf_topk`` exactly.
+
+    Centroids and query probe sets are deterministic driver-side artifacts
+    (k-means over the lowest-id sample, stable argsort of query-centroid
+    scores) — the emitter re-derives them with the SAME numpy code from the
+    parquet file and embeds them as literals; the SQL then verifies the
+    distributed work: cell assignment (argmax over sequential-fold dots —
+    matched by the Spark side's near-tie recheck), probed-cell scoring,
+    and the deterministic top-k ranking.
+    """
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"ORDER BY {id_col}").df()
+    U = _exact_unit_matrix(pdf[vec_col].tolist())
+    C = _ivf_centroids_np(U[:sample], n_cells, iters)
+    qmask = con.execute(
+        f"SELECT {id_col} FROM read_parquet('{parquet_path}') "
+        f"WHERE {query_pred} ORDER BY {id_col}").df()[id_col].to_numpy()
+    id_order = pdf[id_col].to_numpy()
+    qpos = np.searchsorted(id_order, qmask)
+    Q = U[qpos]
+    p = min(n_probe, len(C))
+    q_cells = np.argsort(-(Q @ C.T), kind="stable", axis=1)[:, :p]
+
+    def dot(center) -> str:
+        lits = ", ".join(repr(h) for h in center)
+        return ("list_sum(list_transform(list_zip(unit, [" + lits + "]), "
+                "x -> x[1] * x[2]))")
+
+    d_aliases = ", ".join(
+        f"{dot(C[c])} AS d_{c}" for c in range(len(C)))
+    # first-max-wins argmax (np.argmax semantics): the first cell whose
+    # score is >= every other cell's
+    argmax = "CASE "
+    for c in range(len(C)):
+        others = ", ".join(f"d_{j}" for j in range(len(C)) if j != c)
+        argmax += f"WHEN d_{c} >= greatest({others}) THEN {c} "
+    argmax += "END"
+    probe_rows = ", ".join(
+        f"({int(q)}, {int(c)})"
+        for qi, q in enumerate(qmask) for c in q_cells[qi])
+    return (
+        f"WITH u AS (SELECT {id_col}, list_transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE) / n) AS unit"
+        f" FROM (SELECT {id_col}, {vec_col}, "
+        f"sqrt(list_sum(list_transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n"
+        f" FROM read_parquet('{parquet_path}'))), "
+        f"dots AS (SELECT {id_col}, unit, {d_aliases} FROM u), "
+        f"assign AS (SELECT {id_col}, unit, {argmax} AS cell FROM dots), "
+        f"probes(q_id, cell) AS (VALUES {probe_rows}), "
+        "scored AS (SELECT p.q_id, a.{id} AS n_id, "
+        "round(list_sum(list_transform(list_zip(uq.unit, a.unit), "
+        f"x -> x[1] * x[2])), {round_to}) AS cosine "
+        "FROM probes p JOIN assign a ON a.cell = p.cell "
+        "JOIN u uq ON uq.{id} = p.q_id "
+        "WHERE a.{id} <> p.q_id)".format(id=id_col) + " , "
+        "ranked AS (SELECT q_id, n_id, cosine, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM scored) "
+        f"SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {k}"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -7,8 +7,8 @@ def test_oracle_keys_subset_of_queries():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     assert set(oracles) <= set(qs)
-    # only the two approximate ANN paths are rows-only checked
-    assert set(qs) - set(oracles) == {"emb_ann_pairs", "emb_ivf_topk"}
+    # every query is hash-checked — no rows-only entries left
+    assert set(qs) == set(oracles)
 
 
 def test_contract_size_floor():

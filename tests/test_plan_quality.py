@@ -340,6 +340,10 @@ def test_shingle_build_evaluates_split_once(ctx):
     # binding), never once-per-derived-reference.
     from flink_sql_security_spark.operators import dedup as D
 
+    # a persisted shingle table from another test would render the plan as
+    # an InMemoryRelation (with its full multi-section cached-plan text);
+    # the gate is about the fresh plan
+    ctx.spark.catalog.clearCache()
     docs = ctx.spark.table("documents")
     for df in (D.minhash_signatures_narrow(docs),
                D.hashed_shingle_sets(docs)):
