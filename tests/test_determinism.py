@@ -1,0 +1,72 @@
+"""Determinism under physical re-layout — the elasticity invariant.
+
+SCALING.md principle 3: results must be identical under any partitioning
+(speculative re-execution, preemptible nodes, AQE re-plans all reshuffle
+work). Every pipeline operator here is re-run under a different shuffle
+parallelism and a different input layout and must produce identical rows —
+including floating-point values, which is why all hashing is md5-based and
+all reductions are order-independent (min/count/exact-decimal sums) or
+sequential-fold-reproduced (cosine paths).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_sql_security_spark.operators import dedup as D
+from flink_sql_security_spark.operators import similarity as S
+from flink_sql_security_spark.sources import register_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    register_tables(spark, SF_DIR)
+    return spark
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _with_partitions(spark, n, fn):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        return fn()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("op", [
+    lambda s: D.exact_dedup_groups(s.table("documents")),
+    lambda s: D.minhash_lsh_candidate_pairs(s.table("documents")),
+    lambda s: D.lsh_verified_jaccard_pairs(s.table("documents"),
+                                           threshold=0.05),
+    lambda s: D.simhash(s.table("documents")),
+    lambda s: D.simhash_hamming_pairs(s.table("documents"), max_hamming=8),
+    lambda s: D.connected_components(
+        D.ngram_jaccard_pairs(s.table("documents"), threshold=0.05)),
+    lambda s: S.cosine_pairs(s.table("embeddings"), threshold=0.4),
+    lambda s: S.cosine_topk(s.table("embeddings"),
+                            s.table("embeddings").where("vec_id < 5"), k=3),
+    lambda s: S.ann_candidate_pairs(s.table("embeddings"), bits=4, tables=8,
+                                    threshold=0.4),
+], ids=["exact_groups", "minhash_pairs", "lsh_verified", "simhash",
+        "simhash_pairs", "components", "cosine_pairs", "cosine_topk",
+        "ann_pairs"])
+def test_identical_under_relayout(tables, op):
+    spark = tables
+    base = _rows(op(spark))
+    assert base, "operator returned no rows — fixture mismatch"
+    # different shuffle parallelism
+    alt = _with_partitions(spark, 7, lambda: _rows(op(spark)))
+    assert alt == base
+    # different input layout: pre-scrambled source partitioning
+    for t in ("documents", "embeddings"):
+        spark.table(t).repartition(13).createOrReplaceTempView(t)
+    try:
+        scrambled = _rows(op(spark))
+    finally:
+        register_tables(spark, SF_DIR)
+    assert scrambled == base
