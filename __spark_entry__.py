@@ -1110,6 +1110,11 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             s.table("lineitem"), _PROF_COLS)),
         P.profile_numeric_duckdb_sql("lineitem", _PROF_COLS),
     )
+    out["profile_quantiles"] = (
+        with_tables(lambda s: P.profile_quantiles(
+            s.table("lineitem"), _PROF_COLS)),
+        P.profile_quantiles_duckdb_sql("lineitem", _PROF_COLS),
+    )
     out["vocab_top_tokens"] = (
         with_tables(lambda s: T.top_tokens(docs(s), k=50)),
         T.top_tokens_sql(k=50),

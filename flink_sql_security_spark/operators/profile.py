@@ -93,3 +93,49 @@ def profile_numeric_duckdb_sql(table: str, cols: list[str]) -> str:
             f"round(CAST(sum({d}) AS DOUBLE) / count({c}), 6) AS mean "
             f"FROM {table}")
     return " UNION ALL ".join(parts)
+
+
+QUANTILE_PS = (0.25, 0.5, 0.75, 0.95)
+
+
+def profile_quantiles(df: DataFrame, cols: list[str],
+                      ps: tuple = QUANTILE_PS) -> DataFrame:
+    """(column, p25, p50, p75, p95) per numeric column — exact quantiles.
+
+    One wide aggregate (Spark's sort-based exact ``percentile``), stacked
+    to long form after the agg. Values are DECIMAL(18,2)-normalized then
+    widened to DOUBLE (exact), and the linear interpolation rounds to 6 —
+    Spark's (1-f)·a + f·b and DuckDB's a + (b-a)·f round identically at
+    output precision for 2-decimal money values. Scale note: exact
+    percentile holds per-column value multisets in memory; above ~10⁹
+    distinct values per column swap in approx_percentile (t-digest) —
+    same shape, bounded error.
+    """
+    aggs = []
+    plist = ", ".join(str(p) for p in ps)
+    for c in cols:
+        v = f"CAST(CAST({c} AS DECIMAL(18,2)) AS DOUBLE)"
+        for i, p in enumerate(ps):
+            aggs.append(F.expr(
+                f"round(percentile({v}, array({plist}))[{i}], 6)")
+                .alias(f"q_{c}_{i}"))
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', " + ", ".join(f"q_{c}_{i}" for i in range(len(ps)))
+        for c in cols)
+    names = ", ".join(f"p{int(p * 100)}" for p in ps)
+    return wide.select(F.expr(
+        f"stack({len(cols)}, {stacked}) AS (column, {names})"))
+
+
+def profile_quantiles_duckdb_sql(table: str, cols: list[str],
+                                 ps: tuple = QUANTILE_PS) -> str:
+    """DuckDB SQL producing the identical quantile profile (oracle)."""
+    parts = []
+    for c in cols:
+        v = f"CAST(CAST({c} AS DECIMAL(18,2)) AS DOUBLE)"
+        qs = ", ".join(
+            f"round(quantile_cont({v}, {p}), 6) AS p{int(p * 100)}"
+            for p in ps)
+        parts.append(f"SELECT '{c}' AS \"column\", {qs} FROM {table}")
+    return " UNION ALL ".join(parts)

@@ -569,3 +569,17 @@ def test_tfidf_top_terms(docs):
     for r in rows:
         if r["df"] == n:
             assert r["tfidf"] == 0.0
+
+
+def test_profile_quantiles_shape_and_order(spark):
+    from flink_sql_security_spark.operators.profile import profile_quantiles
+    from flink_sql_security_spark.sources import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    rows = {r["column"]: r for r in profile_quantiles(
+        spark.table("lineitem"), ["l_quantity", "l_discount"]).collect()}
+    assert set(rows) == {"l_quantity", "l_discount"}
+    for r in rows.values():
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
+    # l_quantity is integral 1..50ish: quartiles must sit inside
+    assert 1 <= rows["l_quantity"]["p25"] <= rows["l_quantity"]["p95"] <= 50
