@@ -1123,6 +1123,10 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(lambda s: T.tfidf_top_terms(docs(s), k=3)),
         T.tfidf_top_terms_sql(k=3),
     )
+    out["text_lm_score"] = (
+        with_tables(lambda s: T.lm_score(docs(s))),
+        T.lm_score_sql(),
+    )
 
     def cleaned(s):
         from flink_sql_security_spark.operators.corpus import clean_corpus

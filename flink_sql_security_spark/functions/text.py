@@ -369,6 +369,79 @@ def tfidf_top_terms_sql(table: str = "documents", text_col: str = "text",
     )
 
 
+def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
+    """In-domain bigram-LM score per document: (doc_id, n_bigrams,
+    avg_logprob) — the CCNet-style language-model quality gate, with the
+    LM trained on the corpus itself (add-1 smoothing over the corpus
+    vocabulary).
+
+    avg_logprob = mean over the document's word bigrams of
+    ``round(ln((C(w1 w2) + 1) / (C(w1·) + V)), 6)``; higher = more
+    in-domain. Cross-engine exactness: each bigram's logprob is rounded
+    to 6 decimals and summed as DECIMAL (exact, order-independent — a
+    double sum would be partition-order dependent), then one double
+    division per document. Shuffle census: one explode→groupBy for bigram
+    counts, one for context counts (both map-side combined,
+    vocabulary-sized), the per-doc probe join keyed on the bigram, and
+    the final per-doc aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    toks = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), words.alias("_w"))
+        .select(F.col(id_col), F.expr(
+            "CASE WHEN size(_w) >= 2 THEN transform(sequence(0, size(_w) - 2), "
+            "i -> struct(_w[i] AS w1, concat_ws(' ', _w[i], _w[i+1]) AS bg)) "
+            "ELSE array() END").alias("_bgs"))
+        .select(F.col(id_col), F.explode("_bgs").alias("b"))
+        .select(F.col(id_col), F.col("b.w1").alias("w1"),
+                F.col("b.bg").alias("bg"))
+    )
+    c2 = toks.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = toks.groupBy("w1").agg(F.count("*").alias("c1"))
+    uni = (df.select(F.explode(words).alias("t")).where(F.col("t") != "")
+           .agg(F.count_distinct("t").alias("v")))
+    v = uni.collect()[0]["v"]
+    logp = F.expr(
+        f"CAST(round(ln((c2 + 1) / CAST(c1 + {v} AS DOUBLE)), 6) "
+        "AS DECIMAL(18,6))")
+    return (
+        toks.join(c2, "bg").join(F.broadcast(c1), "w1")
+        .select(F.col(id_col), logp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum("_lp").alias("_sum"))
+        .select(F.col(id_col), "n_bigrams",
+                F.round(F.expr("CAST(_sum AS DOUBLE) / n_bigrams"), 6)
+                .alias("avg_logprob"))
+    )
+
+
+def lm_score_sql(table: str = "documents", text_col: str = "text",
+                 id_col: str = "doc_id") -> str:
+    """DuckDB SQL producing the identical bigram-LM scores (oracle)."""
+    ws = f"string_split_regex(lower(trim({text_col})), '{_WS}')"
+    return (
+        f"WITH w AS (SELECT {id_col}, {ws} AS ws FROM {table}), "
+        f"toks AS (SELECT {id_col}, ws[i+1] AS w1, "
+        f"concat_ws(' ', ws[i+1], ws[i+2]) AS bg "
+        f"FROM w, UNNEST(range(greatest(len(ws) - 1, 0))) AS t(i)), "
+        "c2 AS (SELECT bg, count(*) AS c2 FROM toks GROUP BY bg), "
+        "c1 AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1), "
+        f"uni AS (SELECT count(DISTINCT t.token) AS v FROM {table}, "
+        f"UNNEST({ws}) AS t(token) WHERE t.token <> ''), "
+        "lp AS (SELECT toks.{id}, CAST(round(ln((c2.c2 + 1) / "
+        "CAST(c1.c1 + uni.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp "
+        "FROM toks JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN uni)"
+        .format(id=id_col) + " "
+        f"SELECT {id_col}, count(*) AS n_bigrams, "
+        f"round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob "
+        f"FROM lp GROUP BY {id_col}"
+    )
+
+
 # -- within-document repetition (Gopher-style quality rules) ---------------
 #
 # Repetitious documents (boilerplate, scraped spam, degenerate generations)

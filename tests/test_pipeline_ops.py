@@ -583,3 +583,19 @@ def test_profile_quantiles_shape_and_order(spark):
         assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
     # l_quantity is integral 1..50ish: quartiles must sit inside
     assert 1 <= rows["l_quantity"]["p25"] <= rows["l_quantity"]["p95"] <= 50
+
+
+def test_lm_score_prefers_in_domain(spark):
+    """A document made of corpus-frequent bigrams scores higher than one
+    made of unique word sequences."""
+    from flink_sql_security_spark.functions.text import lm_score
+
+    rows = [(i, "the cat sat on the mat") for i in range(8)]
+    rows += [(100, "the cat sat on the mat"),
+             (101, "zyx wvu tsr qpo nml kji")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lm_score(df).collect()}
+    assert got[100]["avg_logprob"] > got[101]["avg_logprob"]
+    assert got[100]["n_bigrams"] == 5
+    # identical docs score identically
+    assert got[0]["avg_logprob"] == got[100]["avg_logprob"]
