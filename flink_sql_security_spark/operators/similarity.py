@@ -262,21 +262,28 @@ def _ivf_centroids(u: DataFrame, id_col: str, n_cells: int,
 def _ivf_centroids_np(X, n_cells: int, iters: int):
     """Shared numpy k-means core — the SQL-oracle emitter runs the same
     code on the same unit matrix so both engines embed identical centroid
-    values."""
+    values.
+
+    All products go through ``np.einsum`` (single-threaded, fixed
+    reduction order) rather than BLAS ``@``: multi-threaded GEMM's
+    reduction order varies with thread count, so the same call in two
+    processes could disagree in the last ulp — and the centroid literals
+    embedded in the oracle must be bit-identical to the query side's.
+    """
     import numpy as np
 
     n_cells = min(n_cells, len(X))
     # farthest-point init: start at row 0, greedily add the point with the
     # lowest max-similarity to chosen centroids
     chosen = [0]
-    sims = X @ X[0]
+    sims = np.einsum("ij,j->i", X, X[0])
     for _ in range(n_cells - 1):
         nxt = int(np.argmin(sims))
         chosen.append(nxt)
-        sims = np.maximum(sims, X @ X[nxt])
+        sims = np.maximum(sims, np.einsum("ij,j->i", X, X[nxt]))
     C = X[chosen].copy()
     for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)
+        assign = np.argmax(np.einsum("ij,kj->ik", X, C), axis=1)
         for c in range(n_cells):
             members = X[assign == c]
             if len(members):
@@ -354,7 +361,7 @@ def ivf_topk(df: DataFrame, queries_df: DataFrame,
     q_ids = qpdf[id_col].to_numpy()
     Q = _exact_unit_matrix(qpdf[vec_col].tolist())
     p = min(n_probe, len(C))
-    q_cells = np.argsort(-(Q @ C.T), kind="stable", axis=1)[:, :p]
+    q_cells = np.argsort(-np.einsum("ij,kj->ik", Q, C), kind="stable", axis=1)[:, :p]
     bcq = df.sparkSession.sparkContext.broadcast((q_ids, Q, q_cells, C))
     margin = 1e-8
 
@@ -626,7 +633,7 @@ def ivf_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
     qpos = np.searchsorted(id_order, qmask)
     Q = U[qpos]
     p = min(n_probe, len(C))
-    q_cells = np.argsort(-(Q @ C.T), kind="stable", axis=1)[:, :p]
+    q_cells = np.argsort(-np.einsum("ij,kj->ik", Q, C), kind="stable", axis=1)[:, :p]
 
     def dot(center) -> str:
         lits = ", ".join(repr(h) for h in center)
