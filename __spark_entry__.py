@@ -1049,6 +1049,33 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         S.ivf_topk_duckdb_sql(_emb_path, query_pred="vec_id < 20", k=5,
                               n_cells=16, n_probe=12),
     )
+    # full-corpus distributed k-means (operators/clustering.py): decimal-
+    # exact centroid updates make the fit partitioning-independent, so the
+    # oracle re-derives bit-identical centroids with the Python replica
+    from flink_sql_security_spark.operators import clustering as CL
+
+    out["emb_kmeans_cells"] = (
+        with_tables(lambda s: CL.kmeans_cells(emb(s), k=8, iters=3)),
+        CL.kmeans_duckdb_sql(_emb_path, k=8, iters=3),
+    )
+    # int8 scalar quantization (operators/quantize.py): exact min/max
+    # codebook + fixed-op-order affine codes — engine-identical ints
+    from flink_sql_security_spark.operators import quantize as QZ
+
+    out["emb_quantize_int8"] = (
+        with_tables(lambda s: QZ.quantize_int8(emb(s))),
+        QZ.quantize_int8_duckdb_sql(_emb_path),
+    )
+    # concat-then-chunk sequence packing (operators/packing.py): two-phase
+    # integer prefix sum — no single-partition window anywhere
+    from flink_sql_security_spark.operators import packing as PKG
+
+    out["pack_sequences"] = (
+        with_tables(lambda s: PKG.pack_sequences(
+            docs(s), T.bpe_token_count(F.col("text")), budget=512)),
+        PKG.pack_sequences_duckdb_sql(
+            T.bpe_token_count_sql("text"), budget=512),
+    )
 
     def text_stats(s):
         return docs(s).select(
@@ -1297,16 +1324,22 @@ _CHECK_ORDER = [
     # and dedup_jaccard_pairs are strict sub-computations of
     # dedup_lsh_verified (candidate generation / exact verification), so
     # the window carries the composition and gives their slots to the
-    # ANN paths, which are now fully hash-checked too.
+    # ANN paths, which are now fully hash-checked too. Round-2 swaps for
+    # the same reason: emb_cosine_pairs (the scoring arithmetic rides
+    # through emb_semantic_dedup), sample_hash_fraction (same md5-bucket
+    # core as split_hash_assign), and skew_salted_agg (pure physical
+    # redistribution, pinned by plan gates) give their slots to the new
+    # clustering / quantization / packing families.
     "dedup_exact_groups", "dedup_lsh_verified",
     "dedup_incremental_batch", "dedup_components",
     "dedup_decontaminate", "dedup_simhash_pairs",
-    "emb_cosine_pairs", "emb_cosine_topk", "emb_semantic_dedup",
+    "emb_cosine_topk", "emb_semantic_dedup",
     "emb_ann_pairs", "emb_ivf_topk",
+    "emb_kmeans_cells", "emb_quantize_int8", "pack_sequences",
     "text_stats", "text_langid", "text_repetition", "text_fingerprint",
     "text_pii_redact", "vocab_top_tokens",
-    "split_hash_assign", "sample_hash_fraction", "quota_per_source",
-    "multimodal_features", "events_hourly_window", "skew_salted_agg",
+    "split_hash_assign", "quota_per_source",
+    "multimodal_features", "events_hourly_window",
     "profile_lineitem", "pipeline_clean_corpus", "secured_clean_corpus",
     "sessionize_events", "asof_purchase_click",
 ]

@@ -21,6 +21,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 _WS = r"\s+"
+_WS_SQL = r"\\s+"  # the same pattern as a SQL-string literal (escaped \)
 # BPE-ish tokenization: letter runs, digit runs, single punctuation marks
 BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
@@ -384,18 +385,30 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     counts, one for context counts (both map-side combined,
     vocabulary-sized), the per-doc probe join keyed on the bigram, and
     the final per-doc aggregate.
+
+    Bigram-build plan shape (measured 22s → 0.9s on the sf0.1 corpus):
+    the tokenizing split is bound ONCE per row as a lambda variable
+    (an alias-bound ``_w`` column gets re-inlined at every lambda
+    reference — ~10 interpreted splits per row); the short-document gate
+    filters the RAW text so nothing is inferred from the derived array;
+    and ``explode_outer`` (never ``explode``) keeps
+    InferFiltersFromGenerate from pushing a ``size(_bgs) > 0`` filter
+    that would re-evaluate the whole build below the exchange. The gate
+    makes the outer explode semantically identical to the inner one
+    (arrays are provably non-empty).
     """
     from pyspark.sql import functions as F
 
     words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     toks = (
-        df.repartition(F.col(id_col))
-        .select(F.col(id_col), words.alias("_w"))
+        df.where(F.size(words) >= 2)
+        .repartition(F.col(id_col))
         .select(F.col(id_col), F.expr(
-            "CASE WHEN size(_w) >= 2 THEN transform(sequence(0, size(_w) - 2), "
-            "i -> struct(_w[i] AS w1, concat_ws(' ', _w[i], _w[i+1]) AS bg)) "
-            "ELSE array() END").alias("_bgs"))
-        .select(F.col(id_col), F.explode("_bgs").alias("b"))
+            f"transform(array(split(lower(trim({text_col})), '{_WS_SQL}')), "
+            "ws -> transform(sequence(0, size(ws) - 2), "
+            "i -> struct(ws[i] AS w1, concat_ws(' ', ws[i], ws[i+1]) AS bg))"
+            ")[0]").alias("_bgs"))
+        .select(F.col(id_col), F.explode_outer("_bgs").alias("b"))
         .select(F.col(id_col), F.col("b.w1").alias("w1"),
                 F.col("b.bg").alias("bg"))
     )

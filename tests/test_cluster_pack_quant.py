@@ -1,0 +1,155 @@
+"""Tests for clustering (distributed k-means), sequence packing, and int8
+quantization — the round-2 training-data-pipeline additions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_sql_security_spark.operators import clustering as C
+from flink_sql_security_spark.operators import packing as PK
+from flink_sql_security_spark.operators import quantize as Q
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [1.1, -0.1, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.9, 0.1, 0.0]),
+        (6, [0.0, 1.1, -0.1, 0.0]),
+        (7, [0.0, 0.0, 5.0, 5.0]),
+        (8, [0.0, 0.0, 5.5, 4.5]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+def test_kmeans_separates_obvious_clusters(vecs):
+    cells = {r["vec_id"]: r["cell"]
+             for r in C.kmeans_cells(vecs, k=3, iters=4).collect()}
+    assert cells[1] == cells[2] == cells[3]
+    assert cells[4] == cells[5] == cells[6]
+    assert cells[7] == cells[8]
+    assert len({cells[1], cells[4], cells[7]}) == 3
+
+
+def test_kmeans_fit_matches_python_replica(vecs):
+    spark_c = C.kmeans_fit(vecs, k=3, iters=3)
+    rows = [(r["vec_id"], list(r["embedding"]))
+            for r in vecs.collect()]
+    replica_c = C.kmeans_fit_replica(rows, k=3, iters=3)
+    assert spark_c == replica_c  # bit-identical, not approx
+
+
+def test_kmeans_deterministic_under_repartition(vecs):
+    a = C.kmeans_fit(vecs, k=3, iters=3)
+    b = C.kmeans_fit(vecs.repartition(7), k=3, iters=3)
+    assert a == b
+
+
+def test_kmeans_assignment_is_narrow(vecs):
+    plan = C.kmeans_assign(
+        vecs, [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle per-row fold
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    # k=3 over 2 distinct points: one seed never wins a vector; its
+    # centroid must survive unchanged rather than divide by zero
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [9.0, 9.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    c = C.kmeans_fit(df, k=3, iters=2)
+    assert len(c) == 3
+    assert c[1] == [0.0, 0.0]  # seed 2's cell: ties all go to cell 0
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_chunks_in_id_order(spark):
+    rows = [(1, 100), (2, 300), (3, 200), (4, 50), (5, 500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = {r["doc_id"]: r for r in
+           PK.pack_sequences(df, "n_tokens", budget=512).collect()}
+    # starts: 0, 100, 400, 600, 650
+    assert (out[1]["bin_id"], out[1]["bin_offset"]) == (0, 0)
+    assert (out[2]["bin_id"], out[2]["bin_offset"]) == (0, 100)
+    assert (out[3]["bin_id"], out[3]["bin_offset"]) == (0, 400)
+    assert (out[4]["bin_id"], out[4]["bin_offset"]) == (1, 88)
+    assert (out[5]["bin_id"], out[5]["bin_offset"]) == (1, 138)
+    assert out[3]["spans_boundary"] is True   # 400+200 crosses 512
+    assert out[4]["spans_boundary"] is False
+    assert out[5]["spans_boundary"] is True   # 650+500 crosses 1024
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    rows = [(i, (i * 37) % 400 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    a = sorted(map(tuple, PK.pack_sequences(
+        df, "n_tokens", budget=256, n_buckets=8).collect()))
+    b = sorted(map(tuple, PK.pack_sequences(
+        df.repartition(13), "n_tokens", budget=256, n_buckets=3).collect()))
+    assert a == b
+
+
+def test_pack_sequences_no_global_window(spark):
+    # the scale contract: no single-partition window anywhere in the plan
+    rows = [(i, i + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    plan = PK.pack_sequences(df, "n_tokens")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert PK.pack_sequences(df, "n_tokens").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_quantize_extremes_and_roundtrip(spark):
+    rows = [(1, [0.0, -2.0]), (2, [1.0, 2.0]), (3, [0.5, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    out = {r["vec_id"]: r for r in Q.quantize_int8(df).collect()}
+    assert out[1]["codes"] == [-128, -128]  # per-dim minimum → lowest code
+    assert out[2]["codes"] == [127, 127]    # per-dim maximum → highest code
+    assert out[3]["codes"][0] == 0          # midpoint → floor(127.5+0.5)-128
+    # max abs error bounded by half a quantization step per dim
+    for r in out.values():
+        assert r["err"] <= 0.5 * max(1.0, 4.0) / 255 + 1e-9
+
+
+def test_quantize_constant_dim_is_zero_code(spark):
+    rows = [(1, [3.0, 1.0]), (2, [3.0, 2.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    out = {r["vec_id"]: r["codes"] for r in Q.quantize_int8(df).collect()}
+    assert out[1][0] == 0 and out[2][0] == 0  # rng=0 dim → code 0, no NaN
+
+
+def test_quantize_codes_projection_is_narrow(vecs):
+    stats = Q.dim_stats(vecs)
+    plan = Q.quantize_int8(vecs, stats=stats)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantize_reusable_codebook(vecs):
+    stats = Q.dim_stats(vecs)
+    a = sorted(map(tuple, Q.quantize_int8(vecs, stats=stats).collect()))
+    b = sorted(map(tuple, Q.quantize_int8(vecs).collect()))
+    assert a == b

@@ -381,3 +381,17 @@ def test_similarity_blas_stages_emit_final_scores(ctx):
     assert "Join" not in pairs_plan
     topk_plan = explain(S.cosine_topk(emb, emb.where("vec_id < 5"), k=3))
     assert "Join" not in topk_plan
+
+
+def test_lm_score_bigram_build_split_bounded(ctx):
+    # the bigram build binds the tokenizing split once per row (lambda
+    # variable) and gates on raw text with explode_outer, so the optimized
+    # plan carries at most 2 splits per toks subtree (gate + binding) × 3
+    # consumers (bigram counts, context counts, probe) — the alias-bound
+    # form inlined ~10 interpreted splits per row (measured 22s → 0.9s at
+    # sf0.1 for the bigram build alone)
+    from flink_sql_security_spark.functions import text as T
+
+    docs = ctx.spark.table("documents")
+    plan = T.lm_score(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(lower(trim(") <= 6, plan
