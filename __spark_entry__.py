@@ -988,6 +988,18 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         SM.per_key_quota_duckdb_sql("documents", "source", n=20,
                                     select="doc_id, source"),
     )
+    # data mixing: fill each source's token budget in deterministic
+    # content-hash order (training-recipe mixture weights, in tokens)
+    out["sample_token_budget"] = (
+        with_tables(lambda s: SM.token_budget_sample(docs(s), 800)),
+        SM.token_budget_sample_duckdb_sql(800),
+    )
+    # exact-substring-dedup signal: per-doc fraction of word 6-gram spans
+    # appearing in >= 2 documents (Lee et al. 2022 boilerplate detection)
+    out["dedup_span_stats"] = (
+        with_tables(lambda s: D.duplicate_span_stats(docs(s), n=6, min_df=2)),
+        D.duplicate_span_stats_duckdb_sql(n=6, min_df=2),
+    )
     out["emb_cosine_pairs"] = (
         with_tables(lambda s: S.cosine_pairs(emb(s), threshold=0.4)),
         "WITH " + _DUCK_UNIT + ", "
@@ -1329,16 +1341,22 @@ _CHECK_ORDER = [
     # through emb_semantic_dedup), sample_hash_fraction (same md5-bucket
     # core as split_hash_assign), and skew_salted_agg (pure physical
     # redistribution, pinned by plan gates) give their slots to the new
-    # clustering / quantization / packing families.
+    # clustering / quantization / packing families. Round-2 additions:
+    # dedup_span_stats (corpus-duplicated-span statistics — a df-count
+    # join-back shape no other entry covers) and sample_token_budget
+    # (windowed running-total cutoff) enter the window; text_fingerprint
+    # (md5 one-liner, same portable-hash core split_hash_assign pins) and
+    # vocab_top_tokens (explode+count core, a strict sub-computation of
+    # the tf-idf operator's oracle) hand over their slots.
     "dedup_exact_groups", "dedup_lsh_verified",
     "dedup_incremental_batch", "dedup_components",
-    "dedup_decontaminate", "dedup_simhash_pairs",
+    "dedup_decontaminate", "dedup_simhash_pairs", "dedup_span_stats",
     "emb_cosine_topk", "emb_semantic_dedup",
     "emb_ann_pairs", "emb_ivf_topk",
     "emb_kmeans_cells", "emb_quantize_int8", "pack_sequences",
-    "text_stats", "text_langid", "text_repetition", "text_fingerprint",
-    "text_pii_redact", "vocab_top_tokens",
-    "split_hash_assign", "quota_per_source",
+    "text_stats", "text_langid", "text_repetition",
+    "text_pii_redact",
+    "split_hash_assign", "quota_per_source", "sample_token_budget",
     "multimodal_features", "events_hourly_window",
     "profile_lineitem", "pipeline_clean_corpus", "secured_clean_corpus",
     "sessionize_events", "asof_purchase_click",

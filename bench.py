@@ -124,11 +124,11 @@ def main() -> None:
         secured_t += time.perf_counter() - t0
     tax = round(secured_t / unsecured_t, 3) if unsecured_t else None
 
-    print(json.dumps({
+    payload = {
         "metric": "secured_corpus_total",
         "value": round(total, 3),
         "unit": "sec",
-        "queries": per_query,
+        "queries": {k: round(v, 2) for k, v in per_query.items()},
         "cold_total_sec": round(cold_total, 3),
         "ann_recall": ann_recall,
         "ivf_recall": ivf_recall,
@@ -137,7 +137,24 @@ def main() -> None:
         "security_tax_ratio": tax,
         "secured_sql_sec": round(secured_t, 3),
         "unsecured_sql_sec": round(unsecured_t, 3),
-    }))
+    }
+    # Full detail for humans/debugging (stderr is not machine-parsed).
+    print(json.dumps(payload), file=sys.stderr)
+    # The driver keeps only the last 2000 chars of stdout; a longer JSON
+    # line gets its head cut off and fails to parse (BENCH_r01 "parsed":
+    # null). Keep the stdout line comfortably inside that window by
+    # dropping the fastest per-query entries first; the corpus total and
+    # every slow/interesting query survive.
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:
+        kept = sorted(per_query.items(), key=lambda kv: (-kv[1], kv[0]))
+        while len(line) > 1800 and kept:
+            kept.pop()
+            payload["queries"] = {k: round(v, 2) for k, v in sorted(kept)}
+            payload["queries_omitted_fastest"] = len(per_query) - len(kept)
+            line = json.dumps(payload, separators=(",", ":"))
+    print(line)
+    sys.stdout.flush()
     spark.stop()
 
 

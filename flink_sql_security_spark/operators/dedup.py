@@ -877,3 +877,68 @@ def decontaminate_duckdb_sql(bench_pred: str, table: str = "documents",
         f"WHERE NOT ({bench_pred.replace(id_col, 's.' + id_col)}) "
         f"GROUP BY s.{id_col}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-duplicated span statistics (substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 6,
+                         min_df: int = 2) -> DataFrame:
+    """Per-document statistics of word n-gram spans that recur across the
+    corpus: (id, n_spans, n_dup_spans, dup_fraction).
+
+    The signal behind exact-substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a span
+    appearing in >= ``min_df`` documents is boilerplate/duplicated text,
+    and a document's duplicated-span fraction drives keep/trim/drop
+    decisions. Spans are the per-document DISTINCT hashed shingle sets of
+    :func:`hashed_shingle_sets`, so ``min_df`` counts *documents*
+    containing the span, not occurrences.
+
+    Scale shape: the span build is narrow per-row work; then exactly
+    three exchanges — the document-frequency groupBy on the 8-byte span
+    hash, the hit-count join+groupBy back to documents (only spans with
+    df >= min_df survive into it, typically a small fraction of the span
+    universe), and the final left join onto the per-doc sizes, which
+    reuses the id partitioning ``hashed_shingle_sets`` installed. No
+    pairwise join ever happens: cost is linear in corpus spans, which is
+    what makes the signal computable at 100 TB where the O(n^2) pair
+    formulations are not.
+    """
+    sh = hashed_shingle_sets(df, text_col, id_col, n).persist()
+    spans = sh.select(F.col(id_col), F.explode("hs").alias("h"))
+    dup = (spans.groupBy("h").agg(F.count("*").alias("df_h"))
+           .where(F.col("df_h") >= min_df).select("h"))
+    hit = (spans.join(dup, "h")
+           .groupBy(id_col).agg(F.count("*").alias("_dup")))
+    dup_n = F.coalesce(F.col("_dup"), F.lit(0))
+    return (
+        sh.join(hit, id_col, "left")
+        .select(F.col(id_col), F.col("n_sh").alias("n_spans"),
+                dup_n.alias("n_dup_spans"),
+                F.round(dup_n / F.col("n_sh"), 6).alias("dup_fraction"))
+    )
+
+
+def duplicate_span_stats_duckdb_sql(table: str = "documents",
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id", n: int = 6,
+                                    min_df: int = 2) -> str:
+    """DuckDB oracle: identical md5-span hashing, df filter, and ratios."""
+    return (
+        f"WITH w AS (SELECT {id_col}, "
+        f"string_split_regex(lower(trim({text_col})), '\\s+') AS ws FROM {table}), "
+        f"sh AS (SELECT DISTINCT {id_col}, array_to_string(ws[i+1:i+{n}], ' ') AS shingle "
+        f"       FROM w, UNNEST(range(greatest(len(ws)-{n - 1}, 0))) AS t(i)), "
+        f"hs AS (SELECT DISTINCT {id_col}, CAST(concat('0x', "
+        f"substring(md5(shingle), 1, {SHINGLE_HASH_HEX})) AS BIGINT) AS h FROM sh), "
+        f"sizes AS (SELECT {id_col}, count(*) AS n_spans FROM hs GROUP BY 1), "
+        f"dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= {min_df}), "
+        f"hit AS (SELECT {id_col}, count(*) AS dup FROM hs JOIN dup USING (h) "
+        f"        GROUP BY 1) "
+        f"SELECT s.{id_col}, n_spans, coalesce(dup, 0) AS n_dup_spans, "
+        f"round(coalesce(dup, 0) / n_spans, 6) AS dup_fraction "
+        f"FROM sizes s LEFT JOIN hit USING ({id_col})"
+    )

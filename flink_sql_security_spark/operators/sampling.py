@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["hash_split", "hash_split_duckdb_sql",
            "stratified_hash_sample", "stratified_hash_sample_duckdb_sql",
-           "per_key_quota"]
+           "per_key_quota", "per_key_quota_duckdb_sql",
+           "cross_split_contamination",
+           "token_budget_sample", "token_budget_sample_duckdb_sql"]
 
 # 32-bit hash prefix folded into 10k buckets: plenty of resolution for
 # split fractions expressed in 0.01% steps, and exact integer arithmetic
@@ -176,3 +178,76 @@ def cross_split_contamination(df: DataFrame, text_col: str = "text",
     return (pairs.join(a, "id_a").join(b, "id_b")
             .where(F.col("split_a") != F.col("split_b"))
             .select("id_a", "split_a", "id_b", "split_b", "jaccard"))
+
+
+def _budget_case(budget, key_col: str, quote=lambda v: f"'{v}'") -> str:
+    """SQL scalar for the per-key budget: a literal, or a CASE over keys."""
+    if isinstance(budget, dict):
+        whens = " ".join(f"WHEN {quote(k)} THEN {int(v)}"
+                         for k, v in sorted(budget.items()))
+        return f"CASE {key_col} {whens} ELSE 0 END"
+    return str(int(budget))
+
+
+def token_budget_sample(df: DataFrame, budget,
+                        key_col: str = "source", id_col: str = "doc_id",
+                        text_col: str = "text",
+                        salt: str = "budget") -> DataFrame:
+    """Data mixing: per ``key_col`` group (source/domain/language), keep
+    documents in deterministic md5(id) order until the group's token
+    budget is filled — (id, key, n_tokens, cum_tokens), where every kept
+    row satisfies ``cum_tokens <= budget``.
+
+    ``budget`` is an int (same budget per key) or a dict key->budget (the
+    mixture weights of a training recipe, expressed in tokens). Ordering
+    by content hash makes the kept subset a uniform sample of the group,
+    independent of partitioning and cluster layout, and recomputable by
+    the oracle engine.
+
+    Scale shape: ONE exchange on ``key_col`` + per-key sort for the
+    running ``sum`` window (state = one counter per key, no buffering).
+    Keys are sources/domains — coarse and few — so per-key skew is
+    handled by AQE; for a single giant key, pre-aggregate candidates
+    with ``stratified_hash_sample`` to an over-sample (say 2x budget)
+    first, then run the window on the survivors.
+    """
+    from flink_sql_security_spark.functions.text import word_count
+
+    pref = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = (Window.partitionBy(key_col)
+         .orderBy(pref.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if isinstance(budget, dict):
+        budget_col = F.expr(_budget_case(budget, key_col))
+    else:
+        budget_col = F.lit(int(budget))
+    return (
+        df.withColumn("n_tokens", word_count(F.col(text_col)))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= budget_col)
+        .select(F.col(id_col), F.col(key_col), "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_sample_duckdb_sql(budget, table: str = "documents",
+                                   key_col: str = "source",
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   salt: str = "budget") -> str:
+    """DuckDB oracle: identical hash order, running sum, and cutoff."""
+    from flink_sql_security_spark.functions.text import word_count_sql
+
+    b = _budget_case(budget, key_col)
+    return (
+        f"SELECT {id_col}, {key_col}, n_tokens, cum_tokens FROM ("
+        f" SELECT {id_col}, {key_col}, n_tokens,"
+        f" CAST(sum(n_tokens) OVER ("
+        f"  PARTITION BY {key_col}"
+        f"  ORDER BY md5(CAST({id_col} AS VARCHAR) || ':{salt}') ASC,"
+        f"  {id_col} ASC"
+        f"  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        f" AS cum_tokens"
+        f" FROM (SELECT {id_col}, {key_col},"
+        f"  {word_count_sql(text_col)} AS n_tokens FROM {table}) t) s "
+        f"WHERE cum_tokens <= {b}"
+    )

@@ -599,3 +599,94 @@ def test_lm_score_prefers_in_domain(spark):
     assert got[100]["n_bigrams"] == 5
     # identical docs score identically
     assert got[0]["avg_logprob"] == got[100]["avg_logprob"]
+
+
+# -- duplicate-span statistics (substring-dedup signal) ---------------------
+
+def test_duplicate_span_stats(docs):
+    out = {r["doc_id"]: r for r in
+           D.duplicate_span_stats(docs, n=3, min_df=2).collect()}
+    # docs 1,2,3 normalize to the same 9 words -> 7 distinct trigrams, all
+    # shared across the trio
+    for i in (1, 2, 3):
+        assert out[i]["n_spans"] == 7
+        assert out[i]["n_dup_spans"] == 7
+        assert out[i]["dup_fraction"] == 1.0
+    # doc 4 shares its first 6 trigrams with the trio; "the lazy cat" and
+    # "lazy cat today" are its own
+    assert out[4]["n_spans"] == 8
+    assert out[4]["n_dup_spans"] == 6
+    assert out[4]["dup_fraction"] == 0.75
+    # docs 5 and 6 share nothing
+    assert out[5]["n_dup_spans"] == 0 and out[5]["dup_fraction"] == 0.0
+    assert out[6]["n_dup_spans"] == 0
+
+
+def test_duplicate_span_stats_min_df(docs):
+    # min_df=3 still catches the identical trio but drops doc 4's overlap
+    # (each of its shared trigrams lives in exactly 4 docs >= 3 ... so
+    # raise to 4: trio spans have df=4 where doc 4 shares, df=3 otherwise)
+    out = {r["doc_id"]: r["n_dup_spans"] for r in
+           D.duplicate_span_stats(docs, n=3, min_df=4).collect()}
+    # only the 6 trigrams present in all of docs 1-4 clear df >= 4
+    assert out[1] == 6 and out[4] == 6
+    assert out[5] == 0
+
+
+def test_duplicate_span_stats_short_docs_dropped(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")],
+                               ["doc_id", "text"])
+    out = D.duplicate_span_stats(df, n=3).collect()
+    # doc 1 has < 3 words -> no span row at all (matches shingle builders)
+    assert {r["doc_id"] for r in out} == {2}
+
+
+# -- token-budget sampling (data mixing) ------------------------------------
+
+def _md5_order(ids, salt="budget"):
+    import hashlib
+    return sorted(ids, key=lambda i: (
+        hashlib.md5(f"{i}:{salt}".encode()).hexdigest(), i))
+
+
+def test_token_budget_sample_prefix_semantics(spark):
+    from flink_sql_security_spark.operators import sampling as SM
+    rows = [(i, "k1", "w " * 10) for i in range(10)]           # 10 tokens each
+    rows += [(i, "k2", "w " * 3) for i in range(100, 110)]     # 3 tokens each
+    df = spark.createDataFrame(
+        [(i, k, t.strip()) for i, k, t in rows],
+        ["doc_id", "source", "text"])
+    out = SM.token_budget_sample(df, 35, key_col="source")
+    got = {r["doc_id"]: r["cum_tokens"] for r in out.collect()}
+    # k1: 10-token docs -> exactly 3 fit within 35; k2: 3-token docs -> 11
+    # would fit but only 10 exist
+    k1 = _md5_order(range(10))[:3]
+    assert sorted(i for i in got if i < 100) == sorted(k1)
+    assert sorted(i for i in got if i >= 100) == list(range(100, 110))
+    # running totals are the inclusive prefix sums in md5 order
+    assert got[k1[0]] == 10 and got[k1[2]] == 30
+    assert max(v for i, v in got.items() if i >= 100) == 30
+
+
+def test_token_budget_sample_dict_budgets(spark):
+    from flink_sql_security_spark.operators import sampling as SM
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "a", "x y"), (3, "b", "x"), (4, "c", "x")],
+        ["doc_id", "source", "text"])
+    out = SM.token_budget_sample(df, {"a": 3, "b": 1}, key_col="source")
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    # key a: md5 order picks docs until 3 tokens; key b fits doc 3;
+    # key c has no budget entry -> budget 0 -> excluded entirely
+    first_a = _md5_order([1, 2])[0]
+    expect_a = {("a", 1)} if first_a == 1 else {("a", 2)}
+    assert got == expect_a | {("b", 3)}
+
+
+def test_token_budget_sample_partitioning_invariant(spark):
+    from flink_sql_security_spark.operators import sampling as SM
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", "tok " * (i % 7 + 1)) for i in range(60)],
+        ["doc_id", "source", "text"])
+    a = SM.token_budget_sample(df, 20).collect()
+    b = SM.token_budget_sample(df.repartition(13), 20).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
