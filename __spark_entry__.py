@@ -900,10 +900,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(lambda s: D.simhash(docs(s))),
         D.simhash_duckdb_sql(),
     )
-    # banded-LSH hamming pairs (Spark side); brute-force self-join oracle
+    # banded-LSH hamming pairs (Spark side); brute-force self-join oracle.
+    # k=4 on 48 bits is the realistic near-dup threshold: at sf0.01 it
+    # yields 132 pairs where k=8 yields 4.5k mostly-random collisions —
+    # and 5 wide bands keep the candidate join ~100x sparser than 9
+    # narrow ones (pigeonhole width = 48/(k+1) bits).
     out["dedup_simhash_pairs"] = (
-        with_tables(lambda s: D.simhash_hamming_pairs(docs(s), max_hamming=8)),
-        D.simhash_hamming_pairs_duckdb_sql(max_hamming=8),
+        with_tables(lambda s: D.simhash_hamming_pairs(docs(s), max_hamming=4)),
+        D.simhash_hamming_pairs_duckdb_sql(max_hamming=4),
     )
     out["split_hash_assign"] = (
         with_tables(lambda s: SM.hash_split(docs(s).select("doc_id"))),
@@ -1087,6 +1091,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             docs(s), T.bpe_token_count(F.col("text")), budget=512)),
         PKG.pack_sequences_duckdb_sql(
             T.bpe_token_count_sql("text"), budget=512),
+    )
+    # the inverse op: fixed-size overlapping context-window chunks
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_tokens, chunk_tokens_duckdb_sql)
+
+    out["chunk_fixed_tokens"] = (
+        with_tables(lambda s: chunk_tokens(docs(s), size=32, stride=24)),
+        chunk_tokens_duckdb_sql(size=32, stride=24),
     )
 
     def text_stats(s):

@@ -109,3 +109,58 @@ def clean_corpus_duckdb_sql(table: str = "documents",
         f"FROM ded d WHERE NOT EXISTS "
         f"(SELECT 1 FROM drop_ids x WHERE x.{id_col} = d.{id_col})"
     )
+
+
+def chunk_tokens(df: DataFrame, size: int = 128, stride: int = 96,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split each document into fixed-size overlapping token chunks:
+    (id, chunk_i, n_tokens, chunk_text) — the context-window slicing that
+    turns cleaned documents into training samples (stride < size gives
+    overlap; stride = size gives disjoint chunks; the tail chunk keeps
+    its natural shorter length).
+
+    The inverse-shaped twin of ``operators/packing.pack_sequences``:
+    packing concatenates short docs up to a budget, chunking splits long
+    docs down to one. Purely narrow per-row work — tokenize once, compute
+    the start offsets with ``sequence``, slice per start, ``posexplode``.
+    No shuffle at any scale; Catalyst pushes upstream filters below the
+    generator.
+    """
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+    out = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_tk"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform(sequence(0, size(_tk) - 1, {stride}), "
+                f"s -> concat_ws(' ', slice(_tk, s + 1, {size})))"
+            ).alias("_chunks"))
+        .select(F.col(id_col),
+                F.posexplode("_chunks").alias("chunk_i", "chunk_text"))
+    )
+    return out.select(
+        F.col(id_col), F.col("chunk_i"),
+        F.size(F.split(F.col("chunk_text"), r"\s+")).alias("n_tokens"),
+        "chunk_text")
+
+
+def chunk_tokens_duckdb_sql(size: int = 128, stride: int = 96,
+                            table: str = "documents",
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB oracle: identical tokenization, offsets, and slices."""
+    return (
+        f"WITH tk AS (SELECT {id_col}, "
+        f"string_split_regex(trim({text_col}), '\\s+') AS t "
+        f"FROM {table} WHERE trim({text_col}) <> ''), "
+        f"ch AS (SELECT {id_col}, CAST(s.s / {stride} AS INTEGER) AS chunk_i, "
+        f"array_to_string(t[s.s + 1:s.s + {size}], ' ') AS chunk_text "
+        f"FROM tk, UNNEST(range(0, len(t), {stride})) AS s(s)) "
+        f"SELECT {id_col}, chunk_i, "
+        f"len(string_split_regex(chunk_text, '\\s+')) AS n_tokens, "
+        f"chunk_text FROM ch"
+    )

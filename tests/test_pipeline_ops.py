@@ -690,3 +690,49 @@ def test_token_budget_sample_partitioning_invariant(spark):
     a = SM.token_budget_sample(df, 20).collect()
     b = SM.token_budget_sample(df.repartition(13), 20).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -- fixed-size token chunking (context-window slicing) ---------------------
+
+def test_chunk_tokens_shapes(spark):
+    from flink_sql_security_spark.operators.corpus import chunk_tokens
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   ")],
+        ["doc_id", "text"])
+    out = chunk_tokens(df, size=4, stride=3).collect()
+    got = {(r["doc_id"], r["chunk_i"]): (r["n_tokens"], r["chunk_text"])
+           for r in out}
+    # doc 1: starts 0,3,6 -> "a b c d", "d e f g", tail "g"
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "d e f g")
+    assert got[(1, 2)] == (1, "g")
+    # doc 2 fits in one chunk; doc 3 is whitespace-only -> no chunks
+    assert got[(2, 0)] == (2, "x y")
+    assert {k[0] for k in got} == {1, 2}
+
+
+def test_chunk_tokens_disjoint_and_validation(spark):
+    import pytest as _pytest
+    from flink_sql_security_spark.operators.corpus import chunk_tokens
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    out = chunk_tokens(df, size=3, stride=3).collect()
+    assert [r["chunk_text"] for r in sorted(out, key=lambda r: r["chunk_i"])] \
+        == ["a b c", "d e f"]
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, size=0)
+
+
+def test_chunk_tokens_matches_duckdb(spark):
+    import duckdb
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_tokens, chunk_tokens_duckdb_sql)
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 11 + 1)))
+            for i in range(1, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(map(tuple, chunk_tokens(df, size=4, stride=2).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(map(tuple,
+                      con.execute(chunk_tokens_duckdb_sql(4, 2)).fetchall()))
+    assert got == want

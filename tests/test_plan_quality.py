@@ -395,3 +395,28 @@ def test_lm_score_bigram_build_split_bounded(ctx):
     docs = ctx.spark.table("documents")
     plan = T.lm_score(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(lower(trim(") <= 6, plan
+
+
+def test_token_budget_sample_single_shuffle(spark):
+    from flink_sql_security_spark.operators.sampling import token_budget_sample
+    register_tables(spark, SF_DIR)
+    df = token_budget_sample(spark.table("documents"), 800)
+    tree = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    # running-sum window: exactly one hash exchange on the mix key
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+
+
+def test_duplicate_span_stats_no_pairwise_join(spark):
+    from flink_sql_security_spark.operators.dedup import duplicate_span_stats
+    register_tables(spark, SF_DIR)
+    df = duplicate_span_stats(spark.table("documents"), n=6)
+    tree = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    # linear shape: equi-joins on span hash / doc id only — a cartesian or
+    # broadcast-nested-loop would mean an accidental pairwise formulation
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
