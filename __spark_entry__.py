@@ -1004,6 +1004,11 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(lambda s: D.duplicate_span_stats(docs(s), n=6, min_df=2)),
         D.duplicate_span_stats_duckdb_sql(n=6, min_df=2),
     )
+    # ...and the transform itself: strip the duplicated spans from the text
+    out["dedup_span_trim"] = (
+        with_tables(lambda s: D.trim_duplicate_spans(docs(s), n=6, min_df=2)),
+        D.trim_duplicate_spans_duckdb_sql(n=6, min_df=2),
+    )
     out["emb_cosine_pairs"] = (
         with_tables(lambda s: S.cosine_pairs(emb(s), threshold=0.4)),
         "WITH " + _DUCK_UNIT + ", "
@@ -1360,8 +1365,12 @@ _CHECK_ORDER = [
     # (md5 one-liner, same portable-hash core split_hash_assign pins) and
     # vocab_top_tokens (explode+count core, a strict sub-computation of
     # the tf-idf operator's oracle) hand over their slots.
-    "dedup_exact_groups", "dedup_lsh_verified",
-    "dedup_incremental_batch", "dedup_components",
+    # dedup_incremental_batch also moves past the window: it composes the
+    # exact semi-join and LSH->verify cores that dedup_exact_groups and
+    # dedup_lsh_verified already pin, and round 1's budget stopped at 49
+    # entries — keeping the list at 49 protects the distinctive tail
+    # families (sessionize, as-of) from falling off the edge.
+    "dedup_exact_groups", "dedup_lsh_verified", "dedup_components",
     "dedup_decontaminate", "dedup_simhash_pairs", "dedup_span_stats",
     "emb_cosine_topk", "emb_semantic_dedup",
     "emb_ann_pairs", "emb_ivf_topk",

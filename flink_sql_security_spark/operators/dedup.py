@@ -942,3 +942,107 @@ def duplicate_span_stats_duckdb_sql(table: str = "documents",
         f"round(coalesce(dup, 0) / n_spans, 6) AS dup_fraction "
         f"FROM sizes s LEFT JOIN hit USING ({id_col})"
     )
+
+
+def trim_duplicate_spans(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 6,
+                         min_df: int = 2) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022) as a transform:
+    remove every token covered by a word n-gram span that occurs in >=
+    ``min_df`` documents — (id, clean_text, n_tokens, n_removed).
+
+    ``clean_text`` is rebuilt from the whitespace/case-normalized tokens
+    (the same normalization the span hashes use), preserving original
+    token order. Documents shorter than ``n`` words pass through
+    untouched.
+
+    Scale shape — no token-level join anywhere: span df-counts as in
+    :func:`duplicate_span_stats` (groupBy on 8-byte hashes), covered
+    START positions ride one (id, start, h)-explode joined against the
+    (small) dup-span set and collapse to one array per doc, and the
+    token-drop itself is a narrow higher-order ``exists`` over that
+    array back on the document row. Exchanges: span-df groupBy, the
+    hit join + per-doc collect, and the id-keyed join back — all linear
+    in corpus size.
+    """
+    base = (
+        _with_words(df.where(F.size(F.split(
+            F.lower(F.trim(F.col(text_col))), r"\s+")) >= 1), text_col)
+        .select(F.col(id_col), F.col("_ws"))
+        .repartition(F.col(id_col))
+        .persist()
+    )
+    span_h = (
+        f"CAST(conv(substring(md5(concat_ws(' ', slice(_ws, s + 1, {n}))),"
+        f" 1, {SHINGLE_HASH_HEX}), 16, 10) AS BIGINT)"
+    )
+    # (id, start, h) for every span occurrence; df-counts use per-doc
+    # DISTINCT hashes so min_df counts documents, not occurrences
+    pos = (
+        base.where(F.size("_ws") >= n)
+        .select(F.col(id_col), F.explode(F.expr(
+            f"transform(sequence(0, size(_ws) - {n}), "
+            f"s -> struct(s AS s, {span_h} AS h))")).alias("sp"))
+        .select(F.col(id_col), F.col("sp.s").alias("s"),
+                F.col("sp.h").alias("h"))
+    )
+    dup = (pos.select(id_col, "h").distinct()
+           .groupBy("h").agg(F.count("*").alias("df_h"))
+           .where(F.col("df_h") >= min_df).select("h"))
+    covered = (pos.join(dup, "h")
+               .groupBy(id_col).agg(F.collect_set("s").alias("_starts")))
+    drop = (
+        f"exists(_starts, st -> p >= st AND p < st + {n})"
+    )
+    kept = (
+        f"filter(transform(_ws, (w, p) -> struct(w AS w, p AS p)), "
+        f"x -> NOT exists(_starts, st -> x.p >= st AND x.p < st + {n}))"
+    )
+    return (
+        base.join(covered, id_col, "left")
+        .withColumn("_starts", F.coalesce(
+            F.col("_starts"), F.expr("array()")))
+        .select(
+            F.col(id_col),
+            F.expr(f"concat_ws(' ', transform({kept}, x -> x.w))")
+            .alias("clean_text"),
+            F.size("_ws").alias("n_tokens"),
+            (F.size("_ws") - F.expr(f"size({kept})")).alias("n_removed"))
+    )
+
+
+def trim_duplicate_spans_duckdb_sql(table: str = "documents",
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id", n: int = 6,
+                                    min_df: int = 2) -> str:
+    """DuckDB oracle: identical span hashing, coverage, reconstruction."""
+    return (
+        f"WITH w AS (SELECT {id_col}, "
+        f"string_split_regex(lower(trim({text_col})), '\\s+') AS ws "
+        f"FROM {table} WHERE len(string_split_regex(lower(trim({text_col})),"
+        f" '\\s+')) >= 1), "
+        f"pos AS (SELECT {id_col}, CAST(s.s AS INTEGER) AS s, "
+        f"CAST(concat('0x', substring(md5(array_to_string("
+        f"ws[s.s + 1:s.s + {n}], ' ')), 1, {SHINGLE_HASH_HEX})) AS BIGINT)"
+        f" AS h FROM w, UNNEST(range(greatest(len(ws) - {n - 1}, 0))) AS"
+        f" s(s)), "
+        f"dup AS (SELECT h FROM (SELECT DISTINCT {id_col}, h FROM pos) "
+        f"GROUP BY h HAVING count(*) >= {min_df}), "
+        f"cov AS (SELECT {id_col}, list(DISTINCT s) AS starts FROM pos "
+        f"JOIN dup USING (h) GROUP BY 1) "
+        # kept tokens: positions not covered by any dup-span start
+        # (nested lambda — DuckDB forbids subqueries inside lambdas)
+        f"SELECT w.{id_col}, "
+        # coalesce: DuckDB's array_to_string of an empty list is NULL,
+        # Spark's concat_ws is ''
+        f"coalesce(array_to_string(list_transform(list_filter("
+        f"list_zip(ws, range(len(ws))), "
+        f"x -> len(list_filter(coalesce(starts, []), "
+        f"st -> x[2] >= st AND x[2] < st + {n})) = 0), "
+        f"x -> x[1]), ' '), '') AS clean_text, "
+        f"len(ws) AS n_tokens, "
+        f"len(ws) - len(list_filter(list_zip(ws, range(len(ws))), "
+        f"x -> len(list_filter(coalesce(starts, []), "
+        f"st -> x[2] >= st AND x[2] < st + {n})) = 0)) AS n_removed "
+        f"FROM w LEFT JOIN cov USING ({id_col})"
+    )

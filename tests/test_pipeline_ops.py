@@ -736,3 +736,53 @@ def test_chunk_tokens_matches_duckdb(spark):
     want = sorted(map(tuple,
                       con.execute(chunk_tokens_duckdb_sql(4, 2)).fetchall()))
     assert got == want
+
+
+# -- exact-substring dedup transform (trim duplicated spans) ----------------
+
+def test_trim_duplicate_spans(docs):
+    out = {r["doc_id"]: r for r in
+           D.trim_duplicate_spans(docs, n=3, min_df=2).collect()}
+    # docs 1-3 are entirely covered by shared trigrams -> fully trimmed
+    for i in (1, 2, 3):
+        assert out[i]["clean_text"] == ""
+        assert out[i]["n_removed"] == out[i]["n_tokens"] == 9
+    # doc 4: starts 0..5 shared -> tokens 0..7 covered; "cat"(8),"today"(9)
+    # survive (its own trigrams "the lazy cat"/"lazy cat today" are unique)
+    assert out[4]["clean_text"] == "cat today"
+    assert out[4]["n_removed"] == 8
+    # unshared docs pass through with normalized text intact
+    assert out[5]["n_removed"] == 0
+    assert out[5]["clean_text"] == \
+        "completely different words entirely unrelated text"
+    assert out[6]["n_removed"] == 0
+
+
+def test_trim_duplicate_spans_short_docs_pass_through(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "a b c d")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           D.trim_duplicate_spans(df, n=3, min_df=2).collect()}
+    # 2-word docs have no trigram spans -> untouched even though identical
+    assert out[1]["clean_text"] == "one two" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "one two"
+    assert out[3]["n_removed"] == 0
+
+
+def test_trim_duplicate_spans_matches_duckdb(spark):
+    import duckdb
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a quick brown fox jumps over a fence today ok"),
+            (4, "completely different words entirely unrelated text here"),
+            (5, "one two")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(map(tuple,
+                     D.trim_duplicate_spans(df, n=3, min_df=2).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(
+        D.trim_duplicate_spans_duckdb_sql(n=3, min_df=2)).fetchall()))
+    assert got == want

@@ -420,3 +420,24 @@ def test_duplicate_span_stats_no_pairwise_join(spark):
     # broadcast-nested-loop would mean an accidental pairwise formulation
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_trim_duplicate_spans_no_token_level_join(spark):
+    from flink_sql_security_spark.operators.dedup import trim_duplicate_spans
+    register_tables(spark, SF_DIR)
+    df = trim_duplicate_spans(spark.table("documents"), n=6)
+    tree = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    # reconstruction must join covered-start ARRAYS per doc, never the
+    # exploded token/span rows back onto themselves
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    # shuffle census (hash exchanges only — broadcasts of the tiny
+    # dup-span / covered-starts sides are fine): span-df groupBy,
+    # distinct, hit groupBy, id repartition — a token-level formulation
+    # would blow well past this bound, and a global sort would show up
+    # as a range partition
+    assert tree.count("Exchange hashpartitioning") <= 6, tree
+    assert "Exchange rangepartitioning" not in tree
+    assert "Exchange SinglePartition" not in tree
