@@ -786,3 +786,24 @@ def test_trim_duplicate_spans_matches_duckdb(spark):
     want = sorted(map(tuple, con.execute(
         D.trim_duplicate_spans_duckdb_sql(n=3, min_df=2)).fetchall()))
     assert got == want
+
+
+def test_span_stats_and_trim_agree(spark):
+    """Cross-operator invariant: a doc loses tokens to the trim transform
+    iff the stats operator reports duplicated spans for it, and untouched
+    docs come back as their normalized text verbatim."""
+    rows = [(i, " ".join(f"t{(i * 7 + j) % 23}" for j in range(12)))
+            for i in range(30)]
+    rows += [(100, rows[0][1]), (101, rows[3][1])]   # two exact clones
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = {r["doc_id"]: r["n_dup_spans"]
+             for r in D.duplicate_span_stats(df, n=4, min_df=2).collect()}
+    trimmed = {r["doc_id"]: r
+               for r in D.trim_duplicate_spans(df, n=4, min_df=2).collect()}
+    norm = {i: " ".join(t.lower().split()) for i, t in rows}
+    for i, t in rows:
+        if stats.get(i, 0) == 0:
+            assert trimmed[i]["n_removed"] == 0
+            assert trimmed[i]["clean_text"] == norm[i]
+        else:
+            assert trimmed[i]["n_removed"] > 0
