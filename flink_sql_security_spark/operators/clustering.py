@@ -105,8 +105,11 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 3,
     Each round: one narrow assignment pass + one (cell, dim) partial-agg
     shuffle + a k·d-row collect; empty cells keep their centroid.
     """
+    # persist: every Lloyd round (and the seed scan) re-reads this
+    # projection — caching it trades one materialization for iters+1
+    # source scans, the standard iterative-algorithm pattern
     base = df.select(id_col, F.expr(
-        f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("_xd"))
+        f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("_xd")).persist()
     seed_rows = base.orderBy(id_col).limit(k).collect()
     centroids = [list(r["_xd"]) for r in seed_rows]
     d = len(centroids[0])
@@ -137,6 +140,7 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 3,
                 for v in vec
             ]
         centroids = nxt
+    base.unpersist()
     return centroids
 
 

@@ -296,3 +296,27 @@ def test_incremental_dedup_stream_matches_batch(spark):
         assert dict(got)[12] == "kept"
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_chunking_applies_to_streams(spark):
+    """chunk_tokens is a stateless narrow explode — it runs unchanged on
+    a stream (the ingest-time slicing of a continuous document feed)."""
+    from flink_sql_security_spark.operators.corpus import chunk_tokens
+
+    path = tempfile.mkdtemp(prefix="fss_stream_chunk")
+    try:
+        spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "x y")],
+            ["doc_id", "text"]).write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema("doc_id long, text string").parquet(path)
+        q = (chunk_tokens(src, size=4, stride=3)
+             .writeStream.format("memory").queryName("chunk_stream")
+             .outputMode("append").start())
+        q.processAllAvailable(); q.stop()
+        rows = spark.sql(
+            "SELECT doc_id, chunk_i, chunk_text FROM chunk_stream").collect()
+        got = {(r["doc_id"], r["chunk_i"]): r["chunk_text"] for r in rows}
+        assert got == {(1, 0): "a b c d", (1, 1): "d e f g", (1, 2): "g",
+                       (2, 0): "x y"}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
