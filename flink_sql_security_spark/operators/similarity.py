@@ -484,13 +484,28 @@ def lsh_buckets(df: DataFrame, vec_col: str = "embedding",
 def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", bits: int = 6,
                         dim: int = 64, threshold: float = 0.4,
-                        tables: int = 4) -> DataFrame:
+                        tables: int = 4,
+                        broadcast_vectors: bool = True) -> DataFrame:
     """ANN near-dup pairs: cosine over candidates sharing any LSH bucket.
 
     The scale path for embedding dedup: shuffle on (table, bucket),
     per-bucket self-join, exact cosine only on survivors, distinct across
     tables. Tune (bits, tables) to the target cosine: near-dups (≥0.9) work
     with bits=8/tables=4; looser thresholds need more tables.
+
+    ``broadcast_vectors`` picks the scoring strategy for IDENTICAL
+    results (per-pair arithmetic is the same either way — pinned by
+    ``test_ann_join_scoring_matches_broadcast``):
+
+    - True (default; right when the unit matrix fits an executor, up to
+      ~10⁷ vectors at d=64): collect + broadcast the corpus matrix, score
+      candidates with zero vector joins.
+    - False (the 100 TB path): never collects — unit vectors are joined
+      onto the candidate pairs (two id-keyed hash joins, the second
+      co-partitioned with the scorer's input) and each pair is scored
+      from its own row. Cost is two shuffles of (pair, d·8 bytes), which
+      beats shipping an impossible broadcast; the per-batch numpy work is
+      unchanged.
     """
     # both self-join sides read the bucket table — persist() runs the
     # (numpy hyperplane-projection) bucket assignment once, not twice
@@ -516,36 +531,59 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
     import numpy as np
     import pandas as pd
 
+    margin = 0.5e-6 + 1e-9
+
+    def _emit(chunk, Ua, Ub):
+        s = np.einsum("ij,ij->i", Ua, Ub)
+        near = np.nonzero(s >= threshold - margin)[0]
+        out_a, out_b, out_c = [], [], []
+        for t in near:
+            cv = _round_half_up(_seq_dot(Ua[t], Ub[t]), 6)
+            if cv >= threshold:
+                out_a.append(chunk["id_a"].iloc[t])
+                out_b.append(chunk["id_b"].iloc[t])
+                out_c.append(cv)
+        return pd.DataFrame({
+            "id_a": pd.array(out_a, dtype="int64"),
+            "id_b": pd.array(out_b, dtype="int64"),
+            "cosine": pd.array(out_c, dtype="float64"),
+        })
+
+    if not broadcast_vectors:
+        # 100 TB path: ship vectors to the pairs, never the corpus to the
+        # driver. Unit normalization is per-row and batch-independent, so
+        # the doubles match the broadcast path bit-for-bit.
+        va = df.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("_va"))
+        vb = df.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("_vb"))
+        paired = cand.join(va, "id_a").join(vb, "id_b")
+
+        def score_joined(batches):
+            for chunk in batches:
+                if not len(chunk):
+                    continue
+                yield _emit(chunk,
+                            _exact_unit_matrix(chunk["_va"].tolist()),
+                            _exact_unit_matrix(chunk["_vb"].tolist()))
+
+        return paired.mapInPandas(
+            score_joined, "id_a long, id_b long, cosine double")
+
     pdf = df.select(id_col, vec_col).toPandas()
     U = _exact_unit_matrix(pdf[vec_col].tolist())
     idx_map = pd.Series(
         np.arange(len(pdf)), index=pdf[id_col].to_numpy())
     bc = df.sparkSession.sparkContext.broadcast((idx_map, U))
-    margin = 0.5e-6 + 1e-9
 
     def score(batches):
-        import pandas as pd
-
         idx, Um = bc.value
         for chunk in batches:
             if not len(chunk):
                 continue
             ia = idx[chunk["id_a"].to_numpy()].to_numpy()
             ib = idx[chunk["id_b"].to_numpy()].to_numpy()
-            s = np.einsum("ij,ij->i", Um[ia], Um[ib])
-            near = np.nonzero(s >= threshold - margin)[0]
-            out_a, out_b, out_c = [], [], []
-            for t in near:
-                cv = _round_half_up(_seq_dot(Um[ia[t]], Um[ib[t]]), 6)
-                if cv >= threshold:
-                    out_a.append(chunk["id_a"].iloc[t])
-                    out_b.append(chunk["id_b"].iloc[t])
-                    out_c.append(cv)
-            yield pd.DataFrame({
-                "id_a": pd.array(out_a, dtype="int64"),
-                "id_b": pd.array(out_b, dtype="int64"),
-                "cosine": pd.array(out_c, dtype="float64"),
-            })
+            yield _emit(chunk, Um[ia], Um[ib])
 
     return cand.mapInPandas(score, "id_a long, id_b long, cosine double")
 

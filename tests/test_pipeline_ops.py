@@ -807,3 +807,16 @@ def test_span_stats_and_trim_agree(spark):
             assert trimmed[i]["clean_text"] == norm[i]
         else:
             assert trimmed[i]["n_removed"] > 0
+
+
+def test_ann_join_scoring_matches_broadcast(spark):
+    """The partitioned (join-based) candidate scorer — the path that never
+    collects the corpus — must emit the exact same pair set and cosines
+    as the broadcast-matrix scorer."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(map(tuple, S.ann_candidate_pairs(
+        emb, bits=4, tables=8, threshold=0.4).collect()))
+    b = sorted(map(tuple, S.ann_candidate_pairs(
+        emb, bits=4, tables=8, threshold=0.4,
+        broadcast_vectors=False).collect()))
+    assert a == b and len(a) > 0
