@@ -1324,6 +1324,74 @@ FROM s GROUP BY user_id, session_id
         "FROM p ASOF JOIN c ON p.user_id = c.user_id"
         " AND p.purchase_ts >= c.click_ts",
     )
+
+    # ---- cardinality sketch: deterministic HLL (operators/sketch.py) ----
+    from flink_sql_security_spark.operators import sketch as SK
+
+    _HLL_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+    out["sketch_distinct_hll"] = (
+        with_tables(lambda s: SK.approx_distinct_hll(
+            s.table("lineitem"), _HLL_COLS)),
+        SK.approx_distinct_hll_duckdb_sql("lineitem", _HLL_COLS),
+    )
+
+    # ---- Z-order layout key (operators/zorder.py) ----
+    from flink_sql_security_spark.operators import zorder as Z
+
+    def zorder_orders(s):
+        o = s.table("orders").select(
+            "o_orderkey", "o_custkey",
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("cents"))
+        return Z.zorder_key(o, ["o_custkey", "cents"]) \
+                .select("o_orderkey", "zkey")
+
+    out["zorder_orders"] = (
+        with_tables(zorder_orders),
+        Z.zorder_key_duckdb_sql(
+            "(SELECT o_orderkey, o_custkey, "
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents "
+            "FROM orders)",
+            cols=["o_custkey", "cents"], key_cols=["o_orderkey"]),
+    )
+
+    # ---- CDC changelog compaction (operators/cdc.py): events as an
+    # upsert/delete stream keyed by user — 'error' rows are tombstones ----
+    from flink_sql_security_spark.operators import cdc as C
+
+    out["cdc_upsert_latest"] = (
+        with_tables(lambda s: C.upsert_latest(
+            s.table("events"), ["user_id"], "ts",
+            op_col="event_type", delete_op="error",
+            tiebreak_cols=["event_id"])
+            .select("user_id", "event_id", "ts", "event_type", "value")),
+        C.upsert_latest_duckdb_sql(
+            "events", ["user_id"], "ts",
+            select_cols=["user_id", "event_id", "ts", "event_type", "value"],
+            op_col="event_type", delete_op="error",
+            tiebreak_cols=["event_id"]),
+    )
+
+    # ---- pivot: Spark's native PIVOT operator (CASE-sum oracle) ----
+    _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    def pivot_daily(s):
+        ev = s.table("events")
+        return (
+            ev.groupBy(F.date_trunc("DAY", "ts").alias("day"))
+            .pivot("event_type", _EVENT_TYPES)
+            .count()
+            .na.fill(0, subset=_EVENT_TYPES)
+        )
+
+    out["pivot_daily_events"] = (
+        with_tables(pivot_daily),
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        + ", ".join(
+            f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS {t}" for t in _EVENT_TYPES)
+        + " FROM events GROUP BY 1",
+    )
     return out
 
 
@@ -1370,16 +1438,26 @@ _CHECK_ORDER = [
     # dedup_lsh_verified already pin, and round 1's budget stopped at 49
     # entries — keeping the list at 49 protects the distinctive tail
     # families (sessionize, as-of) from falling off the edge.
+    # round-3 window swaps (breadth over redundancy, same rule as before):
+    # emb_cosine_topk's scoring core rides through emb_ivf_topk (cosines
+    # bit-equal to brute force), emb_semantic_dedup composes cores pinned
+    # by dedup_components + the ANN scoring path, pipeline_clean_corpus is
+    # a strict subset of secured_clean_corpus (same pipeline, no RLS), and
+    # quota_per_source's top-N-per-key WindowGroupLimit shape is now
+    # exercised by cdc_upsert_latest. Their slots go to the four new
+    # operator families: HLL sketch, Z-order layout key, CDC changelog
+    # compaction, and native PIVOT.
+    "sketch_distinct_hll", "zorder_orders", "cdc_upsert_latest",
+    "pivot_daily_events",
     "dedup_exact_groups", "dedup_lsh_verified", "dedup_components",
     "dedup_decontaminate", "dedup_simhash_pairs", "dedup_span_stats",
-    "emb_cosine_topk", "emb_semantic_dedup",
     "emb_ann_pairs", "emb_ivf_topk",
     "emb_kmeans_cells", "emb_quantize_int8", "pack_sequences",
     "text_stats", "text_langid", "text_repetition",
     "text_pii_redact",
-    "split_hash_assign", "quota_per_source", "sample_token_budget",
+    "split_hash_assign", "sample_token_budget",
     "multimodal_features", "events_hourly_window",
-    "profile_lineitem", "pipeline_clean_corpus", "secured_clean_corpus",
+    "profile_lineitem", "secured_clean_corpus",
     "sessionize_events", "asof_purchase_click",
 ]
 

@@ -1,0 +1,63 @@
+"""Changelog compaction: upsert/delete streams → latest-state snapshot.
+
+The reference's tables ARE changelogs — every test table is a mysql-cdc
+stream (``test/basic/AbstractBasicTest.java:179-187``) that Flink
+compacts to current state implicitly in its changelog semantics. Spark
+batch tables have no implicit changelog, so the engine needs the
+compaction as an explicit operator: given (key, sequence, op, payload)
+rows, produce the latest non-deleted row per key. This is the
+merge/upsert half of any CDC ingest (Delta MERGE, Hudi upsert) expressed
+as a single window computation.
+
+Shuffle census: ONE hash exchange on the key (the window partition);
+``row_number`` runs sort-locally per key group. Spark's WindowGroupLimit
+pushes the rn=1 filter into the sort (top-1 per key, no full sort
+materialization). At 100 TB the same single exchange holds — and if the
+changelog is already bucketed by key on storage, it disappears entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def upsert_latest(df: DataFrame, key_cols: list[str], seq_col: str,
+                  op_col: str | None = None, delete_op: str = "D",
+                  tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Latest row per key by (seq, tiebreaks...), dropping keys whose
+    latest op is a delete.
+
+    ``tiebreak_cols`` makes same-sequence collisions deterministic
+    (default: no extra tiebreak — supply one when ``seq_col`` isn't
+    unique per key, or results are partitioning-dependent).
+    """
+    order = [F.col(seq_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    latest = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if op_col is not None:
+        latest = latest.where(F.col(op_col) != delete_op)
+    return latest
+
+
+def upsert_latest_duckdb_sql(table_sql: str, key_cols: list[str],
+                             seq_col: str, select_cols: list[str],
+                             op_col: str | None = None,
+                             delete_op: str = "D",
+                             tiebreak_cols: list[str] | None = None) -> str:
+    """DuckDB oracle: identical window formulation over ``table_sql``
+    (a table name or parenthesized subquery)."""
+    order = ", ".join(
+        [f"{seq_col} DESC"] + [f"{c} DESC" for c in (tiebreak_cols or [])])
+    keys = ", ".join(key_cols)
+    cols = ", ".join(select_cols)
+    guard = f" AND {op_col} <> '{delete_op}'" if op_col else ""
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order})"
+        f" AS _rn FROM {table_sql} t) s WHERE _rn = 1{guard}"
+    )

@@ -1,0 +1,219 @@
+"""Round-3 operator families: HLL sketch, Z-order keys, CDC compaction,
+and the native-pivot entry. Each is checked three ways where possible:
+golden values / a Python replica, a DuckDB-parity run (the same check the
+driver performs), and a plan-shape gate for the scale properties."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import Window, functions as F
+
+from flink_sql_security_spark.operators import cdc, sketch, zorder
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch
+# ---------------------------------------------------------------------------
+
+def _ints(spark, n, name="v"):
+    return spark.range(n).select(F.col("id").alias(name))
+
+
+def test_hll_estimate_accuracy(spark):
+    # m=512 → standard error 1.04/sqrt(512) ≈ 4.6%; assert 3 sigma
+    for n in (100, 1000, 20000):
+        est = {r["column"]: r["n_est"]
+               for r in sketch.approx_distinct_hll(
+                   _ints(spark, n), ["v"], with_exact=False).collect()}
+        assert abs(est["v"] - n) / n < 0.14, (n, est)
+
+
+def test_hll_exact_and_rel_err_columns(spark):
+    row = sketch.approx_distinct_hll(_ints(spark, 5000), ["v"]).collect()[0]
+    assert row["n_exact"] == 5000
+    assert row["rel_err"] == round((row["n_est"] - 5000) / 5000, 4)
+
+
+def test_hll_registers_mergeable(spark):
+    """Sketch(A ∪ B) == merge(Sketch(A), Sketch(B)) by register-wise max —
+    the property that makes the sketch incrementally maintainable."""
+    a = _ints(spark, 3000)
+    b = spark.range(2000, 6000).select(F.col("id").alias("v"))
+    whole = sketch.hll_registers(a.union(b), ["v"]).collect()
+    merged = (
+        sketch.hll_registers(a, ["v"]).union(sketch.hll_registers(b, ["v"]))
+        .groupBy("column", "bucket").agg(F.max("rho").alias("rho"))
+        .collect()
+    )
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
+
+
+def test_hll_duckdb_parity(spark):
+    """The driver's oracle comparison, in-test: identical rows."""
+    docs = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 700).alias("g"))
+    docs.createOrReplaceTempView("hll_t")
+    got = sorted(map(tuple, sketch.approx_distinct_hll(
+        docs, ["k", "g"]).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hll_t AS SELECT range AS k, range % 700 AS g "
+                "FROM range(4000)")
+    want = sorted(map(tuple, con.execute(
+        sketch.approx_distinct_hll_duckdb_sql("hll_t", ["k", "g"])).fetchall()))
+    assert got == want
+
+
+def test_hll_linear_counting_small_range(spark):
+    # n=100 << m=512 must hit the linear-counting branch and stay accurate
+    row = sketch.approx_distinct_hll(_ints(spark, 100), ["v"]).collect()[0]
+    assert abs(row["n_est"] - 100) <= 10
+
+
+def test_hll_single_shuffle_register_build(spark):
+    """The register build must be ONE exchange (map-side-combined max) —
+    the whole point of sketching at 100 TB."""
+    plan = sketch.hll_registers(
+        _ints(spark, 100), ["v"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Z-order
+# ---------------------------------------------------------------------------
+
+def _py_morton(vals, mins, maxs, bits=16):
+    top = (1 << bits) - 1
+    scaled = [
+        ((v - mn) * top) // max(mx - mn, 1)
+        for v, mn, mx in zip(vals, mins, maxs)]
+    z = 0
+    k = len(vals)
+    for i in range(bits):
+        for d, s in enumerate(scaled):
+            z |= ((s >> i) & 1) << (i * k + d)
+    return z
+
+
+def test_zorder_matches_python_replica(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100, (i * 91) % 1000) for i in range(200)],
+        "rid long, x long, y long")
+    rows = zorder.zorder_key(df, ["x", "y"]).collect()
+    xs = [r["x"] for r in rows]
+    ys = [r["y"] for r in rows]
+    mins, maxs = (min(xs), min(ys)), (max(xs), max(ys))
+    for r in rows:
+        assert r["zkey"] == _py_morton((r["x"], r["y"]), mins, maxs), r
+
+
+def test_zorder_constant_dimension(spark):
+    # degenerate range (max == min) must not divide by zero; dim contributes 0
+    df = spark.createDataFrame([(i, 7, i) for i in range(50)],
+                               "rid long, x long, y long")
+    rows = zorder.zorder_key(df, ["x", "y"]).collect()
+    assert all(r["zkey"] == _py_morton((7, r["y"]), (7, 0), (7, 49))
+               for r in rows)
+
+
+def test_zorder_locality_prunes_both_dims(spark):
+    """The layout claim itself: files cut along contiguous z-ranges span a
+    bounded sub-range of EVERY dimension (what parquet min/max pruning
+    sees). A single-column sort gives ~full-range spread on the other
+    column; z-order must beat it by a wide margin."""
+    n = 1 << 12
+    df = spark.createDataFrame(
+        [(i, i % 64, (i * 17) % 64) for i in range(n)],
+        "rid long, x long, y long")
+    rows = sorted(zorder.zorder_key(df, ["x", "y"], bits=6).collect(),
+                  key=lambda r: r["zkey"])
+    n_files = 16
+    per = len(rows) // n_files
+    worst_x = worst_y = 0
+    for f in range(n_files):
+        chunk = rows[f * per:(f + 1) * per]
+        worst_x = max(worst_x, max(r["x"] for r in chunk)
+                      - min(r["x"] for r in chunk))
+        worst_y = max(worst_y, max(r["y"] for r in chunk)
+                      - min(r["y"] for r in chunk))
+    # 16 files over a 64x64 grid → ideal spread 16 per dim; allow 2x slack
+    assert worst_x <= 32 and worst_y <= 32, (worst_x, worst_y)
+
+
+def test_zorder_duckdb_parity(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100, (i * 91) % 1000) for i in range(300)],
+        "rid long, x long, y long")
+    got = sorted(map(tuple, zorder.zorder_key(df, ["x", "y"])
+                     .select("rid", "zkey").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE zt AS SELECT range AS rid, "
+                "(range * 37) % 100 AS x, (range * 91) % 1000 AS y "
+                "FROM range(300)")
+    want = sorted(map(tuple, con.execute(zorder.zorder_key_duckdb_sql(
+        "zt", ["x", "y"], key_cols=["rid"])).fetchall()))
+    assert got == want
+
+
+def test_zorder_key_is_narrow(spark):
+    """Beyond the tiny bounds agg (broadcast), the key computation adds no
+    exchange over the input rows."""
+    df = spark.range(1000).select(
+        F.col("id").alias("x"), (F.col("id") % 7).alias("y"))
+    plan = zorder.zorder_key(df, ["x", "y"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # exchanges may appear under the agg/broadcast subtree only; the row
+    # side must join via BroadcastNestedLoop (no shuffle of the big side)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "ShuffleExchange" not in plan.replace(
+        "Exchange SinglePartition", ""), plan
+
+
+# ---------------------------------------------------------------------------
+# CDC compaction
+# ---------------------------------------------------------------------------
+
+_CDC_ROWS = [
+    # key, seq, op, payload
+    (1, 1, "U", "a1"), (1, 2, "U", "a2"), (1, 3, "U", "a3"),
+    (2, 1, "U", "b1"), (2, 2, "D", None),          # deleted at latest
+    (3, 5, "U", "c1"),                               # single row
+    (4, 1, "D", None), (4, 2, "U", "d2"),           # re-inserted after delete
+]
+
+
+def test_upsert_latest_golden(spark):
+    df = spark.createDataFrame(_CDC_ROWS, "k long, seq long, op string, v string")
+    got = {(r["k"], r["v"]) for r in
+           cdc.upsert_latest(df, ["k"], "seq", op_col="op").collect()}
+    assert got == {(1, "a3"), (3, "c1"), (4, "d2")}
+
+
+def test_upsert_latest_tiebreak_deterministic(spark):
+    rows = [(1, 1, "U", "x"), (1, 1, "U", "y")]
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v string")
+    got = [r["v"] for r in cdc.upsert_latest(
+        df, ["k"], "seq", op_col="op", tiebreak_cols=["v"]).collect()]
+    assert got == ["y"]  # max tiebreak wins
+
+
+def test_upsert_latest_duckdb_parity(spark):
+    df = spark.createDataFrame(_CDC_ROWS, "k long, seq long, op string, v string")
+    got = sorted(map(tuple, cdc.upsert_latest(df, ["k"], "seq", op_col="op",
+                                              tiebreak_cols=["v"])
+                     .select("k", "seq", "v").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ch (k BIGINT, seq BIGINT, op VARCHAR, v VARCHAR)")
+    con.executemany("INSERT INTO ch VALUES (?, ?, ?, ?)", _CDC_ROWS)
+    want = sorted(map(tuple, con.execute(cdc.upsert_latest_duckdb_sql(
+        "ch", ["k"], "seq", select_cols=["k", "seq", "v"], op_col="op",
+        tiebreak_cols=["v"])).fetchall()))
+    assert got == want
+
+
+def test_upsert_latest_single_exchange_top1(spark):
+    df = spark.createDataFrame(_CDC_ROWS, "k long, seq long, op string, v string")
+    plan = cdc.upsert_latest(df, ["k"], "seq", op_col="op") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "WindowGroupLimit" in plan, plan  # rn<=1 pushed into the sort
