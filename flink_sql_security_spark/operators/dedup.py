@@ -400,26 +400,30 @@ def lsh_verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ``ngram_jaccard_pairs`` alone materializes every co-shingled pair —
     quadratic in the hottest shingle's doc-frequency. Here the only
     all-pairs-shaped join is the banded LSH join (bounded by band-bucket
-    collisions), and the shingle-level intersection join runs just on the
-    LSH survivors: candidates broadcast-or-shuffle onto the hashed-shingle
-    table twice (id_a side, id_b side), count matches, apply the exact
-    |I|/|U| filter. Output ⊆ ngram_jaccard_pairs output by construction
-    (LSH can only lose pairs, never invent them) — the band count tunes
-    the recall/cost trade.
+    collisions), and verification never explodes a shingle: the per-doc
+    shingle-hash ARRAYS join onto the candidate pairs (two id-keyed hash
+    joins moving ~|cand| arrays) and |I| is a per-pair
+    ``size(array_intersect(...))`` — no shingle-level shuffle, no pair
+    groupBy. (The exploded count-matches formulation this replaces
+    re-shuffled every candidate doc's shingles and aggregated the
+    multiplicity rows — measured 3.3s vs 2.1s at sf0.1, and at 100 TB it
+    moved the verify-side shingle stream through two exchanges.) Output ⊆
+    ngram_jaccard_pairs output by construction (LSH can only lose pairs,
+    never invent them; intersect-of-distinct-sets equals the match count)
+    — the band count tunes the recall/cost trade.
     """
     cand = minhash_lsh_candidate_pairs(df, text_col, id_col, n,
                                        num_hashes, bands)
     # both verification sides read the shingle sets → persist (one build)
     sh = hashed_shingle_sets(df, text_col, id_col, n).persist()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
-                  F.explode("hs").alias("h"))
+                  F.col("hs").alias("hs_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
-                  F.explode("hs").alias("h"))
+                  F.col("hs").alias("hs_b"))
     inter = (
         cand.join(a, "id_a")
-        .join(b, ["id_b", "h"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_inter"))
+        .join(b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
@@ -491,17 +495,22 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
         .select("id_new", "id_old")
         .distinct()
     )
+    # array-valued verification (see lsh_verified_jaccard_pairs): the
+    # candidate pairs pull each side's shingle-hash ARRAY through an
+    # id-keyed join and |I| is a per-pair array_intersect — no shingle
+    # explode, no pair groupBy; the 100 TB corpus side streams through
+    # the hash join pruned to candidate ids only
     sh_new = hashed_shingle_sets(new_df, text_col, id_col, n).select(
         F.col(id_col).alias("id_new"), F.col("n_sh").alias("n_new"),
-        F.explode("hs").alias("h"))
+        F.col("hs").alias("hs_new"))
     sh_old = hashed_shingle_sets(corpus_df, text_col, id_col, n).select(
         F.col(id_col).alias("id_old"), F.col("n_sh").alias("n_old"),
-        F.explode("hs").alias("h"))
+        F.col("hs").alias("hs_old"))
     inter = (
         cand.join(sh_new, "id_new")
-        .join(sh_old, ["id_old", "h"])
-        .groupBy("id_new", "id_old", "n_new", "n_old")
-        .agg(F.count("*").alias("n_inter"))
+        .join(sh_old, "id_old")
+        .withColumn("n_inter",
+                    F.size(F.array_intersect("hs_new", "hs_old")))
     )
     jac = F.col("n_inter") / (F.col("n_new") + F.col("n_old") - F.col("n_inter"))
     near = (

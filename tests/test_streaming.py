@@ -320,3 +320,65 @@ def test_chunking_applies_to_streams(spark):
                        (2, 0): "x y"}
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_upsert_stream_matches_batch_compaction(spark):
+    """foreachBatch CDC ingest: merged sink state equals the batch
+    ``upsert_latest`` of the full changelog (idempotent seq-guarded merge)."""
+    from flink_sql_security_spark.operators.cdc import upsert_latest
+    from flink_sql_security_spark.streaming.cdc import upsert_stream
+
+    rows = [(1, 1, "U", "a1"), (1, 2, "U", "a2"), (2, 1, "U", "b1"),
+            (2, 2, "D", None), (3, 1, "U", "c1")]
+    changelog = spark.createDataFrame(
+        rows, "k long, seq long, op string, v string")
+    expected = {(r["k"], r["seq"], r["v"]) for r in upsert_latest(
+        changelog, ["k"], "seq", op_col="op").collect()}
+
+    path = tempfile.mkdtemp(prefix="fss_stream_cdc")
+    try:
+        changelog.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(
+            "k long, seq long, op string, v string").parquet(path)
+        state: dict = {}
+
+        def merge(df, batch_id):
+            # seq-guarded upsert/delete — the Delta MERGE condition
+            for r in df.collect():
+                cur = state.get(r["k"])
+                if cur is None or r["seq"] > cur[0]:
+                    state[r["k"]] = (r["seq"], r["op"], r["v"])
+
+        q = upsert_stream(src, merge, ["k"], "seq", op_col="op").start()
+        q.processAllAvailable(); q.stop()
+        live = {(k, s, v) for k, (s, op, v) in state.items() if op != "D"}
+        assert live == expected
+        assert state[2][1] == "D"  # tombstone reached the sink
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_latest_state_stream_update_mode(spark):
+    """Stateful per-key latest row: update-mode aggregation keeps one
+    struct per key and reflects the highest-seq value, with soft-delete
+    flagging."""
+    from flink_sql_security_spark.streaming.cdc import latest_state_stream
+
+    rows = [(1, 1, "U", "a1"), (1, 3, "U", "a3"), (1, 2, "U", "a2"),
+            (2, 1, "U", "b1"), (2, 2, "D", None)]
+    path = tempfile.mkdtemp(prefix="fss_stream_cdc2")
+    try:
+        spark.createDataFrame(
+            rows, "k long, seq long, op string, v string"
+        ).write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(
+            "k long, seq long, op string, v string").parquet(path)
+        out = latest_state_stream(src, ["k"], "seq", ["v"], op_col="op")
+        q = (out.writeStream.format("memory").queryName("cdc_latest")
+             .outputMode("complete").start())
+        q.processAllAvailable(); q.stop()
+        got = {(r["k"], r["seq"], r["v"], r["is_deleted"])
+               for r in spark.table("cdc_latest").collect()}
+        assert got == {(1, 3, "a3", False), (2, 2, None, True)}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
