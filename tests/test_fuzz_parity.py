@@ -1,0 +1,189 @@
+"""Seeded SQL fuzz parity: randomly generated queries through the full
+SecurityContext path on Spark, cross-checked value-for-value against
+DuckDB on the same parquet fixtures.
+
+The curated driver corpus pins 100+ known shapes; this suite walks a
+grammar of projections / predicates / aggregates / joins / group-bys /
+order-limits with deterministic seeds, so every run checks the same ~60
+generated queries and a parity break in ANY of them fails loudly. All
+aggregates follow the repo's engine-portable arithmetic rules (DECIMAL
+sums widened to DOUBLE, BIGINT counts) — the generator is itself a test
+that those rules compose.
+"""
+
+import datetime
+import decimal
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "orders", "lineitem")
+
+INT_COLS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "region": ["r_regionkey"],
+}
+STR_COLS = {
+    "orders": ["o_orderstatus", "o_orderpriority"],
+    "customer": ["c_mktsegment", "c_name"],
+    "lineitem": ["l_returnflag", "l_linestatus"],
+    "nation": ["n_name"],
+    "region": ["r_name"],
+}
+NUM_COLS = {  # money/quantity doubles; aggregate via DECIMAL(18,2)
+    "orders": ["o_totalprice"],
+    "customer": ["c_acctbal"],
+    "lineitem": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    "nation": [],
+    "region": [],
+}
+JOINS = [
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    from flink_sql_security_spark.sources import register_tables
+    from flink_sql_security_spark.presets import demo_context
+
+    register_tables(spark, SF_DIR)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    # seed literal pools from the actual data (deterministic)
+    pools = {}
+    for t in TABLES:
+        pools[t] = {}
+        for c in STR_COLS[t]:
+            vals = [r[0] for r in con.execute(
+                f"SELECT DISTINCT {c} FROM {t} ORDER BY 1 LIMIT 8").fetchall()]
+            pools[t][c] = vals
+        for c in INT_COLS[t] + NUM_COLS[t]:
+            lo, hi = con.execute(
+                f"SELECT min({c}), max({c}) FROM {t}").fetchone()
+            pools[t][c] = (lo, hi)
+    return demo_context(spark), con, pools
+
+
+def _pred(rng, t, pools, depth=0):
+    kind = rng.choice(["int_cmp", "str_eq", "num_cmp", "in", "between",
+                       "and", "or", "not"] if depth < 2 else
+                      ["int_cmp", "str_eq", "num_cmp", "in", "between"])
+    if kind == "and" or kind == "or":
+        return (f"({_pred(rng, t, pools, depth + 1)} {kind.upper()} "
+                f"{_pred(rng, t, pools, depth + 1)})")
+    if kind == "not":
+        return f"(NOT {_pred(rng, t, pools, depth + 1)})"
+    if kind == "str_eq" and STR_COLS[t]:
+        c = rng.choice(STR_COLS[t])
+        v = rng.choice(pools[t][c])
+        return f"{c} {rng.choice(['=', '<>'])} '{v}'"
+    if kind == "in" and STR_COLS[t]:
+        c = rng.choice(STR_COLS[t])
+        vs = rng.sample(pools[t][c], min(len(pools[t][c]), 3))
+        return f"{c} IN ({', '.join(repr(v) for v in vs)})"
+    if kind == "between" and INT_COLS[t]:
+        c = rng.choice(INT_COLS[t])
+        lo, hi = pools[t][c]
+        a = rng.randint(int(lo), int(hi))
+        b = rng.randint(a, int(hi))
+        return f"{c} BETWEEN {a} AND {b}"
+    if kind == "num_cmp" and NUM_COLS[t]:
+        c = rng.choice(NUM_COLS[t])
+        lo, hi = pools[t][c]
+        v = round(rng.uniform(float(lo), float(hi)), 2)
+        return f"{c} {rng.choice(['<', '>', '<=', '>='])} {v}"
+    c = rng.choice(INT_COLS[t])
+    lo, hi = pools[t][c]
+    v = rng.randint(int(lo), int(hi))
+    return f"{c} {rng.choice(['<', '>', '=', '<=', '>='])} {v}"
+
+
+def _aggs(rng, t):
+    out = ["count(*) AS cnt"]
+    if NUM_COLS[t] and rng.random() < 0.8:
+        c = rng.choice(NUM_COLS[t])
+        out.append(f"CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) "
+                   f"AS sum_{c}")
+    if INT_COLS[t] and rng.random() < 0.5:
+        c = rng.choice(INT_COLS[t])
+        out.append(f"min({c}) AS min_{c}")
+        out.append(f"max({c}) AS max_{c}")
+    return out
+
+
+def gen_query(rng):
+    if rng.random() < 0.3:  # join shape
+        t1, t2, on = rng.choice(JOINS)
+        cols = (rng.sample(INT_COLS[t1] + STR_COLS[t1], 2)
+                + rng.sample(INT_COLS[t2] + STR_COLS[t2], 1))
+        where = f" WHERE {_pred(rng, t1, GEN_POOLS)}" if rng.random() < 0.7 else ""
+        return (f"SELECT {', '.join(cols)} FROM {t1} "
+                f"JOIN {t2} ON {on}{where}")
+    t = rng.choice(TABLES)
+    if rng.random() < 0.5 and STR_COLS[t]:  # grouped aggregate
+        g = rng.sample(STR_COLS[t], rng.randint(1, min(2, len(STR_COLS[t]))))
+        where = f" WHERE {_pred(rng, t, GEN_POOLS)}" if rng.random() < 0.6 else ""
+        having = " HAVING count(*) > 1" if rng.random() < 0.3 else ""
+        return (f"SELECT {', '.join(g)}, {', '.join(_aggs(rng, t))} "
+                f"FROM {t}{where} GROUP BY {', '.join(g)}{having}")
+    cols = rng.sample(INT_COLS[t] + STR_COLS[t],
+                      rng.randint(1, min(4, len(INT_COLS[t] + STR_COLS[t]))))
+    where = f" WHERE {_pred(rng, t, GEN_POOLS)}" if rng.random() < 0.8 else ""
+    order = ""
+    if rng.random() < 0.4 and INT_COLS[t]:
+        keys = ", ".join(cols)
+        order = f" ORDER BY {keys} LIMIT {rng.randint(5, 50)}"
+    return f"SELECT {', '.join(cols)} FROM {t}{where}{order}"
+
+
+GEN_POOLS = None  # bound in the fixture-driven test
+
+
+def _norm(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return ("null",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", repr(v))
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, datetime.datetime):
+        return ("ts", str(v))
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    return ("s", str(v))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_parity(engines, seed):
+    global GEN_POOLS
+    ctx, con, pools = engines
+    GEN_POOLS = pools
+    rng = random.Random(1000 + seed)
+    for i in range(10):
+        sql = gen_query(rng)
+        got = sorted(
+            tuple(_norm(v) for v in row)
+            for row in ctx.sql("user_nobody", sql).collect())
+        want = sorted(
+            tuple(_norm(v) for v in row)
+            for row in con.execute(sql).fetchall())
+        # ORDER BY ... LIMIT n: both engines sort on ALL projected columns
+        # (deterministic total order), so sorted row sets still compare
+        assert got == want, f"seed={seed} i={i} sql={sql}"
