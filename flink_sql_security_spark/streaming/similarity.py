@@ -1,0 +1,99 @@
+"""Streaming embedding ingest: near-duplicate screening of an embedding
+stream against a static corpus — the vector-space counterpart of
+``streaming/dedup.incremental_dedup_stream``.
+
+Production shape: a crawler/encoder emits (id, embedding) rows; before a
+vector enters the corpus/index it is screened against the existing
+corpus for semantic near-duplicates. The per-batch work reuses the batch
+ANN operator asymmetrically — the static corpus is bucketed ONCE up
+front (the expensive hyperplane projection runs one time, not per
+micro-batch) and each micro-batch only projects + joins its own rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def ann_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      bits: int = 4, dim: int = 64, tables: int = 24,
+                      threshold: float = 0.4):
+    """Screen a streaming batch of vectors against a static corpus:
+    ``sink(matches_df, batch_id)`` receives (id_new, id_old, cosine) for
+    stream vectors whose cosine with ANY corpus vector reaches
+    ``threshold`` (LSH candidates, exactly rescored — identical
+    arithmetic to the batch ANN path).
+
+    The corpus's banded buckets are computed once and persisted; each
+    micro-batch pays only its own hyperplane projection plus a bucket
+    equi-join against the persisted table. At 10⁹+ corpus vectors the
+    persisted bucket table is the serving index — the stream side never
+    shuffles the corpus.
+
+    Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger and
+    calls ``.start()``).
+    """
+    from flink_sql_security_spark.operators.similarity import (
+        ann_candidate_pairs, lsh_buckets,
+    )
+
+    corpus_buckets = lsh_buckets(
+        corpus_df, vec_col, id_col, bits, dim, tables).persist()
+    corpus_buckets.count()  # materialize before the stream starts
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_b = lsh_buckets(batch_df, vec_col, id_col, bits, dim, tables)
+        cand = (
+            new_b.select(F.col(id_col).alias("id_new"), "table", "bucket")
+            .join(corpus_buckets
+                  .select(F.col(id_col).alias("id_old"), "table", "bucket"),
+                  ["table", "bucket"])
+            .select("id_new", "id_old")
+            .distinct()
+        )
+        # exact rescoring via the batch scorer's join path: vectors are
+        # joined per side, unit-normalized per row, sequential-fold dot —
+        # bit-identical to ann_candidate_pairs(broadcast_vectors=False)
+        va = batch_df.select(F.col(id_col).alias("id_new"),
+                             F.col(vec_col).alias("_va"))
+        vb = corpus_df.select(F.col(id_col).alias("id_old"),
+                              F.col(vec_col).alias("_vb"))
+        paired = cand.join(va, "id_new").join(vb, "id_old")
+
+        import pandas as pd
+
+        from flink_sql_security_spark.operators.similarity import (
+            _exact_unit_matrix, _round_half_up, _seq_dot,
+        )
+        import numpy as np
+
+        margin = 0.5e-6 + 1e-9
+
+        def score(batches):
+            for chunk in batches:
+                if not len(chunk):
+                    continue
+                Ua = _exact_unit_matrix(chunk["_va"].tolist())
+                Ub = _exact_unit_matrix(chunk["_vb"].tolist())
+                s = np.einsum("ij,ij->i", Ua, Ub)
+                keep = np.nonzero(s >= threshold - margin)[0]
+                out_a, out_b, out_c = [], [], []
+                for t in keep:
+                    cv = _round_half_up(_seq_dot(Ua[t], Ub[t]), 6)
+                    if cv >= threshold:
+                        out_a.append(chunk["id_new"].iloc[t])
+                        out_b.append(chunk["id_old"].iloc[t])
+                        out_c.append(cv)
+                yield pd.DataFrame({
+                    "id_new": pd.array(out_a, dtype="int64"),
+                    "id_old": pd.array(out_b, dtype="int64"),
+                    "cosine": pd.array(out_c, dtype="float64"),
+                })
+
+        sink(paired.mapInPandas(
+            score, "id_new long, id_old long, cosine double"), batch_id)
+
+    return stream.writeStream.foreachBatch(_process)

@@ -382,3 +382,58 @@ def test_latest_state_stream_update_mode(spark):
         assert got == {(1, 3, "a3", False), (2, 2, None, True)}
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ann_ingest_stream_matches_batch(spark):
+    """Streaming vector screening vs a static corpus reproduces exactly the
+    cross-side subset of the batch ANN operator on the union."""
+    import math
+    import random
+
+    from flink_sql_security_spark.operators.similarity import ann_candidate_pairs
+    from flink_sql_security_spark.streaming.similarity import ann_ingest_stream
+
+    rng = random.Random(7)
+
+    def vec(seed, base=None):
+        r = random.Random(seed)
+        v = [r.uniform(-1, 1) for _ in range(64)]
+        if base is not None:  # near-duplicate of base
+            v = [b + 0.05 * x for b, x in zip(base, v)]
+        return v
+
+    base_vecs = {i: vec(i) for i in range(20)}
+    corpus = spark.createDataFrame(
+        [(i, base_vecs[i]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    batch_rows = (
+        [(100 + i, vec(1000 + i, base_vecs[i])) for i in range(6)]  # near-dups
+        + [(200 + i, vec(5000 + i)) for i in range(6)])             # novel
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>")
+
+    both = corpus.union(batch)
+    expected = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), r["cosine"])
+        for r in ann_candidate_pairs(both, bits=4, tables=24,
+                                     threshold=0.6).collect()
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)}
+    assert expected, "fixture must produce cross near-dups"
+
+    path = tempfile.mkdtemp(prefix="fss_stream_ann")
+    try:
+        batch.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(
+            "vec_id long, embedding array<double>").parquet(path)
+        got = set()
+
+        def sink(df, batch_id):
+            got.update((r["id_new"], r["id_old"], r["cosine"])
+                       for r in df.collect())
+
+        q = ann_ingest_stream(src, corpus, sink, bits=4, tables=24,
+                              threshold=0.6).start()
+        q.processAllAvailable(); q.stop()
+        assert got == expected
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
