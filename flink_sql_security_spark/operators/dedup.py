@@ -781,23 +781,6 @@ def connected_components_duckdb_sql(pairs_sql: str) -> str:
 # SimHash hamming-distance pairs via banded LSH (pigeonhole)
 # ---------------------------------------------------------------------------
 
-def _simhash_bands(max_hamming: int) -> list[tuple[int, int]]:
-    """(start_bit, width) for max_hamming+1 contiguous bands of 48 bits.
-
-    Pigeonhole: two signatures within hamming distance k agree exactly on
-    at least one of k+1 disjoint bands, so the banded equi-join loses no
-    true pair."""
-    nbits = 4 * SIMHASH_HEX_CHARS
-    b = max_hamming + 1
-    base, extra = divmod(nbits, b)
-    bands, start = [], 0
-    for i in range(b):
-        width = base + (1 if i < extra else 0)
-        bands.append((start, width))
-        start += width
-    return bands
-
-
 def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id",
                           max_hamming: int = 3) -> DataFrame:
@@ -816,24 +799,42 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     The signature table feeds both self-join sides — persist() computes
     the (explode + per-doc agg) signature pipeline once, not twice."""
     sig = simhash(df, text_col=text_col, id_col=id_col).persist()
-    bands = _simhash_bands(max_hamming)
-    # unpivot bands into rows (stack = zero-shuffle generator) so ONE
-    # equi-join on (band_i, band_v) covers every band — the same shape
-    # as the MinHash LSH join; a per-band join loop would re-evaluate
-    # the signature subtree 2x per band
+    return hamming_pairs(sig, "simhash", id_col,
+                         nbits=4 * SIMHASH_HEX_CHARS, max_hamming=max_hamming)
+
+
+def hamming_pairs(sig_df: DataFrame, sig_col: str, id_col: str,
+                  nbits: int, max_hamming: int) -> DataFrame:
+    """(id_a, id_b, hamming) over ANY integer bit-signature column —
+    the banded pigeonhole join shared by SimHash (48-bit text) and
+    pHash (63-bit image) near-dup.
+
+    Signatures band into ``max_hamming + 1`` contiguous bit-ranges; the
+    unpivot is one stack() generator (zero-shuffle) so ONE equi-join on
+    (band_i, band_v) covers every band; the exact ``bit_count(xor)``
+    filter runs on candidates only. Exact by pigeonhole — never loses a
+    pair within the hamming budget.
+    """
+    b = max_hamming + 1
+    base, extra = divmod(nbits, b)
+    bands, start = [], 0
+    for i in range(b):
+        width = base + (1 if i < extra else 0)
+        bands.append((start, width))
+        start += width
     stack_args = ", ".join(
-        f"{i}, (simhash >> {start}) & {2 ** width - 1}"
+        f"{i}, shiftright({sig_col}, {start}) & {2 ** width - 1}"
         for i, (start, width) in enumerate(bands)
     )
-    banded = sig.select(
-        F.col(id_col), F.col("simhash"),
+    banded = sig_df.select(
+        F.col(id_col), F.col(sig_col),
         F.expr(f"stack({len(bands)}, {stack_args}) AS (band_i, band_v)"))
     a = banded.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("sig_a"), "band_i", "band_v")
-    b = banded.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("sig_b"), "band_i", "band_v")
+                      F.col(sig_col).alias("sig_a"), "band_i", "band_v")
+    bb = banded.select(F.col(id_col).alias("id_b"),
+                       F.col(sig_col).alias("sig_b"), "band_i", "band_v")
     return (
-        a.join(b, ["band_i", "band_v"])
+        a.join(bb, ["band_i", "band_v"])
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.expr("bit_count(sig_a ^ sig_b)") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])

@@ -820,3 +820,78 @@ def test_ann_join_scoring_matches_broadcast(spark):
         emb, bits=4, tables=8, threshold=0.4,
         broadcast_vectors=False).collect()))
     assert a == b and len(a) > 0
+
+
+def _decoded_df(spark, images):
+    """Build a decoded-pixels frame directly: images = {id: np.uint8 HxWx3}."""
+    import numpy as np
+    from pyspark.sql import Row as R
+
+    rows = [R(media_id=k, kind="image", width=int(a.shape[1]),
+              height=int(a.shape[0]), channels=int(a.shape[2]),
+              pixels=a.tobytes())
+            for k, a in images.items()]
+    return spark.createDataFrame(
+        rows, "media_id string, kind string, width int, height int, "
+              "channels int, pixels binary")
+
+
+def test_phash_matches_numpy_replica(spark):
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    got = {r["media_id"]: r["phash"]
+           for r in M.phash(_decoded_df(spark, {"a": img})).collect()}
+
+    def dct_mat(n):
+        m = np.empty((n, n))
+        for k in range(n):
+            s = math.sqrt((1 if k == 0 else 2) / n)
+            for i in range(n):
+                m[k, i] = s * math.cos(math.pi * (2 * i + 1) * k / (2 * n))
+        return m
+
+    gray = img.astype(np.float64).mean(axis=2)
+    D = dct_mat(16)
+    coeffs = (D @ gray @ D.T)[:8, :8].ravel()[1:]
+    med = float(np.median(coeffs))
+    want = sum(1 << i for i, v in enumerate(coeffs) if v > med)
+    assert got["a"] == want
+
+
+def test_phash_near_dup_is_close_random_is_far(spark):
+    """The perceptual property: a brightness-shifted copy stays within a
+    few bits; an unrelated image sits near the 31-bit random baseline."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 200, (32, 32, 3), dtype=np.uint8)
+    shifted = np.clip(base.astype(np.int16) + 18, 0, 255).astype(np.uint8)
+    other = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    sigs = {r["media_id"]: r["phash"] for r in M.phash(_decoded_df(
+        spark, {"base": base, "shift": shifted, "other": other})).collect()}
+    near = bin(sigs["base"] ^ sigs["shift"]).count("1")
+    far = bin(sigs["base"] ^ sigs["other"]).count("1")
+    assert near <= 8, near
+    assert far >= 16, far
+
+
+def test_phash_pairs_banded_join_no_cartesian(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    imgs = {}
+    base = rng.randint(0, 200, (16, 16, 3), dtype=np.uint8)
+    imgs["base"] = base
+    imgs["dup"] = np.clip(base.astype(np.int16) + 9, 0, 255).astype(np.uint8)
+    for i in range(6):
+        imgs[f"r{i}"] = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    pairs_df = M.phash_pairs(_decoded_df(spark, imgs), max_hamming=8)
+    plan = pairs_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs_df.collect()}
+    assert ("base", "dup") in pairs
+    assert pairs[("base", "dup")] <= 8

@@ -59,3 +59,18 @@ def test_register_tables_idempotent(spark):
     n1 = spark.table("orders").count()
     register_tables(spark, "/root/testdata/sf0.001")
     assert spark.table("orders").count() == n1 == 1500
+
+
+def test_register_orc_table(spark, demo_tables):
+    """ORC round-trip through the same register_file_table path (Spark's
+    other built-in columnar format; same pushdown story as parquet)."""
+    path = tempfile.mkdtemp(prefix="fss_orc")
+    try:
+        spark.table("orders").write.mode("overwrite").orc(path)
+        register_file_table(spark, "orders_orc", path, fmt="orc")
+        assert spark.table("orders_orc").count() == 6
+        plan = spark.table("orders_orc").where("region = 'beijing'") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "beijing" in plan, plan
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
