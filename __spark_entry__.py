@@ -1496,6 +1496,9 @@ _CHECK_ORDER = [
     "multimodal_features", "events_hourly_window",
     "profile_lineitem", "secured_clean_corpus",
     "sessionize_events", "asof_purchase_click",
+    # 50th slot: the analytic-window family (lag / framed running sum /
+    # ntile) — round 1 measured the driver budget at exactly 50 entries
+    "window_lag_running",
 ]
 
 

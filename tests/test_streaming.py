@@ -437,3 +437,30 @@ def test_ann_ingest_stream_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_stream_static_dim_join(spark, demo_tables):
+    """Native stream-static enrichment join (no foreachBatch): streaming
+    facts join a static dimension; Spark broadcasts the dim per batch."""
+    path = tempfile.mkdtemp(prefix="fss_stream_dim")
+    try:
+        spark.table("orders").write.mode("overwrite").parquet(path)
+        stream = spark.readStream.schema(
+            spark.table("orders").schema).parquet(path)
+        dim = spark.table("products")
+        joined = (
+            stream.join(dim, stream.product_id == dim.id)
+            .select("order_id", "customer_name", "name")
+        )
+        assert joined.isStreaming
+        q = (joined.writeStream.format("memory").queryName("dim_join")
+             .outputMode("append").start())
+        q.processAllAvailable(); q.stop()
+        got = {(r["order_id"], r["name"])
+               for r in spark.table("dim_join").collect()}
+        want = {(r["order_id"], r["name"]) for r in spark.sql(
+            "SELECT order_id, name FROM orders "
+            "JOIN products ON product_id = id").collect()}
+        assert got == want and len(got) == 6
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
