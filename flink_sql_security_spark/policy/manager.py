@@ -137,3 +137,40 @@ class PolicyManager:
             if t.name == name:
                 return t
         raise KeyError(f"unknown data mask type: {name}")
+
+
+def load_policies_json(manager: "PolicyManager", path: str) -> int:
+    """Load row-filter / data-mask policies from a JSON file into
+    ``manager`` (append, preserving file order — first-match-wins applies
+    across existing + loaded policies in insertion order).
+
+    File shape (both keys optional)::
+
+        {
+          "row_filters": [{"username": ..., "table_name": ...,
+                           "condition": ..., "catalog_name"?, "database"?}],
+          "data_masks":  [{"username": ..., "table_name": ...,
+                           "column_name": ..., "condition": ...,
+                           "catalog_name"?, "database"?,
+                           "custom_transformer"?}]
+        }
+
+    The operational counterpart of the reference's JSON-resource mask
+    registry: policy sets become reviewable config artifacts instead of
+    imperative ``add_policy`` call sites. Returns the number loaded;
+    unknown keys in an entry raise (typo protection — a silently dropped
+    security policy is an access-control hole).
+    """
+    with open(path) as f:
+        raw = json.load(f)
+    unknown_top = set(raw) - {"row_filters", "data_masks"}
+    if unknown_top:
+        raise ValueError(f"unknown policy sections: {sorted(unknown_top)}")
+    n = 0
+    for e in raw.get("row_filters", []):
+        manager.add_policy(RowFilterPolicy(**e))
+        n += 1
+    for e in raw.get("data_masks", []):
+        manager.add_policy(DataMaskPolicy(**e))
+        n += 1
+    return n

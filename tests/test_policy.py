@@ -76,3 +76,48 @@ def test_remove_policy(manager):
     assert manager.remove_policy(p) is True
     assert manager.get_row_filter_condition("user_A", ["orders"]) is None
     assert manager.remove_policy(p) is False
+
+
+def test_load_policies_json(tmp_path):
+    import json
+
+    from flink_sql_security_spark.policy.manager import (
+        PolicyManager, load_policies_json,
+    )
+
+    p = tmp_path / "policies.json"
+    p.write_text(json.dumps({
+        "row_filters": [
+            {"username": "alice", "table_name": "orders",
+             "condition": "region = 'beijing'"},
+        ],
+        "data_masks": [
+            {"username": "alice", "table_name": "orders",
+             "column_name": "customer_name", "condition": "MASK"},
+        ],
+    }))
+    m = PolicyManager()
+    assert load_policies_json(m, str(p)) == 2
+    assert m.get_row_filter_condition("alice", ["orders"]) == "region = 'beijing'"
+    assert m.get_data_mask_policy("alice", ["orders"], "customer_name") is not None
+
+
+def test_load_policies_json_rejects_unknown_fields(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from flink_sql_security_spark.policy.manager import (
+        PolicyManager, load_policies_json,
+    )
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"row_filters": [
+        {"username": "a", "table_name": "t", "condition": "x = 1",
+         "tablename_typo": "oops"}]}))
+    with _pytest.raises(TypeError):
+        load_policies_json(PolicyManager(), str(p))
+    p2 = tmp_path / "bad2.json"
+    p2.write_text(json.dumps({"row_fitlers": []}))
+    with _pytest.raises(ValueError):
+        load_policies_json(PolicyManager(), str(p2))
