@@ -187,3 +187,54 @@ def test_fuzz_parity(engines, seed):
         # ORDER BY ... LIMIT n: both engines sort on ALL projected columns
         # (deterministic total order), so sorted row sets still compare
         assert got == want, f"seed={seed} i={i} sql={sql}"
+
+
+def _inject(sql: str, cond: str) -> str:
+    """Independent reference injection: AND the condition into the WHERE
+    (before grouping), parenthesizing both sides — the semantics the
+    rewriter must reproduce, built WITHOUT the rewriter."""
+    if " WHERE " in sql:
+        head, rest = sql.split(" WHERE ", 1)
+        # close the parenthesized original predicate before any trailing
+        # GROUP BY / ORDER BY clause
+        cut = len(rest)
+        for kw in (" GROUP BY", " ORDER BY"):
+            if kw in rest:
+                cut = min(cut, rest.index(kw))
+        return (f"{head} WHERE ({cond}) AND ({rest[:cut]}){rest[cut:]}")
+    for kw in (" GROUP BY", " ORDER BY"):
+        if kw in sql:
+            return sql.replace(kw, f" WHERE {cond}{kw}", 1)
+    return f"{sql} WHERE {cond}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_security_rewrite_parity(spark, engines, seed):
+    """Fuzz the ROW-FILTER REWRITER: random single-table queries under a
+    random policy condition must equal the manually injected oracle."""
+    from flink_sql_security_spark import (
+        PolicyManager, RowFilterPolicy, SecurityContext,
+    )
+
+    global GEN_POOLS
+    _, con, pools = engines
+    GEN_POOLS = pools
+    rng = random.Random(9000 + seed)
+    for i in range(8):
+        t = rng.choice(TABLES)
+        # single-table query (grouped or plain) over t
+        while True:
+            sql = gen_query(rng)
+            if f"FROM {t}" in sql and " JOIN " not in sql:
+                break
+        policy_cond = _pred(rng, t, pools)
+        ctx = SecurityContext(spark, PolicyManager())
+        ctx.add_policy(RowFilterPolicy("fuzzer", t, policy_cond))
+        got = sorted(
+            tuple(_norm(v) for v in row)
+            for row in ctx.sql("fuzzer", sql).collect())
+        want = sorted(
+            tuple(_norm(v) for v in row)
+            for row in con.execute(_inject(sql, policy_cond)).fetchall())
+        assert got == want, (
+            f"seed={seed} i={i} cond={policy_cond} sql={sql}")
