@@ -238,3 +238,67 @@ def test_fuzz_security_rewrite_parity(spark, engines, seed):
             for row in con.execute(_inject(sql, policy_cond)).fetchall())
         assert got == want, (
             f"seed={seed} i={i} cond={policy_cond} sql={sql}")
+
+
+ALL_COLS = {t: INT_COLS[t] + STR_COLS[t] + NUM_COLS[t] for t in TABLES}
+# add the non-generated passthrough columns so the mask wrap re-emits
+# complete tables (schema order from the parquet fixtures)
+FULL_COLS = {
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "region": ["r_regionkey", "r_name"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+}
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_mask_rewrite_parity(spark, engines, seed):
+    """Fuzz the DATA-MASK REWRITER: random single-table queries with a
+    random masked string column must equal DuckDB over a manually built
+    masked-subquery wrap (independent of the rewriter)."""
+    from flink_sql_security_spark import (
+        DataMaskPolicy, PolicyManager, SecurityContext,
+    )
+    from flink_sql_security_spark.functions import masks as MK
+
+    duck_mask = {
+        "MASK": lambda c: MK.duckdb_mask_sql(c),
+        "MASK_SHOW_FIRST_4": lambda c: MK.duckdb_mask_show_first_n_sql(c),
+        "MASK_SHOW_LAST_4": lambda c: MK.duckdb_mask_show_last_n_sql(c),
+        "MASK_HASH": lambda c: MK.duckdb_mask_hash_sql(c),
+        "MASK_NULL": lambda c: "CAST(NULL AS VARCHAR)",
+        "MASK_NONE": lambda c: c,
+    }
+
+    global GEN_POOLS
+    _, con, pools = engines
+    GEN_POOLS = pools
+    rng = random.Random(7000 + seed)
+    for i in range(8):
+        t = rng.choice(TABLES)
+        while True:
+            sql = gen_query(rng)
+            if f"FROM {t}" in sql and " JOIN " not in sql:
+                break
+        col = rng.choice(STR_COLS[t])
+        mtype = rng.choice(sorted(duck_mask))
+        ctx = SecurityContext(spark, PolicyManager())
+        ctx.add_policy(DataMaskPolicy("fuzzer", t, col, mtype))
+        inner = ", ".join(
+            f"{duck_mask[mtype](c)} AS {c}" if c == col else c
+            for c in FULL_COLS[t])
+        wrapped = sql.replace(f"FROM {t}",
+                              f"FROM (SELECT {inner} FROM {t}) {t}", 1)
+        got = sorted(
+            tuple(_norm(v) for v in row)
+            for row in ctx.sql("fuzzer", sql).collect())
+        want = sorted(
+            tuple(_norm(v) for v in row)
+            for row in con.execute(wrapped).fetchall())
+        assert got == want, (
+            f"seed={seed} i={i} mask={mtype} col={col} sql={sql}")
