@@ -1362,6 +1362,19 @@ FROM s GROUP BY user_id, session_id
         " AND p.purchase_ts >= c.click_ts",
     )
 
+    # ---- contrastive triplet mining: near-dup pairs → training triplets
+    # with deterministic hash-bucketed negatives (operators/contrastive.py)
+    from flink_sql_security_spark.operators import contrastive as CT
+
+    out["contrastive_triplets"] = (
+        with_tables(lambda s: CT.contrastive_triplets(
+            D.ngram_jaccard_pairs(docs(s), threshold=0.05),
+            docs(s).select("doc_id"), n_neg=2, buckets=50)),
+        CT.contrastive_triplets_duckdb_sql(
+            out["dedup_jaccard_pairs"][1],
+            "SELECT doc_id FROM documents", n_neg=2, buckets=50),
+    )
+
     # ---- cardinality sketch: deterministic HLL (operators/sketch.py) ----
     from flink_sql_security_spark.operators import sketch as SK
 

@@ -271,3 +271,66 @@ def test_weighted_sample_topn_no_global_sort(spark):
     plan = weighted_sample(df, 10, "w", id_col="id") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrdered" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplets
+# ---------------------------------------------------------------------------
+
+def _triplet_fixture(spark):
+    from flink_sql_security_spark.operators.contrastive import (
+        contrastive_triplets,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long")
+    corpus = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    return contrastive_triplets(pairs, corpus, n_neg=3, buckets=8)
+
+
+def test_triplets_complete_and_valid(spark):
+    rows = _triplet_fixture(spark).collect()
+    # every (pair, slot) filled; negatives never collide with the pair
+    assert len(rows) == 9
+    for r in rows:
+        assert r["negative"] not in (r["anchor"], r["positive"])
+        assert 0 <= r["negative"] < 40
+
+
+def test_triplets_deterministic_under_repartition(spark):
+    from flink_sql_security_spark.operators.contrastive import (
+        contrastive_triplets,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long")
+    corpus = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = sorted(map(tuple, contrastive_triplets(
+        pairs, corpus, n_neg=3, buckets=8).collect()))
+    b = sorted(map(tuple, contrastive_triplets(
+        pairs.repartition(7), corpus.repartition(5),
+        n_neg=3, buckets=8).collect()))
+    assert a == b
+
+
+def test_triplets_negatives_spread(spark):
+    """Different slots/anchors draw different negatives (no constant
+    collapse): at least half the drawn negatives are distinct."""
+    rows = _triplet_fixture(spark).collect()
+    negs = [r["negative"] for r in rows]
+    assert len(set(negs)) >= len(negs) // 2
+
+
+def test_triplets_exclusion_falls_back_within_bucket(spark):
+    """When the top-ranked bucket member IS the anchor/positive, the draw
+    must fall back to the next id, not drop the slot: tiny corpus where
+    every bucket contains an excluded id forces the fallback path."""
+    from flink_sql_security_spark.operators.contrastive import (
+        contrastive_triplets,
+    )
+
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    corpus = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    rows = contrastive_triplets(pairs, corpus, n_neg=4, buckets=1).collect()
+    assert len(rows) == 4
+    assert all(r["negative"] in (2, 3) for r in rows)
