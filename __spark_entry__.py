@@ -1375,6 +1375,17 @@ FROM s GROUP BY user_id, session_id
             "SELECT doc_id FROM documents", n_neg=2, buckets=50),
     )
 
+    # ---- padding-efficient bucketed batching (operators/packing.py) ----
+    from flink_sql_security_spark.operators import packing as PK
+
+    out["pack_length_batches"] = (
+        with_tables(lambda s: PK.length_bucketed_batches(
+            docs(s).select("doc_id", "n_chars"), "n_chars", batch_docs=8)),
+        PK.length_bucketed_batches_duckdb_sql(
+            "SELECT doc_id, n_chars AS n_tokens FROM documents",
+            batch_docs=8),
+    )
+
     # ---- cardinality sketch: deterministic HLL (operators/sketch.py) ----
     from flink_sql_security_spark.operators import sketch as SK
 

@@ -110,3 +110,67 @@ def pack_sequences_duckdb_sql(tokens_sql: str, budget: int = 512,
         f"> start // {budget} AS spans_boundary "
         "FROM c"
     )
+
+
+def length_bucketed_batches(df: DataFrame, tokens_col: str | Column,
+                            batch_docs: int = 8,
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, bucket, batch_id, batch_max, pad_frac): assign
+    documents to padding-efficient training batches.
+
+    Fixed-batch training pads every sequence to its batch's max length —
+    batching docs of similar length together is the standard remedy
+    (bucketed batching). Buckets are power-of-two length ranges computed
+    as ``length(bin(n_tokens))`` (integer-exact in any engine — no log2
+    float edge cases); within a bucket, docs sort by (n_tokens, id) and
+    chunk into ``batch_docs``-sized batches, so each batch spans the
+    narrowest possible length range. ``pad_frac`` = wasted pad tokens /
+    batch capacity, the metric this operator exists to minimize.
+
+    Scale shape: ONE hash exchange on the bucket (the window partition);
+    batches and their stats derive from the same windowed pass — no
+    global sort (bucket count is ~log2(max_len), each bucket's window
+    sorts locally; a skewed bucket can be split by appending a salt
+    range to the bucket expression).
+    """
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    base = df.select(F.col(id_col), tok.cast("long").alias("n_tokens")) \
+        .where(F.col("n_tokens") > 0)
+    bucketed = base.withColumn(
+        "bucket", F.expr("length(bin(n_tokens))").cast("int"))
+    w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+    assigned = bucketed.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / batch_docs).cast("long"))
+    wb = Window.partitionBy("bucket", "batch_id")
+    return assigned.select(
+        id_col, "n_tokens", "bucket", "batch_id",
+        F.max("n_tokens").over(wb).alias("batch_max"),
+        F.round(
+            F.lit(1.0) - (F.sum("n_tokens").over(wb)
+                          / (F.max("n_tokens").over(wb)
+                             * F.count("*").over(wb))).cast("double"),
+            6).alias("pad_frac"),
+    )
+
+
+def length_bucketed_batches_duckdb_sql(tokens_sql: str, batch_docs: int = 8,
+                                       id_col: str = "doc_id") -> str:
+    """DuckDB oracle: identical buckets, batches, and padding stats.
+    ``tokens_sql`` must yield (id_col, n_tokens)."""
+    return (
+        f"WITH base AS (SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens "
+        f"FROM ({tokens_sql}) t WHERE n_tokens > 0), "
+        f"b AS (SELECT *, CAST(length(bin(n_tokens)) AS INTEGER) AS bucket "
+        f"FROM base), "
+        # `//`: DuckDB's CAST(double AS BIGINT) ROUNDS (Spark's truncates)
+        # — floor division keeps batch assignment integer-exact
+        f"a AS (SELECT *, CAST((row_number() OVER "
+        f"(PARTITION BY bucket ORDER BY n_tokens, {id_col}) - 1) "
+        f"// {batch_docs} AS BIGINT) AS batch_id FROM b) "
+        f"SELECT {id_col}, n_tokens, bucket, batch_id, "
+        f"max(n_tokens) OVER wb AS batch_max, "
+        f"round(1.0 - CAST(sum(n_tokens) OVER wb AS DOUBLE) "
+        f"/ (max(n_tokens) OVER wb * count(*) OVER wb), 6) AS pad_frac "
+        f"FROM a WINDOW wb AS (PARTITION BY bucket, batch_id)"
+    )

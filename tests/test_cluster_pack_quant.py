@@ -153,3 +153,56 @@ def test_quantize_reusable_codebook(vecs):
     a = sorted(map(tuple, Q.quantize_int8(vecs, stats=stats).collect()))
     b = sorted(map(tuple, Q.quantize_int8(vecs).collect()))
     assert a == b
+
+
+def test_length_bucketed_batches_contract(spark):
+    """Batches hold ≤ batch_docs docs of one power-of-two length bucket;
+    pad_frac is the real padding waste of each batch."""
+    from flink_sql_security_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 37) % 500) for i in range(200)],
+        "doc_id long, n long")
+    rows = length_bucketed_batches(df, "n", batch_docs=4).collect()
+    assert len(rows) == 200
+    by_batch = {}
+    for r in rows:
+        assert r["bucket"] == len(bin(r["n_tokens"])) - 2
+        by_batch.setdefault((r["bucket"], r["batch_id"]), []).append(r)
+    for (_, _), members in by_batch.items():
+        assert len(members) <= 4
+        mx = max(m["n_tokens"] for m in members)
+        assert all(m["batch_max"] == mx for m in members)
+        want = round(1.0 - sum(m["n_tokens"] for m in members)
+                     / (mx * len(members)), 6)
+        assert all(abs(m["pad_frac"] - want) < 1e-9 for m in members)
+
+
+def test_length_bucketed_batches_cuts_padding(spark):
+    """The operator's reason to exist: bucketed batches waste far less
+    padding than id-ordered batches of the same size."""
+    from flink_sql_security_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, 16 if i % 2 == 0 else 1024) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = length_bucketed_batches(df, "n", batch_docs=8).collect()
+    # alternating 16/1024 id-ordered batches waste ~50% capacity;
+    # bucketing puts equal lengths together → zero padding
+    assert all(r["pad_frac"] == 0.0 for r in out)
+
+
+def test_length_bucketed_batches_single_exchange(spark):
+    from flink_sql_security_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 300 + 1).alias("n"))
+    plan = length_bucketed_batches(df, "n") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
