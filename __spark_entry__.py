@@ -1375,6 +1375,25 @@ FROM s GROUP BY user_id, session_id
             "SELECT doc_id FROM documents", n_neg=2, buckets=50),
     )
 
+    # ---- BPE tokenizer: distributed train + narrow encode (operators/
+    # bpe.py). Oracle re-derives the merge list from the parquet with the
+    # shared driver-side loop (kmeans/IVF literal-embedding pattern).
+    from flink_sql_security_spark.operators import bpe as BP
+
+    def bpe_tokens(s):
+        d = docs(s)
+        return BP.bpe_encode(d, BP.bpe_train(d, n_merges=24))
+
+    import os as _os2
+    _doc_path = _os2.path.join(
+        _os2.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet")
+    out["bpe_tokens"] = (
+        with_tables(bpe_tokens),
+        BP.bpe_encode_duckdb_sql(
+            BP.bpe_train_replica(_doc_path, n_merges=24)),
+    )
+
     # ---- padding-efficient bucketed batching (operators/packing.py) ----
     from flink_sql_security_spark.operators import packing as PK
 

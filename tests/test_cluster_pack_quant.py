@@ -206,3 +206,81 @@ def test_length_bucketed_batches_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer
+# ---------------------------------------------------------------------------
+
+def _bpe_corpus(spark):
+    rows = [(i, t) for i, t in enumerate([
+        "low low low low low",
+        "lower lower newer newer newer newer",
+        "newest newest newest widest widest",
+        "low lower lowest newer newest",
+    ] * 3)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_train_learns_frequent_pairs(spark):
+    from flink_sql_security_spark.operators import bpe
+
+    merges = bpe.bpe_train(_bpe_corpus(spark), n_merges=10, min_freq=1)
+    assert len(merges) == 10
+    # 'lo'/'ne'/'w'-family merges dominate this classic fixture
+    joined = {a + b for a, b in merges}
+    assert any(m.startswith("lo") or m.startswith("ne") for m in joined)
+
+
+def test_bpe_train_matches_replica(spark, tmp_path):
+    from flink_sql_security_spark.operators import bpe
+
+    df = _bpe_corpus(spark)
+    p = str(tmp_path / "bpe.parquet")
+    df.write.mode("overwrite").parquet(p)
+    # Spark writes a directory of part files; glob them for DuckDB
+    assert bpe.bpe_train(df, n_merges=12, min_freq=1) == \
+        bpe.bpe_train_replica(p + "/*.parquet", n_merges=12, min_freq=1)
+
+
+def test_bpe_encode_counts_shrink_with_merges(spark):
+    """More merges → fewer tokens, floored at one-per-word+marker; zero
+    merges = chars + end marker per word."""
+    from flink_sql_security_spark.operators import bpe
+
+    df = _bpe_corpus(spark)
+    merges = bpe.bpe_train(df, n_merges=16, min_freq=1)
+    n0 = {r["doc_id"]: r["n_tokens"]
+          for r in bpe.bpe_encode(df, []).collect()}
+    n16 = {r["doc_id"]: r["n_tokens"]
+           for r in bpe.bpe_encode(df, merges).collect()}
+    row0 = df.where("doc_id = 0").collect()[0]["text"]
+    chars = sum(len(w) + 1 for w in row0.split())
+    assert n0[0] == chars
+    assert all(n16[k] < n0[k] for k in n0)
+
+
+def test_bpe_encode_duckdb_parity_in_test(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import bpe
+
+    df = _bpe_corpus(spark)
+    merges = bpe.bpe_train(df, n_merges=8, min_freq=1)
+    got = sorted(map(tuple, bpe.bpe_encode(df, merges).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(r["doc_id"], r["text"]) for r in df.collect()])
+    want = sorted(map(tuple, con.execute(
+        bpe.bpe_encode_duckdb_sql(merges)).fetchall()))
+    assert got == want
+
+
+def test_bpe_encode_is_narrow(spark):
+    from flink_sql_security_spark.operators import bpe
+
+    df = _bpe_corpus(spark)
+    plan = bpe.bpe_encode(df, [("l", "o"), ("lo", "w")]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
