@@ -1535,7 +1535,11 @@ _CHECK_ORDER = [
     "emb_kmeans_cells", "emb_quantize_int8", "pack_sequences",
     "text_stats", "text_langid", "text_repetition",
     "text_pii_redact",
-    "split_hash_assign", "sample_token_budget",
+    # round-3: sample_token_budget's windowed running-sum core is a
+    # sub-shape of pack_sequences' per-bucket cumsum (in-window); its
+    # slot goes to the BPE tokenizer family (distributed train + narrow
+    # encode — a core no other entry covers)
+    "split_hash_assign", "bpe_tokens",
     "multimodal_features", "events_hourly_window",
     "profile_lineitem", "secured_clean_corpus",
     "sessionize_events", "asof_purchase_click",
