@@ -125,7 +125,24 @@ def _aggs(rng, t):
 
 
 def gen_query(rng):
-    if rng.random() < 0.3:  # join shape
+    shape = rng.random()
+    if shape < 0.12:  # LEFT JOIN (null-extension parity)
+        t1, t2, on = rng.choice(JOINS)
+        cols = (rng.sample(INT_COLS[t1] + STR_COLS[t1], 2)
+                + rng.sample(INT_COLS[t2] + STR_COLS[t2], 1))
+        # filter only the LEFT side: a right-side predicate on a LEFT
+        # JOIN is the classic user footgun, out of scope here
+        where = f" WHERE {_pred(rng, t1, GEN_POOLS)}" if rng.random() < 0.7 else ""
+        return (f"SELECT {', '.join(cols)} FROM {t1} "
+                f"LEFT JOIN {t2} ON {on}{where}")
+    if shape < 0.2:  # correlated EXISTS / NOT EXISTS semi/anti shape
+        t1, t2, on = rng.choice(JOINS)
+        cols = rng.sample(INT_COLS[t1] + STR_COLS[t1], 2)
+        neg = "NOT " if rng.random() < 0.5 else ""
+        inner = f" AND {_pred(rng, t2, GEN_POOLS)}" if rng.random() < 0.5 else ""
+        return (f"SELECT {', '.join(cols)} FROM {t1} WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM {t2} WHERE {on}{inner})")
+    if shape < 0.4:  # inner join shape
         t1, t2, on = rng.choice(JOINS)
         cols = (rng.sample(INT_COLS[t1] + STR_COLS[t1], 2)
                 + rng.sample(INT_COLS[t2] + STR_COLS[t2], 1))
@@ -225,7 +242,8 @@ def test_fuzz_security_rewrite_parity(spark, engines, seed):
         # single-table query (grouped or plain) over t
         while True:
             sql = gen_query(rng)
-            if f"FROM {t}" in sql and " JOIN " not in sql:
+            if (sql.startswith(f"SELECT") and f"FROM {t}" in sql
+                    and " JOIN " not in sql and "EXISTS" not in sql):
                 break
         policy_cond = _pred(rng, t, pools)
         ctx = SecurityContext(spark, PolicyManager())
@@ -283,7 +301,8 @@ def test_fuzz_mask_rewrite_parity(spark, engines, seed):
         t = rng.choice(TABLES)
         while True:
             sql = gen_query(rng)
-            if f"FROM {t}" in sql and " JOIN " not in sql:
+            if (sql.startswith(f"SELECT") and f"FROM {t}" in sql
+                    and " JOIN " not in sql and "EXISTS" not in sql):
                 break
         col = rng.choice(STR_COLS[t])
         mtype = rng.choice(sorted(duck_mask))
