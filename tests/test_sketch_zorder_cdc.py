@@ -334,3 +334,16 @@ def test_triplets_exclusion_falls_back_within_bucket(spark):
     rows = contrastive_triplets(pairs, corpus, n_neg=4, buckets=1).collect()
     assert len(rows) == 4
     assert all(r["negative"] in (2, 3) for r in rows)
+
+
+def test_lsh_bits_for_sizing():
+    from flink_sql_security_spark.operators.similarity import lsh_bits_for
+
+    assert lsh_bits_for(2_000) == 6
+    assert lsh_bits_for(80_000) == 11
+    assert lsh_bits_for(10) == 4            # floor
+    assert lsh_bits_for(10**9) == 20        # ceiling clamp
+    # occupancy stays ~constant: n / 2^bits within [target/2, 2*target]
+    for n in (10_000, 100_000, 1_000_000):
+        occ = n / (1 << lsh_bits_for(n))
+        assert 20 <= occ <= 80, (n, occ)
