@@ -175,3 +175,27 @@ def write_partitioned(df, name: str, partition_cols: list[str]) -> None:
     """
     df.write.mode("overwrite").format("parquet") \
         .partitionBy(*partition_cols).saveAsTable(name)
+
+
+def write_compacted(df, path: str, target_file_mb: int = 256,
+                    fmt: str = "parquet") -> int:
+    """Write ``df`` with file sizes targeted at ``target_file_mb`` —
+    the small-files remedy (and its inverse: splitting one giant file).
+
+    A 100 TB table written from a 50k-task shuffle otherwise lands as
+    50k files; listing and footer overhead then dominate every
+    subsequent scan. Sizing comes from Catalyst's own statistics
+    (``optimizedPlan().stats().sizeInBytes`` — column-pruned, filter-
+    adjusted in-memory estimate, no extra scan); the write repartitions
+    to ``ceil(size / target)`` round-robin. Returns the partition count
+    used. Pair with ``zorder_layout`` when the table should also be
+    multi-dimensionally clustered (range partition + sort instead of
+    round-robin).
+    """
+    import math
+
+    size = int(df._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+    n = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df.repartition(n).write.mode("overwrite").format(fmt).save(path)
+    return n

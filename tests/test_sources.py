@@ -74,3 +74,20 @@ def test_register_orc_table(spark, demo_tables):
         assert "PushedFilters: [" in plan and "beijing" in plan, plan
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_write_compacted_targets_file_count(spark, tmp_path):
+    from flink_sql_security_spark.sources import write_compacted
+
+    import glob
+
+    df = spark.range(200_000).selectExpr(
+        "id", "repeat('x', 64) AS pad").repartition(64)
+    # 200k rows x ~70B ~ 14MB in-memory estimate -> 2MB target = several files
+    out = str(tmp_path / "compacted")
+    n = write_compacted(df, out, target_file_mb=2)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == n
+    assert 1 < n < 64  # genuinely compacted vs the 64 input partitions
+    back = spark.read.parquet(out)
+    assert back.count() == 200_000
