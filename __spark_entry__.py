@@ -1027,6 +1027,23 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(lambda s: SM.token_budget_sample(docs(s), 800)),
         SM.token_budget_sample_duckdb_sql(800),
     )
+    # mixture repeat factors: per-source fractional epochs, content-hash
+    # deterministic extra-copy draw (operators/sampling.py)
+    _FACTOR = ("CAST(1.0 + (CAST(substring(source, 4) AS INT) % 4) * 0.5 "
+               "AS DOUBLE)")
+
+    out["sample_epoch_upsample"] = (
+        with_tables(lambda s: SM.epoch_upsample(
+            docs(s).select("doc_id", "source",
+                           F.expr(_FACTOR).alias("factor")),
+            "factor")),
+        SM.epoch_upsample_duckdb_sql(
+            "factor",
+            table=f"(SELECT doc_id, source, {_FACTOR} AS factor "
+                  f"FROM documents)",
+            select="doc_id, source, factor"),
+    )
+
     # weighted sampling without replacement (A-ES): longer docs favored
     out["sample_weighted"] = (
         with_tables(lambda s: SM.weighted_sample(

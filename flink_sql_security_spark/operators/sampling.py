@@ -25,7 +25,8 @@ __all__ = ["hash_split", "hash_split_duckdb_sql",
            "per_key_quota", "per_key_quota_duckdb_sql",
            "cross_split_contamination",
            "token_budget_sample", "token_budget_sample_duckdb_sql",
-           "weighted_sample", "weighted_sample_duckdb_sql"]
+           "weighted_sample", "weighted_sample_duckdb_sql",
+           "epoch_upsample", "epoch_upsample_duckdb_sql"]
 
 # 32-bit hash prefix folded into 10k buckets: plenty of resolution for
 # split fractions expressed in 0.01% steps, and exact integer arithmetic
@@ -305,4 +306,51 @@ def weighted_sample_duckdb_sql(n: int, weight_col: str,
         f"SELECT {select} FROM ("
         f"SELECT *, {key} AS _aes_key FROM {table} WHERE {weight_col} > 0 "
         f"ORDER BY _aes_key DESC, {id_col} LIMIT {n}) t"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fractional up-sampling (mixture repeat factors / "epochs")
+# ---------------------------------------------------------------------------
+
+def epoch_upsample(df: DataFrame, factor_col: str,
+                   id_col: str = "doc_id",
+                   salt: str = "epoch") -> DataFrame:
+    """Repeat each row ``factor`` times where ``factor`` is fractional:
+    floor(factor) guaranteed copies plus one more with probability
+    frac(factor) — decided by a content-hash draw, so exactly the same
+    rows gain the extra copy on every run/cluster (training-mixture
+    recipes like "2.45 epochs of source X" reproduce bit-for-bit).
+
+    Output adds ``copy_i`` (0-based) so downstream shuffles/splits can
+    still distinguish copies. Narrow per-row work: one ``sequence`` +
+    ``explode``, no shuffle, no RNG state. Rows with factor ≤ 0 drop.
+    """
+    h = (f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+         f"':{salt}')), 1, 8), 16, 10) AS BIGINT) % {_BUCKETS}")
+    n_copies = (
+        f"CAST(floor({factor_col}) AS BIGINT) + "
+        f"CASE WHEN {h} < CAST(round(({factor_col} - floor({factor_col}))"
+        f" * {_BUCKETS}) AS BIGINT) THEN 1 ELSE 0 END")
+    return (
+        df.withColumn("_n", F.expr(n_copies))
+        .where(F.col("_n") > 0)
+        .withColumn("copy_i", F.explode(F.expr("sequence(0, _n - 1)")))
+        .drop("_n")
+    )
+
+
+def epoch_upsample_duckdb_sql(factor_expr: str, table: str = "documents",
+                              id_col: str = "doc_id", select: str = "*",
+                              salt: str = "epoch") -> str:
+    """DuckDB oracle: identical copy counts and copy indexes."""
+    h = (f"CAST(concat('0x', substring(md5(concat(CAST({id_col} AS VARCHAR), "
+         f"':{salt}')), 1, 8)) AS BIGINT) % {_BUCKETS}")
+    n = (f"CAST(floor({factor_expr}) AS BIGINT) + "
+         f"CASE WHEN {h} < CAST(round(({factor_expr} - floor({factor_expr}))"
+         f" * {_BUCKETS}) AS BIGINT) THEN 1 ELSE 0 END")
+    return (
+        f"SELECT {select}, c.c AS copy_i FROM "
+        f"(SELECT *, {n} AS _n FROM {table}) t, "
+        f"UNNEST(range(t._n)) AS c(c) WHERE t._n > 0"
     )

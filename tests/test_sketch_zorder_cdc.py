@@ -347,3 +347,50 @@ def test_lsh_bits_for_sizing():
     for n in (10_000, 100_000, 1_000_000):
         occ = n / (1 << lsh_bits_for(n))
         assert 20 <= occ <= 80, (n, occ)
+
+
+# ---------------------------------------------------------------------------
+# Epoch up-sampling
+# ---------------------------------------------------------------------------
+
+def test_epoch_upsample_copy_counts(spark):
+    from flink_sql_security_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, 2.0 if i < 100 else 2.5) for i in range(1000)],
+        "doc_id long, factor double")
+    out = epoch_upsample(df, "factor").groupBy("doc_id") \
+        .count().collect()
+    counts = {r["doc_id"]: r["count"] for r in out}
+    assert all(counts[i] == 2 for i in range(100))           # integer factor
+    frac = [counts[i] for i in range(100, 1000)]
+    assert set(frac) <= {2, 3}
+    share3 = sum(1 for c in frac if c == 3) / len(frac)
+    assert 0.4 < share3 < 0.6                                 # ~frac(2.5)
+
+
+def test_epoch_upsample_deterministic_and_indexed(spark):
+    from flink_sql_security_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, 1.7) for i in range(300)], "doc_id long, factor double")
+    a = sorted(map(tuple, epoch_upsample(df, "factor").collect()))
+    b = sorted(map(tuple, epoch_upsample(
+        df.repartition(11), "factor").collect()))
+    assert a == b
+    # copy_i is a dense 0..n-1 index per doc
+    per = {}
+    for doc_id, _, ci in a:
+        per.setdefault(doc_id, []).append(ci)
+    assert all(sorted(v) == list(range(len(v))) for v in per.values())
+
+
+def test_epoch_upsample_drops_nonpositive_and_is_narrow(spark):
+    from flink_sql_security_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 1.0)], "doc_id long, factor double")
+    out = epoch_upsample(df, "factor")
+    assert [r["doc_id"] for r in out.collect()] == [3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
