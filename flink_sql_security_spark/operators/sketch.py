@@ -49,6 +49,11 @@ def hll_registers(df: DataFrame, cols: list[str]) -> DataFrame:
     register. This is the mergeable sketch state — union two tables'
     registers and ``max`` again to sketch their union without rescanning
     either. The single shuffle is map-side-combined to ≤ m rows/column/task.
+
+    ``cols`` should be integer/string-typed: values hash via their string
+    rendering, and floating-point columns render differently across
+    engines (Spark ``1.0E7`` vs DuckDB ``10000000.0``) — cast doubles to
+    DECIMAL/STRING explicitly upstream if you must sketch them.
     """
     stacked = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
     h = f"CAST(conv(substring(md5(val), 1, 15), 16, 10) AS BIGINT)"
