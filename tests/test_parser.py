@@ -177,3 +177,14 @@ def test_unicode_identifiers_roundtrip():
     assert "名前" in out and "ユーザー" in out
     # stable under re-parse
     assert parse_statement(out).sql() == out
+
+
+def test_deep_subquery_nesting():
+    """60 levels of derived tables parse, qualify, and print without
+    recursion blow-up (the parser is recursive-descent; this bounds its
+    practical depth headroom far above real queries)."""
+    sql = "SELECT a FROM t"
+    for _ in range(60):
+        sql = f"SELECT a FROM ({sql}) x"
+    out = parse_statement(sql).sql()
+    assert out.count("(") == 60
