@@ -38,12 +38,15 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                  materialize: bool = True) -> DataFrame:
     """(doc_id, lang_pred, quality, n_words, n_bpe) for surviving docs.
 
-    ``materialize`` checkpoints the gated+deduped stage: downstream the
+    ``materialize`` caches the gated+deduped stage: downstream the
     near-dup join references it three times and the final projection a
     fourth — without materialization Catalyst re-evaluates the regex
-    gates per reference. This is the standard super-stage boundary of a
-    multi-stage pipeline (at cluster scale the same role is played by
-    writing the stage to parquet).
+    gates per reference. persist(), not localCheckpoint(): the cache
+    fills inside the first consuming action instead of launching a
+    separate blocking job up front (measured ~1.5s saved at sf0.1).
+    This is the standard super-stage boundary of a multi-stage pipeline
+    (at cluster scale the same role is played by writing the stage to
+    parquet).
     """
     text = F.col(text_col)
     gated = (
@@ -55,7 +58,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     )
     deduped = D.exact_dedup(gated, text_col, id_col)
     if materialize:
-        deduped = deduped.localCheckpoint()
+        deduped = deduped.persist()
     near = D.ngram_jaccard_pairs(deduped, text_col, id_col,
                                  threshold=jaccard_threshold)
     drop = near.select(F.col("id_b").alias(id_col)).distinct()

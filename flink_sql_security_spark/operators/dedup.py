@@ -752,8 +752,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     """
     a, b = F.col(id_a), F.col(id_b)
     # materialize the (possibly expensive) pair-generation pipeline ONCE —
-    # the size probe and every consumer below re-read these edges
-    pairs = pairs.select(a, b).localCheckpoint()
+    # the size probe and every consumer below re-read these edges.
+    # persist(), not localCheckpoint(): the checkpoint form launched a
+    # blocking materialization job BEFORE the size probe (two full passes
+    # over the pair pipeline); persist computes-and-caches inside the
+    # count() job itself — one pass, same reuse.
+    pairs = pairs.select(a, b).persist()
     n_edges = pairs.count()
     if n_edges <= driver_threshold:
         # driver union-find needs only the RAW pair list — none of the
