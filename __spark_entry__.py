@@ -947,6 +947,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             docs(s).select("doc_id", "source"), 0.25)),
         SM.stratified_hash_sample_duckdb_sql(0.25, select="doc_id, source"),
     )
+    # deterministic global training shuffle: content-hash shard + in-shard
+    # rank — the reproducible "shuffle the corpus into ordered shards"
+    # step between curation and the trainer's data loader
+    out["corpus_shard_shuffle"] = (
+        with_tables(lambda s: SM.shard_shuffle(
+            docs(s).select("doc_id"), n_shards=8)),
+        SM.shard_shuffle_duckdb_sql(n_shards=8),
+    )
     # multimodal plumbing through the driver: a deterministic media table
     # derived from documents (text bytes as the opaque payload) runs the
     # real Arrow mapInPandas feature pipeline; the oracle recomputes the

@@ -24,6 +24,7 @@ __all__ = ["hash_split", "hash_split_duckdb_sql",
            "stratified_hash_sample", "stratified_hash_sample_duckdb_sql",
            "per_key_quota", "per_key_quota_duckdb_sql",
            "cross_split_contamination",
+           "shard_shuffle", "shard_shuffle_duckdb_sql",
            "token_budget_sample", "token_budget_sample_duckdb_sql",
            "weighted_sample", "weighted_sample_duckdb_sql",
            "epoch_upsample", "epoch_upsample_duckdb_sql"]
@@ -150,6 +151,55 @@ def per_key_quota_duckdb_sql(table: str, key_col: str,
         f"  ORDER BY md5(CAST({id_col} AS VARCHAR) || ':{salt}') ASC,"
         f"  {id_col} ASC) AS rn"
         f" FROM {table}) q WHERE rn <= {n}"
+    )
+
+
+def shard_shuffle(df: DataFrame, n_shards: int = 8,
+                  id_col: str = "doc_id",
+                  salt: str = "shuffle") -> DataFrame:
+    """(id, shard, pos): deterministic global shuffle of the corpus into
+    ``n_shards`` ordered shards — the "shuffle your training data" step,
+    reproducible across clusters and re-runs.
+
+    shard = 60-bit md5(id:salt) mod n_shards, pos = rank of that hash
+    within the shard (id as total-order tiebreak against the
+    astronomically-rare prefix collision). Reading shards in pos order
+    visits the corpus in content-hash order — uniform pseudo-random,
+    independent of ingestion order, partitioning, and cluster size, so a
+    resumed or re-provisioned run trains on the identical sequence.
+
+    Physical shape: ONE hash exchange on ``shard``. Each shard's
+    row_number runs in a single task, so size shards to what one task
+    holds — which is exactly how training shards are sized anyway (one
+    output file each, a few GB; 100 TB → tens of thousands of shards,
+    far beyond any executor count). Writing is then
+    ``partitionBy(shard)`` + ``sortWithinPartitions(pos)``; for
+    pathological giant shards the two-phase prefix-sum of
+    ``operators/packing.pack_sequences`` is the escape hatch.
+    """
+    rk = (f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+          f"':{salt}')), 1, 15), 16, 10) AS BIGINT)")
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("_rk").asc(), F.col(id_col).asc()))
+    return (
+        df.select(F.col(id_col), F.expr(rk).alias("_rk"))
+        .withColumn("shard", (F.col("_rk") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def shard_shuffle_duckdb_sql(table: str = "documents", n_shards: int = 8,
+                             id_col: str = "doc_id",
+                             salt: str = "shuffle") -> str:
+    """DuckDB oracle for :func:`shard_shuffle` (identical hash + rank)."""
+    rk = (f"(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || "
+          f"':{salt}'), 1, 15))::BIGINT)")
+    return (
+        f"SELECT {id_col}, CAST({rk} % {n_shards} AS INTEGER) AS shard, "
+        f"CAST(row_number() OVER (PARTITION BY {rk} % {n_shards} "
+        f"ORDER BY {rk} ASC, {id_col} ASC) AS INTEGER) AS pos "
+        f"FROM {table}"
     )
 
 

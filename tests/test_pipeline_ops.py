@@ -431,6 +431,32 @@ def test_hash_split_deterministic_and_total(docs):
                          else "val" if bucket < 9000 else "test")
 
 
+def test_shard_shuffle_deterministic_total_order(docs):
+    from flink_sql_security_spark.operators import sampling as SM
+    import hashlib
+
+    rows = SM.shard_shuffle(docs.select("doc_id"), n_shards=3).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3, 4, 5, 6}  # total
+    # shard = 60-bit md5(id:shuffle) % n, pos = hash-rank within shard
+    def rk(i):
+        return int(hashlib.md5(f"{i}:shuffle".encode()).hexdigest()[:15], 16)
+    for r in rows:
+        assert r["shard"] == rk(r["doc_id"]) % 3
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in members] == list(
+            range(1, len(members) + 1))          # dense in-shard positions
+        hashes = [rk(r["doc_id"]) for r in members]
+        assert hashes == sorted(hashes)          # pos follows hash order
+    # rerun-stable (content-hash, not partitioning/RNG)
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in SM.shard_shuffle(
+        docs.select("doc_id"), n_shards=3).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+
+
 def test_hash_split_bad_weights(docs):
     from flink_sql_security_spark.operators import sampling as SM
     with pytest.raises(ValueError):
