@@ -4,7 +4,7 @@ DuckDB on the same parquet fixtures.
 
 The curated driver corpus pins 100+ known shapes; this suite walks a
 grammar of projections / predicates / aggregates / joins / group-bys /
-order-limits with deterministic seeds, so every run checks the same ~60
+order-limits with deterministic seeds, so every run checks the same ~170
 generated queries and a parity break in ANY of them fails loudly. All
 aggregates follow the repo's engine-portable arithmetic rules (DECIMAL
 sums widened to DOUBLE, BIGINT counts) — the generator is itself a test
@@ -187,7 +187,7 @@ def _norm(v):
     return ("s", str(v))
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzz_parity(engines, seed):
     global GEN_POOLS
     ctx, con, pools = engines
@@ -225,7 +225,7 @@ def _inject(sql: str, cond: str) -> str:
     return f"{sql} WHERE {cond}"
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzz_security_rewrite_parity(spark, engines, seed):
     """Fuzz the ROW-FILTER REWRITER: random single-table queries under a
     random policy condition must equal the manually injected oracle."""
@@ -274,7 +274,7 @@ FULL_COLS = {
 }
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzz_mask_rewrite_parity(spark, engines, seed):
     """Fuzz the DATA-MASK REWRITER: random single-table queries with a
     random masked string column must equal DuckDB over a manually built
