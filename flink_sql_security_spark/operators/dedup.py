@@ -376,9 +376,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   F.explode("hs").alias("h"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
                   F.explode("hs").alias("h"))
+    # size-ratio prefilter, output-preserving: J = |I|/(n_a+n_b-|I|) with
+    # |I| <= min(n_a,n_b), so J <= min/max — a pair whose set sizes are
+    # more lopsided than the threshold can never pass the exact gate
+    # below. Runs inside the join stage, so the pair-count exchange only
+    # carries plausible pairs (at loose thresholds this cuts the hottest
+    # shingles' long×short cross products). The 1e-6 slack keeps the
+    # float product conservative at exact boundaries (sizes are ints;
+    # the exact round(jac, 6) filter still decides).
+    ratio_ok = (
+        (F.least("n_a", "n_b").cast("double")
+         >= threshold * F.greatest("n_a", "n_b") - 1e-6))
     inter = (
         a.join(b, on="h")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("id_a") < F.col("id_b")) & ratio_ok)
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
