@@ -1497,6 +1497,39 @@ FROM s GROUP BY user_id, session_id
             f"AS BIGINT) AS {t}" for t in _EVENT_TYPES)
         + " FROM events GROUP BY 1",
     )
+
+    # ---- Bloom-filter decontamination (operators/sketch.py): the
+    # broadcast-bit-set membership path — held-out set = src0/src1 docs;
+    # verdicts carry the exact membership next to the sketch's (bounded-FP,
+    # zero-FN) answer ----
+    out["sketch_bloom_decon"] = (
+        with_tables(lambda s: SK.bloom_decontaminate(
+            docs(s), docs(s).where(F.col("source").isin("src0", "src1")))),
+        SK.bloom_decontaminate_duckdb_sql(
+            "SELECT * FROM documents",
+            "SELECT * FROM documents WHERE source IN ('src0', 'src1')"),
+    )
+
+    # ---- Count-Min token-frequency sketch (operators/sketch.py): CMS
+    # estimates next to exact counts for every corpus token with exact
+    # frequency ≥ 100 (one-sided error: n_est ≥ n_exact always) ----
+    out["sketch_cms_tokens"] = (
+        with_tables(lambda s: SK.cms_token_counts(docs(s), min_count=100)),
+        SK.cms_token_counts_duckdb_sql("documents", min_count=100),
+    )
+
+    # ---- DSIR importance weights (operators/dsir.py): score every doc by
+    # hashed-unigram target-likeness against the English slice as the
+    # target domain (Xie et al. 2023) ----
+    from flink_sql_security_spark.operators import dsir as DSR
+
+    out["sample_dsir_weights"] = (
+        with_tables(lambda s: DSR.dsir_weights(
+            docs(s), docs(s).where(F.col("lang") == "en"))),
+        DSR.dsir_weights_duckdb_sql(
+            "SELECT * FROM documents",
+            "SELECT * FROM documents WHERE lang = 'en'"),
+    )
     return out
 
 
@@ -1552,10 +1585,23 @@ _CHECK_ORDER = [
     # exercised by cdc_upsert_latest. Their slots go to the four new
     # operator families: HLL sketch, Z-order layout key, CDC changelog
     # compaction, and native PIVOT.
-    "sketch_distinct_hll", "zorder_orders", "cdc_upsert_latest",
-    "pivot_daily_events",
-    "dedup_exact_groups", "dedup_lsh_verified", "dedup_components",
-    "dedup_decontaminate", "dedup_simhash_pairs", "dedup_span_stats",
+    # round-4 window swaps (same breadth-over-redundancy rule):
+    # - pivot_daily_events → sketch_cms_tokens: the pivot oracle is the
+    #   CASE-sum conditional-agg shape already pinned in-window by
+    #   q12_priority_case and q8_market_share; the CMS frequency sketch is
+    #   a new family (one-sided-error counters, broadcast point queries).
+    # - dedup_decontaminate → sketch_bloom_decon: the bloom entry carries
+    #   the exact-membership verdict in its own output (exact_member) AND
+    #   the new mergeable-bit-set family, so the exact broadcast-probe
+    #   core stays pinned while the slot buys the sketch path.
+    # - dedup_exact_groups → sample_dsir_weights: the md5-normalize
+    #   hash-groupBy core rides through secured_clean_corpus (in-window,
+    #   stage 3 of the pipeline); DSIR's hashed-feature log-ratio +
+    #   decimal-exact sum is a family no window entry covers.
+    "sketch_distinct_hll", "sketch_cms_tokens", "sketch_bloom_decon",
+    "zorder_orders", "cdc_upsert_latest",
+    "sample_dsir_weights", "dedup_lsh_verified", "dedup_components",
+    "dedup_simhash_pairs", "dedup_span_stats",
     "emb_ann_pairs", "emb_ivf_topk",
     "emb_kmeans_cells", "emb_quantize_int8", "pack_sequences",
     "text_stats", "text_langid", "text_repetition",

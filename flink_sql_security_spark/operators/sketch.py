@@ -1,4 +1,4 @@
-"""Distributed cardinality sketches: deterministic HyperLogLog.
+"""Distributed sketches: deterministic HyperLogLog, Bloom, Count-Min.
 
 The 100 TB profiling path for ``n_distinct``: ``profile_numeric``'s exact
 path shuffles every distinct (column, value) pair — at 10⁹+ cardinality
@@ -159,3 +159,247 @@ def approx_distinct_hll_duckdb_sql(table: str, cols: list[str],
         f"/ CAST(n_exact AS DOUBLE), 4) AS rel_err "
         f"FROM sk JOIN ex USING (\"column\")"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (deterministic double-hashing; md5-portable)
+# ---------------------------------------------------------------------------
+# The 100 TB membership path: decontaminating a corpus against a held-out
+# benchmark set with a join shuffles every probe key; a Bloom filter reduces
+# the held-out side to a bit set of fixed size that rides a broadcast join.
+# No false negatives (every true member probes positive), bounded false
+# positives (~(1-e^{-kn/m})^k). Bits are mergeable across shards/days by
+# union+distinct. Double hashing (Kirsch-Mitzenmacher 2006): position_i =
+# (h1 + i*h2) mod m over the two 60-bit halves of md5 — both engines
+# compute identical positions (integer arithmetic only).
+
+BLOOM_BITS = 1 << 16      # m: default filter size
+BLOOM_K = 7               # k: hash count (optimal for n ≈ m ln2 / k)
+
+
+def _dh_cols(col_expr: str, mod: int):
+    """Spark SQL for the two md5-half double-hash values, already reduced
+    mod ``mod`` (so the i-th position (h1 + i*h2) % mod stays in BIGINT)."""
+    h1 = (f"CAST(conv(substring(md5(CAST({col_expr} AS STRING)), 1, 15), "
+          f"16, 10) AS BIGINT) % {mod}")
+    h2 = (f"CAST(conv(substring(md5(CAST({col_expr} AS STRING)), 16, 15), "
+          f"16, 10) AS BIGINT) % {mod}")
+    return h1, h2
+
+
+def _dh_duckdb(col_expr: str, mod: int):
+    h1 = (f"CAST(concat('0x', substring(md5(CAST({col_expr} AS VARCHAR)), "
+          f"1, 15)) AS BIGINT) % {mod}")
+    h2 = (f"CAST(concat('0x', substring(md5(CAST({col_expr} AS VARCHAR)), "
+          f"16, 15)) AS BIGINT) % {mod}")
+    return h1, h2
+
+
+def bloom_bits(df: DataFrame, col: str,
+               n_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> DataFrame:
+    """(bit): the distinct set bit positions for ``df[col]`` — the whole
+    filter state. Hashing is bound to columns ONCE per row (md5 evaluated
+    outside the position lambda), then k narrow positions explode into one
+    distinct. Merge two filters: ``union`` then ``distinct`` again.
+    """
+    h1, h2 = _dh_cols(col, n_bits)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.expr(h1).alias("_h1"), F.expr(h2).alias("_h2"))
+        .select(F.explode(F.expr(
+            f"transform(sequence(0, {k - 1}), "
+            f"i -> (_h1 + i * _h2) % {n_bits})")).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(bits: DataFrame, df: DataFrame, id_col: str, col: str,
+                n_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> DataFrame:
+    """(id, bloom_maybe): probe every row of ``df`` against the filter.
+
+    Scale shape: the k positions explode narrowly, the bit set rides a
+    broadcast hash join (no shuffle of the 100 TB probe side's keys —
+    only the k·rows position stream reduces back on ``id_col``), and a
+    row is a member iff all k positions matched. Coinciding positions
+    (i*h2 collisions) stay correct: each exploded row matches or not
+    independently, and all k must match.
+    """
+    h1, h2 = _dh_cols(col, n_bits)
+    pos = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(id_col), F.expr(h1).alias("_h1"), F.expr(h2).alias("_h2"))
+        .select(id_col, F.explode(F.expr(
+            f"transform(sequence(0, {k - 1}), "
+            f"i -> (_h1 + i * _h2) % {n_bits})")).alias("bit"))
+    )
+    hit = F.broadcast(bits.select("bit", F.lit(1).alias("_hit")))
+    return (
+        pos.join(hit, "bit", "left")
+        .groupBy(id_col)
+        .agg((F.count("_hit") == F.lit(k)).alias("bloom_maybe"))
+    )
+
+
+def bloom_decontaminate(corpus: DataFrame, held_out: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_bits: int = BLOOM_BITS, k: int = BLOOM_K
+                        ) -> DataFrame:
+    """(id, bloom_maybe, exact_member, false_positive) for every corpus row:
+    Bloom verdict vs exact membership of the whitespace/case-normalized
+    text in the held-out set. ``false_positive`` isolates the (bounded)
+    Bloom error; ``bloom_maybe AND NOT false_positive`` is exact. At scale
+    the exact column is dropped and ``bloom_maybe`` alone gates ingest
+    (no-false-negative guarantee: nothing contaminated slips through).
+    """
+    norm = "lower(regexp_replace(trim({c}), '\\\\s+', ' '))"
+    c = corpus.select(
+        F.col(id_col), F.expr(norm.format(c=text_col)).alias("_norm"))
+    h = held_out.select(
+        F.expr(norm.format(c=text_col)).alias("_norm")).distinct()
+    bits = bloom_bits(h, "_norm", n_bits, k)
+    probed = bloom_probe(bits, c, id_col, "_norm", n_bits, k)
+    exact = (
+        c.join(h.withColumn("_ex", F.lit(1)), "_norm", "left")
+        .select(id_col, (F.col("_ex") == 1).alias("_exact"))
+    )
+    return (
+        probed.join(exact, id_col)
+        .select(
+            id_col, "bloom_maybe",
+            F.coalesce("_exact", F.lit(False)).alias("exact_member"),
+            (F.col("bloom_maybe")
+             & ~F.coalesce("_exact", F.lit(False))).alias("false_positive"))
+    )
+
+
+def bloom_decontaminate_duckdb_sql(corpus_sql: str, held_sql: str,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   n_bits: int = BLOOM_BITS,
+                                   k: int = BLOOM_K) -> str:
+    """DuckDB SQL computing the identical verdicts (oracle emitter)."""
+    norm = f"lower(regexp_replace(trim({text_col}), '\\s+', ' ', 'g'))"
+    h1, h2 = _dh_duckdb("_norm", n_bits)
+    return f"""
+WITH corpus AS (SELECT {id_col}, {norm} AS _norm FROM ({corpus_sql})),
+held AS (SELECT DISTINCT {norm} AS _norm FROM ({held_sql})),
+hh AS (SELECT {h1} AS _h1, {h2} AS _h2 FROM held),
+bits AS (SELECT DISTINCT (_h1 + i * _h2) % {n_bits} AS bit
+         FROM hh, range({k}) t(i)),
+ch AS (SELECT {id_col}, _norm, {h1} AS _h1, {h2} AS _h2 FROM corpus),
+pos AS (SELECT {id_col}, (_h1 + i * _h2) % {n_bits} AS bit
+        FROM ch, range({k}) t(i)),
+probed AS (SELECT p.{id_col},
+                  count(b.bit) = {k} AS bloom_maybe
+           FROM pos p LEFT JOIN bits b USING (bit) GROUP BY 1),
+exact AS (SELECT c.{id_col}, h._norm IS NOT NULL AS _exact
+          FROM corpus c LEFT JOIN held h USING (_norm))
+SELECT p.{id_col}, p.bloom_maybe,
+       coalesce(e._exact, FALSE) AS exact_member,
+       p.bloom_maybe AND NOT coalesce(e._exact, FALSE) AS false_positive
+FROM probed p JOIN exact e USING ({id_col})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (deterministic; md5-portable)
+# ---------------------------------------------------------------------------
+# The 100 TB frequency path: exact token counts shuffle every distinct
+# token; a Count-Min sketch caps the shuffle at depth×width counters per
+# map task (map-side combine), mergeable by cellwise addition across
+# shards/days. One-sided error: estimates never undercount, overcount
+# ≤ 2N/width with probability 1 - 2^-depth (Cormode & Muthukrishnan 2005).
+
+CMS_WIDTH = 1 << 12
+CMS_DEPTH = 4
+
+
+def cms_counters(df: DataFrame, col: str,
+                 width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> DataFrame:
+    """(row_j, pos, cnt): the sketch counters, one row per non-zero cell.
+    Each input row increments one cell per depth row j, at position
+    (h1 + j*h2) mod width. Merge two sketches: union + groupBy sum.
+    """
+    h1, h2 = _dh_cols(col, width)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.expr(h1).alias("_h1"), F.expr(h2).alias("_h2"))
+        .select(F.explode(F.expr(
+            f"transform(sequence(0, {depth - 1}), "
+            f"j -> named_struct('row_j', j, 'pos', (_h1 + j * _h2) % {width}))"
+        )).alias("c"))
+        .select(F.col("c.row_j").alias("row_j"), F.col("c.pos").alias("pos"))
+        .groupBy("row_j", "pos").agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(counters: DataFrame, probe: DataFrame, col: str,
+                 width: int = CMS_WIDTH, depth: int = CMS_DEPTH) -> DataFrame:
+    """(col, n_est): point-query the sketch for each probe value —
+    min over depth rows of the addressed cell. Counters (≤ depth·width
+    rows) ride a broadcast join; an unseen (row_j,pos) cell reads 0.
+    """
+    h1, h2 = _dh_cols(col, width)
+    pos = (
+        probe.where(F.col(col).isNotNull())
+        .select(F.col(col), F.expr(h1).alias("_h1"), F.expr(h2).alias("_h2"))
+        .select(col, F.explode(F.expr(
+            f"transform(sequence(0, {depth - 1}), "
+            f"j -> named_struct('row_j', j, 'pos', (_h1 + j * _h2) % {width}))"
+        )).alias("c"))
+        .select(col, F.col("c.row_j").alias("row_j"), F.col("c.pos").alias("pos"))
+    )
+    return (
+        pos.join(F.broadcast(counters), ["row_j", "pos"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("n_est"))
+    )
+
+
+def cms_token_counts(df: DataFrame, text_col: str = "text",
+                     min_count: int = 100,
+                     width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+                     ) -> DataFrame:
+    """(token, n_exact, n_est): CMS estimates for every token whose EXACT
+    corpus frequency ≥ ``min_count``, next to the exact count — the
+    validation form (mirrors ``approx_distinct_hll``'s ``with_exact``).
+    Production at >10⁹ tokens drops the exact branch and probes a fixed
+    candidate list (the exact branch IS the shuffle the sketch avoids).
+    Guarantee surfaced: n_est ≥ n_exact always.
+    """
+    words = df.select(F.explode(F.expr(
+        f"split(lower(trim({text_col})), '\\\\s+')")).alias("token"))
+    counters = cms_counters(words, "token", width, depth)
+    exact = (
+        words.groupBy("token").agg(F.count("*").alias("n_exact"))
+        .where(F.col("n_exact") >= min_count)
+    )
+    est = cms_estimate(counters, exact.select("token"), "token", width, depth)
+    return exact.join(est, "token").select("token", "n_exact", "n_est")
+
+
+def cms_token_counts_duckdb_sql(table: str, text_col: str = "text",
+                                min_count: int = 100,
+                                width: int = CMS_WIDTH,
+                                depth: int = CMS_DEPTH) -> str:
+    """DuckDB SQL computing the identical (token, n_exact, n_est) rows."""
+    h1, h2 = _dh_duckdb("token", width)
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim({text_col})), '\\s+')) AS token
+  FROM {table}),
+wh AS (SELECT token, {h1} AS _h1, {h2} AS _h2 FROM words),
+cells AS (SELECT j, (_h1 + j * _h2) % {width} AS pos
+          FROM wh, range({depth}) t(j)),
+counters AS (SELECT j AS row_j, pos, CAST(count(*) AS BIGINT) AS cnt
+             FROM cells GROUP BY 1, 2),
+exact AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+          FROM words GROUP BY 1 HAVING count(*) >= {min_count}),
+eh AS (SELECT token, {h1} AS _h1, {h2} AS _h2 FROM exact),
+ppos AS (SELECT token, j AS row_j, (_h1 + j * _h2) % {width} AS pos
+         FROM eh, range({depth}) t(j)),
+est AS (SELECT p.token, min(coalesce(c.cnt, 0)) AS n_est
+        FROM ppos p LEFT JOIN counters c USING (row_j, pos) GROUP BY 1)
+SELECT e.token, e.n_exact, s.n_est
+FROM exact e JOIN est s USING (token)
+"""

@@ -52,6 +52,15 @@ def test_shingles_short_doc_empty(spark):
     assert D.word_shingles(df, n=3).count() == 0
 
 
+def test_reserved_ws_column_rejected(spark):
+    # `_ws` is the reserved token-array working column; shingling inputs
+    # that already carry it must be rejected, not silently overwritten.
+    df = spark.createDataFrame([(1, "some text here", "x")],
+                               ["doc_id", "text", "_ws"])
+    with pytest.raises(ValueError, match="_ws"):
+        D.word_shingles(df, n=2).collect()
+
+
 def test_minhash_pairs_detect_duplicates(docs):
     pairs = {(r["id_a"], r["id_b"])
              for r in D.minhash_lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()}
@@ -938,3 +947,63 @@ def test_phash_pairs_banded_join_no_cartesian(spark):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs_df.collect()}
     assert ("base", "dup") in pairs
     assert pairs[("base", "dup")] <= 8
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+def test_dsir_targetlike_docs_score_higher(spark):
+    from flink_sql_security_spark.operators import dsir as DS
+    corpus = spark.createDataFrame([
+        (1, "cats purr and cats nap on warm windowsills"),
+        (2, "cats chase the red dot and purr loudly"),
+        (3, "the stock market closed lower on tuesday trading"),
+        (4, "quarterly earnings beat analyst forecasts again"),
+    ], ["doc_id", "text"])
+    target = spark.createDataFrame([
+        (10, "cats purr when cats are happy"),
+        (11, "a cat will nap and purr all day"),
+    ], ["doc_id", "text"])
+    w = {r["doc_id"]: float(r["weight"])
+         for r in DS.dsir_weights(corpus, target).collect()}
+    # per-token normalization removes the length confound
+    n = {r["doc_id"]: r["n_feats"]
+         for r in DS.dsir_weights(corpus, target).collect()}
+    per_tok = {r["doc_id"]: float(r["per_tok"])
+               for r in DS.dsir_weights(corpus, target).collect()}
+    assert min(per_tok[1], per_tok[2]) > max(per_tok[3], per_tok[4]), per_tok
+    # and selection surfaces the cat docs first
+    top = [r["doc_id"] for r in DS.dsir_select(corpus, target, 2).collect()]
+    assert set(top) == {1, 2}
+
+
+def test_dsir_duckdb_parity_and_repartition_invariance(spark):
+    import duckdb
+    from flink_sql_security_spark.operators import dsir as DS
+    rows = [(i, f"word{i % 11} word{i % 5} filler text {i % 3}")
+            for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    tgt = df.where("doc_id % 4 = 0")
+    got = sorted(map(tuple, DS.dsir_weights(df, tgt, buckets=512).collect()))
+    again = sorted(map(tuple, DS.dsir_weights(
+        df.repartition(7), tgt.repartition(3), buckets=512).collect()))
+    assert got == again  # decimal-exact: partition-layout independent
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ds_t AS SELECT range AS doc_id, "
+        "'word' || (range % 11) || ' word' || (range % 5) || "
+        "' filler text ' || (range % 3) AS text FROM range(80)")
+    want = sorted(map(tuple, con.execute(DS.dsir_weights_duckdb_sql(
+        "SELECT * FROM ds_t", "SELECT * FROM ds_t WHERE doc_id % 4 = 0",
+        buckets=512)).fetchall()))
+    assert got == want
+
+
+def test_dsir_n_feats_is_token_count(spark):
+    from flink_sql_security_spark.operators import dsir as DS
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "just  two")], ["doc_id", "text"])
+    n = {r["doc_id"]: r["n_feats"]
+         for r in DS.dsir_weights(df, df).collect()}
+    assert n == {1: 3, 2: 2}

@@ -394,3 +394,137 @@ def test_epoch_upsample_drops_nonpositive_and_is_narrow(spark):
     assert [r["doc_id"] for r in out.collect()] == [3]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+# ---------------------------------------------------------------------------
+# Bloom filter (round-4 family)
+# ---------------------------------------------------------------------------
+
+def _toks(spark, vals, name="v"):
+    return spark.createDataFrame([(v,) for v in vals], [name])
+
+
+def test_bloom_no_false_negatives_even_tiny(spark):
+    """Core guarantee: every inserted value probes positive, at ANY size —
+    here a deliberately overloaded 64-bit filter."""
+    members = [f"m{i}" for i in range(40)]
+    bits = sketch.bloom_bits(_toks(spark, members), "v", n_bits=64, k=3)
+    probed = sketch.bloom_probe(
+        bits, _toks(spark, members, "x").withColumn("id", F.col("x")),
+        "id", "x", n_bits=64, k=3)
+    assert all(r["bloom_maybe"] for r in probed.collect())
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    """FP rate on non-members tracks (1-e^{-kn/m})^k; assert within 3× of
+    theory on a 1024-bit filter with 80 members (deterministic — md5)."""
+    members = [f"m{i}" for i in range(80)]
+    others = [f"o{i}" for i in range(2000)]
+    m, k = 1024, 7
+    bits = sketch.bloom_bits(_toks(spark, members), "v", n_bits=m, k=k)
+    probed = sketch.bloom_probe(
+        bits, _toks(spark, others, "x").withColumn("id", F.col("x")),
+        "id", "x", n_bits=m, k=k)
+    fp = sum(1 for r in probed.collect() if r["bloom_maybe"])
+    theory = (1 - math.exp(-k * 80 / m)) ** k
+    assert fp / 2000 <= 3 * theory + 0.01, (fp, theory)
+
+
+def test_bloom_bits_mergeable(spark):
+    a, b = [f"a{i}" for i in range(30)], [f"b{i}" for i in range(30)]
+    whole = sketch.bloom_bits(_toks(spark, a + b), "v", 512, 5).collect()
+    merged = (sketch.bloom_bits(_toks(spark, a), "v", 512, 5)
+              .union(sketch.bloom_bits(_toks(spark, b), "v", 512, 5))
+              .distinct().collect())
+    assert sorted(r["bit"] for r in whole) == sorted(r["bit"] for r in merged)
+
+
+def test_bloom_decon_duckdb_parity(spark):
+    rows = [(i, f"doc text number {i % 7}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.createOrReplaceTempView("bl_t")
+    held = df.where("doc_id < 10")
+    got = sorted(map(tuple, sketch.bloom_decontaminate(df, held).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bl_t AS SELECT range AS doc_id, "
+                "'doc text number ' || (range % 7) AS text FROM range(60)")
+    want = sorted(map(tuple, con.execute(sketch.bloom_decontaminate_duckdb_sql(
+        "SELECT * FROM bl_t", "SELECT * FROM bl_t WHERE doc_id < 10")).fetchall()))
+    assert got == want
+    # normalized texts repeat mod 7 → docs ≥ 10 with text-class < 3 are
+    # exact members too (no false negatives), and FP column isolates the rest
+    as_dict = {r[0]: r for r in got}
+    assert as_dict[14][1] and as_dict[14][2]          # 14 % 7 = 0 < 3: member
+    assert not as_dict[13][2] or as_dict[13][1]       # never FN
+
+
+def test_bloom_probe_is_broadcast_join(spark):
+    """The probe side must never shuffle into a sort-merge join: the filter
+    state broadcasts, the only exchange is the reduce on id."""
+    df = _toks(spark, [f"v{i}" for i in range(50)], "x") \
+        .withColumn("id", F.col("x"))
+    bits = sketch.bloom_bits(df.select(F.col("x").alias("v")), "v", 512, 5)
+    plan = sketch.bloom_probe(bits, df, "id", "x", 512, 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round-4 family)
+# ---------------------------------------------------------------------------
+
+def _freq_df(spark, spec):
+    """spec: {token: count} → one row per occurrence."""
+    rows = [(t,) for t, n in spec.items() for _ in range(n)]
+    return spark.createDataFrame(rows, ["v"])
+
+
+def test_cms_exact_at_generous_width(spark):
+    spec = {"a": 50, "b": 20, "c": 7, "d": 1}
+    df = _freq_df(spark, spec)
+    counters = sketch.cms_counters(df, "v", width=4096, depth=4)
+    est = {r["v"]: r["n_est"] for r in sketch.cms_estimate(
+        counters, df.distinct(), "v", width=4096, depth=4).collect()}
+    assert est == spec  # no collisions at width >> distinct
+
+
+def test_cms_one_sided_error_at_tiny_width(spark):
+    """Collisions at width=8 must only ever OVERcount — the CMS guarantee."""
+    spec = {f"t{i}": i + 1 for i in range(30)}
+    df = _freq_df(spark, spec)
+    counters = sketch.cms_counters(df, "v", width=8, depth=3)
+    est = {r["v"]: r["n_est"] for r in sketch.cms_estimate(
+        counters, df.distinct(), "v", width=8, depth=3).collect()}
+    assert all(est[t] >= n for t, n in spec.items())
+    assert any(est[t] > n for t, n in spec.items())  # width 8 must collide
+
+
+def test_cms_counters_mergeable(spark):
+    a = _freq_df(spark, {"x": 5, "y": 3})
+    b = _freq_df(spark, {"y": 4, "z": 2})
+    whole = sketch.cms_counters(a.union(b), "v", 64, 4).collect()
+    merged = (sketch.cms_counters(a, "v", 64, 4)
+              .union(sketch.cms_counters(b, "v", 64, 4))
+              .groupBy("row_j", "pos").agg(F.sum("cnt").alias("cnt")).collect())
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
+
+
+def test_cms_token_counts_duckdb_parity(spark):
+    rows = [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(map(tuple, sketch.cms_token_counts(
+        df, min_count=10, width=128, depth=4).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cms_t AS SELECT range AS doc_id, "
+                "'alpha beta ' || repeat('gamma ', range % 3) AS text "
+                "FROM range(40)")
+    want = sorted(map(tuple, con.execute(sketch.cms_token_counts_duckdb_sql(
+        "cms_t", min_count=10, width=128, depth=4)).fetchall()))
+    assert got == want
+
+
+def test_cms_counter_build_single_exchange(spark):
+    plan = sketch.cms_counters(
+        _freq_df(spark, {"a": 3, "b": 2}), "v", 64, 4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
