@@ -62,10 +62,22 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     negative) log-ratios systematically favor SHORT documents, so
     cross-length ranking must use the per-token form.
     """
-    cw = _words(corpus, [id_col], text_col, buckets)
+    # One pass over the raw corpus text: reduce the token stream to the
+    # per-doc bucket profile (id, bucket, n) and persist it — both the
+    # corpus distribution (groupBy bucket of n) and the weight join read
+    # the profile, not the text. Σ_tokens lr == Σ_buckets n·lr exactly
+    # (lr is a DECIMAL constant per bucket), so the regroup changes the
+    # plan, not the numbers. The profile is ≤ docs × distinct-buckets-
+    # per-doc rows — orders of magnitude under the token stream; at the
+    # 100 TB tier it would be written to storage instead of persist().
+    db = (
+        _words(corpus, [id_col], text_col, buckets)
+        .groupBy(id_col, "bucket").agg(F.count("*").alias("n"))
+        .persist()
+    )
     tw = _words(target, [], text_col, buckets)
     ct = tw.groupBy("bucket").agg(F.count("*").alias("ct"))
-    cq = cw.groupBy("bucket").agg(F.count("*").alias("cq"))
+    cq = db.groupBy("bucket").agg(F.sum("n").alias("cq"))
     tt = ct.agg(F.sum("ct").alias("t_total"))
     qt = cq.agg(F.sum("cq").alias("q_total"))
     lr = (
@@ -80,10 +92,10 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
                 f"), 6) AS DECIMAL(18,6))").alias("lr"))
     )
     return (
-        cw.join(F.broadcast(lr), "bucket")
+        db.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_feats"),
-             F.expr("round(CAST(sum(lr) AS DOUBLE), 6)").alias("weight"))
+        .agg(F.sum("n").alias("n_feats"),
+             F.expr("round(CAST(sum(n * lr) AS DOUBLE), 6)").alias("weight"))
         .withColumn("per_tok", F.expr("round(weight / n_feats, 6)"))
     )
 

@@ -1,0 +1,70 @@
+"""Streaming sketch maintenance: HLL / Bloom / Count-Min over unbounded
+input with BOUNDED state.
+
+The batch builders in ``operators/sketch.py`` are pure
+select → explode → groupBy shapes, so Structured Streaming runs them as
+continuously-maintained aggregations — and unlike most streaming
+aggregations their state cannot grow without bound BY CONSTRUCTION:
+
+- HLL registers: ≤ m rows per sketched column (register-wise ``max``)
+- Bloom bits:    ≤ n_bits rows (streaming dedup on the bit position)
+- CMS counters:  ≤ depth·width rows (cellwise ``count``)
+
+That makes them the durable streaming analogue of the batch profiling
+path: a day-long ingest maintains the same constant-size sketch a batch
+scan would produce, and the committed state merges with any other shard's
+sketch by the family's merge operation (max / union / sum).
+
+Output-mode contract: registers and counters are aggregations → run the
+query in ``update`` (or ``complete`` for a memory-sink snapshot); the
+Bloom bit stream is a dedup → ``append`` works and emits each newly-set
+bit exactly once.
+
+Reference scope: the reference executes everything as changelog streams
+(``SecurityContext.java:106-108``) but has no sketching; this extends the
+streaming surface per the driver brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_sql_security_spark.operators import sketch as _b
+
+
+def hll_register_stream(stream: DataFrame, cols: list[str]) -> DataFrame:
+    """Continuously-maintained HLL registers (column, bucket, rho).
+    State ≤ m rows per column; snapshot estimates via
+    ``operators.sketch.approx_distinct_hll``'s estimator over the sink."""
+    return _b.hll_registers(stream, cols)
+
+
+def bloom_bit_stream(stream: DataFrame, col: str,
+                     n_bits: int = _b.BLOOM_BITS,
+                     k: int = _b.BLOOM_K) -> DataFrame:
+    """Append-mode stream of newly-set Bloom bits for ``stream[col]``.
+
+    The batch builder's ``.distinct()`` becomes ``dropDuplicates`` — the
+    streaming dedup operator — so each bit position is emitted the first
+    time any value sets it and suppressed forever after. The sink's
+    accumulated rows ARE the filter (same contract as ``bloom_bits``);
+    state is capped at ``n_bits`` entries with no watermark needed.
+    """
+    h1, h2 = _b._dh_cols(col, n_bits)
+    return (
+        stream.where(F.col(col).isNotNull())
+        .select(F.expr(h1).alias("_h1"), F.expr(h2).alias("_h2"))
+        .select(F.explode(F.expr(
+            f"transform(sequence(0, {k - 1}), "
+            f"i -> (_h1 + i * _h2) % {n_bits})")).alias("bit"))
+        .dropDuplicates(["bit"])
+    )
+
+
+def cms_counter_stream(stream: DataFrame, col: str,
+                       width: int = _b.CMS_WIDTH,
+                       depth: int = _b.CMS_DEPTH) -> DataFrame:
+    """Continuously-maintained CMS counters (row_j, pos, cnt).
+    State ≤ depth·width rows; point-query a snapshot with
+    ``operators.sketch.cms_estimate``."""
+    return _b.cms_counters(stream, col, width, depth)

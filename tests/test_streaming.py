@@ -464,3 +464,48 @@ def test_stream_static_dim_join(spark, demo_tables):
         assert got == want and len(got) == 6
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_streaming_sketches_match_batch_state(spark):
+    """HLL registers, Bloom bits, and CMS counters maintained over a
+    stream equal the batch sketch of the same rows — the bounded-state
+    streaming profiling path."""
+    from flink_sql_security_spark.operators import sketch as B
+    from flink_sql_security_spark.streaming import sketch as S
+
+    path = tempfile.mkdtemp(prefix="fss_stream_sketch")
+    try:
+        rows = [(i, f"tok{i % 13}") for i in range(200)]
+        batch = spark.createDataFrame(rows, ["doc_id", "v"])
+        batch.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema("doc_id long, v string").parquet(path)
+
+        q = (S.hll_register_stream(src, ["v"]).writeStream
+             .format("memory").queryName("sk_hll")
+             .outputMode("complete").start())
+        q.processAllAvailable(); q.stop()
+        got = sorted(map(tuple, spark.sql(
+            "SELECT * FROM sk_hll").collect()))
+        want = sorted(map(tuple, B.hll_registers(batch, ["v"]).collect()))
+        assert got == want
+
+        q = (S.bloom_bit_stream(src, "v", n_bits=512, k=5).writeStream
+             .format("memory").queryName("sk_bloom")
+             .outputMode("append").start())
+        q.processAllAvailable(); q.stop()
+        got = sorted(r["bit"] for r in spark.sql(
+            "SELECT * FROM sk_bloom").collect())
+        want = sorted(r["bit"] for r in B.bloom_bits(
+            batch, "v", n_bits=512, k=5).collect())
+        assert got == want
+
+        q = (S.cms_counter_stream(src, "v", width=64, depth=4).writeStream
+             .format("memory").queryName("sk_cms")
+             .outputMode("complete").start())
+        q.processAllAvailable(); q.stop()
+        got = sorted(map(tuple, spark.sql("SELECT * FROM sk_cms").collect()))
+        want = sorted(map(tuple, B.cms_counters(
+            batch, "v", width=64, depth=4).collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
