@@ -528,3 +528,24 @@ def test_cms_counter_build_single_exchange(spark):
         _freq_df(spark, {"a": 3, "b": 2}), "v", 64, 4) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_double_hash_cross_engine_on_adversarial_strings(spark):
+    """The md5 double-hash positions must agree between Spark and DuckDB
+    for ANY string — unicode, emoji, empty, whitespace-only, quotes,
+    very long — since every bloom/CMS verdict rests on it. (Both engines
+    hash the UTF-8 bytes; this pins that assumption.)"""
+    vals = ["", " ", "  \t ", "plain", "ünïcodé", "汉字文本", "🙂🙃",
+            "mixed 汉 ünïcodé 🙂", "line\nbreak", "tab\tsep",
+            "quote'squote", 'double"quote', "back\\slash",
+            "x" * 5000, "🙂" * 500, "ß", "İstanbul", " nbsp"]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    h1s, h2s = sketch._dh_cols("v", 4096)
+    got = {r["v"]: (r["h1"], r["h2"]) for r in df.selectExpr(
+        "v", f"{h1s} AS h1", f"{h2s} AS h2").collect()}
+    con = duckdb.connect()
+    h1d, h2d = sketch._dh_duckdb("v", 4096)
+    for v in vals:
+        want = con.execute(
+            f"SELECT {h1d}, {h2d} FROM (SELECT ? AS v)", [v]).fetchone()
+        assert got[v] == want, (v, got[v], want)
