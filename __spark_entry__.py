@@ -1012,6 +1012,19 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         "FROM documents, UNNEST(generate_series(0, n_chars * 10, 1000)) "
         "AS t(ts) WHERE doc_id % 3 = 2",
     )
+    # audio-clip segmenter: hop-stride windows clipped to the clip end —
+    # the audio analogue of the frame planner (metadata arithmetic only)
+    out["multimodal_audio_segments"] = (
+        with_tables(lambda s: MM.audio_segment_plan(
+            media(s), window_ms=2000, hop_ms=1000)
+            .select("media_id",
+                    F.col("seg_start_ms").cast("long").alias("seg_start_ms"),
+                    F.col("seg_end_ms").cast("long").alias("seg_end_ms"))),
+        "SELECT CAST(doc_id AS VARCHAR) AS media_id, t.ts AS seg_start_ms, "
+        "least(t.ts + 2000, n_chars * 10) AS seg_end_ms "
+        "FROM documents, UNNEST(generate_series(0, n_chars * 10, 1000)) "
+        "AS t(ts) WHERE doc_id % 3 = 1 AND t.ts < n_chars * 10",
+    )
     # benchmark-contamination check: near-dup pairs straddling splits
     out["split_contamination"] = (
         with_tables(lambda s: SM.cross_split_contamination(

@@ -205,6 +205,32 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def audio_segment_plan(df: DataFrame, window_ms: int = 2000,
+                       hop_ms: int = 1000) -> DataFrame:
+    """Planning-only audio segmenter: one row per (audio, segment) with
+    ``hop_ms`` stride and ``window_ms`` windows clipped to the clip end —
+    the audio analogue of :func:`frame_sample_plan` (a feature extractor
+    consumes (media_id, seg_start_ms, seg_end_ms) plus the payload).
+    Metadata-driven explode, fully JVM-side; payload bytes untouched.
+    """
+    return (
+        df.where(F.col("kind") == "audio")
+        .where(F.col("duration_ms").isNotNull())
+        .select(
+            "media_id", "duration_ms",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(hop_ms))
+            ).alias("seg_start_ms"),
+        )
+        .where(F.col("seg_start_ms") < F.col("duration_ms"))
+        .select(
+            "media_id", "seg_start_ms",
+            F.least(F.col("seg_start_ms") + window_ms,
+                    F.col("duration_ms")).alias("seg_end_ms"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual hashing (image near-duplicate detection)
 # ---------------------------------------------------------------------------

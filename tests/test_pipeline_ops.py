@@ -245,6 +245,8 @@ def media(spark):
             mime="image/png", width=32, height=32, duration_ms=None),
         Row(media_id="vid1", kind="video", content=b"\x00\x00video",
             mime="video/mp4", width=1920, height=1080, duration_ms=3500),
+        Row(media_id="a1", kind="audio", content=b"RIFF fake wave",
+            mime="audio/wav", width=None, height=None, duration_ms=2500),
     ]
     return spark.createDataFrame(rows, M.MEDIA_SCHEMA)
 
@@ -1007,3 +1009,15 @@ def test_dsir_n_feats_is_token_count(spark):
     n = {r["doc_id"]: r["n_feats"]
          for r in DS.dsir_weights(df, df).collect()}
     assert n == {1: 3, 2: 2}
+
+
+def test_audio_segment_plan_windows_and_clipping(media):
+    plan = {(r["media_id"], r["seg_start_ms"]): r["seg_end_ms"]
+            for r in M.audio_segment_plan(
+                media, window_ms=2000, hop_ms=1000).collect()}
+    # fixture: audio clip a1 has duration 2500ms → segments at 0/1000/2000,
+    # last clipped to the clip end; non-audio rows never appear
+    starts = sorted(s for (mid, s) in plan if mid == "a1")
+    assert starts == [0, 1000, 2000]
+    assert plan[("a1", 0)] == 2000 and plan[("a1", 2000)] == 2500
+    assert all(mid == "a1" for (mid, _) in plan)
