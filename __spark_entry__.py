@@ -1511,6 +1511,16 @@ FROM s GROUP BY user_id, session_id
         + " FROM events GROUP BY 1",
     )
 
+    # ---- FIM transform (operators/corpus.py): fill-in-the-middle
+    # training-sample rewrite, PSM format, hash-gated rate + hash-drawn
+    # split points (Bavarian et al. 2022) ----
+    from flink_sql_security_spark.operators import corpus as CP
+
+    out["fim_psm_transform"] = (
+        with_tables(lambda s: CP.fim_transform(docs(s), rate=0.5)),
+        CP.fim_transform_duckdb_sql("documents", rate=0.5),
+    )
+
     # ---- Bloom-filter decontamination (operators/sketch.py): the
     # broadcast-bit-set membership path — held-out set = src0/src1 docs;
     # verdicts carry the exact membership next to the sketch's (bounded-FP,

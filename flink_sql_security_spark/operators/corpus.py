@@ -167,3 +167,86 @@ def chunk_tokens_duckdb_sql(size: int = 128, stride: int = 96,
         f"len(string_split_regex(chunk_text, '\\s+')) AS n_tokens, "
         f"chunk_text FROM ch"
     )
+
+
+def fim_transform(df: DataFrame, rate: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  pre_tok: str = "<PRE>", suf_tok: str = "<SUF>",
+                  mid_tok: str = "<MID>", salt: str = "fim") -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, PSM format):
+    for a deterministic ``rate`` fraction of documents, pick two hash-
+    derived token split points and emit
+    ``<PRE> prefix <SUF> suffix <MID> middle``; the rest pass through.
+
+    Returns (id, fim_applied, n_prefix, n_middle, n_suffix, fim_text).
+    Everything is content-hash arithmetic — the selection, both split
+    points, and therefore the emitted string are independent of
+    partitioning and reproducible in any engine. Purely narrow per-row
+    work: tokenize once, two integer draws, three slices. No shuffle at
+    any scale.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    gate = int(round(rate * 10_000))
+
+    def h(tag: str) -> str:
+        return (f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+                f"':{salt}-{tag}')), 1, 8), 16, 10) AS BIGINT)")
+
+    toks = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.col(text_col),
+                F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_tk"),
+                (F.expr(h("gate")) % 10_000 < gate).alias("fim_applied"))
+        .withColumn("_n", F.size("_tk"))
+        # p1 ∈ [0, n]; p2 ∈ [p1, n] — prefix [1..p1], middle (p1..p2],
+        # suffix (p2..n]; empty parts are legal FIM corners
+        .withColumn("_p1", F.expr(f"{h('p1')} % (_n + 1)"))
+        .withColumn("_p2", F.expr(f"_p1 + {h('p2')} % (_n - _p1 + 1)"))
+    )
+    fim = (f"concat('{pre_tok} ', concat_ws(' ', slice(_tk, 1, _p1)), "
+           f"' {suf_tok} ', concat_ws(' ', slice(_tk, _p2 + 1, _n - _p2)), "
+           f"' {mid_tok} ', concat_ws(' ', slice(_tk, _p1 + 1, _p2 - _p1)))")
+    return toks.select(
+        F.col(id_col), "fim_applied",
+        F.expr("CASE WHEN fim_applied THEN _p1 ELSE 0 END")
+        .cast("long").alias("n_prefix"),
+        F.expr("CASE WHEN fim_applied THEN _p2 - _p1 ELSE _n END")
+        .cast("long").alias("n_middle"),
+        F.expr("CASE WHEN fim_applied THEN _n - _p2 ELSE 0 END")
+        .cast("long").alias("n_suffix"),
+        F.expr(f"CASE WHEN fim_applied THEN {fim} "
+               f"ELSE trim({text_col}) END").alias("fim_text"),
+    )
+
+
+def fim_transform_duckdb_sql(table: str = "documents", rate: float = 0.5,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             pre_tok: str = "<PRE>", suf_tok: str = "<SUF>",
+                             mid_tok: str = "<MID>",
+                             salt: str = "fim") -> str:
+    """DuckDB SQL computing the identical FIM rows (oracle emitter)."""
+    gate = int(round(rate * 10_000))
+
+    def h(tag: str) -> str:
+        return (f"CAST(concat('0x', substring(md5(concat(CAST({id_col} AS "
+                f"VARCHAR), ':{salt}-{tag}')), 1, 8)) AS BIGINT)")
+
+    fim = (f"concat('{pre_tok} ', array_to_string(_tk[1:_p1], ' '), "
+           f"' {suf_tok} ', array_to_string(_tk[_p2+1:_n], ' '), "
+           f"' {mid_tok} ', array_to_string(_tk[_p1+1:_p2], ' '))")
+    return f"""
+WITH t AS (SELECT {id_col}, trim({text_col}) AS _txt,
+                  string_split_regex(trim({text_col}), '\\s+') AS _tk,
+                  ({h('gate')} % 10000 < {gate}) AS fim_applied
+           FROM {table} WHERE trim({text_col}) <> ''),
+n AS (SELECT *, len(_tk) AS _n FROM t),
+p AS (SELECT *, {h('p1')} % (_n + 1) AS _p1 FROM n),
+q AS (SELECT *, _p1 + {h('p2')} % (_n - _p1 + 1) AS _p2 FROM p)
+SELECT {id_col}, fim_applied,
+       CAST(CASE WHEN fim_applied THEN _p1 ELSE 0 END AS BIGINT) AS n_prefix,
+       CAST(CASE WHEN fim_applied THEN _p2 - _p1 ELSE _n END AS BIGINT) AS n_middle,
+       CAST(CASE WHEN fim_applied THEN _n - _p2 ELSE 0 END AS BIGINT) AS n_suffix,
+       CASE WHEN fim_applied THEN {fim} ELSE _txt END AS fim_text
+FROM q
+"""

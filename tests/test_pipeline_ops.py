@@ -1021,3 +1021,43 @@ def test_audio_segment_plan_windows_and_clipping(media):
     assert starts == [0, 1000, 2000]
     assert plan[("a1", 0)] == 2000 and plan[("a1", 2000)] == 2500
     assert all(mid == "a1" for (mid, _) in plan)
+
+
+# ---------------------------------------------------------------------------
+# FIM transform (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+def test_fim_parts_reassemble_to_original(spark):
+    from flink_sql_security_spark.operators import corpus as C
+    df = spark.createDataFrame(
+        [(i, "t0 t1 t2 t3 t4 t5 t6 t7") for i in range(30)],
+        ["doc_id", "text"])
+    for r in C.fim_transform(df, rate=1.0).collect():
+        assert r["fim_applied"]
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == 8
+        # PSM format: <PRE> p <SUF> s <MID> m — reordering the parts back
+        # to p+m+s must reproduce the original token stream
+        body = r["fim_text"]
+        pre = body.split("<PRE>")[1].split("<SUF>")[0].split()
+        suf = body.split("<SUF>")[1].split("<MID>")[0].split()
+        mid = body.split("<MID>")[1].split()
+        assert pre + mid + suf == [f"t{i}" for i in range(8)], body
+        assert (len(pre), len(mid), len(suf)) == (
+            r["n_prefix"], r["n_middle"], r["n_suffix"])
+
+
+def test_fim_rate_zero_is_passthrough_and_deterministic(spark):
+    from flink_sql_security_spark.operators import corpus as C
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "  spaced   out  ")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in C.fim_transform(df, rate=0.0).collect()}
+    assert not rows[1]["fim_applied"]
+    assert rows[1]["fim_text"] == "alpha beta gamma"
+    assert rows[1]["n_middle"] == 3 and rows[1]["n_prefix"] == 0
+    # repartitioning changes nothing (hash-derived splits)
+    again = {r["doc_id"]: tuple(r) for r in C.fim_transform(
+        df.repartition(5), rate=0.0).collect()}
+    assert again == {k: tuple(v) for k, v in rows.items()}
+    with pytest.raises(ValueError):
+        C.fim_transform(df, rate=1.5)
