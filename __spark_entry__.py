@@ -1259,6 +1259,15 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         T.lm_score_sql(),
     )
 
+    # ---- quality-curriculum deciles: lm scores → exact rank buckets
+    # (ntile-like, tie-preserving, no global row sort — sampling.py) ----
+    out["sample_quality_curriculum"] = (
+        with_tables(lambda s: SM.rank_buckets(
+            T.lm_score(docs(s)), "avg_logprob", 10, "decile")),
+        SM.rank_buckets_duckdb_sql(T.lm_score_sql(), "avg_logprob",
+                                   10, "decile"),
+    )
+
     def cleaned(s):
         from flink_sql_security_spark.operators.corpus import clean_corpus
         return clean_corpus(docs(s))

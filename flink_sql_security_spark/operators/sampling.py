@@ -404,3 +404,59 @@ def epoch_upsample_duckdb_sql(factor_expr: str, table: str = "documents",
         f"(SELECT *, {n} AS _n FROM {table}) t, "
         f"UNNEST(range(t._n)) AS c(c) WHERE t._n > 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank buckets (exact ntile-like assignment without a global row sort)
+# ---------------------------------------------------------------------------
+
+def rank_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
+                 bucket_col: str = "bucket") -> DataFrame:
+    """Assign each row to a score-rank bucket (0 = lowest scores):
+    bucket = floor(rows_with_strictly_lower_score · K / N).
+
+    The curriculum/quality-tier primitive: deciles of an lm/quality score
+    without ever sorting the row set globally. The prefix sum runs over
+    the DISTINCT-score histogram (one map-combined exchange; the window
+    orders |distinct scores| rows, not |rows|), and the assignment joins
+    the cumulated histogram back on the score. Two deliberate semantics
+    vs SQL ntile: ties always share a bucket (no nondeterministic tie
+    splitting — equal scores are equal quality), so bucket populations
+    can deviate from N/K exactly where ties straddle a boundary. Exact
+    integer arithmetic throughout → identical on any partitioning and in
+    the DuckDB oracle. Scale note: if distinct scores themselves exceed
+    one task's window, range-repartition the histogram and apply the
+    pack_sequences two-phase prefix treatment — same integers.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    hist = (df.groupBy(score_col).agg(F.count("*").alias("_cnt")))
+    w = (Window.orderBy(score_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    total = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    cum = (hist
+           .withColumn("_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+           .withColumn("_n", F.sum("_cnt").over(total))
+           .select(score_col,
+                   F.expr(f"CAST(_before * {n_buckets} / _n AS BIGINT)")
+                   .alias(bucket_col)))
+    return df.join(F.broadcast(cum), score_col)
+
+
+def rank_buckets_duckdb_sql(rows_sql: str, score_col: str,
+                            n_buckets: int = 10,
+                            bucket_col: str = "bucket") -> str:
+    """DuckDB SQL computing identical bucket assignments (oracle)."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+hist AS (SELECT {score_col}, count(*) AS _cnt FROM rows_in GROUP BY 1),
+cum AS (SELECT {score_col},
+               coalesce(sum(_cnt) OVER (ORDER BY {score_col}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS _before,
+               sum(_cnt) OVER () AS _n
+        FROM hist)
+SELECT r.*, CAST(c._before * {n_buckets} // c._n AS BIGINT) AS {bucket_col}
+FROM rows_in r JOIN cum c USING ({score_col})
+"""

@@ -1061,3 +1061,40 @@ def test_fim_rate_zero_is_passthrough_and_deterministic(spark):
     assert again == {k: tuple(v) for k, v in rows.items()}
     with pytest.raises(ValueError):
         C.fim_transform(df, rate=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Rank buckets (operators/sampling.py::rank_buckets)
+# ---------------------------------------------------------------------------
+
+def test_rank_buckets_orders_and_keeps_ties_together(spark):
+    from flink_sql_security_spark.operators import sampling as SM
+    rows = [(i, float(s)) for i, s in enumerate(
+        [1.0, 1.0, 2.0, 3.0, 3.0, 3.0, 4.0, 5.0, 6.0, 7.0])]
+    df = spark.createDataFrame(rows, ["doc_id", "score"])
+    out = {r["doc_id"]: r["b"] for r in SM.rank_buckets(
+        df, "score", 5, "b").collect()}
+    # 10 rows / 5 buckets: bucket = floor(strictly_lower * 5 / 10)
+    assert out[0] == out[1] == 0                    # ties share
+    assert out[3] == out[4] == out[5] == 1          # 3 lower → bucket 1
+    assert out[9] == 4
+    # monotone in score
+    scores = dict(rows)
+    pairs = sorted(out, key=lambda d: scores[d])
+    assert all(out[a] <= out[b] for a, b in zip(pairs, pairs[1:]))
+
+
+def test_rank_buckets_repartition_invariant_and_broadcast(spark):
+    from flink_sql_security_spark.operators import sampling as SM
+    df = spark.createDataFrame(
+        [(i, float(i % 37)) for i in range(200)], ["doc_id", "score"])
+    a = sorted(map(tuple, SM.rank_buckets(df, "score", 10).collect()))
+    b = sorted(map(tuple, SM.rank_buckets(
+        df.repartition(13), "score", 10).collect()))
+    assert a == b
+    plan = SM.rank_buckets(df, "score", 10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the big side joins the cumulated histogram via broadcast — never SMJ
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    with pytest.raises(ValueError):
+        SM.rank_buckets(df, "score", 0)
