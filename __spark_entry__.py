@@ -1499,6 +1499,34 @@ FROM s GROUP BY user_id, session_id
             tiebreak_cols=["event_id"]),
     )
 
+    # ---- corpus snapshot diff (operators/cdc.py): version audit between
+    # documents and a deterministic mutation of it (drop %7, rewrite %11,
+    # add shifted ids for %13) — added/removed/changed/unchanged per key ----
+    def _new_version(s):
+        d = docs(s)
+        kept = d.where("doc_id % 7 != 0").select(
+            "doc_id",
+            F.expr("CASE WHEN doc_id % 11 = 0 THEN concat(text, ' rev2') "
+                   "ELSE text END").alias("text"))
+        added = d.where("doc_id % 13 = 0").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        return kept.unionByName(added)
+
+    _NEW_SQL = (
+        "SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 7 != 0 "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 13 = 0")
+
+    out["cdc_snapshot_diff"] = (
+        with_tables(lambda s: C.snapshot_diff(
+            docs(s).select("doc_id", "text"), _new_version(s),
+            ["doc_id"], "text")),
+        C.snapshot_diff_duckdb_sql(
+            "SELECT doc_id, text FROM documents", _NEW_SQL,
+            ["doc_id"], "text"),
+    )
+
     # ---- pivot: Spark's native PIVOT operator (CASE-sum oracle) ----
     _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 

@@ -61,3 +61,54 @@ def upsert_latest_duckdb_sql(table_sql: str, key_cols: list[str],
         f"SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY {order})"
         f" AS _rn FROM {table_sql} t) s WHERE _rn = 1{guard}"
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  content_col: str, normalize: bool = True) -> DataFrame:
+    """Corpus-version audit: per-key status between two snapshots —
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+
+    Change detection compares md5 of the (optionally whitespace/case-
+    normalized) content, so only the fixed-width hash rides the full
+    outer join, never the documents themselves — at 100 TB each side
+    reduces to (key, 16-byte hash) before the one key exchange (two if
+    the sides aren't co-partitioned). Output is one row per key present
+    in either snapshot, ready for `groupBy(status).count()` release
+    gating or an `anti-join` back to fetch the changed payloads.
+    """
+    def prep(df: DataFrame, name: str) -> DataFrame:
+        c = F.col(content_col)
+        if normalize:
+            c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+        return df.select(*key_cols, F.md5(c).alias(name))
+
+    o = prep(old, "_h_old")
+    n = prep(new, "_h_new")
+    return (
+        o.join(n, key_cols, "full_outer")
+        .select(
+            *key_cols,
+            F.when(F.col("_h_old").isNull(), "added")
+             .when(F.col("_h_new").isNull(), "removed")
+             .when(F.col("_h_old") != F.col("_h_new"), "changed")
+             .otherwise("unchanged").alias("status"))
+    )
+
+
+def snapshot_diff_duckdb_sql(old_sql: str, new_sql: str,
+                             key_cols: list[str], content_col: str,
+                             normalize: bool = True) -> str:
+    """DuckDB SQL computing the identical per-key statuses (oracle)."""
+    c = (f"lower(regexp_replace(trim({content_col}), '\\s+', ' ', 'g'))"
+         if normalize else content_col)
+    keys = ", ".join(key_cols)
+    return f"""
+WITH o AS (SELECT {keys}, md5({c}) AS _h_old FROM ({old_sql})),
+n AS (SELECT {keys}, md5({c}) AS _h_new FROM ({new_sql}))
+SELECT {keys},
+       CASE WHEN _h_old IS NULL THEN 'added'
+            WHEN _h_new IS NULL THEN 'removed'
+            WHEN _h_old <> _h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n USING ({keys})
+"""

@@ -549,3 +549,50 @@ def test_double_hash_cross_engine_on_adversarial_strings(spark):
         want = con.execute(
             f"SELECT {h1d}, {h2d} FROM (SELECT ? AS v)", [v]).fetchone()
         assert got[v] == want, (v, got[v], want)
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (operators/cdc.py::snapshot_diff)
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame([
+        (1, "stable content"),
+        (2, "will be rewritten"),
+        (3, "will be removed"),
+        (4, "CASE and   spacing only"),       # normalization-equal in new
+    ], ["doc_id", "text"])
+    new = spark.createDataFrame([
+        (1, "stable content"),
+        (2, "totally rewritten"),
+        (4, "case AND spacing ONLY".lower()), # same normalized content
+        (5, "brand new doc"),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r["status"] for r in cdc.snapshot_diff(
+        old, new, ["doc_id"], "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}
+    # normalize=False makes the spacing difference a real change
+    strict = {r["doc_id"]: r["status"] for r in cdc.snapshot_diff(
+        old, new, ["doc_id"], "text", normalize=False).collect()}
+    assert strict[4] == "changed"
+
+
+def test_snapshot_diff_duckdb_parity(spark):
+    old_rows = [(i, f"text number {i % 9}") for i in range(50)]
+    new_rows = [(i, f"text number {(i % 9) + (1 if i % 5 == 0 else 0)}")
+                for i in range(10, 60)]
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    got = sorted(map(tuple, cdc.snapshot_diff(
+        old, new, ["doc_id"], "text").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dold AS SELECT range AS doc_id, "
+                "'text number ' || (range % 9) AS text FROM range(50)")
+    con.execute("CREATE TABLE dnew AS SELECT range AS doc_id, "
+                "'text number ' || ((range % 9) + CASE WHEN range % 5 = 0 "
+                "THEN 1 ELSE 0 END) AS text FROM range(10, 60)")
+    want = sorted(map(tuple, con.execute(cdc.snapshot_diff_duckdb_sql(
+        "SELECT * FROM dold", "SELECT * FROM dnew",
+        ["doc_id"], "text")).fetchall()))
+    assert got == want
