@@ -1098,3 +1098,23 @@ def test_rank_buckets_repartition_invariant_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
     with pytest.raises(ValueError):
         SM.rank_buckets(df, "score", 0)
+
+
+def test_dsir_select_plans_takeordered(spark):
+    from flink_sql_security_spark.operators import dsir as DS
+    df = spark.createDataFrame(
+        [(i, f"word{i % 7} text") for i in range(50)], ["doc_id", "text"])
+    plan = DS.dsir_select(df, df.where("doc_id % 3 = 0"), 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # selection must be per-partition top-n + driver merge, never a
+    # global range-partitioned sort
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_fim_transform_is_shuffle_free(spark):
+    from flink_sql_security_spark.operators import corpus as C
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = C.fim_transform(df, rate=1.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
