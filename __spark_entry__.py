@@ -1462,6 +1462,15 @@ FROM s GROUP BY user_id, session_id
         SK.approx_distinct_hll_duckdb_sql("lineitem", _HLL_COLS),
     )
 
+    # ---- histogram quantile sketch (operators/sketch.py): the mergeable
+    # fixed-grid alternative to exact percentile — estimates from ≤256
+    # binwise-summable counters, interpolated inside the covering bin ----
+    out["sketch_hist_quantiles"] = (
+        with_tables(lambda s: SK.histogram_quantiles(
+            s.table("lineitem"), "l_extendedprice")),
+        SK.histogram_quantiles_duckdb_sql("lineitem", "l_extendedprice"),
+    )
+
     # ---- Z-order layout key (operators/zorder.py) ----
     from flink_sql_security_spark.operators import zorder as Z
 

@@ -403,3 +403,121 @@ est AS (SELECT p.token, min(coalesce(c.cnt, 0)) AS n_est
 SELECT e.token, e.n_exact, s.n_est
 FROM exact e JOIN est s USING (token)
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (deterministic, mergeable)
+# ---------------------------------------------------------------------------
+# The quantile path at >10⁹ distinct values: exact percentile holds the
+# per-column value histogram in memory (profile_quantiles), and Spark's
+# approx_percentile (t-digest) is engine-private — not oracle-checkable.
+# A fixed-grid histogram is both: bounds come from one min/max agg
+# (broadcast — the zorder pattern), counts are ONE map-combined exchange
+# of ≤ n_bins rows per column, merge is binwise sum, and the quantile
+# estimate interpolates inside the covering bin. Deterministic integer
+# arithmetic + one final division → bit-identical in DuckDB. Error is
+# bounded by the bin width (range/n_bins), the classic equi-width
+# histogram trade-off; n_bins is the state/accuracy knob.
+
+HIST_BINS = 256
+
+
+def histogram_counts(df: DataFrame, col: str,
+                     n_bins: int = HIST_BINS) -> DataFrame:
+    """(bin, cnt, lo, hi): equi-width histogram of ``col`` over its own
+    min/max range. The sketch state — merge shards with binwise sum
+    (same grid ⇔ same lo/hi; pin bounds upstream for cross-shard merges).
+    Values are DECIMAL(18,2)-normalized first (the profile_quantiles
+    rule) so the grid arithmetic is identical in every engine."""
+    v = f"CAST(CAST({col} AS DECIMAL(18,2)) AS DOUBLE)"
+    bounds = df.agg(
+        F.expr(f"min({v})").alias("lo"), F.expr(f"max({v})").alias("hi"))
+    binned = (
+        df.where(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(F.expr(
+            f"CASE WHEN hi = lo THEN 0 ELSE least(CAST(floor("
+            f"({v} - lo) * {n_bins} / (hi - lo)) AS BIGINT), {n_bins - 1}) "
+            f"END").alias("bin"), "lo", "hi")
+    )
+    return (binned.groupBy("bin", "lo", "hi")
+            .agg(F.count("*").alias("cnt")))
+
+
+def histogram_quantiles(df: DataFrame, col: str, ps: tuple = (0.25, 0.5, 0.75, 0.95),
+                        n_bins: int = HIST_BINS,
+                        with_exact: bool = False) -> DataFrame:
+    """(p, q_est[, q_exact]): quantile estimates from the histogram sketch.
+
+    For target rank r = p·N, find the first bin whose cumulative count
+    reaches r and interpolate inside it by rank fraction:
+    q = lo + (bin + (r - cum_before)/cnt) · width. The cumulative walk
+    runs over ≤ n_bins rows (driver-scale window input), never the data.
+    """
+    hist = histogram_counts(df, col, n_bins).persist()
+    from pyspark.sql import Window
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    tot = Window.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing)
+    cum = (hist
+           .withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+           .withColumn("n", F.sum("cnt").over(tot)))
+    ests = None
+    for p in ps:
+        # covering bin: first with cum_before + cnt >= ceil(p*n), min() picks it
+        e = (cum
+             .withColumn("r", F.expr(f"CAST(ceil({p} * n) AS BIGINT)"))
+             .where(F.expr("cum_before + cnt >= r"))
+             .groupBy()
+             .agg(F.min(F.struct("bin", "cum_before", "cnt", "lo", "hi", "r",
+                                 "n")).alias("s"))
+             .select(
+                 F.lit(p).alias("p"),
+                 F.expr(
+                     f"round(s.lo + (CAST(s.bin AS DOUBLE) + "
+                     f"CAST(s.r - s.cum_before AS DOUBLE) / CAST(s.cnt AS DOUBLE))"
+                     f" * (s.hi - s.lo) / {n_bins}, 6)").alias("q_est")))
+        ests = e if ests is None else ests.unionByName(e)
+    if not with_exact:
+        return ests
+    v = f"CAST(CAST({col} AS DECIMAL(18,2)) AS DOUBLE)"
+    plist = ", ".join(str(p) for p in ps)
+    exact = df.agg(F.expr(f"percentile({v}, array({plist}))").alias("_qs"))
+    ex = None
+    for i, p in enumerate(ps):
+        e = exact.select(F.lit(p).alias("p"),
+                         F.round(F.col("_qs").getItem(i), 6).alias("q_exact"))
+        ex = e if ex is None else ex.unionByName(e)
+    return ests.join(ex, "p")
+
+
+def histogram_quantiles_duckdb_sql(table: str, col: str,
+                                   ps: tuple = (0.25, 0.5, 0.75, 0.95),
+                                   n_bins: int = HIST_BINS) -> str:
+    """DuckDB SQL computing identical (p, q_est) rows (oracle emitter)."""
+    v = f"CAST(CAST({col} AS DECIMAL(18,2)) AS DOUBLE)"
+    probes = " UNION ALL ".join(
+        f"SELECT CAST({p} AS DOUBLE) AS p" for p in ps)
+    return f"""
+WITH b AS (SELECT min({v}) AS lo, max({v}) AS hi FROM {table}),
+binned AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(CAST(floor(
+             ({v} - lo) * {n_bins} / (hi - lo)) AS BIGINT), {n_bins - 1})
+           END AS bin, lo, hi
+           FROM {table}, b WHERE {col} IS NOT NULL),
+hist AS (SELECT bin, lo, hi, CAST(count(*) AS BIGINT) AS cnt
+         FROM binned GROUP BY 1, 2, 3),
+cum AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY bin
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+          sum(cnt) OVER () AS n FROM hist),
+probes AS ({probes})
+SELECT p, round(lo + (CAST(bin AS DOUBLE) +
+         CAST(r - cum_before AS DOUBLE) / CAST(cnt AS DOUBLE))
+         * (hi - lo) / {n_bins}, 6) AS q_est
+FROM (SELECT p, min(struct_pack(bin := bin, cum_before := cum_before,
+        cnt := cnt, lo := lo, hi := hi, r := r, n := n)) AS s
+      FROM (SELECT probes.p, cum.*, CAST(ceil(probes.p * cum.n) AS BIGINT) AS r
+            FROM probes, cum) q
+      WHERE cum_before + cnt >= r GROUP BY p) m,
+     LATERAL (SELECT m.s.bin AS bin, m.s.cum_before AS cum_before,
+              m.s.cnt AS cnt, m.s.lo AS lo, m.s.hi AS hi, m.s.r AS r) u
+"""

@@ -596,3 +596,48 @@ def test_snapshot_diff_duckdb_parity(spark):
         "SELECT * FROM dold", "SELECT * FROM dnew",
         ["doc_id"], "text")).fetchall()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def test_hist_quantiles_accuracy_bounded_by_bin_width(spark):
+    # uniform 0..9999: bin width = range/256 ≈ 39; estimates must sit
+    # within one bin width of the exact quantiles
+    df = spark.range(10_000).select(F.col("id").cast("double").alias("v"))
+    rows = {r["p"]: (r["q_est"], r["q_exact"]) for r in
+            sketch.histogram_quantiles(df, "v", with_exact=True).collect()}
+    width = 9999.0 / 256
+    for p, (est, exact) in rows.items():
+        assert abs(est - exact) <= width, (p, est, exact)
+
+
+def test_hist_counts_mergeable_binwise_sum(spark):
+    # same grid ⇔ same (lo, hi): every shard carries BOTH global-range
+    # sentinels, the documented precondition for cross-shard merges
+    a = spark.createDataFrame(
+        [(float(i),) for i in range(0, 500)] + [(0.0,), (1000.0,)], ["v"])
+    b = spark.createDataFrame(
+        [(float(i),) for i in range(500, 1000)] + [(0.0,), (1000.0,)], ["v"])
+    whole = sketch.histogram_counts(a.union(b), "v", 64).collect()
+    merged = (sketch.histogram_counts(a, "v", 64)
+              .union(sketch.histogram_counts(b, "v", 64))
+              .groupBy("bin", "lo", "hi").agg(F.sum("cnt").alias("cnt"))
+              .collect())
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, merged))
+
+
+def test_hist_quantiles_constant_column(spark):
+    df = spark.createDataFrame([(42.0,)] * 10, ["v"])
+    rows = sketch.histogram_quantiles(df, "v", ps=(0.5,)).collect()
+    assert len(rows) == 1 and rows[0]["q_est"] == 42.0  # hi == lo branch
+
+
+def test_hist_counts_single_exchange(spark):
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    plan = sketch.histogram_counts(df, "v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # ONE data exchange (the bin groupBy); the bounds agg is its own tiny
+    # subquery broadcast — no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in plan, plan
