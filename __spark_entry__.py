@@ -1508,6 +1508,16 @@ FROM s GROUP BY user_id, session_id
             tiebreak_cols=["event_id"]),
     )
 
+    # ---- source-overlap matrix (operators/dedup.py): which sources
+    # near-duplicate each other — curation diagnostic over the verified
+    # LSH pair table ----
+    out["dedup_source_overlap"] = (
+        with_tables(lambda s: D.source_overlap_matrix(
+            D.ngram_jaccard_pairs(docs(s), threshold=0.05),
+            docs(s))),
+        D.source_overlap_matrix_duckdb_sql(out["dedup_jaccard_pairs"][1]),
+    )
+
     # ---- corpus snapshot diff (operators/cdc.py): version audit between
     # documents and a deterministic mutation of it (drop %7, rewrite %11,
     # add shifted ids for %13) — added/removed/changed/unchanged per key ----

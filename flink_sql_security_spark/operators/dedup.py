@@ -1146,3 +1146,54 @@ def trim_duplicate_spans_duckdb_sql(table: str = "documents",
         f"st -> x[2] >= st AND x[2] < st + {n})) = 0)) AS n_removed "
         f"FROM w LEFT JOIN cov USING ({id_col})"
     )
+
+
+def source_overlap_matrix(pairs: DataFrame, docs: DataFrame,
+                          key_col: str = "source",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Curation diagnostic: which sources duplicate each other.
+
+    Near-dup pairs (id_a, id_b, jaccard) × the per-doc ``key_col`` →
+    (source_a, source_b, n_pairs, avg_jaccard), with the pair's sources
+    ordered so (A,B) and (B,A) fold into one undirected cell. Reads the
+    pair table (already LSH-pruned at scale), joins the two doc-side key
+    lookups (dimension-sized — broadcast), and one groupBy over the
+    |sources|² cells. avg_jaccard is round(Σ DECIMAL / n, 6):
+    order-independent, oracle-exact.
+    """
+    keys = docs.select(F.col(id_col), F.col(key_col))
+    ka = F.broadcast(keys.select(F.col(id_col).alias("id_a"),
+                                 F.col(key_col).alias("_ka")))
+    kb = F.broadcast(keys.select(F.col(id_col).alias("id_b"),
+                                 F.col(key_col).alias("_kb")))
+    return (
+        pairs.join(ka, "id_a").join(kb, "id_b")
+        .select(F.least("_ka", "_kb").alias("source_a"),
+                F.greatest("_ka", "_kb").alias("source_b"),
+                F.expr("CAST(round(jaccard, 6) AS DECIMAL(18,6))")
+                .alias("_j"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"),
+             F.expr("round(CAST(sum(_j) AS DOUBLE) / count(*), 6)")
+             .alias("avg_jaccard"))
+    )
+
+
+def source_overlap_matrix_duckdb_sql(pairs_sql: str,
+                                     docs_sql: str = "SELECT * FROM documents",
+                                     key_col: str = "source",
+                                     id_col: str = "doc_id") -> str:
+    """DuckDB SQL computing the identical overlap cells (oracle)."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+keys AS (SELECT {id_col}, {key_col} FROM ({docs_sql}))
+SELECT least(a.{key_col}, b.{key_col}) AS source_a,
+       greatest(a.{key_col}, b.{key_col}) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(round(p.jaccard, 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / count(*), 6) AS avg_jaccard
+FROM pairs p
+JOIN keys a ON p.id_a = a.{id_col}
+JOIN keys b ON p.id_b = b.{id_col}
+GROUP BY 1, 2
+"""

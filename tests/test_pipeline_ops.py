@@ -1118,3 +1118,21 @@ def test_fim_transform_is_shuffle_free(spark):
     plan = C.fim_transform(df, rate=1.0) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_source_overlap_matrix_folds_and_averages(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 0.5), (4, 5, 0.25)],
+        ["id_a", "id_b", "jaccard"])
+    d = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "books"), (5, "web")],
+        ["doc_id", "source"])
+    got = {(r["source_a"], r["source_b"]): (r["n_pairs"], r["avg_jaccard"])
+           for r in D.source_overlap_matrix(pairs, d).collect()}
+    # (1,3)=web×books and (4,5)=books×web fold into ONE undirected cell
+    assert got[("web", "web")] == (1, 1.0)
+    assert got[("books", "web")] == (2, 0.375)
+    assert ("web", "books") not in got
+    plan = D.source_overlap_matrix(pairs, d) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
