@@ -44,6 +44,9 @@ NLJ_OK = {
     # ≤B-row bucket tables) broadcast onto the ≤B-row log-ratio build —
     # the corpus-side profile never rides through these joins.
     "sample_dsir_weights",
+    # histogram sketch: the 1-row min/max bounds agg broadcasts onto the
+    # scan (the zorder bounds pattern) — the grid needs the range.
+    "sketch_hist_quantiles",
 }
 
 
