@@ -3,8 +3,8 @@ SecurityContext path on Spark, cross-checked value-for-value against
 DuckDB on the same parquet fixtures.
 
 The curated driver corpus pins 100+ known shapes; this suite walks a
-grammar of projections / predicates / aggregates / joins / group-bys /
-order-limits with deterministic seeds, so every run checks the same ~170
+grammar of projections / predicates / aggregates / joins (incl. 3-way
+chains) / derived-table subqueries / group-bys / order-limits with deterministic seeds, so every run checks the same ~170
 generated queries and a parity break in ANY of them fails loudly. All
 aggregates follow the repo's engine-portable arithmetic rules (DECIMAL
 sums widened to DOUBLE, BIGINT counts) — the generator is itself a test
@@ -142,6 +142,38 @@ def gen_query(rng):
         inner = f" AND {_pred(rng, t2, GEN_POOLS)}" if rng.random() < 0.5 else ""
         return (f"SELECT {', '.join(cols)} FROM {t1} WHERE {neg}EXISTS "
                 f"(SELECT 1 FROM {t2} WHERE {on}{inner})")
+    if shape < 0.27:  # derived-table FROM (exercises A6 subquery recursion)
+        t = rng.choice(TABLES)
+        inner_cols = rng.sample(INT_COLS[t] + STR_COLS[t],
+                                rng.randint(2, min(4, len(INT_COLS[t]
+                                                          + STR_COLS[t]))))
+        inner_where = (f" WHERE {_pred(rng, t, GEN_POOLS)}"
+                       if rng.random() < 0.6 else "")
+        outer_cols = rng.sample(inner_cols, rng.randint(1, len(inner_cols)))
+        outer_ints = [c for c in inner_cols if c in INT_COLS[t]]
+        outer_where = ""
+        if outer_ints and rng.random() < 0.5:
+            c = rng.choice(outer_ints)
+            lo, hi = GEN_POOLS[t][c]
+            outer_where = f" WHERE {c} >= {rng.randint(int(lo), int(hi))}"
+        return (f"SELECT {', '.join(outer_cols)} FROM "
+                f"(SELECT {', '.join(inner_cols)} FROM {t}{inner_where}) "
+                f"_dt{outer_where}")
+    if shape < 0.34:  # 3-way join chain (exercises A5 join recursion)
+        chain = rng.choice([
+            (("lineitem", "orders", "l_orderkey = o_orderkey"),
+             ("orders", "customer", "o_custkey = c_custkey")),
+            (("customer", "nation", "c_nationkey = n_nationkey"),
+             ("nation", "region", "n_regionkey = r_regionkey")),
+        ])
+        (t1, t2, on1), (_, t3, on2) = chain
+        cols = (rng.sample(INT_COLS[t1] + STR_COLS[t1], 1)
+                + rng.sample(INT_COLS[t2] + STR_COLS[t2], 1)
+                + rng.sample(INT_COLS[t3] + STR_COLS[t3], 1))
+        where = (f" WHERE {_pred(rng, t1, GEN_POOLS)}"
+                 if rng.random() < 0.6 else "")
+        return (f"SELECT {', '.join(cols)} FROM {t1} "
+                f"JOIN {t2} ON {on1} JOIN {t3} ON {on2}{where}")
     if shape < 0.4:  # inner join shape
         t1, t2, on = rng.choice(JOINS)
         cols = (rng.sample(INT_COLS[t1] + STR_COLS[t1], 2)
@@ -243,7 +275,8 @@ def test_fuzz_security_rewrite_parity(spark, engines, seed):
         while True:
             sql = gen_query(rng)
             if (sql.startswith(f"SELECT") and f"FROM {t}" in sql
-                    and " JOIN " not in sql and "EXISTS" not in sql):
+                    and " JOIN " not in sql and "EXISTS" not in sql
+                    and "FROM (" not in sql):
                 break
         policy_cond = _pred(rng, t, pools)
         ctx = SecurityContext(spark, PolicyManager())
@@ -302,7 +335,8 @@ def test_fuzz_mask_rewrite_parity(spark, engines, seed):
         while True:
             sql = gen_query(rng)
             if (sql.startswith(f"SELECT") and f"FROM {t}" in sql
-                    and " JOIN " not in sql and "EXISTS" not in sql):
+                    and " JOIN " not in sql and "EXISTS" not in sql
+                    and "FROM (" not in sql):
                 break
         col = rng.choice(STR_COLS[t])
         mtype = rng.choice(sorted(duck_mask))
@@ -321,3 +355,41 @@ def test_fuzz_mask_rewrite_parity(spark, engines, seed):
             for row in con.execute(wrapped).fetchall())
         assert got == want, (
             f"seed={seed} i={i} mask={mtype} col={col} sql={sql}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_rls_inside_derived_table(spark, engines, seed):
+    """Fuzz A6 (subquery skip): for SELECT ... FROM (SELECT ... FROM t
+    [WHERE p]) _dt, the row filter must land INSIDE the derived table.
+    The oracle injects it there manually, independent of the rewriter."""
+    from flink_sql_security_spark import (
+        PolicyManager, RowFilterPolicy, SecurityContext,
+    )
+
+    global GEN_POOLS
+    _, con, pools = engines
+    GEN_POOLS = pools
+    rng = random.Random(5000 + seed)
+    for i in range(8):
+        t = rng.choice(TABLES)
+        inner_cols = rng.sample(INT_COLS[t] + STR_COLS[t],
+                                rng.randint(2, min(4, len(INT_COLS[t]
+                                                          + STR_COLS[t]))))
+        inner_where = (f" WHERE {_pred(rng, t, pools)}"
+                       if rng.random() < 0.6 else "")
+        outer_cols = rng.sample(inner_cols, rng.randint(1, len(inner_cols)))
+        sql = (f"SELECT {', '.join(outer_cols)} FROM "
+               f"(SELECT {', '.join(inner_cols)} FROM {t}{inner_where}) _dt")
+        cond = _pred(rng, t, pools)
+        ctx = SecurityContext(spark, PolicyManager())
+        ctx.add_policy(RowFilterPolicy("fuzzer", t, cond))
+        inner = f"SELECT {', '.join(inner_cols)} FROM {t}{inner_where}"
+        oracle = (f"SELECT {', '.join(outer_cols)} FROM "
+                  f"({_inject(inner, cond)}) _dt")
+        got = sorted(
+            tuple(_norm(v) for v in row)
+            for row in ctx.sql("fuzzer", sql).collect())
+        want = sorted(
+            tuple(_norm(v) for v in row)
+            for row in con.execute(oracle).fetchall())
+        assert got == want, f"seed={seed} i={i} cond={cond} sql={sql}"
