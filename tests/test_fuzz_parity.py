@@ -393,3 +393,37 @@ def test_fuzz_rls_inside_derived_table(spark, engines, seed):
             tuple(_norm(v) for v in row)
             for row in con.execute(oracle).fetchall())
         assert got == want, f"seed={seed} i={i} cond={cond} sql={sql}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_rls_join_both_sides(spark, engines, seed):
+    """Fuzz A5 (join recursion): with policies on BOTH sides of an inner
+    join, every table's filter lands in the one top-level WHERE. The
+    oracle ANDs both conditions in manually."""
+    from flink_sql_security_spark import (
+        PolicyManager, RowFilterPolicy, SecurityContext,
+    )
+
+    global GEN_POOLS
+    _, con, pools = engines
+    GEN_POOLS = pools
+    rng = random.Random(6000 + seed)
+    for i in range(8):
+        t1, t2, on = rng.choice(JOINS)
+        cols = (rng.sample(INT_COLS[t1] + STR_COLS[t1], 2)
+                + rng.sample(INT_COLS[t2] + STR_COLS[t2], 1))
+        where = (f" WHERE {_pred(rng, t1, pools)}"
+                 if rng.random() < 0.5 else "")
+        sql = f"SELECT {', '.join(cols)} FROM {t1} JOIN {t2} ON {on}{where}"
+        c1, c2 = _pred(rng, t1, pools), _pred(rng, t2, pools)
+        ctx = SecurityContext(spark, PolicyManager())
+        ctx.add_policy(RowFilterPolicy("fuzzer", t1, c1))
+        ctx.add_policy(RowFilterPolicy("fuzzer", t2, c2))
+        oracle = _inject(_inject(sql, c2), c1)
+        got = sorted(
+            tuple(_norm(v) for v in row)
+            for row in ctx.sql("fuzzer", sql).collect())
+        want = sorted(
+            tuple(_norm(v) for v in row)
+            for row in con.execute(oracle).fetchall())
+        assert got == want, f"seed={seed} i={i} c1={c1} c2={c2} sql={sql}"
