@@ -80,7 +80,12 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
         c = F.col(content_col)
         if normalize:
             c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
-        return df.select(*key_cols, F.md5(c).alias(name))
+        # NULL content is a legal value, not a missing key: hash a typed
+        # rendering so md5(NULL)=NULL can't masquerade as an absent side
+        # (which would misreport a both-sides key as added/removed)
+        typed = F.concat(F.when(c.isNull(), F.lit("n:")).otherwise("v:"),
+                         F.coalesce(c, F.lit("")))
+        return df.select(*key_cols, F.md5(typed).alias(name))
 
     o = prep(old, "_h_old")
     n = prep(new, "_h_new")
@@ -101,10 +106,12 @@ def snapshot_diff_duckdb_sql(old_sql: str, new_sql: str,
     """DuckDB SQL computing the identical per-key statuses (oracle)."""
     c = (f"lower(regexp_replace(trim({content_col}), '\\s+', ' ', 'g'))"
          if normalize else content_col)
+    typed = (f"concat(CASE WHEN {c} IS NULL THEN 'n:' ELSE 'v:' END, "
+             f"coalesce({c}, ''))")
     keys = ", ".join(key_cols)
     return f"""
-WITH o AS (SELECT {keys}, md5({c}) AS _h_old FROM ({old_sql})),
-n AS (SELECT {keys}, md5({c}) AS _h_new FROM ({new_sql}))
+WITH o AS (SELECT {keys}, md5({typed}) AS _h_old FROM ({old_sql})),
+n AS (SELECT {keys}, md5({typed}) AS _h_new FROM ({new_sql}))
 SELECT {keys},
        CASE WHEN _h_old IS NULL THEN 'added'
             WHEN _h_new IS NULL THEN 'removed'

@@ -183,7 +183,9 @@ def fim_transform(df: DataFrame, rate: float = 0.5,
     points, and therefore the emitted string are independent of
     partitioning and reproducible in any engine. Purely narrow per-row
     work: tokenize once, two integer draws, three slices. No shuffle at
-    any scale.
+    any scale. EVERY input row comes back out: empty/NULL documents are
+    never FIM-selected and pass through with counts 0 (a transform must
+    not change the corpus row count as a side effect).
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
@@ -193,12 +195,14 @@ def fim_transform(df: DataFrame, rate: float = 0.5,
         return (f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
                 f"':{salt}-{tag}')), 1, 8), 16, 10) AS BIGINT)")
 
+    txt = f"trim(coalesce({text_col}, ''))"
     toks = (
-        df.where(F.trim(F.col(text_col)) != "")
-        .select(F.col(id_col), F.col(text_col),
-                F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_tk"),
-                (F.expr(h("gate")) % 10_000 < gate).alias("fim_applied"))
-        .withColumn("_n", F.size("_tk"))
+        df.select(F.col(id_col), F.expr(txt).alias("_txt"),
+                  F.expr(f"split({txt}, '\\\\s+')").alias("_tk"),
+                  (F.expr(h("gate")) % 10_000 < gate).alias("_gate"))
+        .withColumn("_n", F.expr("CASE WHEN _txt = '' THEN 0 "
+                                 "ELSE size(_tk) END"))
+        .withColumn("fim_applied", F.expr("_gate AND _n > 0"))
         # p1 ∈ [0, n]; p2 ∈ [p1, n] — prefix [1..p1], middle (p1..p2],
         # suffix (p2..n]; empty parts are legal FIM corners
         .withColumn("_p1", F.expr(f"{h('p1')} % (_n + 1)"))
@@ -216,7 +220,7 @@ def fim_transform(df: DataFrame, rate: float = 0.5,
         F.expr("CASE WHEN fim_applied THEN _n - _p2 ELSE 0 END")
         .cast("long").alias("n_suffix"),
         F.expr(f"CASE WHEN fim_applied THEN {fim} "
-               f"ELSE trim({text_col}) END").alias("fim_text"),
+               f"ELSE _txt END").alias("fim_text"),
     )
 
 
@@ -235,12 +239,15 @@ def fim_transform_duckdb_sql(table: str = "documents", rate: float = 0.5,
     fim = (f"concat('{pre_tok} ', array_to_string(_tk[1:_p1], ' '), "
            f"' {suf_tok} ', array_to_string(_tk[_p2+1:_n], ' '), "
            f"' {mid_tok} ', array_to_string(_tk[_p1+1:_p2], ' '))")
+    txt = f"trim(coalesce({text_col}, ''))"
     return f"""
-WITH t AS (SELECT {id_col}, trim({text_col}) AS _txt,
-                  string_split_regex(trim({text_col}), '\\s+') AS _tk,
-                  ({h('gate')} % 10000 < {gate}) AS fim_applied
-           FROM {table} WHERE trim({text_col}) <> ''),
-n AS (SELECT *, len(_tk) AS _n FROM t),
+WITH t AS (SELECT {id_col}, {txt} AS _txt,
+                  string_split_regex({txt}, '\\s+') AS _tk,
+                  ({h('gate')} % 10000 < {gate}) AS _gate
+           FROM {table}),
+n AS (SELECT *, CASE WHEN _txt = '' THEN 0 ELSE len(_tk) END AS _n,
+             (_gate AND CASE WHEN _txt = '' THEN 0 ELSE len(_tk) END > 0)
+             AS fim_applied FROM t),
 p AS (SELECT *, {h('p1')} % (_n + 1) AS _p1 FROM n),
 q AS (SELECT *, _p1 + {h('p2')} % (_n - _p1 + 1) AS _p2 FROM p)
 SELECT {id_col}, fim_applied,

@@ -27,7 +27,8 @@ __all__ = ["hash_split", "hash_split_duckdb_sql",
            "shard_shuffle", "shard_shuffle_duckdb_sql",
            "token_budget_sample", "token_budget_sample_duckdb_sql",
            "weighted_sample", "weighted_sample_duckdb_sql",
-           "epoch_upsample", "epoch_upsample_duckdb_sql"]
+           "epoch_upsample", "epoch_upsample_duckdb_sql",
+           "rank_buckets", "rank_buckets_duckdb_sql"]
 
 # 32-bit hash prefix folded into 10k buckets: plenty of resolution for
 # split fractions expressed in 0.01% steps, and exact integer arithmetic
@@ -422,10 +423,12 @@ def rank_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
     the cumulated histogram back on the score. Two deliberate semantics
     vs SQL ntile: ties always share a bucket (no nondeterministic tie
     splitting — equal scores are equal quality), so bucket populations
-    can deviate from N/K exactly where ties straddle a boundary. Exact
-    integer arithmetic throughout → identical on any partitioning and in
-    the DuckDB oracle. Scale note: if distinct scores themselves exceed
-    one task's window, range-repartition the histogram and apply the
+    can deviate from N/K exactly where ties straddle a boundary. Rows
+    with a NULL score are excluded (unrankable — filter upstream if they
+    should count). Exact integer arithmetic throughout (``div``, not
+    float division) → identical on any partitioning and in the DuckDB
+    oracle. Scale note: if distinct scores themselves exceed one task's
+    window, range-repartition the histogram and apply the
     pack_sequences two-phase prefix treatment — same integers.
     """
     if n_buckets < 1:
@@ -434,7 +437,7 @@ def rank_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
     # lazy persist() evaluates it once (the repo's super-stage rule —
     # without it a scored input like lm_score runs twice: measured 3.1s
     # → 2.2s for the curriculum query at sf0.1)
-    df = df.persist()
+    df = df.where(F.col(score_col).isNotNull()).persist()
     hist = (df.groupBy(score_col).agg(F.count("*").alias("_cnt")))
     w = (Window.orderBy(score_col)
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -444,7 +447,7 @@ def rank_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
            .withColumn("_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
            .withColumn("_n", F.sum("_cnt").over(total))
            .select(score_col,
-                   F.expr(f"CAST(_before * {n_buckets} / _n AS BIGINT)")
+                   F.expr(f"(_before * {n_buckets}) div _n")
                    .alias(bucket_col)))
     return df.join(F.broadcast(cum), score_col)
 
@@ -454,7 +457,8 @@ def rank_buckets_duckdb_sql(rows_sql: str, score_col: str,
                             bucket_col: str = "bucket") -> str:
     """DuckDB SQL computing identical bucket assignments (oracle)."""
     return f"""
-WITH rows_in AS ({rows_sql}),
+WITH rows_in AS (SELECT * FROM ({rows_sql})
+                 WHERE {score_col} IS NOT NULL),
 hist AS (SELECT {score_col}, count(*) AS _cnt FROM rows_in GROUP BY 1),
 cum AS (SELECT {score_col},
                coalesce(sum(_cnt) OVER (ORDER BY {score_col}

@@ -219,10 +219,12 @@ def bloom_probe(bits: DataFrame, df: DataFrame, id_col: str, col: str,
 
     Scale shape: the k positions explode narrowly, the bit set rides a
     broadcast hash join (no shuffle of the 100 TB probe side's keys —
-    only the k·rows position stream reduces back on ``id_col``), and a
-    row is a member iff all k positions matched. Coinciding positions
-    (i*h2 collisions) stay correct: each exploded row matches or not
-    independently, and all k must match.
+    only the k·rows position stream reduces back on ``id_col``), and an
+    id is a member iff EVERY position row it produced matched
+    (``min`` over the hit flags — NOT ``count == k``, which would turn a
+    duplicated id into a false negative: 2k matched rows ≠ k). Duplicate
+    ids therefore AND their verdicts; coinciding positions (i*h2
+    collisions) stay correct, each exploded row matches independently.
     """
     h1, h2 = _dh_cols(col, n_bits)
     pos = (
@@ -236,7 +238,7 @@ def bloom_probe(bits: DataFrame, df: DataFrame, id_col: str, col: str,
     return (
         pos.join(hit, "bit", "left")
         .groupBy(id_col)
-        .agg((F.count("_hit") == F.lit(k)).alias("bloom_maybe"))
+        .agg(F.min(F.col("_hit").isNotNull()).alias("bloom_maybe"))
     )
 
 
@@ -250,6 +252,8 @@ def bloom_decontaminate(corpus: DataFrame, held_out: DataFrame,
     Bloom error; ``bloom_maybe AND NOT false_positive`` is exact. At scale
     the exact column is dropped and ``bloom_maybe`` alone gates ingest
     (no-false-negative guarantee: nothing contaminated slips through).
+    NULL-text corpus rows are kept (not a member of anything): every
+    corpus row gets a verdict, per the contract.
     """
     norm = "lower(regexp_replace(trim({c}), '\\\\s+', ' '))"
     c = corpus.select(
@@ -257,17 +261,19 @@ def bloom_decontaminate(corpus: DataFrame, held_out: DataFrame,
     h = held_out.select(
         F.expr(norm.format(c=text_col)).alias("_norm")).distinct()
     bits = bloom_bits(h, "_norm", n_bits, k)
-    probed = bloom_probe(bits, c, id_col, "_norm", n_bits, k)
+    probed = bloom_probe(bits, c.where(F.col("_norm").isNotNull()),
+                         id_col, "_norm", n_bits, k)
     exact = (
         c.join(h.withColumn("_ex", F.lit(1)), "_norm", "left")
         .select(id_col, (F.col("_ex") == 1).alias("_exact"))
     )
     return (
-        probed.join(exact, id_col)
+        exact.join(probed, id_col, "left")
         .select(
-            id_col, "bloom_maybe",
+            id_col,
+            F.coalesce("bloom_maybe", F.lit(False)).alias("bloom_maybe"),
             F.coalesce("_exact", F.lit(False)).alias("exact_member"),
-            (F.col("bloom_maybe")
+            (F.coalesce("bloom_maybe", F.lit(False))
              & ~F.coalesce("_exact", F.lit(False))).alias("false_positive"))
     )
 
@@ -283,21 +289,24 @@ def bloom_decontaminate_duckdb_sql(corpus_sql: str, held_sql: str,
     return f"""
 WITH corpus AS (SELECT {id_col}, {norm} AS _norm FROM ({corpus_sql})),
 held AS (SELECT DISTINCT {norm} AS _norm FROM ({held_sql})),
-hh AS (SELECT {h1} AS _h1, {h2} AS _h2 FROM held),
+hh AS (SELECT {h1} AS _h1, {h2} AS _h2 FROM held
+       WHERE _norm IS NOT NULL),
 bits AS (SELECT DISTINCT (_h1 + i * _h2) % {n_bits} AS bit
          FROM hh, range({k}) t(i)),
-ch AS (SELECT {id_col}, _norm, {h1} AS _h1, {h2} AS _h2 FROM corpus),
+ch AS (SELECT {id_col}, _norm, {h1} AS _h1, {h2} AS _h2 FROM corpus
+       WHERE _norm IS NOT NULL),
 pos AS (SELECT {id_col}, (_h1 + i * _h2) % {n_bits} AS bit
         FROM ch, range({k}) t(i)),
 probed AS (SELECT p.{id_col},
-                  count(b.bit) = {k} AS bloom_maybe
+                  bool_and(b.bit IS NOT NULL) AS bloom_maybe
            FROM pos p LEFT JOIN bits b USING (bit) GROUP BY 1),
 exact AS (SELECT c.{id_col}, h._norm IS NOT NULL AS _exact
           FROM corpus c LEFT JOIN held h USING (_norm))
-SELECT p.{id_col}, p.bloom_maybe,
+SELECT e.{id_col}, coalesce(p.bloom_maybe, FALSE) AS bloom_maybe,
        coalesce(e._exact, FALSE) AS exact_member,
-       p.bloom_maybe AND NOT coalesce(e._exact, FALSE) AS false_positive
-FROM probed p JOIN exact e USING ({id_col})
+       coalesce(p.bloom_maybe, FALSE)
+         AND NOT coalesce(e._exact, FALSE) AS false_positive
+FROM exact e LEFT JOIN probed p USING ({id_col})
 """
 
 
@@ -367,8 +376,11 @@ def cms_token_counts(df: DataFrame, text_col: str = "text",
     candidate list (the exact branch IS the shuffle the sketch avoids).
     Guarantee surfaced: n_est ≥ n_exact always.
     """
+    # both the counters and the exact branch read the token stream —
+    # lazy persist() runs the tokenize/explode once (the super-stage rule)
     words = df.select(F.explode(F.expr(
-        f"split(lower(trim({text_col})), '\\\\s+')")).alias("token"))
+        f"split(lower(trim({text_col})), '\\\\s+')")).alias("token")) \
+        .persist()
     counters = cms_counters(words, "token", width, depth)
     exact = (
         words.groupBy("token").agg(F.count("*").alias("n_exact"))

@@ -27,7 +27,7 @@ streaming surface per the driver brief.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from flink_sql_security_spark.operators import sketch as _b
 
@@ -44,21 +44,15 @@ def bloom_bit_stream(stream: DataFrame, col: str,
                      k: int = _b.BLOOM_K) -> DataFrame:
     """Append-mode stream of newly-set Bloom bits for ``stream[col]``.
 
-    The batch builder's ``.distinct()`` becomes ``dropDuplicates`` — the
-    streaming dedup operator — so each bit position is emitted the first
-    time any value sets it and suppressed forever after. The sink's
-    accumulated rows ARE the filter (same contract as ``bloom_bits``);
-    state is capped at ``n_bits`` entries with no watermark needed.
+    The batch builder delegates directly: its ``.distinct()`` IS the
+    streaming dedup operator on an unbounded input, so each bit position
+    is emitted the first time any value sets it and suppressed forever
+    after. The sink's accumulated rows ARE the filter (same contract —
+    and the same code path — as ``bloom_bits``, so the position
+    arithmetic can never desynchronize from the batch filter); state is
+    capped at ``n_bits`` entries with no watermark needed.
     """
-    h1, h2 = _b._dh_cols(col, n_bits)
-    return (
-        stream.where(F.col(col).isNotNull())
-        .select(F.expr(h1).alias("_h1"), F.expr(h2).alias("_h2"))
-        .select(F.explode(F.expr(
-            f"transform(sequence(0, {k - 1}), "
-            f"i -> (_h1 + i * _h2) % {n_bits})")).alias("bit"))
-        .dropDuplicates(["bit"])
-    )
+    return _b.bloom_bits(stream, col, n_bits, k)
 
 
 def cms_counter_stream(stream: DataFrame, col: str,

@@ -1136,3 +1136,45 @@ def test_source_overlap_matrix_folds_and_averages(spark):
     plan = D.source_overlap_matrix(pairs, d) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_rank_buckets_null_scores_excluded(spark):
+    from flink_sql_security_spark.operators import sampling as SM
+    import duckdb
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 2.0), (4, None), (5, 3.0)],
+        "doc_id long, score double")
+    got = sorted((r["doc_id"], r["score"], r["bucket"])
+                 for r in SM.rank_buckets(df, "score", 3).collect())
+    # NULL-score rows are excluded from ranking AND from the denominator
+    assert got == [(1, 1.0, 0), (3, 2.0, 1), (5, 3.0, 2)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE rb_t(doc_id BIGINT, score DOUBLE)")
+    con.execute("INSERT INTO rb_t VALUES (1,1.0),(2,NULL),(3,2.0),"
+                "(4,NULL),(5,3.0)")
+    want = sorted(map(tuple, con.execute(
+        "SELECT doc_id, score, bucket FROM (" + SM.rank_buckets_duckdb_sql(
+            "SELECT * FROM rb_t", "score", 3) + ")").fetchall()))
+    assert got == want
+
+
+def test_fim_empty_and_null_docs_pass_through(spark):
+    import duckdb
+    from flink_sql_security_spark.operators import corpus as C
+    df = spark.createDataFrame(
+        [(1, "real tokens here"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.fim_transform(df, rate=1.0).collect()}
+    assert set(got) == {1, 2, 3, 4}         # no rows dropped
+    assert got[1]["fim_applied"]
+    for d in (2, 3, 4):
+        assert not got[d]["fim_applied"]
+        assert got[d]["fim_text"] == ""
+        assert got[d]["n_middle"] == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fim_t(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO fim_t VALUES (1,'real tokens here'),(2,''),"
+                "(3,NULL),(4,'   ')")
+    want = sorted(map(tuple, con.execute(
+        C.fim_transform_duckdb_sql("fim_t", rate=1.0)).fetchall()))
+    assert sorted(tuple(r) for r in got.values()) == want

@@ -641,3 +641,54 @@ def test_hist_counts_single_exchange(spark):
     # ONE data exchange (the bin groupBy); the bounds agg is its own tiny
     # subquery broadcast — no SortMergeJoin anywhere
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bloom_probe_duplicate_ids_no_false_negative(spark):
+    """count==k would turn a duplicated probe id into a false negative;
+    the min-over-hits form must keep members positive."""
+    members = [f"m{i}" for i in range(20)]
+    bits = sketch.bloom_bits(_toks(spark, members), "v", 512, 5)
+    dup = spark.createDataFrame(
+        [("d", "m3"), ("d", "m3"), ("e", "m4")], ["id", "x"])
+    got = {r["id"]: r["bloom_maybe"] for r in sketch.bloom_probe(
+        bits, dup, "id", "x", 512, 5).collect()}
+    assert got == {"d": True, "e": True}
+    # a duplicated NON-member id stays negative
+    dup2 = spark.createDataFrame(
+        [("f", "nope"), ("f", "nope")], ["id", "x"])
+    got2 = {r["id"]: r["bloom_maybe"] for r in sketch.bloom_probe(
+        bits, dup2, "id", "x", 512, 5).collect()}
+    assert got2["f"] in (False,) or got2["f"] is False or not got2["f"]
+
+
+def test_bloom_decon_null_text_rows_kept(spark):
+    df = spark.createDataFrame(
+        [(1, "member text"), (2, None), (3, "other text")],
+        "doc_id long, text string")
+    held = df.where("doc_id = 1")
+    got = {r["doc_id"]: tuple(r)[1:] for r in
+           sketch.bloom_decontaminate(df, held).collect()}
+    assert set(got) == {1, 2, 3}            # every corpus row verdicted
+    assert got[1] == (True, True, False)
+    assert got[2] == (False, False, False)  # NULL text: not a member
+    # and the oracle agrees row-for-row
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bn_t(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO bn_t VALUES (1,'member text'),(2,NULL),"
+                "(3,'other text')")
+    want = sorted(map(tuple, con.execute(sketch.bloom_decontaminate_duckdb_sql(
+        "SELECT * FROM bn_t", "SELECT * FROM bn_t WHERE doc_id = 1")).fetchall()))
+    spark_rows = sorted((k,) + v for k, v in got.items())
+    assert spark_rows == want
+
+
+def test_snapshot_diff_null_content_is_a_value(spark):
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, None)], "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in cdc.snapshot_diff(
+        old, new, ["doc_id"], "text").collect()}
+    # NULL==NULL content: unchanged; NULL vs 'x': changed; one-sided
+    # presence stays added/removed regardless of NULL content
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
