@@ -83,11 +83,22 @@ def main() -> None:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()  # forces full execution; result sizes stay driver-safe
-        dt = min(time.perf_counter() - t0, first_pass[name])
+        p2 = time.perf_counter() - t0
+        dt = min(p2, first_pass[name])
+        _release_cached(spark)
+        # adaptive third pass: when a HEAVY query's two timings disagree
+        # badly, one of them caught a GC/JIT pause — a single retry
+        # recovers the steady cost (measured: the same query flips
+        # 2.4s↔8.7s across passes while min-of-3 standalone sits at
+        # 2.4s). Bounded: only heavies, only on disagreement.
+        if dt > 1.0 and max(p2, first_pass[name]) > 1.4 * dt:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = min(dt, time.perf_counter() - t0)
+            _release_cached(spark)
         per_query[name] = round(dt, 4)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
-        _release_cached(spark)
 
     # approximate-search quality at this SF: recall of the LSH / IVF paths
     # vs the exact brute-force answer (speed without recall is meaningless)
