@@ -427,3 +427,53 @@ def test_fuzz_rls_join_both_sides(spark, engines, seed):
             tuple(_norm(v) for v in row)
             for row in con.execute(oracle).fetchall())
         assert got == want, f"seed={seed} i={i} c1={c1} c2={c2} sql={sql}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_mask_inside_derived_table(spark, engines, seed):
+    """Fuzz the MASK rewriter through a derived table: the masked-subquery
+    wrap must land on the base-table ref INSIDE the derived table. The
+    oracle substitutes the wrap there manually."""
+    from flink_sql_security_spark import (
+        DataMaskPolicy, PolicyManager, SecurityContext,
+    )
+    from flink_sql_security_spark.functions import masks as MK
+
+    duck_mask = {
+        "MASK": lambda c: MK.duckdb_mask_sql(c),
+        "MASK_SHOW_FIRST_4": lambda c: MK.duckdb_mask_show_first_n_sql(c),
+        "MASK_HASH": lambda c: MK.duckdb_mask_hash_sql(c),
+        "MASK_NULL": lambda c: "CAST(NULL AS VARCHAR)",
+    }
+
+    global GEN_POOLS
+    _, con, pools = engines
+    GEN_POOLS = pools
+    rng = random.Random(8000 + seed)
+    for i in range(8):
+        t = rng.choice(TABLES)
+        inner_cols = rng.sample(INT_COLS[t] + STR_COLS[t],
+                                rng.randint(2, min(4, len(INT_COLS[t]
+                                                          + STR_COLS[t]))))
+        inner_where = (f" WHERE {_pred(rng, t, pools)}"
+                       if rng.random() < 0.6 else "")
+        outer_cols = rng.sample(inner_cols, rng.randint(1, len(inner_cols)))
+        sql = (f"SELECT {', '.join(outer_cols)} FROM "
+               f"(SELECT {', '.join(inner_cols)} FROM {t}{inner_where}) _dt")
+        col = rng.choice(STR_COLS[t])
+        mtype = rng.choice(sorted(duck_mask))
+        ctx = SecurityContext(spark, PolicyManager())
+        ctx.add_policy(DataMaskPolicy("fuzzer", t, col, mtype))
+        wrap = ", ".join(
+            f"{duck_mask[mtype](c)} AS {c}" if c == col else c
+            for c in FULL_COLS[t])
+        oracle = sql.replace(f"FROM {t}",
+                             f"FROM (SELECT {wrap} FROM {t}) {t}", 1)
+        got = sorted(
+            tuple(_norm(v) for v in row)
+            for row in ctx.sql("fuzzer", sql).collect())
+        want = sorted(
+            tuple(_norm(v) for v in row)
+            for row in con.execute(oracle).fetchall())
+        assert got == want, (
+            f"seed={seed} i={i} mask={mtype} col={col} sql={sql}")
