@@ -1158,9 +1158,12 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     # codebook + fixed-op-order affine codes — engine-identical ints
     from flink_sql_security_spark.operators import quantize as QZ
 
+    # stringify_codes=True: the driver's pandas canonicalizer sorts columns
+    # with sort_values, which raises on list-valued cells — CSV-joined codes
+    # are hash-identical information and sortable on both engines.
     out["emb_quantize_int8"] = (
-        with_tables(lambda s: QZ.quantize_int8(emb(s))),
-        QZ.quantize_int8_duckdb_sql(_emb_path),
+        with_tables(lambda s: QZ.quantize_int8(emb(s), stringify_codes=True)),
+        QZ.quantize_int8_duckdb_sql(_emb_path, stringify_codes=True),
     )
     # concat-then-chunk sequence packing (operators/packing.py): two-phase
     # integer prefix sum — no single-partition window anywhere

@@ -84,25 +84,32 @@ def _err_expr(xd: str, codes: str, mn_lit: str, rng_lit: str, d: int,
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",
                   id_col: str = "vec_id", round_to: int = 6,
-                  stats: tuple[list[float], list[float]] | None = None
-                  ) -> DataFrame:
+                  stats: tuple[list[float], list[float]] | None = None,
+                  stringify_codes: bool = False) -> DataFrame:
     """(id, codes array<int>, err double): int8 codes + max abs recon error.
 
     ``stats`` lets a caller reuse a precomputed codebook (e.g. quantizing
-    a new batch against the corpus codebook).
+    a new batch against the corpus codebook). ``stringify_codes`` emits the
+    codes as a ``','``-joined string instead of ``array<int>`` — used by
+    harnesses whose canonicalizers can't sort list-valued columns (pandas
+    ``sort_values`` raises on lists); d >= 1 so the CSV form is never the
+    ambiguous empty-array case.
     """
     mn, mx = stats if stats is not None else dim_stats(df, vec_col)
     rng = [b - a for a, b in zip(mn, mx)]
     d = len(mn)
     mn_lit = _lit_array(mn, "spark")
     rng_lit = _lit_array(rng, "spark")
+    codes_out = (
+        F.expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')")
+        if stringify_codes else F.col("codes"))
     return (
         df.withColumn("_xd", F.expr(
             f"transform({vec_col}, v -> CAST(v AS DOUBLE))"))
         .withColumn("codes", F.expr(
             _codes_expr("_xd", mn_lit, rng_lit, d, "spark")))
         .select(
-            F.col(id_col), F.col("codes"),
+            F.col(id_col), codes_out.alias("codes"),
             F.round(F.expr(_err_expr(
                 "_xd", "codes", mn_lit, rng_lit, d, "spark")),
                 round_to).alias("err"),
@@ -111,8 +118,8 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
 
 
 def quantize_int8_duckdb_sql(parquet_path: str, vec_col: str = "embedding",
-                             id_col: str = "vec_id",
-                             round_to: int = 6) -> str:
+                             id_col: str = "vec_id", round_to: int = 6,
+                             stringify_codes: bool = False) -> str:
     """Oracle: derives the identical codebook from the parquet (min/max are
     exact), embeds it as literals, recomputes codes + error in the same op
     order with list functions."""
@@ -135,10 +142,13 @@ def quantize_int8_duckdb_sql(parquet_path: str, vec_col: str = "embedding",
     rng_lit = _lit_array(rng, "duckdb")
     codes = _codes_expr("xd", mn_lit, rng_lit, d, "duckdb")
     err = _err_expr("xd", "codes", mn_lit, rng_lit, d, "duckdb")
+    codes_out = ("array_to_string(codes, ',')" if stringify_codes
+                 else "codes")
     return (
         f"WITH x AS (SELECT {id_col}, "
         f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
         "FROM embeddings), "
         f"c AS (SELECT {id_col}, xd, {codes} AS codes FROM x) "
-        f"SELECT {id_col}, codes, round({err}, {round_to}) AS err FROM c"
+        f"SELECT {id_col}, {codes_out} AS codes, "
+        f"round({err}, {round_to}) AS err FROM c"
     )
