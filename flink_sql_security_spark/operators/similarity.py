@@ -106,24 +106,67 @@ def _round_half_up(x: float, nd: int = 6) -> float:
         q, rounding=decimal.ROUND_HALF_UP))
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the optimized plan, in bytes.
+
+    Free — reads the optimizer's statistics, triggers no job. Returns
+    None when the estimate is unavailable (e.g. Spark Connect, where
+    ``_jdf`` does not exist); callers must treat None as "large" and
+    take the scale-safe path.
+    """
+    try:
+        return int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
+def _auto_broadcast(df: DataFrame, flag: bool | None,
+                    limit_bytes: int) -> bool:
+    """Resolve a ``broadcast: bool | None`` strategy flag.
+
+    None = auto: broadcast only when the optimizer PROVES the corpus small
+    (size estimate under ``limit_bytes``). Unknown size → scale-safe
+    (non-broadcast) path — at 100 TB a driver collect must be opt-in,
+    never the failure mode of a missing statistic.
+    """
+    if flag is not None:
+        return flag
+    size = _plan_size_bytes(df)
+    return size is not None and size <= limit_bytes
+
+
 def cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id", threshold: float = 0.4,
-                 round_to: int = 6, prefilter: bool = True) -> DataFrame:
+                 round_to: int = 6, prefilter: bool = True,
+                 broadcast_corpus: bool | None = None,
+                 broadcast_limit_bytes: int = 256 << 20,
+                 n_blocks: int = 32) -> DataFrame:
     """All pairs with cosine ≥ threshold (brute force, id_a < id_b).
 
-    Two physical strategies for the same logical result:
+    Three physical strategies for the same logical result (per-pair
+    arithmetic — exact sequential-fold dot + HALF_UP rounding — is
+    identical in all of them, pinned by the parity tests):
 
-    - ``prefilter=True`` (default): blocked-BLAS candidate generation. One
-      side is broadcast as an n×d numpy matrix; ``mapInPandas`` tasks each
-      take a chunk of rows and do a chunk×n matmul (vectorized, ~GFLOP/s)
-      keeping only pairs within ``margin`` of the threshold. Survivors —
-      typically a tiny fraction of n²/2 — are re-scored in-task with the
-      exact sequential fold + HALF_UP rounding (see the module helpers),
-      so output values are bit-identical to the naive path (and to the
-      DuckDB oracle) with ZERO post-join re-scoring. The n² work
-      distributes across executors; the broadcast bounds n to what fits
-      in executor memory (~10⁶·d doubles) — beyond that, use
-      `ann_candidate_pairs`, the documented scale path.
+    - ``prefilter=True, broadcast_corpus=True``: blocked-BLAS candidate
+      generation against a DRIVER-COLLECTED corpus matrix. ``mapInPandas``
+      tasks each take a chunk of rows and do a chunk×n matmul (vectorized,
+      ~GFLOP/s) keeping only pairs within ``margin`` of the threshold;
+      survivors are re-scored in-task with the exact sequential fold. The
+      fastest shape when the n×d matrix fits the driver/executors.
+    - ``prefilter=True, broadcast_corpus=False``: distributed block-pair
+      BLAS — no driver collect anywhere. Rows are hashed into ``n_blocks``
+      blocks, each row is replicated to the ``n_blocks`` unordered block
+      pairs containing its block, and one ``applyInPandas`` per block pair
+      does the same matmul + exact rescore on its two sub-matrices. Every
+      pair of rows meets in exactly one group, so output is identical.
+      Shuffle volume is n·n_blocks vector copies (tunable); group memory
+      is ~2(n/n_blocks)·d doubles. This is the 100 TB-safe brute-force
+      shape — though past ~10⁶ vectors `ann_candidate_pairs` (sub-
+      quadratic) is the better tool.
+    - ``broadcast_corpus=None`` (default): auto — broadcast only when the
+      optimizer's size estimate proves the corpus under
+      ``broadcast_limit_bytes``; unknown or large → block-pair path.
     - ``prefilter=False``: pure crossJoin + interpreted higher-order
       functions. Spark's HOFs are not codegen'd, so this is ~100× slower
       per pair; kept as the reference semantics / fallback.
@@ -147,6 +190,9 @@ def cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     # threshold still rounds up to it); exact re-score decides the rest
     margin = 0.5 * 10.0 ** (-round_to) + 1e-9
     raw = df.select(id_col, vec_col)
+    if not _auto_broadcast(raw, broadcast_corpus, broadcast_limit_bytes):
+        return _blocked_cosine_pairs(raw, vec_col, id_col, threshold,
+                                     round_to, margin, n_blocks)
     pdf = raw.toPandas()
     ids_all = pdf[id_col].to_numpy()
     U = _exact_unit_matrix(pdf[vec_col].tolist())
@@ -177,6 +223,77 @@ def cosine_pairs(df: DataFrame, vec_col: str = "embedding",
             })
 
     return raw.mapInPandas(gen, "id_a long, id_b long, cosine double")
+
+
+def _blocked_cosine_pairs(raw: DataFrame, vec_col: str, id_col: str,
+                          threshold: float, round_to: int, margin: float,
+                          n_blocks: int) -> DataFrame:
+    """Distributed block-pair all-pairs cosine — never collects the corpus.
+
+    Each row hashes into one of ``n_blocks`` blocks and is replicated to
+    every unordered block pair (min(b,j), max(b,j)) containing its block,
+    so a pair of rows from blocks (i, j) meets in EXACTLY one group: (i,j)
+    cross pairs for i≠j, (b,b) upper-triangle self pairs. One
+    ``applyInPandas`` per group runs the same blocked-BLAS prune + exact
+    sequential-fold rescore as the broadcast path — per-pair arithmetic is
+    row-local, so values are bit-identical regardless of which group
+    scored the pair.
+    """
+    import numpy as np
+    import pandas as pd
+
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    base = raw.select(F.col(id_col), F.col(vec_col), blk.alias("_blk"))
+    replicated = (
+        base.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_j"))
+        .select(
+            F.least("_blk", "_j").alias("_gi"),
+            F.greatest("_blk", "_j").alias("_gj"),
+            id_col, vec_col, "_blk")
+    )
+
+    def score_group(key, pdf):
+        gi, gj = int(key[0]), int(key[1])
+        out_a, out_b, out_c = [], [], []
+
+        def emit(ids_a, A, ids_b, B, self_pair):
+            S = A @ B.T
+            ia, ib = np.nonzero(S >= threshold - margin)
+            if self_pair:
+                keep = ids_a[ia] < ids_b[ib]
+                ia, ib = ia[keep], ib[keep]
+            for i, j in zip(ia, ib):
+                c = _round_half_up(_seq_dot(A[i], B[j]), round_to)
+                if c >= threshold:
+                    x, y = int(ids_a[i]), int(ids_b[j])
+                    if x > y:
+                        x, y = y, x
+                    out_a.append(x); out_b.append(y); out_c.append(c)
+
+        if gi == gj:
+            if len(pdf) > 1:
+                U = _exact_unit_matrix(pdf[vec_col].tolist())
+                ids = pdf[id_col].to_numpy()
+                emit(ids, U, ids, U, self_pair=True)
+        else:
+            left = pdf[pdf["_blk"] == gi]
+            right = pdf[pdf["_blk"] == gj]
+            if len(left) and len(right):
+                emit(left[id_col].to_numpy(),
+                     _exact_unit_matrix(left[vec_col].tolist()),
+                     right[id_col].to_numpy(),
+                     _exact_unit_matrix(right[vec_col].tolist()),
+                     self_pair=False)
+        return pd.DataFrame({
+            "id_a": pd.array(out_a, dtype="int64"),
+            "id_b": pd.array(out_b, dtype="int64"),
+            "cosine": pd.array(out_c, dtype="float64"),
+        })
+
+    return replicated.groupBy("_gi", "_gj").applyInPandas(
+        score_group, "id_a long, id_b long, cosine double")
 
 
 def cosine_topk(df: DataFrame, queries_df: DataFrame,
@@ -485,7 +602,8 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", bits: int = 6,
                         dim: int = 64, threshold: float = 0.4,
                         tables: int = 4,
-                        broadcast_vectors: bool = True) -> DataFrame:
+                        broadcast_vectors: bool | None = None,
+                        broadcast_limit_bytes: int = 256 << 20) -> DataFrame:
     """ANN near-dup pairs: cosine over candidates sharing any LSH bucket.
 
     The scale path for embedding dedup: shuffle on (table, bucket),
@@ -497,9 +615,12 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
     results (per-pair arithmetic is the same either way — pinned by
     ``test_ann_join_scoring_matches_broadcast``):
 
-    - True (default; right when the unit matrix fits an executor, up to
-      ~10⁷ vectors at d=64): collect + broadcast the corpus matrix, score
-      candidates with zero vector joins.
+    - None (default): auto — True only when the optimizer's size estimate
+      proves the corpus under ``broadcast_limit_bytes``; unknown or large
+      → the joined path. The scale-safe choice is the default outcome.
+    - True (explicit small-side optimization; right when the unit matrix
+      fits an executor, up to ~10⁷ vectors at d=64): collect + broadcast
+      the corpus matrix, score candidates with zero vector joins.
     - False (the 100 TB path): never collects — unit vectors are joined
       onto the candidate pairs (two id-keyed hash joins, the second
       co-partitioned with the scorer's input) and each pair is scored
@@ -507,6 +628,8 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
       beats shipping an impossible broadcast; the per-batch numpy work is
       unchanged.
     """
+    broadcast_vectors = _auto_broadcast(
+        df, broadcast_vectors, broadcast_limit_bytes)
     # both self-join sides read the bucket table — persist() runs the
     # (numpy hyperplane-projection) bucket assignment once, not twice
     b = lsh_buckets(df, vec_col, id_col, bits, dim, tables).persist()

@@ -323,6 +323,32 @@ def test_blas_prefilter_matches_crossjoin(vectors):
     assert fast == slow  # bit-identical: prefilter only prunes, exact rescoring
 
 
+def test_blocked_pairs_match_broadcast(spark):
+    """The distributed block-pair scorer (the path that never collects the
+    corpus) must emit the same pair set and bit-identical cosines as the
+    broadcast-matrix scorer, for any block count (1 = one self group,
+    7 = more blocks than some groups can fill)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = sorted(map(tuple, S.cosine_pairs(
+        emb, threshold=0.4, broadcast_corpus=True).collect()))
+    assert len(want) > 0
+    for nb in (1, 7):
+        got = sorted(map(tuple, S.cosine_pairs(
+            emb, threshold=0.4, broadcast_corpus=False,
+            n_blocks=nb).collect()))
+        assert got == want, f"n_blocks={nb}"
+
+
+def test_auto_broadcast_resolution(spark):
+    """None = auto: broadcast only when the optimizer PROVES the corpus
+    under the limit; explicit flags pass through untouched."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert S._auto_broadcast(emb, None, 10 ** 12) is True
+    assert S._auto_broadcast(emb, None, 1) is False      # too big → safe path
+    assert S._auto_broadcast(emb, True, 1) is True       # explicit wins
+    assert S._auto_broadcast(emb, False, 10 ** 12) is False
+
+
 def test_uhash_family_not_monotone():
     # regression: int64-safe multipliers with a 2^61-1 modulus never wrap,
     # making every h_k monotone in x and collapsing all minhashes onto the
