@@ -78,6 +78,7 @@ def main() -> None:
     # instead (measured ±2x flips on the heavy pipeline queries across
     # runs); min() reports the query's actual steady cost either way.
     per_query: dict[str, float] = {}
+    retried: list[str] = []
     total = 0.0
     for name, fn in queries.items():
         t0 = time.perf_counter()
@@ -90,8 +91,11 @@ def main() -> None:
         # badly, one of them caught a GC/JIT pause — a single retry
         # recovers the steady cost (measured: the same query flips
         # 2.4s↔8.7s across passes while min-of-3 standalone sits at
-        # 2.4s). Bounded: only heavies, only on disagreement.
+        # 2.4s). Bounded: only heavies, only on disagreement. The affected
+        # queries are reported in the payload ("retried") so readers can
+        # see which numbers came from a min-of-3 instead of a min-of-2.
         if dt > 1.0 and max(p2, first_pass[name]) > 1.4 * dt:
+            retried.append(name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = min(dt, time.perf_counter() - t0)
@@ -155,6 +159,7 @@ def main() -> None:
         "security_tax_ratio": tax,
         "secured_sql_sec": round(secured_t, 3),
         "unsecured_sql_sec": round(unsecured_t, 3),
+        "retried": sorted(retried),
     }
     # Full detail for humans/debugging (stderr is not machine-parsed).
     print(json.dumps(payload), file=sys.stderr)

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from flink_sql_security_spark.functions import text as T
+from flink_sql_security_spark.operators import cache
 from flink_sql_security_spark.operators import dedup as D
 
 
@@ -57,17 +58,20 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
                & (F.col("quality") >= min_quality))
     )
     deduped = D.exact_dedup(gated, text_col, id_col)
+    handles = []
     if materialize:
         deduped = deduped.persist()
+        handles.append(deduped)
     near = D.ngram_jaccard_pairs(deduped, text_col, id_col,
                                  threshold=jaccard_threshold)
+    handles.extend(cache.cached_deps(near))
     drop = near.select(F.col("id_b").alias(id_col)).distinct()
-    return (
+    return cache.attach(
         deduped.join(drop, on=id_col, how="left_anti")
         .select(F.col(id_col), "lang_pred", "quality",
                 T.word_count(text).alias("n_words"),
-                T.bpe_token_count(text).alias("n_bpe"))
-    )
+                T.bpe_token_count(text).alias("n_bpe")),
+        *handles)
 
 
 def clean_corpus_duckdb_sql(table: str = "documents",
@@ -185,7 +189,10 @@ def fim_transform(df: DataFrame, rate: float = 0.5,
     work: tokenize once, two integer draws, three slices. No shuffle at
     any scale. EVERY input row comes back out: empty/NULL documents are
     never FIM-selected and pass through with counts 0 (a transform must
-    not change the corpus row count as a side effect).
+    not change the corpus row count as a side effect), and non-selected
+    rows come back with their ORIGINAL text untouched — NULL stays NULL,
+    whitespace stays un-trimmed (trim/coalesce is internal tokenizer
+    normalization for the FIM-applied branch only).
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
@@ -197,7 +204,8 @@ def fim_transform(df: DataFrame, rate: float = 0.5,
 
     txt = f"trim(coalesce({text_col}, ''))"
     toks = (
-        df.select(F.col(id_col), F.expr(txt).alias("_txt"),
+        df.select(F.col(id_col), F.col(text_col).alias("_orig"),
+                  F.expr(txt).alias("_txt"),
                   F.expr(f"split({txt}, '\\\\s+')").alias("_tk"),
                   (F.expr(h("gate")) % 10_000 < gate).alias("_gate"))
         .withColumn("_n", F.expr("CASE WHEN _txt = '' THEN 0 "
@@ -220,7 +228,7 @@ def fim_transform(df: DataFrame, rate: float = 0.5,
         F.expr("CASE WHEN fim_applied THEN _n - _p2 ELSE 0 END")
         .cast("long").alias("n_suffix"),
         F.expr(f"CASE WHEN fim_applied THEN {fim} "
-               f"ELSE _txt END").alias("fim_text"),
+               f"ELSE _orig END").alias("fim_text"),
     )
 
 
@@ -241,7 +249,7 @@ def fim_transform_duckdb_sql(table: str = "documents", rate: float = 0.5,
            f"' {mid_tok} ', array_to_string(_tk[_p1+1:_p2], ' '))")
     txt = f"trim(coalesce({text_col}, ''))"
     return f"""
-WITH t AS (SELECT {id_col}, {txt} AS _txt,
+WITH t AS (SELECT {id_col}, {text_col} AS _orig, {txt} AS _txt,
                   string_split_regex({txt}, '\\s+') AS _tk,
                   ({h('gate')} % 10000 < {gate}) AS _gate
            FROM {table}),
@@ -254,6 +262,6 @@ SELECT {id_col}, fim_applied,
        CAST(CASE WHEN fim_applied THEN _p1 ELSE 0 END AS BIGINT) AS n_prefix,
        CAST(CASE WHEN fim_applied THEN _p2 - _p1 ELSE _n END AS BIGINT) AS n_middle,
        CAST(CASE WHEN fim_applied THEN _n - _p2 ELSE 0 END AS BIGINT) AS n_suffix,
-       CASE WHEN fim_applied THEN {fim} ELSE _txt END AS fim_text
+       CASE WHEN fim_applied THEN {fim} ELSE _orig END AS fim_text
 FROM q
 """

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.operators.cache import attach
+
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -253,12 +255,12 @@ def minhash_lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     band = lsh_band_signatures(sig, id_col, num_hashes, bands).persist()
     a = band.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     b = band.select(F.col(id_col).alias("id_b"), "band", "band_sig")
-    return (
+    return attach(
         a.join(b, on=["band", "band_sig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
-    )
+        .distinct(),
+        band)
 
 
 def _minhash_ctes(shingles_cte: str, num_hashes: int, bands: int,
@@ -381,12 +383,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # more lopsided than the threshold can never pass the exact gate
     # below. Runs inside the join stage, so the pair-count exchange only
     # carries plausible pairs (at loose thresholds this cuts the hottest
-    # shingles' long×short cross products). The 1e-6 slack keeps the
-    # float product conservative at exact boundaries (sizes are ints;
-    # the exact round(jac, 6) filter still decides).
+    # shingles' long×short cross products). The slack is RELATIVE
+    # ((threshold − 1e-6)·max, not threshold·max − 1e-6): the exact gate
+    # rounds J to 6 decimals, which can lift a true J by up to 5e-7, and
+    # an absolute slack stops covering that once sets reach ~10⁵+
+    # shingles — relative slack dominates both the rounding margin and
+    # float error at any size (the exact round(jac, 6) filter still
+    # decides).
     ratio_ok = (
         (F.least("n_a", "n_b").cast("double")
-         >= threshold * F.greatest("n_a", "n_b") - 1e-6))
+         >= (threshold - 1e-6) * F.greatest("n_a", "n_b")))
     inter = (
         a.join(b, on="h")
         .where((F.col("id_a") < F.col("id_b")) & ratio_ok)
@@ -394,11 +400,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .agg(F.count("*").alias("n_inter"))
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
+    return attach(
         inter.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+        .select("id_a", "id_b", "jaccard"),
+        sh)
 
 
 def shingle_profile(df: DataFrame, text_col: str = "text",
@@ -489,11 +495,11 @@ def lsh_verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
+    return attach(
         inter.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+        .select("id_a", "id_b", "jaccard"),
+        prof)
 
 
 def lsh_verified_jaccard_duckdb_sql(shingles_cte: str, num_hashes: int = 16,
@@ -587,7 +593,7 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
         .select(F.col("id_new").alias("_nr_id"))
         .distinct()
     )
-    return (
+    return attach(
         new_df.select(F.col(id_col))
         .join(exact, new_df[id_col] == exact["_ex_id"], "left")
         .join(near, new_df[id_col] == near["_nr_id"], "left")
@@ -596,8 +602,8 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
             F.when(F.col("_ex_id").isNotNull(), "exact_dup")
             .when(F.col("_nr_id").isNotNull(), "near_dup")
             .otherwise("kept").alias("status"),
-        )
-    )
+        ),
+        prof_new, prof_old)
 
 
 def incremental_dedup_duckdb_sql(split_id: int, table: str = "documents",
@@ -795,6 +801,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         spark = pairs.sparkSession
         out_schema = pairs.select(
             a.alias("doc_id"), a.alias("component_id")).schema
+        pairs.unpersist()  # edges consumed by the collect above — release
         return spark.createDataFrame(
             sorted((x, find(x)) for x in parent), out_schema)
 
@@ -811,6 +818,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # pre-partition on the join key so the per-round join only shuffles
     # the (smaller) label side
     edges = base.repartition(F.col("dst")).localCheckpoint()
+    # the eager checkpoint above materialized everything derived from the
+    # pair pipeline — the cache has served its purpose (checkpointed-RDD
+    # blocks are released by the ContextCleaner when rounds drop them)
+    pairs.unpersist()
     # init fuses the first propagation round: label0 = min(self, neighbors)
     labels = (
         edges.groupBy("src").agg(F.min("dst").alias("label"))
@@ -871,8 +882,10 @@ def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
     The signature table feeds both self-join sides — persist() computes
     the (explode + per-doc agg) signature pipeline once, not twice."""
     sig = simhash(df, text_col=text_col, id_col=id_col).persist()
-    return hamming_pairs(sig, "simhash", id_col,
-                         nbits=4 * SIMHASH_HEX_CHARS, max_hamming=max_hamming)
+    return attach(
+        hamming_pairs(sig, "simhash", id_col,
+                      nbits=4 * SIMHASH_HEX_CHARS, max_hamming=max_hamming),
+        sig)
 
 
 def hamming_pairs(sig_df: DataFrame, sig_col: str, id_col: str,
@@ -1014,12 +1027,12 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
     hit = (spans.join(dup, "h")
            .groupBy(id_col).agg(F.count("*").alias("_dup")))
     dup_n = F.coalesce(F.col("_dup"), F.lit(0))
-    return (
+    return attach(
         sh.join(hit, id_col, "left")
         .select(F.col(id_col), F.col("n_sh").alias("n_spans"),
                 dup_n.alias("n_dup_spans"),
-                F.round(dup_n / F.col("n_sh"), 6).alias("dup_fraction"))
-    )
+                F.round(dup_n / F.col("n_sh"), 6).alias("dup_fraction")),
+        sh)
 
 
 def duplicate_span_stats_duckdb_sql(table: str = "documents",
@@ -1098,7 +1111,7 @@ def trim_duplicate_spans(df: DataFrame, text_col: str = "text",
         f"filter(transform(_ws, (w, p) -> struct(w AS w, p AS p)), "
         f"x -> NOT exists(_starts, st -> x.p >= st AND x.p < st + {n}))"
     )
-    return (
+    return attach(
         base.join(covered, id_col, "left")
         .withColumn("_starts", F.coalesce(
             F.col("_starts"), F.expr("array()")))
@@ -1107,8 +1120,8 @@ def trim_duplicate_spans(df: DataFrame, text_col: str = "text",
             F.expr(f"concat_ws(' ', transform({kept}, x -> x.w))")
             .alias("clean_text"),
             F.size("_ws").alias("n_tokens"),
-            (F.size("_ws") - F.expr(f"size({kept})")).alias("n_removed"))
-    )
+            (F.size("_ws") - F.expr(f"size({kept})")).alias("n_removed")),
+        base)
 
 
 def trim_duplicate_spans_duckdb_sql(table: str = "documents",
@@ -1156,16 +1169,21 @@ def source_overlap_matrix(pairs: DataFrame, docs: DataFrame,
     Near-dup pairs (id_a, id_b, jaccard) × the per-doc ``key_col`` →
     (source_a, source_b, n_pairs, avg_jaccard), with the pair's sources
     ordered so (A,B) and (B,A) fold into one undirected cell. Reads the
-    pair table (already LSH-pruned at scale), joins the two doc-side key
-    lookups (dimension-sized — broadcast), and one groupBy over the
-    |sources|² cells. avg_jaccard is round(Σ DECIMAL / n, 6):
-    order-independent, oracle-exact.
+    pair table (already LSH-pruned at scale) and joins the two doc-side
+    key lookups. The (doc_id, key) map is CORPUS-sized (one row per
+    document), so the join strategy is left to AQE — at 100 TB a forced
+    broadcast would blow Spark's 8 GB broadcast limit; AQE still picks
+    broadcast whenever the map measures small, and otherwise both joins
+    are id-keyed hash joins pruned to ids appearing in the (small) pair
+    table. One groupBy over the |sources|² cells ends the plan.
+    avg_jaccard is round(Σ DECIMAL / n, 6): order-independent,
+    oracle-exact.
     """
     keys = docs.select(F.col(id_col), F.col(key_col))
-    ka = F.broadcast(keys.select(F.col(id_col).alias("id_a"),
-                                 F.col(key_col).alias("_ka")))
-    kb = F.broadcast(keys.select(F.col(id_col).alias("id_b"),
-                                 F.col(key_col).alias("_kb")))
+    ka = keys.select(F.col(id_col).alias("id_a"),
+                     F.col(key_col).alias("_ka"))
+    kb = keys.select(F.col(id_col).alias("id_b"),
+                     F.col(key_col).alias("_kb"))
     return (
         pairs.join(ka, "id_a").join(kb, "id_b")
         .select(F.least("_ka", "_kb").alias("source_a"),

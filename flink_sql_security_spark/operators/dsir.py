@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.operators.cache import attach, cached_deps
+
 __all__ = ["dsir_weights", "dsir_select", "dsir_weights_duckdb_sql"]
 
 DSIR_BUCKETS = 1 << 13
@@ -91,13 +93,13 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
                 f" / CAST((cq + 1) * (t_total + {buckets}) AS DOUBLE)"
                 f"), 6) AS DECIMAL(18,6))").alias("lr"))
     )
-    return (
+    return attach(
         db.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(F.sum("n").alias("n_feats"),
              F.expr("round(CAST(sum(n * lr) AS DOUBLE), 6)").alias("weight"))
-        .withColumn("per_tok", F.expr("round(weight / n_feats, 6)"))
-    )
+        .withColumn("per_tok", F.expr("round(weight / n_feats, 6)")),
+        db)
 
 
 def dsir_select(corpus: DataFrame, target: DataFrame, n: int,
@@ -107,9 +109,11 @@ def dsir_select(corpus: DataFrame, target: DataFrame, n: int,
     tiebreak — see ``dsir_weights`` on why ranking length-normalizes).
     ``orderBy().limit()`` plans as TakeOrdered — no global sort exchange."""
     w = dsir_weights(corpus, target, id_col, text_col, buckets)
-    return (corpus.join(w, id_col)
-            .orderBy(F.col("per_tok").desc(), F.col(id_col).asc())
-            .limit(n))
+    return attach(
+        corpus.join(w, id_col)
+        .orderBy(F.col("per_tok").desc(), F.col(id_col).asc())
+        .limit(n),
+        *cached_deps(w))
 
 
 def dsir_weights_duckdb_sql(corpus_sql: str, target_sql: str,

@@ -192,10 +192,13 @@ def resize_media(decoded: DataFrame, out_side: int = 4) -> DataFrame:
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Planning-only frame sampler: one row per (video, frame_ts) without
-    touching payload bytes — metadata-driven explode, fully JVM-side."""
+    touching payload bytes — metadata-driven explode, fully JVM-side.
+    Rows with negative duration metadata are dropped, not fatal:
+    sequence() requires stop >= start, so one bad row would otherwise
+    fail the whole job at runtime."""
     return (
         df.where(F.col("kind") == "video")
-        .where(F.col("duration_ms").isNotNull())
+        .where(F.col("duration_ms") >= 0)
         .select(
             "media_id",
             F.explode(
@@ -212,10 +215,15 @@ def audio_segment_plan(df: DataFrame, window_ms: int = 2000,
     the audio analogue of :func:`frame_sample_plan` (a feature extractor
     consumes (media_id, seg_start_ms, seg_end_ms) plus the payload).
     Metadata-driven explode, fully JVM-side; payload bytes untouched.
+    Zero/negative durations are dropped BEFORE the explode: sequence()
+    with a positive step requires stop >= start, so a single bad
+    metadata row would otherwise fail the whole job at runtime (a
+    duration-0 clip emitted no segments before either — the
+    seg_start < duration clip removed its lone row).
     """
     return (
         df.where(F.col("kind") == "audio")
-        .where(F.col("duration_ms").isNotNull())
+        .where(F.col("duration_ms") > 0)
         .select(
             "media_id", "duration_ms",
             F.explode(
@@ -304,6 +312,10 @@ def phash_pairs(decoded: DataFrame, max_hamming: int = 10) -> DataFrame:
     (pigeonhole-exact, no cartesian — see dedup.hamming_pairs)."""
     from flink_sql_security_spark.operators.dedup import hamming_pairs
 
+    from flink_sql_security_spark.operators.cache import attach
+
     sig = phash(decoded).persist()
-    return hamming_pairs(sig, "phash", "media_id",
-                         nbits=PHASH_BITS, max_hamming=max_hamming)
+    return attach(
+        hamming_pairs(sig, "phash", "media_id",
+                      nbits=PHASH_BITS, max_hamming=max_hamming),
+        sig)

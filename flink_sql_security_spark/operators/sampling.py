@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_sql_security_spark.operators.cache import attach
+
 __all__ = ["hash_split", "hash_split_duckdb_sql",
            "stratified_hash_sample", "stratified_hash_sample_duckdb_sql",
            "per_key_quota", "per_key_quota_duckdb_sql",
@@ -449,7 +451,7 @@ def rank_buckets(df: DataFrame, score_col: str, n_buckets: int = 10,
            .select(score_col,
                    F.expr(f"(_before * {n_buckets}) div _n")
                    .alias(bucket_col)))
-    return df.join(F.broadcast(cum), score_col)
+    return attach(df.join(F.broadcast(cum), score_col), df)
 
 
 def rank_buckets_duckdb_sql(rows_sql: str, score_col: str,

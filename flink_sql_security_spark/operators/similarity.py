@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.operators.cache import attach
+
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
 _NORM = "sqrt(aggregate({a}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
@@ -690,8 +692,8 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
                             _exact_unit_matrix(chunk["_va"].tolist()),
                             _exact_unit_matrix(chunk["_vb"].tolist()))
 
-        return paired.mapInPandas(
-            score_joined, "id_a long, id_b long, cosine double")
+        return attach(paired.mapInPandas(
+            score_joined, "id_a long, id_b long, cosine double"), b)
 
     pdf = df.select(id_col, vec_col).toPandas()
     U = _exact_unit_matrix(pdf[vec_col].tolist())
@@ -708,7 +710,8 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
             ib = idx[chunk["id_b"].to_numpy()].to_numpy()
             yield _emit(chunk, Um[ia], Um[ib])
 
-    return cand.mapInPandas(score, "id_a long, id_b long, cosine double")
+    return attach(
+        cand.mapInPandas(score, "id_a long, id_b long, cosine double"), b)
 
 
 def ann_candidate_pairs_duckdb_sql(table: str = "embeddings",

@@ -31,6 +31,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.operators.cache import attach
+
 HLL_P = 9                 # 2^9 = 512 registers
 HLL_M = 1 << HLL_P
 _L = 60 - HLL_P           # bits in the register stream w
@@ -387,7 +389,8 @@ def cms_token_counts(df: DataFrame, text_col: str = "text",
         .where(F.col("n_exact") >= min_count)
     )
     est = cms_estimate(counters, exact.select("token"), "token", width, depth)
-    return exact.join(est, "token").select("token", "n_exact", "n_est")
+    return attach(
+        exact.join(est, "token").select("token", "n_exact", "n_est"), words)
 
 
 def cms_token_counts_duckdb_sql(table: str, text_col: str = "text",
@@ -491,7 +494,7 @@ def histogram_quantiles(df: DataFrame, col: str, ps: tuple = (0.25, 0.5, 0.75, 0
                      f" * (s.hi - s.lo) / {n_bins}, 6)").alias("q_est")))
         ests = e if ests is None else ests.unionByName(e)
     if not with_exact:
-        return ests
+        return attach(ests, hist)
     v = f"CAST(CAST({col} AS DECIMAL(18,2)) AS DOUBLE)"
     plist = ", ".join(str(p) for p in ps)
     exact = df.agg(F.expr(f"percentile({v}, array({plist}))").alias("_qs"))
@@ -500,7 +503,7 @@ def histogram_quantiles(df: DataFrame, col: str, ps: tuple = (0.25, 0.5, 0.75, 0
         e = exact.select(F.lit(p).alias("p"),
                          F.round(F.col("_qs").getItem(i), 6).alias("q_exact"))
         ex = e if ex is None else ex.unionByName(e)
-    return ests.join(ex, "p")
+    return attach(ests.join(ex, "p"), hist)
 
 
 def histogram_quantiles_duckdb_sql(table: str, col: str,

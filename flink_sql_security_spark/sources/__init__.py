@@ -109,13 +109,37 @@ def console_stream_sink(df, trigger_seconds: int = 5):
 
 
 def build_session(app_name: str = "flink-sql-security-spark",
-                  cpus: int | None = None) -> SparkSession:
+                  cpus: int | None = None,
+                  hive_metastore: bool = False,
+                  warehouse_dir: str | None = None,
+                  metastore_url: str | None = None) -> SparkSession:
     """Session tuned for the local test harness; cluster deploys override via
-    spark-submit conf. AQE handles skew-join + partition coalescing at scale."""
+    spark-submit conf. AQE handles skew-join + partition coalescing at scale.
+
+    ``hive_metastore=True`` enables Hive catalog support — the reference's
+    deployment shape (it registers a HiveCatalog and resolves
+    ``hive.default.*`` through it, ``SecurityContext.java:116-121``,
+    ``HiveTestUtils.java:40-67``). Tables then live in a persistent
+    metastore (``spark_catalog``) instead of session temp views, and the
+    security layer's schema fetch goes through HiveExternalCatalog.
+    ``metastore_url`` is the javax.jdo connection URL: None uses Spark's
+    default embedded Derby under the working directory; point it at a
+    thrift/JDBC metastore in production. Note getOrCreate() reuses a live
+    session — Hive support must be enabled by the FIRST builder in the
+    process.
+    """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.master(f"local[{cpus}]")
+    if hive_metastore:
+        builder = builder.enableHiveSupport()
+        if warehouse_dir is not None:
+            builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+        if metastore_url is not None:
+            builder = builder.config(
+                "javax.jdo.option.ConnectionURL", metastore_url)
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")

@@ -96,4 +96,10 @@ def ann_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
         sink(paired.mapInPandas(
             score, "id_new long, id_old long, cosine double"), batch_id)
 
-    return stream.writeStream.foreachBatch(_process)
+    # the persisted bucket table is the query's serving index — its
+    # lifetime is the STREAM's, not one action's. Attach the handle to
+    # the returned writer so callers can cache.release(writer) after
+    # stopping the query.
+    from flink_sql_security_spark.operators.cache import attach
+
+    return attach(stream.writeStream.foreachBatch(_process), corpus_buckets)

@@ -1,0 +1,120 @@
+"""JDBC snapshot+changelog ingestion (sources/jdbc_cdc.py) against a REAL
+database — embedded Derby, driven through actual JDBC reads, mirroring
+the reference's mysql-cdc table shape (``AbstractBasicTest.java:179-187``).
+
+End-state parity contract: after any sequence of insert/update/delete
+changelog rows, the continuously maintained view must equal
+``operators/cdc.upsert_latest`` applied to the full changelog in batch.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def derby(spark):
+    """(url, exec_sql) for an embedded Derby DB shared with the Spark JVM."""
+    d = tempfile.mkdtemp(prefix="fss-derby")
+    url = f"jdbc:derby:{d}/cdc_db;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+
+    def exec_sql(sql: str) -> None:
+        st = conn.createStatement()
+        try:
+            st.execute(sql)
+        finally:
+            st.close()
+
+    exec_sql("CREATE TABLE changelog (id INT, seq INT, op VARCHAR(1), "
+             "val VARCHAR(32))")
+    yield url, exec_sql
+    conn.close()
+
+
+def _rows(spark, view: str) -> dict:
+    return {r["id"]: (r["val"], r["seq"])
+            for r in spark.table(view).collect()}
+
+
+def _await(predicate, timeout: float = 45.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            if predicate():
+                return True
+        except Exception:
+            pass  # view not registered yet
+        time.sleep(0.5)
+    return False
+
+
+def test_jdbc_changelog_reader_pushes_seq_filter(spark, derby):
+    url, exec_sql = derby
+    from flink_sql_security_spark.sources.jdbc_cdc import JdbcChangelog
+
+    exec_sql("INSERT INTO changelog VALUES (900, 9001, 'I', 'pushdown')")
+    cl = JdbcChangelog(spark, url, "changelog", "seq")
+    inc = cl.changes_since(9000)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(SEQ,9000)" in plan.replace("seq", "SEQ"), plan
+    assert {r["id"] for r in inc.collect()} == {900}
+    assert cl.changes_since(9001).count() == 0
+    exec_sql("DELETE FROM changelog WHERE id = 900")
+
+
+def test_jdbc_cdc_stream_end_state_parity(spark, derby):
+    url, exec_sql = derby
+    from flink_sql_security_spark.operators.cdc import upsert_latest
+    from flink_sql_security_spark.sources.jdbc_cdc import (
+        JdbcChangelog, register_cdc_stream)
+
+    # phase 1: pre-existing rows — the snapshot
+    exec_sql("INSERT INTO changelog VALUES (1, 1, 'I', 'a')")
+    exec_sql("INSERT INTO changelog VALUES (2, 2, 'I', 'b')")
+
+    q = register_cdc_stream(
+        spark, "cdc_state", url, "changelog",
+        key_cols=["id"], seq_col="seq", op_col="op",
+        trigger_seconds=0.5)
+    try:
+        assert _await(lambda: _rows(spark, "cdc_state")
+                      == {1: ("a", 1), 2: ("b", 2)}), \
+            _rows(spark, "cdc_state")
+
+        # phase 2: tail — update, delete, insert land while running
+        exec_sql("UPDATE changelog SET val='ignored' WHERE id = 999")
+        exec_sql("INSERT INTO changelog VALUES (1, 3, 'U', 'a2')")
+        exec_sql("INSERT INTO changelog VALUES (2, 4, 'D', '')")
+        exec_sql("INSERT INTO changelog VALUES (3, 5, 'I', 'c')")
+
+        assert _await(lambda: _rows(spark, "cdc_state")
+                      == {1: ("a2", 3), 3: ("c", 5)}), \
+            _rows(spark, "cdc_state")
+
+        # phase 3: a later batch re-inserts a deleted key
+        exec_sql("INSERT INTO changelog VALUES (2, 6, 'I', 'b2')")
+        assert _await(lambda: _rows(spark, "cdc_state").get(2)
+                      == ("b2", 6)), _rows(spark, "cdc_state")
+    finally:
+        q.stop()
+
+    # END-STATE PARITY: view == batch upsert_latest over the full changelog
+    full = JdbcChangelog(spark, url, "changelog", "seq").snapshot()
+    want = {r["id"]: (r["val"], r["seq"])
+            for r in upsert_latest(full, ["id"], "seq", op_col="op")
+            .collect()}
+    assert _rows(spark, "cdc_state") == want == {
+        1: ("a2", 3), 2: ("b2", 6), 3: ("c", 5)}
+
+    # the stopped query leaves no dangling empty state; high-water mark
+    # advanced past every change exactly once
+    assert q.cdc_state["seq"] == 6
+
+    # hygiene: release the final state's cache
+    q.cdc_state["state"].unpersist(True)

@@ -1049,6 +1049,19 @@ def test_audio_segment_plan_windows_and_clipping(media):
     assert all(mid == "a1" for (mid, _) in plan)
 
 
+def test_media_plans_survive_bad_duration_metadata(spark):
+    """One row with negative/zero duration must be dropped, not fail the
+    whole job (sequence() with positive step requires stop >= start)."""
+    rows = [("ok", "audio", 2500), ("neg", "audio", -100),
+            ("zero", "audio", 0), ("nul", "audio", None),
+            ("vok", "video", 1500), ("vneg", "video", -1)]
+    df = spark.createDataFrame(rows, ["media_id", "kind", "duration_ms"])
+    segs = {r["media_id"] for r in M.audio_segment_plan(df).collect()}
+    assert segs == {"ok"}
+    frames = {r["media_id"] for r in M.frame_sample_plan(df).collect()}
+    assert frames == {"vok"}
+
+
 # ---------------------------------------------------------------------------
 # FIM transform (operators/corpus.py)
 # ---------------------------------------------------------------------------
@@ -1081,6 +1094,11 @@ def test_fim_rate_zero_is_passthrough_and_deterministic(spark):
     assert not rows[1]["fim_applied"]
     assert rows[1]["fim_text"] == "alpha beta gamma"
     assert rows[1]["n_middle"] == 3 and rows[1]["n_prefix"] == 0
+    # pass-through rows keep their ORIGINAL text: no trim, NULL stays NULL
+    assert rows[2]["fim_text"] == "  spaced   out  "
+    nul = C.fim_transform(spark.createDataFrame(
+        [(9, None)], "doc_id long, text string"), rate=1.0).collect()[0]
+    assert not nul["fim_applied"] and nul["fim_text"] is None
     # repartitioning changes nothing (hash-derived splits)
     again = {r["doc_id"]: tuple(r) for r in C.fim_transform(
         df.repartition(5), rate=0.0).collect()}
@@ -1159,9 +1177,16 @@ def test_source_overlap_matrix_folds_and_averages(spark):
     assert got[("web", "web")] == (1, 1.0)
     assert got[("books", "web")] == (2, 0.375)
     assert ("web", "books") not in got
-    plan = D.source_overlap_matrix(pairs, d) \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    # join strategy is left to AQE (a forced broadcast of the corpus-sized
+    # key map would hit the 8 GB broadcast limit at scale): after execution
+    # the FINAL adaptive plan must have runtime-converted the tiny key map
+    # to a broadcast join — and never a cartesian product
+    out = D.source_overlap_matrix(pairs, d)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_rank_buckets_null_scores_excluded(spark):
@@ -1193,9 +1218,11 @@ def test_fim_empty_and_null_docs_pass_through(spark):
     got = {r["doc_id"]: r for r in C.fim_transform(df, rate=1.0).collect()}
     assert set(got) == {1, 2, 3, 4}         # no rows dropped
     assert got[1]["fim_applied"]
-    for d in (2, 3, 4):
+    # pass-through preserves the ORIGINAL text: '' stays '', NULL stays
+    # NULL, whitespace stays un-trimmed (nothing silently normalized)
+    for d, orig in ((2, ""), (3, None), (4, "   ")):
         assert not got[d]["fim_applied"]
-        assert got[d]["fim_text"] == ""
+        assert got[d]["fim_text"] == orig
         assert got[d]["n_middle"] == 0
     con = duckdb.connect()
     con.execute("CREATE TABLE fim_t(doc_id BIGINT, text VARCHAR)")

@@ -90,12 +90,18 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        from flink_sql_security_spark.operators.cache import release
+
         if name not in oracles:
-            n = fn(spark, sf_dir).count()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            release(df)
             print(f"{name}: rows-only n={n}")
             continue
         try:
-            spd = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            spd = df.toPandas()
+            release(df)  # free persisted super-stage intermediates
             dpd = con.execute(oracles[name]).df()
         except Exception as ex:  # surface which side broke
             failures += 1
