@@ -1680,13 +1680,24 @@ _CHECK_ORDER = [
     #   hash-groupBy core rides through secured_clean_corpus (in-window,
     #   stage 3 of the pipeline); DSIR's hashed-feature log-ratio +
     #   decimal-exact sum is a family no window entry covers.
+    # round-5 window swaps (same breadth-over-redundancy rule; both
+    # incomers have full hash oracles but had never been driver-checked):
+    # - dedup_simhash_pairs → cdc_snapshot_diff: the banded-hamming
+    #   pigeonhole core now also rides through the in-suite phash path
+    #   (same hamming_pairs kernel, pinned by golden + parity tests);
+    #   snapshot_diff's typed-md5 full-outer-join status matrix is a
+    #   family no window entry covers.
+    # - text_langid → sketch_hist_quantiles: langid's regex-case core is
+    #   exercised in-window by secured_clean_corpus (its stage-1 gate);
+    #   the mergeable histogram-quantile sketch (cumulative-bin
+    #   interpolation) is a new family.
     "sketch_distinct_hll", "sketch_cms_tokens", "sketch_bloom_decon",
     "zorder_orders", "cdc_upsert_latest",
     "sample_dsir_weights", "dedup_lsh_verified", "dedup_components",
-    "dedup_simhash_pairs", "dedup_span_stats",
+    "cdc_snapshot_diff", "dedup_span_stats",
     "emb_ann_pairs", "emb_ivf_topk",
     "emb_kmeans_cells", "emb_quantize_int8", "pack_sequences",
-    "text_stats", "text_langid", "text_repetition",
+    "text_stats", "sketch_hist_quantiles", "text_repetition",
     "text_pii_redact",
     # round-3: sample_token_budget's windowed running-sum core is a
     # sub-shape of pack_sequences' per-bucket cumsum (in-window); its
