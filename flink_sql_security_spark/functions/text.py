@@ -381,10 +381,14 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     in-domain. Cross-engine exactness: each bigram's logprob is rounded
     to 6 decimals and summed as DECIMAL (exact, order-independent — a
     double sum would be partition-order dependent), then one double
-    division per document. Shuffle census: one explode→groupBy for bigram
-    counts, one for context counts (both map-side combined,
-    vocabulary-sized), the per-doc probe join keyed on the bigram, and
-    the final per-doc aggregate.
+    division per document. Shuffle census: one explode→groupBy for
+    bigram counts, the per-doc probe join keyed on the bigram, and the
+    final per-doc aggregate. Context counts are NOT a second
+    token-stream pass: C(w1·) = Σ over bigrams starting with w1 of
+    C(w1 w2) exactly, so c1 folds off the (bigram-vocabulary-sized) c2
+    table — one tiny exchange instead of a corpus-wide explode+groupBy
+    (round-3 exchange diet: 12 → 8 exchanges for the curriculum query,
+    one fewer full pass over the corpus text).
 
     Bigram-build plan shape (measured 22s → 0.9s on the sf0.1 corpus):
     the tokenizing split is bound ONCE per row as a lambda variable
@@ -402,7 +406,6 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     toks = (
         df.where(F.size(words) >= 2)
-        .repartition(F.col(id_col))
         .select(F.col(id_col), F.expr(
             f"transform(array(split(lower(trim({text_col})), '{_WS_SQL}')), "
             "ws -> transform(sequence(0, size(ws) - 2), "
@@ -413,7 +416,10 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
                 F.col("b.bg").alias("bg"))
     )
     c2 = toks.groupBy("bg").agg(F.count("*").alias("c2"))
-    c1 = toks.groupBy("w1").agg(F.count("*").alias("c1"))
+    # split-on-\s+ tokens contain no whitespace, so the part before the
+    # bigram's space IS w1 — fold off c2 (vocab-sized), not the tokens
+    c1 = (c2.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+          .agg(F.sum("c2").alias("c1")))
     uni = (df.select(F.explode(words).alias("t")).where(F.col("t") != "")
            .agg(F.count_distinct("t").alias("v")))
     v = uni.collect()[0]["v"]

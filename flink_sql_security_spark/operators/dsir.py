@@ -80,11 +80,24 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     tw = _words(target, [], text_col, buckets)
     ct = tw.groupBy("bucket").agg(F.count("*").alias("ct"))
     cq = db.groupBy("bucket").agg(F.sum("n").alias("cq"))
-    tt = ct.agg(F.sum("ct").alias("t_total"))
-    qt = cq.agg(F.sum("cq").alias("q_total"))
+    # totals fold over the ALREADY-AGGREGATED ≤2B-row bucket tables via
+    # one full-outer join + a single-partition window — NOT separate
+    # .agg() branches, which re-built ct and cq from scratch (4 extra
+    # exchanges, two of them full token-stream re-aggregations; round-3
+    # exchange diet: 10 → 6). full_outer keeps target-only buckets so
+    # t_total counts every target token even when the bucket never
+    # occurs in the corpus; lr rows then filter back to corpus buckets
+    # (only those are probed by the weight join). Long sums over one
+    # partition — exact, order-independent, oracle-identical.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
     lr = (
-        cq.join(ct, "bucket", "left")
-        .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(qt))
+        cq.join(ct, "bucket", "full_outer")
+        .select("bucket", "cq", "ct",
+                F.sum("ct").over(w_all).alias("t_total"),
+                F.sum("cq").over(w_all).alias("q_total"))
+        .where(F.col("cq").isNotNull())
         .select(
             "bucket",
             F.expr(

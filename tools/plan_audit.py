@@ -52,8 +52,24 @@ NLJ_OK = {
 
 def audit(spark, name, df):
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n_ex = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|"
-                          r"RoundRobinPartitioning|SinglePartition)", plan))
+    # count DISTINCT exchange nodes (by plan_id): a persisted subtree's
+    # plan prints once under InMemoryRelation and again per consumer, and
+    # reused exchanges repeat textually — but each executes once. Nodes
+    # without a plan_id (older print forms) fall back to text identity.
+    ex_re = re.compile(
+        r"Exchange (?:hashpartitioning|rangepartitioning|"
+        r"RoundRobinPartitioning|SinglePartition)")
+    pid_re = re.compile(r"\[plan_id=(\d+)\]")
+    seen, n_anon = set(), 0
+    for line in plan.splitlines():
+        if not ex_re.search(line):
+            continue
+        m = pid_re.search(line)
+        if m:
+            seen.add(m.group(1))
+        else:
+            n_anon += 1
+    n_ex = len(seen) + n_anon
     has_scan = "Scan parquet" in plan or "FileScan parquet" in plan
     pushed = "PushedFilters: [" in plan and not re.search(
         r"PushedFilters: \[\]", plan)
