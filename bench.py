@@ -77,6 +77,8 @@ def main() -> None:
     # carries the codegen JIT, but an unlucky GC pause can inflate pass 2
     # instead (measured ±2x flips on the heavy pipeline queries across
     # runs); min() reports the query's actual steady cost either way.
+    from flink_sql_security_spark.operators.cache import release
+
     per_query: dict[str, float] = {}
     retried: list[str] = []
     total = 0.0
@@ -86,7 +88,8 @@ def main() -> None:
         n = df.count()  # forces full execution; result sizes stay driver-safe
         p2 = time.perf_counter() - t0
         dt = min(p2, first_pass[name])
-        _release_cached(spark)
+        release(df)  # attach/release contract first (targeted), then the
+        _release_cached(spark)  # session-wide hammer for checkpoint RDDs
         # adaptive third pass: when a HEAVY query's two timings disagree
         # badly, one of them caught a GC/JIT pause — a single retry
         # recovers the steady cost (measured: the same query flips

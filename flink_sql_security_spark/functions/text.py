@@ -387,8 +387,8 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     token-stream pass: C(w1·) = Σ over bigrams starting with w1 of
     C(w1 w2) exactly, so c1 folds off the (bigram-vocabulary-sized) c2
     table — one tiny exchange instead of a corpus-wide explode+groupBy
-    (round-3 exchange diet: 12 → 8 exchanges for the curriculum query,
-    one fewer full pass over the corpus text).
+    (round-3 exchange diet: 12 → 6 distinct exchanges for the curriculum
+    query, one fewer full pass over the corpus text).
 
     Bigram-build plan shape (measured 22s → 0.9s on the sf0.1 corpus):
     the tokenizing split is bound ONCE per row as a lambda variable

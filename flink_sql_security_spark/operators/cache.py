@@ -20,11 +20,16 @@ or, scoped:
 
 Attachment is a plain Python attribute on the returned DataFrame object —
 it does NOT survive further transformations (``out.select(...)`` is a new
-object), so release the object the operator returned. ``release`` is
-idempotent and safe on DataFrames with nothing attached, which makes
-``release(df)`` after any query's action a harmless habit (bench.py and
-tools/check_oracles.py do exactly that). At 100 TB the same boundary is
-usually a parquet write, where lifetime is the table's, not the session's.
+object), so release the object the operator returned — operators that
+COMPOSE a handle-carrying frame either re-attach the upstream handles to
+their own output (``clean_corpus``, ``cross_split_contamination``,
+``dsir_select``) or release them internally once the upstream pipeline
+is fully consumed (``connected_components``). ``release`` is idempotent
+and safe on DataFrames with nothing attached, which makes
+``release(df)`` after any query's action a harmless habit (bench.py's
+measured loop and tools/check_oracles.py do exactly that). At 100 TB the
+same boundary is usually a parquet write, where lifetime is the table's,
+not the session's.
 """
 
 from __future__ import annotations

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from flink_sql_security_spark.operators.cache import attach
+from flink_sql_security_spark.operators.cache import attach, cached_deps
 
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
@@ -768,6 +768,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
       plan doubles per iteration and planning cost explodes at scale.
     """
     a, b = F.col(id_a), F.col(id_b)
+    # the pair generator may carry its own attached super-stage caches
+    # (e.g. ngram_jaccard_pairs' shingle sets) — capture them BEFORE the
+    # select strips the attachment, and release them at the same points
+    # this op releases its own edge cache (the pair pipeline is fully
+    # consumed inside this function on both paths)
+    upstream = cached_deps(pairs)
     # materialize the (possibly expensive) pair-generation pipeline ONCE —
     # the size probe and every consumer below re-read these edges.
     # persist(), not localCheckpoint(): the checkpoint form launched a
@@ -802,6 +808,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         out_schema = pairs.select(
             a.alias("doc_id"), a.alias("component_id")).schema
         pairs.unpersist()  # edges consumed by the collect above — release
+        for d in upstream:
+            d.unpersist()
         return spark.createDataFrame(
             sorted((x, find(x)) for x in parent), out_schema)
 
@@ -819,9 +827,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # the (smaller) label side
     edges = base.repartition(F.col("dst")).localCheckpoint()
     # the eager checkpoint above materialized everything derived from the
-    # pair pipeline — the cache has served its purpose (checkpointed-RDD
-    # blocks are released by the ContextCleaner when rounds drop them)
+    # pair pipeline — the caches have served their purpose (checkpointed-
+    # RDD blocks are released by the ContextCleaner when rounds drop them)
     pairs.unpersist()
+    for d in upstream:
+        d.unpersist()
     # init fuses the first propagation round: label0 = min(self, neighbors)
     labels = (
         edges.groupBy("src").agg(F.min("dst").alias("label"))

@@ -84,7 +84,7 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     # one full-outer join + a single-partition window — NOT separate
     # .agg() branches, which re-built ct and cq from scratch (4 extra
     # exchanges, two of them full token-stream re-aggregations; round-3
-    # exchange diet: 10 → 6). full_outer keeps target-only buckets so
+    # exchange diet: 10 → 5 distinct). full_outer keeps target-only buckets so
     # t_total counts every target token even when the bucket never
     # occurs in the corpus; lr rows then filter back to corpus buckets
     # (only those are probed by the weight join). Long sums over one

@@ -230,9 +230,13 @@ def cross_split_contamination(df: DataFrame, text_col: str = "text",
                       F.col("split").alias("split_a"))
     b = assign.select(F.col(id_col).alias("id_b"),
                       F.col("split").alias("split_b"))
-    return (pairs.join(a, "id_a").join(b, "id_b")
-            .where(F.col("split_a") != F.col("split_b"))
-            .select("id_a", "split_a", "id_b", "split_b", "jaccard"))
+    from flink_sql_security_spark.operators.cache import cached_deps
+
+    return attach(
+        pairs.join(a, "id_a").join(b, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "split_a", "id_b", "split_b", "jaccard"),
+        *cached_deps(pairs))
 
 
 def _budget_case(budget, key_col: str, quote=lambda v: f"'{v}'") -> str:

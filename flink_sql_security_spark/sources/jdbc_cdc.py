@@ -122,13 +122,22 @@ def register_cdc_stream(spark: SparkSession, name: str, url: str,
 
     def _poll(_batch_df: DataFrame, _batch_id: int) -> None:
         with lock:
-            delta = changelog.changes_since(hwm["seq"]).persist()
+            # localCheckpoint (eager), NOT persist: a persisted delta's
+            # lineage is a live `seq > hwm` JDBC read — losing a cached
+            # block would silently recompute against the CURRENT database
+            # contents, pulling rows committed after the high-water mark
+            # into an older generation (the view could transiently show
+            # un-marked rows, or apply a delete before its seq is
+            # reached). Checkpointing pins the delta to the rows actually
+            # read; a lost checkpoint block fails the poll loudly instead
+            # of folding inconsistent state (the documented localCheckpoint
+            # trade, correct for a changelog reader).
+            delta = changelog.changes_since(hwm["seq"]).localCheckpoint()
             # the high-water mark comes from the DELTA, pre-compaction: a
             # delete row carries the highest seq but is dropped from the
             # folded state — marking off the state would re-pull it forever
             top = delta.agg(F.max(seq_col).alias("m")).collect()[0]["m"]
             if top is None:
-                delta.unpersist()
                 return  # no new changes
             prev = hwm["state"]
             merged = delta if prev is None else prev.unionByName(delta)
@@ -145,7 +154,9 @@ def register_cdc_stream(spark: SparkSession, name: str, url: str,
                 new_state = folded.persist()
                 new_state.count()  # materialize before dropping sources
             new_state.createOrReplaceTempView(name)
-            delta.unpersist()
+            # the delta's checkpoint blocks stay alive while any state
+            # generation's lineage references them; the ContextCleaner
+            # reaps them when the chain checkpoints past (next %8 poll)
             if prev is not None:
                 prev.unpersist()
             hwm["state"] = new_state

@@ -136,18 +136,41 @@ def cms_tokens(spark):
 
 @pytest.mark.parametrize("name", sorted(OPS))
 def test_release_leaves_no_cached_blocks(spark, name):
+    # baseline-relative, not == 0: the shared session may carry
+    # localCheckpoint blocks from other modules that clearCache() cannot
+    # remove (they are ContextCleaner-managed); the contract under test
+    # is that THIS op's drain+release nets to zero new blocks
     before = _storage_count(spark)
     assert _drain(spark, OPS[name](spark)) >= 0
-    assert _storage_count(spark) == before == 0, name
+    assert _storage_count(spark) == before, name
 
 
 def test_repeated_invocations_hold_no_storage(spark):
     """The judge's scenario: many pipeline invocations in one session."""
     from flink_sql_security_spark.operators.corpus import clean_corpus
 
+    before = _storage_count(spark)
     for _ in range(3):
         _drain(spark, clean_corpus(spark.table("documents")))
-    assert _storage_count(spark) == 0
+    assert _storage_count(spark) == before
+
+
+def test_composed_ops_propagate_upstream_handles(spark):
+    """Operators that CONSUME a handle-carrying frame must not strand its
+    caches: connected_components releases them internally (pipeline fully
+    consumed inside), cross_split_contamination re-attaches them."""
+    from flink_sql_security_spark.operators.dedup import (
+        connected_components, ngram_jaccard_pairs)
+    from flink_sql_security_spark.operators.sampling import (
+        cross_split_contamination)
+
+    docs = spark.table("documents")
+    before = _storage_count(spark)
+    # driver union-find path (small pair set)
+    assert connected_components(ngram_jaccard_pairs(docs)).count() >= 0
+    assert _storage_count(spark) == before, "driver path stranded a cache"
+    assert _drain(spark, cross_split_contamination(docs)) >= 0
+    assert _storage_count(spark) == before, "contamination stranded a cache"
 
 
 def test_connected_components_self_cleaning(spark):

@@ -181,6 +181,35 @@ def gen_query(rng):
         where = f" WHERE {_pred(rng, t1, GEN_POOLS)}" if rng.random() < 0.7 else ""
         return (f"SELECT {', '.join(cols)} FROM {t1} "
                 f"JOIN {t2} ON {on}{where}")
+    if shape < 0.46:  # set operation: both branches get their own filter
+        t = rng.choice(TABLES)
+        cols = rng.sample(INT_COLS[t] + STR_COLS[t],
+                          rng.randint(1, min(3, len(INT_COLS[t]
+                                                    + STR_COLS[t]))))
+        op = rng.choice(["UNION ALL", "UNION"])
+        sel = ", ".join(cols)
+        w1 = f" WHERE {_pred(rng, t, GEN_POOLS)}"
+        w2 = f" WHERE {_pred(rng, t, GEN_POOLS)}"
+        return f"SELECT {sel} FROM {t}{w1} {op} SELECT {sel} FROM {t}{w2}"
+    if shape < 0.51:  # IN (subquery) semi shape
+        t1, t2, on = rng.choice(JOINS)
+        lcol, rcol = [s.strip() for s in on.split("=")]
+        cols = rng.sample(INT_COLS[t1] + STR_COLS[t1], 2)
+        inner = (f" WHERE {_pred(rng, t2, GEN_POOLS)}"
+                 if rng.random() < 0.6 else "")
+        neg = "NOT " if rng.random() < 0.3 else ""
+        return (f"SELECT {', '.join(cols)} FROM {t1} WHERE {lcol} {neg}IN "
+                f"(SELECT {rcol} FROM {t2}{inner})")
+    if shape < 0.56:  # CASE projection (full parse/qualify/print round-trip)
+        t = rng.choice(TABLES)
+        key = rng.choice(INT_COLS[t])
+        cols = rng.sample(INT_COLS[t] + STR_COLS[t], 2)
+        where = (f" WHERE {_pred(rng, t, GEN_POOLS)}"
+                 if rng.random() < 0.6 else "")
+        return (f"SELECT {', '.join(cols)}, CASE WHEN "
+                f"{_pred(rng, t, GEN_POOLS)} THEN 'hi' "
+                f"WHEN {key} IS NULL THEN 'na' ELSE 'lo' END AS band "
+                f"FROM {t}{where}")
     t = rng.choice(TABLES)
     if rng.random() < 0.5 and STR_COLS[t]:  # grouped aggregate
         g = rng.sample(STR_COLS[t], rng.randint(1, min(2, len(STR_COLS[t]))))
@@ -241,7 +270,11 @@ def test_fuzz_parity(engines, seed):
 def _inject(sql: str, cond: str) -> str:
     """Independent reference injection: AND the condition into the WHERE
     (before grouping), parenthesizing both sides — the semantics the
-    rewriter must reproduce, built WITHOUT the rewriter."""
+    rewriter must reproduce, built WITHOUT the rewriter. Set operations
+    inject into EVERY branch (the rewriter visits each SetOp side)."""
+    for op in (" UNION ALL ", " UNION ", " INTERSECT ", " EXCEPT "):
+        if op in sql:
+            return op.join(_inject(part, cond) for part in sql.split(op))
     if " WHERE " in sql:
         head, rest = sql.split(" WHERE ", 1)
         # close the parenthesized original predicate before any trailing
@@ -274,9 +307,12 @@ def test_fuzz_security_rewrite_parity(spark, engines, seed):
         # single-table query (grouped or plain) over t
         while True:
             sql = gen_query(rng)
+            # single-table shapes only (incl. set ops over t); IN-subquery
+            # is excluded: a policy on the INNER table is A6 semantics
+            # with its own dedicated family
             if (sql.startswith(f"SELECT") and f"FROM {t}" in sql
                     and " JOIN " not in sql and "EXISTS" not in sql
-                    and "FROM (" not in sql):
+                    and "FROM (" not in sql and "IN (SELECT" not in sql):
                 break
         policy_cond = _pred(rng, t, pools)
         ctx = SecurityContext(spark, PolicyManager())
@@ -336,7 +372,7 @@ def test_fuzz_mask_rewrite_parity(spark, engines, seed):
             sql = gen_query(rng)
             if (sql.startswith(f"SELECT") and f"FROM {t}" in sql
                     and " JOIN " not in sql and "EXISTS" not in sql
-                    and "FROM (" not in sql):
+                    and "FROM (" not in sql and "IN (SELECT" not in sql):
                 break
         col = rng.choice(STR_COLS[t])
         mtype = rng.choice(sorted(duck_mask))
@@ -345,8 +381,10 @@ def test_fuzz_mask_rewrite_parity(spark, engines, seed):
         inner = ", ".join(
             f"{duck_mask[mtype](c)} AS {c}" if c == col else c
             for c in FULL_COLS[t])
+        # replace EVERY occurrence: set-operation branches each read the
+        # table and the rewriter wraps each one
         wrapped = sql.replace(f"FROM {t}",
-                              f"FROM (SELECT {inner} FROM {t}) {t}", 1)
+                              f"FROM (SELECT {inner} FROM {t}) {t}")
         got = sorted(
             tuple(_norm(v) for v in row)
             for row in ctx.sql("fuzzer", sql).collect())

@@ -62,7 +62,8 @@ def probe_lsh_band_join(spark, n_hot: int = 3000) -> dict:
     from flink_sql_security_spark.operators.dedup import (
         minhash_lsh_candidate_pairs)
 
-    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
         .select("doc_id", "text")
     hot_text = ("the quick brown fox jumps over the lazy dog again and "
                 "again for the skew probe corpus hot key test")
