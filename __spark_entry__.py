@@ -112,6 +112,19 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
         "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderstatus",
     ),
+    # set operation: the row filter must inject into EVERY branch (the
+    # rewriter visits each SetOp side — fuzz-pinned, now driver-pinned)
+    "rls_union": (
+        USER_FILTER,
+        "SELECT o_orderkey, o_orderstatus FROM orders "
+        "WHERE o_totalprice > 100000 "
+        "UNION ALL SELECT o_orderkey, o_orderstatus FROM orders "
+        "WHERE o_orderstatus = 'F'",
+        "SELECT o_orderkey, o_orderstatus FROM orders "
+        "WHERE (o_orderpriority = '1-URGENT') AND (o_totalprice > 100000) "
+        "UNION ALL SELECT o_orderkey, o_orderstatus FROM orders "
+        "WHERE (o_orderpriority = '1-URGENT') AND (o_orderstatus = 'F')",
+    ),
     # ---- security layer: data masks (SURVEY §2.A7, §2.9) ----
     "mask_show_first": (
         USER_MASK,
@@ -161,6 +174,19 @@ _QUERIES: dict[str, tuple[str, str, str]] = {
         "SELECT o_orderkey, o_orderdate FROM orders",
         "SELECT o_orderkey, CAST(date_trunc('year', o_orderdate) AS TIMESTAMP)"
         " AS o_orderdate FROM orders",
+    ),
+    # set operation: the mask subquery must wrap the table ref in EVERY
+    # branch; UNION (distinct) dedups over MASKED values on both engines
+    "mask_union": (
+        USER_MASK,
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "UNION SELECT c_custkey, c_name FROM customer "
+        "WHERE c_mktsegment = 'MACHINERY'",
+        "SELECT c_custkey, " + _DUCK_SHOW_FIRST_4.format(c="c_name")
+        + " AS c_name FROM customer WHERE c_mktsegment = 'BUILDING' "
+        "UNION SELECT c_custkey, " + _DUCK_SHOW_FIRST_4.format(c="c_name")
+        + " AS c_name FROM customer WHERE c_mktsegment = 'MACHINERY'",
     ),
     # ---- security layer: mixed (filter-then-mask, SURVEY §2.A10) ----
     "mixed_flagship": (

@@ -515,3 +515,58 @@ def test_fuzz_mask_inside_derived_table(spark, engines, seed):
             for row in con.execute(oracle).fetchall())
         assert got == want, (
             f"seed={seed} i={i} mask={mtype} col={col} sql={sql}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_mixed_filter_then_mask(spark, engines, seed):
+    """Fuzz A10 (mixed ordering): a row filter AND a mask on the SAME
+    table compose as filter-first-then-mask (SecurityContext.java:154-167)
+    — the mask subquery replaces the table ref, so the injected WHERE
+    evaluates over the MASKED columns (load-bearing when the policy
+    condition touches the masked column). Oracle: wrap the table with the
+    mask subquery in every branch, then inject the condition into the
+    outer WHERE — built without the rewriter."""
+    from flink_sql_security_spark import (
+        DataMaskPolicy, PolicyManager, RowFilterPolicy, SecurityContext,
+    )
+    from flink_sql_security_spark.functions import masks as MK
+
+    duck_mask = {
+        "MASK": lambda c: MK.duckdb_mask_sql(c),
+        "MASK_SHOW_FIRST_4": lambda c: MK.duckdb_mask_show_first_n_sql(c),
+        "MASK_HASH": lambda c: MK.duckdb_mask_hash_sql(c),
+        "MASK_NULL": lambda c: "CAST(NULL AS VARCHAR)",
+        "MASK_NONE": lambda c: c,
+    }
+
+    global GEN_POOLS
+    _, con, pools = engines
+    GEN_POOLS = pools
+    rng = random.Random(11000 + seed)
+    for i in range(8):
+        t = rng.choice(TABLES)
+        while True:
+            sql = gen_query(rng)
+            if (sql.startswith("SELECT") and f"FROM {t}" in sql
+                    and " JOIN " not in sql and "EXISTS" not in sql
+                    and "FROM (" not in sql and "IN (SELECT" not in sql):
+                break
+        col = rng.choice(STR_COLS[t])
+        mtype = rng.choice(sorted(duck_mask))
+        cond = _pred(rng, t, pools)
+        ctx = SecurityContext(spark, PolicyManager())
+        ctx.add_policy(RowFilterPolicy("fuzzer", t, cond))
+        ctx.add_policy(DataMaskPolicy("fuzzer", t, col, mtype))
+        wrap = ", ".join(
+            f"{duck_mask[mtype](c)} AS {c}" if c == col else c
+            for c in FULL_COLS[t])
+        oracle = _inject(sql, cond).replace(
+            f"FROM {t}", f"FROM (SELECT {wrap} FROM {t}) {t}")
+        got = sorted(
+            tuple(_norm(v) for v in row)
+            for row in ctx.sql("fuzzer", sql).collect())
+        want = sorted(
+            tuple(_norm(v) for v in row)
+            for row in con.execute(oracle).fetchall())
+        assert got == want, (
+            f"seed={seed} i={i} mask={mtype} col={col} cond={cond} sql={sql}")
