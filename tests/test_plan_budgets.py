@@ -1,0 +1,86 @@
+"""Exchange-count budgets for the flagship plans — a regression gate.
+
+Every budget pins the DISTINCT-exchange count (tools/plan_audit.py
+semantics: unique plan_ids, so cached-subtree reprints and reused
+exchanges don't double-count) of an entry whose physical shape carries a
+documented 100 TB argument (SCALING.md). A refactor that silently adds a
+shuffle fails here long before it shows up in a bench regression —
+shuffle count is the dominant cost driver at scale, and at sf0.001 a new
+exchange is invisible in wall time.
+
+Budgets are the CURRENT measured counts (not padded): the point is to
+force a conscious decision — either the new shuffle is justified (bump
+the budget with a comment) or it's a regression (fix the plan).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# entry name -> max distinct exchanges (current measured value)
+BUDGETS = {
+    # security layer: injected predicates must stay plan-free overhead
+    "rls_select": 0,
+    "rls_union": 0,
+    "mask_show_first": 0,
+    "mask_join": 1,          # the join's own exchange pair counts as 1+1 sides collapsed by broadcast at this sf; budget = measured
+    "rls_groupby": 1,
+    # dedup family: the banded joins are THE scale argument
+    "dedup_minhash_pairs": 2,
+    "dedup_lsh_verified": 4,
+    "dedup_simhash_pairs": 2,
+    "dedup_span_stats": 3,
+    "cdc_upsert_latest": 1,
+    # the as-of OP is single-exchange (test_asof plan gate); the ENTRY
+    # adds its own keyed step on top — measured 2 for the composed query
+    "asof_purchase_click": 2,
+    # composite pipelines (round-3 exchange diet results)
+    "text_lm_score": 4,
+    "sample_quality_curriculum": 6,
+    "sample_dsir_weights": 5,
+    "pack_sequences": 4,
+}
+
+
+def _distinct_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex_re = re.compile(
+        r"Exchange (?:hashpartitioning|rangepartitioning|"
+        r"RoundRobinPartitioning|SinglePartition)")
+    pid_re = re.compile(r"\[plan_id=(\d+)\]")
+    seen, anon = set(), 0
+    for line in plan.splitlines():
+        if not ex_re.search(line):
+            continue
+        m = pid_re.search(line)
+        if m:
+            seen.add(m.group(1))
+        else:
+            anon += 1
+    return len(seen) + anon
+
+
+@pytest.fixture(scope="module")
+def entry_queries(spark):
+    import __spark_entry__ as entry
+    from flink_sql_security_spark.sources import register_tables
+
+    register_tables(spark, SF_DIR)
+    return entry.queries()
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_exchange_budget(entry_queries, spark, name):
+    df = entry_queries[name](spark, SF_DIR)
+    got = _distinct_exchanges(df)
+    from flink_sql_security_spark.operators.cache import release
+
+    release(df)
+    assert got <= BUDGETS[name], (
+        f"{name}: {got} distinct exchanges, budget {BUDGETS[name]} — a new "
+        f"shuffle appeared; justify it (bump the budget with a comment) or "
+        f"fix the plan")
