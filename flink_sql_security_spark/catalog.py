@@ -42,7 +42,11 @@ class CatalogAdapter:
                 ),
             )
         except Exception:
-            entity = None
+            # do NOT cache the miss: Spark catalogs are dynamic (temp views
+            # register mid-session — e.g. a changelog ingest's maintained
+            # view) and a cached None would hide the table from every later
+            # rewrite in this context
+            return None
         self._cache[key] = entity
         return entity
 

@@ -118,3 +118,54 @@ def test_jdbc_cdc_stream_end_state_parity(spark, derby):
 
     # hygiene: release the final state's cache
     q.cdc_state["state"].unpersist(True)
+
+
+def test_security_policies_over_live_changelog_view(spark, derby):
+    """The reference's ACTUAL end-to-end shape: row-filter + mask policies
+    applied to queries over a live changelog table
+    (``SecurityContext.java:106-108`` executes everything against
+    mysql-cdc-backed tables). Here: register_cdc_stream maintains the
+    current-state view; SecurityContext rewrites queries against it; the
+    secured results track the database as changes land."""
+    from flink_sql_security_spark import (
+        DataMaskPolicy, PolicyManager, RowFilterPolicy, SecurityContext)
+    from flink_sql_security_spark.sources.jdbc_cdc import register_cdc_stream
+
+    url, exec_sql = derby
+    exec_sql("CREATE TABLE acct_log (id INT, seq INT, op VARCHAR(1), "
+             "holder VARCHAR(32), region VARCHAR(16))")
+    exec_sql("INSERT INTO acct_log VALUES (1, 1, 'I', 'Alice Zhang', 'east')")
+    exec_sql("INSERT INTO acct_log VALUES (2, 2, 'I', 'Bob Liu', 'west')")
+    exec_sql("INSERT INTO acct_log VALUES (3, 3, 'I', 'Carol Wu', 'east')")
+
+    ctx = SecurityContext(spark, PolicyManager())
+    ctx.add_policy(RowFilterPolicy("analyst", "accounts", "region = 'east'"))
+    ctx.add_policy(DataMaskPolicy("analyst", "accounts", "holder",
+                                  "MASK_SHOW_FIRST_4"))
+
+    q = register_cdc_stream(
+        spark, "accounts", url, "acct_log",
+        key_cols=["id"], seq_col="seq", op_col="op", trigger_seconds=0.5)
+    try:
+        def secured():
+            return {r["id"]: r["holder"] for r in ctx.sql(
+                "analyst", "SELECT id, holder FROM accounts").collect()}
+
+        # initial snapshot through the policies: east rows only, masked
+        assert _await(lambda: set(secured()) == {1, 3})
+        rows = secured()
+        assert rows[1].startswith("Alic") and rows[1] != "Alice Zhang"
+        # rewrite is string-auditable, filter + mask both present
+        printed = ctx.mixed_rewrite(
+            "analyst", "SELECT id, holder FROM accounts")
+        assert "region = 'east'" in printed and "CAST" in printed
+
+        # changelog moves: region change pulls id=2 into scope, a delete
+        # removes id=3, the secured view follows
+        exec_sql("INSERT INTO acct_log VALUES (2, 4, 'U', 'Bob Liu', 'east')")
+        exec_sql("INSERT INTO acct_log VALUES (3, 5, 'D', '', 'east')")
+        assert _await(lambda: set(secured()) == {1, 2}), secured()
+        assert secured()[2].startswith("Bob ")
+    finally:
+        q.stop()
+    q.cdc_state["state"].unpersist(True)

@@ -91,3 +91,23 @@ def test_write_compacted_targets_file_count(spark, tmp_path):
     assert 1 < n < 64  # genuinely compacted vs the 64 input partitions
     back = spark.read.parquet(out)
     assert back.count() == 200_000
+
+
+def test_catalog_adapter_does_not_cache_misses(spark):
+    """A table that appears AFTER a failed lookup must become visible to
+    the same adapter — Spark catalogs are dynamic (a changelog ingest
+    registers its maintained view mid-session); caching the miss hid the
+    table from every later rewrite in the context."""
+    from flink_sql_security_spark.catalog import CatalogAdapter
+
+    adapter = CatalogAdapter(spark)
+    assert adapter.get_table(["late_view_xyz"]) is None
+    spark.range(3).selectExpr("id AS k").createOrReplaceTempView(
+        "late_view_xyz")
+    try:
+        t = adapter.get_table(["late_view_xyz"])
+        assert t is not None and t.columns[0].column_name == "k"
+        # positive entries ARE cached (per-context cache still works)
+        assert adapter.get_table(["late_view_xyz"]) is t
+    finally:
+        spark.catalog.dropTempView("late_view_xyz")
