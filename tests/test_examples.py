@@ -1,0 +1,45 @@
+"""The README walkthrough example (examples/reference_walkthrough.py)
+must keep reproducing the reference's §4 案例讲解 (README.md:72-140):
+same input SQL, same final-SQL shape per user, same visible rows."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from examples.reference_walkthrough import (
+    INPUT_SQL, build_context, build_demo)
+
+
+def test_reference_readme_walkthrough(spark):
+    build_demo(spark)
+    ctx = build_context(spark)
+
+    # §4.2 user A: outer WHERE beijing, table wrapped in a mask subquery
+    # re-emitting ALL columns with the CAST'ed mask
+    a = ctx.mixed_rewrite("user_a", INPUT_SQL)
+    assert a == (
+        "SELECT orders.order_id, orders.customer_name, orders.product_id, "
+        "orders.region FROM (SELECT order_id, order_date, "
+        "CAST(mask(customer_name) AS STRING) AS customer_name, product_id, "
+        "price, order_status, region FROM orders) AS orders "
+        "WHERE orders.region = 'beijing'"), a
+    rows_a = [(r["order_id"], r["customer_name"], r["region"])
+              for r in ctx.mixed_execute("user_a", INPUT_SQL)]
+    assert rows_a == [(10001, "Xxxx", "beijing"),
+                      (10002, "Xxxxx", "beijing")]
+
+    # §4.3 user B: hangzhou + show-first-4 (reference prints the Hive UDF
+    # mask_show_first_n(col, 4, 'x','x','x', -1, '1'); here the same
+    # semantics lower to Spark built-ins)
+    b = ctx.mixed_rewrite("user_b", INPUT_SQL)
+    assert "WHERE orders.region = 'hangzhou'" in b, b
+    assert ("CAST(concat(substring(customer_name, 1, 4), "
+            "mask(substring(customer_name, 5), 'x', 'x', 'x', NULL)) "
+            "AS STRING) AS customer_name") in b, b
+    rows_b = [(r["order_id"], r["customer_name"], r["region"])
+              for r in ctx.mixed_execute("user_b", INPUT_SQL)]
+    assert rows_b == [(10003, "Edwaxx", "hangzhou"),
+                      (10004, "John", "hangzhou")]
