@@ -1,0 +1,305 @@
+"""Product quantization (PQ) for embedding columns: subspace codebooks,
+code encoding, and asymmetric-distance (ADC) top-k search.
+
+Beyond-reference scope (driver brief: similarity-search scale path). PQ
+is the memory-bound ANN tier: a d-dim float32 vector (256 bytes at d=64)
+compresses to ``m`` one-byte codes (16 bytes at m=16) — at 100 TB of
+embeddings the code table fits a cluster's RAM when the raw vectors
+cannot, and ADC scans it with m table lookups per candidate instead of d
+multiplies (Jégou et al. 2011, "Product Quantization for Nearest
+Neighbor Search").
+
+Scale shape:
+- **train**: driver-side L2 k-means per subspace on the ``sample``
+  lowest-id vectors (the standard bounded-sample recipe shared with
+  IVF); deterministic — no RNG, fixed-order numpy — so the codebooks
+  re-derive bit-identically anywhere.
+- **encode**: narrow per-row JVM expressions against codebook literals
+  (the ``clustering.kmeans_assign`` pattern): per subspace, a
+  sequential-fold squared-L2 to each centroid, first-position-of-min
+  argmin. Zero shuffle, zero Python.
+- **search (ADC)**: per query the m×k lookup table of
+  ``||q_sub − centroid||²`` is computed driver-side; scoring the corpus
+  is one broadcast join of Q tiny LUT rows onto the code table and an
+  m-step fold of table lookups per (query, code-row) pair — no vector
+  ever moves. A window picks the global top-k per query.
+
+Cross-engine exactness: training is driver numpy (same code re-derives
+the identical codebooks from the parquet in the oracle emitter); encode
+distances are sequential left folds (Spark ``aggregate`` == DuckDB
+``list_sum`` op order) over repr-round-tripped double literals; ADC
+lookups are exact element fetches folded sequentially — so codes,
+reconstruction errors, and ADC distances all hash-match.
+
+Reference scope note: no vector search exists in the reference repo;
+this extends the engine per the driver brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_sql_security_spark.operators.clustering import (
+    _centroid_array_sql, _dists_expr)
+
+
+def _l2_kmeans_np(X, k: int, iters: int):
+    """Deterministic L2 Lloyd on a fixed-order sample (driver-side).
+
+    Farthest-point init from row 0 (first-index tie-wins), ``iters``
+    rounds of argmin-assign / mean-update; empty cells keep their
+    centroid. Single-threaded numpy on a fixed array — bit-reproducible,
+    which is all the oracle needs (training never crosses engines).
+    """
+    import numpy as np
+
+    k = min(k, len(X))
+    chosen = [0]
+    d2 = np.einsum("ij,ij->i", X - X[0], X - X[0])
+    for _ in range(k - 1):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        dn = np.einsum("ij,ij->i", X - X[nxt], X - X[nxt])
+        d2 = np.minimum(d2, dn)
+    C = X[chosen].copy()
+    for _ in range(iters):
+        dists = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(dists, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def _subspace_bounds(d: int, m: int) -> list[tuple[int, int]]:
+    """(start, width) per subspace; widths differ by ≤1 when m ∤ d."""
+    base, extra = divmod(d, m)
+    out, start = [], 0
+    for s in range(m):
+        width = base + (1 if s < extra else 0)
+        out.append((start, width))
+        start += width
+    return out
+
+
+def pq_train(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", m: int = 16, k: int = 16,
+             iters: int = 3, sample: int = 2048) -> list:
+    """Per-subspace codebooks: m lists of k centroids (python floats)."""
+    import numpy as np
+
+    pdf = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
+           .toPandas())
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_col].tolist()])
+    return _pq_train_np(X, m, k, iters)
+
+
+def _pq_train_np(X, m: int, k: int, iters: int) -> list:
+    books = []
+    for start, width in _subspace_bounds(X.shape[1], m):
+        C = _l2_kmeans_np(X[:, start:start + width].copy(), k, iters)
+        books.append([[float(v) for v in c] for c in C])
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
+              id_col: str = "vec_id", round_to: int = 6,
+              stringify_codes: bool = False) -> DataFrame:
+    """(id, codes, err): per-subspace nearest-centroid codes + total
+    squared reconstruction error. ``stringify_codes`` emits CSV codes
+    for harnesses whose canonicalizers can't sort list cells."""
+    bounds = []
+    start = 0
+    for book in codebooks:
+        width = len(book[0])
+        bounds.append((start, width))
+        start += width
+    code_exprs, err_exprs = [], []
+    for (s0, width), book in zip(bounds, codebooks):
+        sub = f"slice(_xd, {s0 + 1}, {width})"
+        dists = _dists_expr(sub, book)
+        code_exprs.append(
+            f"CAST(array_position({dists}, array_min({dists})) AS INT) - 1")
+        err_exprs.append(f"array_min({dists})")
+    codes = "array(" + ", ".join(code_exprs) + ")"
+    err = " + ".join(f"({e})" for e in err_exprs)
+    codes_out = (
+        F.expr(f"array_join(transform({codes}, c -> CAST(c AS STRING)), ',')")
+        if stringify_codes else F.expr(codes))
+    return (
+        df.withColumn("_xd", F.expr(
+            f"transform({vec_col}, v -> CAST(v AS DOUBLE))"))
+        .select(
+            F.col(id_col), codes_out.alias("codes"),
+            F.round(F.expr(err), round_to).alias("err"))
+    )
+
+
+def pq_encode_duckdb_sql(parquet_path: str, vec_col: str = "embedding",
+                         id_col: str = "vec_id", m: int = 16, k: int = 16,
+                         iters: int = 3, sample: int = 2048,
+                         round_to: int = 6,
+                         stringify_codes: bool = False) -> str:
+    """Oracle: re-derives identical codebooks from the parquet (same
+    numpy, same sample order), recomputes codes/err with list functions
+    in the same fold order."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"ORDER BY {id_col} LIMIT {sample}").df()
+    con.close()
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_col].tolist()])
+    books = _pq_train_np(X, m, k, iters)
+    code_exprs, err_exprs = [], []
+    start = 0
+    for book in books:
+        width = len(book[0])
+        cmat = _centroid_array_sql(book, "duckdb")
+        dists = (f"list_transform({cmat}, c -> list_sum(list_transform("
+                 f"list_zip(xd[{start + 1}:{start + width}], c), "
+                 "p -> (p[1] - p[2]) * (p[1] - p[2]))))")
+        code_exprs.append(
+            f"CAST(list_position({dists}, list_min({dists})) AS INT) - 1")
+        err_exprs.append(f"list_min({dists})")
+        start += width
+    codes = "[" + ", ".join(code_exprs) + "]"
+    codes_out = (f"array_to_string({codes}, ',')" if stringify_codes
+                 else codes)
+    err = " + ".join(f"({e})" for e in err_exprs)
+    return (
+        f"WITH x AS (SELECT {id_col}, "
+        f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
+        "FROM embeddings) "
+        f"SELECT {id_col}, {codes_out} AS codes, "
+        f"round({err}, {round_to}) AS err FROM x"
+    )
+
+
+def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            k: int = 5, round_to: int = 6) -> DataFrame:
+    """(q_id, n_id, adc_dist, rank): approximate top-k by ADC distance.
+
+    Per query the m×k_cb LUT of ``||q_sub − centroid||²`` is built
+    driver-side and shipped as one broadcast row; the corpus codes score
+    with an m-step fold of exact element lookups. Approximate by design
+    (quantization error) — recall tuned by (m, k_cb); every distance is
+    engine-exact, so the op is strictly oracle-checkable.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    qpdf = queries_df.select(id_col, vec_col).toPandas()
+    spark = df.sparkSession
+    lut_rows = []
+    for _, row in qpdf.iterrows():
+        q = np.asarray(row[vec_col], dtype=np.float64)
+        lut = []
+        start = 0
+        for book in codebooks:
+            width = len(book[0])
+            sub = q[start:start + width]
+            # sequential fold per centroid — same op order as encode
+            lut.append([float(sum((sub[i] - c[i]) * (sub[i] - c[i])
+                                  for i in range(width)))
+                        for c in book])
+            start += width
+        lut_rows.append((int(row[id_col]), lut))
+    luts = spark.createDataFrame(
+        lut_rows, f"q_id long, lut array<array<double>>")
+
+    codes = pq_encode(df, codebooks, vec_col, id_col)
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id", F.col(id_col).alias("n_id"),
+            F.round(F.expr(
+                "aggregate(zip_with(codes, lut, "
+                "(c, row) -> element_at(row, c + 1)), 0D, (s, v) -> s + v)"),
+                round_to).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_dist", "rank")
+    )
+
+
+def pq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       m: int = 16, k_cb: int = 16, iters: int = 3,
+                       sample: int = 2048, k: int = 5,
+                       round_to: int = 6) -> str:
+    """Oracle for :func:`pq_topk` — codebooks AND per-query LUTs re-derive
+    from the parquet with the same numpy/fold code and embed as literals;
+    the SQL verifies encode + ADC scoring + deterministic ranking."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"ORDER BY {id_col} LIMIT {sample}").df()
+    qdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"WHERE {query_pred} ORDER BY {id_col}").df()
+    con.close()
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_col].tolist()])
+    books = _pq_train_np(X, m, k_cb, iters)
+
+    code_exprs = []
+    start = 0
+    for book in books:
+        width = len(book[0])
+        cmat = _centroid_array_sql(book, "duckdb")
+        dists = (f"list_transform({cmat}, c -> list_sum(list_transform("
+                 f"list_zip(xd[{start + 1}:{start + width}], c), "
+                 "p -> (p[1] - p[2]) * (p[1] - p[2]))))")
+        code_exprs.append(
+            f"CAST(list_position({dists}, list_min({dists})) AS INT) - 1")
+        start += width
+    codes = "[" + ", ".join(code_exprs) + "]"
+
+    lut_values = []
+    for _, row in qdf.iterrows():
+        q = np.asarray(row[vec_col], dtype=np.float64)
+        lut = []
+        start = 0
+        for book in books:
+            width = len(book[0])
+            sub = q[start:start + width]
+            # CAST each element: a bare literal parses as DECIMAL and the
+            # fold would run exact decimal math instead of the IEEE double
+            # sequence Spark's aggregate() produces
+            lut.append("[" + ", ".join(
+                "CAST(" + repr(float(sum((sub[i] - c[i]) * (sub[i] - c[i])
+                                         for i in range(width))))
+                + " AS DOUBLE)"
+                for c in book) + "]")
+            start += width
+        lut_values.append(
+            f"({int(row[id_col])}, [" + ", ".join(lut) + "])")
+    return (
+        f"WITH x AS (SELECT {id_col}, "
+        f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
+        "FROM embeddings), "
+        f"codes AS (SELECT {id_col}, {codes} AS codes FROM x), "
+        "luts(q_id, lut) AS (VALUES " + ", ".join(lut_values) + "), "
+        "scored AS (SELECT l.q_id, c.{id} AS n_id, "
+        "round(list_sum(list_transform(list_zip(c.codes, l.lut), "
+        f"p -> p[2][p[1] + 1])), {round_to}) AS adc_dist "
+        "FROM codes c CROSS JOIN luts l "
+        "WHERE c.{id} <> l.q_id)".format(id=id_col) + ", "
+        "ranked AS (SELECT q_id, n_id, adc_dist, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank FROM scored) "
+        f"SELECT q_id, n_id, adc_dist, rank FROM ranked WHERE rank <= {k}"
+    )

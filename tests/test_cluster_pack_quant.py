@@ -284,3 +284,108 @@ def test_bpe_encode_is_narrow(spark):
     plan = bpe.bpe_encode(df, [("l", "o"), ("lo", "w")]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+def _clustered_vectors(spark, n_clusters=6, per=20, d=16, spread=0.02):
+    """Deterministic clustered corpus: PQ's intended regime (real
+    embedding spaces cluster; random vectors are its worst case)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-1, 1, size=(n_clusters, d))
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per):
+            v = centers[ci] + rng.uniform(-spread, spread, size=d)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_train_shapes_and_determinism(spark):
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark)
+    b1 = PQ.pq_train(df, m=4, k=8, iters=2)
+    b2 = PQ.pq_train(df.repartition(7), m=4, k=8, iters=2)
+    assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 4
+    assert b1 == b2  # fixed-order sample -> partitioning-independent
+
+
+def test_pq_uneven_subspaces(spark):
+    from flink_sql_security_spark.operators.pq import _subspace_bounds
+
+    assert _subspace_bounds(10, 4) == [(0, 3), (3, 3), (6, 2), (8, 2)]
+    assert sum(w for _, w in _subspace_bounds(64, 12)) == 64
+
+
+def test_pq_encode_duckdb_parity_and_reconstruction(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=8, k=16, iters=2)
+    enc = PQ.pq_encode(emb, books)
+    rows = enc.collect()
+    assert all(len(r["codes"]) == 8 and r["err"] >= 0 for r in rows)
+    got = sorted((r["vec_id"], tuple(r["codes"]), r["err"]) for r in rows)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+    want = sorted((i, tuple(c), e) for i, c, e in con.execute(
+        PQ.pq_encode_duckdb_sql("/root/testdata/sf0.001/embeddings.parquet",
+                                m=8, k=16, iters=2)).fetchall())
+    assert got == want
+
+
+def test_pq_topk_duckdb_parity(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=8, k=16, iters=2)
+    got = sorted(map(tuple, PQ.pq_topk(
+        emb, emb.where("vec_id < 4"), books, k=5).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+    want = sorted(map(tuple, con.execute(PQ.pq_topk_duckdb_sql(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        query_pred="vec_id < 4", m=8, k_cb=16, iters=2, k=5)).fetchall()))
+    assert got == want and len(got) == 20
+
+
+def test_pq_recall_on_clustered_corpus(spark):
+    """PQ's contract on a clustered space: every ADC neighbor comes from
+    the query's own cluster (100% region recall). Exact-RANK recall
+    inside a tight cluster is NOT the contract — all members of a tight
+    cluster share codes, so ADC cannot rank within a quantization cell
+    (ties break by id); the set overlap with exact L2 is bounded by
+    k/cluster_size there, by design."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark)        # cluster id = vec_id // 20
+    books = PQ.pq_train(df, m=8, k=8, iters=3)
+    rows = PQ.pq_topk(df, df.where("vec_id < 10"), books, k=10).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["n_id"] // 20 == r["q_id"] // 20, (
+            f"neighbor {r['n_id']} not in query {r['q_id']}'s cluster")
+
+
+def test_pq_encode_is_narrow(spark):
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=4, k=4, iters=1)
+    plan = PQ.pq_encode(emb, books) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # zero shuffle, zero Python
+    assert "EvalPython" not in plan and "InPandas" not in plan
