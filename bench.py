@@ -16,6 +16,19 @@ import sys
 import time
 
 
+def _force(df) -> None:
+    """Fully evaluate a DataFrame — the timing action.
+
+    NOT ``count()``: Catalyst column-prunes everything a count doesn't
+    need, so a projection-only query (masks, text metrics, PQ encode)
+    would be timed as a bare scan (verified: an md5 projection vanishes
+    from the count's optimized plan). The noop sink evaluates every
+    output column and row without collecting or writing — the standard
+    Spark benchmarking sink.
+    """
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _release_cached(spark) -> None:
     """Free per-query persisted state between measurements.
 
@@ -67,7 +80,7 @@ def main() -> None:
     first_pass: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        _force(fn(spark, sf_dir))
         dt = time.perf_counter() - t0
         first_pass[name] = dt
         cold_total += dt
@@ -85,7 +98,7 @@ def main() -> None:
     for name, fn in queries.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()  # forces full execution; result sizes stay driver-safe
+        _force(df)  # full evaluation of every output column (see _force)
         p2 = time.perf_counter() - t0
         dt = min(p2, first_pass[name])
         release(df)  # attach/release contract first (targeted), then the
@@ -100,12 +113,12 @@ def main() -> None:
         if dt > 1.0 and max(p2, first_pass[name]) > 1.4 * dt:
             retried.append(name)
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _force(fn(spark, sf_dir))
             dt = min(dt, time.perf_counter() - t0)
             _release_cached(spark)
         per_query[name] = round(dt, 4)
         total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
     # approximate-search quality at this SF: recall of the LSH / IVF paths
     # vs the exact brute-force answer (speed without recall is meaningless)
@@ -142,10 +155,10 @@ def main() -> None:
     secured_t = unsecured_t = 0.0
     for name, (user, sql, _) in entry_mod._QUERIES.items():
         t0 = time.perf_counter()
-        spark.sql(sql).count()
+        _force(spark.sql(sql))
         unsecured_t += time.perf_counter() - t0
         t0 = time.perf_counter()
-        ctx.sql(user, sql).count()
+        _force(ctx.sql(user, sql))
         secured_t += time.perf_counter() - t0
     tax = round(secured_t / unsecured_t, 3) if unsecured_t else None
 

@@ -381,11 +381,17 @@ def test_pq_recall_on_clustered_corpus(spark):
 
 
 def test_pq_encode_is_narrow(spark):
+    """Per-row work only: no keyed shuffle, no Python. The one permitted
+    exchange is the documented RoundRobin parallelism lift (fires when
+    the input arrives in fewer partitions than the session has cores —
+    a no-op at scale where inputs carry enough partitions)."""
     from flink_sql_security_spark.operators import pq as PQ
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     books = PQ.pq_train(emb, m=4, k=4, iters=1)
     plan = PQ.pq_encode(emb, books) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan  # zero shuffle, zero Python
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("RoundRobinPartitioning") <= 1, plan

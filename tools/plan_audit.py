@@ -47,6 +47,10 @@ NLJ_OK = {
     # histogram sketch: the 1-row min/max bounds agg broadcasts onto the
     # scan (the zorder bounds pattern) — the grid needs the range.
     "sketch_hist_quantiles",
+    # PQ ADC: the Q-row per-query lookup-table side broadcasts onto the
+    # code table (ADC IS an n×Q scan by design — the LUT rows are tiny
+    # and the corpus side never shuffles).
+    "emb_pq_topk",
 }
 
 
