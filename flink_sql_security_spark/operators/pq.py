@@ -97,6 +97,12 @@ def pq_train(df: DataFrame, vec_col: str = "embedding",
 
 
 def _pq_train_np(X, m: int, k: int, iters: int) -> list:
+    if m < 1 or k < 1:
+        raise ValueError("pq: m and k must be >= 1")
+    if X.shape[1] < m:
+        raise ValueError(
+            f"pq: m={m} subspaces need at least m dimensions, got d="
+            f"{X.shape[1]} (zero-width subspaces are impossible)")
     books = []
     for start, width in _subspace_bounds(X.shape[1], m):
         C = _l2_kmeans_np(X[:, start:start + width].copy(), k, iters)
@@ -124,8 +130,17 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(1, target // 2):
         df = df.repartition(target)
+    total = sum(len(book[0]) for book in codebooks)
+    # row-level dimension guard: slice() would otherwise silently encode
+    # only the first `total` dims of a longer vector (or garbage for a
+    # shorter one). assert_true throws per offending row; it lives inside
+    # _xd so every consumer (codes AND err) keeps it through pruning.
     out = df.withColumn("_xd", F.expr(
-        f"transform({vec_col}, v -> CAST(v AS DOUBLE))"))
+        f"CASE WHEN size({vec_col}) = {total} "
+        f"THEN transform({vec_col}, v -> CAST(v AS DOUBLE)) "
+        f"ELSE array(CAST(assert_true(false, concat('pq_encode: vector "
+        f"length ', CAST(size({vec_col}) AS STRING), ' != codebook dims "
+        f"{total}')) AS DOUBLE)) END"))
     start = 0
     for s, book in enumerate(codebooks):
         width = len(book[0])

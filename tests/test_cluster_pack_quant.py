@@ -395,3 +395,23 @@ def test_pq_encode_is_narrow(spark):
     assert "rangepartitioning" not in plan, plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert plan.count("RoundRobinPartitioning") <= 1, plan
+
+
+def test_pq_input_contracts(spark):
+    """Bad configurations fail loudly at build time, not mid-job."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark, n_clusters=2, per=5, d=8)
+    # m > d: subspaces of width 0 are impossible
+    with pytest.raises(ValueError):
+        PQ.pq_train(df, m=16, k=4, iters=1)
+    with pytest.raises(ValueError):
+        PQ.pq_train(df, m=0, k=4, iters=1)
+    with pytest.raises(ValueError):
+        PQ.pq_train(df, m=4, k=0, iters=1)
+    # encode with codebooks whose total width disagrees with the vectors
+    books = PQ.pq_train(df, m=4, k=4, iters=1)
+    wrong = spark.createDataFrame(
+        [(1, [0.0] * 12)], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception):
+        PQ.pq_encode(wrong, books).collect()
