@@ -1219,6 +1219,29 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         PQm.pq_topk_duckdb_sql(_emb_path, query_pred="vec_id < 10",
                                m=32, k_cb=64, iters=3, k=5),
     )
+    # IVF-PQ (operators/pq.py ivfpq_topk): the coarse quantizer routes
+    # code rows to cells and queries to their n_probe nearest cells, so
+    # ADC scores ~n_probe/n_cells of the code table per query instead of
+    # all of it — the 100 TB search shape. Coarse centroids are the same
+    # deterministic lowest-id-sample Lloyd as the codebooks; the oracle
+    # re-derives both and verifies cell assignment + encode + the
+    # cell-keyed ADC join + ranking, all hash-strict.
+    _pq_coarse = None
+
+    def _coarse(s):
+        nonlocal _pq_coarse
+        if _pq_coarse is None:
+            _pq_coarse = PQm.coarse_train(emb(s), n_cells=16, iters=3)
+        return _pq_coarse
+
+    out["emb_ivfpq_topk"] = (
+        with_tables(lambda s: PQm.ivfpq_topk(
+            emb(s), emb(s).where("vec_id < 10"), _coarse(s), _books(s),
+            k=5, n_probe=4)),
+        PQm.ivfpq_topk_duckdb_sql(_emb_path, query_pred="vec_id < 10",
+                                  m=32, k_cb=64, iters=3,
+                                  n_cells=16, n_probe=4, k=5),
+    )
     # concat-then-chunk sequence packing (operators/packing.py): two-phase
     # integer prefix sum — no single-partition window anywhere
     from flink_sql_security_spark.operators import packing as PKG

@@ -19,10 +19,17 @@ Scale shape:
   sequential-fold squared-L2 to each centroid, first-position-of-min
   argmin. Zero shuffle, zero Python.
 - **search (ADC)**: per query the m×k lookup table of
-  ``||q_sub − centroid||²`` is computed driver-side; scoring the corpus
-  is one broadcast join of Q tiny LUT rows onto the code table and an
-  m-step fold of table lookups per (query, code-row) pair — no vector
-  ever moves. A window picks the global top-k per query.
+  ``||q_sub − centroid||²`` is computed EXECUTOR-side (one
+  ``mapInPandas`` over the query table against broadcast codebooks —
+  the query side never collects to the driver); scoring the corpus is
+  one join of the LUT rows onto the code table and an m-step fold of
+  table lookups per (query, code-row) pair — no vector ever moves. A
+  window picks the global top-k per query.
+- **IVF-PQ** (:func:`ivfpq_topk`): a coarse L2 quantizer routes each
+  code row to a cell and each query to its ``n_probe`` nearest cells;
+  the ADC join keys on ``cell``, so only ~n_probe/n_cells of the code
+  table is scored per query instead of all of it — the difference
+  between scanning a ~6 TB code table per query and a bounded slice.
 
 Cross-engine exactness: training is driver numpy (same code re-derives
 the identical codebooks from the parquet in the oracle emitter); encode
@@ -112,10 +119,15 @@ def _pq_train_np(X, m: int, k: int, iters: int) -> list:
 
 def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
               id_col: str = "vec_id", round_to: int = 6,
-              stringify_codes: bool = False) -> DataFrame:
-    """(id, codes, err): per-subspace nearest-centroid codes + total
-    squared reconstruction error. ``stringify_codes`` emits CSV codes
-    for harnesses whose canonicalizers can't sort list cells."""
+              stringify_codes: bool = False,
+              coarse: list | None = None) -> DataFrame:
+    """(id[, cell], codes, err): per-subspace nearest-centroid codes +
+    total squared reconstruction error. ``stringify_codes`` emits CSV
+    codes for harnesses whose canonicalizers can't sort list cells.
+    ``coarse`` (a centroid matrix from :func:`coarse_train`) adds the
+    IVF cell id — argmin squared-L2 over the FULL vector with the same
+    sequential-fold kernel as the subspace distances, computed in the
+    same narrow projection (one scan emits cell + codes together)."""
     # each subspace's 64-element distance array is referenced THREE times
     # (argmin position, min for codes, min again for err) — bind it ONCE
     # as a column in its own projection. CollapseProject leaves the
@@ -155,8 +167,14 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
     codes_out = (
         F.expr(f"array_join(transform({codes}, c -> CAST(c AS STRING)), ',')")
         if stringify_codes else F.expr(codes))
+    cols = [F.col(id_col)]
+    if coarse is not None:
+        out = out.withColumn("_dc", F.expr(_dists_expr("_xd", coarse)))
+        cols.append(
+            (F.expr("array_position(_dc, array_min(_dc))").cast("int") - 1)
+            .alias("cell"))
     return out.select(
-        F.col(id_col), codes_out.alias("codes"),
+        *cols, codes_out.alias("codes"),
         F.round(F.expr(err), round_to).alias("err"))
 
 
@@ -204,38 +222,116 @@ def pq_encode_duckdb_sql(parquet_path: str, vec_col: str = "embedding",
     )
 
 
+def _query_lut(q, codebooks: list) -> list:
+    """Per-query ADC lookup table: m lists of ``||q_sub − centroid||²``.
+
+    Pure-Python sequential folds — the SAME code runs executor-side (in
+    :func:`_lut_df`'s mapInPandas) and in the oracle emitters, so the
+    LUT doubles are bit-identical across engines regardless of where
+    they were computed.
+    """
+    lut = []
+    start = 0
+    for book in codebooks:
+        width = len(book[0])
+        sub = q[start:start + width]
+        lut.append([float(sum((sub[i] - c[i]) * (sub[i] - c[i])
+                              for i in range(width)))
+                    for c in book])
+        start += width
+    return lut
+
+
+def _coarse_dists(q, coarse: list) -> list:
+    """Squared-L2 to each coarse centroid — same sequential fold as the
+    JVM-side ``_dists_expr`` kernel, so argmin/argsort agree bit-exactly."""
+    return [float(sum((q[i] - c[i]) * (q[i] - c[i]) for i in range(len(c))))
+            for c in coarse]
+
+
+def _probe_cells(q, coarse: list, n_probe: int) -> list[int]:
+    """The ``n_probe`` nearest coarse cells, lowest-cell tie-break —
+    deterministic, shared by the Spark query pass and the oracle."""
+    dists = _coarse_dists(q, coarse)
+    order = sorted(range(len(coarse)), key=lambda c: (dists[c], c))
+    return order[:min(n_probe, len(coarse))]
+
+
+def _lut_df(queries_df: DataFrame, codebooks: list, vec_col: str,
+            id_col: str, coarse: list | None = None,
+            n_probe: int = 0) -> DataFrame:
+    """Distributed per-query LUT table — NO driver collect of queries.
+
+    One ``mapInPandas`` over the query table against broadcast
+    codebooks: each task builds its queries' m×k LUTs (and, when
+    ``coarse`` is given, explodes each query to its ``n_probe`` probe
+    cells). The query side scales like any other DataFrame — a
+    corpus-sized query table streams through executors instead of
+    serializing onto the driver.
+    """
+    bc = queries_df.sparkSession.sparkContext.broadcast(
+        (codebooks, coarse, n_probe))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        books, crs, p = bc.value
+        for chunk in batches:
+            ids, cells, luts = [], [], []
+            for _, row in chunk.iterrows():
+                q = np.asarray(row[vec_col], dtype=np.float64)
+                lut = _query_lut(q, books)
+                if crs is None:
+                    ids.append(int(row[id_col])); luts.append(lut)
+                else:
+                    for cell in _probe_cells(q, crs, p):
+                        ids.append(int(row[id_col]))
+                        cells.append(cell); luts.append(lut)
+            out = {"q_id": pd.array(ids, dtype="int64")}
+            if crs is not None:
+                out["cell"] = pd.array(cells, dtype="int32")
+            out["lut"] = pd.Series(luts, dtype="object")
+            yield pd.DataFrame(out)
+
+    schema = ("q_id long, cell int, lut array<array<double>>"
+              if coarse is not None else
+              "q_id long, lut array<array<double>>")
+    return queries_df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+_ADC_FOLD = ("aggregate(zip_with(codes, lut, "
+             "(c, row) -> element_at(row, c + 1)), 0D, (s, v) -> s + v)")
+
+
 def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            k: int = 5, round_to: int = 6) -> DataFrame:
+            k: int = 5, round_to: int = 6,
+            broadcast_queries: bool | None = None,
+            broadcast_limit_bytes: int = 64 << 20) -> DataFrame:
     """(q_id, n_id, adc_dist, rank): approximate top-k by ADC distance.
 
     Per query the m×k_cb LUT of ``||q_sub − centroid||²`` is built
-    driver-side and shipped as one broadcast row; the corpus codes score
-    with an m-step fold of exact element lookups. Approximate by design
-    (quantization error) — recall tuned by (m, k_cb); every distance is
-    engine-exact, so the op is strictly oracle-checkable.
+    EXECUTOR-side (:func:`_lut_df` — the query table never collects to
+    the driver); the corpus codes score with an m-step fold of exact
+    element lookups. ``broadcast_queries=None`` auto-broadcasts the LUT
+    side only when the optimizer proves the query table small
+    (``similarity._auto_broadcast``); a large/unknown query side joins
+    without the hint. Approximate by design (quantization error) —
+    recall tuned by (m, k_cb); every distance is engine-exact, so the op
+    is strictly oracle-checkable. Scale note: ADC here scans the FULL
+    code table per query — that is flat-PQ's contract; use
+    :func:`ivfpq_topk` to prune the scan to ``n_probe`` cells.
     """
-    import numpy as np
     from pyspark.sql import Window
 
-    qpdf = queries_df.select(id_col, vec_col).toPandas()
-    spark = df.sparkSession
-    lut_rows = []
-    for _, row in qpdf.iterrows():
-        q = np.asarray(row[vec_col], dtype=np.float64)
-        lut = []
-        start = 0
-        for book in codebooks:
-            width = len(book[0])
-            sub = q[start:start + width]
-            # sequential fold per centroid — same op order as encode
-            lut.append([float(sum((sub[i] - c[i]) * (sub[i] - c[i])
-                                  for i in range(width)))
-                        for c in book])
-            start += width
-        lut_rows.append((int(row[id_col]), lut))
-    luts = spark.createDataFrame(
-        lut_rows, f"q_id long, lut array<array<double>>")
+    from flink_sql_security_spark.operators.cache import attach
+    from flink_sql_security_spark.operators.similarity import _auto_broadcast
+
+    luts = _lut_df(queries_df, codebooks, vec_col, id_col)
+    if _auto_broadcast(queries_df.select(id_col, vec_col),
+                       broadcast_queries, broadcast_limit_bytes):
+        luts = F.broadcast(luts)
 
     # persist the code table: without the materialization boundary
     # Catalyst collapses the (expensive, m·k-fold) encode projection INTO
@@ -246,17 +342,82 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
     # code table is the persisted artifact by design — that is PQ's point.
     codes = pq_encode(df, codebooks, vec_col, id_col).persist()
     scored = (
-        codes.crossJoin(F.broadcast(luts))
+        codes.crossJoin(luts)
         .where(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id", F.col(id_col).alias("n_id"),
-            F.round(F.expr(
-                "aggregate(zip_with(codes, lut, "
-                "(c, row) -> element_at(row, c + 1)), 0D, (s, v) -> s + v)"),
-                round_to).alias("adc_dist"))
+            F.round(F.expr(_ADC_FOLD), round_to).alias("adc_dist"))
     )
-    from flink_sql_security_spark.operators.cache import attach
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    return attach(
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_dist", "rank"),
+        codes)
 
+
+def coarse_train(df: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id", n_cells: int = 16,
+                 iters: int = 3, sample: int = 2048) -> list:
+    """IVF coarse quantizer: n_cells L2 centroids over the full vectors.
+
+    Same bounded-sample recipe as :func:`pq_train` (lowest-id ``sample``
+    rows, deterministic Lloyd) — the oracle re-derives identical
+    centroids from the parquet.
+    """
+    import numpy as np
+
+    pdf = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
+           .toPandas())
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_col].tolist()])
+    return [[float(v) for v in c] for c in _l2_kmeans_np(X, n_cells, iters)]
+
+
+def ivfpq_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
+               codebooks: list, vec_col: str = "embedding",
+               id_col: str = "vec_id", k: int = 5, n_probe: int = 4,
+               round_to: int = 6,
+               broadcast_queries: bool | None = None,
+               broadcast_limit_bytes: int = 64 << 20) -> DataFrame:
+    """(q_id, n_id, adc_dist, rank): IVF-PQ — ADC pruned to probed cells.
+
+    The composition that makes PQ a 100 TB plan: the coarse quantizer
+    routes every code row to a ``cell`` (computed inside the encode
+    projection — one corpus scan emits cell + codes together) and every
+    query to its ``n_probe`` nearest cells; the ADC join keys on
+    ``cell``, so each query scores ~n_probe/n_cells of the code table
+    instead of all of it (Jégou et al. 2011, the IVFADC system). Both
+    sides of the join are deterministic sequential-fold artifacts, so
+    the op stays strictly oracle-checkable; recall is tuned by
+    (n_cells, n_probe) on top of flat PQ's (m, k_cb).
+
+    Query side is distributed (:func:`_lut_df`); the probe table
+    broadcasts only when the optimizer proves the query table small,
+    otherwise the join shuffles on ``cell`` — the scale-safe default.
+    """
+    from pyspark.sql import Window
+
+    from flink_sql_security_spark.operators.cache import attach
+    from flink_sql_security_spark.operators.similarity import _auto_broadcast
+
+    probes = _lut_df(queries_df, codebooks, vec_col, id_col,
+                     coarse=coarse, n_probe=n_probe)
+    if _auto_broadcast(queries_df.select(id_col, vec_col),
+                       broadcast_queries, broadcast_limit_bytes):
+        probes = F.broadcast(probes)
+
+    # persist: same materialization boundary as pq_topk — at scale the
+    # (cell, codes) table IS the index artifact, built once, probed many
+    codes = pq_encode(df, codebooks, vec_col, id_col,
+                      coarse=coarse).persist()
+    scored = (
+        codes.join(probes, "cell")
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id", F.col(id_col).alias("n_id"),
+            F.round(F.expr(_ADC_FOLD), round_to).alias("adc_dist"))
+    )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
     return attach(
         scored.withColumn("rank", F.row_number().over(w))
@@ -304,20 +465,12 @@ def pq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
     lut_values = []
     for _, row in qdf.iterrows():
         q = np.asarray(row[vec_col], dtype=np.float64)
-        lut = []
-        start = 0
-        for book in books:
-            width = len(book[0])
-            sub = q[start:start + width]
-            # CAST each element: a bare literal parses as DECIMAL and the
-            # fold would run exact decimal math instead of the IEEE double
-            # sequence Spark's aggregate() produces
-            lut.append("[" + ", ".join(
-                "CAST(" + repr(float(sum((sub[i] - c[i]) * (sub[i] - c[i])
-                                         for i in range(width))))
-                + " AS DOUBLE)"
-                for c in book) + "]")
-            start += width
+        # same _query_lut the Spark side runs executor-side. CAST each
+        # element: a bare literal parses as DECIMAL and the fold would run
+        # exact decimal math instead of the IEEE double sequence Spark's
+        # aggregate() produces
+        lut = ["[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in sub) + "]"
+               for sub in _query_lut(q, books)]
         lut_values.append(
             f"({int(row[id_col])}, [" + ", ".join(lut) + "])")
     return (
@@ -331,6 +484,81 @@ def pq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
         f"p -> p[2][p[1] + 1])), {round_to}) AS adc_dist "
         "FROM codes c CROSS JOIN luts l "
         "WHERE c.{id} <> l.q_id)".format(id=id_col) + ", "
+        "ranked AS (SELECT q_id, n_id, adc_dist, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank FROM scored) "
+        f"SELECT q_id, n_id, adc_dist, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
+def ivfpq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
+                          vec_col: str = "embedding", id_col: str = "vec_id",
+                          m: int = 16, k_cb: int = 16, iters: int = 3,
+                          sample: int = 2048, n_cells: int = 16,
+                          n_probe: int = 4, k: int = 5,
+                          round_to: int = 6) -> str:
+    """Oracle for :func:`ivfpq_topk` — coarse centroids, codebooks,
+    per-query probe sets AND LUTs all re-derive from the parquet with the
+    same numpy/fold code and embed as literals; the SQL verifies the
+    distributed work: cell assignment (argmin over sequential-fold L2),
+    PQ encode, the cell-keyed ADC join, and deterministic ranking."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"ORDER BY {id_col} LIMIT {sample}").df()
+    qdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"WHERE {query_pred} ORDER BY {id_col}").df()
+    con.close()
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_col].tolist()])
+    books = _pq_train_np(X, m, k_cb, iters)
+    coarse = [[float(v) for v in c]
+              for c in _l2_kmeans_np(X, n_cells, iters)]
+
+    def _dists(vals: list, start: int, width: int) -> str:
+        cmat = _centroid_array_sql(vals, "duckdb")
+        return (f"list_transform({cmat}, c -> list_sum(list_transform("
+                f"list_zip(xd[{start}:{start + width - 1}], c), "
+                "p -> (p[1] - p[2]) * (p[1] - p[2]))))")
+
+    code_exprs = []
+    start = 1
+    for book in books:
+        width = len(book[0])
+        d = _dists(book, start, width)
+        code_exprs.append(
+            f"CAST(list_position({d}, list_min({d})) AS INT) - 1")
+        start += width
+    codes = "[" + ", ".join(code_exprs) + "]"
+    dc = _dists(coarse, 1, len(coarse[0]))
+    cell = f"CAST(list_position({dc}, list_min({dc})) AS INT) - 1"
+
+    probe_values, lut_values = [], []
+    for _, row in qdf.iterrows():
+        q = np.asarray(row[vec_col], dtype=np.float64)
+        qid = int(row[id_col])
+        for c in _probe_cells(q, coarse, n_probe):
+            probe_values.append(f"({qid}, {int(c)})")
+        lut = ["[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in sub) + "]"
+               for sub in _query_lut(q, books)]
+        lut_values.append(f"({qid}, [" + ", ".join(lut) + "])")
+    return (
+        f"WITH x AS (SELECT {id_col}, "
+        f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
+        "FROM embeddings), "
+        f"codes AS (SELECT {id_col}, {cell} AS cell, {codes} AS codes "
+        "FROM x), "
+        "probes(q_id, cell) AS (VALUES " + ", ".join(probe_values) + "), "
+        "luts(q_id, lut) AS (VALUES " + ", ".join(lut_values) + "), "
+        "scored AS (SELECT p.q_id, c.{id} AS n_id, "
+        "round(list_sum(list_transform(list_zip(c.codes, l.lut), "
+        f"p -> p[2][p[1] + 1])), {round_to}) AS adc_dist "
+        "FROM codes c JOIN probes p ON c.cell = p.cell "
+        "JOIN luts l ON l.q_id = p.q_id "
+        "WHERE c.{id} <> p.q_id)".format(id=id_col) + ", "
         "ranked AS (SELECT q_id, n_id, adc_dist, row_number() OVER "
         "(PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank FROM scored) "
         f"SELECT q_id, n_id, adc_dist, rank FROM ranked WHERE rank <= {k}"

@@ -300,22 +300,39 @@ def _blocked_cosine_pairs(raw: DataFrame, vec_col: str, id_col: str,
 
 def cosine_topk(df: DataFrame, queries_df: DataFrame,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                k: int = 5, round_to: int = 6) -> DataFrame:
+                k: int = 5, round_to: int = 6,
+                broadcast_queries: bool | None = None,
+                broadcast_limit_bytes: int = 64 << 20,
+                n_blocks: int = 8, q_blocks: int = 8) -> DataFrame:
     """Top-k neighbors per query vector (brute force, exact).
 
-    Physical shape: the (small) query side broadcasts as a unit matrix;
-    corpus chunks stream through one ``mapInPandas`` doing a Q×chunk BLAS
-    matmul, keep each query's CHUNK-LOCAL top-k (± a float-drift margin —
-    any global top-k element is a fortiori in its chunk's top-k, so the
-    union over chunks is a guaranteed superset), re-score survivors with
-    the exact sequential fold, and a final window picks the global top-k.
-    The window input is ~n_chunks·|Q|·k rows, never the full n·|Q| cross
-    product. Deterministic: ties broken by neighbor id.
+    Physical shape (``broadcast_queries=True``, or None-auto when the
+    optimizer proves the query table small): the query side broadcasts
+    as a unit matrix; corpus chunks stream through one ``mapInPandas``
+    doing a Q×chunk BLAS matmul, keep each query's CHUNK-LOCAL top-k (±
+    a float-drift margin — any global top-k element is a fortiori in its
+    chunk's top-k, so the union over chunks is a guaranteed superset),
+    re-score survivors with the exact sequential fold, and a final
+    window picks the global top-k. The window input is ~n_chunks·|Q|·k
+    rows, never the full n·|Q| cross product. Deterministic: ties broken
+    by neighbor id.
+
+    When the query table is large or of unknown size, NOTHING collects
+    to the driver: ``_blocked_cosine_topk`` runs the same arithmetic as
+    a block nested-loop — queries and corpus each hash into blocks, each
+    side replicates across the other's block axis, and one
+    ``applyInPandas`` per (q-block, c-block) group emits group-local
+    top-k candidates for the same final window. Per-pair values are
+    bit-identical to the broadcast path (pinned by the parity test).
     """
     import numpy as np
     from pyspark.sql.window import Window
 
-    qpdf = queries_df.select(id_col, vec_col).toPandas()
+    q = queries_df.select(id_col, vec_col)
+    if not _auto_broadcast(q, broadcast_queries, broadcast_limit_bytes):
+        return _blocked_cosine_topk(df.select(id_col, vec_col), q, vec_col,
+                                    id_col, k, round_to, n_blocks, q_blocks)
+    qpdf = q.toPandas()
     q_ids = qpdf[id_col].to_numpy()
     Q = _exact_unit_matrix(qpdf[vec_col].tolist())
     bc = df.sparkSession.sparkContext.broadcast((q_ids, Q))
@@ -353,6 +370,81 @@ def cosine_topk(df: DataFrame, queries_df: DataFrame,
 
     cand = df.select(id_col, vec_col).mapInPandas(
         gen, "q_id long, n_id long, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def _blocked_cosine_topk(raw: DataFrame, q: DataFrame, vec_col: str,
+                         id_col: str, k: int, round_to: int,
+                         n_blocks: int, q_blocks: int) -> DataFrame:
+    """Distributed brute-force top-k — neither side collects to the driver.
+
+    Block nested-loop: corpus rows hash into ``n_blocks`` blocks and
+    replicate across the ``q_blocks`` query-block axis; query rows hash
+    into ``q_blocks`` blocks and replicate across the corpus-block axis.
+    Every (query, corpus-row) pair meets in EXACTLY one (_qb, _cb) group;
+    each group's ``applyInPandas`` runs the same Q×C BLAS prune +
+    exact-fold rescore as the broadcast path and emits its group-local
+    top-k (± margin) per query — a guaranteed superset of the global
+    top-k, decided by the final window. Shuffle volume is
+    |Q|·n_blocks + |C|·q_blocks vector copies (tunable); group memory is
+    ~(|Q|/q_blocks + |C|/n_blocks)·d doubles.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    margin = 1e-8
+
+    def replicated(side: DataFrame, tag: int, own_blocks: int,
+                   other_blocks: int, own_is_q: bool) -> DataFrame:
+        own = F.pmod(F.xxhash64(F.col(id_col)), F.lit(own_blocks)).cast("int")
+        other = F.explode(
+            F.sequence(F.lit(0), F.lit(other_blocks - 1))).alias("_o")
+        out = side.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                          own.alias("_own"), other)
+        qb = F.col("_own") if own_is_q else F.col("_o")
+        cb = F.col("_o") if own_is_q else F.col("_own")
+        return out.select(qb.alias("_qb"), cb.alias("_cb"), "_id", "_v",
+                          F.lit(tag).alias("_side"))
+
+    both = replicated(q, 0, q_blocks, n_blocks, True).unionByName(
+        replicated(raw, 1, n_blocks, q_blocks, False))
+
+    def score_group(key, pdf):
+        qs = pdf[pdf["_side"] == 0]
+        cs = pdf[pdf["_side"] == 1]
+        out_q, out_n, out_c = [], [], []
+        if len(qs) and len(cs):
+            Qm = _exact_unit_matrix(qs["_v"].tolist())
+            A = _exact_unit_matrix(cs["_v"].tolist())
+            ids_q = qs["_id"].to_numpy()
+            ids_n = cs["_id"].to_numpy()
+            S = Qm @ A.T
+            for qi in range(len(ids_q)):
+                s = S[qi]
+                idx = np.nonzero(ids_n != ids_q[qi])[0]
+                if not len(idx):
+                    continue
+                if len(idx) > k:
+                    kth = np.partition(s[idx], len(idx) - k)[len(idx) - k]
+                    idx = idx[s[idx] >= kth - margin]
+                for j in idx:
+                    out_q.append(ids_q[qi]); out_n.append(ids_n[j])
+                    out_c.append(_round_half_up(_seq_dot(Qm[qi], A[j]),
+                                                round_to))
+        return pd.DataFrame({
+            "q_id": pd.array(out_q, dtype="int64"),
+            "n_id": pd.array(out_n, dtype="int64"),
+            "cosine": pd.array(out_c, dtype="float64"),
+        })
+
+    cand = both.groupBy("_qb", "_cb").applyInPandas(
+        score_group, "q_id long, n_id long, cosine double")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -438,7 +530,16 @@ def ivf_assign(df: DataFrame, vec_col: str = "embedding",
             if not len(chunk):
                 continue
             A = np.array(chunk["unit"].tolist(), dtype=np.float64)
-            cell = np.argmax(A @ cm.T, axis=1).astype("int32")
+            B = A @ cm.T
+            # near-tie rows: recompute with the sequential fold so the
+            # argmax is fold-order-exact — same recheck as ivf_topk's
+            # fused pass, keeping assignments identical across paths
+            # (and reproducible by a SQL oracle's list_sum)
+            if B.shape[1] > 1:
+                top2 = np.partition(B, B.shape[1] - 2, axis=1)[:, -2:]
+                for r in np.nonzero(top2[:, 1] - top2[:, 0] < 1e-9)[0]:
+                    B[r] = [_seq_dot(A[r], c) for c in cm]
+            cell = np.argmax(B, axis=1).astype("int32")
             yield pd.DataFrame({
                 id_col: chunk[id_col].to_numpy(),
                 "cell": cell,
@@ -453,7 +554,9 @@ def ivf_topk(df: DataFrame, queries_df: DataFrame,
              vec_col: str = "embedding", id_col: str = "vec_id",
              k: int = 5, n_cells: int = 16, n_probe: int = 4,
              iters: int = 5, sample: int = 4096,
-             round_to: int = 6) -> DataFrame:
+             round_to: int = 6,
+             broadcast_queries: bool | None = None,
+             broadcast_limit_bytes: int = 64 << 20) -> DataFrame:
     """Approximate top-k via IVF: probe the ``n_probe`` nearest cells only.
 
     Same output schema as `cosine_topk` (q_id, n_id, cosine, rank); recall
@@ -462,21 +565,34 @@ def ivf_topk(df: DataFrame, queries_df: DataFrame,
     n_probe/n_cells of the vectors; candidate scoring is exact
     sequential-order cosine, so any pair this returns scores identically
     to the brute-force path.
+
+    ``broadcast_queries=None`` (auto): the fused single-pass shape below
+    collects the query side to the driver, so it runs only when the
+    optimizer proves the query table small; a large/unknown query side
+    takes ``_joined_ivf_topk`` — probe assignment happens in a
+    ``mapInPandas`` over the query table and the search is a cell-keyed
+    join, with no driver collect anywhere.
     """
     import numpy as np
     from pyspark.sql.window import Window
 
+    q = queries_df.select(id_col, vec_col)
+    if not _auto_broadcast(q, broadcast_queries, broadcast_limit_bytes):
+        return _joined_ivf_topk(df, q, vec_col, id_col, k, n_cells,
+                                n_probe, iters, sample, round_to)
+
     C = _ivf_centroids(unit_vectors(df, vec_col, id_col), id_col,
                        n_cells, iters, sample)
 
-    # probe assignment for the (small) query side happens driver-side; the
-    # corpus pass fuses cell assignment + probed-cell scoring into ONE
-    # mapInPandas: chunk vectors are unit-normalized (exact fold), assigned
-    # by argmax against the broadcast centroids, and scored against the
-    # queries probing their cell; chunk-local top-k (± margin) bounds the
-    # emitted candidates, the final window picks the global top-k. The
-    # corpus is scanned once, no vector ever joins or shuffles.
-    qpdf = queries_df.select(id_col, vec_col).toPandas()
+    # probe assignment for the (proven-small) query side happens driver-
+    # side; the corpus pass fuses cell assignment + probed-cell scoring
+    # into ONE mapInPandas: chunk vectors are unit-normalized (exact
+    # fold), assigned by argmax against the broadcast centroids, and
+    # scored against the queries probing their cell; chunk-local top-k
+    # (± margin) bounds the emitted candidates, the final window picks
+    # the global top-k. The corpus is scanned once, no vector ever joins
+    # or shuffles.
+    qpdf = q.toPandas()
     q_ids = qpdf[id_col].to_numpy()
     Q = _exact_unit_matrix(qpdf[vec_col].tolist())
     p = min(n_probe, len(C))
@@ -526,6 +642,97 @@ def ivf_topk(df: DataFrame, queries_df: DataFrame,
 
     cand = df.select(id_col, vec_col).mapInPandas(
         score, "q_id long, n_id long, cosine double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def _joined_ivf_topk(df: DataFrame, q: DataFrame, vec_col: str,
+                     id_col: str, k: int, n_cells: int, n_probe: int,
+                     iters: int, sample: int, round_to: int) -> DataFrame:
+    """IVF top-k for a LARGE query side — no driver collect anywhere.
+
+    Corpus: ``ivf_assign`` (one mapInPandas pass → (id, cell, unit)).
+    Queries: one mapInPandas pass emits (q_id, probe cell, unit) rows —
+    probe sets come from the same stable argsort against the broadcast
+    centroid matrix as the fused path, so both paths probe identical
+    cells. Search: a cell-keyed shuffle join pairs each query with the
+    ~n_probe/n_cells of the corpus it probes; a vectorized pass per
+    Arrow batch prunes to batch-local top-k (± margin) before the exact
+    sequential-fold rescore, and the final window picks the global
+    top-k. Per-pair values are bit-identical to the fused path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    C = _ivf_centroids(unit_vectors(df, vec_col, id_col), id_col,
+                       n_cells, iters, sample)
+    assigned = ivf_assign(df, vec_col, id_col, n_cells, iters, sample,
+                          centroids=C)
+    p = min(n_probe, len(C))
+    bcc = df.sparkSession.sparkContext.broadcast(C)
+    margin = 1e-8
+
+    def probes(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = bcc.value
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            Qm = _exact_unit_matrix(chunk[vec_col].tolist())
+            cells = np.argsort(-np.einsum("ij,kj->ik", Qm, cm),
+                               kind="stable", axis=1)[:, :p]
+            idx = np.repeat(np.arange(len(Qm)), p)
+            yield pd.DataFrame({
+                "q_id": chunk[id_col].to_numpy()[idx],
+                "cell": cells.ravel().astype("int32"),
+                "_qu": pd.Series(list(Qm), dtype="object")
+                .iloc[idx].reset_index(drop=True),
+            })
+
+    qprobe = q.mapInPandas(
+        probes, "q_id long, cell int, _qu array<double>")
+    paired = (
+        assigned.join(qprobe, "cell")
+        .where(F.col(id_col) != F.col("q_id"))
+        .select("q_id", "_qu", F.col(id_col).alias("n_id"), "unit")
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            Qm = np.array(chunk["_qu"].tolist(), dtype=np.float64)
+            A = np.array(chunk["unit"].tolist(), dtype=np.float64)
+            s = np.einsum("ij,ij->i", Qm, A)
+            ids_q = chunk["q_id"].to_numpy()
+            ids_n = chunk["n_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for qid in pd.unique(ids_q):
+                idx = np.nonzero(ids_q == qid)[0]
+                if len(idx) > k:
+                    kth = np.partition(s[idx], len(idx) - k)[len(idx) - k]
+                    idx = idx[s[idx] >= kth - margin]
+                for j in idx:
+                    out_q.append(qid); out_n.append(ids_n[j])
+                    out_c.append(_round_half_up(_seq_dot(Qm[j], A[j]),
+                                                round_to))
+            yield pd.DataFrame({
+                "q_id": pd.array(out_q, dtype="int64"),
+                "n_id": pd.array(out_n, dtype="int64"),
+                "cosine": pd.array(out_c, dtype="float64"),
+            })
+
+    cand = paired.mapInPandas(score, "q_id long, n_id long, cosine double")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -397,6 +397,96 @@ def test_pq_encode_is_narrow(spark):
     assert plan.count("RoundRobinPartitioning") <= 1, plan
 
 
+def test_ivfpq_topk_duckdb_parity(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=8, k=16, iters=2)
+    coarse = PQ.coarse_train(emb, n_cells=8, iters=2)
+    got = sorted(map(tuple, PQ.ivfpq_topk(
+        emb, emb.where("vec_id < 4"), coarse, books,
+        k=5, n_probe=3).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+    want = sorted(map(tuple, con.execute(PQ.ivfpq_topk_duckdb_sql(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        query_pred="vec_id < 4", m=8, k_cb=16, iters=2,
+        n_cells=8, n_probe=3, k=5)).fetchall()))
+    assert got == want and len(got) == 20
+
+
+def test_ivfpq_scores_only_probed_cells(spark):
+    """The IVF-PQ contract: every returned neighbor lives in one of the
+    query's n_probe cells, and the search plan is a cell-keyed JOIN —
+    no cartesian / nested-loop scan of the full code table."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark)
+    books = PQ.pq_train(df, m=4, k=8, iters=2)
+    coarse = PQ.coarse_train(df, n_cells=6, iters=3)
+    out = PQ.ivfpq_topk(df, df.where("vec_id < 5"), coarse, books,
+                        k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+    cells = {r["vec_id"]: r["cell"] for r in PQ.pq_encode(
+        df, books, coarse=coarse).select("vec_id", "cell").collect()}
+    import numpy as np
+    qvecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+             for r in df.where("vec_id < 5").collect()}
+    for r in out.collect():
+        probes = PQ._probe_cells(qvecs[r["q_id"]], coarse, 2)
+        assert cells[r["n_id"]] in probes, (
+            f"neighbor {r['n_id']} (cell {cells[r['n_id']]}) outside "
+            f"query {r['q_id']}'s probe set {probes}")
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark):
+    """On a clustered space the probed cells contain the query's own
+    cluster, so region recall stays 100% despite scoring only
+    n_probe/n_cells of the code table."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark)        # cluster id = vec_id // 20
+    books = PQ.pq_train(df, m=8, k=8, iters=3)
+    coarse = PQ.coarse_train(df, n_cells=6, iters=3)
+    rows = PQ.ivfpq_topk(df, df.where("vec_id < 10"), coarse, books,
+                         k=10, n_probe=2).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["n_id"] // 20 == r["q_id"] // 20, (
+            f"neighbor {r['n_id']} not in query {r['q_id']}'s cluster")
+
+
+def test_pq_topk_query_side_stays_distributed(spark):
+    """No toPandas() of the query table on any path: forcing the
+    non-broadcast gate (1-byte ceiling) must produce the identical
+    result through a plain (non-hinted) join."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark, n_clusters=3, per=10, d=8)
+    books = PQ.pq_train(df, m=4, k=8, iters=2)
+    q = df.where("vec_id < 4")
+    want = sorted(map(tuple, PQ.pq_topk(
+        df, q, books, k=3, broadcast_queries=True).collect()))
+    got = sorted(map(tuple, PQ.pq_topk(
+        df, q, books, k=3, broadcast_limit_bytes=1).collect()))
+    assert got == want and len(got) == 12
+
+    coarse = PQ.coarse_train(df, n_cells=4, iters=2)
+    want = sorted(map(tuple, PQ.ivfpq_topk(
+        df, q, coarse, books, k=3, n_probe=2,
+        broadcast_queries=True).collect()))
+    got = sorted(map(tuple, PQ.ivfpq_topk(
+        df, q, coarse, books, k=3, n_probe=2,
+        broadcast_limit_bytes=1).collect()))
+    assert got == want and len(got) == 12
+
+
 def test_pq_input_contracts(spark):
     """Bad configurations fail loudly at build time, not mid-job."""
     from flink_sql_security_spark.operators import pq as PQ

@@ -388,6 +388,63 @@ def test_ivf_topk_high_recall_on_fixture(spark):
             assert r["cosine"] == exact_cos[(r["q_id"], r["n_id"])]
 
 
+def test_cosine_topk_blocked_matches_broadcast(spark):
+    """The large-Q block nested-loop path (no driver collect of either
+    side) must return the EXACT rows of the broadcast path — same
+    neighbors, same bit-identical cosines, same ranks."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id",
+                F.col("embedding").cast("array<float>").alias("embedding"))
+    )
+    queries = emb.where("vec_id < 15")
+    fast = sorted(map(tuple, S.cosine_topk(
+        emb, queries, k=5, broadcast_queries=True).collect()))
+    blocked = sorted(map(tuple, S.cosine_topk(
+        emb, queries, k=5, broadcast_queries=False,
+        n_blocks=3, q_blocks=2).collect()))
+    assert fast == blocked and len(fast) == 75
+
+
+def test_ivf_topk_joined_matches_fused(spark):
+    """The large-Q cell-join path must probe the same cells and score
+    the same exact cosines as the fused driver-probe path."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id",
+                F.col("embedding").cast("array<float>").alias("embedding"))
+    )
+    queries = emb.where("vec_id < 15")
+    fused = sorted(map(tuple, S.ivf_topk(
+        emb, queries, k=5, n_cells=8, n_probe=3,
+        broadcast_queries=True).collect()))
+    joined = sorted(map(tuple, S.ivf_topk(
+        emb, queries, k=5, n_cells=8, n_probe=3,
+        broadcast_queries=False).collect()))
+    assert fused == joined and len(fused) > 0
+
+
+def test_topk_auto_gate_defaults_to_scale_safe_path(spark):
+    """broadcast_queries=None must take the distributed path whenever the
+    optimizer cannot PROVE the query side small — a driver collect at
+    100 TB must be opt-in, never the default failure mode."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id",
+                F.col("embedding").cast("array<float>").alias("embedding"))
+    )
+    queries = emb.where("vec_id < 5")
+    # tiny parquet side: the size estimate proves it small → broadcast on
+    assert S._auto_broadcast(queries, None, 64 << 20) is True
+    # a 1-byte ceiling makes "small" unprovable → the gate must say no
+    assert S._auto_broadcast(queries, None, 1) is False
+    # and the operator still returns the identical result through the gate
+    got = sorted(map(tuple, S.cosine_topk(
+        emb, queries, k=3, broadcast_limit_bytes=1).collect()))
+    want = sorted(map(tuple, S.cosine_topk(emb, queries, k=3).collect()))
+    assert got == want
+
+
 def test_clean_corpus_drops_dups_and_low_quality(spark):
     from flink_sql_security_spark.operators.corpus import clean_corpus
     rows = [
