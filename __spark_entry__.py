@@ -1705,15 +1705,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, then one entry per pipeline-operator family — breadth first,
 # near-duplicates of already-covered families last.
 _CHECK_ORDER = [
-    # security layer (the reference's whole surface)
+    # security layer (the reference's whole surface).
+    # r05 driver-round rotation (breadth over redundancy, same rule as
+    # every prior swap; all eight incomers have full strict oracles but
+    # had NEVER been driver-checked — see CORRECTNESS_r01–r04):
+    # - mask_hash / mask_null / mask_show_last → rls_union + mask_union:
+    #   the three outgoing masks' subquery-wrap machinery rides through
+    #   the five remaining in-window mask entries and their function
+    #   cores are golden-pinned in pytest (test_masks.py); the set-op
+    #   rewrite path (per-branch filter/mask injection through UNION)
+    #   was a family with no driver row at all.
     "rls_select", "rls_or_where", "rls_join_3way", "rls_subquery",
-    "rls_groupby", "mask_show_first", "mask_default_supplier", "mask_join",
-    "mask_hash", "mask_null", "mask_show_last", "mask_custom_template",
+    "rls_groupby", "rls_union", "mask_show_first", "mask_default_supplier",
+    "mask_join", "mask_union", "mask_custom_template",
     "mask_date_year", "mixed_flagship",
-    # relational surface (incl. all round-1 hash-mismatch fixes)
+    # relational surface (incl. all round-1 hash-mismatch fixes).
+    # r05 rotation: q12_priority_case → pivot_daily_events (the pivot
+    # lowers to exactly q12's CASE-sum conditional-agg shape, so the
+    # incoming entry pins the same core PLUS the native PIVOT lowering);
+    # events_daily → interval_click_purchase (daily date-trunc groupBy is
+    # a sub-shape of in-window events_hourly_window on the same table;
+    # the time-range self-join is a family with no driver row ever).
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
-    "q11_important_parts", "q12_priority_case", "q18_large_orders",
-    "q22_global_sales", "events_daily",
+    "q11_important_parts", "q18_large_orders",
+    "q22_global_sales", "pivot_daily_events", "interval_click_purchase",
     # training-data pipeline operators, one per family. dedup_minhash_pairs
     # and dedup_jaccard_pairs are strict sub-computations of
     # dedup_lsh_verified (candidate generation / exact verification), so
@@ -1765,15 +1780,33 @@ _CHECK_ORDER = [
     #   snapshot_diff's typed-md5 full-outer-join status matrix is a
     #   family no window entry covers.
     # - text_langid → sketch_hist_quantiles: langid's regex-case core is
-    #   exercised in-window by secured_clean_corpus (its stage-1 gate);
+    #   exercised in-window by the clean-corpus entry (its stage-1 gate);
     #   the mergeable histogram-quantile sketch (cumulative-bin
     #   interpolation) is a new family.
+    # r05 rotation (pipeline tier, same breadth-over-redundancy rule):
+    # - emb_ivf_topk → emb_ivfpq_topk: the incoming composition carries
+    #   the IVF probe/prune core forward AND adds the ADC lookup-fold
+    #   scan; exact-cosine scoring stays pinned in-window by
+    #   emb_ann_pairs (bit-equal arithmetic, test-pinned).
+    # - emb_kmeans_cells → emb_pq_codes: both entries' distance kernel is
+    #   the SAME _dists_expr sequential-fold argmin (pq_encode imports it
+    #   from clustering.py); the incoming entry pins it per-subspace plus
+    #   the codebook train; the distributed decimal-exact Lloyd update
+    #   remains pinned by pytest (test_cluster_pack_quant.py).
+    # - secured_clean_corpus → pipeline_clean_corpus: secured = the same
+    #   pipeline over an RLS-filtered table — the RLS-gate core is pinned
+    #   in-window by the 13 security entries (incl. mixed_flagship) and
+    #   the pipeline stages by the incoming entry, so every sub-core
+    #   stays covered while the never-windowed entry gets its driver row.
+    # - profile_quantiles enters on the slot freed by the security-tier
+    #   consolidation: its exact→approx auto-switch shipped this round
+    #   and the exact histogram-percentile path deserves the hard signal.
     "sketch_distinct_hll", "sketch_cms_tokens", "sketch_bloom_decon",
     "zorder_orders", "cdc_upsert_latest",
     "sample_dsir_weights", "dedup_lsh_verified", "dedup_components",
     "cdc_snapshot_diff", "dedup_span_stats",
-    "emb_ann_pairs", "emb_ivf_topk",
-    "emb_kmeans_cells", "emb_quantize_int8", "pack_sequences",
+    "emb_ann_pairs", "emb_ivfpq_topk",
+    "emb_pq_codes", "emb_quantize_int8", "pack_sequences",
     "text_stats", "sketch_hist_quantiles", "text_repetition",
     "text_pii_redact",
     # round-3: sample_token_budget's windowed running-sum core is a
@@ -1782,7 +1815,7 @@ _CHECK_ORDER = [
     # encode — a core no other entry covers)
     "split_hash_assign", "bpe_tokens",
     "multimodal_features", "events_hourly_window",
-    "profile_lineitem", "secured_clean_corpus",
+    "profile_lineitem", "profile_quantiles", "pipeline_clean_corpus",
     "sessionize_events", "asof_purchase_click",
     # 50th slot: the analytic-window family (lag / framed running sum /
     # ntile) — round 1 measured the driver budget at exactly 50 entries

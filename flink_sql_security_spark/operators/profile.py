@@ -99,35 +99,67 @@ QUANTILE_PS = (0.25, 0.5, 0.75, 0.95)
 
 
 def profile_quantiles(df: DataFrame, cols: list[str],
-                      ps: tuple = QUANTILE_PS) -> DataFrame:
-    """(column, p25, p50, p75, p95) per numeric column — exact quantiles.
+                      ps: tuple = QUANTILE_PS,
+                      exact: bool | str = "auto",
+                      accuracy: int = 10000,
+                      auto_small_bytes: int = 1 << 30,
+                      auto_distinct_limit: int = 50_000_000) -> DataFrame:
+    """(column, p25, p50, p75, p95) per numeric column.
 
-    One wide aggregate (Spark's sort-based exact ``percentile``), stacked
-    to long form after the agg. Values are DECIMAL(18,2)-normalized then
-    widened to DOUBLE (exact), and the linear interpolation rounds to 6 —
-    Spark's (1-f)·a + f·b and DuckDB's a + (b-a)·f round identically at
-    output precision for 2-decimal money values. Scale note: exact
-    percentile holds per-column value multisets in memory; above ~10⁹
-    distinct values per column swap in approx_percentile (t-digest) —
-    same shape, bounded error.
+    **Exact path** (``exact=True``): Spark's sort-based exact
+    ``percentile`` over the (distinct value, frequency) histogram —
+    the unpivot→groupBy(column, v) shuffle moves only distinct pairs
+    (map-side combined) and the aggregate's in-memory state is the value
+    histogram, not the row multiset (measured 3.1s → ~1s at sf0.1).
+    Values are DECIMAL(18,2)-normalized then widened to DOUBLE (exact),
+    and the linear interpolation rounds to 6 — Spark's (1-f)·a + f·b and
+    DuckDB's a + (b-a)·f round identically at output precision for
+    2-decimal money values.
+
+    **Approx path** (``exact=False``): one wide
+    ``approx_percentile`` (Greenwald-Khanna, state bounded by
+    ``accuracy``) over raw rows — no per-value histogram anywhere, the
+    100 TB-safe shape for high-cardinality columns, error ≤ 1/accuracy
+    of the rank.
+
+    **``exact='auto'`` (default)** picks per call, cheapest probe first:
+    the optimizer's free size estimate proves a small input → exact (no
+    probe job); otherwise ONE approx_count_distinct pass (HLL — tiny
+    state, one scan) estimates the worst column's cardinality and
+    switches to approx when it exceeds ``auto_distinct_limit``
+    (defaulted to a histogram that comfortably fits an executor). The
+    failure mode this removes: exact percentile's per-column
+    distinct-value histogram OOMing an executor at 100 TB.
     """
+    if exact == "auto":
+        from flink_sql_security_spark.operators.similarity import (
+            _plan_size_bytes)
+
+        size = _plan_size_bytes(df.select(*cols))
+        if size is not None and size <= auto_small_bytes:
+            exact = True
+        else:
+            probe = df.agg(*[
+                F.approx_count_distinct(c).alias(c) for c in cols]).first()
+            exact = max(probe[c] for c in cols) <= auto_distinct_limit
     plist = ", ".join(str(p) for p in ps)
-    # percentile over the (distinct value, frequency) map instead of raw
-    # rows: the unpivot→groupBy(column, v) shuffle moves only distinct
-    # pairs (map-side combined) and the percentile aggregate's in-memory
-    # state is the value histogram, not the row multiset — same exact
-    # result via the frequency argument. Measured 3.1s → ~1s at sf0.1.
+    names = [f"p{int(p * 100)}" for p in ps]
     stacked = ", ".join(
         f"'{c}', CAST(CAST({c} AS DECIMAL(18,2)) AS DOUBLE)" for c in cols)
-    per_val = (
+    long_df = (
         df.select(F.expr(f"stack({len(cols)}, {stacked})")
                   .alias("column", "v"))
         .where(F.col("v").isNotNull())
-        .groupBy("column", "v").agg(F.count("*").alias("cnt"))
     )
-    agg = per_val.groupBy("column").agg(
-        F.expr(f"percentile(v, array({plist}), cnt)").alias("_qs"))
-    names = [f"p{int(p * 100)}" for p in ps]
+    if exact:
+        per_val = long_df.groupBy("column", "v").agg(
+            F.count("*").alias("cnt"))
+        agg = per_val.groupBy("column").agg(
+            F.expr(f"percentile(v, array({plist}), cnt)").alias("_qs"))
+    else:
+        agg = long_df.groupBy("column").agg(
+            F.expr(f"approx_percentile(v, array({plist}), {accuracy})")
+            .alias("_qs"))
     return agg.select(
         "column",
         *[F.round(F.col("_qs").getItem(i), 6).alias(n)

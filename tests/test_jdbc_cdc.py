@@ -169,3 +169,65 @@ def test_security_policies_over_live_changelog_view(spark, derby):
     finally:
         q.stop()
     q.cdc_state["state"].unpersist(True)
+
+
+def test_hard_delete_without_op_column_is_not_observed(spark, derby):
+    """The documented OSS-Spark platform caveat, made executable: polling
+    ``WHERE seq > hwm`` sees only rows that EXIST in the source — a hard
+    DELETE (the row vanishes, no tombstone written) emits nothing above
+    the high-water mark, so the maintained state silently keeps the dead
+    row. This is inherent to snapshot+incremental-pull over JDBC
+    (``sources/jdbc_cdc.py`` module docstring); a binlog reader (the
+    reference's mysql-cdc) is the only shape that observes it.
+    """
+    from flink_sql_security_spark.operators.cdc import upsert_latest
+    from flink_sql_security_spark.sources.jdbc_cdc import JdbcChangelog
+
+    url, exec_sql = derby
+    exec_sql("CREATE TABLE hard_del (id INT, seq INT, val VARCHAR(32))")
+    exec_sql("INSERT INTO hard_del VALUES (1, 1, 'a')")
+    exec_sql("INSERT INTO hard_del VALUES (2, 2, 'b')")
+
+    cl = JdbcChangelog(spark, url, "hard_del", "seq")
+    state = upsert_latest(cl.changes_since(None), ["id"], "seq")
+    state = state.localCheckpoint()  # pin: the fold must not re-read live
+    assert {r["id"] for r in state.collect()} == {1, 2}
+    hwm = 2
+
+    # the row disappears from the source with no tombstone row
+    exec_sql("DELETE FROM hard_del WHERE id = 2")
+    delta = cl.changes_since(hwm)
+    assert delta.count() == 0          # nothing crosses the high-water mark
+    # folding the (empty) delta keeps the dead row — the caveat
+    merged = upsert_latest(state.unionByName(delta), ["id"], "seq")
+    assert {r["id"] for r in merged.collect()} == {1, 2}
+
+
+def test_op_column_tombstone_drops_row(spark, derby):
+    """The supported deletion contract: the writer appends a tombstone
+    row (op = delete_op) instead of hard-deleting, and the SAME fold
+    drops the key — end to end through real JDBC reads."""
+    from flink_sql_security_spark.operators.cdc import upsert_latest
+    from flink_sql_security_spark.sources.jdbc_cdc import JdbcChangelog
+
+    url, exec_sql = derby
+    exec_sql("CREATE TABLE soft_del (id INT, seq INT, op VARCHAR(1), "
+             "val VARCHAR(32))")
+    exec_sql("INSERT INTO soft_del VALUES (1, 1, 'I', 'a')")
+    exec_sql("INSERT INTO soft_del VALUES (2, 2, 'I', 'b')")
+
+    cl = JdbcChangelog(spark, url, "soft_del", "seq")
+    state = upsert_latest(cl.changes_since(None), ["id"], "seq",
+                          op_col="op").localCheckpoint()
+    assert {r["id"] for r in state.collect()} == {1, 2}
+
+    exec_sql("INSERT INTO soft_del VALUES (2, 3, 'D', '')")  # tombstone
+    delta = cl.changes_since(2)
+    assert delta.count() == 1          # the tombstone IS observed
+    merged = upsert_latest(state.unionByName(delta), ["id"], "seq",
+                           op_col="op")
+    assert {r["id"] for r in merged.collect()} == {1}
+    # re-insert after the tombstone resurrects the key (latest-op wins)
+    exec_sql("INSERT INTO soft_del VALUES (2, 4, 'I', 'b2')")
+    full = upsert_latest(cl.snapshot(), ["id"], "seq", op_col="op")
+    assert {r["id"]: r["val"] for r in full.collect()} == {1: "a", 2: "b2"}

@@ -722,6 +722,40 @@ def test_profile_quantiles_shape_and_order(spark):
     assert 1 <= rows["l_quantity"]["p25"] <= rows["l_quantity"]["p95"] <= 50
 
 
+def test_profile_quantiles_auto_switchover(spark):
+    """exact='auto' pins the switch: a provably-small input plans the
+    exact sort-based percentile with NO probe job; pushing both
+    thresholds to zero forces the HLL probe and the approx_percentile
+    plan. The approx path must stay rank-accurate on real data."""
+    from flink_sql_security_spark.operators.profile import profile_quantiles
+    from flink_sql_security_spark.sources import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    li = spark.table("lineitem")
+    cols = ["l_quantity", "l_discount"]
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    auto = profile_quantiles(li, cols)                   # small → exact
+    assert "approx_percentile" not in plan(auto)
+    assert "percentile(" in plan(auto)
+    forced = profile_quantiles(li, cols, auto_small_bytes=0,
+                               auto_distinct_limit=0)    # → approx
+    assert "approx_percentile" in plan(forced)
+
+    # auto==exact exactly; approx within GK rank error of exact
+    exact_rows = {r["column"]: r for r in
+                  profile_quantiles(li, cols, exact=True).collect()}
+    assert {tuple(r) for r in auto.collect()} == \
+           {tuple(r) for r in profile_quantiles(li, cols, exact=True).collect()}
+    for r in profile_quantiles(li, cols, exact=False).collect():
+        e = exact_rows[r["column"]]
+        for p in ("p25", "p50", "p75", "p95"):
+            span = e["p95"] - e["p25"] or 1.0
+            assert abs(r[p] - e[p]) <= 0.05 * span + 1e-6, (r["column"], p)
+
+
 def test_lm_score_prefers_in_domain(spark):
     """A document made of corpus-frequent bigrams scores higher than one
     made of unique word sequences."""

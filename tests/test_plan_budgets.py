@@ -38,6 +38,12 @@ BUDGETS = {
     # the as-of OP is single-exchange (test_asof plan gate); the ENTRY
     # adds its own keyed step on top — measured 2 for the composed query
     "asof_purchase_click": 2,
+    # PQ search (round-5): the RoundRobin encode-parallelism lift + the
+    # top-k window's q_id exchange; the ADC join itself broadcasts the
+    # LUT side at this sf (0 exchanges) and the cell-keyed IVF-PQ join
+    # must never degrade to a cartesian (separate plan test)
+    "emb_pq_topk": 2,
+    "emb_ivfpq_topk": 2,
     # composite pipelines (round-3 exchange diet results)
     "text_lm_score": 4,
     "sample_quality_curriculum": 6,

@@ -32,6 +32,10 @@ PYTHON_OK = {
     "multimodal_features", "multimodal_resize_plan", "multimodal_frame_plan",
     "emb_cosine_pairs", "emb_semantic_dedup", "emb_cosine_topk",
     "emb_ann_pairs", "emb_ivf_topk", "emb_kmeans_cells", "emb_quantize_int8",
+    # PQ top-k: per-query ADC LUTs build in ONE mapInPandas over the
+    # query table (round-5: replaced the driver toPandas loop) — an
+    # Arrow kernel on the small side, never on the corpus scan.
+    "emb_pq_topk", "emb_ivfpq_topk",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
