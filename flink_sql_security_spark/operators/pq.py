@@ -342,7 +342,8 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
             vec_col: str = "embedding", id_col: str = "vec_id",
             k: int = 5, round_to: int = 6,
             broadcast_queries: bool | None = None,
-            broadcast_limit_bytes: int = 64 << 20) -> DataFrame:
+            broadcast_limit_bytes: int = 64 << 20,
+            codes_df: DataFrame | None = None) -> DataFrame:
     """(q_id, n_id, adc_dist, rank): approximate top-k by ADC distance.
 
     Per query the m×k_cb LUT of ``||q_sub − centroid||²`` is built
@@ -374,7 +375,12 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
     # round-2 "pushdown re-inlines derived columns" failure mode). The
     # handle attaches to the result for cache.release(); at scale the
     # code table is the persisted artifact by design — that is PQ's point.
-    codes = pq_encode(df, codebooks, vec_col, id_col).persist()
+    # ``codes_df`` (a pre-built pq_encode output — the stored index in
+    # the build-once/probe-many production shape) skips the encode; its
+    # lifetime then belongs to the caller, so nothing attaches.
+    own_codes = codes_df is None
+    codes = (pq_encode(df, codebooks, vec_col, id_col).persist()
+             if own_codes else codes_df)
     scored = (
         codes.crossJoin(luts)
         .where(F.col(id_col) != F.col("q_id"))
@@ -384,11 +390,10 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
                     round_to).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
-    return attach(
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "adc_dist", "rank"),
-        codes)
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("q_id", "n_id", "adc_dist", "rank"))
+    return attach(out, codes) if own_codes else out
 
 
 def ivfpq_train(df: DataFrame, vec_col: str = "embedding",
@@ -443,7 +448,8 @@ def ivfpq_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
                id_col: str = "vec_id", k: int = 5, n_probe: int = 4,
                round_to: int = 6, residual: bool = False,
                broadcast_queries: bool | None = None,
-               broadcast_limit_bytes: int = 64 << 20) -> DataFrame:
+               broadcast_limit_bytes: int = 64 << 20,
+               codes_df: DataFrame | None = None) -> DataFrame:
     """(q_id, n_id, adc_dist, rank): IVF-PQ — ADC pruned to probed cells.
 
     The composition that makes PQ a 100 TB plan: the coarse quantizer
@@ -483,9 +489,13 @@ def ivfpq_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
         probes = F.broadcast(probes)
 
     # persist: same materialization boundary as pq_topk — at scale the
-    # (cell, codes) table IS the index artifact, built once, probed many
-    codes = pq_encode(df, codebooks, vec_col, id_col,
-                      coarse=coarse, residual=residual).persist()
+    # (cell, codes) table IS the index artifact, built once, probed many.
+    # ``codes_df`` = that pre-built artifact (pq_encode with the SAME
+    # coarse/residual settings); lifetime belongs to the caller.
+    own_codes = codes_df is None
+    codes = (pq_encode(df, codebooks, vec_col, id_col,
+                       coarse=coarse, residual=residual).persist()
+             if own_codes else codes_df)
     scored = (
         codes.join(probes, "cell")
         .where(F.col(id_col) != F.col("q_id"))
@@ -495,11 +505,10 @@ def ivfpq_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
                     round_to).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
-    return attach(
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "adc_dist", "rank"),
-        codes)
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("q_id", "n_id", "adc_dist", "rank"))
+    return attach(out, codes) if own_codes else out
 
 
 def pq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
