@@ -1321,9 +1321,13 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             s.table("lineitem"), _PROF_COLS)),
         P.profile_numeric_duckdb_sql("lineitem", _PROF_COLS),
     )
+    # exact=True pinned (not the 'auto' default): the driver row must
+    # hash-match the exact quantile_cont oracle regardless of how the
+    # environment's size statistics resolve — the auto switchover is
+    # pytest-pinned instead (test_profile_quantiles_auto_switchover)
     out["profile_quantiles"] = (
         with_tables(lambda s: P.profile_quantiles(
-            s.table("lineitem"), _PROF_COLS)),
+            s.table("lineitem"), _PROF_COLS, exact=True)),
         P.profile_quantiles_duckdb_sql("lineitem", _PROF_COLS),
     )
     out["vocab_top_tokens"] = (

@@ -90,17 +90,23 @@ def _subspace_bounds(d: int, m: int) -> list[tuple[int, int]]:
     return out
 
 
-def pq_train(df: DataFrame, vec_col: str = "embedding",
-             id_col: str = "vec_id", m: int = 16, k: int = 16,
-             iters: int = 3, sample: int = 2048) -> list:
-    """Per-subspace codebooks: m lists of k centroids (python floats)."""
+def _sample_matrix(df: DataFrame, vec_col: str, id_col: str, sample: int):
+    """The deterministic training sample: the ``sample`` lowest-id
+    vectors as a float64 matrix (shared by every train entry point)."""
     import numpy as np
 
     pdf = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
            .toPandas())
-    X = np.array([np.asarray(v, dtype=np.float64)
-                  for v in pdf[vec_col].tolist()])
-    return _pq_train_np(X, m, k, iters)
+    return np.array([np.asarray(v, dtype=np.float64)
+                     for v in pdf[vec_col].tolist()])
+
+
+def pq_train(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", m: int = 16, k: int = 16,
+             iters: int = 3, sample: int = 2048) -> list:
+    """Per-subspace codebooks: m lists of k centroids (python floats)."""
+    return _pq_train_np(_sample_matrix(df, vec_col, id_col, sample),
+                        m, k, iters)
 
 
 def _pq_train_np(X, m: int, k: int, iters: int) -> list:
@@ -155,6 +161,14 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
     # _xd so every consumer (codes AND err) keeps it through pruning.
     if residual and coarse is None:
         raise ValueError("pq_encode: residual=True requires coarse")
+    if coarse is not None and len(coarse[0]) != total:
+        # without this, zip_with null-pads the shorter side, every coarse
+        # distance folds to NULL, cell comes out NULL for EVERY row, and
+        # a downstream cell join silently returns zero rows — a config
+        # error must fail at build time, not vanish into an empty result
+        raise ValueError(
+            f"pq_encode: coarse centroid dimension {len(coarse[0])} != "
+            f"codebook dims {total}")
     out = df.withColumn("_xd", F.expr(
         f"CASE WHEN size({vec_col}) = {total} "
         f"THEN transform({vec_col}, v -> CAST(v AS DOUBLE)) "
@@ -285,6 +299,14 @@ def _lut_df(queries_df: DataFrame, codebooks: list, vec_col: str,
     scales like any other DataFrame — a corpus-sized query table
     streams through executors instead of serializing onto the driver.
     """
+    total = sum(len(book[0]) for book in codebooks)
+    if coarse is not None and len(coarse[0]) != total:
+        # the executor-side _probe_cells would silently truncate to the
+        # shorter dimension and emit plausible-looking probe cells that
+        # match nothing — fail the config error at build time instead
+        raise ValueError(
+            f"pq: coarse centroid dimension {len(coarse[0])} != "
+            f"codebook dims {total}")
     bc = queries_df.sparkSession.sparkContext.broadcast(
         (codebooks, coarse, n_probe, residual))
 
@@ -322,6 +344,31 @@ def _lut_df(queries_df: DataFrame, codebooks: list, vec_col: str,
     return queries_df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
+def _gate_lut_broadcast(queries_df: DataFrame, id_col: str, vec_col: str,
+                        codebooks: list, flag: bool | None,
+                        limit_bytes: int, n_probe: int = 1) -> bool:
+    """Broadcast gate sized on the table actually broadcast: the LUT /
+    probe table, which is (m·k·8 [· n_probe]) bytes per query — 32–128×
+    the raw query vectors at the repo's own configs. Gating on the input
+    vector table would wave through a query set whose LUT expansion
+    blows the broadcast (the exact OOM the gate exists to prevent).
+    Unknown input size → scale-safe (no broadcast), as everywhere else.
+    """
+    from flink_sql_security_spark.operators.similarity import (
+        _plan_size_bytes)
+
+    if flag is not None:
+        return flag
+    size = _plan_size_bytes(queries_df.select(id_col, vec_col))
+    if size is None:
+        return False
+    total = sum(len(book[0]) for book in codebooks)
+    lut_doubles = sum(len(book) for book in codebooks)  # m·k entries
+    per_row_in = max(1, total * 8 + 8)
+    per_row_out = lut_doubles * 8 * max(1, n_probe) + 16
+    return size * per_row_out // per_row_in <= limit_bytes
+
+
 def _adc_expr(m: int) -> str:
     """Unrolled ADC distance: explicit left-associated sum of the m
     table lookups. Bit-identical to the sequential fold
@@ -338,11 +385,35 @@ def _adc_expr(m: int) -> str:
     return out
 
 
+def _adc_search(codes, probe_side, join, codebooks: list, id_col: str,
+                k: int, round_to: int, own_codes: bool):
+    """Shared ADC search tail: join the probe/LUT side onto the code
+    table, unrolled ADC score, global top-k window. ``join`` is the one
+    thing flat PQ and IVF-PQ disagree on (crossJoin vs join-on-cell)."""
+    from pyspark.sql import Window
+
+    from flink_sql_security_spark.operators.cache import attach
+
+    scored = (
+        join(codes, probe_side)
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id", F.col(id_col).alias("n_id"),
+            F.round(F.expr(_adc_expr(len(codebooks))),
+                    round_to).alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k)
+           .select("q_id", "n_id", "adc_dist", "rank"))
+    return attach(out, codes) if own_codes else out
+
+
 def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
             vec_col: str = "embedding", id_col: str = "vec_id",
             k: int = 5, round_to: int = 6,
             broadcast_queries: bool | None = None,
-            broadcast_limit_bytes: int = 64 << 20,
+            broadcast_limit_bytes: int = 256 << 20,
             codes_df: DataFrame | None = None) -> DataFrame:
     """(q_id, n_id, adc_dist, rank): approximate top-k by ADC distance.
 
@@ -358,14 +429,9 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
     code table per query — that is flat-PQ's contract; use
     :func:`ivfpq_topk` to prune the scan to ``n_probe`` cells.
     """
-    from pyspark.sql import Window
-
-    from flink_sql_security_spark.operators.cache import attach
-    from flink_sql_security_spark.operators.similarity import _auto_broadcast
-
     luts = _lut_df(queries_df, codebooks, vec_col, id_col)
-    if _auto_broadcast(queries_df.select(id_col, vec_col),
-                       broadcast_queries, broadcast_limit_bytes):
+    if _gate_lut_broadcast(queries_df, id_col, vec_col, codebooks,
+                           broadcast_queries, broadcast_limit_bytes):
         luts = F.broadcast(luts)
 
     # persist the code table: without the materialization boundary
@@ -381,19 +447,8 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
     own_codes = codes_df is None
     codes = (pq_encode(df, codebooks, vec_col, id_col).persist()
              if own_codes else codes_df)
-    scored = (
-        codes.crossJoin(luts)
-        .where(F.col(id_col) != F.col("q_id"))
-        .select(
-            "q_id", F.col(id_col).alias("n_id"),
-            F.round(F.expr(_adc_expr(len(codebooks))),
-                    round_to).alias("adc_dist"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
-    out = (scored.withColumn("rank", F.row_number().over(w))
-           .where(F.col("rank") <= k)
-           .select("q_id", "n_id", "adc_dist", "rank"))
-    return attach(out, codes) if own_codes else out
+    return _adc_search(codes, luts, lambda c, l: c.crossJoin(l),
+                       codebooks, id_col, k, round_to, own_codes)
 
 
 def ivfpq_train(df: DataFrame, vec_col: str = "embedding",
@@ -406,13 +461,8 @@ def ivfpq_train(df: DataFrame, vec_col: str = "embedding",
     residuals are much smaller than raw coordinates, so the same (m, k)
     budget quantizes far more finely. Deterministic end to end; the
     oracle emitter re-derives both from the parquet."""
-    import numpy as np
-
-    pdf = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
-           .toPandas())
-    X = np.array([np.asarray(v, dtype=np.float64)
-                  for v in pdf[vec_col].tolist()])
-    return _ivfpq_train_np(X, n_cells, m, k, iters)
+    return _ivfpq_train_np(_sample_matrix(df, vec_col, id_col, sample),
+                           n_cells, m, k, iters)
 
 
 def _ivfpq_train_np(X, n_cells: int, m: int, k: int, iters: int) -> tuple:
@@ -434,12 +484,7 @@ def coarse_train(df: DataFrame, vec_col: str = "embedding",
     rows, deterministic Lloyd) — the oracle re-derives identical
     centroids from the parquet.
     """
-    import numpy as np
-
-    pdf = (df.select(id_col, vec_col).orderBy(id_col).limit(sample)
-           .toPandas())
-    X = np.array([np.asarray(v, dtype=np.float64)
-                  for v in pdf[vec_col].tolist()])
+    X = _sample_matrix(df, vec_col, id_col, sample)
     return [[float(v) for v in c] for c in _l2_kmeans_np(X, n_cells, iters)]
 
 
@@ -448,7 +493,7 @@ def ivfpq_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
                id_col: str = "vec_id", k: int = 5, n_probe: int = 4,
                round_to: int = 6, residual: bool = False,
                broadcast_queries: bool | None = None,
-               broadcast_limit_bytes: int = 64 << 20,
+               broadcast_limit_bytes: int = 256 << 20,
                codes_df: DataFrame | None = None) -> DataFrame:
     """(q_id, n_id, adc_dist, rank): IVF-PQ — ADC pruned to probed cells.
 
@@ -477,15 +522,16 @@ def ivfpq_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
     (0.60/0.74 vs 0.63/0.74 at n_probe 4/8). Each probed cell gets its
     own LUT, so query-side LUT work is ×n_probe.
     """
-    from pyspark.sql import Window
-
-    from flink_sql_security_spark.operators.cache import attach
-    from flink_sql_security_spark.operators.similarity import _auto_broadcast
-
     probes = _lut_df(queries_df, codebooks, vec_col, id_col,
                      coarse=coarse, n_probe=n_probe, residual=residual)
-    if _auto_broadcast(queries_df.select(id_col, vec_col),
-                       broadcast_queries, broadcast_limit_bytes):
+    # the probes table carries one LUT per probed cell (deliberate for
+    # residual mode where per-cell LUTs differ; for non-residual it
+    # trades n_probe× LUT volume on the SMALL side for a single join —
+    # re-joining LUTs by q_id would instead re-shuffle the big scored
+    # table). The gate accounts for the ×n_probe expansion.
+    if _gate_lut_broadcast(queries_df, id_col, vec_col, codebooks,
+                           broadcast_queries, broadcast_limit_bytes,
+                           n_probe=n_probe):
         probes = F.broadcast(probes)
 
     # persist: same materialization boundary as pq_topk — at scale the
@@ -496,19 +542,8 @@ def ivfpq_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
     codes = (pq_encode(df, codebooks, vec_col, id_col,
                        coarse=coarse, residual=residual).persist()
              if own_codes else codes_df)
-    scored = (
-        codes.join(probes, "cell")
-        .where(F.col(id_col) != F.col("q_id"))
-        .select(
-            "q_id", F.col(id_col).alias("n_id"),
-            F.round(F.expr(_adc_expr(len(codebooks))),
-                    round_to).alias("adc_dist"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
-    out = (scored.withColumn("rank", F.row_number().over(w))
-           .where(F.col("rank") <= k)
-           .select("q_id", "n_id", "adc_dist", "rank"))
-    return attach(out, codes) if own_codes else out
+    return _adc_search(codes, probes, lambda c, pr: c.join(pr, "cell"),
+                       codebooks, id_col, k, round_to, own_codes)
 
 
 def pq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",

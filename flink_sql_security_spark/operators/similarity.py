@@ -505,6 +505,20 @@ def _ivf_centroids_np(X, n_cells: int, iters: int):
     return C
 
 
+def _recheck_near_tie_rows(B, A, cm):
+    """Recompute near-tie centroid-dot rows with the sequential fold so
+    argmax is fold-order-exact (BLAS drift can flip a ~equal top-2) —
+    shared by ivf_assign and ivf_topk's fused pass, which MUST assign
+    identically for the joined/fused parity contract."""
+    import numpy as np
+
+    if B.shape[1] > 1:
+        top2 = np.partition(B, B.shape[1] - 2, axis=1)[:, -2:]
+        for r in np.nonzero(top2[:, 1] - top2[:, 0] < 1e-9)[0]:
+            B[r] = [_seq_dot(A[r], c) for c in cm]
+    return B
+
+
 def ivf_assign(df: DataFrame, vec_col: str = "embedding",
                id_col: str = "vec_id", n_cells: int = 16,
                iters: int = 5, sample: int = 4096,
@@ -530,15 +544,7 @@ def ivf_assign(df: DataFrame, vec_col: str = "embedding",
             if not len(chunk):
                 continue
             A = np.array(chunk["unit"].tolist(), dtype=np.float64)
-            B = A @ cm.T
-            # near-tie rows: recompute with the sequential fold so the
-            # argmax is fold-order-exact — same recheck as ivf_topk's
-            # fused pass, keeping assignments identical across paths
-            # (and reproducible by a SQL oracle's list_sum)
-            if B.shape[1] > 1:
-                top2 = np.partition(B, B.shape[1] - 2, axis=1)[:, -2:]
-                for r in np.nonzero(top2[:, 1] - top2[:, 0] < 1e-9)[0]:
-                    B[r] = [_seq_dot(A[r], c) for c in cm]
+            B = _recheck_near_tie_rows(A @ cm.T, A, cm)
             cell = np.argmax(B, axis=1).astype("int32")
             yield pd.DataFrame({
                 id_col: chunk[id_col].to_numpy(),
@@ -609,14 +615,7 @@ def ivf_topk(df: DataFrame, queries_df: DataFrame,
                 continue
             A = _exact_unit_matrix(chunk[vec_col].tolist())
             ids_n = chunk[id_col].to_numpy()
-            B = A @ cm.T
-            # near-tie cells: recompute that row's centroid dots with the
-            # sequential fold so argmax matches the SQL oracle's list_sum
-            # arithmetic (BLAS drift can flip a ~equal top-2)
-            if B.shape[1] > 1:
-                top2 = np.partition(B, B.shape[1] - 2, axis=1)[:, -2:]
-                for r in np.nonzero(top2[:, 1] - top2[:, 0] < 1e-9)[0]:
-                    B[r] = [_seq_dot(A[r], c) for c in cm]
+            B = _recheck_near_tie_rows(A @ cm.T, A, cm)
             cell = np.argmax(B, axis=1)
             S = Qm @ A.T
             out_q, out_n, out_c = [], [], []

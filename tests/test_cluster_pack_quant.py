@@ -543,6 +543,22 @@ def test_pq_topk_query_side_stays_distributed(spark):
     assert got == want and len(got) == 12
 
 
+def test_ivfpq_coarse_dim_mismatch_raises(spark):
+    """A coarse matrix whose dimension disagrees with the vectors must
+    fail LOUDLY at build time on both the encode and the query side —
+    before this guard, zip_with null-padded, every cell came out NULL,
+    and the cell join silently returned zero rows."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark, n_clusters=2, per=5, d=8)
+    books = PQ.pq_train(df, m=4, k=4, iters=1)
+    bad_coarse = [[0.0, 0.0], [1.0, 1.0]]           # 2 dims vs d=8
+    with pytest.raises(ValueError, match="coarse centroid dimension"):
+        PQ.pq_encode(df, books, coarse=bad_coarse)
+    with pytest.raises(ValueError, match="coarse centroid dimension"):
+        PQ.ivfpq_topk(df, df.where("vec_id < 2"), bad_coarse, books, k=2)
+
+
 def test_pq_input_contracts(spark):
     """Bad configurations fail loudly at build time, not mid-job."""
     from flink_sql_security_spark.operators import pq as PQ
