@@ -103,3 +103,43 @@ def ann_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
     from flink_sql_security_spark.operators.cache import attach
 
     return attach(stream.writeStream.foreachBatch(_process), corpus_buckets)
+
+
+def pq_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
+                     coarse: list, codebooks: list,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     k: int = 5, n_probe: int = 4,
+                     residual: bool = False, round_to: int = 6):
+    """Streaming IVF-PQ search against a static corpus: each micro-batch
+    of (id, vector) rows receives its approximate top-k neighbors from
+    the corpus; ``sink(topk_df, batch_id)`` gets
+    (q_id, n_id, adc_dist, rank) rows — bit-identical to batch
+    :func:`operators.pq.ivfpq_topk` on the same inputs.
+
+    The production shape PQ exists for: the (cell, codes) table — the
+    stored index — is encoded ONCE up front and persisted; each
+    micro-batch pays only its own LUT/probe pass (one ``mapInPandas``
+    over the batch) plus the cell-keyed ADC join against the persisted
+    index (``codes_df`` reuse). At 10⁹+ corpus vectors the index is the
+    cluster-resident artifact; the stream never re-encodes or shuffles
+    the corpus. Stream ids that collide with corpus ids are treated as
+    the same vector (self-matches excluded by id, as in the batch op).
+
+    Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger and
+    calls ``.start()``).
+    """
+    from flink_sql_security_spark.operators import pq as PQ
+
+    codes = PQ.pq_encode(corpus_df, codebooks, vec_col, id_col,
+                         coarse=coarse, residual=residual).persist()
+    codes.count()  # materialize the index before the stream starts
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(PQ.ivfpq_topk(corpus_df, batch_df, coarse, codebooks,
+                           vec_col, id_col, k=k, n_probe=n_probe,
+                           round_to=round_to, residual=residual,
+                           codes_df=codes), batch_id)
+
+    return stream.writeStream.outputMode("append").foreachBatch(_process)

@@ -509,3 +509,47 @@ def test_streaming_sketches_match_batch_state(spark):
         assert got == want
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_pq_ingest_stream_matches_batch(spark):
+    """Streaming IVF-PQ search against a static corpus reproduces the
+    batch ivfpq_topk result exactly — the persisted (cell, codes) index
+    is encoded once and every micro-batch probes it via codes_df reuse."""
+    import random
+
+    from flink_sql_security_spark.operators import pq as PQ
+    from flink_sql_security_spark.streaming.similarity import pq_ingest_stream
+
+    def vec(seed):
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(16)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100 + i, vec(1000 + i)) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    coarse, books = PQ.ivfpq_train(corpus, n_cells=4, m=4, k=8, iters=2)
+
+    expected = {tuple(r) for r in PQ.ivfpq_topk(
+        corpus, queries, coarse, books, k=3, n_probe=2,
+        residual=True).collect()}
+    assert expected
+
+    path = tempfile.mkdtemp(prefix="fss_stream_pq")
+    try:
+        queries.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(
+            "vec_id long, embedding array<double>").parquet(path)
+        got = set()
+
+        def sink(df, batch_id):
+            got.update(tuple(r) for r in df.collect())
+
+        q = pq_ingest_stream(src, corpus, sink, coarse, books,
+                             k=3, n_probe=2, residual=True).start()
+        q.processAllAvailable(); q.stop()
+        assert got == expected
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
