@@ -1,0 +1,100 @@
+"""The embedding-search tier, end to end — executable documentation of
+the build-once / probe-many production shape.
+
+Walks the full lifecycle a training-data pipeline runs at scale:
+
+1. **train**   — deterministic coarse quantizer + residual PQ codebooks
+                 on a bounded sample (``ivfpq_train``);
+2. **index**   — ONE corpus scan emits the (cell, codes) table; persist
+                 it (at cluster scale: write it to parquet — it is ~16×
+                 smaller than the raw vectors and IS the serving index);
+3. **batch search** — ``ivfpq_topk(..., codes_df=index)``: per query a
+                 LUT per probed cell (executor-side mapInPandas, no
+                 driver collect), a cell-keyed join that touches only
+                 ~n_probe/n_cells of the index, an unrolled-arithmetic
+                 ADC score, a top-k window;
+4. **stream search** — ``pq_ingest_stream``: the same index serves
+                 micro-batches of incoming vectors, bit-identically to
+                 the batch operator.
+
+Everything here is deterministic and oracle-checkable — the driver
+entry ``emb_ivfpq_topk`` runs this exact pipeline against a DuckDB
+re-derivation and hash-matches.
+
+Reference scope note: the reference repo (HamaWhiteGG/flink-sql-security)
+has no vector search; this tier is the driver-brief extension. Run:
+python examples/vector_search_walkthrough.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    # 1. train (deterministic: same sample -> same codebooks, anywhere)
+    coarse, books = PQ.ivfpq_train(emb, n_cells=8, m=8, k=16, iters=2)
+
+    # 2. index: one scan -> (vec_id, cell, codes, err); persist = the
+    # materialization boundary (at scale: a parquet/Delta write)
+    index = PQ.pq_encode(emb, books, coarse=coarse,
+                         residual=True).persist()
+    n_indexed = index.count()
+
+    # 3. batch search against the persisted index — the encode is NOT
+    # re-run (codes_df reuse); only n_probe/n_cells of the index scores
+    queries = emb.where("vec_id < 5")
+    topk = PQ.ivfpq_topk(emb, queries, coarse, books, k=3, n_probe=3,
+                         residual=True, codes_df=index)
+    batch_rows = {tuple(r) for r in topk.collect()}
+
+    # 4. the SAME index serves a stream (foreachBatch), bit-identically
+    import shutil
+    import tempfile
+
+    from flink_sql_security_spark.streaming.similarity import (
+        pq_ingest_stream)
+
+    path = tempfile.mkdtemp(prefix="fss-vs-walkthrough")
+    stream_rows = set()
+    try:
+        queries.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(queries.schema).parquet(path)
+
+        def sink(df, batch_id):
+            stream_rows.update(tuple(r) for r in df.collect())
+
+        q = pq_ingest_stream(src, emb, sink, coarse, books,
+                             k=3, n_probe=3, residual=True).start()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    index.unpersist()
+    return {"n_indexed": n_indexed, "batch": batch_rows,
+            "stream": stream_rows}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run(spark)
+    print(f"indexed {out['n_indexed']} vectors")
+    print(f"batch top-k rows: {len(out['batch'])}")
+    print("stream == batch:", out["stream"] == out["batch"])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -43,3 +43,14 @@ def test_reference_readme_walkthrough(spark):
               for r in ctx.mixed_execute("user_b", INPUT_SQL)]
     assert rows_b == [(10003, "Edwaxx", "hangzhou"),
                       (10004, "John", "hangzhou")]
+
+
+def test_vector_search_walkthrough(spark):
+    """The embedding-tier walkthrough runs end to end: index built once,
+    batch search returns k rows per query, stream search bit-matches."""
+    from examples.vector_search_walkthrough import run
+
+    out = run(spark)
+    assert out["n_indexed"] == 500
+    assert len(out["batch"]) == 15          # 5 queries x k=3
+    assert out["stream"] == out["batch"]

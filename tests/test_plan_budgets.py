@@ -49,6 +49,20 @@ BUDGETS = {
     "sample_quality_curriculum": 6,
     "sample_dsir_weights": 5,
     "pack_sequences": 4,
+    # round-5 widening: every remaining top-10 bench heavy plus the
+    # zero-exchange narrow ops (a regression to ANY exchange there is a
+    # design break, not a tuning matter)
+    "pipeline_clean_corpus": 5,
+    "secured_clean_corpus": 5,
+    "profile_quantiles": 2,
+    "sketch_distinct_hll": 4,
+    "sketch_hist_quantiles": 6,
+    "emb_kmeans_cells": 0,
+    "emb_quantize_int8": 0,
+    "emb_ann_pairs": 1,
+    "zorder_orders": 1,
+    "sessionize_events": 1,
+    "cdc_snapshot_diff": 2,
 }
 
 
