@@ -169,12 +169,19 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
         raise ValueError(
             f"pq_encode: coarse centroid dimension {len(coarse[0])} != "
             f"codebook dims {total}")
+    # the guard also rejects NULL elements: a null component would fold
+    # every distance for its subspace to NULL → NULL codes → NULL
+    # adc_dist, and ascending order puts NULLs FIRST — a silently
+    # corrupt row would win every top-k. coalesce keeps the error
+    # message readable for a NULL vector (size(NULL) is NULL).
     out = df.withColumn("_xd", F.expr(
         f"CASE WHEN size({vec_col}) = {total} "
+        f"AND NOT exists({vec_col}, v -> v IS NULL) "
         f"THEN transform({vec_col}, v -> CAST(v AS DOUBLE)) "
-        f"ELSE array(CAST(assert_true(false, concat('pq_encode: vector "
-        f"length ', CAST(size({vec_col}) AS STRING), ' != codebook dims "
-        f"{total}')) AS DOUBLE)) END"))
+        f"ELSE array(CAST(assert_true(false, concat('pq_encode: bad "
+        f"vector: length ', coalesce(CAST(size({vec_col}) AS STRING), "
+        f"'NULL'), ' (codebook dims {total}) or NULL elements')) "
+        f"AS DOUBLE)) END"))
     cols = [F.col(id_col)]
     enc = "_xd"
     if coarse is not None:

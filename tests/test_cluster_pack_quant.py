@@ -543,6 +543,26 @@ def test_pq_topk_query_side_stays_distributed(spark):
     assert got == want and len(got) == 12
 
 
+def test_pq_encode_rejects_null_vectors_and_elements(spark):
+    """NULL vectors and NULL elements must fail LOUDLY: a null component
+    folds its subspace distances to NULL → NULL codes → NULL adc_dist,
+    and ascending rank order puts NULLs first — a silently corrupt row
+    would win every top-k."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    ok = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [2.0, 1.0, 0.5, 3.0]),
+          (2, [0.1, 0.2, 0.3, 0.4]), (3, [4.0, 3.0, 2.0, 1.0])]
+    df_ok = spark.createDataFrame(ok, "vec_id long, embedding array<double>")
+    books = PQ.pq_train(df_ok, m=2, k=2, iters=1)
+    for bad in (None, [1.0, None, 2.0, 3.0]):
+        df = spark.createDataFrame(
+            ok + [(9, bad)], "vec_id long, embedding array<double>")
+        with pytest.raises(Exception, match="bad vector"):
+            PQ.pq_encode(df, books).collect()
+    # clean input still encodes
+    assert PQ.pq_encode(df_ok, books).count() == 4
+
+
 def test_ivfpq_coarse_dim_mismatch_raises(spark):
     """A coarse matrix whose dimension disagrees with the vectors must
     fail LOUDLY at build time on both the encode and the query side —
