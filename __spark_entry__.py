@@ -1234,6 +1234,18 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             _pq_coarse = PQm.coarse_train(emb(s), n_cells=16, iters=3)
         return _pq_coarse
 
+    # PQ decode (operators/pq.py pq_reconstruct): the quantized
+    # approximation of every vector — centroid-literal concat, one
+    # narrow projection. Array-valued output: fine for the strict
+    # checker (which normalizes lists) because this entry stays OUTSIDE
+    # the 50-entry driver window (the driver's canonicalizer cannot
+    # sort list cells); stringify=True exists but Spark's CAST(double
+    # AS STRING) uses scientific notation where DuckDB prints decimal,
+    # so the CSV forms differ textually while the values are identical.
+    out["emb_pq_reconstruct"] = (
+        with_tables(lambda s: PQm.pq_reconstruct(emb(s), _books(s))),
+        PQm.pq_reconstruct_duckdb_sql(_emb_path, m=32, k=64, iters=3),
+    )
     out["emb_ivfpq_topk"] = (
         with_tables(lambda s: PQm.ivfpq_topk(
             emb(s), emb(s).where("vec_id < 10"), _coarse(s), _books(s),

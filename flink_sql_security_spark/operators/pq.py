@@ -140,6 +140,28 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
     then come from :func:`ivfpq_train`; residual magnitudes are far
     smaller than raw coordinates, so the same (m, k) budget quantizes
     them much more finely."""
+    out, cols = _encoded_frame(df, codebooks, vec_col, id_col,
+                               coarse, residual)
+    m = len(codebooks)
+    codes = "array(" + ", ".join(
+        f"CAST(array_position(_d{s}, array_min(_d{s})) AS INT) - 1"
+        for s in range(m)) + ")"
+    err = " + ".join(f"array_min(_d{s})" for s in range(m))
+    codes_out = (
+        F.expr(f"array_join(transform({codes}, c -> CAST(c AS STRING)), ',')")
+        if stringify_codes else F.expr(codes))
+    return out.select(
+        *cols, codes_out.alias("codes"),
+        F.round(F.expr(err), round_to).alias("err"))
+
+
+def _encoded_frame(df: DataFrame, codebooks: list, vec_col: str,
+                   id_col: str, coarse: list | None,
+                   residual: bool):
+    """Shared encode projection: validates inputs and binds _xd (guarded
+    double vector), _dc/cell (coarse assignment), _rd (residual) and the
+    per-subspace distance arrays _d{s}. pq_encode reads codes/err off
+    it; pq_reconstruct reads the decoded approximation."""
     # each subspace's 64-element distance array is referenced THREE times
     # (argmin position, min for codes, min again for err) — bind it ONCE
     # as a column in its own projection. CollapseProject leaves the
@@ -201,17 +223,117 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
         sub = f"slice({enc}, {start + 1}, {width})"
         out = out.withColumn(f"_d{s}", F.expr(_dists_expr(sub, book)))
         start += width
-    m = len(codebooks)
-    codes = "array(" + ", ".join(
-        f"CAST(array_position(_d{s}, array_min(_d{s})) AS INT) - 1"
-        for s in range(m)) + ")"
-    err = " + ".join(f"array_min(_d{s})" for s in range(m))
-    codes_out = (
-        F.expr(f"array_join(transform({codes}, c -> CAST(c AS STRING)), ',')")
-        if stringify_codes else F.expr(codes))
-    return out.select(
-        *cols, codes_out.alias("codes"),
-        F.round(F.expr(err), round_to).alias("err"))
+    return out, cols
+
+
+def pq_reconstruct(df: DataFrame, codebooks: list,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   round_to: int = 6, coarse: list | None = None,
+                   residual: bool = False,
+                   stringify: bool = False) -> DataFrame:
+    """(id[, cell], approx): the PQ decode — each vector's quantized
+    approximation, the concat over subspaces of the nearest centroid
+    (plus the coarse centroid back in residual mode). The inspection /
+    re-ranking counterpart of :func:`pq_encode` that completes the
+    faiss-style surface (train / encode / search / reconstruct); one
+    narrow projection, encode and decode fused — no stored codes needed.
+    Components round to ``round_to`` for engine-portable output;
+    ``stringify`` emits a CSV string for canonicalizers that cannot
+    sort list cells."""
+    out, cols = _encoded_frame(df, codebooks, vec_col, id_col,
+                               coarse, residual)
+    # array_position is already the 1-based index element_at wants
+    parts = ", ".join(
+        f"element_at({_centroid_array_sql(book, 'spark')}, "
+        f"CAST(array_position(_d{s}, array_min(_d{s})) AS INT))"
+        for s, book in enumerate(codebooks))
+    recon = f"flatten(array({parts}))"
+    if residual:
+        cmat = _centroid_array_sql(coarse, "spark")
+        recon = (f"zip_with({recon}, element_at({cmat}, cell + 1), "
+                 "(a, b) -> a + b)")
+    recon = f"transform({recon}, v -> round(v, {round_to}))"
+    if stringify:
+        recon = (f"array_join(transform({recon}, "
+                 "v -> CAST(v AS STRING)), ',')")
+    return out.select(*cols, F.expr(recon).alias("approx"))
+
+
+def pq_reconstruct_duckdb_sql(parquet_path: str,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id", m: int = 16,
+                              k: int = 16, iters: int = 3,
+                              sample: int = 2048, round_to: int = 6,
+                              n_cells: int | None = None,
+                              residual: bool = False,
+                              stringify: bool = False) -> str:
+    """Oracle for :func:`pq_reconstruct` — codebooks (and coarse, when
+    ``n_cells``) re-derive from the parquet; the SQL recomputes codes
+    and concatenates the same centroid literals."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"ORDER BY {id_col} LIMIT {sample}").df()
+    con.close()
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_col].tolist()])
+    coarse = None
+    if residual:
+        coarse, books = _ivfpq_train_np(X, n_cells, m, k, iters)
+    elif n_cells is not None:
+        books = _pq_train_np(X, m, k, iters)
+        coarse = [[float(v) for v in c]
+                  for c in _l2_kmeans_np(X, n_cells, iters)]
+    else:
+        books = _pq_train_np(X, m, k, iters)
+
+    def _dists(vals: list, src: str, start: int, width: int) -> str:
+        cmat = _centroid_array_sql(vals, "duckdb")
+        return (f"list_transform({cmat}, c -> list_sum(list_transform("
+                f"list_zip({src}[{start}:{start + width - 1}], c), "
+                "p -> (p[1] - p[2]) * (p[1] - p[2]))))")
+
+    sel_cell = ""
+    src_cte = (f"x AS (SELECT {id_col}, list_transform({vec_col}, "
+               "v -> CAST(v AS DOUBLE)) AS xd FROM embeddings)")
+    enc = "xd"
+    if coarse is not None:
+        dc = _dists(coarse, "xd", 1, len(coarse[0]))
+        cell = f"CAST(list_position({dc}, list_min({dc})) AS INT) - 1"
+        src_cte += (f", cells AS (SELECT {id_col}, xd, {cell} AS cell "
+                    "FROM x)")
+        sel_cell = "cell, "
+        if residual:
+            cmat = _centroid_array_sql(coarse, "duckdb")
+            src_cte += (f", enc AS (SELECT {id_col}, cell, "
+                        f"list_transform(list_zip(xd, ({cmat})[cell + 1]), "
+                        "p -> p[1] - p[2]) AS rd FROM cells)")
+            enc = "rd"
+        else:
+            src_cte += (f", enc AS (SELECT {id_col}, cell, xd FROM cells)")
+    else:
+        src_cte += f", enc AS (SELECT {id_col}, xd FROM x)"
+    parts = []
+    start = 1
+    for book in books:
+        width = len(book[0])
+        d = _dists(book, enc, start, width)
+        parts.append(f"({_centroid_array_sql(book, 'duckdb')})"
+                     f"[list_position({d}, list_min({d}))]")
+        start += width
+    recon = " || ".join(parts)
+    if residual:
+        cmat = _centroid_array_sql(coarse, "duckdb")
+        recon = (f"list_transform(list_zip({recon}, ({cmat})[cell + 1]), "
+                 "p -> p[1] + p[2])")
+    recon = f"list_transform({recon}, v -> round(v, {round_to}))"
+    if stringify:
+        recon = f"array_to_string({recon}, ',')"
+    return (f"WITH {src_cte} "
+            f"SELECT {id_col}, {sel_cell}{recon} AS approx FROM enc")
 
 
 def pq_encode_duckdb_sql(parquet_path: str, vec_col: str = "embedding",

@@ -543,6 +543,36 @@ def test_pq_topk_query_side_stays_distributed(spark):
     assert got == want and len(got) == 12
 
 
+def test_pq_reconstruct_duckdb_parity_all_modes(spark):
+    """The decode completes the faiss-style surface: plain, IVF (cell
+    emitted), and residual-IVFADC reconstructions all hash-match the
+    oracle's centroid-literal concatenation."""
+    import duckdb
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    books = PQ.pq_train(emb, m=8, k=16, iters=2)
+    got = sorted((r["vec_id"], tuple(r["approx"])) for r in
+                 PQ.pq_reconstruct(emb, books).collect())
+    want = sorted((i, tuple(a)) for i, a in con.execute(
+        PQ.pq_reconstruct_duckdb_sql(path, m=8, k=16, iters=2)).fetchall())
+    assert got == want and len(got) == 500
+
+    coarseR, booksR = PQ.ivfpq_train(emb, n_cells=8, m=8, k=16, iters=2)
+    got = sorted((r["vec_id"], r["cell"], tuple(r["approx"])) for r in
+                 PQ.pq_reconstruct(emb, booksR, coarse=coarseR,
+                                   residual=True).collect())
+    want = sorted((i, c, tuple(a)) for i, c, a in con.execute(
+        PQ.pq_reconstruct_duckdb_sql(path, m=8, k=16, iters=2, n_cells=8,
+                                     residual=True)).fetchall())
+    assert got == want
+
+
 def test_pq_encode_rejects_null_vectors_and_elements(spark):
     """NULL vectors and NULL elements must fail LOUDLY: a null component
     folds its subspace distances to NULL → NULL codes → NULL adc_dist,
