@@ -1705,6 +1705,69 @@ FROM s GROUP BY user_id, session_id
             "SELECT * FROM documents",
             "SELECT * FROM documents WHERE lang = 'en'"),
     )
+
+    # ---- BM25 lexical retrieval (operators/retrieval.py): top-k docs
+    # for a fixed probe-term bag — targeted decontamination / topic-slice
+    # mining; term filter lands pre-shuffle, one exchange end-to-end ----
+    from flink_sql_security_spark.operators import retrieval as RT
+
+    _BM25_TERMS = ["vector", "stream", "hash"]
+    out["text_bm25_topk"] = (
+        with_tables(lambda s: RT.bm25_topk(docs(s), _BM25_TERMS, k=20)),
+        RT.bm25_topk_sql(_BM25_TERMS, k=20),
+    )
+
+    # ---- blocked fuzzy matching (operators/fuzzy.py): edit-distance
+    # near-dup pairs of document "titles" (40-char prefixes) under a
+    # first-token block key — the block→verify linkage shape; threshold
+    # 18 sits in the measured gap between true near-dups (d ≤ 18) and
+    # the unrelated-pair noise floor (d ≥ 19) on this corpus ----
+    from flink_sql_security_spark.operators import fuzzy as FZ
+
+    def fuzzy_titles(s):
+        titled = docs(s).select(
+            "doc_id", F.substring("text", 1, 40).alias("title"))
+        return FZ.fuzzy_name_pairs(
+            titled, id_col="doc_id", name_col="title", max_dist=18)
+
+    out["fuzzy_title_pairs"] = (
+        with_tables(fuzzy_titles),
+        FZ.fuzzy_name_pairs_sql(
+            table="(SELECT doc_id, substring(text, 1, 40) AS title "
+                  "FROM documents) t",
+            id_col="doc_id", name_col="title", max_dist=18),
+    )
+
+    # ---- PageRank (operators/graph.py): 5 power iterations over the
+    # symmetrized customer↔supplier trade graph (suppliers offset by
+    # 1e6); quantized integer contributions make the distributed sums
+    # order-independent, so the oracle is strict despite floats ----
+    from flink_sql_security_spark.operators import graph as G
+
+    _EDGES_SQL = (
+        "WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, "
+        "l.l_suppkey + 1000000 AS s FROM orders o "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey) "
+        "SELECT c AS src, s AS dst FROM pairs "
+        "UNION ALL SELECT s AS src, c AS dst FROM pairs")
+
+    def trade_pagerank(s):
+        pairs = (
+            s.table("orders")
+            .join(s.table("lineitem"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(F.col("o_custkey").alias("c"),
+                    (F.col("l_suppkey") + F.lit(1000000)).alias("s"))
+            .distinct())
+        edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+                 .union(pairs.select(F.col("s").alias("src"),
+                                     F.col("c").alias("dst"))))
+        return G.pagerank(edges, iters=5)
+
+    out["graph_pagerank"] = (
+        with_tables(trade_pagerank),
+        G.pagerank_sql(_EDGES_SQL, iters=5),
+    )
     return out
 
 
@@ -1823,15 +1886,32 @@ _CHECK_ORDER = [
     "cdc_snapshot_diff", "dedup_span_stats",
     "emb_ann_pairs", "emb_ivfpq_topk",
     "emb_pq_codes", "emb_quantize_int8", "pack_sequences",
+    # r05 in-round rotation (three NEW operator families shipped after
+    # the first r05 rotation; same breadth-over-redundancy rule):
+    # - text_pii_redact → text_bm25_topk: the redact entry is a pure
+    #   narrow regexp_replace chain — zero exchanges at any scale, no
+    #   distributed failure mode, golden-pinned in pytest — while BM25
+    #   brings a whole new family (lexical retrieval: pre-shuffle term
+    #   filter, broadcast df-stats join, fixed-order score fold).
+    # - profile_lineitem → fuzzy_title_pairs: the numeric-profile
+    #   conditional aggregates ride through in-window q1_pricing_summary
+    #   (same grouped sum/avg/count core) and profile_quantiles stays
+    #   windowed; the blocked edit-distance join is a new family
+    #   (block→verify linkage on a JVM levenshtein kernel).
+    # - events_hourly_window → graph_pagerank: the epoch-hour bucket agg
+    #   is a sub-shape of in-window pivot_daily_events (same date-trunc
+    #   groupBy core) and the watermark path is streaming-tested in
+    #   pytest; iterative link analysis (quantized order-independent
+    #   power iteration) had no driver row anywhere.
     "text_stats", "sketch_hist_quantiles", "text_repetition",
-    "text_pii_redact",
+    "text_bm25_topk",
     # round-3: sample_token_budget's windowed running-sum core is a
     # sub-shape of pack_sequences' per-bucket cumsum (in-window); its
     # slot goes to the BPE tokenizer family (distributed train + narrow
     # encode — a core no other entry covers)
     "split_hash_assign", "bpe_tokens",
-    "multimodal_features", "events_hourly_window",
-    "profile_lineitem", "profile_quantiles", "pipeline_clean_corpus",
+    "multimodal_features", "graph_pagerank",
+    "fuzzy_title_pairs", "profile_quantiles", "pipeline_clean_corpus",
     "sessionize_events", "asof_purchase_click",
     # 50th slot: the analytic-window family (lag / framed running sum /
     # ntile) — round 1 measured the driver budget at exactly 50 entries

@@ -1,0 +1,78 @@
+"""Blocked fuzzy-string matching: edit-distance pair join under a block key.
+
+The record-linkage / entity-resolution primitive of a data-curation
+pipeline — "find near-identical names without comparing everything to
+everything".  Not present in the reference (no string-similarity surface
+there); built Spark-first as a self-equi-join on a cheap BLOCK KEY with
+the expensive ``levenshtein`` verification applied only inside blocks —
+the same block→verify shape as the MinHash-LSH dedup tier
+(``operators/dedup.py``), specialized to edit distance.
+
+Scale design (100 TB):
+
+- The naive all-pairs comparison is O(n²) levenshtein calls — a
+  non-starter.  Blocking reduces candidate pairs to
+  sum_b |block_b|², and the join is a plain shuffle equi-join on the
+  block key, so Catalyst/AQE handle distribution (and skewed blocks)
+  like any other join; a broadcast hint fires automatically when one
+  side proves small.
+- ``levenshtein`` is a JVM codegen built-in on Spark (and a native
+  function in DuckDB) — no Python in the hot path.
+- The ``a_id < b_id`` canonicalization halves the candidate set and
+  keeps output deterministic.
+- Recall is bounded by the block key (pairs split across blocks are
+  never compared) — the standard blocking trade-off; callers widen
+  recall with multiple passes under different keys, exactly like LSH
+  bands.
+
+Parity: integer edit distance, no floats anywhere — the oracle is
+exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def fuzzy_name_pairs(df, *, id_col: str, name_col: str, max_dist: int = 8,
+                     block_expr=None, block_sql: str | None = None):
+    """All within-block pairs with levenshtein(name_a, name_b) <= max_dist.
+
+    Returns (a_id, b_id, a_name, b_name, dist) with a_id < b_id.  The
+    default block key is the first whitespace token of the name (names
+    sharing a leading word are linkage candidates); pass ``block_expr``
+    (a Column) to override.
+    """
+    block = (block_expr if block_expr is not None
+             else F.split(F.col(name_col), " ")[0])
+    keyed = df.select(F.col(id_col), F.col(name_col),
+                      block.alias("block_key"))
+    a = keyed.select(F.col(id_col).alias("a_id"),
+                     F.col(name_col).alias("a_name"), "block_key")
+    b = keyed.select(F.col(id_col).alias("b_id"),
+                     F.col(name_col).alias("b_name"), "block_key")
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist", F.levenshtein(F.col("a_name"), F.col("b_name")))
+        .where(F.col("dist") <= max_dist)
+    )
+    return pairs.select("a_id", "b_id", "a_name", "b_name", "dist")
+
+
+def fuzzy_name_pairs_sql(*, table: str, id_col: str, name_col: str,
+                         max_dist: int = 8,
+                         block_sql: str | None = None) -> str:
+    """DuckDB SQL for the identical blocked edit-distance pairs (oracle)."""
+    block = (block_sql if block_sql is not None
+             else f"string_split({name_col}, ' ')[1]")
+    return (
+        f"WITH keyed AS (SELECT {id_col}, {name_col}, "
+        f"{block} AS block_key FROM {table}) "
+        f"SELECT a.{id_col} AS a_id, b.{id_col} AS b_id, "
+        f"a.{name_col} AS a_name, b.{name_col} AS b_name, "
+        f"levenshtein(a.{name_col}, b.{name_col}) AS dist "
+        f"FROM keyed a JOIN keyed b ON a.block_key = b.block_key "
+        f"AND a.{id_col} < b.{id_col} "
+        f"WHERE levenshtein(a.{name_col}, b.{name_col}) <= {max_dist}"
+    )

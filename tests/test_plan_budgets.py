@@ -63,6 +63,13 @@ BUDGETS = {
     "zorder_orders": 1,
     "sessionize_events": 1,
     "cdc_snapshot_diff": 2,
+    # round-5 additions: BM25 = repartition + token-df agg + top-k
+    # window (the persisted tf table kills the duplicate corpus scan);
+    # fuzzy = one broadcast block-join at this sf; pagerank = ~4 per
+    # power iteration × 5 + setup (edges+nodes persisted once)
+    "text_bm25_topk": 3,
+    "fuzzy_title_pairs": 0,
+    "graph_pagerank": 21,
 }
 
 

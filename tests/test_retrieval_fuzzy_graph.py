@@ -1,0 +1,159 @@
+"""Unit tests for the round-5 additions: BM25 retrieval, blocked fuzzy
+matching, and fixed-iteration PageRank (semantics + determinism; engine
+parity is covered by the strict DuckDB oracles in __spark_entry__)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_sql_security_spark.operators.cache import release
+from flink_sql_security_spark.operators.fuzzy import fuzzy_name_pairs
+from flink_sql_security_spark.operators.graph import pagerank, pagerank_sql
+from flink_sql_security_spark.operators.retrieval import bm25_topk
+
+
+# ---------------------------------------------------------------- bm25
+
+def _docs(spark):
+    rows = [
+        (1, "vector vector vector search index"),
+        (2, "vector search"),
+        (3, "stream processing stream"),
+        (4, "totally unrelated words here"),
+        (5, "vector stream hash hash"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_covers_and_ranks(spark):
+    out = bm25_topk(_docs(spark), ["vector", "stream", "hash"], k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 4 has no query term: no partial scores -> excluded? No: it HAS
+    # no tf rows at all, so it never reaches the score fold and is absent
+    assert 4 not in rows
+    # doc 5 matches all three terms -> highest total score
+    assert min(rows, key=lambda d: rows[d]["rank"]) == 5
+    # per-term columns exist and doc 3's vector-score is NULL
+    assert rows[3]["s_vector"] is None and rows[3]["s_stream"] > 0
+    # ranks are dense 1..n
+    assert sorted(r["rank"] for r in rows.values()) == [1, 2, 3, 4]
+
+
+def test_bm25_tf_saturation(spark):
+    """3x the term occurrences must score higher but < 3x higher (k1 cap)."""
+    out = bm25_topk(_docs(spark), ["vector"], k=10)
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert rows[1] > rows[2]
+    assert rows[1] < 3 * rows[2]
+
+
+def test_bm25_validates_terms(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk(_docs(spark), [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_topk(_docs(spark), ["a", "a"])
+
+
+def test_bm25_presupplied_stats_match(spark):
+    df = _docs(spark)
+    auto = bm25_topk(df, ["vector", "hash"], k=10).collect()
+    n = df.count()
+    total = df.select(F.sum(F.size(F.filter(
+        F.split(F.lower(F.trim("text")), r"\s+"),
+        lambda t: t != "")))).collect()[0][0]
+    manual = bm25_topk(df, ["vector", "hash"], k=10,
+                       stats=(n, total / n)).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, manual))
+
+
+# --------------------------------------------------------------- fuzzy
+
+def test_fuzzy_blocks_and_verifies(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamm"),     # dist 1, same block 'alpha'
+        (3, "alpha completely different"),  # same block, far
+        (4, "beta alpha gamma"),    # block 'beta': never compared to 1/2
+    ]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = fuzzy_name_pairs(df, id_col="id", name_col="name", max_dist=3)
+    got = {(r["a_id"], r["b_id"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 2): 1}
+
+
+def test_fuzzy_cross_block_pairs_are_missed(spark):
+    """Executable recall caveat: identical names in different blocks are
+    never compared — the documented blocking trade-off."""
+    rows = [(1, "x same tail"), (2, "y same tail")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = fuzzy_name_pairs(df, id_col="id", name_col="name", max_dist=100)
+    assert out.count() == 0
+
+
+def test_fuzzy_canonical_order(spark):
+    rows = [(9, "a b"), (3, "a b"), (5, "a b")]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    out = fuzzy_name_pairs(df, id_col="id", name_col="name", max_dist=0)
+    pairs = sorted((r["a_id"], r["b_id"]) for r in out.collect())
+    assert pairs == [(3, 5), (3, 9), (5, 9)]
+    assert all(a < b for a, b in pairs)
+
+
+# ------------------------------------------------------------ pagerank
+
+def _star_edges(spark):
+    """Undirected star: hub 0 <-> leaves 1..4."""
+    pairs = [(0, i) for i in range(1, 5)]
+    rows = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_pagerank_star_hub_wins(spark):
+    out = pagerank(_star_edges(spark), iters=5)
+    rows = {r["node"]: r for r in out.collect()}
+    release(out)
+    assert rows[0]["rank_pos"] == 1
+    # leaves are symmetric: identical ranks, positions tie-broken by node
+    leaf_ranks = {rows[i]["rank"] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1
+    assert [rows[i]["rank_pos"] for i in range(1, 5)] == [2, 3, 4, 5]
+
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    out = pagerank(_star_edges(spark), iters=5)
+    total = sum(r["rank"] for r in out.collect())
+    release(out)
+    # quantization floor leaks < 1e-12 per edge per iteration
+    assert math.isclose(total, 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """The quantized-contribution design promise: identical bits under a
+    different physical partitioning of the edge set."""
+    edges = _star_edges(spark)
+    a = pagerank(edges, iters=3)
+    b = pagerank(edges.repartition(7), iters=3)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    release(a)
+    release(b)
+    assert ra == rb  # exact equality, including the float rank column
+
+
+def test_pagerank_validates_iters(spark):
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(_star_edges(spark), iters=0)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_sql("SELECT 1 AS src, 2 AS dst", iters=0)
+
+
+def test_pagerank_dangling_mass_leaks(spark):
+    """Directed chain 1->2->3: node 3 has no out-edges, so total rank
+    drops below 1 — the documented dangling-node behavior."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = pagerank(edges, iters=5)
+    rows = {r["node"]: r["rank"] for r in out.collect()}
+    release(out)
+    assert sum(rows.values()) < 0.99
+    assert rows[3] > rows[2] > rows[1]  # rank accumulates down the chain
