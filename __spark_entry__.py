@@ -1068,6 +1068,20 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         SM.per_key_quota_duckdb_sql("documents", "source", n=20,
                                     select="doc_id, source"),
     )
+    # temperature-scaled domain mixing (operators/sampling.py
+    # temperature_mix): per-source rate ∝ count^α — the mT5/XLM-R
+    # alpha-sampling recipe as an exact-integer md5-bucket threshold;
+    # both engines apply thresholds from the SAME Python float pass
+    import os as _os_t
+    _doc_path_t = _os_t.path.join(
+        _os_t.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet")
+    out["sample_temperature_mix"] = (
+        with_tables(lambda s: SM.temperature_mix(
+            docs(s), alpha=0.5, target_rows=200)),
+        SM.temperature_mix_duckdb_sql(_doc_path_t, alpha=0.5,
+                                      target_rows=200),
+    )
     # data mixing: fill each source's token budget in deterministic
     # content-hash order (training-recipe mixture weights, in tokens)
     out["sample_token_budget"] = (
@@ -1253,6 +1267,18 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         PQm.ivfpq_topk_duckdb_sql(_emb_path, query_pred="vec_id < 10",
                                   m=32, k_cb=64, iters=3,
                                   n_cells=16, n_probe=4, k=5),
+    )
+    # two-stage search (operators/pq.py ivfpq_rerank): IVF-PQ shortlist
+    # widened to k·rerank, then exact-L2 re-scoring of ONLY the
+    # shortlist — faiss's IndexRefine shape; recall recovers the ADC
+    # ordering error at shortlist cost, not corpus cost
+    out["emb_ivfpq_rerank"] = (
+        with_tables(lambda s: PQm.ivfpq_rerank(
+            emb(s), emb(s).where("vec_id < 10"), _coarse(s), _books(s),
+            k=5, n_probe=4, rerank=4)),
+        PQm.ivfpq_rerank_duckdb_sql(_emb_path, query_pred="vec_id < 10",
+                                    m=32, k_cb=64, iters=3,
+                                    n_cells=16, n_probe=4, k=5, rerank=4),
     )
     # concat-then-chunk sequence packing (operators/packing.py): two-phase
     # integer prefix sum — no single-partition window anywhere

@@ -30,7 +30,8 @@ __all__ = ["hash_split", "hash_split_duckdb_sql",
            "token_budget_sample", "token_budget_sample_duckdb_sql",
            "weighted_sample", "weighted_sample_duckdb_sql",
            "epoch_upsample", "epoch_upsample_duckdb_sql",
-           "rank_buckets", "rank_buckets_duckdb_sql"]
+           "rank_buckets", "rank_buckets_duckdb_sql",
+           "temperature_mix", "temperature_mix_duckdb_sql"]
 
 # 32-bit hash prefix folded into 10k buckets: plenty of resolution for
 # split fractions expressed in 0.01% steps, and exact integer arithmetic
@@ -475,3 +476,93 @@ cum AS (SELECT {score_col},
 SELECT r.*, CAST(c._before * {n_buckets} // c._n AS BIGINT) AS {bucket_col}
 FROM rows_in r JOIN cum c USING ({score_col})
 """
+
+
+def _temperature_take_buckets(counts: dict, alpha: float,
+                              target_rows: int) -> dict:
+    """Per-group integer bucket threshold for temperature sampling.
+
+    Shared by the Spark operator (driver-side, from a bounded
+    ``groupBy(group).count()``) and the DuckDB oracle emitter
+    (build-time, from the parquet) — the SAME Python floats produce the
+    SAME integer thresholds, so the two engines compare identical exact
+    integers and no cross-engine float boundary exists. Groups iterate
+    in sorted-name order so the normalizer's float sum is
+    order-deterministic.
+    """
+    import math
+
+    names = sorted(counts)
+    w = {g: float(counts[g]) ** alpha for g in names}
+    total = 0.0
+    for g in names:          # fixed fold order
+        total += w[g]
+    out = {}
+    for g in names:
+        rate = min(1.0, target_rows * (w[g] / total) / counts[g])
+        out[g] = min(_BUCKETS, int(math.floor(rate * _BUCKETS + 0.5)))
+    return out
+
+
+def temperature_mix(df: DataFrame, group_col: str = "source",
+                    alpha: float = 0.5, target_rows: int = 200,
+                    id_col: str = "doc_id",
+                    salt: str = "tmix") -> DataFrame:
+    """Temperature-scaled multinomial domain mixing (the mT5/XLM-R
+    alpha-sampling recipe): sample group ``g`` at a rate proportional to
+    ``count_g**alpha`` — ``alpha=1`` keeps the natural distribution,
+    ``alpha=0`` equalizes groups, values between up-weight low-resource
+    sources relative to their raw share (Conneau et al. 2020 §3.1;
+    Raffel et al. 2020 §2.4 examples-proportional mixing).
+
+    Mechanics: per-group acceptance rate
+    ``min(1, target_rows · w_g / count_g)`` with
+    ``w_g = count_g^alpha / Σ count_g^alpha``, applied as an exact
+    integer threshold on the deterministic md5 bucket of the row id
+    (same 10k-bucket core as :func:`hash_split`) — content-hash
+    reproducible on any cluster layout and oracle-checkable.
+
+    Scale shape: one bounded ``groupBy(group).count()`` (distinct
+    sources ≲10⁴ by the layout contract — the same cardinality bound the
+    partitioned-table writer documents), then a narrow codegen'd CASE
+    filter; no shuffle of the data rows themselves, no join. The
+    expected output size is ``min(target_rows, Σ min(count_g, ...))`` —
+    rates are exact, realized counts are binomial around them.
+    """
+    counts = {r[0]: r[1]
+              for r in df.groupBy(group_col).count().collect()}
+    take = _temperature_take_buckets(counts, alpha, target_rows)
+    case = "CASE " + " ".join(
+        f"WHEN {group_col} = '{g}' THEN {n}" for g, n in take.items()
+    ) + " ELSE 0 END"
+    bucket = _bucket_expr(id_col, salt)
+    return (df.where(F.expr(f"({bucket}) < ({case})"))
+            .select(id_col, group_col,
+                    F.expr(case).cast("int").alias("take_buckets")))
+
+
+def temperature_mix_duckdb_sql(parquet_path: str, table: str = "documents",
+                               group_col: str = "source",
+                               alpha: float = 0.5, target_rows: int = 200,
+                               id_col: str = "doc_id",
+                               salt: str = "tmix") -> str:
+    """Oracle for :func:`temperature_mix` — group counts re-derive from
+    the parquet at emit time and run through the SAME
+    :func:`_temperature_take_buckets` floats, so the emitted integer
+    thresholds are identical; the SQL verifies the bucket filter."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {group_col}, count(*) FROM read_parquet('{parquet_path}') "
+        f"GROUP BY 1").fetchall()
+    con.close()
+    take = _temperature_take_buckets({r[0]: r[1] for r in rows},
+                                     alpha, target_rows)
+    case = "CASE " + " ".join(
+        f"WHEN {group_col} = '{g}' THEN {n}" for g, n in take.items()
+    ) + " ELSE 0 END"
+    bucket = _bucket_duckdb(id_col, salt)
+    return (f"SELECT {id_col}, {group_col}, "
+            f"CAST({case} AS INT) AS take_buckets "
+            f"FROM {table} WHERE ({bucket}) < ({case})")

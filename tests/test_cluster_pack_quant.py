@@ -627,3 +627,95 @@ def test_pq_input_contracts(spark):
         [(1, [0.0] * 12)], "vec_id long, embedding array<double>")
     with pytest.raises(Exception):
         PQ.pq_encode(wrong, books).collect()
+
+
+def test_ivfpq_rerank_duckdb_parity(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=8, k=16, iters=2)
+    coarse = PQ.coarse_train(emb, n_cells=8, iters=2)
+    got = sorted(map(tuple, PQ.ivfpq_rerank(
+        emb, emb.where("vec_id < 4"), coarse, books,
+        k=5, n_probe=3, rerank=3).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+    want = sorted(map(tuple, con.execute(PQ.ivfpq_rerank_duckdb_sql(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        query_pred="vec_id < 4", m=8, k_cb=16, iters=2,
+        n_cells=8, n_probe=3, k=5, rerank=3)).fetchall()))
+    assert got == want and len(got) == 20
+
+
+def _exact_topk_ids(df, q_pred, k):
+    """Brute-force exact-L2 top-k sets per query (test oracle)."""
+    import numpy as np
+
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in df.collect()}
+    out = {}
+    for qid, q in rows.items():
+        if not q_pred(qid):
+            continue
+        d = sorted((float(((q - v) ** 2).sum()), nid)
+                   for nid, v in rows.items() if nid != qid)
+        out[qid] = {nid for _, nid in d[:k]}
+    return out
+
+
+def test_ivfpq_rerank_recall_at_least_plain(spark):
+    """Rerank's contract: with the same probe set, exact re-scoring of
+    the widened shortlist can only improve set-recall vs ranking the
+    same cells by quantized ADC distance alone. Checked against exact
+    brute-force L2 on a clustered corpus (spread loose enough that
+    within-cluster ordering carries signal for ADC to get wrong)."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark, n_clusters=4, per=25, d=16, spread=0.4)
+    books = PQ.pq_train(df, m=4, k=8, iters=3)
+    coarse = PQ.coarse_train(df, n_cells=4, iters=3)
+    q = df.where("vec_id < 8")
+    k = 5
+    truth = _exact_topk_ids(df, lambda i: i < 8, k)
+    plain = PQ.ivfpq_topk(df, q, coarse, books, k=k, n_probe=2)
+    rer = PQ.ivfpq_rerank(df, q, coarse, books, k=k, n_probe=2, rerank=4)
+
+    def recall(res):
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["q_id"], set()).add(r["n_id"])
+        return sum(len(got[qid] & truth[qid]) for qid in truth) / (
+            k * len(truth))
+
+    r_plain, r_rerank = recall(plain), recall(rer)
+    assert r_rerank >= r_plain, (r_plain, r_rerank)
+    assert r_rerank >= 0.8, r_rerank
+
+
+def test_ivfpq_rerank_orders_shortlist_exactly(spark):
+    """Stage 2 must rank by EXACT distance: per query, ranks increase
+    with exact_dist (ties by n_id) and every returned exact_dist equals
+    the true squared L2 to that neighbor."""
+    import numpy as np
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark, n_clusters=3, per=10, d=8, spread=0.3)
+    books = PQ.pq_train(df, m=4, k=8, iters=2)
+    coarse = PQ.coarse_train(df, n_cells=3, iters=2)
+    rows = PQ.ivfpq_rerank(df, df.where("vec_id < 3"), coarse, books,
+                           k=4, n_probe=2, rerank=3).collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in df.collect()}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+        true = float(((vecs[r["q_id"]] - vecs[r["n_id"]]) ** 2).sum())
+        assert abs(r["exact_dist"] - true) < 1e-5, (r, true)
+    for qid, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        keys = [(r["exact_dist"], r["n_id"]) for r in rs]
+        assert keys == sorted(keys), (qid, keys)

@@ -1322,3 +1322,83 @@ def test_fim_empty_and_null_docs_pass_through(spark):
     want = sorted(map(tuple, con.execute(
         C.fim_transform_duckdb_sql("fim_t", rate=1.0)).fetchall()))
     assert sorted(tuple(r) for r in got.values()) == want
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing (operators/sampling.py temperature_mix)
+# ---------------------------------------------------------------------------
+
+def _tmix_docs(spark):
+    rows = [(i, "src_a" if i < 80 else ("src_b" if i < 96 else "src_c"))
+            for i in range(100)]          # 80 / 16 / 4 — skewed mixture
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_temperature_take_buckets_limits():
+    """alpha=1 keeps the natural distribution (one global rate);
+    alpha=0 equalizes groups (equal per-group expected rows)."""
+    from flink_sql_security_spark.operators.sampling import (
+        _temperature_take_buckets)
+
+    counts = {"a": 80, "b": 16, "c": 4}
+    nat = _temperature_take_buckets(counts, alpha=1.0, target_rows=50)
+    # rate_g = target/total for every group -> identical thresholds
+    assert len(set(nat.values())) == 1 and nat["a"] == 5000
+    eq = _temperature_take_buckets(counts, alpha=0.0, target_rows=30)
+    # expected rows per group = target/3 = 10 -> rate = 10/count
+    assert eq["a"] == 1250 and eq["b"] == 6250 and eq["c"] == 10000
+    # intermediate alpha lands between the two regimes for the big group
+    mid = _temperature_take_buckets(counts, alpha=0.5, target_rows=30)
+    assert eq["a"] < mid["a"] < 10000 and mid["c"] == 10000
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    """The point of alpha<1: the rare source's sampling RATE exceeds the
+    dominant source's, while rates stay content-hash deterministic."""
+    from flink_sql_security_spark.operators import sampling as SM
+
+    docs = _tmix_docs(spark)
+    out = SM.temperature_mix(docs, alpha=0.5, target_rows=40)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    take = {r["source"]: r["take_buckets"] for r in rows}
+    # rare src_c keeps everything; dominant src_a is subsampled hardest
+    assert take.get("src_c", 10000) == 10000
+    assert take["src_a"] < take.get("src_b", 10000)
+    # determinism: same output under a different physical layout
+    again = {(r["doc_id"], r["source"])
+             for r in SM.temperature_mix(
+                 docs.repartition(7), alpha=0.5, target_rows=40).collect()}
+    assert again == {(r["doc_id"], r["source"]) for r in rows}
+
+
+def test_temperature_mix_duckdb_parity(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import sampling as SM
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = sorted((r["doc_id"], r["source"], r["take_buckets"])
+                 for r in SM.temperature_mix(
+                     docs, alpha=0.5, target_rows=30).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    want = sorted(map(tuple, con.execute(SM.temperature_mix_duckdb_sql(
+        path, alpha=0.5, target_rows=30)).fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_temperature_mix_is_narrow_after_counts(spark):
+    """After the bounded count collect, selection is a pure codegen CASE
+    filter: no shuffle, no Python in the emitting plan."""
+    from flink_sql_security_spark.operators import sampling as SM
+
+    docs = _tmix_docs(spark).coalesce(2)
+    plan = SM.temperature_mix(docs, alpha=0.5, target_rows=40) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
