@@ -1893,6 +1893,12 @@ _CHECK_ORDER = [
     #   the IVF probe/prune core forward AND adds the ADC lookup-fold
     #   scan; exact-cosine scoring stays pinned in-window by
     #   emb_ann_pairs (bit-equal arithmetic, test-pinned).
+    # - emb_ivfpq_topk → emb_ivfpq_rerank (late-r05): rerank's stage 1
+    #   IS ivfpq_topk at the same (m, k_cb, n_cells, n_probe) config —
+    #   widened to k·rerank — so the incoming entry pins the entire
+    #   IVF-PQ core (coarse assign, residual-free encode, cell-keyed
+    #   ADC join, deterministic ranking) PLUS the exact-L2 shortlist
+    #   re-scoring that no window entry covered.
     # - emb_kmeans_cells → emb_pq_codes: both entries' distance kernel is
     #   the SAME _dists_expr sequential-fold argmin (pq_encode imports it
     #   from clustering.py); the incoming entry pins it per-subspace plus
@@ -1910,7 +1916,7 @@ _CHECK_ORDER = [
     "zorder_orders", "cdc_upsert_latest",
     "sample_dsir_weights", "dedup_lsh_verified", "dedup_components",
     "cdc_snapshot_diff", "dedup_span_stats",
-    "emb_ann_pairs", "emb_ivfpq_topk",
+    "emb_ann_pairs", "emb_ivfpq_rerank",
     "emb_pq_codes", "emb_quantize_int8", "pack_sequences",
     # r05 in-round rotation (three NEW operator families shipped after
     # the first r05 rotation; same breadth-over-redundancy rule):
@@ -1935,7 +1941,12 @@ _CHECK_ORDER = [
     # sub-shape of pack_sequences' per-bucket cumsum (in-window); its
     # slot goes to the BPE tokenizer family (distributed train + narrow
     # encode — a core no other entry covers)
-    "split_hash_assign", "bpe_tokens",
+    # late-r05: split_hash_assign → sample_temperature_mix: the
+    # incoming entry applies the SAME md5 10k-bucket core (shared
+    # _bucket_expr) as a per-source threshold, so the portable-hash
+    # arithmetic stays pinned while the mixture-reweighting family
+    # (count^alpha temperature rates) gets its first driver row.
+    "sample_temperature_mix", "bpe_tokens",
     "multimodal_features", "graph_pagerank",
     "fuzzy_title_pairs", "profile_quantiles", "pipeline_clean_corpus",
     "sessionize_events", "asof_purchase_click",
