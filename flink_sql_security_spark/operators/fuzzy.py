@@ -51,12 +51,15 @@ def fuzzy_name_pairs(df, *, id_col: str, name_col: str, max_dist: int = 8,
     # STREAM side's partitioning when the other side broadcasts — a
     # small single-file input would serialize all sum|block|² DP calls
     # onto one task (measured 7.0 s → 1.0 s at sf0.1 from this lift
-    # alone). Round-robin up to the default parallelism; at scale inputs
-    # already carry ≥cores partitions and this is a no-op.
+    # alone). Round-robin ONLY the stream (a) side up to the default
+    # parallelism — the b side broadcasts whole, a lift there would be
+    # a pure extra exchange; at scale inputs already carry ≥cores
+    # partitions and this is a no-op.
+    a_src = keyed
     target = df.sparkSession.sparkContext.defaultParallelism
     if keyed.rdd.getNumPartitions() < max(1, target // 2):
-        keyed = keyed.repartition(target)
-    a = keyed.select(F.col(id_col).alias("a_id"),
+        a_src = keyed.repartition(target)
+    a = a_src.select(F.col(id_col).alias("a_id"),
                      F.col(name_col).alias("a_name"), "block_key")
     b = keyed.select(F.col(id_col).alias("b_id"),
                      F.col(name_col).alias("b_name"), "block_key")

@@ -65,10 +65,12 @@ BUDGETS = {
     "cdc_snapshot_diff": 2,
     # round-5 additions: BM25 = repartition + token-df agg + top-k
     # window (the persisted tf table kills the duplicate corpus scan);
-    # fuzzy = one broadcast block-join at this sf; pagerank = ~4 per
+    # fuzzy = broadcast block-join + the stream-side round-robin
+    # parallelism lift (the 7s→0.8s fix: in-block DP verification would
+    # otherwise run on the single input partition); pagerank = ~4 per
     # power iteration × 5 + setup (edges+nodes persisted once)
     "text_bm25_topk": 3,
-    "fuzzy_title_pairs": 0,
+    "fuzzy_title_pairs": 1,
     "graph_pagerank": 21,
 }
 
