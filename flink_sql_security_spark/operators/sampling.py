@@ -529,12 +529,17 @@ def temperature_mix(df: DataFrame, group_col: str = "source",
     expected output size is ``min(target_rows, Σ min(count_g, ...))`` —
     rates are exact, realized counts are binomial around them.
     """
+    # NULL groups are excluded by construction: they take the CASE's
+    # ELSE 0 branch (no bucket is < 0), and a NULL key would also make
+    # the sorted() weight pass non-deterministic across Python versions
     counts = {r[0]: r[1]
-              for r in df.groupBy(group_col).count().collect()}
+              for r in df.groupBy(group_col).count().collect()
+              if r[0] is not None}
     take = _temperature_take_buckets(counts, alpha, target_rows)
     case = "CASE " + " ".join(
-        f"WHEN {group_col} = '{g}' THEN {n}" for g, n in take.items()
-    ) + " ELSE 0 END"
+        "WHEN {c} = '{g}' THEN {n}".format(
+            c=group_col, g=str(g).replace("'", "''"), n=n)
+        for g, n in take.items()) + " ELSE 0 END"
     bucket = _bucket_expr(id_col, salt)
     return (df.where(F.expr(f"({bucket}) < ({case})"))
             .select(id_col, group_col,
@@ -555,13 +560,14 @@ def temperature_mix_duckdb_sql(parquet_path: str, table: str = "documents",
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT {group_col}, count(*) FROM read_parquet('{parquet_path}') "
-        f"GROUP BY 1").fetchall()
+        f"WHERE {group_col} IS NOT NULL GROUP BY 1").fetchall()
     con.close()
     take = _temperature_take_buckets({r[0]: r[1] for r in rows},
                                      alpha, target_rows)
     case = "CASE " + " ".join(
-        f"WHEN {group_col} = '{g}' THEN {n}" for g, n in take.items()
-    ) + " ELSE 0 END"
+        "WHEN {c} = '{g}' THEN {n}".format(
+            c=group_col, g=str(g).replace("'", "''"), n=n)
+        for g, n in take.items()) + " ELSE 0 END"
     bucket = _bucket_duckdb(id_col, salt)
     return (f"SELECT {id_col}, {group_col}, "
             f"CAST({case} AS INT) AS take_buckets "

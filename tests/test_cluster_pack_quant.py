@@ -719,3 +719,26 @@ def test_ivfpq_rerank_orders_shortlist_exactly(spark):
         rs.sort(key=lambda r: r["rank"])
         keys = [(r["exact_dist"], r["n_id"]) for r in rs]
         assert keys == sorted(keys), (qid, keys)
+
+
+def test_ivfpq_rerank_residual_duckdb_parity(spark):
+    """Full-IVFADC rerank: residual codebooks through the two-stage
+    search must stay bit-exact against the nested-CTE oracle."""
+    import duckdb
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse, books = PQ.ivfpq_train(emb, n_cells=8, m=8, k=16, iters=2)
+    got = sorted(map(tuple, PQ.ivfpq_rerank(
+        emb, emb.where("vec_id < 4"), coarse, books,
+        k=5, n_probe=3, rerank=3, residual=True).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+    want = sorted(map(tuple, con.execute(PQ.ivfpq_rerank_duckdb_sql(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        query_pred="vec_id < 4", m=8, k_cb=16, iters=2,
+        n_cells=8, n_probe=3, k=5, rerank=3,
+        residual=True)).fetchall()))
+    assert got == want and len(got) == 20

@@ -1402,3 +1402,17 @@ def test_temperature_mix_is_narrow_after_counts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan, plan
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+
+def test_temperature_mix_null_and_quoted_groups(spark):
+    """NULL groups are never selected (ELSE 0 branch) and quote
+    characters in group values are escaped into the CASE literal."""
+    from flink_sql_security_spark.operators import sampling as SM
+
+    rows = ([(i, "o'reilly") for i in range(40)]
+            + [(i + 100, None) for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = SM.temperature_mix(df, alpha=0.5, target_rows=100).collect()
+    assert out, "quoted group must survive the CASE literal"
+    assert all(r["source"] == "o'reilly" for r in out)
+    assert all(r["take_buckets"] == 10000 for r in out)  # kept whole
