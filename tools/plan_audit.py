@@ -34,8 +34,10 @@ PYTHON_OK = {
     "emb_ann_pairs", "emb_ivf_topk", "emb_kmeans_cells", "emb_quantize_int8",
     # PQ top-k: per-query ADC LUTs build in ONE mapInPandas over the
     # query table (round-5: replaced the driver toPandas loop) — an
-    # Arrow kernel on the small side, never on the corpus scan.
-    "emb_pq_topk", "emb_ivfpq_topk",
+    # Arrow kernel on the small side, never on the corpus scan. The
+    # rerank composition inherits the same stage-1 kernel; its stage 2
+    # is pure JVM expression work.
+    "emb_pq_topk", "emb_ivfpq_topk", "emb_ivfpq_rerank",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
