@@ -15,7 +15,13 @@ Walks the full lifecycle a training-data pipeline runs at scale:
                  ADC score, a top-k window;
 4. **stream search** — ``pq_ingest_stream``: the same index serves
                  micro-batches of incoming vectors, bit-identically to
-                 the batch operator.
+                 the batch operator;
+5. **rerank**  — ``ivfpq_rerank(..., codes_df=index)``: the production
+                 serving shape (faiss IndexRefine) — the ADC shortlist
+                 widens to k·rerank, then ONLY those candidates are
+                 re-scored with exact L2 against the raw vectors;
+                 recall recovers the quantization-ordering error at
+                 |Q|·k·rerank point-lookups, never a corpus scan.
 
 Everything here is deterministic and oracle-checkable — the driver
 entry ``emb_ivfpq_topk`` runs this exact pipeline against a DuckDB
@@ -77,9 +83,15 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         q.stop()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+    # 5. exact rerank over the SAME index: the top-1 by exact L2 must
+    # be at least as close (by true distance) as ADC's top-1 pick
+    rerank_rows = {tuple(r) for r in PQ.ivfpq_rerank(
+        emb, queries, coarse, books, k=3, n_probe=3, rerank=3,
+        residual=True, codes_df=index).collect()}
     index.unpersist()
     return {"n_indexed": n_indexed, "batch": batch_rows,
-            "stream": stream_rows}
+            "stream": stream_rows, "rerank": rerank_rows}
 
 
 def main() -> None:
@@ -93,6 +105,7 @@ def main() -> None:
     print(f"indexed {out['n_indexed']} vectors")
     print(f"batch top-k rows: {len(out['batch'])}")
     print("stream == batch:", out["stream"] == out["batch"])
+    print(f"reranked top-k rows: {len(out['rerank'])}")
     spark.stop()
 
 

@@ -52,7 +52,8 @@ _QUANTUM = 1.0e12
 
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
-             damping: float = 0.85, n_nodes: int | None = None):
+             damping: float = 0.85, n_nodes: int | None = None,
+             broadcast_ranks_limit: int = 5_000_000):
     """Ranks after ``iters`` synchronous PageRank iterations.
 
     ``edges`` is a DataFrame of DISTINCT directed (src, dst) pairs.
@@ -60,6 +61,16 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     endpoint; rank_pos orders by rank desc, node asc.  Initial rank is
     uniform 1/N; per-iteration update
     ``rank = (1-d)/N + d * sum_in(floor(rank_src/outdeg * 1e12))/1e12``.
+
+    ``broadcast_ranks_limit``: the |V|-row rank/contribution tables are
+    derived through joins+aggregates, so Catalyst has no size estimate
+    and statically plans SortMergeJoins — shuffling the |E|-row edge
+    table once per iteration. Since N is counted exactly anyway, the
+    rank-side joins get an explicit broadcast hint whenever
+    ``n_nodes <= broadcast_ranks_limit`` (the measured win: one edge
+    pass per iteration instead of an edge shuffle). Graphs with more
+    nodes than the limit keep the scale-safe shuffle join — at billions
+    of vertices the rank table is itself distributed state.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -76,25 +87,32 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
              .union(edges.select(F.col(dst).alias("node")))
              .distinct().persist())
     outdeg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
-    ed = (edges.join(outdeg, src)
-          .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
-                  "outdeg")
-          .persist())
     if n_nodes is None:
         n_nodes = nodes.count()
     init = 1.0 / n_nodes                       # same IEEE divide as oracle
     base = (1.0 - damping) / n_nodes
+    small_v = n_nodes <= broadcast_ranks_limit
+
+    def hint(df):
+        return F.broadcast(df) if small_v else df
+
+    # outdeg is ≤|V| rows — same gate: broadcasting it into the one-off
+    # ed build spares the |E|-row table its only non-iteration shuffle
+    ed = (edges.join(hint(outdeg), src)
+          .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                  "outdeg")
+          .persist())
 
     ranks = nodes.select("node", F.lit(init).alias("rank"))
     for _ in range(iters):
         contribs = (
-            ed.join(ranks, ed["e_src"] == ranks["node"])
+            ed.join(hint(ranks), ed["e_src"] == ranks["node"])
             .select(F.col("e_dst"),
                     F.floor((F.col("rank") / F.col("outdeg"))
                             * F.lit(_QUANTUM)).cast("long").alias("c")))
         sums = contribs.groupBy("e_dst").agg(F.sum("c").alias("csum"))
         ranks = (
-            nodes.join(sums, nodes["node"] == sums["e_dst"], "left")
+            nodes.join(hint(sums), nodes["node"] == sums["e_dst"], "left")
             .select(
                 "node",
                 (F.lit(base) + (F.lit(damping)

@@ -448,6 +448,13 @@ def _lut_df(queries_df: DataFrame, codebooks: list, vec_col: str,
         for chunk in batches:
             ids, cells, luts = [], [], []
             for _, row in chunk.iterrows():
+                if row[vec_col] is None:
+                    # loud, like pq_encode's corpus-side guard: a NULL
+                    # query would otherwise surface as an opaque numpy
+                    # TypeError deep in the executor
+                    raise ValueError(
+                        f"pq: NULL query vector for {id_col}="
+                        f"{row[id_col]}")
                 q = np.asarray(row[vec_col], dtype=np.float64)
                 if crs is None:
                     ids.append(int(row[id_col]))

@@ -742,3 +742,18 @@ def test_ivfpq_rerank_residual_duckdb_parity(spark):
         n_cells=8, n_probe=3, k=5, rerank=3,
         residual=True)).fetchall()))
     assert got == want and len(got) == 20
+
+
+def test_pq_search_null_query_vector_is_loud(spark):
+    """A NULL query vector must fail with a clear message, not an
+    opaque numpy TypeError from inside the executor."""
+    import pytest
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=4, k=4, iters=1)
+    bad = spark.createDataFrame(
+        [(999999, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NULL query vector"):
+        PQ.pq_topk(emb, bad, books, k=3).collect()

@@ -54,3 +54,7 @@ def test_vector_search_walkthrough(spark):
     assert out["n_indexed"] == 500
     assert len(out["batch"]) == 15          # 5 queries x k=3
     assert out["stream"] == out["batch"]
+    # rerank returns the same shape; its q_id/n_id pairs come from the
+    # widened ADC shortlist, re-ordered by exact distance
+    assert len(out["rerank"]) == 15
+    assert {(r[0],) for r in out["rerank"]} == {(r[0],) for r in out["batch"]}
