@@ -84,11 +84,19 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
-    # 5. exact rerank over the SAME index: the top-1 by exact L2 must
-    # be at least as close (by true distance) as ADC's top-1 pick
-    rerank_rows = {tuple(r) for r in PQ.ivfpq_rerank(
+    # 5. exact rerank over the SAME index: re-order the widened ADC
+    # shortlist by exact L2 (checked here: ranks must follow exact_dist)
+    rerank_collected = PQ.ivfpq_rerank(
         emb, queries, coarse, books, k=3, n_probe=3, rerank=3,
-        residual=True, codes_df=index).collect()}
+        residual=True, codes_df=index).collect()
+    by_q = {}
+    for r in rerank_collected:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        keys = [(r["exact_dist"], r["n_id"]) for r in rs]
+        assert keys == sorted(keys), "rerank must order by exact distance"
+    rerank_rows = {tuple(r) for r in rerank_collected}
     index.unpersist()
     return {"n_indexed": n_indexed, "batch": batch_rows,
             "stream": stream_rows, "rerank": rerank_rows}

@@ -456,6 +456,15 @@ def _lut_df(queries_df: DataFrame, codebooks: list, vec_col: str,
                         f"pq: NULL query vector for {id_col}="
                         f"{row[id_col]}")
                 q = np.asarray(row[vec_col], dtype=np.float64)
+                if np.isnan(q).any():
+                    # a NULL ELEMENT converts to NaN, every LUT entry
+                    # and ADC distance for the query becomes NaN, and
+                    # NaN-sorts-last would return the k lowest n_ids as
+                    # plausible-looking "neighbors" — reject, matching
+                    # pq_encode's per-element rejection
+                    raise ValueError(
+                        f"pq: NULL/NaN element in query vector "
+                        f"{id_col}={int(row[id_col])}")
                 if crs is None:
                     ids.append(int(row[id_col]))
                     luts.append(_query_lut(q, books))

@@ -757,3 +757,22 @@ def test_pq_search_null_query_vector_is_loud(spark):
         [(999999, None)], "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="NULL query vector"):
         PQ.pq_topk(emb, bad, books, k=3).collect()
+
+
+def test_pq_search_null_element_in_query_is_loud(spark):
+    """A NULL ELEMENT inside a query vector must also fail loudly — it
+    converts to NaN and would otherwise return the k lowest ids as
+    plausible-looking neighbors (NaN sorts last, ties by id)."""
+    import pytest
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=4, k=4, iters=1)
+    dim = len(emb.first()["embedding"])
+    vec = [0.5] * dim
+    vec[3] = None
+    bad = spark.createDataFrame(
+        [(999999, vec)], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NULL/NaN element in query"):
+        PQ.pq_topk(emb, bad, books, k=3).collect()

@@ -54,7 +54,12 @@ def test_vector_search_walkthrough(spark):
     assert out["n_indexed"] == 500
     assert len(out["batch"]) == 15          # 5 queries x k=3
     assert out["stream"] == out["batch"]
-    # rerank returns the same shape; its q_id/n_id pairs come from the
-    # widened ADC shortlist, re-ordered by exact distance
+    # rerank: every query keeps exactly k=3 rows with ranks 1..3 (the
+    # exact-distance ordering itself is asserted inside run(), and the
+    # cross-engine value parity by the duckdb oracle tests)
     assert len(out["rerank"]) == 15
-    assert {(r[0],) for r in out["rerank"]} == {(r[0],) for r in out["batch"]}
+    per_q = {}
+    for r in out["rerank"]:
+        per_q.setdefault(r[0], set()).add(r[3])
+    assert all(ranks == {1, 2, 3} for ranks in per_q.values())
+    assert set(per_q) == {r[0] for r in out["batch"]}
