@@ -933,6 +933,17 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             D.ngram_jaccard_pairs(docs(s), threshold=0.05))),
         D.connected_components_duckdb_sql(out["dedup_jaccard_pairs"][1]),
     )
+    # canonical-doc selection (operators/dedup.py keep_best_per_component):
+    # the step after clustering — keep the highest-quality copy per
+    # near-dup component, ties to lowest id; top-1 and member count ride
+    # ONE component_id partitioning
+    out["dedup_keep_best"] = (
+        with_tables(lambda s: D.keep_best_per_component(
+            docs(s), D.ngram_jaccard_pairs(docs(s), threshold=0.05),
+            T.quality_score(F.col("text")))),
+        D.keep_best_duckdb_sql(out["dedup_jaccard_pairs"][1],
+                               T.quality_score_sql("text")),
+    )
 
     # eval-set decontamination: docs with doc_id % 50 == 0 stand in for the
     # benchmark; training docs sharing any word 4-gram with them are flagged
@@ -1267,6 +1278,17 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         PQm.ivfpq_topk_duckdb_sql(_emb_path, query_pred="vec_id < 10",
                                   m=32, k_cb=64, iters=3,
                                   n_cells=16, n_probe=4, k=5),
+    )
+    # JL sign projection (operators/projection.py): 64→16-dim
+    # database-friendly random projection — md5-derived ±1 matrix,
+    # unrolled codegen-able ± chains, zero shuffle; the pre-ANN cost
+    # lever (LSH/IVF/rerank all get a 4× work cut on reduced vectors)
+    from flink_sql_security_spark.operators import projection as RPJ
+
+    out["emb_rp_project"] = (
+        with_tables(lambda s: RPJ.rp_project(emb(s), in_dim=64,
+                                             out_dim=16)),
+        RPJ.rp_project_duckdb_sql(in_dim=64, out_dim=16),
     )
     # two-stage search (operators/pq.py ivfpq_rerank): IVF-PQ shortlist
     # widened to k·rerank, then exact-L2 re-scoring of ONLY the

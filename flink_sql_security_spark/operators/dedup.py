@@ -1225,3 +1225,67 @@ JOIN keys a ON p.id_a = a.{id_col}
 JOIN keys b ON p.id_b = b.{id_col}
 GROUP BY 1, 2
 """
+
+
+def keep_best_per_component(df: DataFrame, pairs: DataFrame, score,
+                            id_col: str = "doc_id",
+                            round_to: int = 6) -> DataFrame:
+    """(component_id, keep_id, quality, n_members): canonical-document
+    selection — the step after clustering that near-dup dedup actually
+    ships. Near-dup PAIRS become components
+    (:func:`connected_components`), then ONE document per cluster
+    survives: the highest ``score`` (a Column over ``df``, e.g.
+    ``functions.text.quality_score``), ties broken by lowest id — so
+    dedup keeps the best-written copy instead of an arbitrary one.
+
+    Output covers only documents that appear in a near-dup cluster;
+    singletons keep themselves by definition and would blow the result
+    up to |corpus| rows for no information.
+
+    Scale shape: the component table is sized by the PAIR graph (orders
+    of magnitude smaller than the corpus — it is the reduced output of
+    the LSH tier), the score join touches only those rows, and the
+    top-1 + member-count both ride ONE hash partitioning by
+    component_id (row_number and count over the same window key — no
+    second exchange; WindowGroupLimit pushes the top-1 map-side).
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, max_iter=50)
+    scored = df.select(F.col(id_col).alias("_kid"),
+                       score.alias("_score"))
+    j = comp.join(scored, comp["doc_id"] == scored["_kid"])
+    w_rank = (Window.partitionBy("component_id")
+              .orderBy(F.desc("_score"), F.asc("doc_id")))
+    w_all = Window.partitionBy("component_id")
+    return (j.withColumn("_rn", F.row_number().over(w_rank))
+            .withColumn("n_members", F.count("*").over(w_all))
+            .where(F.col("_rn") == 1)
+            .select("component_id",
+                    F.col("doc_id").alias("keep_id"),
+                    F.round("_score", round_to).alias("quality"),
+                    "n_members"))
+
+
+def keep_best_duckdb_sql(pairs_sql: str, score_sql: str,
+                         docs_table: str = "documents",
+                         id_col: str = "doc_id",
+                         round_to: int = 6) -> str:
+    """Oracle for :func:`keep_best_per_component` — components via the
+    recursive-closure oracle, identical score expression, identical
+    rank/tie order."""
+    comp = connected_components_duckdb_sql(pairs_sql)
+    return (
+        f"WITH comp AS ({comp}), "
+        f"scored AS (SELECT {id_col} AS _kid, {score_sql} AS _score "
+        f"FROM {docs_table}), "
+        "j AS (SELECT c.component_id, c.doc_id, s._score "
+        "FROM comp c JOIN scored s ON c.doc_id = s._kid), "
+        "r AS (SELECT component_id, doc_id, _score, "
+        "row_number() OVER (PARTITION BY component_id "
+        "ORDER BY _score DESC, doc_id) AS _rn, "
+        "count(*) OVER (PARTITION BY component_id) AS n_members FROM j) "
+        f"SELECT component_id, doc_id AS keep_id, "
+        f"round(_score, {round_to}) AS quality, n_members "
+        "FROM r WHERE _rn = 1"
+    )

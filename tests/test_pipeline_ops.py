@@ -1416,3 +1416,141 @@ def test_temperature_mix_null_and_quoted_groups(spark):
     assert out, "quoted group must survive the CASE literal"
     assert all(r["source"] == "o'reilly" for r in out)
     assert all(r["take_buckets"] == 10000 for r in out)  # kept whole
+
+
+# ---------------------------------------------------------------------------
+# Canonical-doc selection (operators/dedup.py keep_best_per_component)
+# ---------------------------------------------------------------------------
+
+def test_keep_best_selects_quality_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from flink_sql_security_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (10, 0.4), (11, 0.4), (99, 1.0)],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    rows = {r["component_id"]: r for r in D.keep_best_per_component(
+        docs, pairs, F.col("q")).collect()}
+    assert set(rows) == {1, 10}              # singletons (99) excluded
+    assert rows[1]["keep_id"] == 2 and rows[1]["n_members"] == 3
+    assert rows[1]["quality"] == 0.9
+    # equal quality -> lowest id wins
+    assert rows[10]["keep_id"] == 10 and rows[10]["n_members"] == 2
+
+
+def test_keep_best_duckdb_parity(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from flink_sql_security_spark.functions import text as T
+    from flink_sql_security_spark.operators import dedup as D
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = sorted(map(tuple, D.keep_best_per_component(
+        docs, D.ngram_jaccard_pairs(docs, threshold=0.05),
+        T.quality_score(F.col("text"))).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    shingles = (
+        "w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+3], ' ') AS shingle "
+        "       FROM w, UNNEST(range(greatest(len(ws)-2, 0))) AS t(i))")
+    pairs_sql = (
+        "WITH " + shingles + ", "
+        "hs AS (SELECT DISTINCT doc_id, CAST(concat('0x', substring(md5(shingle), 1, "
+        f"{D.SHINGLE_HASH_HEX})) AS BIGINT) AS h FROM sh), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM hs GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
+        "          FROM hs a JOIN hs b ON a.h = b.h WHERE a.doc_id < b.doc_id"
+        "          GROUP BY 1, 2) "
+        "SELECT id_a, id_b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05")
+    want = sorted(map(tuple, con.execute(D.keep_best_duckdb_sql(
+        pairs_sql, T.quality_score_sql("text"))).fetchall()))
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (operators/projection.py)
+# ---------------------------------------------------------------------------
+
+def test_rp_project_duckdb_parity(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import projection as RP
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    got = sorted((r["vec_id"], tuple(r["proj"]))
+                 for r in RP.rp_project(emb, in_dim=64, out_dim=16).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    want = sorted((i, tuple(p)) for i, p in con.execute(
+        RP.rp_project_duckdb_sql(in_dim=64, out_dim=16)).fetchall())
+    assert got == want and len(got) == 500
+
+
+def test_rp_project_preserves_distances_jl_bound(spark):
+    """The JL property on real data: projected/original squared-distance
+    ratios concentrate around 1 with spread ~sqrt(2/k), shrinking as k
+    grows (measured 16-dim: mean 1.05 std 0.36; 32-dim: mean 1.02 std
+    0.23 — matching the sqrt(2/k) prediction of 0.35/0.25). Rank order
+    is NOT the contract on near-equidistant random vectors — ratio
+    concentration is."""
+    import numpy as np
+
+    from flink_sql_security_spark.operators import projection as RP
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .where("vec_id < 40")
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(orig)
+
+    def ratio_stats(k):
+        proj = {r["vec_id"]: np.asarray(r["proj"], dtype=np.float64)
+                for r in RP.rp_project(emb, in_dim=64,
+                                       out_dim=k).collect()}
+        ratios = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d_o = ((orig[ids[i]] - orig[ids[j]]) ** 2).sum()
+                d_p = ((proj[ids[i]] - proj[ids[j]]) ** 2).sum()
+                ratios.append(d_p / d_o)
+        r = np.array(ratios)
+        return float(r.mean()), float(r.std())
+
+    m16, s16 = ratio_stats(16)
+    m32, s32 = ratio_stats(32)
+    assert 0.85 < m16 < 1.15 and 0.9 < m32 < 1.1, (m16, m32)
+    assert s16 < 0.5 and s32 < 0.35, (s16, s32)
+    assert s32 < s16  # more dims -> tighter preservation
+
+
+def test_rp_project_is_narrow_and_loud(spark):
+    import pytest
+
+    from flink_sql_security_spark.operators import projection as RP
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = RP.rp_project(emb, in_dim=64, out_dim=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "InPandas" not in plan
+    assert "EvalPython" not in plan
+    # wrong length and NULL element both fail loudly
+    bad_len = spark.createDataFrame([(1, [0.5] * 8)],
+                                    "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="has size"):
+        RP.rp_project(bad_len, in_dim=64, out_dim=8).collect()
+    vec = [0.5] * 64
+    vec[5] = None
+    bad_el = spark.createDataFrame([(1, vec)],
+                                   "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NULL/NaN element"):
+        RP.rp_project(bad_el, in_dim=64, out_dim=8).collect()
