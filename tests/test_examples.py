@@ -63,3 +63,22 @@ def test_vector_search_walkthrough(spark):
         per_q.setdefault(r[0], set()).add(r[3])
     assert all(ranks == {1, 2, 3} for ranks in per_q.values())
     assert set(per_q) == {r[0] for r in out["batch"]}
+
+
+def test_curation_pipeline_walkthrough(spark):
+    """The curation composition runs end to end with deterministic,
+    monotonically-narrowing stage counts."""
+    from examples.curation_pipeline_walkthrough import run
+
+    out = run(spark)
+    assert out["n_raw"] == 500
+    assert 0 < out["n_clean"] < out["n_raw"]          # gates removed docs
+    assert 0 < out["n_mixed"] <= out["n_clean"]       # mixing subsampled
+    assert out["n_assigned"] == out["n_mixed"]        # every doc assigned
+    assert 0 < out["n_bins"] <= out["n_assigned"]
+    # canonical picks: one keeper per cluster, members >= 2
+    assert out["keep"] and all(r["n_members"] >= 2 for r in out["keep"])
+    # deterministic under re-run (content-hash arithmetic everywhere)
+    again = run(spark)
+    assert again["n_mixed"] == out["n_mixed"]
+    assert again["n_bins"] == out["n_bins"]
