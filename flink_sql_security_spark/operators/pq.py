@@ -14,10 +14,14 @@ Scale shape:
   lowest-id vectors (the standard bounded-sample recipe shared with
   IVF); deterministic — no RNG, fixed-order numpy — so the codebooks
   re-derive bit-identically anywhere.
-- **encode**: narrow per-row JVM expressions against codebook literals
-  (the ``clustering.kmeans_assign`` pattern): per subspace, a
-  sequential-fold squared-L2 to each centroid, first-position-of-min
-  argmin. Zero shuffle, zero Python.
+- **encode**: narrow per-row work, zero shuffle. Default is ONE
+  Arrow-batched numpy kernel (``impl="arrow"``) that replicates the
+  sequential-fold squared-L2 bit-exactly (~8× faster than Spark's
+  interpreted higher-order folds — measured 2.4 s → 0.3 s at sf0.1);
+  ``impl="expr"`` keeps the pure-JVM expression path (the
+  ``clustering.kmeans_assign`` pattern, zero Python anywhere) for
+  deployments that forbid Python workers. Row-for-row interchangeable,
+  pytest-pinned.
 - **search (ADC)**: per query the m×k lookup table of
   ``||q_sub − centroid||²`` is computed EXECUTOR-side (one
   ``mapInPandas`` over the query table against broadcast codebooks —
@@ -127,7 +131,8 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
               id_col: str = "vec_id", round_to: int = 6,
               stringify_codes: bool = False,
               coarse: list | None = None,
-              residual: bool = False) -> DataFrame:
+              residual: bool = False,
+              impl: str = "arrow") -> DataFrame:
     """(id[, cell], codes, err): per-subspace nearest-centroid codes +
     total squared reconstruction error. ``stringify_codes`` emits CSV
     codes for harnesses whose canonicalizers can't sort list cells.
@@ -139,7 +144,19 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
     ``x − coarse_centroid[cell]`` instead of ``x`` — the codebooks must
     then come from :func:`ivfpq_train`; residual magnitudes are far
     smaller than raw coordinates, so the same (m, k) budget quantizes
-    them much more finely."""
+    them much more finely.
+
+    ``impl``: ``"arrow"`` (default) encodes in one Arrow-batched numpy
+    kernel (:func:`_encode_arrow`) — bit-identical distances via the
+    sequential-order accumulator, ~8× faster than Spark's interpreted
+    higher-order folds; ``"expr"`` keeps the pure-JVM expression path
+    (zero Python anywhere — for deployments that forbid Python workers).
+    The two are interchangeable row-for-row (pytest-pinned)."""
+    if impl == "arrow":
+        return _encode_arrow(df, codebooks, vec_col, id_col, round_to,
+                             stringify_codes, coarse, residual)
+    if impl != "expr":
+        raise ValueError(f"pq_encode: unknown impl {impl!r}")
     out, cols = _encoded_frame(df, codebooks, vec_col, id_col,
                                coarse, residual)
     m = len(codebooks)
@@ -153,6 +170,115 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
     return out.select(
         *cols, codes_out.alias("codes"),
         F.round(F.expr(err), round_to).alias("err"))
+
+
+def _subspace_dists_np(X, book):
+    """Squared-L2 to each centroid with the EXACT sequential op order of
+    ``_dists_expr`` (and DuckDB's list fold): the accumulator adds one
+    dimension's (a-b)*(a-b) per step, vectorized across rows/centroids —
+    elementwise IEEE ops in the same written order, so every double is
+    bit-identical to the JVM fold."""
+    import numpy as np
+
+    C = np.asarray(book, dtype=np.float64)
+    n, k = X.shape[0], C.shape[0]
+    acc = np.zeros((n, k))
+    for i in range(C.shape[1]):
+        d = X[:, i, None] - C[None, :, i]
+        acc = acc + d * d
+    return acc
+
+
+def _encode_arrow(df: DataFrame, codebooks: list, vec_col: str,
+                  id_col: str, round_to: int, stringify_codes: bool,
+                  coarse: list | None, residual: bool) -> DataFrame:
+    """Arrow-kernel encode: one ``mapInPandas`` over the corpus against
+    broadcast codebooks. Same validation, same distances (bit-exact
+    sequential-order numpy — :func:`_subspace_dists_np`), same
+    first-position argmin, same HALF_UP err rounding as the expression
+    path; the two implementations are interchangeable row-for-row
+    (pytest-pinned). The win is constant-factor only: Spark interprets
+    higher-order folds per row, numpy runs the same arithmetic as array
+    ops (measured ~2.4 s -> ~0.3 s for the sf0.1 encode)."""
+    import json as _json
+
+    from flink_sql_security_spark.operators.similarity import (
+        _round_half_up)
+
+    total = sum(len(book[0]) for book in codebooks)
+    if residual and coarse is None:
+        raise ValueError("pq_encode: residual=True requires coarse")
+    if coarse is not None and len(coarse[0]) != total:
+        raise ValueError(
+            f"pq_encode: coarse centroid dimension {len(coarse[0])} != "
+            f"codebook dims {total}")
+    # same parallelism lift as the expression path: a single-file input
+    # would otherwise run the whole kernel in one task
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, target // 2):
+        df = df.repartition(target)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (codebooks, coarse, residual))
+    id_type = [f.dataType.simpleString() for f in df.schema.fields
+               if f.name == id_col][0]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        books, crs, res = bc.value
+        cm = None if crs is None else np.asarray(crs, dtype=np.float64)
+        for chunk in batches:
+            vecs = chunk[vec_col].tolist()
+            for vid, v in zip(chunk[id_col].tolist(), vecs):
+                if v is None or len(v) != total or any(
+                        x is None for x in v):
+                    raise ValueError(
+                        f"pq_encode: bad vector: length "
+                        f"{'NULL' if v is None else len(v)} (codebook "
+                        f"dims {total}) or NULL elements ({id_col}="
+                        f"{vid})")
+            X = np.asarray(vecs, dtype=np.float64)
+            if X.size and np.isnan(X).any():
+                raise ValueError(
+                    "pq_encode: bad vector: NaN elements")
+            out = {id_col: chunk[id_col]}
+            enc = X
+            if cm is not None:
+                dc = _subspace_dists_np(X, crs)
+                cell = dc.argmin(axis=1)          # first-position argmin
+                out["cell"] = pd.array(cell.astype("int32"),
+                                       dtype="int32")
+                if res:
+                    enc = X - cm[cell]
+            codes_cols, err = [], None
+            start = 0
+            for book in books:
+                w = len(book[0])
+                d = _subspace_dists_np(enc[:, start:start + w], book)
+                c = d.argmin(axis=1)
+                codes_cols.append(c.astype("int32"))
+                mins = d[np.arange(d.shape[0]), c]
+                err = mins if err is None else err + mins
+                start += w
+            codes = [list(map(int, row)) for row in zip(*codes_cols)] \
+                if codes_cols and X.size else [[] for _ in vecs]
+            if stringify_codes:
+                out["codes"] = pd.Series(
+                    [",".join(str(c) for c in row) for row in codes],
+                    dtype="object")
+            else:
+                out["codes"] = pd.Series(codes, dtype="object")
+            out["err"] = pd.array(
+                [_round_half_up(float(e), round_to) for e in err]
+                if err is not None else [], dtype="float64")
+            yield pd.DataFrame(out)
+
+    cell_part = "cell int, " if coarse is not None else ""
+    codes_type = "string" if stringify_codes else "array<int>"
+    schema = (f"{id_col} {id_type}, {cell_part}"
+              f"codes {codes_type}, err double")
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def _encoded_frame(df: DataFrame, codebooks: list, vec_col: str,

@@ -381,20 +381,49 @@ def test_pq_recall_on_clustered_corpus(spark):
 
 
 def test_pq_encode_is_narrow(spark):
-    """Per-row work only: no keyed shuffle, no Python. The one permitted
-    exchange is the documented RoundRobin parallelism lift (fires when
-    the input arrives in fewer partitions than the session has cores —
-    a no-op at scale where inputs carry enough partitions)."""
+    """Per-row work only: no keyed shuffle on EITHER implementation.
+    The default arrow path is exactly one sanctioned Arrow kernel; the
+    expr path has zero Python anywhere. The one permitted exchange is
+    the documented RoundRobin parallelism lift (fires when the input
+    arrives in fewer partitions than the session has cores — a no-op at
+    scale where inputs carry enough partitions)."""
     from flink_sql_security_spark.operators import pq as PQ
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     books = PQ.pq_train(emb, m=4, k=4, iters=1)
-    plan = PQ.pq_encode(emb, books) \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning" not in plan, plan
-    assert "rangepartitioning" not in plan, plan
-    assert "EvalPython" not in plan and "InPandas" not in plan
-    assert plan.count("RoundRobinPartitioning") <= 1, plan
+    for impl in ("arrow", "expr"):
+        plan = PQ.pq_encode(emb, books, impl=impl) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan, plan
+        assert "rangepartitioning" not in plan, plan
+        assert plan.count("RoundRobinPartitioning") <= 1, plan
+        if impl == "expr":
+            assert "EvalPython" not in plan and "InPandas" not in plan
+        else:
+            assert plan.count("InPandas") == 1, plan
+
+
+def test_pq_encode_arrow_expr_interchangeable(spark):
+    """The two encode implementations are row-for-row identical in
+    every configuration (flat / coarse / residual / stringified) —
+    the arrow kernel replicates the sequential fold bit-exactly."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=8, k=16, iters=2)
+    coarse = PQ.coarse_train(emb, n_cells=8, iters=2)
+    coarse_r, books_r = PQ.ivfpq_train(emb, n_cells=8, m=8, k=16,
+                                       iters=2)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    for kw in (dict(), dict(coarse=coarse),
+               dict(coarse=coarse_r, residual=True),
+               dict(stringify_codes=True)):
+        bks = books_r if kw.get("residual") else books
+        assert rows(PQ.pq_encode(emb, bks, impl="expr", **kw)) == \
+            rows(PQ.pq_encode(emb, bks, impl="arrow", **kw)), kw
 
 
 def test_ivfpq_topk_duckdb_parity(spark):

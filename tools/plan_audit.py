@@ -38,6 +38,11 @@ PYTHON_OK = {
     # rerank composition inherits the same stage-1 kernel; its stage 2
     # is pure JVM expression work.
     "emb_pq_topk", "emb_ivfpq_topk", "emb_ivfpq_rerank",
+    # PQ encode (round-5c): ONE Arrow kernel over the corpus — the
+    # sequential-fold distances bit-exactly in batched numpy, ~8×
+    # faster than the interpreted JVM folds; impl="expr" remains the
+    # zero-Python fallback (pytest-pinned interchangeable).
+    "emb_pq_codes",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
