@@ -352,11 +352,87 @@ def _encoded_frame(df: DataFrame, codebooks: list, vec_col: str,
     return out, cols
 
 
+def _reconstruct_arrow(df: DataFrame, codebooks: list, vec_col: str,
+                       id_col: str, round_to: int,
+                       coarse: list | None, residual: bool) -> DataFrame:
+    """Arrow-kernel decode: same bit-exact sequential distances as
+    :func:`_encode_arrow`, then the nearest centroid's exact literal
+    values (+ the coarse centroid in residual mode, the identical
+    elementwise add) rounded HALF_UP per component — row-for-row equal
+    to the expression path (pytest-pinned)."""
+    from flink_sql_security_spark.operators.similarity import (
+        _round_half_up)
+
+    total = sum(len(book[0]) for book in codebooks)
+    if residual and coarse is None:
+        raise ValueError("pq_encode: residual=True requires coarse")
+    if coarse is not None and len(coarse[0]) != total:
+        raise ValueError(
+            f"pq_encode: coarse centroid dimension {len(coarse[0])} != "
+            f"codebook dims {total}")
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, target // 2):
+        df = df.repartition(target)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (codebooks, coarse, residual))
+    id_type = [f.dataType.simpleString() for f in df.schema.fields
+               if f.name == id_col][0]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        books, crs, res = bc.value
+        cm = None if crs is None else np.asarray(crs, dtype=np.float64)
+        book_mats = [np.asarray(b, dtype=np.float64) for b in books]
+        for chunk in batches:
+            vecs = chunk[vec_col].tolist()
+            for vid, v in zip(chunk[id_col].tolist(), vecs):
+                if v is None or len(v) != total or any(
+                        x is None for x in v):
+                    raise ValueError(
+                        f"pq_encode: bad vector: length "
+                        f"{'NULL' if v is None else len(v)} (codebook "
+                        f"dims {total}) or NULL elements ({id_col}="
+                        f"{vid})")
+            X = np.asarray(vecs, dtype=np.float64)
+            if X.size and np.isnan(X).any():
+                raise ValueError("pq_encode: bad vector: NaN elements")
+            out = {id_col: chunk[id_col]}
+            enc = X
+            cell = None
+            if cm is not None:
+                dc = _subspace_dists_np(X, crs)
+                cell = dc.argmin(axis=1)
+                out["cell"] = pd.array(cell.astype("int32"),
+                                       dtype="int32")
+                if res:
+                    enc = X - cm[cell]
+            parts, start = [], 0
+            for book, mat in zip(books, book_mats):
+                w = len(book[0])
+                d = _subspace_dists_np(enc[:, start:start + w], book)
+                parts.append(mat[d.argmin(axis=1)])
+                start += w
+            recon = np.concatenate(parts, axis=1) if parts else X
+            if res:
+                recon = recon + cm[cell]
+            out["approx"] = pd.Series(
+                [[_round_half_up(float(v), round_to) for v in row]
+                 for row in recon], dtype="object")
+            yield pd.DataFrame(out)
+
+    cell_part = "cell int, " if coarse is not None else ""
+    schema = (f"{id_col} {id_type}, {cell_part}approx array<double>")
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
 def pq_reconstruct(df: DataFrame, codebooks: list,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    round_to: int = 6, coarse: list | None = None,
                    residual: bool = False,
-                   stringify: bool = False) -> DataFrame:
+                   stringify: bool = False,
+                   impl: str = "arrow") -> DataFrame:
     """(id[, cell], approx): the PQ decode — each vector's quantized
     approximation, the concat over subspaces of the nearest centroid
     (plus the coarse centroid back in residual mode). The inspection /
@@ -365,7 +441,17 @@ def pq_reconstruct(df: DataFrame, codebooks: list,
     narrow projection, encode and decode fused — no stored codes needed.
     Components round to ``round_to`` for engine-portable output;
     ``stringify`` emits a CSV string for canonicalizers that cannot
-    sort list cells."""
+    sort list cells.
+
+    ``impl="arrow"`` (default) decodes in the same Arrow kernel family
+    as :func:`pq_encode` — bit-identical, ~8× faster; the stringified
+    form always takes the expression path (its CSV text must come from
+    Spark's own double→string cast)."""
+    if impl == "arrow" and not stringify:
+        return _reconstruct_arrow(df, codebooks, vec_col, id_col,
+                                  round_to, coarse, residual)
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"pq_reconstruct: unknown impl {impl!r}")
     out, cols = _encoded_frame(df, codebooks, vec_col, id_col,
                                coarse, residual)
     # array_position is already the 1-based index element_at wants
@@ -378,7 +464,13 @@ def pq_reconstruct(df: DataFrame, codebooks: list,
         cmat = _centroid_array_sql(coarse, "spark")
         recon = (f"zip_with({recon}, element_at({cmat}, cell + 1), "
                  "(a, b) -> a + b)")
-    recon = f"transform({recon}, v -> round(v, {round_to}))"
+    # CAST first: the centroid literals parse as DECIMAL, and a
+    # decimal-typed round caps the representable magnitude at the
+    # literal's precision — double is the contract (and what the arrow
+    # path emits); the cast of the exact decimal literal is the same
+    # correctly-rounded double the repr round-trip produces
+    recon = (f"transform({recon}, v -> round(CAST(v AS DOUBLE), "
+             f"{round_to}))")
     if stringify:
         recon = (f"array_join(transform({recon}, "
                  "v -> CAST(v AS STRING)), ',')")
@@ -455,7 +547,8 @@ def pq_reconstruct_duckdb_sql(parquet_path: str,
         cmat = _centroid_array_sql(coarse, "duckdb")
         recon = (f"list_transform(list_zip({recon}, ({cmat})[cell + 1]), "
                  "p -> p[1] + p[2])")
-    recon = f"list_transform({recon}, v -> round(v, {round_to}))"
+    recon = (f"list_transform({recon}, v -> round(CAST(v AS DOUBLE), "
+             f"{round_to}))")
     if stringify:
         recon = f"array_to_string({recon}, ',')"
     return (f"WITH {src_cte} "

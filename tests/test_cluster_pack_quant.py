@@ -805,3 +805,25 @@ def test_pq_search_null_element_in_query_is_loud(spark):
         [(999999, vec)], "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="NULL/NaN element in query"):
         PQ.pq_topk(emb, bad, books, k=3).collect()
+
+
+def test_pq_reconstruct_arrow_expr_interchangeable(spark):
+    """Decode implementations are row-for-row identical across flat /
+    coarse / residual configurations."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=8, k=16, iters=2)
+    coarse = PQ.coarse_train(emb, n_cells=8, iters=2)
+    coarse_r, books_r = PQ.ivfpq_train(emb, n_cells=8, m=8, k=16,
+                                       iters=2)
+
+    def rows(df):
+        return sorted((r.asDict().get("vec_id"), r.asDict().get("cell"),
+                       tuple(r.asDict()["approx"])) for r in df.collect())
+
+    for kw in (dict(), dict(coarse=coarse),
+               dict(coarse=coarse_r, residual=True)):
+        bks = books_r if kw.get("residual") else books
+        assert rows(PQ.pq_reconstruct(emb, bks, impl="expr", **kw)) == \
+            rows(PQ.pq_reconstruct(emb, bks, impl="arrow", **kw)), kw

@@ -42,7 +42,7 @@ PYTHON_OK = {
     # sequential-fold distances bit-exactly in batched numpy, ~8×
     # faster than the interpreted JVM folds; impl="expr" remains the
     # zero-Python fallback (pytest-pinned interchangeable).
-    "emb_pq_codes",
+    "emb_pq_codes", "emb_pq_reconstruct",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
