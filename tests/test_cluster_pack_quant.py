@@ -827,3 +827,47 @@ def test_pq_reconstruct_arrow_expr_interchangeable(spark):
         bks = books_r if kw.get("residual") else books
         assert rows(PQ.pq_reconstruct(emb, bks, impl="expr", **kw)) == \
             rows(PQ.pq_reconstruct(emb, bks, impl="arrow", **kw)), kw
+
+
+def test_fuzz_pq_configs_cross_engine(spark):
+    """Config fuzz for the PQ tier: random (m, k_cb, n_cells, n_probe,
+    k, rerank, residual) draws, each verified value-exact against the
+    DuckDB oracle end to end. Deterministic seeds — every run checks
+    the same configs; rotate the seed base alongside the SQL fuzz
+    bursts."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    rng = random.Random(4242)
+    for trial in range(4):
+        m = rng.choice([4, 8, 16])
+        k_cb = rng.choice([8, 16])
+        n_cells = rng.choice([4, 8])
+        n_probe = rng.randint(2, n_cells)
+        k = rng.randint(3, 6)
+        rerank = rng.choice([2, 3])
+        residual = rng.random() < 0.5
+        n_q = rng.choice([3, 5])
+        if residual:
+            coarse, books = PQ.ivfpq_train(emb, n_cells=n_cells, m=m,
+                                           k=k_cb, iters=2)
+        else:
+            books = PQ.pq_train(emb, m=m, k=k_cb, iters=2)
+            coarse = PQ.coarse_train(emb, n_cells=n_cells, iters=2)
+        got = sorted(map(tuple, PQ.ivfpq_rerank(
+            emb, emb.where(f"vec_id < {n_q}"), coarse, books, k=k,
+            n_probe=n_probe, rerank=rerank,
+            residual=residual).collect()))
+        want = sorted(map(tuple, con.execute(PQ.ivfpq_rerank_duckdb_sql(
+            path, query_pred=f"vec_id < {n_q}", m=m, k_cb=k_cb, iters=2,
+            n_cells=n_cells, n_probe=n_probe, k=k, rerank=rerank,
+            residual=residual)).fetchall()))
+        cfg = (trial, m, k_cb, n_cells, n_probe, k, rerank, residual)
+        assert got == want and len(got) == n_q * k, cfg
