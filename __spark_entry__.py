@@ -1290,6 +1290,21 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
                                              out_dim=16)),
         RPJ.rp_project_duckdb_sql(in_dim=64, out_dim=16),
     )
+    # binary (sign-bit) quantization + hamming prefilter → exact rerank
+    # (operators/binary.py): 32× compression, xor+bit_count scan with
+    # zero float math, shortlist-only cosine refine. Pure-SQL oracle
+    # (integer packing needs no driver-side artifacts). Recall@10 on
+    # this near-random corpus: 0.27 raw / 0.40 / 0.59 / 0.78 at
+    # rerank 0/2/4/8 — the expected 1-bit/dim curve; clustered
+    # embedding spaces do far better.
+    from flink_sql_security_spark.operators import binary as BIN
+
+    out["emb_binary_topk"] = (
+        with_tables(lambda s: BIN.hamming_topk(
+            emb(s), emb(s).where("vec_id < 20"), k=5, rerank=4, d=64)),
+        BIN.hamming_topk_duckdb_sql(query_pred="vec_id < 20", k=5,
+                                    rerank=4, d=64),
+    )
     # two-stage search (operators/pq.py ivfpq_rerank): IVF-PQ shortlist
     # widened to k·rerank, then exact-L2 re-scoring of ONLY the
     # shortlist — faiss's IndexRefine shape; recall recovers the ADC

@@ -1,0 +1,121 @@
+"""Binary (sign-bit) quantization + hamming search (operators/binary.py).
+
+Cross-engine value-exact checks against DuckDB, packing invariants,
+plan-shape guards, and the prefilter→rerank recall contract.
+"""
+
+import duckdb
+import pytest
+
+from flink_sql_security_spark.operators import binary as B
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{EMB}')")
+    yield c
+    c.close()
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def fetch(con, sql):
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def test_codes_cross_engine_exact(emb, con):
+    assert rows(B.binary_codes(emb)) == fetch(con, B.binary_codes_duckdb_sql())
+
+
+def test_codes_pack_semantics(emb):
+    """Word j bit b set iff embedding[32j+b] > 0 — recheck in Python."""
+    raw = {r["vec_id"]: r["embedding"]
+           for r in emb.where("vec_id < 10").collect()}
+    for r in B.binary_codes(emb.where("vec_id < 10")).collect():
+        v = raw[r["vec_id"]]
+        for j, word in enumerate((r["w0"], r["w1"])):
+            want = sum(1 << b for b in range(32)
+                       if float(v[32 * j + b]) > 0.0)
+            assert word == want
+            assert 0 <= word < (1 << 32)   # bits 0..31 only: no sign wrap
+
+
+def test_hamming_topk_cross_engine_exact(emb, con):
+    got = rows(B.hamming_topk(emb, emb.where("vec_id < 6"), k=4))
+    want = fetch(con, B.hamming_topk_duckdb_sql(query_pred="vec_id < 6", k=4))
+    assert got == want and len(got) == 6 * 4
+
+
+def test_hamming_rerank_cross_engine_exact(emb, con):
+    got = rows(B.hamming_topk(emb, emb.where("vec_id < 6"), k=4, rerank=3))
+    want = fetch(con, B.hamming_topk_duckdb_sql(
+        query_pred="vec_id < 6", k=4, rerank=3))
+    assert got == want and len(got) == 6 * 4
+
+
+def test_hamming_excludes_self_and_orders_ties(emb):
+    out = B.hamming_topk(emb, emb.where("vec_id < 4"), k=3).collect()
+    per_q = {}
+    for r in out:
+        assert r["n_id"] != r["q_id"]
+        per_q.setdefault(r["q_id"], []).append((r["rank"], r["hamming"],
+                                                r["n_id"]))
+    for q, lst in per_q.items():
+        lst.sort()
+        hams = [(h, n) for _, h, n in lst]
+        assert hams == sorted(hams), q   # asc hamming, n_id tiebreak
+
+
+def test_rerank_improves_recall(spark, emb):
+    """The production contract: widening the hamming shortlist toward
+    the corpus recovers exact-cosine recall (rerank=∞ ≡ brute force)."""
+    from flink_sql_security_spark.operators import similarity as S
+
+    q = emb.where("vec_id < 8")
+    truth = {}
+    for r in S.cosine_topk(emb, q, k=5).collect():
+        truth.setdefault(r["q_id"], set()).add(r["n_id"])
+
+    def recall(rr):
+        got = {}
+        for r in B.hamming_topk(emb, q, k=5, rerank=rr).collect():
+            got.setdefault(r["q_id"], set()).add(r["n_id"])
+        hit = sum(len(truth[qi] & got.get(qi, set())) for qi in truth)
+        return hit / sum(len(v) for v in truth.values())
+
+    r2, r_all = recall(2), recall(100)   # 100·5=500 = whole corpus
+    assert r_all == 1.0                  # full-widening == exact
+    assert r2 <= r_all
+
+
+def test_scan_plan_shape(emb):
+    """Binary scan: broadcast NLJ over code words, zero Python nodes,
+    exactly one exchange (the per-query top-k window)."""
+    import re
+
+    plan = (B.hamming_topk(emb, emb.where("vec_id < 6"), k=4, rerank=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 1
+
+
+def test_odd_dim_packing(spark):
+    """d not a multiple of 32: the tail word holds only d mod 32 bits."""
+    df = spark.createDataFrame(
+        [(0, [1.0] * 40), (1, [-1.0] * 40)], "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["w0"], r["w1"])
+           for r in B.binary_codes(df, d=40).collect()}
+    assert out[0] == ((1 << 32) - 1, (1 << 8) - 1)
+    assert out[1] == (0, 0)
