@@ -1954,7 +1954,7 @@ _CHECK_ORDER = [
     "sample_dsir_weights", "dedup_lsh_verified", "dedup_components",
     "cdc_snapshot_diff", "dedup_span_stats",
     "emb_ann_pairs", "emb_ivfpq_rerank",
-    "emb_pq_codes", "emb_quantize_int8", "pack_sequences",
+    "emb_pq_codes", "emb_binary_topk", "pack_sequences",
     # r05 in-round rotation (three NEW operator families shipped after
     # the first r05 rotation; same breadth-over-redundancy rule):
     # - text_pii_redact → text_bm25_topk: the redact entry is a pure
@@ -1983,6 +1983,13 @@ _CHECK_ORDER = [
     # _bucket_expr) as a per-source threshold, so the portable-hash
     # arithmetic stays pinned while the mixture-reweighting family
     # (count^alpha temperature rates) gets its first driver row.
+    # late-r05: emb_quantize_int8 → emb_binary_topk: int8's affine
+    # codes are a zero-exchange narrow projection with no distributed
+    # failure mode (golden-pinned in pytest + strict local oracle —
+    # the same exit rationale as text_pii_redact), while the incoming
+    # sign-bit entry drives a full distributed search: broadcast
+    # xor/bit_count scan, per-query window, shortlist-only exact
+    # rerank — more driver signal per slot, and a first-time row.
     "sample_temperature_mix", "bpe_tokens",
     "multimodal_features", "graph_pagerank",
     "fuzzy_title_pairs", "profile_quantiles", "pipeline_clean_corpus",
