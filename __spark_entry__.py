@@ -1305,6 +1305,22 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         BIN.hamming_topk_duckdb_sql(query_pred="vec_id < 20", k=5,
                                     rerank=4, d=64),
     )
+    # learned quality filter (operators/classifier.py): closed-form
+    # ridge linear probe — ONE distributed pass computes quantized
+    # integer normal-equation sums (order-independent, DECIMAL-merged),
+    # a pure-Python solve gives bit-identical weights on both engines,
+    # and scoring is an unrolled codegen projection. The oracle
+    # re-derives the weights from the parquet with the same code and
+    # verifies the scoring pass value-exactly. Probe quality on this
+    # corpus (class 0 vs rest, train): AUC 0.82, acc 0.80 @ thr 0.2 —
+    # the labels genuinely correlate with the vectors.
+    from flink_sql_security_spark.operators import classifier as CLF
+
+    out["classifier_probe_score"] = (
+        with_tables(lambda s: CLF.linear_probe(emb(s), positive=0,
+                                               threshold=0.2)),
+        CLF.linear_probe_duckdb_sql(_emb_path, positive=0, threshold=0.2),
+    )
     # two-stage search (operators/pq.py ivfpq_rerank): IVF-PQ shortlist
     # widened to k·rerank, then exact-L2 re-scoring of ONLY the
     # shortlist — faiss's IndexRefine shape; recall recovers the ADC

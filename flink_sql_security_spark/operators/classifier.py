@@ -1,0 +1,285 @@
+"""Learned quality filter: closed-form ridge linear probe over embeddings.
+
+The curation-pipeline shape popularized by fasttext-style quality
+classifiers (train a cheap linear model on labeled examples, score the
+whole corpus, gate on the score): here as a *linear probe* over the
+embedding column — ridge regression against a binary label, solved in
+closed form from one distributed pass.
+
+Scale shape (the reason this is one pass, not SGD):
+- **fit**: the normal-equation statistics ``G = XᵀX`` and ``b = Xᵀy``
+  over the (d+1)-augmented features (bias column of ones) are computed
+  by ONE ``mapInPandas`` sweep — each Arrow batch emits its
+  (d+1)(d+2)/2 + (d+1) partial integer sums as rows, and a single
+  ``groupBy(j, k)`` merges them. Shuffle volume is
+  ``n_batches × O(d²)`` rows — metadata-sized — and the model state is
+  a (d+1)² matrix on the driver. At 100 TB this is exactly the
+  distributed-ridge recipe: one corpus scan, no iterations, no
+  parameter server.
+- **score**: ``w·x + w_bias`` as an unrolled left-assoc codegen
+  expression (the PQ/ADC lesson: explicit arithmetic runs in
+  whole-stage codegen, higher-order folds do not) — narrow projection,
+  zero shuffle.
+
+Determinism / oracle parity (same trick as ``graph.py``'s PageRank):
+floating-point addition is not associative, so raw double Gram sums
+would depend on partitioning. Every per-row term is therefore QUANTIZED
+to integer micro-units — ``floor((x_j * x_k) * 1e12)`` — before
+summing; integer sums are exact and order-independent on any
+partitioning/engine (merged as DECIMAL(38,0), overflow-safe far past
+BIGINT). The solve is a pure-Python Gaussian elimination with partial
+pivoting — bit-identical across processes, no BLAS/LAPACK build
+dependence — so the oracle emitter re-derives the identical weight
+vector from the parquet with the same numpy+Python code and the SQL
+verifies the distributed scoring pass against embedded literals.
+
+The quantization under-counts each term by < 1e-12 — noise relative to
+the ridge regularizer — and buys bit-exact reproducibility, which
+audit-grade re-runs of a 100 TB scoring job want anyway.
+
+Reference scope note: no ML surface exists in the reference repo; this
+extends the engine per the driver brief (training-data pipeline:
+quality scoring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_QUANT = 1.0e12
+
+
+def _quantized_gram_np(X, y):
+    """(G_int, b_int): exact integer normal-equation sums of the
+    AUGMENTED design matrix (bias column appended). Per-row terms are
+    ``floor((x_j * x_k) * 1e12)`` / ``floor((x_j * y) * 1e12)`` in IEEE
+    double (engine-identical); sums are Python ints (exact at any n).
+    """
+    import numpy as np
+
+    Xa = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
+    T = np.floor(np.einsum("bi,bj->bij", Xa, Xa) * _QUANT).astype(np.int64)
+    By = np.floor((Xa * y[:, None]) * _QUANT).astype(np.int64)
+    D = Xa.shape[1]
+    G = [[int(T[:, j, k].sum()) for k in range(D)] for j in range(D)]
+    b = [int(By[:, j].sum()) for j in range(D)]
+    return G, b
+
+
+def _solve(G, b):
+    """Gaussian elimination with partial pivoting, pure Python floats.
+
+    Deterministic everywhere (no BLAS threading / build variance) —
+    the fit and the oracle emitter must produce bit-identical weights.
+    """
+    n = len(b)
+    A = [row[:] + [b[i]] for i, row in enumerate(G)]
+    for col in range(n):
+        piv = max(range(col, n), key=lambda r: abs(A[r][col]))
+        if A[piv][col] == 0.0:
+            raise ValueError("singular normal equations; raise l2")
+        A[col], A[piv] = A[piv], A[col]
+        for r in range(col + 1, n):
+            f = A[r][col] / A[col][col]
+            if f != 0.0:
+                for c in range(col, n + 1):
+                    A[r][c] -= f * A[col][c]
+    w = [0.0] * n
+    for r in range(n - 1, -1, -1):
+        acc = A[r][n]
+        for c in range(r + 1, n):
+            acc -= A[r][c] * w[c]
+        w[r] = acc / A[r][r]
+    return w
+
+
+def _weights_from_sums(G_int, b_int, l2: float):
+    """Integer sums → ridge weights. One canonical float path shared by
+    the distributed fit and the oracle emitter: int → float64 division
+    by the quantum, l2 added to every non-bias diagonal."""
+    import numpy as np
+
+    D = len(b_int)
+    G = [[float(np.float64(G_int[j][k]) / _QUANT) for k in range(D)]
+         for j in range(D)]
+    b = [float(np.float64(b_int[j]) / _QUANT) for j in range(D)]
+    for j in range(D - 1):                 # bias stays unregularized
+        G[j][j] += l2
+    return _solve(G, b)
+
+
+def gram_partials(df: DataFrame, vec_col: str = "embedding",
+                  label_col: str = "label", positive: int = 0,
+                  d: int | None = None) -> DataFrame:
+    """(j, k, qsum): exact integer normal-equation sums, distributed.
+
+    ``k = -1`` rows carry the Xᵀy vector (y = 1.0 when
+    ``label = positive`` else 0.0); ``k >= 0`` rows the upper triangle
+    of XᵀX (augmented: index d is the bias column). One mapInPandas
+    sweep emitting O(d²) partial rows per Arrow batch, merged by a
+    DECIMAL(38,0) sum — exact on any partitioning.
+    """
+    if d is None:
+        d = df.select(F.size(vec_col).alias("d")).first()["d"]
+    target = df.sparkSession.sparkContext.defaultParallelism
+    data = df.select(vec_col, label_col)
+    if data.rdd.getNumPartitions() < max(1, target // 2):
+        data = data.repartition(target)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            vecs = chunk[vec_col].tolist()
+            for v in vecs:
+                if v is None or len(v) != d or any(x is None for x in v):
+                    raise ValueError(
+                        f"gram_partials: bad vector (expect dim {d}, "
+                        "no NULLs)")
+            X = np.asarray(vecs, dtype=np.float64)
+            if X.size and np.isnan(X).any():
+                raise ValueError("gram_partials: NaN vector elements")
+            y = (chunk[label_col].to_numpy() == positive).astype(np.float64)
+            G, b = _quantized_gram_np(X, y)
+            D = d + 1
+            js, ks, qs = [], [], []
+            for j in range(D):
+                js.append(j); ks.append(-1); qs.append(b[j])
+                for k in range(j, D):
+                    js.append(j); ks.append(k); qs.append(G[j][k])
+            yield pd.DataFrame({
+                "j": pd.array(js, dtype="int32"),
+                "k": pd.array(ks, dtype="int32"),
+                "qsum": pd.array(qs, dtype="int64"),
+            })
+
+    parts = data.mapInPandas(gen, "j int, k int, qsum long")
+    return (parts.groupBy("j", "k")
+            .agg(F.sum(F.col("qsum").cast("decimal(38,0)")).alias("qsum")))
+
+
+def gram_duckdb_sql(vec_col: str = "embedding", label_col: str = "label",
+                    positive: int = 0, d: int = 64,
+                    table: str = "embeddings") -> str:
+    """Pure-SQL oracle for ``gram_partials``: the same per-row quantized
+    terms via a double unnest-with-ordinality pair join, HUGEINT-exact
+    sums. Verifies the distributed Gram itself, not a re-derivation."""
+    return (
+        "WITH xa AS (SELECT list_append(list_transform("
+        f"{vec_col}, v -> CAST(v AS DOUBLE)), 1.0) AS xd, "
+        f"CASE WHEN {label_col} = {positive} THEN 1.0 ELSE 0.0 END AS y "
+        f"FROM {table}), "
+        f"idx AS (SELECT unnest(range(1, {d + 2})) AS i), "
+        "terms AS (SELECT ji.i - 1 AS j, ki.i - 1 AS k, "
+        "CAST(floor((xa.xd[ji.i] * xa.xd[ki.i]) * 1e12) AS BIGINT) AS q "
+        "FROM xa, idx ji, idx ki WHERE ki.i >= ji.i), "
+        "yterms AS (SELECT ji.i - 1 AS j, -1 AS k, "
+        "CAST(floor((xa.xd[ji.i] * xa.y) * 1e12) AS BIGINT) AS q "
+        "FROM xa, idx ji) "
+        "SELECT j, k, CAST(sum(q) AS DECIMAL(38,0)) AS qsum FROM "
+        "(SELECT * FROM terms UNION ALL SELECT * FROM yterms) "
+        "GROUP BY j, k"
+    )
+
+
+def ridge_fit(df: DataFrame, vec_col: str = "embedding",
+              label_col: str = "label", positive: int = 0,
+              l2: float = 1e-3, d: int | None = None) -> list[float]:
+    """Distributed closed-form ridge fit → (d+1) weights (bias last)."""
+    if d is None:
+        d = df.select(F.size(vec_col).alias("d")).first()["d"]
+    rows = gram_partials(df, vec_col, label_col, positive, d=d).collect()
+    D = d + 1
+    G = [[0] * D for _ in range(D)]
+    b = [0] * D
+    for r in rows:
+        if r["k"] == -1:
+            b[r["j"]] = int(r["qsum"])
+        else:
+            G[r["j"]][r["k"]] = int(r["qsum"])
+            G[r["k"]][r["j"]] = int(r["qsum"])
+    return _weights_from_sums(G, b, l2)
+
+
+def _score_expr(w: list[float], vec: str, dialect: str) -> str:
+    """Unrolled left-assoc ``w·x + bias`` — identical op order on both
+    engines, whole-stage-codegen friendly (no HOF fold)."""
+    d = len(w) - 1
+    terms = []
+    for j in range(d):
+        elem = (f"CAST(element_at({vec}, {j + 1}) AS DOUBLE)"
+                if dialect == "spark" else f"CAST({vec}[{j + 1}] AS DOUBLE)")
+        terms.append(f"({repr(float(w[j]))} * {elem})")
+    expr = terms[0]
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return f"({expr} + {repr(float(w[d]))})"
+
+
+def linear_score(df: DataFrame, w: list[float],
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 threshold: float = 0.5, round_to: int = 6) -> DataFrame:
+    """(id, score, pred): probe score per row, narrow projection."""
+    s = _score_expr(w, vec_col, "spark")
+    return df.select(
+        F.col(id_col),
+        F.round(F.expr(s), round_to).alias("score"),
+        F.expr(f"CASE WHEN {s} >= {repr(float(threshold))} "
+               "THEN 1 ELSE 0 END").alias("pred"),
+    )
+
+
+def linear_probe(df: DataFrame, vec_col: str = "embedding",
+                 label_col: str = "label", id_col: str = "vec_id",
+                 positive: int = 0, l2: float = 1e-3,
+                 threshold: float = 0.5, round_to: int = 6,
+                 w: list[float] | None = None) -> DataFrame:
+    """Fit distributed (unless ``w`` is supplied) + score the corpus."""
+    if w is None:
+        w = ridge_fit(df, vec_col, label_col, positive, l2)
+    return linear_score(df, w, vec_col, id_col, threshold, round_to)
+
+
+def probe_weights_from_parquet(parquet_path: str,
+                               vec_col: str = "embedding",
+                               label_col: str = "label",
+                               positive: int = 0,
+                               l2: float = 1e-3) -> list[float]:
+    """Oracle-emitter replica of ``ridge_fit``: identical quantized
+    integer sums from the parquet, identical float path, identical
+    pure-Python solve → bit-identical weights."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {vec_col}, {label_col} "
+        f"FROM read_parquet('{parquet_path}')").df()
+    con.close()
+    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    y = (pdf[label_col].to_numpy() == positive).astype(np.float64)
+    G, b = _quantized_gram_np(X, y)
+    return _weights_from_sums(G, b, l2)
+
+
+def linear_probe_duckdb_sql(parquet_path: str,
+                            vec_col: str = "embedding",
+                            label_col: str = "label",
+                            id_col: str = "vec_id", positive: int = 0,
+                            l2: float = 1e-3, threshold: float = 0.5,
+                            round_to: int = 6,
+                            table: str = "embeddings") -> str:
+    """Oracle: re-derives the identical weights (see
+    ``probe_weights_from_parquet``) and verifies the distributed
+    scoring pass value-exactly against embedded literals."""
+    w = probe_weights_from_parquet(parquet_path, vec_col, label_col,
+                                   positive, l2)
+    s = _score_expr(w, vec_col, "duckdb")
+    return (
+        f"SELECT {id_col}, round({s}, {round_to}) AS score, "
+        f"CASE WHEN {s} >= {repr(float(threshold))} THEN 1 ELSE 0 END "
+        f"AS pred FROM {table}"
+    )
