@@ -1321,6 +1321,22 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
                                                threshold=0.2)),
         CLF.linear_probe_duckdb_sql(_emb_path, positive=0, threshold=0.2),
     )
+    # MMR diversity re-ranking (operators/retrieval.py mmr_rerank):
+    # greedy maximal-marginal-relevance over the distributed exact
+    # top-shortlist — relevance traded against redundancy with the
+    # already-selected set. One applyInPandas greedy per query group
+    # (shortlist cost, not corpus cost); the oracle unrolls the k
+    # greedy stages as CTEs (PageRank's fixed-iteration pattern).
+    from flink_sql_security_spark.operators.retrieval import (
+        mmr_rerank, mmr_rerank_duckdb_sql)
+
+    out["retrieval_mmr_topk"] = (
+        with_tables(lambda s: mmr_rerank(
+            emb(s), emb(s).where("vec_id < 10"), k=5, shortlist=20,
+            lam=0.7)),
+        mmr_rerank_duckdb_sql(query_pred="vec_id < 10", k=5,
+                              shortlist=20, lam=0.7),
+    )
     # two-stage search (operators/pq.py ivfpq_rerank): IVF-PQ shortlist
     # widened to k·rerank, then exact-L2 re-scoring of ONLY the
     # shortlist — faiss's IndexRefine shape; recall recovers the ADC

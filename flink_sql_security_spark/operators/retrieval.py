@@ -170,3 +170,160 @@ def bm25_topk_sql(terms, k: int = 20, *, table: str = "documents",
         f"(ORDER BY score DESC, {id_col}) AS rank FROM totaled) "
         f"SELECT * FROM ranked WHERE rank <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+def mmr_rerank(df, queries_df, *, vec_col: str = "embedding",
+               id_col: str = "vec_id", k: int = 5, shortlist: int = 20,
+               lam: float = 0.7, round_to: int = 6):
+    """Diversity-aware top-k: greedy maximal marginal relevance.
+
+    Carbonell & Goldberg 1998: pick the candidate maximizing
+    ``lam * rel(q, i) - (1 - lam) * max_{s in selected} sim(i, s)`` —
+    relevance traded against redundancy with what's already picked.
+    The de-duplicating selection pass of retrieval pipelines (and of
+    training-data selection: "most relevant, mutually distinct").
+
+    Scale shape: stage 1 is the existing distributed exact-cosine
+    top-``shortlist`` (``similarity.cosine_topk`` — never a full
+    cross product); stage 2 joins the R·|Q|-row shortlist back to
+    unit vectors and runs ONE ``applyInPandas`` greedy per query
+    group — O(R·k) dot products per query, shortlist cost, not
+    corpus cost. The greedy is inherently sequential per query but
+    queries parallelize perfectly.
+
+    Determinism / oracle parity: rel comes rounded from the shortlist
+    stage; candidate-candidate sims round the same HALF_UP way before
+    entering scores (Python `_round_half_up` == Spark round() ==
+    DuckDB round(), the repo's established triple); score arithmetic
+    is a fixed op order on bit-identical doubles; argmax ties break
+    to the smallest n_id. The oracle unrolls the k greedy stages as
+    CTEs (PageRank's fixed-iteration pattern).
+
+    Returns (q_id, n_id, mmr_score, sel_pos), sel_pos in 1..k.
+    """
+    import pandas as pd
+
+    from .similarity import (_round_half_up, _seq_dot, cosine_topk,
+                             unit_vectors)
+
+    om = 1.0 - lam
+    short = (cosine_topk(df, queries_df, vec_col, id_col,
+                         k=shortlist, round_to=round_to)
+             .select("q_id", "n_id", F.col("cosine").alias("rel")))
+    units = unit_vectors(df, vec_col, id_col) \
+        .withColumnRenamed(id_col, "n_id")
+    grouped = short.join(units, "n_id").select("q_id", "n_id", "rel",
+                                               "unit")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("n_id").reset_index(drop=True)
+        ids = pdf["n_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        U = np.asarray(pdf["unit"].tolist(), dtype=np.float64)
+        n = len(ids)
+        remaining = list(range(n))          # n_id-ascending order
+        # -inf, not 0: sims can be negative, and the max over the
+        # selected set must be the true max (at pos >= 1 every
+        # remaining candidate has been scored against each selected)
+        maxsim = np.full(n, -np.inf, dtype=np.float64)
+        out_n, out_s, out_p = [], [], []
+        for pos in range(min(k, n)):
+            best = None
+            for i in remaining:
+                sc = lam * rel[i] if pos == 0 else \
+                    (lam * rel[i]) - (om * maxsim[i])
+                if best is None or sc > best_sc:
+                    best, best_sc = i, sc
+            remaining.remove(best)
+            out_n.append(int(ids[best]))
+            # no second rounding: rel and sims are already rounded
+            # identically on both engines, so the fixed-op-order score
+            # is bit-identical raw — re-rounding would only reopen the
+            # HALF_UP-vs-binary boundary between engines
+            out_s.append(float(best_sc))
+            out_p.append(pos + 1)
+            if pos + 1 < k:
+                for i in remaining:
+                    s = _round_half_up(_seq_dot(U[i], U[best]), round_to)
+                    if s > maxsim[i]:
+                        maxsim[i] = s
+        return pd.DataFrame({
+            "q_id": pd.array([int(pdf["q_id"].iloc[0])] * len(out_n),
+                             dtype="int64"),
+            "n_id": pd.array(out_n, dtype="int64"),
+            "mmr_score": pd.array(out_s, dtype="float64"),
+            "sel_pos": pd.array(out_p, dtype="int32"),
+        })
+
+    return grouped.groupBy("q_id").applyInPandas(
+        fn, "q_id long, n_id long, mmr_score double, sel_pos int")
+
+
+def mmr_rerank_duckdb_sql(query_pred: str = "vec_id < 10",
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id", k: int = 5,
+                          shortlist: int = 20, lam: float = 0.7,
+                          round_to: int = 6,
+                          table: str = "embeddings") -> str:
+    """Pure-SQL oracle for ``mmr_rerank``: the k greedy stages unroll
+    as CTEs (sel1..selk), each re-deriving the candidate scores from
+    the shortlist and the max-sim-to-selected aggregate."""
+    om = 1.0 - lam
+    L, OM = repr(float(lam)), repr(float(om))
+    dot = ("round(list_sum(list_transform(list_zip({a}, {b}), "
+           f"x -> x[1] * x[2])), {round_to})")
+    parts = [
+        f"WITH u AS (SELECT {id_col}, list_transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE) / n) AS unit FROM "
+        f"(SELECT {id_col}, {vec_col}, "
+        f"sqrt(list_sum(list_transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n "
+        f"FROM {table}))",
+        f"scored AS (SELECT q.{id_col} AS q_id, c.{id_col} AS n_id, "
+        + dot.format(a="q.unit", b="c.unit") + " AS rel "
+        f"FROM u q, u c WHERE q.{id_col} IN "
+        f"(SELECT {id_col} FROM {table} WHERE {query_pred}) "
+        f"AND c.{id_col} <> q.{id_col})",
+        "short AS (SELECT q_id, n_id, rel FROM (SELECT q_id, n_id, rel, "
+        "row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) "
+        f"AS rk FROM scored) WHERE rk <= {shortlist})",
+        "sims AS (SELECT a.q_id, a.n_id AS i, b.n_id AS s, "
+        + dot.format(a="ua.unit", b="ub.unit") + " AS sim "
+        "FROM short a JOIN short b ON a.q_id = b.q_id "
+        f"JOIN u ua ON ua.{id_col} = a.n_id "
+        f"JOIN u ub ON ub.{id_col} = b.n_id)",
+        f"sel1 AS (SELECT q_id, n_id, {L} * rel AS score, 1 AS sel_pos "
+        "FROM (SELECT q_id, n_id, rel, row_number() OVER (PARTITION BY "
+        "q_id ORDER BY rel DESC, n_id) AS rk FROM short) WHERE rk = 1)",
+    ]
+    for t in range(2, k + 1):
+        selu = " UNION ALL ".join(
+            f"SELECT q_id, n_id FROM sel{i}" for i in range(1, t))
+        parts.append(f"selu{t} AS ({selu})")
+        parts.append(
+            f"ms{t} AS (SELECT si.q_id, si.i AS n_id, max(si.sim) AS "
+            f"maxsim FROM sims si JOIN selu{t} se ON si.q_id = se.q_id "
+            "AND si.s = se.n_id GROUP BY si.q_id, si.i)")
+        parts.append(
+            f"cand{t} AS (SELECT s.q_id, s.n_id, "
+            f"({L} * s.rel) - ({OM} * m.maxsim) AS score "
+            f"FROM short s JOIN ms{t} m ON m.q_id = s.q_id AND "
+            f"m.n_id = s.n_id LEFT JOIN selu{t} se ON se.q_id = s.q_id "
+            "AND se.n_id = s.n_id WHERE se.n_id IS NULL)")
+        parts.append(
+            f"sel{t} AS (SELECT q_id, n_id, score, {t} AS sel_pos FROM "
+            "(SELECT q_id, n_id, score, row_number() OVER (PARTITION BY "
+            f"q_id ORDER BY score DESC, n_id) AS rk FROM cand{t}) "
+            "WHERE rk = 1)")
+    final = " UNION ALL ".join(
+        f"SELECT q_id, n_id, score, sel_pos FROM sel{i}"
+        for i in range(1, k + 1))
+    return (", ".join(parts) +
+            f" SELECT q_id, n_id, score AS mmr_score, "
+            f"sel_pos FROM ({final})")

@@ -157,3 +157,90 @@ def test_pagerank_dangling_mass_leaks(spark):
     release(out)
     assert sum(rows.values()) < 0.99
     assert rows[3] > rows[2] > rows[1]  # rank accumulates down the chain
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking
+# ---------------------------------------------------------------------------
+
+EMB_PATH = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_mmr_cross_engine_exact(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators.retrieval import (
+        mmr_rerank, mmr_rerank_duckdb_sql)
+
+    emb = spark.read.parquet(EMB_PATH)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{EMB_PATH}')")
+    got = sorted(map(tuple, mmr_rerank(
+        emb, emb.where("vec_id < 5"), k=4, shortlist=10,
+        lam=0.7).collect()))
+    want = sorted(map(tuple, con.execute(mmr_rerank_duckdb_sql(
+        query_pred="vec_id < 5", k=4, shortlist=10,
+        lam=0.7)).fetchall()))
+    con.close()
+    assert got == want and len(got) == 5 * 4
+
+
+def test_mmr_first_pick_is_most_relevant(spark):
+    from flink_sql_security_spark.operators.retrieval import mmr_rerank
+    from flink_sql_security_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(EMB_PATH)
+    q = emb.where("vec_id < 5")
+    top1 = {r["q_id"]: r["n_id"]
+            for r in cosine_topk(emb, q, k=1).collect()}
+    first = {r["q_id"]: r["n_id"]
+             for r in mmr_rerank(emb, q, k=3, shortlist=10).collect()
+             if r["sel_pos"] == 1}
+    assert first == top1
+
+
+def test_mmr_lambda_one_recovers_relevance_order(spark):
+    """lam=1 disables the diversity term: MMR == plain top-k order."""
+    from flink_sql_security_spark.operators.retrieval import mmr_rerank
+    from flink_sql_security_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(EMB_PATH)
+    q = emb.where("vec_id < 5")
+    plain = sorted((r["q_id"], r["rank"], r["n_id"])
+                   for r in cosine_topk(emb, q, k=4).collect())
+    mmr = sorted((r["q_id"], r["sel_pos"], r["n_id"])
+                 for r in mmr_rerank(emb, q, k=4, shortlist=10,
+                                     lam=1.0).collect())
+    assert mmr == plain
+
+
+def test_mmr_diversifies(spark):
+    """At lam<1 the selected set must differ from plain top-k for at
+    least one query — the diversity term actually engages."""
+    from flink_sql_security_spark.operators.retrieval import mmr_rerank
+    from flink_sql_security_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(EMB_PATH)
+    q = emb.where("vec_id < 8")
+    plain = {(r["q_id"], r["n_id"])
+             for r in cosine_topk(emb, q, k=4).collect()}
+    mmr = {(r["q_id"], r["n_id"])
+           for r in mmr_rerank(emb, q, k=4, shortlist=16,
+                               lam=0.5).collect()}
+    assert mmr != plain
+
+
+def test_mmr_unique_selections_per_query(spark):
+    from flink_sql_security_spark.operators.retrieval import mmr_rerank
+
+    emb = spark.read.parquet(EMB_PATH)
+    rows = mmr_rerank(emb, emb.where("vec_id < 5"), k=4,
+                      shortlist=10).collect()
+    seen = {}
+    for r in rows:
+        assert r["n_id"] != r["q_id"]
+        key = (r["q_id"], r["n_id"])
+        assert key not in seen
+        seen[key] = True
+        assert 1 <= r["sel_pos"] <= 4
