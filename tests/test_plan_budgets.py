@@ -72,6 +72,15 @@ BUDGETS = {
     "text_bm25_topk": 3,
     "fuzzy_title_pairs": 1,
     "graph_pagerank": 21,
+    # late-r05 additions: binary scan = broadcast-NLJ over code words
+    # + the per-query top-k window's q_id exchange; the probe SCORE is
+    # a pure projection (its fit pass collects metadata-sized sums
+    # before the plan exists, so the scored plan must stay exchange-
+    # free); MMR = the shortlist window's q_id exchange + the
+    # applyInPandas regroup
+    "emb_binary_topk": 1,
+    "classifier_probe_score": 0,
+    "retrieval_mmr_topk": 2,
 }
 
 
