@@ -553,3 +553,36 @@ def test_pq_ingest_stream_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_linear_probe_scores_streams(spark):
+    """The fit-once / score-forever deployment shape: ridge weights fit
+    on the static labeled corpus, then `linear_score` — a stateless
+    narrow projection — applied UNCHANGED to a stream of new vectors
+    reproduces the batch scores exactly."""
+    from flink_sql_security_spark.operators import classifier as C
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    corpus = spark.read.parquet(emb_path)
+    w = C.ridge_fit(corpus)
+
+    batch = {tuple(r) for r in C.linear_score(
+        corpus, w, threshold=0.2).collect()}
+    assert batch
+
+    path = tempfile.mkdtemp(prefix="fss_stream_probe")
+    try:
+        corpus.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(corpus.schema).parquet(path)
+        scored = C.linear_score(src, w, threshold=0.2)
+        assert scored.isStreaming
+        got = set()
+
+        def sink(df, batch_id):
+            got.update(tuple(r) for r in df.collect())
+
+        q = scored.writeStream.foreachBatch(sink).start()
+        q.processAllAvailable(); q.stop()
+        assert got == batch
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
