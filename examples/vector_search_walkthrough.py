@@ -98,8 +98,31 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         assert keys == sorted(keys), "rerank must order by exact distance"
     rerank_rows = {tuple(r) for r in rerank_collected}
     index.unpersist()
+
+    # 6. the OTHER compression tier: binary sign-bit codes (32× smaller
+    # than floats, hamming scan = xor+bit_count, zero float math).
+    # Choose binary when scan bandwidth dominates and a wide exact
+    # rerank is affordable; choose IVF-PQ when cell pruning must bound
+    # the touched fraction. Same prefilter→refine contract:
+    from flink_sql_security_spark.operators import binary as BIN
+
+    bin_rows = BIN.hamming_topk(emb, queries, k=3, rerank=4).collect()
+    assert {r["q_id"] for r in bin_rows} == {r["q_id"] for r in rerank_collected}
+
+    # 7. diversity-aware final selection: MMR re-ranks the exact
+    # shortlist so the k results are relevant AND mutually distinct —
+    # the de-duplicating last mile of retrieval-driven data selection
+    from flink_sql_security_spark.operators.retrieval import mmr_rerank
+
+    mmr_rows = mmr_rerank(emb, queries, k=3, shortlist=9,
+                          lam=0.7).collect()
+    per_q = {}
+    for r in mmr_rows:
+        per_q.setdefault(r["q_id"], set()).add(r["n_id"])
+    assert all(len(v) == 3 for v in per_q.values())
     return {"n_indexed": n_indexed, "batch": batch_rows,
-            "stream": stream_rows, "rerank": rerank_rows}
+            "stream": stream_rows, "rerank": rerank_rows,
+            "binary": bin_rows, "mmr": mmr_rows}
 
 
 def main() -> None:
@@ -114,6 +137,8 @@ def main() -> None:
     print(f"batch top-k rows: {len(out['batch'])}")
     print("stream == batch:", out["stream"] == out["batch"])
     print(f"reranked top-k rows: {len(out['rerank'])}")
+    print(f"binary-prefilter rows: {len(out['binary'])}, "
+          f"MMR-diversified rows: {len(out['mmr'])}")
     spark.stop()
 
 
