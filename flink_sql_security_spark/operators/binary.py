@@ -99,6 +99,16 @@ def binary_codes(df: DataFrame, vec_col: str = "embedding",
 
     Plain integer columns (not an array) so downstream xor/bit_count
     stay scalar codegen expressions. One narrow projection, no shuffle.
+
+    NULL elements clear their bit (``NULL > 0.0`` is NULL, the CASE
+    falls to 0) and NaN elements SET it (both engines order NaN above
+    every value, so ``NaN > 0.0`` is true) — identically on Spark and
+    DuckDB, so cross-engine parity holds. That is a deliberate
+    contrast with the PQ tier's loud-raise policy: the bit code is a
+    PREFILTER whose misses the exact rerank recovers, while a PQ code
+    is the stored representation itself. Corpora that must not contain
+    NULL vectors should gate with ``pq_encode``'s validation or a
+    ``WHERE`` upstream.
     """
     if d is None:
         d = _dim(df, vec_col)

@@ -119,3 +119,23 @@ def test_odd_dim_packing(spark):
            for r in B.binary_codes(df, d=40).collect()}
     assert out[0] == ((1 << 32) - 1, (1 << 8) - 1)
     assert out[1] == (0, 0)
+
+
+def test_null_and_nan_bit_semantics(spark):
+    """Documented contract: NULL elements clear their bit, NaN elements
+    set it (both engines order NaN above all values) — verified on both
+    engines so the prefilter's degradation mode stays parity-safe."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(0, [float("nan")] + [None] + [-1.0] * 38)],
+        "vec_id long, embedding array<float>")
+    r = B.binary_codes(df, d=40).collect()[0]
+    assert (r["w0"], r["w1"]) == (1, 0)   # NaN -> bit 0 set, NULL/neg clear
+    con = duckdb.connect()
+    tail = ", ".join(["-1.0"] * 38)
+    con.execute("CREATE VIEW embeddings AS SELECT 0::BIGINT AS vec_id, "
+                f"['nan'::DOUBLE, NULL, {tail}] AS embedding")
+    got = con.execute(B.binary_codes_duckdb_sql(d=40)).fetchall()
+    con.close()
+    assert got == [(0, 1, 0)]
