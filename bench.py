@@ -178,6 +178,16 @@ def main() -> None:
                                   k=5, n_probe=8, rerank=4).collect()}
     rerank_recall = (round(len(exact_l2 & rerank_top) / len(exact_l2), 4)
                      if exact_l2 else None)
+    # binary tier: sign-bit hamming prefilter + exact-cosine rerank vs
+    # brute-force cosine (rerank=8: the documented knee on this corpus)
+    from flink_sql_security_spark.operators import binary as BIN
+    from flink_sql_security_spark.operators import similarity as SIM
+    cos_top = {(r["q_id"], r["n_id"]) for r in
+               SIM.cosine_topk(emb, q20, k=5).collect()}
+    bin_top = {(r["q_id"], r["n_id"]) for r in
+               BIN.hamming_topk(emb, q20, k=5, rerank=8).collect()}
+    binary_recall = (round(len(cos_top & bin_top) / len(cos_top), 4)
+                     if cos_top else None)
     _release_cached(spark)
 
     # driver-side rewrite latency (plan-time security tax), median of corpus
@@ -213,6 +223,7 @@ def main() -> None:
         "ivf_recall": ivf_recall,
         "ivfpq_recall": ivfpq_recall,
         "rerank_recall": rerank_recall,
+        "binary_recall": binary_recall,
         "sf": sf,
         "rewrite_median_ms": rewrite_ms,
         "security_tax_ratio": tax,
