@@ -95,3 +95,23 @@ def test_score_plan_is_narrow(emb):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_fuzz_probe_configs_cross_engine(spark, emb, con):
+    """Config fuzz for the probe: random (positive, l2, threshold)
+    draws, each verified value-exact end to end (fit + score)."""
+    import random
+
+    rng = random.Random(73737)
+    for trial in range(3):
+        positive = rng.randint(0, 9)
+        l2 = rng.choice([1e-4, 1e-3, 1e-2, 1.0])
+        threshold = rng.choice([0.1, 0.15, 0.2, 0.3])
+        got = sorted(map(tuple, C.linear_probe(
+            emb, positive=positive, l2=l2,
+            threshold=threshold).collect()))
+        want = sorted(map(tuple, con.execute(C.linear_probe_duckdb_sql(
+            EMB, positive=positive, l2=l2,
+            threshold=threshold)).fetchall()))
+        assert got == want and len(got) == 500, (trial, positive, l2,
+                                                 threshold)

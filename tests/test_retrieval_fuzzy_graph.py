@@ -244,3 +244,37 @@ def test_mmr_unique_selections_per_query(spark):
         assert key not in seen
         seen[key] = True
         assert 1 <= r["sel_pos"] <= 4
+
+
+def test_fuzz_mmr_configs_cross_engine(spark):
+    """Config fuzz for MMR: random (k, shortlist, lam, n_q) draws, each
+    verified value-exact against the DuckDB oracle. Deterministic
+    seeds — rotate the seed base alongside the SQL fuzz bursts."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.retrieval import (
+        mmr_rerank, mmr_rerank_duckdb_sql)
+
+    emb = spark.read.parquet(EMB_PATH)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{EMB_PATH}')")
+    rng = random.Random(52525)
+    try:
+        for trial in range(4):
+            k = rng.randint(2, 6)
+            shortlist = rng.randint(k, 4 * k)
+            lam = rng.choice([0.3, 0.5, 0.7, 0.9, 1.0])
+            n_q = rng.choice([3, 5, 7])
+            got = sorted(map(tuple, mmr_rerank(
+                emb, emb.where(f"vec_id < {n_q}"), k=k,
+                shortlist=shortlist, lam=lam).collect()))
+            want = sorted(map(tuple, con.execute(mmr_rerank_duckdb_sql(
+                query_pred=f"vec_id < {n_q}", k=k, shortlist=shortlist,
+                lam=lam)).fetchall()))
+            cfg = (trial, k, shortlist, lam, n_q)
+            assert got == want and len(got) == n_q * min(k, shortlist), cfg
+    finally:
+        con.close()
