@@ -1901,7 +1901,7 @@ _CHECK_ORDER = [
     # a sub-shape of in-window events_hourly_window on the same table;
     # the time-range self-join is a family with no driver row ever).
     "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
-    "q11_important_parts", "q18_large_orders",
+    "q11_important_parts", "classifier_probe_score",
     "q22_global_sales", "pivot_daily_events", "interval_click_purchase",
     # training-data pipeline operators, one per family. dedup_minhash_pairs
     # and dedup_jaccard_pairs are strict sub-computations of
@@ -1981,7 +1981,7 @@ _CHECK_ORDER = [
     # - profile_quantiles enters on the slot freed by the security-tier
     #   consolidation: its exact→approx auto-switch shipped this round
     #   and the exact histogram-percentile path deserves the hard signal.
-    "sketch_distinct_hll", "sketch_cms_tokens", "sketch_bloom_decon",
+    "sketch_distinct_hll", "retrieval_mmr_topk", "sketch_bloom_decon",
     "zorder_orders", "cdc_upsert_latest",
     "sample_dsir_weights", "dedup_lsh_verified", "dedup_components",
     "cdc_snapshot_diff", "dedup_span_stats",
@@ -2022,6 +2022,19 @@ _CHECK_ORDER = [
     # sign-bit entry drives a full distributed search: broadcast
     # xor/bit_count scan, per-query window, shortlist-only exact
     # rerank — more driver signal per slot, and a first-time row.
+    # late-r05 (second pass, two NEW families shipped after the binary
+    # tier; same breadth-over-redundancy rule):
+    # - q18_large_orders → classifier_probe_score: q18's grouped-agg-
+    #   with-HAVING and IN-subquery cores stay pinned in-window by
+    #   q11_important_parts (HAVING + scalar subquery) and
+    #   rls_subquery; the learned-quality-filter family (quantized
+    #   integer normal-equation sums + closed-form probe scoring) had
+    #   no driver row anywhere.
+    # - sketch_cms_tokens → retrieval_mmr_topk: the md5-keyed mergeable
+    #   integer-sketch fold family keeps TWO in-window pins
+    #   (sketch_distinct_hll, sketch_bloom_decon); diversity-aware
+    #   selection (iterative greedy over a shortlist — MMR) is a
+    #   family no window entry covers.
     "sample_temperature_mix", "bpe_tokens",
     "multimodal_features", "graph_pagerank",
     "fuzzy_title_pairs", "profile_quantiles", "pipeline_clean_corpus",

@@ -43,6 +43,10 @@ PYTHON_OK = {
     # faster than the interpreted JVM folds; impl="expr" remains the
     # zero-Python fallback (pytest-pinned interchangeable).
     "emb_pq_codes", "emb_pq_reconstruct",
+    # MMR: stage 1 is cosine_topk's documented query-side kernel; stage
+    # 2 is ONE applyInPandas greedy per query group over the R-row
+    # shortlist (O(R·k) dots) — shortlist cost, never the corpus.
+    "retrieval_mmr_topk",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
@@ -62,6 +66,11 @@ NLJ_OK = {
     # code table (ADC IS an n×Q scan by design — the LUT rows are tiny
     # and the corpus side never shuffles).
     "emb_pq_topk",
+    # binary hamming scan: the Q-row query CODE WORDS (3 ints per row)
+    # broadcast onto the corpus codes — the prefilter IS an n×Q integer
+    # scan by design; the corpus side never shuffles and the rerank
+    # stage joins only the k·R shortlist.
+    "emb_binary_topk",
 }
 
 
