@@ -58,11 +58,14 @@ def _quantized_gram_np(X, y):
     import numpy as np
 
     Xa = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
-    T = np.floor(np.einsum("bi,bj->bij", Xa, Xa) * _QUANT).astype(np.int64)
-    By = np.floor((Xa * y[:, None]) * _QUANT).astype(np.int64)
+    # one batched sum over the b axis (NOT 4k per-cell sums): int64
+    # addition is associative, so the summed matrix is identical
+    Ts = np.floor(np.einsum("bi,bj->bij", Xa, Xa) * _QUANT) \
+        .astype(np.int64).sum(axis=0)
+    Bs = np.floor((Xa * y[:, None]) * _QUANT).astype(np.int64).sum(axis=0)
     D = Xa.shape[1]
-    G = [[int(T[:, j, k].sum()) for k in range(D)] for j in range(D)]
-    b = [int(By[:, j].sum()) for j in range(D)]
+    G = [[int(Ts[j, k]) for k in range(D)] for j in range(D)]
+    b = [int(Bs[j]) for j in range(D)]
     return G, b
 
 
