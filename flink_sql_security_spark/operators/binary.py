@@ -133,7 +133,8 @@ def binary_codes_duckdb_sql(vec_col: str = "embedding",
 def hamming_topk(df: DataFrame, queries_df: DataFrame,
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  k: int = 5, rerank: int = 0, round_to: int = 6,
-                 d: int | None = None) -> DataFrame:
+                 d: int | None = None,
+                 codes_df: DataFrame | None = None) -> DataFrame:
     """Top-k per query by packed-code hamming distance (asc, id asc).
 
     ``rerank=0``: returns (q_id, n_id, hamming, rank) straight from the
@@ -142,13 +143,20 @@ def hamming_topk(df: DataFrame, queries_df: DataFrame,
     shortlist joins back to floats) and the final (q_id, n_id, cosine,
     rank) ranks by cosine desc, n_id asc — the binary-prefilter /
     exact-refine production shape. Self-pairs are excluded.
+
+    ``codes_df``: a precomputed (persisted) :func:`binary_codes` output
+    for ``df`` — the build-once / probe-many index-reuse path (the
+    codes_df convention the PQ tier established); pass it when many
+    query batches probe the same corpus so the encode projection isn't
+    re-evaluated per probe.
     """
     from pyspark.sql.window import Window
 
     if d is None:
         d = _dim(df, vec_col)
     W = _n_words(d)
-    codes = binary_codes(df, vec_col, id_col, d=d)
+    codes = codes_df if codes_df is not None \
+        else binary_codes(df, vec_col, id_col, d=d)
     qcodes = binary_codes(queries_df, vec_col, id_col, d=d, prefix="qw") \
         .withColumnRenamed(id_col, "q_id")
     ham = _hamming_expr([f"w{j}" for j in range(W)],

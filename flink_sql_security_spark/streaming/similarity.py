@@ -143,3 +143,41 @@ def pq_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
                            codes_df=codes), batch_id)
 
     return stream.writeStream.outputMode("append").foreachBatch(_process)
+
+
+def hamming_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id", k: int = 5,
+                          rerank: int = 0, round_to: int = 6,
+                          d: int | None = None):
+    """Streaming binary (sign-bit) search against a static corpus: each
+    micro-batch of (id, vector) rows receives its hamming top-k (or
+    exact-rerank top-k when ``rerank > 0``) from the corpus —
+    bit-identical to batch :func:`operators.binary.hamming_topk` on the
+    same inputs.
+
+    The cheapest ingest tier there is: the packed code words — 8
+    logical bytes per 64-dim vector — are encoded ONCE and persisted
+    (the serving index, 32× smaller than the floats); each micro-batch
+    pays only its own encode projection plus the xor+bit_count scan
+    against the persisted codes. Pair with ``pq_ingest_stream`` when
+    cell pruning must bound the touched fraction instead.
+
+    Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger
+    and calls ``.start()``).
+    """
+    from flink_sql_security_spark.operators import binary as B
+
+    if d is None:
+        d = B._dim(corpus_df, vec_col)
+    codes = B.binary_codes(corpus_df, vec_col, id_col, d=d).persist()
+    codes.count()  # materialize the index before the stream starts
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(B.hamming_topk(corpus_df, batch_df, vec_col, id_col, k=k,
+                            rerank=rerank, round_to=round_to, d=d,
+                            codes_df=codes), batch_id)
+
+    return stream.writeStream.outputMode("append").foreachBatch(_process)
