@@ -979,6 +979,16 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(lambda s: SM.hash_split(docs(s).select("doc_id"))),
         SM.hash_split_duckdb_sql(select="doc_id"),
     )
+    # leakage-safe split (operators/sampling.py component_safe_split):
+    # assignment keys on the NEAR-DUP COMPONENT, so no dup cluster
+    # straddles train/test — the eval-contamination guard plain
+    # hash_split can't give. Oracle nests the recursive-closure
+    # components under the identical integer bucket arithmetic.
+    out["split_component_safe"] = (
+        with_tables(lambda s: SM.component_safe_split(
+            docs(s), D.ngram_jaccard_pairs(docs(s), threshold=0.05))),
+        SM.component_safe_split_duckdb_sql(out["dedup_jaccard_pairs"][1]),
+    )
     out["sample_hash_fraction"] = (
         with_tables(lambda s: SM.stratified_hash_sample(
             docs(s).select("doc_id", "source"), 0.25)),

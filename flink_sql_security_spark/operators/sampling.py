@@ -572,3 +572,77 @@ def temperature_mix_duckdb_sql(parquet_path: str, table: str = "documents",
     return (f"SELECT {id_col}, {group_col}, "
             f"CAST({case} AS INT) AS take_buckets "
             f"FROM {table} WHERE ({bucket}) < ({case})")
+
+
+def component_safe_split(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+                         names: tuple[str, ...] = ("train", "val", "test"),
+                         salt: str = "split", id_a: str = "id_a",
+                         id_b: str = "id_b") -> DataFrame:
+    """Leakage-safe split: assign by NEAR-DUP COMPONENT, not by row.
+
+    The classic eval-contamination failure: two near-duplicate
+    documents land in train and test, and the model is graded on
+    memorized text. Plain ``hash_split`` keys on the row id, so a dup
+    cluster straddles splits with probability ≈ 1-Σw². This operator
+    hashes the CLUSTER instead — every member of a near-dup component
+    (min-id label from :func:`dedup.connected_components` over the
+    ``pairs`` edge list) inherits one split assignment; singletons key
+    on their own id, identically to ``hash_split``.
+
+    Scale shape: the pair graph is the already-reduced LSH/jaccard
+    output (orders of magnitude smaller than the corpus); components
+    cost its size, the join back is one broadcast-or-shuffle on id,
+    and the split itself is the same exact-integer md5 bucket as
+    ``hash_split`` — deterministic under any partitioning and stable
+    across incremental re-runs.
+
+    Returns (id, group_key, bucket, split).
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, id_a, id_b)
+    if "doc_id" != id_col:
+        comp = comp.withColumnRenamed("doc_id", id_col)
+    keyed = (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(F.col(id_col),
+                F.expr(f"coalesce(component_id, {id_col})")
+                .alias("group_key"))
+    )
+    return hash_split(keyed, id_col="group_key", weights=weights,
+                      names=names, salt=salt)
+
+
+def component_safe_split_duckdb_sql(pairs_sql: str,
+                                    table: str = "documents",
+                                    id_col: str = "doc_id",
+                                    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+                                    names: tuple[str, ...] = ("train", "val", "test"),
+                                    salt: str = "split") -> str:
+    """Oracle: recursive-closure components nested under the identical
+    bucket/threshold arithmetic (exact integers, no float cuts)."""
+    from .dedup import connected_components_duckdb_sql
+
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = sum(weights)
+    cuts, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        cuts.append(int(round(_BUCKETS * acc / total)))
+    case = "CASE "
+    for cut, name in zip(cuts, names):
+        case += f"WHEN bucket < {cut} THEN '{name}' "
+    case += f"ELSE '{names[-1]}' END"
+    comp_sql = connected_components_duckdb_sql(pairs_sql)
+    return (
+        f"SELECT {id_col}, group_key, bucket, {case} AS split FROM "
+        f"(SELECT {id_col}, group_key, "
+        f"{_bucket_duckdb('group_key', salt)} AS bucket FROM "
+        f"(SELECT d.{id_col}, coalesce(c.component_id, d.{id_col}) "
+        f"AS group_key FROM {table} d LEFT JOIN ({comp_sql}) c "
+        f"ON d.{id_col} = c.doc_id))"
+    )

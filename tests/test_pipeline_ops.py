@@ -1554,3 +1554,53 @@ def test_rp_project_is_narrow_and_loud(spark):
                                    "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="NULL/NaN element"):
         RP.rp_project(bad_el, in_dim=64, out_dim=8).collect()
+
+
+def test_component_safe_split_no_leakage(docs):
+    """The operator's contract: every member of a near-dup component
+    lands in ONE split; singletons match plain hash_split keyed on
+    their own id."""
+    from flink_sql_security_spark.operators import dedup as D
+    from flink_sql_security_spark.operators import sampling as SM
+
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05)
+    comp = {r["doc_id"]: r["component_id"]
+            for r in D.connected_components(
+                D.ngram_jaccard_pairs(docs, threshold=0.05)).collect()}
+    rows = SM.component_safe_split(docs, pairs).collect()
+    split = {r["doc_id"]: r["split"] for r in rows}
+    gk = {r["doc_id"]: r["group_key"] for r in rows}
+    per_comp = {}
+    for d, c in comp.items():
+        per_comp.setdefault(c, set()).add(split[d])
+        assert gk[d] == c
+    assert per_comp and all(len(v) == 1 for v in per_comp.values())
+    # singletons: identical assignment to hash_split on the id itself
+    plain = {r["doc_id"]: r["split"] for r in SM.hash_split(
+        docs.select("doc_id")).collect()}
+    for d in split:
+        if d not in comp:
+            assert gk[d] == d and split[d] == plain[d]
+
+
+def test_component_safe_split_cross_engine(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import dedup as D
+    from flink_sql_security_spark.operators import sampling as SM
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    pdocs = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    # reuse the shipped entry's oracle pairs (keeps ONE pairs definition)
+    import __spark_entry__ as entry
+
+    pairs_sql = entry.oracle_sql()["dedup_jaccard_pairs"]
+    got = sorted(map(tuple, SM.component_safe_split(
+        pdocs, D.ngram_jaccard_pairs(pdocs, threshold=0.05)).collect()))
+    want = sorted(map(tuple, con.execute(
+        SM.component_safe_split_duckdb_sql(pairs_sql)).fetchall()))
+    con.close()
+    assert got == want and len(got) == 500
