@@ -278,3 +278,28 @@ def test_fuzz_mmr_configs_cross_engine(spark):
             assert got == want and len(got) == n_q * min(k, shortlist), cfg
     finally:
         con.close()
+
+
+def test_mmr_short_corpus_and_shortlist_smaller_than_k(spark):
+    """Degenerate shapes: fewer candidates than k (tiny corpus, or
+    shortlist < k) must yield min(k, candidates) rows per query, still
+    cross-engine exact."""
+    import duckdb
+
+    from flink_sql_security_spark.operators.retrieval import (
+        mmr_rerank, mmr_rerank_duckdb_sql)
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(8)])
+            for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, {v})" for i, v in rows)
+                + ") AS t(vec_id, embedding)")
+    # corpus of 4, self excluded -> only 3 candidates; ask k=5
+    got = sorted(map(tuple, mmr_rerank(
+        emb, emb.where("vec_id < 2"), k=5, shortlist=10).collect()))
+    want = sorted(map(tuple, con.execute(mmr_rerank_duckdb_sql(
+        query_pred="vec_id < 2", k=5, shortlist=10)).fetchall()))
+    con.close()
+    assert got == want and len(got) == 2 * 3
