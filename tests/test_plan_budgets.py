@@ -81,6 +81,10 @@ BUDGETS = {
     "emb_binary_topk": 1,
     "classifier_probe_score": 0,
     "retrieval_mmr_topk": 2,
+    # leakage-safe split: the pair-graph build's shuffle + the
+    # label-map join back; the bucket/threshold assignment itself is a
+    # narrow projection
+    "split_component_safe": 2,
 }
 
 
