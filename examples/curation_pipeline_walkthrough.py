@@ -13,8 +13,11 @@ its own driver entry; this walkthrough pins the COMPOSITION):
    not an arbitrary one);
 3. **mixture reweighting** — ``temperature_mix``: per-source rates
    ∝ count^alpha (the mT5/XLM-R recipe), exact integer md5 thresholds;
-4. **packing** — ``pack_sequences``: concat-then-chunk into fixed
-   token budgets via the two-phase integer prefix sum.
+4. **leakage-safe split** — ``component_safe_split``: train/val/test
+   keyed on the near-dup component, so no duplicate cluster straddles
+   splits (eval-contamination guard);
+5. **packing** — ``pack_sequences``: concat-then-chunk the train
+   selection into fixed token budgets via the two-phase prefix sum.
 
 Every stage is deterministic (content-hash or exact-integer
 arithmetic), so the whole pipeline reproduces bit-for-bit on any
@@ -63,9 +66,20 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
         alpha=0.5, target_rows=max(1, n_clean // 2))
     n_mixed = mixed.count()
 
-    # 4. pack the mixed selection into 256-token training sequences
+    # 4. leakage-safe split BEFORE packing: assignment keys on the
+    # near-dup COMPONENT, so no duplicate cluster straddles train/test
+    # (the eval-contamination guard a row-keyed split can't give)
+    split = SM.component_safe_split(
+        docs, D.ngram_jaccard_pairs(docs, threshold=0.05))
+    by_split = {r["split"]: r["cnt"] for r in
+                split.groupBy("split").agg(
+                    F.count("*").alias("cnt")).collect()}
+
+    # 5. pack the mixed TRAIN selection into 256-token sequences
+    train_ids = split.where("split = 'train'").select("doc_id")
     packed = pack_sequences(
         docs.join(mixed.select("doc_id"), "doc_id")
+        .join(train_ids, "doc_id")
         .select("doc_id", "text"),
         T.bpe_token_count(F.col("text")), budget=256)
     # one row per doc (its bin assignment); the training-sequence count
@@ -74,8 +88,8 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     n_bins = packed.select("bin_id").distinct().count()
     release(cleaned)
     return {"n_raw": n_raw, "n_clean": n_clean, "keep": keep_rows,
-            "n_mixed": n_mixed, "n_assigned": n_assigned,
-            "n_bins": n_bins}
+            "n_mixed": n_mixed, "by_split": by_split,
+            "n_assigned": n_assigned, "n_bins": n_bins}
 
 
 def main() -> None:
@@ -87,7 +101,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out = run(spark)
     print(f"raw {out['n_raw']} -> cleaned {out['n_clean']} "
-          f"-> mixed {out['n_mixed']} -> {out['n_bins']} training bins")
+          f"-> mixed {out['n_mixed']} -> splits {out['by_split']} "
+          f"-> {out['n_bins']} training bins")
     print(f"near-dup clusters with a canonical pick: {len(out['keep'])}")
     spark.stop()
 

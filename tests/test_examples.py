@@ -74,7 +74,12 @@ def test_curation_pipeline_walkthrough(spark):
     assert out["n_raw"] == 500
     assert 0 < out["n_clean"] < out["n_raw"]          # gates removed docs
     assert 0 < out["n_mixed"] <= out["n_clean"]       # mixing subsampled
-    assert out["n_assigned"] == out["n_mixed"]        # every doc assigned
+    # split partitions the whole corpus; train is the largest share
+    assert sum(out["by_split"].values()) == out["n_raw"]
+    assert out["by_split"]["train"] == max(out["by_split"].values())
+    # packing covers exactly the mixed TRAIN selection (a strict subset
+    # of the mixed set once val/test are held out)
+    assert 0 < out["n_assigned"] <= out["n_mixed"]
     assert 0 < out["n_bins"] <= out["n_assigned"]
     # canonical picks: one keeper per cluster, members >= 2
     assert out["keep"] and all(r["n_members"] >= 2 for r in out["keep"])
