@@ -1315,6 +1315,22 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         BIN.hamming_topk_duckdb_sql(query_pred="vec_id < 20", k=5,
                                     rerank=4, d=64),
     )
+    # IVF-pruned binary search (operators/binary.py ivf_hamming_topk):
+    # the coarse quantizer routes code rows to cells and queries to
+    # n_probe nearest cells, so the xor/bit_count scan joins ON cell
+    # and touches ~n_probe/n_cells of the code table — IVF-PQ's
+    # pruning on codes 2× smaller still. Same deterministic coarse
+    # centroids/probe rule as the PQ tier; oracle re-derives both and
+    # verifies assignment + cell-keyed scan + rerank. Recall@10 at
+    # sf0.01: 0.62 / 0.76 / 0.84 at (n_probe,rerank) (4,8)/(8,8)/(8,16).
+    out["emb_binary_ivf_topk"] = (
+        with_tables(lambda s: BIN.ivf_hamming_topk(
+            emb(s), emb(s).where("vec_id < 10"), _coarse(s), k=5,
+            n_probe=4, rerank=4, d=64)),
+        BIN.ivf_hamming_topk_duckdb_sql(
+            _emb_path, query_pred="vec_id < 10", k=5, n_cells=16,
+            n_probe=4, rerank=4, iters=3, d=64),
+    )
     # learned quality filter (operators/classifier.py): closed-form
     # ridge linear probe — ONE distributed pass computes quantized
     # integer normal-equation sums (order-independent, DECIMAL-merged),

@@ -244,3 +244,243 @@ def hamming_topk_duckdb_sql(query_pred: str = "vec_id < 20",
     ]
     return (", ".join(parts) +
             f" SELECT q_id, n_id, cosine, rank FROM final WHERE rank <= {k}")
+
+
+# ---------------------------------------------------------------------------
+# IVF-pruned binary search: cell-keyed hamming scan
+# ---------------------------------------------------------------------------
+
+def binary_codes_with_cell(df: DataFrame, coarse: list,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           d: int | None = None) -> DataFrame:
+    """(id, cell, w0..w{W-1}): the IVF-binary index — coarse-cell
+    assignment (first-min argmin over the same sequential-fold L2 the
+    k-means/PQ tiers pin) plus packed sign bits, one narrow projection.
+    Persist this = the serving index (8 logical bytes + a cell id per
+    64-dim vector)."""
+    from .clustering import _dists_expr
+
+    if d is None:
+        d = _dim(df, vec_col)
+    xd = f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
+    words = [F.expr(_word_expr(vec_col, j, d, "spark")).alias(f"w{j}")
+             for j in range(_n_words(d))]
+    return (
+        df.withColumn("_xd", F.expr(xd))
+        .withColumn("_dists", F.expr(_dists_expr("_xd", coarse)))
+        .select(
+            F.col(id_col),
+            (F.expr("array_position(_dists, array_min(_dists))")
+             .cast("int") - 1).alias("cell"),
+            *words,
+        )
+    )
+
+
+def ivf_hamming_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     k: int = 5, n_probe: int = 4, rerank: int = 0,
+                     round_to: int = 6, d: int | None = None,
+                     codes_df: DataFrame | None = None) -> DataFrame:
+    """Cell-pruned hamming top-k: the 100 TB binary search shape.
+
+    The plain hamming scan touches every code row per query; with an
+    IVF coarse quantizer routing code rows to cells and queries to
+    their ``n_probe`` nearest cells (the same deterministic quantizer
+    and probe rule the IVF-PQ tier pins), the xor+bit_count scan joins
+    ON ``cell`` and touches ~n_probe/n_cells of the code table — the
+    same pruning that made IVF-PQ the at-scale shape, on codes 2×
+    smaller still. ``rerank=R`` re-scores the per-query hamming
+    top-``k*R`` shortlist with exact cosine, identically to
+    :func:`hamming_topk`.
+
+    The query pass (probe cells + code words) is ONE ``mapInPandas``
+    over the query table — no driver collect; NULL/NaN query vectors
+    raise loudly (a NaN would pack differently in Python than in SQL —
+    the engines order NaN above zero, Python does not).
+    """
+    from pyspark.sql.window import Window
+
+    if d is None:
+        d = _dim(df, vec_col)
+    W = _n_words(d)
+    codes = codes_df if codes_df is not None else \
+        binary_codes_with_cell(df, coarse, vec_col, id_col, d=d)
+
+    from .pq import _probe_cells
+
+    bc = queries_df.sparkSession.sparkContext.broadcast(
+        (coarse, n_probe, d))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        crs, p, dd = bc.value
+        for chunk in batches:
+            q_ids, cells, words = [], [], []
+            for _, row in chunk.iterrows():
+                v = row[vec_col]
+                if v is None or len(v) != dd:
+                    raise ValueError(
+                        f"ivf_hamming_topk: bad query vector for "
+                        f"{id_col}={row[id_col]}")
+                q = np.asarray(v, dtype=np.float64)
+                if np.isnan(q).any():
+                    raise ValueError(
+                        f"ivf_hamming_topk: NaN query elements for "
+                        f"{id_col}={row[id_col]}")
+                ws = []
+                for j in range(_n_words(dd)):
+                    w = 0
+                    for b in range(WORD_BITS):
+                        i = j * WORD_BITS + b
+                        if i < dd and float(q[i]) > 0.0:
+                            w += 1 << b
+                    ws.append(w)
+                for c in _probe_cells(q, crs, p):
+                    q_ids.append(int(row[id_col]))
+                    cells.append(int(c))
+                    words.append(ws)
+            out = {"q_id": pd.array(q_ids, dtype="int64"),
+                   "cell": pd.array(cells, dtype="int32")}
+            for j in range(_n_words(dd)):
+                out[f"qw{j}"] = pd.array([w[j] for w in words],
+                                         dtype="int64")
+            yield pd.DataFrame(out)
+
+    schema = "q_id long, cell int, " + ", ".join(
+        f"qw{j} long" for j in range(W))
+    probes = queries_df.select(id_col, vec_col).mapInPandas(gen, schema)
+    ham = _hamming_expr([f"w{j}" for j in range(W)],
+                        [f"qw{j}" for j in range(W)], "spark")
+    scan = (
+        codes.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("q_id"))
+        .select(F.col("q_id"), F.col(id_col).alias("n_id"),
+                F.expr(ham).alias("hamming"))
+    )
+    w_ham = Window.partitionBy("q_id").orderBy(F.asc("hamming"),
+                                               F.asc("n_id"))
+    ranked = scan.withColumn("rank", F.row_number().over(w_ham))
+    if rerank <= 0:
+        return ranked.where(F.col("rank") <= k) \
+            .select("q_id", "n_id", "hamming", "rank")
+    shortlist = ranked.where(F.col("rank") <= k * rerank) \
+        .select("q_id", "n_id")
+    units = unit_vectors(df, vec_col, id_col)
+    qunits = unit_vectors(queries_df, vec_col, id_col) \
+        .select(F.col(id_col).alias("q_id"), F.col("unit").alias("qunit"))
+    dot = _UNIT_DOT.format(a="qunit", b="unit")
+    rescored = (
+        shortlist
+        .join(units.withColumnRenamed(id_col, "n_id"), "n_id")
+        .join(F.broadcast(qunits), "q_id")
+        .select("q_id", "n_id",
+                F.round(F.expr(dot), round_to).alias("cosine"))
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                               F.asc("n_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_cos))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def ivf_hamming_topk_duckdb_sql(parquet_path: str,
+                                query_pred: str = "vec_id < 10",
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id", k: int = 5,
+                                n_cells: int = 16, n_probe: int = 4,
+                                rerank: int = 0, iters: int = 3,
+                                sample: int = 2048, round_to: int = 6,
+                                d: int = 64,
+                                table: str = "embeddings") -> str:
+    """Oracle: coarse centroids and probe sets re-derived from the
+    parquet with the SAME numpy/python code (the IVF-PQ emitter
+    pattern), cell assignment verified in SQL (first-min argmin over
+    the identical sequential-fold L2), then the cell-keyed hamming
+    scan and ranking — and the exact-cosine rerank when asked."""
+    import duckdb
+    import numpy as np
+
+    from .pq import _l2_kmeans_np, _probe_cells
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"ORDER BY {id_col}").df()
+    qdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"WHERE {query_pred} ORDER BY {id_col}").df()
+    con.close()
+    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    coarse = [[float(v) for v in c]
+              for c in _l2_kmeans_np(X[:sample], n_cells, iters)]
+    probe_rows = ", ".join(
+        f"({int(r[id_col])}, {int(c)})"
+        for _, r in qdf.iterrows()
+        for c in _probe_cells(np.asarray(r[vec_col], dtype=np.float64),
+                              coarse, n_probe))
+
+    W = _n_words(d)
+    words = ", ".join(
+        f"{_word_expr(vec_col, j, d, 'duckdb')} AS w{j}" for j in range(W))
+    # squared-L2 to each centroid, sequential fold (list_sum == the
+    # JVM fold — the established equivalence)
+    def l2(center):
+        lits = ", ".join(repr(float(h)) for h in center)
+        return (f"list_sum(list_transform(list_zip(xd, [{lits}]), "
+                "x -> (x[1] - x[2]) * (x[1] - x[2])))")
+
+    d_aliases = ", ".join(f"{l2(c)} AS d_{i}" for i, c in enumerate(coarse))
+    argmin = "CASE "
+    for i in range(len(coarse)):
+        others = ", ".join(f"d_{j}" for j in range(len(coarse)) if j != i)
+        argmin += f"WHEN d_{i} <= least({others}) THEN {i} "
+    argmin += "END"
+    ham = _hamming_expr([f"c.w{j}" for j in range(W)],
+                        [f"p.qw{j}" for j in range(W)], "duckdb")
+    qwords = ", ".join(
+        f"{_word_expr(vec_col, j, d, 'duckdb')} AS qw{j}"
+        for j in range(W))
+    parts = [
+        f"WITH x AS (SELECT {id_col}, {vec_col}, "
+        f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
+        f"FROM {table})",
+        f"dists AS (SELECT {id_col}, {vec_col}, {d_aliases} FROM x)",
+        f"c AS (SELECT {id_col}, {argmin} AS cell, {words} FROM dists)",
+        f"qw AS (SELECT {id_col} AS q_id, {qwords} FROM {table} "
+        f"WHERE {query_pred})",
+        f"probes(q_id, cell) AS (VALUES {probe_rows})",
+        "p AS (SELECT probes.q_id, probes.cell, qw.* EXCLUDE (q_id) "
+        "FROM probes JOIN qw ON qw.q_id = probes.q_id)",
+        f"scan AS (SELECT p.q_id, c.{id_col} AS n_id, {ham} AS hamming "
+        f"FROM c JOIN p ON c.cell = p.cell WHERE c.{id_col} <> p.q_id)",
+        "ranked AS (SELECT q_id, n_id, hamming, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY hamming, n_id) AS rank FROM scan)",
+    ]
+    if rerank <= 0:
+        return (", ".join(parts) +
+                f" SELECT q_id, n_id, hamming, rank FROM ranked "
+                f"WHERE rank <= {k}")
+    parts += [
+        f"u AS (SELECT {id_col}, list_transform({vec_col}, "
+        "v -> CAST(v AS DOUBLE) / n) AS unit FROM "
+        f"(SELECT {id_col}, {vec_col}, "
+        f"sqrt(list_sum(list_transform({vec_col}, "
+        f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS n FROM {table}))",
+        f"short AS (SELECT q_id, n_id FROM ranked WHERE rank <= {k * rerank})",
+        "rescored AS (SELECT s.q_id, s.n_id, "
+        "round(list_sum(list_transform(list_zip(uq.unit, un.unit), "
+        f"x -> x[1] * x[2])), {round_to}) AS cosine FROM short s "
+        f"JOIN u un ON un.{id_col} = s.n_id "
+        f"JOIN u uq ON uq.{id_col} = s.q_id)",
+        "final AS (SELECT q_id, n_id, cosine, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank "
+        "FROM rescored)",
+    ]
+    return (", ".join(parts) +
+            f" SELECT q_id, n_id, cosine, rank FROM final WHERE rank <= {k}")

@@ -139,3 +139,68 @@ def test_null_and_nan_bit_semantics(spark):
     got = con.execute(B.binary_codes_duckdb_sql(d=40)).fetchall()
     con.close()
     assert got == [(0, 1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# IVF-pruned binary search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def coarse(emb):
+    from flink_sql_security_spark.operators import pq as PQ
+
+    return PQ.coarse_train(emb, n_cells=8, iters=3)
+
+
+def test_ivf_hamming_cross_engine_exact(emb, con, coarse):
+    for rr in (0, 3):
+        got = rows(B.ivf_hamming_topk(emb, emb.where("vec_id < 5"),
+                                      coarse, k=4, n_probe=3, rerank=rr))
+        want = fetch(con, B.ivf_hamming_topk_duckdb_sql(
+            EMB, query_pred="vec_id < 5", k=4, n_cells=8, n_probe=3,
+            rerank=rr, iters=3))
+        assert got == want and len(got) == 5 * 4, rr
+
+
+def test_ivf_hamming_scans_only_probed_cells(emb, coarse):
+    """The pruning contract: the scan's candidate count equals the sum
+    of probed-cell sizes (minus self rows), never the full n·|Q|."""
+    from pyspark.sql import functions as F
+
+    from flink_sql_security_spark.operators.pq import _probe_cells
+    import numpy as np
+
+    n_probe = 3
+    codes = B.binary_codes_with_cell(emb, coarse)
+    sizes = {r["cell"]: r["n"] for r in
+             codes.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    cell_of = {r["vec_id"]: r["cell"] for r in codes.collect()}
+    qrows = emb.where("vec_id < 5").collect()
+    expected = 0
+    for q in qrows:
+        probed = _probe_cells(np.asarray(q["embedding"], np.float64),
+                              coarse, n_probe)
+        expected += sum(sizes[c] for c in probed)
+        if cell_of[q["vec_id"]] in probed:
+            expected -= 1                     # self row excluded
+    # rebuild the internal scan (rank filter removed) and count it
+    full = B.ivf_hamming_topk(emb, emb.where("vec_id < 5"), coarse,
+                              k=10**6, n_probe=n_probe)
+    assert full.count() == expected
+    assert expected < 5 * 500                 # strictly pruned
+
+
+def test_ivf_hamming_full_probe_equals_flat_scan(emb, coarse):
+    """n_probe = n_cells ≡ the unpruned hamming_topk (same candidates,
+    same ranking)."""
+    got = rows(B.ivf_hamming_topk(emb, emb.where("vec_id < 5"), coarse,
+                                  k=4, n_probe=8))
+    flat = rows(B.hamming_topk(emb, emb.where("vec_id < 5"), k=4))
+    assert got == flat
+
+
+def test_ivf_hamming_rejects_bad_queries(spark, emb, coarse):
+    bad = spark.createDataFrame(
+        [(0, [float("nan")] * 64)], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="NaN query"):
+        B.ivf_hamming_topk(emb, bad, coarse, k=3).collect()
