@@ -85,6 +85,9 @@ BUDGETS = {
     # label-map join back; the bucket/threshold assignment itself is a
     # narrow projection
     "split_component_safe": 2,
+    # IVF-binary: the probe side broadcasts (a hash join on cell, no
+    # cartesian), leaving only the top-k window's q_id exchange
+    "emb_binary_ivf_topk": 1,
 }
 
 
