@@ -92,6 +92,57 @@ def _dim(df: DataFrame, vec_col: str) -> int:
     return df.select(F.size(vec_col).alias("d")).first()["d"]
 
 
+def _exact_rerank(df: DataFrame, queries_df: DataFrame, shortlist,
+                  vec_col: str, id_col: str, k: int,
+                  round_to: int) -> DataFrame:
+    """Shared refine stage: exact unit-vector cosine over a (q_id,
+    n_id) shortlist, final (q_id, n_id, cosine, rank) by cosine desc,
+    n_id asc. One implementation for the flat and IVF scans — a tie
+    rule or rounding fix lands in exactly one place."""
+    from pyspark.sql.window import Window
+
+    units = unit_vectors(df, vec_col, id_col)
+    qunits = unit_vectors(queries_df, vec_col, id_col) \
+        .select(F.col(id_col).alias("q_id"), F.col("unit").alias("qunit"))
+    dot = _UNIT_DOT.format(a="qunit", b="unit")
+    rescored = (
+        shortlist
+        .join(units.withColumnRenamed(id_col, "n_id"), "n_id")
+        .join(F.broadcast(qunits), "q_id")
+        .select("q_id", "n_id",
+                F.round(F.expr(dot), round_to).alias("cosine"))
+    )
+    w_cos = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
+                                               F.asc("n_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_cos))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
+def _rerank_sql_parts(table: str, vec_col: str, id_col: str, k: int,
+                      rerank: int, round_to: int) -> list[str]:
+    """The oracle-side twin of :func:`_exact_rerank`: CTE fragments
+    appended after a ``ranked`` CTE of (q_id, n_id, hamming, rank)."""
+    return [
+        f"u AS (SELECT {id_col}, list_transform({vec_col}, "
+        "v -> CAST(v AS DOUBLE) / n) AS unit FROM "
+        f"(SELECT {id_col}, {vec_col}, "
+        f"sqrt(list_sum(list_transform({vec_col}, "
+        f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS n FROM {table}))",
+        f"short AS (SELECT q_id, n_id FROM ranked WHERE rank <= {k * rerank})",
+        "rescored AS (SELECT s.q_id, s.n_id, "
+        "round(list_sum(list_transform(list_zip(uq.unit, un.unit), "
+        f"x -> x[1] * x[2])), {round_to}) AS cosine FROM short s "
+        f"JOIN u un ON un.{id_col} = s.n_id "
+        f"JOIN u uq ON uq.{id_col} = s.q_id)",
+        "final AS (SELECT q_id, n_id, cosine, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank "
+        "FROM rescored)",
+    ]
+
+
 def binary_codes(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id", d: int | None = None,
                  prefix: str = "w") -> DataFrame:
@@ -175,24 +226,8 @@ def hamming_topk(df: DataFrame, queries_df: DataFrame,
             .select("q_id", "n_id", "hamming", "rank")
     shortlist = ranked.where(F.col("rank") <= k * rerank) \
         .select("q_id", "n_id")
-    units = unit_vectors(df, vec_col, id_col)
-    qunits = unit_vectors(queries_df, vec_col, id_col) \
-        .select(F.col(id_col).alias("q_id"), F.col("unit").alias("qunit"))
-    dot = _UNIT_DOT.format(a="qunit", b="unit")
-    rescored = (
-        shortlist
-        .join(units.withColumnRenamed(id_col, "n_id"), "n_id")
-        .join(F.broadcast(qunits), "q_id")
-        .select("q_id", "n_id",
-                F.round(F.expr(dot), round_to).alias("cosine"))
-    )
-    w_cos = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
-                                               F.asc("n_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w_cos))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+    return _exact_rerank(df, queries_df, shortlist, vec_col, id_col,
+                         k, round_to)
 
 
 def hamming_topk_duckdb_sql(query_pred: str = "vec_id < 20",
@@ -226,22 +261,8 @@ def hamming_topk_duckdb_sql(query_pred: str = "vec_id < 20",
         return (", ".join(parts) +
                 f" SELECT q_id, n_id, hamming, rank FROM ranked "
                 f"WHERE rank <= {k}")
-    parts += [
-        f"u AS (SELECT {id_col}, list_transform({vec_col}, "
-        "v -> CAST(v AS DOUBLE) / n) AS unit FROM "
-        f"(SELECT {id_col}, {vec_col}, "
-        f"sqrt(list_sum(list_transform({vec_col}, "
-        f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS n FROM {table}))",
-        f"short AS (SELECT q_id, n_id FROM ranked WHERE rank <= {k * rerank})",
-        "rescored AS (SELECT s.q_id, s.n_id, "
-        "round(list_sum(list_transform(list_zip(uq.unit, un.unit), "
-        f"x -> x[1] * x[2])), {round_to}) AS cosine FROM short s "
-        f"JOIN u un ON un.{id_col} = s.n_id "
-        f"JOIN u uq ON uq.{id_col} = s.q_id)",
-        "final AS (SELECT q_id, n_id, cosine, row_number() OVER "
-        "(PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank "
-        "FROM rescored)",
-    ]
+    parts += _rerank_sql_parts(table, vec_col, id_col, k, rerank,
+                               round_to)
     return (", ".join(parts) +
             f" SELECT q_id, n_id, cosine, rank FROM final WHERE rank <= {k}")
 
@@ -258,23 +279,33 @@ def binary_codes_with_cell(df: DataFrame, coarse: list,
     assignment (first-min argmin over the same sequential-fold L2 the
     k-means/PQ tiers pin) plus packed sign bits, one narrow projection.
     Persist this = the serving index (8 logical bytes + a cell id per
-    64-dim vector)."""
+    64-dim vector).
+
+    NULL/NaN vector elements RAISE here (the PQ tier's loud index
+    policy, deliberately stricter than the flat tier's tolerant
+    prefilter): a NULL element would NULL the distance fold, NULL the
+    cell, and silently drop the row from every probe — unreachable at
+    any n_probe, invisible to recall. An index row must exist or fail,
+    never vanish.
+    """
     from .clustering import _dists_expr
 
     if d is None:
         d = _dim(df, vec_col)
     xd = f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
+    bad = (f"size({vec_col}) != {d} OR exists({vec_col}, v -> v IS NULL) "
+           f"OR exists({vec_col}, v -> isnan(CAST(v AS DOUBLE)))")
     words = [F.expr(_word_expr(vec_col, j, d, "spark")).alias(f"w{j}")
              for j in range(_n_words(d))]
+    cell = ("CASE WHEN " + bad + " THEN CAST(raise_error("
+            "'binary_codes_with_cell: NULL/NaN elements or wrong dim — "
+            "an IVF index row must exist or fail, never silently drop') "
+            "AS INT) ELSE CAST(array_position(_dists, array_min(_dists)) "
+            "AS INT) - 1 END")
     return (
         df.withColumn("_xd", F.expr(xd))
         .withColumn("_dists", F.expr(_dists_expr("_xd", coarse)))
-        .select(
-            F.col(id_col),
-            (F.expr("array_position(_dists, array_min(_dists))")
-             .cast("int") - 1).alias("cell"),
-            *words,
-        )
+        .select(F.col(id_col), F.expr(cell).alias("cell"), *words)
     )
 
 
@@ -369,24 +400,8 @@ def ivf_hamming_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
             .select("q_id", "n_id", "hamming", "rank")
     shortlist = ranked.where(F.col("rank") <= k * rerank) \
         .select("q_id", "n_id")
-    units = unit_vectors(df, vec_col, id_col)
-    qunits = unit_vectors(queries_df, vec_col, id_col) \
-        .select(F.col(id_col).alias("q_id"), F.col("unit").alias("qunit"))
-    dot = _UNIT_DOT.format(a="qunit", b="unit")
-    rescored = (
-        shortlist
-        .join(units.withColumnRenamed(id_col, "n_id"), "n_id")
-        .join(F.broadcast(qunits), "q_id")
-        .select("q_id", "n_id",
-                F.round(F.expr(dot), round_to).alias("cosine"))
-    )
-    w_cos = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
-                                               F.asc("n_id"))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w_cos))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+    return _exact_rerank(df, queries_df, shortlist, vec_col, id_col,
+                         k, round_to)
 
 
 def ivf_hamming_topk_duckdb_sql(parquet_path: str,
@@ -424,6 +439,10 @@ def ivf_hamming_topk_duckdb_sql(parquet_path: str,
         for _, r in qdf.iterrows()
         for c in _probe_cells(np.asarray(r[vec_col], dtype=np.float64),
                               coarse, n_probe))
+    if not probe_rows:
+        # a bare "VALUES" is a parse error; express the (valid) empty
+        # probe set so the oracle can still return the empty answer
+        probe_rows = "(CAST(NULL AS BIGINT), CAST(NULL AS INT))"
 
     W = _n_words(d)
     words = ", ".join(
@@ -466,21 +485,7 @@ def ivf_hamming_topk_duckdb_sql(parquet_path: str,
         return (", ".join(parts) +
                 f" SELECT q_id, n_id, hamming, rank FROM ranked "
                 f"WHERE rank <= {k}")
-    parts += [
-        f"u AS (SELECT {id_col}, list_transform({vec_col}, "
-        "v -> CAST(v AS DOUBLE) / n) AS unit FROM "
-        f"(SELECT {id_col}, {vec_col}, "
-        f"sqrt(list_sum(list_transform({vec_col}, "
-        f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS n FROM {table}))",
-        f"short AS (SELECT q_id, n_id FROM ranked WHERE rank <= {k * rerank})",
-        "rescored AS (SELECT s.q_id, s.n_id, "
-        "round(list_sum(list_transform(list_zip(uq.unit, un.unit), "
-        f"x -> x[1] * x[2])), {round_to}) AS cosine FROM short s "
-        f"JOIN u un ON un.{id_col} = s.n_id "
-        f"JOIN u uq ON uq.{id_col} = s.q_id)",
-        "final AS (SELECT q_id, n_id, cosine, row_number() OVER "
-        "(PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank "
-        "FROM rescored)",
-    ]
+    parts += _rerank_sql_parts(table, vec_col, id_col, k, rerank,
+                               round_to)
     return (", ".join(parts) +
             f" SELECT q_id, n_id, cosine, rank FROM final WHERE rank <= {k}")

@@ -58,14 +58,37 @@ def _quantized_gram_np(X, y):
     import numpy as np
 
     Xa = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
-    # one batched sum over the b axis (NOT 4k per-cell sums): int64
-    # addition is associative, so the summed matrix is identical
-    Ts = np.floor(np.einsum("bi,bj->bij", Xa, Xa) * _QUANT) \
-        .astype(np.int64).sum(axis=0)
-    Bs = np.floor((Xa * y[:, None]) * _QUANT).astype(np.int64).sum(axis=0)
     D = Xa.shape[1]
-    G = [[int(Ts[j, k]) for k in range(D)] for j in range(D)]
-    b = [int(Bs[j]) for j in range(D)]
+    # Overflow discipline: a per-row term is bounded by M²·1e12 for
+    # M = max|x'| — int64-safe only while M ≲ 2.8e3, checked LOUDLY
+    # (a silent wrap would corrupt the weights identically on both
+    # engines, invisible to the oracle). Rows accumulate in chunks
+    # sized so each chunk's int64 sum cannot wrap; chunk partials
+    # merge as Python ints (exact). The chunking also bounds the
+    # einsum tensor to ~chunk×(d+1)² doubles — tens of MB per task,
+    # not an Arrow-batch-sized GB.
+    M = float(np.abs(Xa).max()) if Xa.size else 1.0
+    term_bound = (M * M) * _QUANT + 1.0
+    if term_bound > 2 ** 62:
+        raise ValueError(
+            f"gram: |x| up to {M:.3g} overflows the integer quantum — "
+            "normalize or rescale the vectors first")
+    chunk = max(1, min(1024, int(2 ** 62 / term_bound)))
+    G = [[0] * D for _ in range(D)]
+    b = [0] * D
+    for s in range(0, Xa.shape[0], chunk):
+        Xc = Xa[s:s + chunk]
+        yc = y[s:s + chunk]
+        # int64 addition is associative: chunked sums == flat sums
+        Ts = np.floor(np.einsum("bi,bj->bij", Xc, Xc) * _QUANT) \
+            .astype(np.int64).sum(axis=0)
+        Bs = np.floor((Xc * yc[:, None]) * _QUANT) \
+            .astype(np.int64).sum(axis=0)
+        for j in range(D):
+            b[j] += int(Bs[j])
+            row = G[j]
+            for k in range(D):
+                row[k] += int(Ts[j, k])
     return G, b
 
 
@@ -149,10 +172,23 @@ def gram_partials(df: DataFrame, vec_col: str = "embedding",
             G, b = _quantized_gram_np(X, y)
             D = d + 1
             js, ks, qs = [], [], []
+
+            def emit(j, k, v):
+                # batch partials are exact Python ints; the emit column
+                # is int64, so split oversized values into bounded
+                # pieces — the downstream DECIMAL(38,0) sum re-merges
+                # them exactly
+                cap = 2 ** 62
+                while v > cap or v < -cap:
+                    piece = cap if v > 0 else -cap
+                    js.append(j); ks.append(k); qs.append(piece)
+                    v -= piece
+                js.append(j); ks.append(k); qs.append(v)
+
             for j in range(D):
-                js.append(j); ks.append(-1); qs.append(b[j])
+                emit(j, -1, b[j])
                 for k in range(j, D):
-                    js.append(j); ks.append(k); qs.append(G[j][k])
+                    emit(j, k, G[j][k])
             yield pd.DataFrame({
                 "j": pd.array(js, dtype="int32"),
                 "k": pd.array(ks, dtype="int32"),
@@ -225,11 +261,16 @@ def _score_expr(w: list[float], vec: str, dialect: str) -> str:
 def linear_score(df: DataFrame, w: list[float],
                  vec_col: str = "embedding", id_col: str = "vec_id",
                  threshold: float = 0.5, round_to: int = 6) -> DataFrame:
-    """(id, score, pred): probe score per row, narrow projection."""
-    s = _score_expr(w, vec_col, "spark")
+    """(id, score, pred): probe score per row, narrow projection.
+
+    ``pred`` thresholds the ROUNDED score — the same value the row
+    publishes — so a consumer re-deriving the gate from the visible
+    score can never disagree with the emitted pred.
+    """
+    s = f"round({_score_expr(w, vec_col, 'spark')}, {round_to})"
     return df.select(
         F.col(id_col),
-        F.round(F.expr(s), round_to).alias("score"),
+        F.expr(s).alias("score"),
         F.expr(f"CASE WHEN {s} >= {repr(float(threshold))} "
                "THEN 1 ELSE 0 END").alias("pred"),
     )
@@ -280,9 +321,9 @@ def linear_probe_duckdb_sql(parquet_path: str,
     scoring pass value-exactly against embedded literals."""
     w = probe_weights_from_parquet(parquet_path, vec_col, label_col,
                                    positive, l2)
-    s = _score_expr(w, vec_col, "duckdb")
+    s = f"round({_score_expr(w, vec_col, 'duckdb')}, {round_to})"
     return (
-        f"SELECT {id_col}, round({s}, {round_to}) AS score, "
+        f"SELECT {id_col}, {s} AS score, "
         f"CASE WHEN {s} >= {repr(float(threshold))} THEN 1 ELSE 0 END "
         f"AS pred FROM {table}"
     )

@@ -236,10 +236,16 @@ def mmr_rerank(df, queries_df, *, vec_col: str = "embedding",
         for pos in range(min(k, n)):
             best = None
             for i in remaining:
-                sc = lam * rel[i] if pos == 0 else \
+                # pos 0 selects by REL itself (the oracle's sel1 ranks
+                # by rel DESC) — identical to argmax(lam*rel) for any
+                # lam > 0, and still correct at lam = 0 where lam*rel
+                # collapses to ±0.0 and would tie everything
+                sc = rel[i] if pos == 0 else \
                     (lam * rel[i]) - (om * maxsim[i])
                 if best is None or sc > best_sc:
                     best, best_sc = i, sc
+            if pos == 0:
+                best_sc = lam * rel[best]      # the recorded score
             remaining.remove(best)
             out_n.append(int(ids[best]))
             # no second rounding: rel and sims are already rounded

@@ -204,3 +204,22 @@ def test_ivf_hamming_rejects_bad_queries(spark, emb, coarse):
         [(0, [float("nan")] * 64)], "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="NaN query"):
         B.ivf_hamming_topk(emb, bad, coarse, k=3).collect()
+
+
+def test_ivf_index_raises_on_null_vector(spark, coarse):
+    """Review fix: a NULL element would NULL the cell and silently drop
+    the row from every probe — the IVF index must fail loudly instead
+    (the flat prefilter stays NULL-tolerant by documented contract)."""
+    bad = spark.createDataFrame(
+        [(0, [0.5] * 63 + [None])], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="never silently drop"):
+        B.binary_codes_with_cell(bad, coarse).collect()
+
+
+def test_ivf_oracle_empty_query_set(con):
+    """Review fix: an empty probe set must express valid SQL and return
+    the empty answer, not a parse error."""
+    got = con.execute(B.ivf_hamming_topk_duckdb_sql(
+        EMB, query_pred="vec_id < 0", k=3, n_cells=4, n_probe=2,
+        iters=2)).fetchall()
+    assert got == []

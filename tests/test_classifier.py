@@ -115,3 +115,40 @@ def test_fuzz_probe_configs_cross_engine(spark, emb, con):
             threshold=threshold)).fetchall()))
         assert got == want and len(got) == 500, (trial, positive, l2,
                                                  threshold)
+
+
+def test_gram_large_magnitude_exact_and_overflow_guard(spark):
+    """Review fix: |x| ~ 100 vectors (legal input) must produce EXACT
+    sums — the in-batch accumulation chunks itself below int64 range —
+    and magnitudes that would wrap a single term must raise loudly."""
+    import duckdb
+
+    rows = [(i, [float((i * 13 + j * 7) % 201 - 100) for j in range(4)],
+             i % 2) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = sorted((r["j"], r["k"], int(r["qsum"]))
+                 for r in C.gram_partials(df, positive=0, d=4).collect())
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(v) for v in vec)}], {lab})"
+        for i, vec, lab in rows)
+    con.execute("CREATE VIEW g AS SELECT * FROM (VALUES " + vals +
+                ") AS t(vec_id, embedding, label)")
+    want = sorted((j, k, int(q)) for j, k, q in con.execute(
+        C.gram_duckdb_sql(d=4, table="g", positive=0)).fetchall())
+    con.close()
+    assert got == want
+
+    huge = spark.createDataFrame(
+        [(0, [1.0e4] * 4, 0)], "vec_id long, embedding array<float>, label int")
+    with pytest.raises(Exception, match="overflows the integer quantum"):
+        C.ridge_fit(huge, d=4)
+
+
+def test_pred_consistent_with_published_score(emb):
+    """Review fix: pred must gate on the ROUNDED score the row
+    publishes — re-deriving the gate from the score column can never
+    disagree with pred."""
+    for r in C.linear_probe(emb, positive=0, threshold=0.2).collect():
+        assert r["pred"] == (1 if r["score"] >= 0.2 else 0), r

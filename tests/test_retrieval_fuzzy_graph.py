@@ -266,7 +266,7 @@ def test_fuzz_mmr_configs_cross_engine(spark):
         for trial in range(4):
             k = rng.randint(2, 6)
             shortlist = rng.randint(k, 4 * k)
-            lam = rng.choice([0.3, 0.5, 0.7, 0.9, 1.0])
+            lam = rng.choice([0.0, 0.3, 0.5, 0.7, 0.9, 1.0])
             n_q = rng.choice([3, 5, 7])
             got = sorted(map(tuple, mmr_rerank(
                 emb, emb.where(f"vec_id < {n_q}"), k=k,
@@ -303,3 +303,26 @@ def test_mmr_short_corpus_and_shortlist_smaller_than_k(spark):
         query_pred="vec_id < 2", k=5, shortlist=10)).fetchall()))
     con.close()
     assert got == want and len(got) == 2 * 3
+
+
+def test_mmr_lambda_zero_pure_diversity_cross_engine(spark):
+    """Review fix: lam=0 (pure diversity) — the pos-0 pick ranks by rel
+    itself on both engines; lam*rel would collapse to ±0.0 in the
+    kernel and diverge from the oracle's rel-DESC sel1."""
+    import duckdb
+
+    from flink_sql_security_spark.operators.retrieval import (
+        mmr_rerank, mmr_rerank_duckdb_sql)
+
+    emb = spark.read.parquet(EMB_PATH)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{EMB_PATH}')")
+    got = sorted(map(tuple, mmr_rerank(
+        emb, emb.where("vec_id < 4"), k=4, shortlist=10,
+        lam=0.0).collect()))
+    want = sorted(map(tuple, con.execute(mmr_rerank_duckdb_sql(
+        query_pred="vec_id < 4", k=4, shortlist=10,
+        lam=0.0)).fetchall()))
+    con.close()
+    assert got == want and len(got) == 4 * 4

@@ -63,7 +63,7 @@ def main() -> None:
         truth = {}
         for r in S.cosine_topk(vecs, q, k=K).collect():
             truth.setdefault(r["q_id"], set()).add(r["n_id"])
-        rerank = max(8, n // (K * 200))       # shortlist ≈ 0.05% of n·k
+        rerank = max(8, n // (K * 200))   # shortlist k·rerank ≈ n/200 (0.5%)
         t0 = time.time()
         got = {}
         for r in B.hamming_topk(vecs, q, k=K, rerank=rerank,
