@@ -2061,6 +2061,15 @@ _CHECK_ORDER = [
     #   (sketch_distinct_hll, sketch_bloom_decon); diversity-aware
     #   selection (iterative greedy over a shortlist — MMR) is a
     #   family no window entry covers.
+    # Deliberately NOT windowed (breadth rule, documented decision):
+    # emb_binary_ivf_topk and split_component_safe are COMPOSITIONS of
+    # cores that each hold an in-window pin — coarse cell assign +
+    # probe sets (emb_ivfpq_rerank), the hamming scan + exact rerank
+    # (emb_binary_topk), min-id components (dedup_components), and the
+    # md5 bucket thresholds (sample_temperature_mix's shared
+    # _bucket_expr). Their full compositions stay strictly checked by
+    # tools/check_oracles.py; the 50 driver slots go to entries whose
+    # cores would otherwise be unpinned.
     "sample_temperature_mix", "bpe_tokens",
     "multimodal_features", "graph_pagerank",
     "fuzzy_title_pairs", "profile_quantiles", "pipeline_clean_corpus",
