@@ -319,7 +319,8 @@ def token_budget_sample_duckdb_sql(budget, table: str = "documents",
 
 def weighted_sample(df: DataFrame, n: int, weight_col: str,
                     id_col: str = "doc_id",
-                    salt: str = "wsample") -> DataFrame:
+                    salt: str = "wsample",
+                    keep_key: bool = False) -> DataFrame:
     """Deterministic weighted sample of ``n`` rows without replacement:
     P(row in sample) increases with ``weight_col`` (quality score, token
     count, source boost...). The A-ES scheme (Efraimidis & Spirakis 2006):
@@ -341,13 +342,15 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
          f"':{salt}')), 1, 15), 16, 10) AS BIGINT)")
     key = (f"ln((CAST({h} AS DOUBLE) + 1.0D) / {float(1 << 60)!r}D) "
            f"/ CAST({weight_col} AS DOUBLE)")
-    return (
+    out = (
         df.where(F.col(weight_col) > 0)
         .withColumn("_aes_key", F.expr(key))
         .orderBy(F.col("_aes_key").desc(), F.col(id_col))
         .limit(n)
-        .drop("_aes_key")
     )
+    if keep_key:
+        return out
+    return out.drop("_aes_key")
 
 
 def weighted_sample_duckdb_sql(n: int, weight_col: str,

@@ -629,3 +629,41 @@ def test_hamming_ingest_stream_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_weighted_sample_stream_matches_batch(spark):
+    """The deterministic-key reservoir contract: after any prefix of
+    micro-batches, the held sample equals the BATCH weighted_sample
+    over every row seen so far — arrival order and batching free."""
+    from flink_sql_security_spark.operators.sampling import weighted_sample
+    from flink_sql_security_spark.streaming.sampling import (
+        weighted_sample_stream)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "source", "n_chars")
+    expected = sorted(
+        tuple(r.asDict().items())
+        for r in weighted_sample(docs, 25, "n_chars").collect())
+    assert len(expected) == 25
+
+    path = tempfile.mkdtemp(prefix="fss_stream_res")
+    try:
+        # several files -> several micro-batches with maxFilesPerTrigger
+        docs.repartition(5).write.mode("overwrite").parquet(path)
+        src = (spark.readStream.schema(docs.schema)
+               .option("maxFilesPerTrigger", "1").parquet(path))
+        seen = {"last": None, "calls": 0}
+
+        def sink(sample_rows, batch_id):
+            seen["last"] = sample_rows
+            seen["calls"] += 1
+            assert len(sample_rows) <= 25
+
+        q = weighted_sample_stream(src, 25, "n_chars", sink).start()
+        q.processAllAvailable(); q.stop()
+        assert seen["calls"] >= 2          # genuinely incremental
+        got = sorted(tuple(p.items()) for p in seen["last"])
+        assert got == expected
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
