@@ -117,8 +117,12 @@ def quality_score(text: Column) -> Column:
     return F.expr(
         # NB: Spark SQL string literals process backslash escapes, so the
         # regex \s+ must be written \\s+ in the expression text
+        # outer rounding is the floor form, not round(x, 6): Spark
+        # rounds the shortest decimal repr while DuckDB rounds the
+        # exact binary value — observed to disagree at a decimal
+        # midpoint at sf0.1 (quantize.py's engine-exact rule)
         f"transform(array(split(lower(trim({sql})), '\\\\s+')), ws -> "
-        "round("
+        "floor(("
         f"0.4 * least(round(size(filter(ws, w -> w IN ({stops})))"
         " / greatest(size(ws), 1), 6) * 4, 1.0d)"
         f" + 0.3 * least(round(length(regexp_replace(lower(trim({sql})), '\\\\s+', ''))"
@@ -128,7 +132,7 @@ def quality_score(text: Column) -> Column:
         f" / greatest(length({sql}), 1), 6)"
         f" + round((length({sql}) - length(regexp_replace({sql}, '[^\\\\w\\\\s]', '')))"
         f" / greatest(length({sql}), 1), 6)) * 2, 1.0d))"
-        ", 6))[0]"
+        ") * 1000000.0D + 0.5D) / 1000000.0D)[0]"
     )
 
 
@@ -150,9 +154,11 @@ def _single_text_sql(text: Column) -> str:
 def quality_score_sql(c: str) -> str:
     f = quality_features_sql(c)
     return (
-        "round(0.4 * least(" + f["stopword_ratio"] + " * 4, 1.0)"
+        "floor((0.4 * least(" + f["stopword_ratio"] + " * 4, 1.0)"
         " + 0.3 * least(" + f["mean_word_len"] + " / 8, 1.0)"
-        " + 0.3 * (1 - least((" + f["digit_ratio"] + " + " + f["punct_ratio"] + ") * 2, 1.0)), 6)"
+        " + 0.3 * (1 - least((" + f["digit_ratio"] + " + "
+        + f["punct_ratio"] + ") * 2, 1.0))) * 1000000.0 + 0.5)"
+        " / 1000000.0"
     )
 
 
@@ -433,7 +439,14 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
         .agg(F.count("*").alias("n_bigrams"),
              F.sum("_lp").alias("_sum"))
         .select(F.col(id_col), "n_bigrams",
-                F.round(F.expr("CAST(_sum AS DOUBLE) / n_bigrams"), 6)
+                # floor(x*1e6 + 0.5), not round(x, 6): Spark rounds the
+                # shortest decimal repr (BigDecimal HALF_UP) while
+                # DuckDB rounds the exact binary value — they disagree
+                # when the double sits within an ulp of a decimal
+                # midpoint (observed at sf0.1). floor of the identical
+                # double is engine-exact (the quantize.py rule).
+                F.expr("floor((CAST(_sum AS DOUBLE) / n_bigrams) "
+                       "* 1000000.0D + 0.5D) / 1000000.0D")
                 .alias("avg_logprob"))
     )
 
@@ -456,7 +469,8 @@ def lm_score_sql(table: str = "documents", text_col: str = "text",
         "FROM toks JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN uni)"
         .format(id=id_col) + " "
         f"SELECT {id_col}, count(*) AS n_bigrams, "
-        f"round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob "
+        f"floor((CAST(sum(lp) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) "
+        f"/ 1000000.0 AS avg_logprob "
         f"FROM lp GROUP BY {id_col}"
     )
 

@@ -1202,7 +1202,10 @@ def source_overlap_matrix(pairs: DataFrame, docs: DataFrame,
                 .alias("_j"))
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"),
-             F.expr("round(CAST(sum(_j) AS DOUBLE) / count(*), 6)")
+             # floor form, not round(x,6): engine-exact at decimal
+             # midpoints (see functions/text.py lm_score note)
+             F.expr("floor((CAST(sum(_j) AS DOUBLE) / count(*)) "
+                    "* 1000000.0D + 0.5D) / 1000000.0D")
              .alias("avg_jaccard"))
     )
 
@@ -1218,8 +1221,9 @@ keys AS (SELECT {id_col}, {key_col} FROM ({docs_sql}))
 SELECT least(a.{key_col}, b.{key_col}) AS source_a,
        greatest(a.{key_col}, b.{key_col}) AS source_b,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       round(CAST(sum(CAST(round(p.jaccard, 6) AS DECIMAL(18,6)))
-             AS DOUBLE) / count(*), 6) AS avg_jaccard
+       floor((CAST(sum(CAST(round(p.jaccard, 6) AS DECIMAL(18,6)))
+             AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_jaccard
 FROM pairs p
 JOIN keys a ON p.id_a = a.{id_col}
 JOIN keys b ON p.id_b = b.{id_col}
