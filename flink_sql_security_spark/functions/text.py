@@ -28,6 +28,23 @@ BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 # -- token counting --------------------------------------------------------
 
+def floor_round6(expr: str, dialect: str = "spark") -> str:
+    """Engine-exact 6-decimal HALF_UP of a DOUBLE expression.
+
+    ``floor(x*1e6 + 0.5)/1e6`` instead of ``round(x, 6)``: Spark rounds
+    the shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds
+    the exact binary value, and they disagree when the double sits
+    within an ulp of a decimal midpoint (observed at sf0.1). floor of
+    the identical double is exact on both engines — quantize.py's rule.
+    ONE definition so a future change to the quantum or tie rule lands
+    in one place; any other round-6 site that hits the boundary class
+    should switch to this helper.
+    """
+    if dialect == "spark":
+        return f"(floor(({expr}) * 1000000.0D + 0.5D) / 1000000.0D)"
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
 def word_count(text: Column) -> Column:
     return F.size(F.split(F.lower(F.trim(text)), _WS))
 
@@ -117,22 +134,21 @@ def quality_score(text: Column) -> Column:
     return F.expr(
         # NB: Spark SQL string literals process backslash escapes, so the
         # regex \s+ must be written \\s+ in the expression text
-        # outer rounding is the floor form, not round(x, 6): Spark
-        # rounds the shortest decimal repr while DuckDB rounds the
-        # exact binary value — observed to disagree at a decimal
-        # midpoint at sf0.1 (quantize.py's engine-exact rule)
+        # outer rounding is floor_round6, not round(x, 6) — see the
+        # helper's docstring for the engine-boundary rationale
         f"transform(array(split(lower(trim({sql})), '\\\\s+')), ws -> "
-        "floor(("
-        f"0.4 * least(round(size(filter(ws, w -> w IN ({stops})))"
-        " / greatest(size(ws), 1), 6) * 4, 1.0d)"
-        f" + 0.3 * least(round(length(regexp_replace(lower(trim({sql})), '\\\\s+', ''))"
-        " / greatest(size(ws), 1), 6) / 8, 1.0d)"
-        " + 0.3 * (1 - least(("
-        f"round((length({sql}) - length(regexp_replace({sql}, '[0-9]', '')))"
-        f" / greatest(length({sql}), 1), 6)"
-        f" + round((length({sql}) - length(regexp_replace({sql}, '[^\\\\w\\\\s]', '')))"
-        f" / greatest(length({sql}), 1), 6)) * 2, 1.0d))"
-        ") * 1000000.0D + 0.5D) / 1000000.0D)[0]"
+        + floor_round6(
+            f"0.4 * least(round(size(filter(ws, w -> w IN ({stops})))"
+            " / greatest(size(ws), 1), 6) * 4, 1.0d)"
+            f" + 0.3 * least(round(length(regexp_replace(lower(trim({sql})), '\\\\s+', ''))"
+            " / greatest(size(ws), 1), 6) / 8, 1.0d)"
+            " + 0.3 * (1 - least(("
+            f"round((length({sql}) - length(regexp_replace({sql}, '[0-9]', '')))"
+            f" / greatest(length({sql}), 1), 6)"
+            f" + round((length({sql}) - length(regexp_replace({sql}, '[^\\\\w\\\\s]', '')))"
+            f" / greatest(length({sql}), 1), 6)) * 2, 1.0d))",
+            "spark")
+        + ")[0]"
     )
 
 
@@ -153,13 +169,11 @@ def _single_text_sql(text: Column) -> str:
 
 def quality_score_sql(c: str) -> str:
     f = quality_features_sql(c)
-    return (
-        "floor((0.4 * least(" + f["stopword_ratio"] + " * 4, 1.0)"
+    return floor_round6(
+        "0.4 * least(" + f["stopword_ratio"] + " * 4, 1.0)"
         " + 0.3 * least(" + f["mean_word_len"] + " / 8, 1.0)"
         " + 0.3 * (1 - least((" + f["digit_ratio"] + " + "
-        + f["punct_ratio"] + ") * 2, 1.0))) * 1000000.0 + 0.5)"
-        " / 1000000.0"
-    )
+        + f["punct_ratio"] + ") * 2, 1.0))", "duckdb")
 
 
 # -- language identification ----------------------------------------------
@@ -439,14 +453,8 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
         .agg(F.count("*").alias("n_bigrams"),
              F.sum("_lp").alias("_sum"))
         .select(F.col(id_col), "n_bigrams",
-                # floor(x*1e6 + 0.5), not round(x, 6): Spark rounds the
-                # shortest decimal repr (BigDecimal HALF_UP) while
-                # DuckDB rounds the exact binary value — they disagree
-                # when the double sits within an ulp of a decimal
-                # midpoint (observed at sf0.1). floor of the identical
-                # double is engine-exact (the quantize.py rule).
-                F.expr("floor((CAST(_sum AS DOUBLE) / n_bigrams) "
-                       "* 1000000.0D + 0.5D) / 1000000.0D")
+                F.expr(floor_round6("CAST(_sum AS DOUBLE) / n_bigrams",
+                                    "spark"))
                 .alias("avg_logprob"))
     )
 
@@ -469,9 +477,8 @@ def lm_score_sql(table: str = "documents", text_col: str = "text",
         "FROM toks JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN uni)"
         .format(id=id_col) + " "
         f"SELECT {id_col}, count(*) AS n_bigrams, "
-        f"floor((CAST(sum(lp) AS DOUBLE) / count(*)) * 1000000.0 + 0.5) "
-        f"/ 1000000.0 AS avg_logprob "
-        f"FROM lp GROUP BY {id_col}"
+        + floor_round6("CAST(sum(lp) AS DOUBLE) / count(*)", "duckdb")
+        + f" AS avg_logprob FROM lp GROUP BY {id_col}"
     )
 
 

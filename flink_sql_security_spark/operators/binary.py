@@ -89,7 +89,12 @@ def _hamming_expr(a_words: list[str], b_words: list[str],
 
 
 def _dim(df: DataFrame, vec_col: str) -> int:
-    return df.select(F.size(vec_col).alias("d")).first()["d"]
+    row = df.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] < 0:
+        raise ValueError(
+            f"binary: cannot infer vector dim from {vec_col!r} "
+            "(empty input or NULL vector) — pass d= explicitly")
+    return row["d"]
 
 
 def _exact_rerank(df: DataFrame, queries_df: DataFrame, shortlist,
@@ -293,8 +298,14 @@ def binary_codes_with_cell(df: DataFrame, coarse: list,
     if d is None:
         d = _dim(df, vec_col)
     xd = f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
-    bad = (f"size({vec_col}) != {d} OR exists({vec_col}, v -> v IS NULL) "
-           f"OR exists({vec_col}, v -> isnan(CAST(v AS DOUBLE)))")
+    # the IS NULL disjunct must come FIRST: under ANSI mode
+    # size(NULL) is NULL and a NULL `bad` would fall through the CASE
+    # to the silent-drop branch this guard exists to prevent; one fused
+    # exists() scan (NULL check short-circuits before the cast) keeps
+    # the interpreted HOF cost to a single pass per row
+    bad = (f"{vec_col} IS NULL OR size({vec_col}) != {d} OR "
+           f"exists({vec_col}, v -> v IS NULL OR "
+           "isnan(CAST(v AS DOUBLE)))")
     words = [F.expr(_word_expr(vec_col, j, d, "spark")).alias(f"w{j}")
              for j in range(_n_words(d))]
     cell = ("CASE WHEN " + bad + " THEN CAST(raise_error("

@@ -60,7 +60,8 @@ def _quantized_gram_np(X, y):
     Xa = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
     D = Xa.shape[1]
     # Overflow discipline: a per-row term is bounded by M²·1e12 for
-    # M = max|x'| — int64-safe only while M ≲ 2.8e3, checked LOUDLY
+    # M = max|x'| — the guard accepts M up to sqrt(2^62/1e12) ≈ 2.1e3
+    # (conservative: a lone term wraps int64 only past ~3e3), LOUDLY
     # (a silent wrap would corrupt the weights identically on both
     # engines, invisible to the oracle). Rows accumulate in chunks
     # sized so each chunk's int64 sum cannot wrap; chunk partials

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import (
+    floor_round6 as _floor_round6)
 from flink_sql_security_spark.operators.cache import attach, cached_deps
 
 # ---------------------------------------------------------------------------
@@ -1186,7 +1188,9 @@ def source_overlap_matrix(pairs: DataFrame, docs: DataFrame,
     broadcast whenever the map measures small, and otherwise both joins
     are id-keyed hash joins pruned to ids appearing in the (small) pair
     table. One groupBy over the |sources|² cells ends the plan.
-    avg_jaccard is round(Σ DECIMAL / n, 6): order-independent,
+    avg_jaccard is floor((Σ DECIMAL / n)·1e6 + 0.5)/1e6 — the
+    engine-exact rounding form (see functions/text.py
+    ``floor_round6``): order-independent,
     oracle-exact.
     """
     keys = docs.select(F.col(id_col), F.col(key_col))
@@ -1202,10 +1206,8 @@ def source_overlap_matrix(pairs: DataFrame, docs: DataFrame,
                 .alias("_j"))
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"),
-             # floor form, not round(x,6): engine-exact at decimal
-             # midpoints (see functions/text.py lm_score note)
-             F.expr("floor((CAST(sum(_j) AS DOUBLE) / count(*)) "
-                    "* 1000000.0D + 0.5D) / 1000000.0D")
+             F.expr(_floor_round6("CAST(sum(_j) AS DOUBLE) / count(*)",
+                                  "spark"))
              .alias("avg_jaccard"))
     )
 
@@ -1215,15 +1217,16 @@ def source_overlap_matrix_duckdb_sql(pairs_sql: str,
                                      key_col: str = "source",
                                      id_col: str = "doc_id") -> str:
     """DuckDB SQL computing the identical overlap cells (oracle)."""
+    avg_j = _floor_round6(
+        "CAST(sum(CAST(round(p.jaccard, 6) AS DECIMAL(18,6))) "
+        "AS DOUBLE) / count(*)", "duckdb")
     return f"""
 WITH pairs AS ({pairs_sql}),
 keys AS (SELECT {id_col}, {key_col} FROM ({docs_sql}))
 SELECT least(a.{key_col}, b.{key_col}) AS source_a,
        greatest(a.{key_col}, b.{key_col}) AS source_b,
        CAST(count(*) AS BIGINT) AS n_pairs,
-       floor((CAST(sum(CAST(round(p.jaccard, 6) AS DECIMAL(18,6)))
-             AS DOUBLE) / count(*)) * 1000000.0 + 0.5)
-             / 1000000.0 AS avg_jaccard
+       {avg_j} AS avg_jaccard
 FROM pairs p
 JOIN keys a ON p.id_a = a.{id_col}
 JOIN keys b ON p.id_b = b.{id_col}

@@ -30,9 +30,10 @@ def weighted_sample_stream(stream: DataFrame, n: int, weight_col: str,
     """foreachBatch writer maintaining the running weighted top-n.
 
     ``sink(sample_rows, batch_id)`` receives the CURRENT reservoir
-    after each micro-batch — a list of Rows (without the internal key),
-    ordered by priority desc, id asc. Returns the ``DataStreamWriter``
-    (caller sets checkpoint/trigger and calls ``.start()``).
+    after each micro-batch — a list of plain column-name→value dicts
+    (the internal priority key stripped), ordered by priority desc,
+    id asc. Returns the ``DataStreamWriter`` (caller sets
+    checkpoint/trigger and calls ``.start()``).
     """
     from flink_sql_security_spark.operators.sampling import weighted_sample
 

@@ -214,6 +214,16 @@ def test_ivf_index_raises_on_null_vector(spark, coarse):
         [(0, [0.5] * 63 + [None])], "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="never silently drop"):
         B.binary_codes_with_cell(bad, coarse).collect()
+    # top-level NULL vector: size(NULL) is NULL under ANSI mode, so the
+    # guard must test IS NULL FIRST or the CASE falls through silently
+    # (review-confirmed miss)
+    bad2 = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="never silently drop"):
+        B.binary_codes_with_cell(bad2, coarse, d=64).collect()
+    # and dim inference on an all-NULL column is loud, not a TypeError
+    with pytest.raises(Exception, match="pass d= explicitly"):
+        B.binary_codes(bad2)
 
 
 def test_ivf_oracle_empty_query_set(con):
