@@ -47,6 +47,10 @@ PYTHON_OK = {
     # 2 is ONE applyInPandas greedy per query group over the R-row
     # shortlist (O(R·k) dots) — shortlist cost, never the corpus.
     "retrieval_mmr_topk",
+    # IVF-binary: ONE mapInPandas over the QUERY table (probe cells +
+    # code words — the PQ tier's query-pass pattern); the corpus scan
+    # itself is pure JVM xor/bit_count.
+    "emb_binary_ivf_topk",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
