@@ -28,21 +28,43 @@ BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 # -- token counting --------------------------------------------------------
 
-def floor_round6(expr: str, dialect: str = "spark") -> str:
-    """Engine-exact 6-decimal HALF_UP of a DOUBLE expression.
+def floor_round(expr: str, nd: int = 6, dialect: str = "spark") -> str:
+    """Engine-exact ``nd``-decimal rounding of a DOUBLE expression.
 
-    ``floor(x*1e6 + 0.5)/1e6`` instead of ``round(x, 6)``: Spark rounds
-    the shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds
-    the exact binary value, and they disagree when the double sits
-    within an ulp of a decimal midpoint (observed at sf0.1). floor of
-    the identical double is exact on both engines — quantize.py's rule.
-    ONE definition so a future change to the quantum or tie rule lands
-    in one place; any other round-6 site that hits the boundary class
-    should switch to this helper.
+    ``floor(x*10^nd + 0.5)/10^nd`` instead of ``round(x, nd)``: Spark
+    rounds the shortest decimal repr (BigDecimal HALF_UP) while DuckDB
+    rounds the exact binary value, and they disagree when the double
+    sits within an ulp of a decimal midpoint (observed at sf0.1). floor
+    of the identical double is exact on both engines — quantize.py's
+    rule. Tie semantics: midpoints round toward +∞ (HALF_UP for
+    non-negative values, HALF_CEILING for negatives: -1.5e-6 → -1e-6,
+    not -2e-6) — a deliberate, documented difference from decimal
+    HALF_UP, chosen because the expression is bit-identical on every
+    engine. ONE definition so a future change to the quantum or tie
+    rule lands in one place; every cross-engine round-``nd`` final
+    must use this helper (or :func:`floor_round_py` in Arrow kernels).
     """
+    scale = repr(10.0 ** nd)
     if dialect == "spark":
-        return f"(floor(({expr}) * 1000000.0D + 0.5D) / 1000000.0D)"
-    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+        return f"(floor(({expr}) * {scale}D + 0.5D) / {scale}D)"
+    return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def floor_round_py(x: float, nd: int = 6) -> float:
+    """Python twin of :func:`floor_round` — the SAME IEEE ops
+    (multiply, add 0.5, floor, divide) on the same double, so an Arrow
+    kernel's value is bit-equal to the Spark expression and the DuckDB
+    oracle. Used wherever a Python kernel emits a value an engine-side
+    expression re-derives."""
+    import math
+
+    scale = 10.0 ** nd
+    return math.floor(x * scale + 0.5) / scale
+
+
+def floor_round6(expr: str, dialect: str = "spark") -> str:
+    """6-decimal specialization of :func:`floor_round` (the common case)."""
+    return floor_round(expr, 6, dialect)
 
 
 def word_count(text: Column) -> Column:

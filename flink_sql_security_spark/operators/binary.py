@@ -320,10 +320,35 @@ def binary_codes_with_cell(df: DataFrame, coarse: list,
     )
 
 
+def _gate_probe_broadcast(queries_df: DataFrame, id_col: str, vec_col: str,
+                          flag: bool | None, limit_bytes: int,
+                          n_probe: int, n_words: int) -> bool:
+    """Broadcast gate for the IVF probe table, sized on what actually
+    ships: n_probe rows of (q_id, cell, W packed words) per query — the
+    packed codes are ~32× smaller than the float vectors, but the
+    ×n_probe replication can still blow a broadcast for a large query
+    batch. Same contract as similarity._auto_broadcast / pq's LUT gate:
+    explicit flag wins; unknown input size → scale-safe (shuffle join
+    on cell), never a surprise broadcast."""
+    from .similarity import _plan_size_bytes
+
+    if flag is not None:
+        return flag
+    size = _plan_size_bytes(queries_df.select(id_col, vec_col))
+    if size is None:
+        return False
+    d = n_words * WORD_BITS
+    per_row_in = max(1, d * 8 + 8)
+    per_row_out = n_probe * (8 * n_words + 16)
+    return size * per_row_out // per_row_in <= limit_bytes
+
+
 def ivf_hamming_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      k: int = 5, n_probe: int = 4, rerank: int = 0,
                      round_to: int = 6, d: int | None = None,
+                     broadcast_probes: bool | None = None,
+                     broadcast_limit_bytes: int = 256 << 20,
                      codes_df: DataFrame | None = None) -> DataFrame:
     """Cell-pruned hamming top-k: the 100 TB binary search shape.
 
@@ -395,10 +420,17 @@ def ivf_hamming_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
     schema = "q_id long, cell int, " + ", ".join(
         f"qw{j} long" for j in range(W))
     probes = queries_df.select(id_col, vec_col).mapInPandas(gen, schema)
+    # broadcast only when the optimizer proves the query side small
+    # (accounting for the ×n_probe probe-row expansion); a large or
+    # unknown query batch shuffle-joins on cell — the scale-safe default
+    if _gate_probe_broadcast(queries_df, id_col, vec_col,
+                             broadcast_probes, broadcast_limit_bytes,
+                             n_probe, W):
+        probes = F.broadcast(probes)
     ham = _hamming_expr([f"w{j}" for j in range(W)],
                         [f"qw{j}" for j in range(W)], "spark")
     scan = (
-        codes.join(F.broadcast(probes), "cell")
+        codes.join(probes, "cell")
         .where(F.col(id_col) != F.col("q_id"))
         .select(F.col("q_id"), F.col(id_col).alias("n_id"),
                 F.expr(ham).alias("hamming"))

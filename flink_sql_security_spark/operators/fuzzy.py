@@ -35,13 +35,17 @@ from pyspark.sql import functions as F
 
 
 def fuzzy_name_pairs(df, *, id_col: str, name_col: str, max_dist: int = 8,
-                     block_expr=None, block_sql: str | None = None):
+                     block_expr=None):
     """All within-block pairs with levenshtein(name_a, name_b) <= max_dist.
 
     Returns (a_id, b_id, a_name, b_name, dist) with a_id < b_id.  The
     default block key is the first whitespace token of the name (names
     sharing a leading word are linkage candidates); pass ``block_expr``
-    (a Column) to override.
+    (a Column) to override — the Spark-side twin of the oracle
+    emitter's ``block_sql``. (An earlier signature also accepted
+    ``block_sql`` here and silently ignored it; it is gone so a
+    mis-addressed override fails loudly as a TypeError instead of
+    quietly using the default block key.)
     """
     block = (block_expr if block_expr is not None
              else F.split(F.col(name_col), " ")[0])

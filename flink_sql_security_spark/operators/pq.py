@@ -230,6 +230,11 @@ def _encode_arrow(df: DataFrame, codebooks: list, vec_col: str,
         cm = None if crs is None else np.asarray(crs, dtype=np.float64)
         for chunk in batches:
             vecs = chunk[vec_col].tolist()
+            if not vecs:
+                # an empty Arrow batch would make X 1-D and the
+                # enc[:, start:...] slices below IndexError — emit
+                # nothing for it (mapInPandas accepts a sparse yield)
+                continue
             for vid, v in zip(chunk[id_col].tolist(), vecs):
                 if v is None or len(v) != total or any(
                         x is None for x in v):
@@ -387,6 +392,8 @@ def _reconstruct_arrow(df: DataFrame, codebooks: list, vec_col: str,
         book_mats = [np.asarray(b, dtype=np.float64) for b in books]
         for chunk in batches:
             vecs = chunk[vec_col].tolist()
+            if not vecs:
+                continue  # same empty-batch guard as the encode kernel
             for vid, v in zip(chunk[id_col].tolist(), vecs):
                 if v is None or len(v) != total or any(
                         x is None for x in v):

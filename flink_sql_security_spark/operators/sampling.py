@@ -507,6 +507,19 @@ def _temperature_take_buckets(counts: dict, alpha: float,
     return out
 
 
+def _take_case_sql(take: dict, group_col: str) -> str:
+    """The per-group threshold CASE shared by the Spark operator and the
+    DuckDB oracle emitter. An EMPTY take map (empty input, or every
+    group NULL) must emit the literal ``0`` — ``CASE ELSE 0 END`` with
+    no WHEN arm is a parse error on both engines."""
+    if not take:
+        return "0"
+    return "CASE " + " ".join(
+        "WHEN {c} = '{g}' THEN {n}".format(
+            c=group_col, g=str(g).replace("'", "''"), n=n)
+        for g, n in take.items()) + " ELSE 0 END"
+
+
 def temperature_mix(df: DataFrame, group_col: str = "source",
                     alpha: float = 0.5, target_rows: int = 200,
                     id_col: str = "doc_id",
@@ -539,10 +552,7 @@ def temperature_mix(df: DataFrame, group_col: str = "source",
               for r in df.groupBy(group_col).count().collect()
               if r[0] is not None}
     take = _temperature_take_buckets(counts, alpha, target_rows)
-    case = "CASE " + " ".join(
-        "WHEN {c} = '{g}' THEN {n}".format(
-            c=group_col, g=str(g).replace("'", "''"), n=n)
-        for g, n in take.items()) + " ELSE 0 END"
+    case = _take_case_sql(take, group_col)
     bucket = _bucket_expr(id_col, salt)
     return (df.where(F.expr(f"({bucket}) < ({case})"))
             .select(id_col, group_col,
@@ -567,10 +577,7 @@ def temperature_mix_duckdb_sql(parquet_path: str, table: str = "documents",
     con.close()
     take = _temperature_take_buckets({r[0]: r[1] for r in rows},
                                      alpha, target_rows)
-    case = "CASE " + " ".join(
-        "WHEN {c} = '{g}' THEN {n}".format(
-            c=group_col, g=str(g).replace("'", "''"), n=n)
-        for g, n in take.items()) + " ELSE 0 END"
+    case = _take_case_sql(take, group_col)
     bucket = _bucket_duckdb(id_col, salt)
     return (f"SELECT {id_col}, {group_col}, "
             f"CAST({case} AS INT) AS take_buckets "

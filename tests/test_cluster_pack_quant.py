@@ -871,3 +871,16 @@ def test_fuzz_pq_configs_cross_engine(spark):
             residual=residual)).fetchall()))
         cfg = (trial, m, k_cb, n_cells, n_probe, k, rerank, residual)
         assert got == want and len(got) == n_q * k, cfg
+
+
+def test_pq_encode_reconstruct_empty_input(spark):
+    """ADVICE fix: an empty corpus (and any empty Arrow batch inside the
+    kernels) must produce the empty result, not a numpy IndexError from
+    slicing a 0-row matrix as 2-D."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = PQ.pq_train(emb, m=4, k=8, iters=2)
+    empty = emb.where("vec_id < 0")
+    assert PQ.pq_encode(empty, books).count() == 0
+    assert PQ.pq_reconstruct(empty, books).count() == 0

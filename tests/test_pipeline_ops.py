@@ -1604,3 +1604,20 @@ def test_component_safe_split_cross_engine(spark):
         SM.component_safe_split_duckdb_sql(pairs_sql)).fetchall()))
     con.close()
     assert got == want and len(got) == 500
+
+
+def test_temperature_mix_empty_and_all_null_groups(spark):
+    """ADVICE fix: an empty input (or an all-NULL group column) used to
+    emit `CASE ELSE 0 END` — a parse error. Both now return the empty
+    result, and the shared CASE emitter degrades to the literal 0."""
+    from flink_sql_security_spark.operators import sampling as SM
+    from flink_sql_security_spark.operators.sampling import _take_case_sql
+
+    docs = _tmix_docs(spark)
+    assert SM.temperature_mix(docs.where("doc_id < 0"),
+                              alpha=0.5, target_rows=40).count() == 0
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, source string")
+    assert SM.temperature_mix(all_null, alpha=0.5,
+                              target_rows=40).count() == 0
+    assert _take_case_sql({}, "source") == "0"

@@ -326,3 +326,14 @@ def test_mmr_lambda_zero_pure_diversity_cross_engine(spark):
         lam=0.0)).fetchall()))
     con.close()
     assert got == want and len(got) == 4 * 4
+
+
+def test_fuzzy_rejects_block_sql_kwarg(spark):
+    """ADVICE fix: the Spark operator once accepted (and silently
+    ignored) the oracle emitter's block_sql kwarg — it must now fail
+    loudly so a mis-addressed block override can't fall back to the
+    default key unnoticed."""
+    df = spark.createDataFrame([(1, "acme corp")], "id long, name string")
+    with pytest.raises(TypeError):
+        fuzzy_name_pairs(df, id_col="id", name_col="name",
+                         block_sql="name[1]")
