@@ -857,8 +857,12 @@ _DUCK_UNIT = (
     " sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n"
     " FROM embeddings))"
 )
+# cosine finals quantize with the shared floor rule (floor_round in
+# functions/text.py) — native round() disagrees across engines when the
+# double sits within an ulp of a 6-decimal midpoint
 _DUCK_UNIT_DOT = (
-    "round(list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2])), 6)"
+    "(floor((list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> x[1] * x[2]))) * 1000000.0 + 0.5) / 1000000.0)"
 )
 
 

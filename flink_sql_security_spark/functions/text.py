@@ -67,6 +67,14 @@ def floor_round6(expr: str, dialect: str = "spark") -> str:
     return floor_round(expr, 6, dialect)
 
 
+def floor_round_col(col: Column, nd: int = 6) -> Column:
+    """Column-API twin of :func:`floor_round`: the same IEEE multiply /
+    add-0.5 / floor(→BIGINT) / divide sequence, for call sites that hold
+    a ``Column`` rather than a SQL string."""
+    scale = F.lit(10.0 ** nd)
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 def word_count(text: Column) -> Column:
     return F.size(F.split(F.lower(F.trim(text)), _WS))
 
@@ -379,7 +387,7 @@ def tfidf_top_terms(df, text_col: str = "text", k: int = 3,
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
-        .withColumn("tfidf", F.round(
+        .withColumn("tfidf", floor_round_col(
             F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
     )
     w = Window.partitionBy(id_col).orderBy(
@@ -403,7 +411,8 @@ def tfidf_top_terms_sql(table: str = "documents", text_col: str = "text",
         f"dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
         f"n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM {table}), "
         f"scored AS (SELECT {id_col}, tf.token, tf, df, "
-        f"round(tf * ln(n_docs / df), 6) AS tfidf FROM tf "
+        + floor_round("tf * ln(n_docs / df)", 6, "duckdb")
+        + " AS tfidf FROM tf "
         f"JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n), "
         f"ranked AS (SELECT *, row_number() OVER (PARTITION BY {id_col} "
         f"ORDER BY tfidf DESC, token) AS rank FROM scored) "
@@ -419,9 +428,9 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     vocabulary).
 
     avg_logprob = mean over the document's word bigrams of
-    ``round(ln((C(w1 w2) + 1) / (C(w1·) + V)), 6)``; higher = more
-    in-domain. Cross-engine exactness: each bigram's logprob is rounded
-    to 6 decimals and summed as DECIMAL (exact, order-independent — a
+    ``floor_round(ln((C(w1 w2) + 1) / (C(w1·) + V)), 6)``; higher = more
+    in-domain. Cross-engine exactness: each bigram's logprob quantizes
+    to 6 decimals with the shared floor rule and sums as DECIMAL (exact, order-independent — a
     double sum would be partition-order dependent), then one double
     division per document. Shuffle census: one explode→groupBy for
     bigram counts, the per-doc probe join keyed on the bigram, and the
@@ -466,7 +475,7 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
            .agg(F.count_distinct("t").alias("v")))
     v = uni.collect()[0]["v"]
     logp = F.expr(
-        f"CAST(round(ln((c2 + 1) / CAST(c1 + {v} AS DOUBLE)), 6) "
+        "CAST(" + floor_round(f"ln((c2 + 1) / CAST(c1 + {v} AS DOUBLE))", 6) + " "
         "AS DECIMAL(18,6))")
     return (
         toks.join(c2, "bg").join(F.broadcast(c1), "w1")
@@ -494,10 +503,11 @@ def lm_score_sql(table: str = "documents", text_col: str = "text",
         "c1 AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY w1), "
         f"uni AS (SELECT count(DISTINCT t.token) AS v FROM {table}, "
         f"UNNEST({ws}) AS t(token) WHERE t.token <> ''), "
-        "lp AS (SELECT toks.{id}, CAST(round(ln((c2.c2 + 1) / "
-        "CAST(c1.c1 + uni.v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp "
-        "FROM toks JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN uni)"
-        .format(id=id_col) + " "
+        "lp AS (SELECT toks.{id}, CAST(".format(id=id_col)
+        + floor_round("ln((c2.c2 + 1) / CAST(c1.c1 + uni.v AS DOUBLE))",
+                      6, "duckdb")
+        + " AS DECIMAL(18,6)) AS lp "
+        "FROM toks JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN uni) "
         f"SELECT {id_col}, count(*) AS n_bigrams, "
         + floor_round6("CAST(sum(lp) AS DOUBLE) / count(*)", "duckdb")
         + f" AS avg_logprob FROM lp GROUP BY {id_col}"

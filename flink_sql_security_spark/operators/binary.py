@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import floor_round
+
 from .similarity import _UNIT_DOT, unit_vectors
 
 WORD_BITS = 32
@@ -115,7 +117,7 @@ def _exact_rerank(df: DataFrame, queries_df: DataFrame, shortlist,
         .join(units.withColumnRenamed(id_col, "n_id"), "n_id")
         .join(F.broadcast(qunits), "q_id")
         .select("q_id", "n_id",
-                F.round(F.expr(dot), round_to).alias("cosine"))
+                F.expr(floor_round(dot, round_to)).alias("cosine"))
     )
     w_cos = Window.partitionBy("q_id").orderBy(F.desc("cosine"),
                                                F.asc("n_id"))
@@ -138,8 +140,9 @@ def _rerank_sql_parts(table: str, vec_col: str, id_col: str, k: int,
         f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS n FROM {table}))",
         f"short AS (SELECT q_id, n_id FROM ranked WHERE rank <= {k * rerank})",
         "rescored AS (SELECT s.q_id, s.n_id, "
-        "round(list_sum(list_transform(list_zip(uq.unit, un.unit), "
-        f"x -> x[1] * x[2])), {round_to}) AS cosine FROM short s "
+        + floor_round("list_sum(list_transform(list_zip(uq.unit, un.unit), "
+                      "x -> x[1] * x[2]))", round_to, "duckdb")
+        + " AS cosine FROM short s "
         f"JOIN u un ON un.{id_col} = s.n_id "
         f"JOIN u uq ON uq.{id_col} = s.q_id)",
         "final AS (SELECT q_id, n_id, cosine, row_number() OVER "

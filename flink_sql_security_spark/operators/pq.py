@@ -50,6 +50,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import (
+    floor_round, floor_round_py)
+
 from flink_sql_security_spark.operators.clustering import (
     _centroid_array_sql, _dists_expr)
 
@@ -169,7 +172,7 @@ def pq_encode(df: DataFrame, codebooks: list, vec_col: str = "embedding",
         if stringify_codes else F.expr(codes))
     return out.select(
         *cols, codes_out.alias("codes"),
-        F.round(F.expr(err), round_to).alias("err"))
+        F.expr(floor_round(err, round_to)).alias("err"))
 
 
 def _subspace_dists_np(X, book):
@@ -201,9 +204,6 @@ def _encode_arrow(df: DataFrame, codebooks: list, vec_col: str,
     higher-order folds per row, numpy runs the same arithmetic as array
     ops (measured ~2.4 s -> ~0.3 s for the sf0.1 encode)."""
     import json as _json
-
-    from flink_sql_security_spark.operators.similarity import (
-        _round_half_up)
 
     total = sum(len(book[0]) for book in codebooks)
     if residual and coarse is None:
@@ -275,7 +275,7 @@ def _encode_arrow(df: DataFrame, codebooks: list, vec_col: str,
             else:
                 out["codes"] = pd.Series(codes, dtype="object")
             out["err"] = pd.array(
-                [_round_half_up(float(e), round_to) for e in err]
+                [floor_round_py(float(e), round_to) for e in err]
                 if err is not None else [], dtype="float64")
             yield pd.DataFrame(out)
 
@@ -365,9 +365,6 @@ def _reconstruct_arrow(df: DataFrame, codebooks: list, vec_col: str,
     values (+ the coarse centroid in residual mode, the identical
     elementwise add) rounded HALF_UP per component — row-for-row equal
     to the expression path (pytest-pinned)."""
-    from flink_sql_security_spark.operators.similarity import (
-        _round_half_up)
-
     total = sum(len(book[0]) for book in codebooks)
     if residual and coarse is None:
         raise ValueError("pq_encode: residual=True requires coarse")
@@ -425,7 +422,7 @@ def _reconstruct_arrow(df: DataFrame, codebooks: list, vec_col: str,
             if res:
                 recon = recon + cm[cell]
             out["approx"] = pd.Series(
-                [[_round_half_up(float(v), round_to) for v in row]
+                [[floor_round_py(float(v), round_to) for v in row]
                  for row in recon], dtype="object")
             yield pd.DataFrame(out)
 
@@ -476,8 +473,8 @@ def pq_reconstruct(df: DataFrame, codebooks: list,
     # literal's precision — double is the contract (and what the arrow
     # path emits); the cast of the exact decimal literal is the same
     # correctly-rounded double the repr round-trip produces
-    recon = (f"transform({recon}, v -> round(CAST(v AS DOUBLE), "
-             f"{round_to}))")
+    recon = (f"transform({recon}, v -> "
+             + floor_round("CAST(v AS DOUBLE)", round_to) + ")")
     if stringify:
         recon = (f"array_join(transform({recon}, "
                  "v -> CAST(v AS STRING)), ',')")
@@ -554,8 +551,8 @@ def pq_reconstruct_duckdb_sql(parquet_path: str,
         cmat = _centroid_array_sql(coarse, "duckdb")
         recon = (f"list_transform(list_zip({recon}, ({cmat})[cell + 1]), "
                  "p -> p[1] + p[2])")
-    recon = (f"list_transform({recon}, v -> round(CAST(v AS DOUBLE), "
-             f"{round_to}))")
+    recon = (f"list_transform({recon}, v -> "
+             + floor_round("CAST(v AS DOUBLE)", round_to, "duckdb") + ")")
     if stringify:
         recon = f"array_to_string({recon}, ',')"
     return (f"WITH {src_cte} "
@@ -602,7 +599,7 @@ def pq_encode_duckdb_sql(parquet_path: str, vec_col: str = "embedding",
         f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
         "FROM embeddings) "
         f"SELECT {id_col}, {codes_out} AS codes, "
-        f"round({err}, {round_to}) AS err FROM x"
+        + floor_round(err, round_to, "duckdb") + " AS err FROM x"
     )
 
 
@@ -770,8 +767,8 @@ def _adc_search(codes, probe_side, join, codebooks: list, id_col: str,
         .where(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id", F.col(id_col).alias("n_id"),
-            F.round(F.expr(_adc_expr(len(codebooks))),
-                    round_to).alias("adc_dist"))
+            F.expr(floor_round(_adc_expr(len(codebooks)),
+                               round_to)).alias("adc_dist"))
     )
     w = Window.partitionBy("q_id").orderBy(F.asc("adc_dist"), F.asc("n_id"))
     out = (scored.withColumn("rank", F.row_number().over(w))
@@ -971,8 +968,9 @@ def pq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
         f"codes AS (SELECT {id_col}, {codes} AS codes FROM x), "
         "luts(q_id, lut) AS (VALUES " + ", ".join(lut_values) + "), "
         "scored AS (SELECT l.q_id, c.{id} AS n_id, "
-        "round(list_sum(list_transform(list_zip(c.codes, l.lut), "
-        f"p -> p[2][p[1] + 1])), {round_to}) AS adc_dist "
+        + floor_round("list_sum(list_transform(list_zip(c.codes, l.lut), "
+                      "p -> p[2][p[1] + 1]))", round_to, "duckdb")
+        + " AS adc_dist "
         "FROM codes c CROSS JOIN luts l "
         "WHERE c.{id} <> l.q_id)".format(id=id_col) + ", "
         "ranked AS (SELECT q_id, n_id, adc_dist, row_number() OVER "
@@ -1063,8 +1061,9 @@ def ivfpq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
         "probes(q_id, cell, lut) AS (VALUES "
         + ", ".join(probe_values) + "), "
         "scored AS (SELECT pr.q_id, c.{id} AS n_id, "
-        "round(list_sum(list_transform(list_zip(c.codes, pr.lut), "
-        f"p -> p[2][p[1] + 1])), {round_to}) AS adc_dist "
+        + floor_round("list_sum(list_transform(list_zip(c.codes, pr.lut), "
+                      "p -> p[2][p[1] + 1]))", round_to, "duckdb")
+        + " AS adc_dist "
         "FROM codes c JOIN probes pr ON c.cell = pr.cell "
         "WHERE c.{id} <> pr.q_id)".format(id=id_col) + ", "
         "ranked AS (SELECT q_id, n_id, adc_dist, row_number() OVER "
@@ -1141,8 +1140,8 @@ def ivfpq_rerank(df: DataFrame, queries_df: DataFrame, coarse: list,
     scored = (nvec.join(cand, "n_id")
               .join(qvec, "q_id")
               .select("q_id", "n_id",
-                      F.round(F.expr(_SQ_L2.format(a="_qv", b="_nv")),
-                              round_to).alias("exact_dist")))
+                      F.expr(floor_round(_SQ_L2.format(a="_qv", b="_nv"),
+                                         round_to)).alias("exact_dist")))
     w = Window.partitionBy("q_id").orderBy(F.asc("exact_dist"),
                                            F.asc("n_id"))
     out = (scored.withColumn("rank", F.row_number().over(w))
@@ -1174,8 +1173,9 @@ def ivfpq_rerank_duckdb_sql(parquet_path: str,
         f"v AS (SELECT {id_col}, list_transform({vec_col}, "
         "x -> CAST(x AS DOUBLE)) AS xd FROM embeddings), "
         "rescored AS (SELECT s.q_id, s.n_id, "
-        "round(list_sum(list_transform(list_zip(qv.xd, nv.xd), "
-        f"p -> (p[1] - p[2]) * (p[1] - p[2]))), {round_to}) AS exact_dist "
+        + floor_round("list_sum(list_transform(list_zip(qv.xd, nv.xd), "
+                      "p -> (p[1] - p[2]) * (p[1] - p[2])))",
+                      round_to, "duckdb") + " AS exact_dist "
         "FROM shortlist s "
         f"JOIN v qv ON qv.{id_col} = s.q_id "
         f"JOIN v nv ON nv.{id_col} = s.n_id), "

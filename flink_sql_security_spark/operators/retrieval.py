@@ -26,8 +26,9 @@ Scale design (100 TB corpus):
   plans the usual rank-filter; no global sort materialization of the
   corpus.
 
-Float parity with the DuckDB oracle: per-(doc, term) scores round to 6
-decimals (ln() agreement precision, same as tf·idf), and the per-doc
+Float parity with the DuckDB oracle: per-(doc, term) scores quantize to
+6 decimals with the shared floor rule (ln() agreement precision, same as
+tf·idf), and the per-doc
 total folds the per-term columns in FIXED term order — left-associated
 addition in both engines — so no engine-dependent summation order exists
 anywhere in the plan.
@@ -37,6 +38,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from flink_sql_security_spark.functions.text import (
+    floor_round, floor_round_col, floor_round_py)
 
 from .cache import attach
 
@@ -101,7 +105,7 @@ def bm25_topk(df, terms, k: int = 20, *, text_col: str = "text",
                 / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
     norm = F.col("tf") + (F.lit(k1) * ((F.lit(1.0 - b))
                                        + (F.lit(b) * (F.col("dl") / F.lit(avgdl)))))
-    score = F.round(idf * ((F.col("tf") * F.lit(k1 + 1.0)) / norm), 6)
+    score = floor_round_col(idf * ((F.col("tf") * F.lit(k1 + 1.0)) / norm), 6)
 
     scored = tf.join(F.broadcast(dfreq), "token").withColumn("s", score)
 
@@ -113,7 +117,7 @@ def bm25_topk(df, terms, k: int = 20, *, text_col: str = "text",
     total = F.coalesce(F.col(_term_col(terms[0])), F.lit(0.0))
     for t in terms[1:]:
         total = total + F.coalesce(F.col(_term_col(t)), F.lit(0.0))
-    per_doc = per_doc.withColumn("score", F.round(total, 6))
+    per_doc = per_doc.withColumn("score", floor_round_col(total, 6))
 
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     out = (per_doc.withColumn("rank", F.row_number().over(w))
@@ -158,14 +162,15 @@ def bm25_topk_sql(terms, k: int = 20, *, table: str = "documents",
         f"GROUP BY {id_col}, dl, token), "
         f"dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
         f"scored AS (SELECT tf.{id_col}, tf.dl, tf.token, "
-        f"round(ln(((n_docs - df) + {d(0.5)}) / (df + {d(0.5)}) + {d(1.0)}) "
-        f"* ((tf * {d(k1 + 1.0)}) / (tf + ({d(k1)} * ({d(1.0 - b)} "
-        f"+ ({d(b)} * (dl / avgdl)))))), 6) AS s "
+        + floor_round(
+            f"ln(((n_docs - df) + {d(0.5)}) / (df + {d(0.5)}) + {d(1.0)}) "
+            f"* ((tf * {d(k1 + 1.0)}) / (tf + ({d(k1)} * ({d(1.0 - b)} "
+            f"+ ({d(b)} * (dl / avgdl))))))", 6, "duckdb") + " AS s "
         f"FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN stats), "
         f"per_doc AS (SELECT {id_col}, dl, {s_cols} FROM scored "
         f"GROUP BY {id_col}, dl), "
         f"totaled AS (SELECT {id_col}, dl, {out_cols}, "
-        f"round({total}, 6) AS score FROM per_doc), "
+        + floor_round(total, 6, "duckdb") + " AS score FROM per_doc), "
         f"ranked AS (SELECT *, row_number() OVER "
         f"(ORDER BY score DESC, {id_col}) AS rank FROM totaled) "
         f"SELECT * FROM ranked WHERE rank <= {k}"
@@ -196,9 +201,10 @@ def mmr_rerank(df, queries_df, *, vec_col: str = "embedding",
     queries parallelize perfectly.
 
     Determinism / oracle parity: rel comes rounded from the shortlist
-    stage; candidate-candidate sims round the same HALF_UP way before
-    entering scores (Python `_round_half_up` == Spark round() ==
-    DuckDB round(), the repo's established triple); score arithmetic
+    stage; candidate-candidate sims round with the same shared floor
+    rule before entering scores (`floor_round_py` == the Spark
+    floor_round expression == the DuckDB floor form — native round()
+    disagrees across engines on midpoint-ulp doubles); score arithmetic
     is a fixed op order on bit-identical doubles; argmax ties break
     to the smallest n_id. The oracle unrolls the k greedy stages as
     CTEs (PageRank's fixed-iteration pattern).
@@ -207,8 +213,7 @@ def mmr_rerank(df, queries_df, *, vec_col: str = "embedding",
     """
     import pandas as pd
 
-    from .similarity import (_round_half_up, _seq_dot, cosine_topk,
-                             unit_vectors)
+    from .similarity import _seq_dot, cosine_topk, unit_vectors
 
     om = 1.0 - lam
     short = (cosine_topk(df, queries_df, vec_col, id_col,
@@ -256,7 +261,7 @@ def mmr_rerank(df, queries_df, *, vec_col: str = "embedding",
             out_p.append(pos + 1)
             if pos + 1 < k:
                 for i in remaining:
-                    s = _round_half_up(_seq_dot(U[i], U[best]), round_to)
+                    s = floor_round_py(_seq_dot(U[i], U[best]), round_to)
                     if s > maxsim[i]:
                         maxsim[i] = s
         return pd.DataFrame({
@@ -282,8 +287,8 @@ def mmr_rerank_duckdb_sql(query_pred: str = "vec_id < 10",
     the shortlist and the max-sim-to-selected aggregate."""
     om = 1.0 - lam
     L, OM = repr(float(lam)), repr(float(om))
-    dot = ("round(list_sum(list_transform(list_zip({a}, {b}), "
-           f"x -> x[1] * x[2])), {round_to})")
+    dot = floor_round("list_sum(list_transform(list_zip({a}, {b}), "
+                      "x -> x[1] * x[2]))", round_to, "duckdb")
     parts = [
         f"WITH u AS (SELECT {id_col}, list_transform({vec_col}, "
         "x -> CAST(x AS DOUBLE) / n) AS unit FROM "

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import floor_round, floor_round_py
 from flink_sql_security_spark.operators.cache import attach
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
@@ -63,11 +64,14 @@ _UNIT_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc 
 # - norms and dots are SEQUENTIAL left folds (same IEEE add/mul order as
 #   `aggregate(..., 0D, (acc, v) -> acc + v)`); numpy's pairwise sums would
 #   drift by ~1 ulp
-# - rounding mirrors Spark's round(): Java BigDecimal.valueOf(double) parses
-#   the shortest decimal repr — Decimal(repr(x)) is the Python equivalent
-#   (Decimal(x) would keep the exact binary expansion and can round the
-#   other way on .5-at-scale boundaries); HALF_UP == half-away-from-zero
-#   for the positive cosines that survive thresholds
+# - rounding is the shared floor rule (functions.text.floor_round_py ==
+#   the Spark floor_round expression == the DuckDB floor form): Spark's
+#   round() quantizes the shortest decimal repr (BigDecimal HALF_UP)
+#   while DuckDB's rounds the exact binary value, and the two disagree
+#   when a double sits within an ulp of a decimal midpoint — so NO
+#   cross-engine final may use either engine's native round(). The
+#   legacy _round_half_up below reproduces Spark round() and remains
+#   only for sites that must match a Spark round() that still exists.
 
 def _seq_sq_norms(M):
     """Per-row sqrt of the sequential-fold sum of squares."""
@@ -147,7 +151,7 @@ def cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     """All pairs with cosine ≥ threshold (brute force, id_a < id_b).
 
     Three physical strategies for the same logical result (per-pair
-    arithmetic — exact sequential-fold dot + HALF_UP rounding — is
+    arithmetic — exact sequential-fold dot + shared floor-rule rounding — is
     identical in all of them, pinned by the parity tests):
 
     - ``prefilter=True, broadcast_corpus=True``: blocked-BLAS candidate
@@ -177,7 +181,7 @@ def cosine_pairs(df: DataFrame, vec_col: str = "embedding",
         u = unit_vectors(df, vec_col, id_col)
         a = u.select(F.col(id_col).alias("id_a"), F.col("unit").alias("ua"))
         b = u.select(F.col(id_col).alias("id_b"), F.col("unit").alias("ub"))
-        cos = F.round(F.expr(_UNIT_DOT.format(a="ua", b="ub")), round_to)
+        cos = F.expr(floor_round(_UNIT_DOT.format(a="ua", b="ub"), round_to))
         return (
             a.crossJoin(b)
             .where(F.col("id_a") < F.col("id_b"))
@@ -214,7 +218,7 @@ def cosine_pairs(df: DataFrame, vec_col: str = "embedding",
             keep = ids_a[ia] < ids_b[ib]
             out_a, out_b, out_c = [], [], []
             for i, j in zip(ia[keep], ib[keep]):
-                c = _round_half_up(_seq_dot(A[i], B[j]), round_to)
+                c = floor_round_py(_seq_dot(A[i], B[j]), round_to)
                 if c >= threshold:
                     out_a.append(ids_a[i]); out_b.append(ids_b[j])
                     out_c.append(c)
@@ -267,7 +271,7 @@ def _blocked_cosine_pairs(raw: DataFrame, vec_col: str, id_col: str,
                 keep = ids_a[ia] < ids_b[ib]
                 ia, ib = ia[keep], ib[keep]
             for i, j in zip(ia, ib):
-                c = _round_half_up(_seq_dot(A[i], B[j]), round_to)
+                c = floor_round_py(_seq_dot(A[i], B[j]), round_to)
                 if c >= threshold:
                     x, y = int(ids_a[i]), int(ids_b[j])
                     if x > y:
@@ -360,7 +364,7 @@ def cosine_topk(df: DataFrame, queries_df: DataFrame,
                     idx = idx[s[idx] >= kth - margin]
                 for j in idx:
                     out_q.append(ids_q[qi]); out_n.append(ids_n[j])
-                    out_c.append(_round_half_up(_seq_dot(Qm[qi], A[j]),
+                    out_c.append(floor_round_py(_seq_dot(Qm[qi], A[j]),
                                                 round_to))
             yield pd.DataFrame({
                 "q_id": pd.array(out_q, dtype="int64"),
@@ -435,7 +439,7 @@ def _blocked_cosine_topk(raw: DataFrame, q: DataFrame, vec_col: str,
                     idx = idx[s[idx] >= kth - margin]
                 for j in idx:
                     out_q.append(ids_q[qi]); out_n.append(ids_n[j])
-                    out_c.append(_round_half_up(_seq_dot(Qm[qi], A[j]),
+                    out_c.append(floor_round_py(_seq_dot(Qm[qi], A[j]),
                                                 round_to))
         return pd.DataFrame({
             "q_id": pd.array(out_q, dtype="int64"),
@@ -631,7 +635,7 @@ def ivf_topk(df: DataFrame, queries_df: DataFrame,
                     idx = idx[s[idx] >= kth - margin]
                 for j in idx:
                     out_q.append(ids_q[qi]); out_n.append(ids_n[j])
-                    out_c.append(_round_half_up(_seq_dot(Qm[qi], A[j]),
+                    out_c.append(floor_round_py(_seq_dot(Qm[qi], A[j]),
                                                 round_to))
             yield pd.DataFrame({
                 "q_id": pd.array(out_q, dtype="int64"),
@@ -723,7 +727,7 @@ def _joined_ivf_topk(df: DataFrame, q: DataFrame, vec_col: str,
                     idx = idx[s[idx] >= kth - margin]
                 for j in idx:
                     out_q.append(qid); out_n.append(ids_n[j])
-                    out_c.append(_round_half_up(_seq_dot(Qm[j], A[j]),
+                    out_c.append(floor_round_py(_seq_dot(Qm[j], A[j]),
                                                 round_to))
             yield pd.DataFrame({
                 "q_id": pd.array(out_q, dtype="int64"),
@@ -869,7 +873,7 @@ def ann_candidate_pairs(df: DataFrame, vec_col: str = "embedding",
         near = np.nonzero(s >= threshold - margin)[0]
         out_a, out_b, out_c = [], [], []
         for t in near:
-            cv = _round_half_up(_seq_dot(Ua[t], Ub[t]), 6)
+            cv = floor_round_py(_seq_dot(Ua[t], Ub[t]), 6)
             if cv >= threshold:
                 out_a.append(chunk["id_a"].iloc[t])
                 out_b.append(chunk["id_b"].iloc[t])
@@ -963,12 +967,14 @@ def ann_candidate_pairs_duckdb_sql(table: str = "embeddings",
         "FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket "
         f"WHERE a.{id_col} < b.{id_col}), "
         + unit + " "
-        "SELECT id_a, id_b, round(list_sum(list_transform("
-        "list_zip(ua.unit, ub.unit), x -> x[1] * x[2])), 6) AS cosine "
+        "SELECT id_a, id_b, " + floor_round(
+            "list_sum(list_transform(list_zip(ua.unit, ub.unit), "
+            "x -> x[1] * x[2]))", 6, "duckdb") + " AS cosine "
         f"FROM cand JOIN u ua ON ua.{id_col} = id_a "
         f"JOIN u ub ON ub.{id_col} = id_b "
-        "WHERE round(list_sum(list_transform(list_zip(ua.unit, ub.unit), "
-        f"x -> x[1] * x[2])), 6) >= {threshold}"
+        "WHERE " + floor_round(
+            "list_sum(list_transform(list_zip(ua.unit, ub.unit), "
+            "x -> x[1] * x[2]))", 6, "duckdb") + f" >= {threshold}"
     )
 
 
@@ -1033,8 +1039,9 @@ def ivf_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
         f"assign AS (SELECT {id_col}, unit, {argmax} AS cell FROM dots), "
         f"probes(q_id, cell) AS (VALUES {probe_rows}), "
         "scored AS (SELECT p.q_id, a.{id} AS n_id, "
-        "round(list_sum(list_transform(list_zip(uq.unit, a.unit), "
-        f"x -> x[1] * x[2])), {round_to}) AS cosine "
+        + floor_round(
+            "list_sum(list_transform(list_zip(uq.unit, a.unit), "
+            "x -> x[1] * x[2]))", round_to, "duckdb") + " AS cosine "
         "FROM probes p JOIN assign a ON a.cell = p.cell "
         "JOIN u uq ON uq.{id} = p.q_id "
         "WHERE a.{id} <> p.q_id)".format(id=id_col) + " , "
