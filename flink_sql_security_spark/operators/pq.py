@@ -967,7 +967,7 @@ def pq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
         "FROM embeddings), "
         f"codes AS (SELECT {id_col}, {codes} AS codes FROM x), "
         "luts(q_id, lut) AS (VALUES " + ", ".join(lut_values) + "), "
-        "scored AS (SELECT l.q_id, c.{id} AS n_id, "
+        f"scored AS (SELECT l.q_id, c.{id_col} AS n_id, "
         + floor_round("list_sum(list_transform(list_zip(c.codes, l.lut), "
                       "p -> p[2][p[1] + 1]))", round_to, "duckdb")
         + " AS adc_dist "
@@ -1060,7 +1060,7 @@ def ivfpq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
         f"codes AS (SELECT {id_col}, cell, {codes} AS codes FROM enc), "
         "probes(q_id, cell, lut) AS (VALUES "
         + ", ".join(probe_values) + "), "
-        "scored AS (SELECT pr.q_id, c.{id} AS n_id, "
+        f"scored AS (SELECT pr.q_id, c.{id_col} AS n_id, "
         + floor_round("list_sum(list_transform(list_zip(c.codes, pr.lut), "
                       "p -> p[2][p[1] + 1]))", round_to, "duckdb")
         + " AS adc_dist "

@@ -1038,7 +1038,7 @@ def ivf_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
         f"dots AS (SELECT {id_col}, unit, {d_aliases} FROM u), "
         f"assign AS (SELECT {id_col}, unit, {argmax} AS cell FROM dots), "
         f"probes(q_id, cell) AS (VALUES {probe_rows}), "
-        "scored AS (SELECT p.q_id, a.{id} AS n_id, "
+        f"scored AS (SELECT p.q_id, a.{id_col} AS n_id, "
         + floor_round(
             "list_sum(list_transform(list_zip(uq.unit, a.unit), "
             "x -> x[1] * x[2]))", round_to, "duckdb") + " AS cosine "
