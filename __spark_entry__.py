@@ -1919,10 +1919,20 @@ _CHECK_ORDER = [
     #   cores are golden-pinned in pytest (test_masks.py); the set-op
     #   rewrite path (per-branch filter/mask injection through UNION)
     #   was a family with no driver row at all.
-    "rls_select", "rls_or_where", "rls_join_3way", "rls_subquery",
+    # r08 rotation (breadth over redundancy; 12 first-time incomers, all
+    # with strict local oracles — union of ever-windowed entries was 95
+    # of 135 and had not moved since r05):
+    # - rls_select → (slot to the relational tier): the single-table
+    #   row-filter injection core rides through FIVE in-window pins
+    #   (rls_or_where composition, rls_join_3way, rls_groupby, rls_union,
+    #   mixed_flagship).
+    # - mask_date_year → (slot to the pipeline tier): the subquery-wrap
+    #   machinery keeps four in-window mask pins and the date-trunc
+    #   function core is golden-pinned in test_masks.py.
+    "rls_or_where", "rls_join_3way", "rls_subquery",
     "rls_groupby", "rls_union", "mask_show_first", "mask_default_supplier",
     "mask_join", "mask_union", "mask_custom_template",
-    "mask_date_year", "mixed_flagship",
+    "mixed_flagship",
     # relational surface (incl. all round-1 hash-mismatch fixes).
     # r05 rotation: q12_priority_case → pivot_daily_events (the pivot
     # lowers to exactly q12's CASE-sum conditional-agg shape, so the
@@ -1930,8 +1940,15 @@ _CHECK_ORDER = [
     # events_daily → interval_click_purchase (daily date-trunc groupBy is
     # a sub-shape of in-window events_hourly_window on the same table;
     # the time-range self-join is a family with no driver row ever).
-    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
-    "q11_important_parts", "classifier_probe_score",
+    # r08 rotation: q3_shipping_priority → q20_heavy_suppliers +
+    # q21_waiting_supplier. q3's join+agg+sort/limit cores each keep an
+    # in-window pin (q9 multi-join agg, q11 ORDER BY + HAVING, every
+    # ANN entry's ranked-limit); the nested-subquery-chain (q20: IN over
+    # correlated scalar subquery threshold) and multi-self-join
+    # EXISTS/NOT-EXISTS (q21) shapes had no driver row ever.
+    "q1_pricing_summary", "q9_product_profit",
+    "q11_important_parts", "q20_heavy_suppliers", "q21_waiting_supplier",
+    "classifier_probe_score",
     "q22_global_sales", "pivot_daily_events", "interval_click_purchase",
     # training-data pipeline operators, one per family. dedup_minhash_pairs
     # and dedup_jaccard_pairs are strict sub-computations of
@@ -2011,12 +2028,39 @@ _CHECK_ORDER = [
     # - profile_quantiles enters on the slot freed by the security-tier
     #   consolidation: its exact→approx auto-switch shipped this round
     #   and the exact histogram-percentile path deserves the hard signal.
+    # r08 rotation (pipeline tier; same breadth-over-redundancy rule):
+    # - zorder_orders → dedup_keep_best: the interleaved-bits layout key
+    #   is a zero-exchange narrow projection, golden-pinned in pytest
+    #   (same exit rationale as text_pii_redact / emb_quantize_int8);
+    #   survivor selection by quality-ranked window over dup groups is a
+    #   family with no driver row.
+    # - cdc_snapshot_diff → split_component_safe: the typed-md5 cores
+    #   keep in-window pins (sketch_bloom_decon, sample_temperature_mix)
+    #   and the full-outer status matrix is golden-pinned in
+    #   test_sketch_zorder_cdc.py; cdc_upsert_latest keeps the CDC
+    #   family's driver row. Leakage-safe component-keyed splits (the
+    #   never-windowed composition r05 documented) get the slot — the
+    #   incoming entry also pins the min-id component core at driver
+    #   level alongside dedup_components.
+    # - dedup_span_stats → emb_cosine_topk: span stats' df-count
+    #   join-back rides through the dedup family pins + pytest; the
+    #   brute-force exact cosine top-k baseline (the recall yardstick
+    #   every ANN tier is measured against) had no driver row.
+    # - emb_ann_pairs → emb_pq_topk: the bit-equal cosine arithmetic is
+    #   pinned by incoming emb_cosine_topk AND the exact-rerank stage of
+    #   in-window emb_ivfpq_rerank; the flat-ADC path (whose oracle
+    #   broke UNSEEN in r07 precisely because it was never windowed)
+    #   gets a driver row.
+    # - emb_pq_codes → emb_ivfpq_topk: PQ train+encode is literally
+    #   stage 1 of BOTH incoming quantized-search entries; the IVF-PQ
+    #   probe+ADC composition (second r07 blind spot) gets the row.
     "sketch_distinct_hll", "retrieval_mmr_topk", "sketch_bloom_decon",
-    "zorder_orders", "cdc_upsert_latest",
+    "dedup_keep_best", "cdc_upsert_latest",
     "sample_dsir_weights", "dedup_lsh_verified", "dedup_components",
-    "cdc_snapshot_diff", "dedup_span_stats",
-    "emb_ann_pairs", "emb_ivfpq_rerank",
-    "emb_pq_codes", "emb_binary_topk", "pack_sequences",
+    "split_component_safe",
+    "emb_cosine_topk", "emb_pq_topk", "emb_ivfpq_topk",
+    "emb_ivfpq_rerank",
+    "emb_binary_topk", "pack_sequences",
     # r05 in-round rotation (three NEW operator families shipped after
     # the first r05 rotation; same breadth-over-redundancy rule):
     # - text_pii_redact → text_bm25_topk: the redact entry is a pure
@@ -2034,7 +2078,18 @@ _CHECK_ORDER = [
     #   groupBy core) and the watermark path is streaming-tested in
     #   pytest; iterative link analysis (quantized order-independent
     #   power iteration) had no driver row anywhere.
-    "text_stats", "sketch_hist_quantiles", "text_repetition",
+    # r08 rotation (text tier): text_stats and text_repetition are
+    # narrow zero-exchange per-row ratio projections (no distributed
+    # failure mode; golden-pinned in pytest, and the quality-gate core
+    # rides through in-window pipeline_clean_corpus stage 1);
+    # sketch_hist_quantiles' mergeable-bin interpolation keeps a
+    # quantile-family pin via in-window profile_quantiles and its own
+    # pytest parity suite. Their slots go to text_lm_score (unigram
+    # log-prob scoring — broadcast vocab join + fixed-order fold),
+    # text_tfidf_terms (corpus df-stats + per-doc term ranking), and
+    # sample_quality_curriculum (quantile-bucketed curriculum
+    # assignment) — three never-windowed families.
+    "text_lm_score", "text_tfidf_terms", "sample_quality_curriculum",
     "text_bm25_topk",
     # round-3: sample_token_budget's windowed running-sum core is a
     # sub-shape of pack_sequences' per-bucket cumsum (in-window); its
@@ -2074,9 +2129,18 @@ _CHECK_ORDER = [
     # _bucket_expr). Their full compositions stay strictly checked by
     # tools/check_oracles.py; the 50 driver slots go to entries whose
     # cores would otherwise be unpinned.
+    # r08 rotation: fuzzy_title_pairs → contrastive_triplets +
+    # fim_psm_transform. The blocked edit-distance join's block→verify
+    # linkage shape shares its structure with in-window
+    # dedup_lsh_verified (candidate block join + exact verification) and
+    # the JVM levenshtein kernel is golden-pinned in pytest; triplet
+    # mining (anchor/positive/negative joins with per-anchor ranked
+    # negatives) and the fill-in-middle PSM split (deterministic span
+    # re-assembly) had no driver row ever.
     "sample_temperature_mix", "bpe_tokens",
     "multimodal_features", "graph_pagerank",
-    "fuzzy_title_pairs", "profile_quantiles", "pipeline_clean_corpus",
+    "contrastive_triplets", "fim_psm_transform",
+    "profile_quantiles", "pipeline_clean_corpus",
     "sessionize_events", "asof_purchase_click",
     # 50th slot: the analytic-window family (lag / framed running sum /
     # ntile) — round 1 measured the driver budget at exactly 50 entries
