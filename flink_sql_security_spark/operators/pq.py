@@ -782,7 +782,11 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
             k: int = 5, round_to: int = 6,
             broadcast_queries: bool | None = None,
             broadcast_limit_bytes: int = 256 << 20,
-            codes_df: DataFrame | None = None) -> DataFrame:
+            codes_df: DataFrame | None = None,
+            mode: str = "auto",
+            flat_limit_bytes: int = 256 << 20,
+            coarse: list | None = None, n_cells: int = 64,
+            n_probe: int = 8, coarse_sample: int = 2048) -> DataFrame:
     """(q_id, n_id, adc_dist, rank): approximate top-k by ADC distance.
 
     Per query the m×k_cb LUT of ``||q_sub − centroid||²`` is built
@@ -793,10 +797,45 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
     (``similarity._auto_broadcast``); a large/unknown query side joins
     without the hint. Approximate by design (quantization error) —
     recall tuned by (m, k_cb); every distance is engine-exact, so the op
-    is strictly oracle-checkable. Scale note: ADC here scans the FULL
-    code table per query — that is flat-PQ's contract; use
-    :func:`ivfpq_topk` to prune the scan to ``n_probe`` cells.
+    is strictly oracle-checkable.
+
+    Scale gate (``mode``): flat ADC scans the FULL code table per query
+    — affordable only on a small corpus. ``mode='auto'`` (default)
+    routes through :func:`ivfpq_topk` (cell-pruned scan, ~n_probe/
+    n_cells of the code table per query) when the optimizer KNOWS the
+    corpus plan size and it exceeds ``flat_limit_bytes`` (default
+    256 MiB — the same order as the LUT broadcast gate: past it the
+    rows×queries scan dominates every other cost). A coarse quantizer
+    is trained with the deterministic :func:`coarse_train` recipe
+    unless ``coarse`` is passed. Unknown plan size stays flat — the
+    conservative choice for derived/in-memory frames whose size the
+    optimizer can't prove; at production scale pass ``mode='ivf'`` (or
+    a prebuilt cell-keyed ``codes_df``) explicitly. ``mode='flat'``
+    pins the exhaustive scan regardless of size (the
+    strictly-oracle-checkable shape). A caller-provided ``codes_df``
+    implies flat (a flat index has no ``cell`` column to prune on).
+    Routed results are IVF-PQ's: same schema, recall additionally
+    shaped by (n_cells, n_probe).
     """
+    if mode not in ("auto", "flat", "ivf"):
+        raise ValueError(f"pq_topk mode must be auto|flat|ivf: {mode!r}")
+    if codes_df is None and mode != "flat":
+        route = mode == "ivf"
+        if mode == "auto":
+            from flink_sql_security_spark.operators.similarity import (
+                _plan_size_bytes)
+            size = _plan_size_bytes(df.select(id_col, vec_col))
+            route = size is not None and size > flat_limit_bytes
+        if route:
+            if coarse is None:
+                coarse = coarse_train(df, vec_col, id_col,
+                                      n_cells=n_cells,
+                                      sample=coarse_sample)
+            return ivfpq_topk(df, queries_df, coarse, codebooks,
+                              vec_col=vec_col, id_col=id_col, k=k,
+                              n_probe=n_probe, round_to=round_to,
+                              broadcast_queries=broadcast_queries,
+                              broadcast_limit_bytes=broadcast_limit_bytes)
     luts = _lut_df(queries_df, codebooks, vec_col, id_col)
     if _gate_lut_broadcast(queries_df, id_col, vec_col, codebooks,
                            broadcast_queries, broadcast_limit_bytes):

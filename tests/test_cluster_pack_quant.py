@@ -884,3 +884,65 @@ def test_pq_encode_reconstruct_empty_input(spark):
     empty = emb.where("vec_id < 0")
     assert PQ.pq_encode(empty, books).count() == 0
     assert PQ.pq_reconstruct(empty, books).count() == 0
+
+
+def test_pq_topk_auto_gate_routes_large_corpus_to_ivf(spark):
+    """The flat-ADC scale gate: mode='auto' must route through the
+    cell-pruned IVF path once the corpus plan size exceeds
+    flat_limit_bytes, and the routed result must be ivfpq_topk's exact
+    output (same coarse quantizer, same config)."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark)
+    books = PQ.pq_train(df, m=4, k=8, iters=2)
+    coarse = PQ.coarse_train(df, n_cells=6, iters=3)
+    q = df.where("vec_id < 5")
+
+    routed = PQ.pq_topk(df, q, books, k=3, mode="auto",
+                        flat_limit_bytes=1, coarse=coarse, n_probe=2)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+    want = sorted(map(tuple, PQ.ivfpq_topk(
+        df, q, coarse, books, k=3, n_probe=2).collect()))
+    assert sorted(map(tuple, routed.collect())) == want and len(want) == 15
+
+
+def test_pq_topk_auto_gate_small_corpus_stays_flat(spark):
+    """Below the threshold (default 256 MiB) auto == flat: identical
+    rows, and the plan still carries the exhaustive crossJoin — the
+    strictly-oracle-checked shape the emb_pq_topk entry pins."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark, n_clusters=3, per=10, d=8)
+    books = PQ.pq_train(df, m=4, k=8, iters=2)
+    q = df.where("vec_id < 4")
+    flat = sorted(map(tuple, PQ.pq_topk(
+        df, q, books, k=3, mode="flat").collect()))
+    auto = PQ.pq_topk(df, q, books, k=3, mode="auto")
+    assert sorted(map(tuple, auto.collect())) == flat and len(flat) == 12
+
+    # mode='flat' pins the exhaustive scan even past the size gate
+    pinned = PQ.pq_topk(df, q, books, k=3, mode="flat",
+                        flat_limit_bytes=1)
+    assert sorted(map(tuple, pinned.collect())) == flat
+
+    with __import__("pytest").raises(ValueError, match="mode"):
+        PQ.pq_topk(df, q, books, mode="bogus")
+
+
+def test_pq_topk_explicit_ivf_mode_trains_coarse(spark):
+    """mode='ivf' with no coarse list trains one with the deterministic
+    coarse_train recipe — result identical to passing that quantizer."""
+    from flink_sql_security_spark.operators import pq as PQ
+
+    df = _clustered_vectors(spark)
+    books = PQ.pq_train(df, m=4, k=8, iters=2)
+    q = df.where("vec_id < 5")
+    got = sorted(map(tuple, PQ.pq_topk(
+        df, q, books, k=3, mode="ivf", n_cells=6, n_probe=2,
+        coarse_sample=2048).collect()))
+    coarse = PQ.coarse_train(df, n_cells=6, iters=3, sample=2048)
+    want = sorted(map(tuple, PQ.ivfpq_topk(
+        df, q, coarse, books, k=3, n_probe=2).collect()))
+    assert got == want and len(got) == 15
