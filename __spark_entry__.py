@@ -1315,9 +1315,10 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
 
     out["emb_binary_topk"] = (
         with_tables(lambda s: BIN.hamming_topk(
-            emb(s), emb(s).where("vec_id < 20"), k=5, rerank=4, d=64)),
+            emb(s), emb(s).where("vec_id < 20"), k=5, rerank="auto",
+            d=64)),
         BIN.hamming_topk_duckdb_sql(query_pred="vec_id < 20", k=5,
-                                    rerank=4, d=64),
+                                    rerank="auto", d=64),
     )
     # IVF-pruned binary search (operators/binary.py ivf_hamming_topk):
     # the coarse quantizer routes code rows to cells and queries to

@@ -179,13 +179,14 @@ def main() -> None:
     rerank_recall = (round(len(exact_l2 & rerank_top) / len(exact_l2), 4)
                      if exact_l2 else None)
     # binary tier: sign-bit hamming prefilter + exact-cosine rerank vs
-    # brute-force cosine (rerank=8: the documented knee on this corpus)
+    # brute-force cosine (rerank='auto': shortlist max(8k, ceil(5*sqrt(n)))
+    # — the production rule; fixed rerank=8 measured 0.50 at sf0.1)
     from flink_sql_security_spark.operators import binary as BIN
     from flink_sql_security_spark.operators import similarity as SIM
     cos_top = {(r["q_id"], r["n_id"]) for r in
                SIM.cosine_topk(emb, q20, k=5).collect()}
     bin_top = {(r["q_id"], r["n_id"]) for r in
-               BIN.hamming_topk(emb, q20, k=5, rerank=8).collect()}
+               BIN.hamming_topk(emb, q20, k=5, rerank="auto").collect()}
     binary_recall = (round(len(cos_top & bin_top) / len(cos_top), 4)
                      if cos_top else None)
     _release_cached(spark)

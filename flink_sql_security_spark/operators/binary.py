@@ -128,17 +128,51 @@ def _exact_rerank(df: DataFrame, queries_df: DataFrame, shortlist,
     )
 
 
+def _shortlist_cutoff(k: int, rerank) -> str:
+    """ONE definition of the hamming-shortlist cutoff, as an
+    engine-portable SQL expression (Spark and DuckDB both parse it —
+    the floor_round single-definition rule). ``rerank='auto'`` sizes
+    the shortlist to the per-query candidate count ``cand`` (a
+    ``count(*) OVER (PARTITION BY q_id)`` column the caller supplies):
+    ``max(8·k, ceil(5·sqrt(cand)))``. The floor is the documented knee
+    on clustered corpora; the sqrt term is what the near-random regime
+    needs — measured on the sf0.1 corpus (n=2000, k=5): fixed 8·k=40
+    recalls 0.50 while ceil(5·sqrt(n))=224 recalls ~0.87, and the
+    required fraction FALLS as n grows (tools/binary_probe.py: recall
+    rose 0.65→0.78 at a fixed 0.5 % fraction, 5k→160k vecs), so a
+    sqrt-sized shortlist keeps recall while the per-query rerank cost
+    grows only as √n against the O(n) scan that dominates.
+    ``sqrt``/``ceil``/``greatest`` are IEEE-exact and identical in both
+    engines, so shortlist membership — and therefore every reranked
+    value — stays strictly oracle-checkable."""
+    if rerank == "auto":
+        return (f"greatest({8 * k}, "
+                "CAST(ceil(5.0 * sqrt(cand)) AS BIGINT))")
+    if isinstance(rerank, str):
+        raise ValueError(f"rerank must be an int or 'auto': {rerank!r}")
+    return str(k * int(rerank))
+
+
 def _rerank_sql_parts(table: str, vec_col: str, id_col: str, k: int,
-                      rerank: int, round_to: int) -> list[str]:
+                      rerank, round_to: int) -> list[str]:
     """The oracle-side twin of :func:`_exact_rerank`: CTE fragments
-    appended after a ``ranked`` CTE of (q_id, n_id, hamming, rank)."""
+    appended after a ``ranked`` CTE of (q_id, n_id, hamming, rank).
+    ``rerank`` is an int multiplier or ``'auto'``
+    (:func:`_shortlist_cutoff`)."""
+    if rerank == "auto":
+        short = ("short AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, "
+                 "rank, count(*) OVER (PARTITION BY q_id) AS cand "
+                 f"FROM ranked) WHERE rank <= {_shortlist_cutoff(k, rerank)})")
+    else:
+        short = (f"short AS (SELECT q_id, n_id FROM ranked "
+                 f"WHERE rank <= {_shortlist_cutoff(k, rerank)})")
     return [
         f"u AS (SELECT {id_col}, list_transform({vec_col}, "
         "v -> CAST(v AS DOUBLE) / n) AS unit FROM "
         f"(SELECT {id_col}, {vec_col}, "
         f"sqrt(list_sum(list_transform({vec_col}, "
         f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS n FROM {table}))",
-        f"short AS (SELECT q_id, n_id FROM ranked WHERE rank <= {k * rerank})",
+        short,
         "rescored AS (SELECT s.q_id, s.n_id, "
         + floor_round("list_sum(list_transform(list_zip(uq.unit, un.unit), "
                       "x -> x[1] * x[2]))", round_to, "duckdb")
@@ -189,9 +223,26 @@ def binary_codes_duckdb_sql(vec_col: str = "embedding",
     return f"SELECT {id_col}, {words} FROM {table}"
 
 
+def _shortlist(ranked: DataFrame, k: int, rerank) -> DataFrame:
+    """Spark-side twin of the oracle's ``short`` CTE: cut the ranked
+    hamming scan to the rerank shortlist. ``'auto'`` adds the per-query
+    candidate count over the SAME partition key the ranking window
+    already shuffled on — no extra exchange."""
+    from pyspark.sql.window import Window
+
+    if rerank == "auto":
+        return (ranked
+                .withColumn("cand",
+                            F.count("*").over(Window.partitionBy("q_id")))
+                .where(F.col("rank") <= F.expr(_shortlist_cutoff(k, rerank)))
+                .select("q_id", "n_id"))
+    return (ranked.where(F.col("rank") <= k * int(rerank))
+            .select("q_id", "n_id"))
+
+
 def hamming_topk(df: DataFrame, queries_df: DataFrame,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 k: int = 5, rerank: int = 0, round_to: int = 6,
+                 k: int = 5, rerank: int | str = 0, round_to: int = 6,
                  d: int | None = None,
                  codes_df: DataFrame | None = None) -> DataFrame:
     """Top-k per query by packed-code hamming distance (asc, id asc).
@@ -202,6 +253,11 @@ def hamming_topk(df: DataFrame, queries_df: DataFrame,
     shortlist joins back to floats) and the final (q_id, n_id, cosine,
     rank) ranks by cosine desc, n_id asc — the binary-prefilter /
     exact-refine production shape. Self-pairs are excluded.
+    ``rerank='auto'`` sizes the shortlist to the per-query candidate
+    count — ``max(8·k, ceil(5·sqrt(n)))`` (:func:`_shortlist_cutoff`)
+    — so recall holds as the corpus grows instead of silently decaying
+    at a fixed multiplier; the rule is computed in-plan on both
+    engines, so the op stays strictly oracle-checkable.
 
     ``codes_df``: a precomputed (persisted) :func:`binary_codes` output
     for ``df`` — the build-once / probe-many index-reuse path (the
@@ -229,11 +285,10 @@ def hamming_topk(df: DataFrame, queries_df: DataFrame,
     w_ham = Window.partitionBy("q_id").orderBy(F.asc("hamming"),
                                                F.asc("n_id"))
     ranked = scan.withColumn("rank", F.row_number().over(w_ham))
-    if rerank <= 0:
+    if rerank != "auto" and int(rerank) <= 0:
         return ranked.where(F.col("rank") <= k) \
             .select("q_id", "n_id", "hamming", "rank")
-    shortlist = ranked.where(F.col("rank") <= k * rerank) \
-        .select("q_id", "n_id")
+    shortlist = _shortlist(ranked, k, rerank)
     return _exact_rerank(df, queries_df, shortlist, vec_col, id_col,
                          k, round_to)
 
@@ -241,7 +296,7 @@ def hamming_topk(df: DataFrame, queries_df: DataFrame,
 def hamming_topk_duckdb_sql(query_pred: str = "vec_id < 20",
                             vec_col: str = "embedding",
                             id_col: str = "vec_id", k: int = 5,
-                            rerank: int = 0, round_to: int = 6,
+                            rerank: int | str = 0, round_to: int = 6,
                             d: int = 64,
                             table: str = "embeddings") -> str:
     """Pure-SQL oracle for ``hamming_topk`` — no driver-side artifacts.
@@ -265,7 +320,7 @@ def hamming_topk_duckdb_sql(query_pred: str = "vec_id < 20",
         "ranked AS (SELECT q_id, n_id, hamming, row_number() OVER "
         "(PARTITION BY q_id ORDER BY hamming, n_id) AS rank FROM scan)",
     ]
-    if rerank <= 0:
+    if rerank != "auto" and int(rerank) <= 0:
         return (", ".join(parts) +
                 f" SELECT q_id, n_id, hamming, rank FROM ranked "
                 f"WHERE rank <= {k}")
@@ -348,7 +403,7 @@ def _gate_probe_broadcast(queries_df: DataFrame, id_col: str, vec_col: str,
 
 def ivf_hamming_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     k: int = 5, n_probe: int = 4, rerank: int = 0,
+                     k: int = 5, n_probe: int = 4, rerank: int | str = 0,
                      round_to: int = 6, d: int | None = None,
                      broadcast_probes: bool | None = None,
                      broadcast_limit_bytes: int = 256 << 20,
@@ -441,11 +496,10 @@ def ivf_hamming_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
     w_ham = Window.partitionBy("q_id").orderBy(F.asc("hamming"),
                                                F.asc("n_id"))
     ranked = scan.withColumn("rank", F.row_number().over(w_ham))
-    if rerank <= 0:
+    if rerank != "auto" and int(rerank) <= 0:
         return ranked.where(F.col("rank") <= k) \
             .select("q_id", "n_id", "hamming", "rank")
-    shortlist = ranked.where(F.col("rank") <= k * rerank) \
-        .select("q_id", "n_id")
+    shortlist = _shortlist(ranked, k, rerank)
     return _exact_rerank(df, queries_df, shortlist, vec_col, id_col,
                          k, round_to)
 
@@ -455,7 +509,7 @@ def ivf_hamming_topk_duckdb_sql(parquet_path: str,
                                 vec_col: str = "embedding",
                                 id_col: str = "vec_id", k: int = 5,
                                 n_cells: int = 16, n_probe: int = 4,
-                                rerank: int = 0, iters: int = 3,
+                                rerank: int | str = 0, iters: int = 3,
                                 sample: int = 2048, round_to: int = 6,
                                 d: int = 64,
                                 table: str = "embeddings") -> str:
@@ -527,7 +581,7 @@ def ivf_hamming_topk_duckdb_sql(parquet_path: str,
         "ranked AS (SELECT q_id, n_id, hamming, row_number() OVER "
         "(PARTITION BY q_id ORDER BY hamming, n_id) AS rank FROM scan)",
     ]
-    if rerank <= 0:
+    if rerank != "auto" and int(rerank) <= 0:
         return (", ".join(parts) +
                 f" SELECT q_id, n_id, hamming, rank FROM ranked "
                 f"WHERE rank <= {k}")

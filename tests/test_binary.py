@@ -270,3 +270,46 @@ def test_ivf_probe_gate_unknown_size_is_scale_safe(emb, coarse):
     assert _gate_probe_broadcast(q, "vec_id", "embedding", True,
                                  limit_bytes=1, n_probe=3,
                                  n_words=2) is True
+
+
+def test_hamming_auto_rerank_cross_engine_exact(emb, con):
+    """'auto' shortlist cutoff (max(8k, ceil(5*sqrt(cand)))) is computed
+    in-plan on BOTH engines — values stay strictly hash-equal."""
+    got = rows(B.hamming_topk(emb, emb.where("vec_id < 6"), k=4,
+                              rerank="auto"))
+    want = fetch(con, B.hamming_topk_duckdb_sql(
+        query_pred="vec_id < 6", k=4, rerank="auto"))
+    assert got == want and len(got) == 6 * 4
+
+
+def test_ivf_hamming_auto_rerank_cross_engine_exact(emb, con, coarse):
+    got = rows(B.ivf_hamming_topk(emb, emb.where("vec_id < 6"), coarse,
+                                  k=4, n_probe=3, rerank="auto"))
+    want = fetch(con, B.ivf_hamming_topk_duckdb_sql(
+        EMB, query_pred="vec_id < 6", k=4, n_cells=8, n_probe=3,
+        rerank="auto"))
+    assert got == want and len(got) == 6 * 4
+
+
+def test_auto_rerank_pins_recall_at_two_corpus_sizes(spark):
+    """The reason 'auto' exists: a FIXED shortlist multiplier decays as
+    the corpus grows (rerank=8 measured 0.50 recall at n=2000), while
+    the sqrt-sized shortlist holds recall >= 0.8 at BOTH test corpus
+    sizes. Pins the rule's outcome, not just its formula."""
+    from flink_sql_security_spark.operators import similarity as SIM
+
+    for sf, n in (("0.01", 500), ("0.1", 2000)):
+        e = spark.read.parquet(f"/root/testdata/sf{sf}/embeddings.parquet")
+        q = e.where("vec_id < 20")
+        cos = {(r["q_id"], r["n_id"])
+               for r in SIM.cosine_topk(e, q, k=5).collect()}
+        auto = {(r["q_id"], r["n_id"])
+                for r in B.hamming_topk(e, q, k=5, rerank="auto").collect()}
+        recall = len(cos & auto) / len(cos)
+        assert recall >= 0.8, f"sf{sf} (n={n}): auto recall {recall}"
+
+
+def test_rerank_rejects_bad_string(emb):
+    with pytest.raises(ValueError):
+        B.hamming_topk(emb, emb.where("vec_id < 2"), k=3,
+                       rerank="bogus").collect()
