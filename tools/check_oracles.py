@@ -8,8 +8,14 @@ back HUGEINT → float64) and ``date`` vs ``datetime64``. This checker
 therefore normalizes values *type-faithfully*: two results only pass if
 they would stringify identically after pandas conversion on both sides.
 
-Usage: python tools/check_oracles.py [query_name ...]
+Usage: python tools/check_oracles.py [--sf 0.001|0.01|0.1|all|<dir>]
+                                     [query_name ...]
        SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 (default)
+
+``--sf all`` runs the full strict sweep at sf0.001, sf0.01 AND sf0.1,
+one subprocess per scale factor (oracle SQL embeds parquet paths and
+data-derived artifacts at build time, so each scale needs a fresh
+module + session), and fails if any scale fails.
 """
 
 from __future__ import annotations
@@ -63,16 +69,64 @@ def _norm_frame(df: pd.DataFrame):
     return cols, rows
 
 
+def _parse_args(argv: list[str]):
+    """(sf_choice | None, [query names]) — ``--sf`` takes a scale
+    factor, ``all``, or a directory path."""
+    sf = None
+    names = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf":
+            if i + 1 >= len(argv):
+                raise SystemExit("--sf needs a value (0.001|0.01|0.1|all|dir)")
+            sf = argv[i + 1]
+            i += 2
+        else:
+            names.append(argv[i])
+            i += 1
+    return sf, names
+
+
+def _run_all_sfs(names: list[str]) -> int:
+    """One subprocess per SF: oracle SQL embeds parquet paths and
+    data-derived artifacts (PQ codebooks, coarse centroids) at build
+    time, so each scale must rebuild from a fresh module + session."""
+    import subprocess
+
+    rc = 0
+    results = []
+    for sf in ("0.001", "0.01", "0.1"):
+        sf_dir = f"/root/testdata/sf{sf}"
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        print(f"=== sf{sf} ({sf_dir}) ===", flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *names], env=env)
+        results.append((sf, r.returncode))
+        rc |= r.returncode
+    print("\n--sf all summary: " + ", ".join(
+        f"sf{sf}={'PASS' if code == 0 else 'FAIL'}"
+        for sf, code in results))
+    return rc
+
+
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
+
+    sf_arg, names = _parse_args(sys.argv[1:])
+    if sf_arg == "all":
+        return _run_all_sfs(names)
+    if sf_arg is not None:
+        os.environ["SPARK_GRAFT_SF_DIR"] = (
+            sf_arg if os.path.sep in sf_arg else f"/root/testdata/sf{sf_arg}")
+
     import duckdb
 
     import __spark_entry__ as entry
     from flink_sql_security_spark.sources import build_session
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    only = set(names)
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
