@@ -34,11 +34,16 @@ convergence tolerance anyone runs PageRank at — and buys bit-exact
 reproducibility regardless of cluster layout, which batch re-runs and
 incremental audits want anyway.
 
-Dangling nodes (no out-edges) leak their mass: this implementation does
-NOT redistribute dangling mass (ranks then sum to < 1).  Callers who
-need the standard normalization symmetrize the graph or add self-loops;
-the shipped entry uses an undirected (symmetrized) bipartite graph, so
-no dangling nodes exist there.
+Dangling nodes (no out-edges): ``dangling='leak'`` (default) drops
+their mass (ranks then sum to < 1) — fine when the graph is
+symmetrized, as the shipped entry's undirected bipartite graph is.
+``dangling='redistribute'`` is the standard treatment: each iteration
+the dangling nodes' total rank is added back uniformly,
+``rank = (1-d)/N + d*(sum_in + D/N)``, so ranks keep summing to 1.
+The dangling total D is itself summed in quantized integer micro-units
+(same ``floor(rank·1e12)`` rule as the contributions) so it is exact
+and order-independent on any partitioning — the redistribute option
+stays strictly oracle-checkable.
 """
 
 from __future__ import annotations
@@ -53,7 +58,8 @@ _QUANTUM = 1.0e12
 
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
              damping: float = 0.85, n_nodes: int | None = None,
-             broadcast_ranks_limit: int = 5_000_000):
+             broadcast_ranks_limit: int = 5_000_000,
+             dangling: str = "leak"):
     """Ranks after ``iters`` synchronous PageRank iterations.
 
     ``edges`` is a DataFrame of DISTINCT directed (src, dst) pairs.
@@ -74,6 +80,9 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'leak' or 'redistribute': {dangling!r}")
     # the edge list feeds THREE derivations (nodes, outdeg, and the
     # join building ed reads it on both sides) — persist the input once
     # so an expensive upstream subtree (a join+distinct building the
@@ -103,6 +112,14 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
                   "outdeg")
           .persist())
 
+    # dangling nodes = endpoints that never appear as src; a static
+    # |V|-row set, derived once (the per-iteration dangling MASS still
+    # re-sums over the current ranks)
+    if dangling == "redistribute":
+        dang_nodes = nodes.join(
+            hint(outdeg.select(F.col(src).alias("node"))),
+            "node", "left_anti").persist()
+
     ranks = nodes.select("node", F.lit(init).alias("rank"))
     for _ in range(iters):
         contribs = (
@@ -111,35 +128,64 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
                     F.floor((F.col("rank") / F.col("outdeg"))
                             * F.lit(_QUANTUM)).cast("long").alias("c")))
         sums = contribs.groupBy("e_dst").agg(F.sum("c").alias("csum"))
+        new_rank = (F.lit(base) + (F.lit(damping)
+                    * (F.coalesce(F.col("csum"), F.lit(0)).cast("double")
+                       / F.lit(_QUANTUM))))
+        if dangling == "redistribute":
+            # total dangling rank, quantized to the SAME integer
+            # micro-units as the edge contributions — an exact,
+            # order-independent 1-row aggregate that cross-joins
+            # (broadcasts) into the |V|-row rank rebuild
+            dq = (dang_nodes.join(hint(ranks), "node")
+                  .agg(F.coalesce(
+                      F.sum(F.floor(F.col("rank") * F.lit(_QUANTUM))
+                            .cast("long")), F.lit(0)).alias("dq")))
+            new_rank = (F.lit(base) + (F.lit(damping)
+                        * ((F.coalesce(F.col("csum"), F.lit(0))
+                            .cast("double") / F.lit(_QUANTUM))
+                           + ((F.col("dq").cast("double") / F.lit(_QUANTUM))
+                              / F.lit(float(n_nodes))))))
+            ranks = (
+                nodes.join(hint(sums), nodes["node"] == sums["e_dst"],
+                           "left")
+                .crossJoin(F.broadcast(dq))
+                .select("node", new_rank.alias("rank")))
+            continue
         ranks = (
             nodes.join(hint(sums), nodes["node"] == sums["e_dst"], "left")
-            .select(
-                "node",
-                (F.lit(base) + (F.lit(damping)
-                 * (F.coalesce(F.col("csum"), F.lit(0)).cast("double")
-                    / F.lit(_QUANTUM)))).alias("rank")))
+            .select("node", new_rank.alias("rank")))
 
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     out = ranks.withColumn("rank_pos", F.row_number().over(w))
+    if dangling == "redistribute":
+        return attach(out, ed, nodes, edges, dang_nodes)
     return attach(out, ed, nodes, edges)
 
 
 def pagerank_sql(edges_sql: str, *, iters: int = 5,
-                 damping: float = 0.85) -> str:
+                 damping: float = 0.85, dangling: str = "leak") -> str:
     """DuckDB SQL unrolling the identical fixed-point iteration (oracle).
 
     ``edges_sql`` must select columns (src, dst).  Doubles are built
     from quoted-string casts (correctly-rounded parse, identical to the
     Python literals Spark embeds); contribution sums are BIGINT.
+    ``dangling='redistribute'`` mirrors :func:`pagerank`'s option: the
+    per-iteration dangling total is the same quantized BIGINT sum, and
+    the rank update appends ``+ (dq/1e12)/n`` with identical
+    association, so the engines stay bit-equal.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'leak' or 'redistribute': {dangling!r}")
 
     def d(x: float) -> str:
         return f"CAST('{x!r}' AS DOUBLE)"
 
     q = "CAST('1e12' AS DOUBLE)"
     one_minus = 1.0 - damping
+    redis = dangling == "redistribute"
     parts = [
         f"WITH edges AS ({edges_sql})",
         "nodes AS (SELECT src AS node FROM edges "
@@ -152,11 +198,28 @@ def pagerank_sql(edges_sql: str, *, iters: int = 5,
         f"r0 AS (SELECT node, {d(1.0)} / n AS rank "
         "FROM nodes CROSS JOIN stats)",
     ]
+    if redis:
+        parts.append(
+            "dnodes AS (SELECT n1.node FROM nodes n1 LEFT JOIN outdeg o "
+            "ON n1.node = o.src WHERE o.src IS NULL)")
     for i in range(1, iters + 1):
         parts.append(
             f"c{i} AS (SELECT ed.dst, CAST(sum(CAST(floor((r.rank "
             f"/ ed.outdeg) * {q}) AS BIGINT)) AS BIGINT) AS csum "
             f"FROM ed JOIN r{i - 1} r ON ed.src = r.node GROUP BY ed.dst)")
+        if redis:
+            parts.append(
+                f"d{i} AS (SELECT CAST(coalesce(sum(CAST(floor(r.rank "
+                f"* {q}) AS BIGINT)), 0) AS BIGINT) AS dq "
+                f"FROM dnodes JOIN r{i - 1} r ON dnodes.node = r.node)")
+            parts.append(
+                f"r{i} AS (SELECT nodes.node, ({d(one_minus)} / n) "
+                f"+ ({d(damping)} * ((CAST(coalesce(c{i}.csum, 0) "
+                f"AS DOUBLE) / {q}) + ((CAST(d{i}.dq AS DOUBLE) / {q}) "
+                f"/ n))) AS rank FROM nodes CROSS JOIN stats "
+                f"CROSS JOIN d{i} "
+                f"LEFT JOIN c{i} ON nodes.node = c{i}.dst)")
+            continue
         parts.append(
             f"r{i} AS (SELECT nodes.node, ({d(one_minus)} / n) "
             f"+ ({d(damping)} * (CAST(coalesce(c{i}.csum, 0) AS DOUBLE) "

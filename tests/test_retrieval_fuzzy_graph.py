@@ -159,6 +159,54 @@ def test_pagerank_dangling_mass_leaks(spark):
     assert rows[3] > rows[2] > rows[1]  # rank accumulates down the chain
 
 
+def test_pagerank_redistribute_conserves_mass_and_matches_oracle(spark):
+    """dangling='redistribute': the standard treatment — dangling mass
+    returns uniformly each iteration, ranks keep summing to 1, and the
+    quantized dangling sum keeps the option strictly oracle-checkable
+    (bit-equal Spark vs DuckDB on a graph WITH dangling nodes)."""
+    import duckdb
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 1)], ["src", "dst"])
+    out = pagerank(edges, iters=5, dangling="redistribute")
+    got = sorted(map(tuple, out.collect()))
+    release(out)
+    total = sum(r[1] for r in got)
+    assert math.isclose(total, 1.0, abs_tol=1e-9), total
+
+    sql = pagerank_sql(
+        "SELECT * FROM (VALUES (1, 2), (2, 3), (1, 3), (4, 1)) "
+        "AS t(src, dst)", iters=5, dangling="redistribute")
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want  # exact, including the float rank column
+
+    # leak on the same graph loses node 3's mass — redistribute is a
+    # genuinely different (and normalized) fixed point
+    leaked = pagerank(edges, iters=5)
+    ltot = sum(r["rank"] for r in leaked.collect())
+    release(leaked)
+    assert ltot < 0.9
+
+
+def test_pagerank_redistribute_partitioning_invariant(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 1)], ["src", "dst"])
+    a = pagerank(edges, iters=3, dangling="redistribute")
+    b = pagerank(edges.repartition(5), iters=3, dangling="redistribute")
+    ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
+    release(a)
+    release(b)
+    assert ra == rb
+
+
+def test_pagerank_validates_dangling_option(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(edges, dangling="drop")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank_sql("SELECT 1 AS src, 2 AS dst", dangling="drop")
+
+
 # ---------------------------------------------------------------------------
 # MMR diversity re-ranking
 # ---------------------------------------------------------------------------
