@@ -59,7 +59,7 @@ _QUANTUM = 1.0e12
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
              damping: float = 0.85, n_nodes: int | None = None,
              broadcast_ranks_limit: int = 5_000_000,
-             dangling: str = "leak"):
+             dangling: str = "leak", checkpoint_every: int = 0):
     """Ranks after ``iters`` synchronous PageRank iterations.
 
     ``edges`` is a DataFrame of DISTINCT directed (src, dst) pairs.
@@ -121,7 +121,7 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
             "node", "left_anti").persist()
 
     ranks = nodes.select("node", F.lit(init).alias("rank"))
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             ed.join(hint(ranks), ed["e_src"] == ranks["node"])
             .select(F.col("e_dst"),
@@ -150,10 +150,24 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
                            "left")
                 .crossJoin(F.broadcast(dq))
                 .select("node", new_rank.alias("rank")))
-            continue
-        ranks = (
-            nodes.join(hint(sums), nodes["node"] == sums["e_dst"], "left")
-            .select("node", new_rank.alias("rank")))
+        else:
+            ranks = (
+                nodes.join(hint(sums), nodes["node"] == sums["e_dst"],
+                           "left")
+                .select("node", new_rank.alias("rank")))
+        # lineage truncation for DEEP iteration counts: localCheckpoint
+        # materializes the |V|-row rank table and cuts the growing plan.
+        # Values are unchanged (a materialization boundary, not math).
+        # Measured sf0.1/local[32] (SCALING.md): a 2× LOSS at iters=5
+        # (2.58 s → 5.12 s min-of-3) and 3.5× at iters=20 (4.10 →
+        # 14.37 s) — each eager checkpoint is a full materialization
+        # job, while the fused DAG's broadcast rank joins stay cheap.
+        # 0 = off is the default; reach for it only when the growing
+        # plan itself becomes the bottleneck (analysis time / driver
+        # memory at 50+ iterations), not for speed.
+        if checkpoint_every and (it + 1) % checkpoint_every == 0 \
+                and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
 
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     out = ranks.withColumn("rank_pos", F.row_number().over(w))
