@@ -23,6 +23,9 @@ from flink_sql_security_spark.presets import (
     USER_CUSTOM, USER_DATE, USER_FILTER, USER_HASH, USER_MASK, USER_MIXED,
     USER_NULL, demo_context,
 )
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round,
+)
 from flink_sql_security_spark.sources import register_tables
 
 _NOBODY = "user_nobody"  # no policies: SecurityContext passes queries through
@@ -859,11 +862,12 @@ _DUCK_UNIT = (
 )
 # cosine finals quantize with the shared floor rule (floor_round in
 # functions/text.py) — native round() disagrees across engines when the
-# double sits within an ulp of a 6-decimal midpoint
-_DUCK_UNIT_DOT = (
-    "(floor((list_sum(list_transform(list_zip({a}, {b}), "
-    "x -> x[1] * x[2]))) * 1000000.0 + 0.5) / 1000000.0)"
-)
+# double sits within an ulp of a 6-decimal midpoint. Built FROM the
+# helper so a quantum/tie-rule change lands in one place; the {a}/{b}
+# placeholders survive the format intact.
+_DUCK_UNIT_DOT = _floor_round(
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))",
+    6, "duckdb")
 
 
 def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -909,9 +913,13 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter"
         "          FROM hs a JOIN hs b ON a.h = b.h WHERE a.doc_id < b.doc_id"
         "          GROUP BY 1, 2) "
-        "SELECT id_a, id_b, round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+        "SELECT id_a, id_b, "
+        + _floor_round("n_inter / (sa.n_sh + sb.n_sh - n_inter)",
+                       6, "duckdb") + " AS jaccard "
         "FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
-        "WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.05",
+        "WHERE "
+        + _floor_round("n_inter / (sa.n_sh + sb.n_sh - n_inter)",
+                       6, "duckdb") + " >= 0.05",
     )
     # the scale path: LSH candidate pruning then exact-Jaccard verification
     # restricted to candidates (prune-then-verify, not all co-shingled pairs)

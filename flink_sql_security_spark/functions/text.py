@@ -43,7 +43,15 @@ def floor_round(expr: str, nd: int = 6, dialect: str = "spark") -> str:
     engine. ONE definition so a future change to the quantum or tie
     rule lands in one place; every cross-engine round-``nd`` final
     must use this helper (or :func:`floor_round_py` in Arrow kernels).
+
+    ``nd`` is bounded to [0, 15]: past 15 the ``repr(10.0**nd)`` scale
+    flips to scientific notation (``1e+16``), whose ``D``-suffixed form
+    Spark SQL does not parse, and 10.0**nd itself stops being exactly
+    representable past 2**53 — the helper would silently quantize with
+    a wrong scale instead of a tighter one.
     """
+    if not 0 <= nd <= 15:
+        raise ValueError(f"floor_round nd must be in [0, 15]: {nd}")
     scale = repr(10.0 ** nd)
     if dialect == "spark":
         return f"(floor(({expr}) * {scale}D + 0.5D) / {scale}D)"
@@ -73,6 +81,29 @@ def floor_round_col(col: Column, nd: int = 6) -> Column:
     a ``Column`` rather than a SQL string."""
     scale = F.lit(10.0 ** nd)
     return F.floor(col * scale + F.lit(0.5)) / scale
+
+
+# The package-wide rounding rule (grep-enforceable):
+#
+#   Every DOUBLE value that is rounded AND compared across engines
+#   (Spark result vs DuckDB oracle) must quantize with floor_round /
+#   floor_round_col / floor_round_py — never native round().
+#
+# Native round() on a double is the one operation in the corpus where
+# the engines legitimately disagree: Spark rounds the SHORTEST DECIMAL
+# REPR (BigDecimal HALF_UP) while DuckDB rounds the exact binary value,
+# so any double within an ulp of a decimal midpoint flips (six
+# single-row hits in the round-5 sf0.1 sweep). Native round() remains
+# correct, and is deliberately kept, in exactly three cases — mark such
+# call sites with a `native-round-ok` comment so
+# `grep -rn "F.round\|[^_]round(" flink_sql_security_spark/ | grep -v
+# "floor_round\|native-round-ok"` stays clean:
+#   (a) DECIMAL-typed arithmetic — exact on both engines, no binary
+#       representation involved;
+#   (b) driver-side Python round() whose result is embedded as the SAME
+#       literal into both engines' SQL (one computation, two copies);
+#   (c) single-engine surfaces with no oracle twin (demo sources,
+#       display formatting).
 
 
 def word_count(text: Column) -> Column:

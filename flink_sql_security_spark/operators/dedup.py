@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from flink_sql_security_spark.functions.text import (
-    floor_round6 as _floor_round6)
+    floor_round as _floor_round,
+    floor_round6 as _floor_round6,
+    floor_round_col as _floor_round_col)
 from flink_sql_security_spark.operators.cache import attach, cached_deps
 
 # ---------------------------------------------------------------------------
@@ -403,7 +405,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return attach(
-        inter.withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", _floor_round_col(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
         sh)
@@ -498,7 +500,7 @@ def lsh_verified_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return attach(
-        inter.withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", _floor_round_col(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
         prof)
@@ -519,10 +521,13 @@ def lsh_verified_jaccard_duckdb_sql(shingles_cte: str, num_hashes: int = 16,
         "          JOIN hs b ON b.doc_id = c.id_b AND b.h = a.h "
         "          GROUP BY 1, 2) "
         "SELECT id_a, id_b, "
-        "round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard "
+        + _floor_round("n_inter / (sa.n_sh + sb.n_sh - n_inter)",
+                       6, "duckdb") + " AS jaccard "
         "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
         "JOIN sizes sb ON sb.doc_id = id_b "
-        f"WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}"
+        "WHERE "
+        + _floor_round("n_inter / (sa.n_sh + sb.n_sh - n_inter)",
+                       6, "duckdb") + f" >= {threshold}"
     )
 
 
@@ -591,7 +596,7 @@ def incremental_dedup(new_df: DataFrame, corpus_df: DataFrame,
     jac = F.col("n_inter") / (F.col("n_new") + F.col("n_old") - F.col("n_inter"))
     near = (
         inter
-        .where(F.round(jac, 6) >= threshold)
+        .where(_floor_round_col(jac, 6) >= threshold)
         .select(F.col("id_new").alias("_nr_id"))
         .distinct()
     )
@@ -644,7 +649,9 @@ def incremental_dedup_duckdb_sql(split_id: int, table: str = "documents",
         "          GROUP BY 1, 2), "
         "near_ids AS (SELECT DISTINCT id_new FROM inter "
         " JOIN sizes sn ON sn.doc_id = id_new JOIN sizes so ON so.doc_id = id_old "
-        f" WHERE round(n_inter / (sn.n_sh + so.n_sh - n_inter), 6) >= {threshold}) "
+        " WHERE "
+        + _floor_round("n_inter / (sn.n_sh + so.n_sh - n_inter)",
+                       6, "duckdb") + f" >= {threshold}) "
         f"SELECT d.{id_col}, CASE "
         f"WHEN d.{id_col} IN (SELECT {id_col} FROM exact_ids) THEN 'exact_dup' "
         f"WHEN d.{id_col} IN (SELECT id_new FROM near_ids) THEN 'near_dup' "
@@ -1043,7 +1050,8 @@ def duplicate_span_stats(df: DataFrame, text_col: str = "text",
         sh.join(hit, id_col, "left")
         .select(F.col(id_col), F.col("n_sh").alias("n_spans"),
                 dup_n.alias("n_dup_spans"),
-                F.round(dup_n / F.col("n_sh"), 6).alias("dup_fraction")),
+                _floor_round_col(dup_n / F.col("n_sh"), 6)
+                .alias("dup_fraction")),
         sh)
 
 
@@ -1064,7 +1072,8 @@ def duplicate_span_stats_duckdb_sql(table: str = "documents",
         f"hit AS (SELECT {id_col}, count(*) AS dup FROM hs JOIN dup USING (h) "
         f"        GROUP BY 1) "
         f"SELECT s.{id_col}, n_spans, coalesce(dup, 0) AS n_dup_spans, "
-        f"round(coalesce(dup, 0) / n_spans, 6) AS dup_fraction "
+        + _floor_round("coalesce(dup, 0) / n_spans", 6, "duckdb")
+        + " AS dup_fraction "
         f"FROM sizes s LEFT JOIN hit USING ({id_col})"
     )
 
@@ -1202,6 +1211,11 @@ def source_overlap_matrix(pairs: DataFrame, docs: DataFrame,
         pairs.join(ka, "id_a").join(kb, "id_b")
         .select(F.least("_ka", "_kb").alias("source_a"),
                 F.greatest("_ka", "_kb").alias("source_b"),
+                # native-round-ok: input is ALREADY 6-decimal-quantized
+                # (pairs emit floor_round-ed jaccard), so this is an
+                # idempotent re-quantization — the nearest 6-dec DECIMAL
+                # is >1e-7 from any other and both engines convert the
+                # same double to it exactly
                 F.expr("CAST(round(jaccard, 6) AS DECIMAL(18,6))")
                 .alias("_j"))
         .groupBy("source_a", "source_b")
@@ -1217,6 +1231,8 @@ def source_overlap_matrix_duckdb_sql(pairs_sql: str,
                                      key_col: str = "source",
                                      id_col: str = "doc_id") -> str:
     """DuckDB SQL computing the identical overlap cells (oracle)."""
+    # native-round-ok: idempotent re-quantization of the already
+    # floor_round-ed pair jaccard (see source_overlap_matrix)
     avg_j = _floor_round6(
         "CAST(sum(CAST(round(p.jaccard, 6) AS DECIMAL(18,6))) "
         "AS DOUBLE) / count(*)", "duckdb")
@@ -1270,7 +1286,8 @@ def keep_best_per_component(df: DataFrame, pairs: DataFrame, score,
             .where(F.col("_rn") == 1)
             .select("component_id",
                     F.col("doc_id").alias("keep_id"),
-                    F.round("_score", round_to).alias("quality"),
+                    _floor_round_col(F.col("_score"), round_to)
+                    .alias("quality"),
                     "n_members"))
 
 
@@ -1292,7 +1309,8 @@ def keep_best_duckdb_sql(pairs_sql: str, score_sql: str,
         "row_number() OVER (PARTITION BY component_id "
         "ORDER BY _score DESC, doc_id) AS _rn, "
         "count(*) OVER (PARTITION BY component_id) AS n_members FROM j) "
-        f"SELECT component_id, doc_id AS keep_id, "
-        f"round(_score, {round_to}) AS quality, n_members "
+        "SELECT component_id, doc_id AS keep_id, "
+        + _floor_round("_score", round_to, "duckdb")
+        + " AS quality, n_members "
         "FROM r WHERE _rn = 1"
     )

@@ -113,3 +113,17 @@ def test_floor_round_nd_generalization(nd):
             for x in xs)).fetchone())
     con.close()
     assert duck == [floor_round_py(x, nd) for x in xs]
+
+
+def test_floor_round_nd_bounds():
+    import pytest
+
+    from flink_sql_security_spark.functions.text import floor_round
+
+    # 15 is the last exactly-representable power-of-ten scale whose
+    # repr stays in positional notation ('1e+16' + 'D' would not parse
+    # in Spark SQL)
+    assert "D" in floor_round("x", 15, "spark")
+    for bad in (-1, 16, 100):
+        with pytest.raises(ValueError, match="nd"):
+            floor_round("x", bad)
