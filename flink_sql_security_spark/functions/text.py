@@ -125,7 +125,7 @@ def bpe_token_count_sql(c: str) -> str:
 # -- quality scoring -------------------------------------------------------
 
 def _ratio(n: Column, d: Column) -> Column:
-    return F.round(n / F.greatest(d, F.lit(1)), 6)
+    return floor_round_col(n / F.greatest(d, F.lit(1)), 6)
 
 
 def quality_features(text: Column) -> dict[str, Column]:
@@ -158,22 +158,18 @@ def quality_features_sql(c: str) -> dict[str, str]:
     return {
         "n_chars": f"length({c})",
         "n_words": n_words,
-        "mean_word_len": (
-            f"round(length(regexp_replace(lower(trim({c})), '{_WS}', '', 'g'))"
-            f" / greatest({n_words}, 1), 6)"
-        ),
-        "digit_ratio": (
-            f"round((length({c}) - length(regexp_replace({c}, '[0-9]', '', 'g')))"
-            f" / greatest(length({c}), 1), 6)"
-        ),
-        "punct_ratio": (
-            f"round((length({c}) - length(regexp_replace({c}, '[^\\w\\s]', '', 'g')))"
-            f" / greatest(length({c}), 1), 6)"
-        ),
-        "stopword_ratio": (
-            f"round(len(list_filter(string_split_regex(lower(trim({c})), '{_WS}'),"
-            f" w -> w IN ({stop_list}))) / greatest({n_words}, 1), 6)"
-        ),
+        "mean_word_len": floor_round6(
+            f"length(regexp_replace(lower(trim({c})), '{_WS}', '', 'g'))"
+            f" / greatest({n_words}, 1)", "duckdb"),
+        "digit_ratio": floor_round6(
+            f"(length({c}) - length(regexp_replace({c}, '[0-9]', '', 'g')))"
+            f" / greatest(length({c}), 1)", "duckdb"),
+        "punct_ratio": floor_round6(
+            f"(length({c}) - length(regexp_replace({c}, '[^\\w\\s]', '', 'g')))"
+            f" / greatest(length({c}), 1)", "duckdb"),
+        "stopword_ratio": floor_round6(
+            f"len(list_filter(string_split_regex(lower(trim({c})), '{_WS}'),"
+            f" w -> w IN ({stop_list}))) / greatest({n_words}, 1)", "duckdb"),
     }
 
 
@@ -199,15 +195,19 @@ def quality_score(text: Column) -> Column:
         # helper's docstring for the engine-boundary rationale
         f"transform(array(split(lower(trim({sql})), '\\\\s+')), ws -> "
         + floor_round6(
-            f"0.4 * least(round(size(filter(ws, w -> w IN ({stops})))"
-            " / greatest(size(ws), 1), 6) * 4, 1.0d)"
-            f" + 0.3 * least(round(length(regexp_replace(lower(trim({sql})), '\\\\s+', ''))"
-            " / greatest(size(ws), 1), 6) / 8, 1.0d)"
-            " + 0.3 * (1 - least(("
-            f"round((length({sql}) - length(regexp_replace({sql}, '[0-9]', '')))"
-            f" / greatest(length({sql}), 1), 6)"
-            f" + round((length({sql}) - length(regexp_replace({sql}, '[^\\\\w\\\\s]', '')))"
-            f" / greatest(length({sql}), 1), 6)) * 2, 1.0d))",
+            "0.4 * least(" + floor_round6(
+                f"size(filter(ws, w -> w IN ({stops})))"
+                " / greatest(size(ws), 1)", "spark") + " * 4, 1.0d)"
+            " + 0.3 * least(" + floor_round6(
+                f"length(regexp_replace(lower(trim({sql})), '\\\\s+', ''))"
+                " / greatest(size(ws), 1)", "spark") + " / 8, 1.0d)"
+            " + 0.3 * (1 - least((" + floor_round6(
+                f"(length({sql}) - length(regexp_replace({sql}, '[0-9]', '')))"
+                f" / greatest(length({sql}), 1)", "spark") + " + "
+            + floor_round6(
+                f"(length({sql}) - length(regexp_replace({sql}, '[^\\\\w\\\\s]', '')))"
+                f" / greatest(length({sql}), 1)", "spark")
+            + ") * 2, 1.0d))",
             "spark")
         + ")[0]"
     )
@@ -264,8 +264,9 @@ def lang_id(text: Column) -> Column:
         lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
         entries.append(
             f"named_struct('l', '{lang}', 's', "
-            f"round(size(filter(ws, w -> w IN ({lst})))"
-            " / greatest(size(ws), 1), 6))")
+            + floor_round6(
+                f"size(filter(ws, w -> w IN ({lst})))"
+                " / greatest(size(ws), 1)", "spark") + ")")
     return F.expr(
         f"transform(array(split(lower(trim({sql})), '\\\\s+')), ws -> "
         f"aggregate(array({', '.join(entries)}), "
@@ -281,8 +282,9 @@ def lang_id_sql(c: str) -> str:
         ws = f"string_split_regex(lower(trim({c})), '{_WS}')"
         parts.append(
             (lang,
-             f"round(len(list_filter({ws}, w -> w IN ({lst})))"
-             f" / greatest(len({ws}), 1), 6)")
+             floor_round6(
+                 f"len(list_filter({ws}, w -> w IN ({lst})))"
+                 f" / greatest(len({ws}), 1)", "duckdb"))
         )
     best = "greatest(" + ", ".join(s for _, s in parts) + ")"
     expr = "'und'"
@@ -633,12 +635,14 @@ def repetition_sql(c: str, n: int = 2) -> dict[str, str]:
         f"x -> len(list_filter({ws}, y -> y = x))))"
     )
     return {
-        "dup_word_frac": (
-            f"round((len({ws}) - len(list_distinct({ws})))"
-            f" / greatest(len({ws}), 1), 6)"),
+        "dup_word_frac": floor_round6(
+            f"(len({ws}) - len(list_distinct({ws})))"
+            f" / greatest(len({ws}), 1)", "duckdb"),
         "dup_gram_frac": (
             f"CASE WHEN len({grams}) = 0 THEN 0.0 ELSE "
-            f"round((len({grams}) - len(list_distinct({grams})))"
-            f" / greatest(len({grams}), 1), 6) END"),
-        "top_word_frac": f"round({best} / greatest(len({ws}), 1), 6)",
+            + floor_round6(
+                f"(len({grams}) - len(list_distinct({grams})))"
+                f" / greatest(len({grams}), 1)", "duckdb") + " END"),
+        "top_word_frac": floor_round6(
+            f"{best} / greatest(len({ws}), 1)", "duckdb"),
     }

@@ -46,6 +46,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round)
+
 _QUANT = 1.0e12
 
 
@@ -268,7 +271,7 @@ def linear_score(df: DataFrame, w: list[float],
     publishes — so a consumer re-deriving the gate from the visible
     score can never disagree with the emitted pred.
     """
-    s = f"round({_score_expr(w, vec_col, 'spark')}, {round_to})"
+    s = _floor_round(_score_expr(w, vec_col, "spark"), round_to, "spark")
     return df.select(
         F.col(id_col),
         F.expr(s).alias("score"),
@@ -322,7 +325,8 @@ def linear_probe_duckdb_sql(parquet_path: str,
     scoring pass value-exactly against embedded literals."""
     w = probe_weights_from_parquet(parquet_path, vec_col, label_col,
                                    positive, l2)
-    s = f"round({_score_expr(w, vec_col, 'duckdb')}, {round_to})"
+    s = _floor_round(_score_expr(w, vec_col, "duckdb"), round_to,
+                     "duckdb")
     return (
         f"SELECT {id_col}, {s} AS score, "
         f"CASE WHEN {s} >= {repr(float(threshold))} THEN 1 ELSE 0 END "

@@ -37,6 +37,10 @@ from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round,
+    floor_round_col as _floor_round_col)
+
 _SCALE = Decimal("1e-12")  # matches DECIMAL(38,12)
 
 
@@ -186,14 +190,17 @@ def kmeans_cells(df: DataFrame, k: int = 8, iters: int = 3,
                  round_to: int = 6) -> DataFrame:
     """(id, cell, dist): fit + assign, distances rounded for stable hashing.
 
-    Spark's ``round`` on doubles is HALF_UP on the shortest decimal form —
-    DuckDB's ``round`` matches for these magnitudes (both compute from the
-    same exact double, and scale-6 ties cannot occur for sums of binary
-    fractions that are not themselves scale-6 decimals).
+    The distance final quantizes with the shared floor rule
+    (``floor_round``): native round() would compare Spark's
+    shortest-repr HALF_UP against DuckDB's exact-binary rounding, which
+    disagree whenever the double's shortest repr ends in a 6-decimal
+    midpoint — exact ties can't occur for these sums, but shortest-REPR
+    pseudo-ties can (the round-5 sf0.1 failure class).
     """
     centroids = kmeans_fit(df, k, iters, vec_col, id_col)
     return kmeans_assign(df, centroids, vec_col, id_col).select(
-        id_col, "cell", F.round(F.col("dist"), round_to).alias("dist"))
+        id_col, "cell",
+        _floor_round_col(F.col("dist"), round_to).alias("dist"))
 
 
 def kmeans_duckdb_sql(parquet_path: str, k: int = 8, iters: int = 3,
@@ -220,5 +227,6 @@ def kmeans_duckdb_sql(parquet_path: str, k: int = 8, iters: int = 3,
         "p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dists FROM x) "
         f"SELECT {id_col}, "
         "CAST(list_position(dists, list_min(dists)) AS INT) - 1 AS cell, "
-        f"round(list_min(dists), {round_to}) AS dist FROM d"
+        + _floor_round("list_min(dists)", round_to, "duckdb")
+        + " AS dist FROM d"
     )

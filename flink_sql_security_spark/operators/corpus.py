@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from flink_sql_security_spark.functions import text as T
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round)
 from flink_sql_security_spark.operators import cache
 from flink_sql_security_spark.operators import dedup as D
 
@@ -106,7 +108,10 @@ def clean_corpus_duckdb_sql(table: str = "documents",
         f"drop_ids AS (SELECT DISTINCT id_b AS {id_col} FROM inter "
         f"  JOIN sizes sa ON sa.{id_col} = inter.id_a "
         f"  JOIN sizes sb ON sb.{id_col} = inter.id_b "
-        f"  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {jaccard_threshold})"
+        "  WHERE "
+        + _floor_round("n_inter / (sa.n_sh + sb.n_sh - n_inter)",
+                       6, "duckdb")
+        + f" >= {jaccard_threshold})"
     )
     return (
         f"WITH {gated}, {exact}, {shingles} "
@@ -196,7 +201,9 @@ def fim_transform(df: DataFrame, rate: float = 0.5,
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError("rate must be in [0, 1]")
-    gate = int(round(rate * 10_000))
+    # native-round-ok: driver-side Python, same literal in
+    # both engines' plans
+    gate = int(round(rate * 10_000))  # native-round-ok
 
     def h(tag: str) -> str:
         return (f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
@@ -238,7 +245,9 @@ def fim_transform_duckdb_sql(table: str = "documents", rate: float = 0.5,
                              mid_tok: str = "<MID>",
                              salt: str = "fim") -> str:
     """DuckDB SQL computing the identical FIM rows (oracle emitter)."""
-    gate = int(round(rate * 10_000))
+    # native-round-ok: driver-side Python, same literal in
+    # both engines' plans
+    gate = int(round(rate * 10_000))  # native-round-ok
 
     def h(tag: str) -> str:
         return (f"CAST(concat('0x', substring(md5(concat(CAST({id_col} AS "

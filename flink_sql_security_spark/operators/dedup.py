@@ -1216,7 +1216,8 @@ def source_overlap_matrix(pairs: DataFrame, docs: DataFrame,
                 # idempotent re-quantization — the nearest 6-dec DECIMAL
                 # is >1e-7 from any other and both engines convert the
                 # same double to it exactly
-                F.expr("CAST(round(jaccard, 6) AS DECIMAL(18,6))")
+                F.expr("CAST(round(jaccard, 6) "  # native-round-ok
+                       "AS DECIMAL(18,6))")
                 .alias("_j"))
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"),
@@ -1234,7 +1235,8 @@ def source_overlap_matrix_duckdb_sql(pairs_sql: str,
     # native-round-ok: idempotent re-quantization of the already
     # floor_round-ed pair jaccard (see source_overlap_matrix)
     avg_j = _floor_round6(
-        "CAST(sum(CAST(round(p.jaccard, 6) AS DECIMAL(18,6))) "
+        "CAST(sum(CAST(round(p.jaccard, 6) "  # native-round-ok
+        "AS DECIMAL(18,6))) "
         "AS DOUBLE) / count(*)", "duckdb")
     return f"""
 WITH pairs AS ({pairs_sql}),

@@ -31,6 +31,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round)
+
 from flink_sql_security_spark.operators.cache import attach, cached_deps
 
 __all__ = ["dsir_weights", "dsir_select", "dsir_weights_duckdb_sql"]
@@ -57,7 +60,7 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     """(id, n_feats, weight, per_tok): per-document DSIR importance weight.
 
     weight = round(Σ_tokens lr(bucket), 6) where
-    lr(b) = round(ln( ((ct_b+1)·(Q+B)) / ((cq_b+1)·(T+B)) ), 6)
+    lr(b) = floor_round(ln( ((ct_b+1)·(Q+B)) / ((cq_b+1)·(T+B)) ), 6)
     with ct/cq the target/corpus bucket counts and T/Q their totals.
     Positive ⇒ more target-like than the corpus average. ``per_tok`` is
     the length-normalized score weight/n_feats — raw sums of (mostly
@@ -101,17 +104,24 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
         .select(
             "bucket",
             F.expr(
-                f"CAST(round(ln("
-                f"CAST((coalesce(ct, 0) + 1) * (q_total + {buckets}) AS DOUBLE)"
-                f" / CAST((cq + 1) * (t_total + {buckets}) AS DOUBLE)"
-                f"), 6) AS DECIMAL(18,6))").alias("lr"))
+                "CAST(" + _floor_round(
+                    f"ln("
+                    f"CAST((coalesce(ct, 0) + 1) * (q_total + {buckets})"
+                    f" AS DOUBLE)"
+                    f" / CAST((cq + 1) * (t_total + {buckets}) AS DOUBLE)"
+                    f")", 6, "spark")
+                + " AS DECIMAL(18,6))").alias("lr"))
     )
     return attach(
         db.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(F.sum("n").alias("n_feats"),
-             F.expr("round(CAST(sum(n * lr) AS DOUBLE), 6)").alias("weight"))
-        .withColumn("per_tok", F.expr("round(weight / n_feats, 6)")),
+             # native-round-ok: sum(n*lr) is exact DECIMAL(·,6)
+             # arithmetic — round-6 of its double is idempotent
+             F.expr("round(CAST(sum(n * lr) AS DOUBLE), 6)")  # native-round-ok
+             .alias("weight"))
+        .withColumn("per_tok",
+                    F.expr(_floor_round("weight / n_feats", 6, "spark"))),
         db)
 
 
@@ -137,6 +147,15 @@ def dsir_weights_duckdb_sql(corpus_sql: str, target_sql: str,
            f" AS _tok")
     b = (f"CAST(concat('0x', substring(md5(_tok), 1, 15)) AS BIGINT)"
          f" % {buckets}")
+    lr_floor = _floor_round(
+        "ln("
+        f"CAST((coalesce(ct, 0) + 1) * (q_total + {buckets}) AS DOUBLE)"
+        f" / CAST((cq + 1) * (t_total + {buckets}) AS DOUBLE)"
+        ")", 6, "duckdb")
+    per_tok_floor = _floor_round("weight / n_feats", 6, "duckdb")
+    # the weight round below stays native-round-ok: sum(lr) is exact
+    # DECIMAL(18,6) arithmetic (== Spark's sum(n*lr) over buckets), so
+    # round-6 of its double cast is idempotent re-quantization
     return f"""
 WITH cw AS (SELECT {id_col}, {b} AS bucket FROM
             (SELECT {id_col}, {tok} FROM ({corpus_sql}))),
@@ -146,13 +165,10 @@ cq AS (SELECT bucket, count(*) AS cq FROM cw GROUP BY 1),
 tt AS (SELECT sum(ct) AS t_total FROM ct),
 qt AS (SELECT sum(cq) AS q_total FROM cq),
 lr AS (SELECT bucket,
-              CAST(round(ln(
-                CAST((coalesce(ct, 0) + 1) * (q_total + {buckets}) AS DOUBLE)
-                / CAST((cq + 1) * (t_total + {buckets}) AS DOUBLE)
-              ), 6) AS DECIMAL(18,6)) AS lr
+              CAST({lr_floor} AS DECIMAL(18,6)) AS lr
        FROM cq LEFT JOIN ct USING (bucket), tt, qt)
-SELECT {id_col}, n_feats, weight, round(weight / n_feats, 6) AS per_tok
+SELECT {id_col}, n_feats, weight, {per_tok_floor} AS per_tok
 FROM (SELECT cw.{id_col}, CAST(count(*) AS BIGINT) AS n_feats,
-             round(CAST(sum(lr) AS DOUBLE), 6) AS weight
+             round(CAST(sum(lr) AS DOUBLE), 6) AS weight -- native-round-ok
       FROM cw JOIN lr USING (bucket) GROUP BY 1)
 """

@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round,
+    floor_round_col as _floor_round_col)
+
 
 def pack_sequences(df: DataFrame, tokens_col: str | Column,
                    budget: int = 512, id_col: str = "doc_id",
@@ -146,7 +150,7 @@ def length_bucketed_batches(df: DataFrame, tokens_col: str | Column,
     return assigned.select(
         id_col, "n_tokens", "bucket", "batch_id",
         F.max("n_tokens").over(wb).alias("batch_max"),
-        F.round(
+        _floor_round_col(
             F.lit(1.0) - (F.sum("n_tokens").over(wb)
                           / (F.max("n_tokens").over(wb)
                              * F.count("*").over(wb))).cast("double"),
@@ -170,7 +174,9 @@ def length_bucketed_batches_duckdb_sql(tokens_sql: str, batch_docs: int = 8,
         f"// {batch_docs} AS BIGINT) AS batch_id FROM b) "
         f"SELECT {id_col}, n_tokens, bucket, batch_id, "
         f"max(n_tokens) OVER wb AS batch_max, "
-        f"round(1.0 - CAST(sum(n_tokens) OVER wb AS DOUBLE) "
-        f"/ (max(n_tokens) OVER wb * count(*) OVER wb), 6) AS pad_frac "
+        + _floor_round(
+            "1.0 - CAST(sum(n_tokens) OVER wb AS DOUBLE) "
+            "/ (max(n_tokens) OVER wb * count(*) OVER wb)", 6, "duckdb")
+        + " AS pad_frac "
         f"FROM a WINDOW wb AS (PARTITION BY bucket, batch_id)"
     )

@@ -18,6 +18,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round,
+    floor_round_col as _floor_round_col)
+
 
 def profile_numeric(df: DataFrame, cols: list[str],
                     exact_distinct: bool = True) -> DataFrame:
@@ -51,8 +55,11 @@ def profile_numeric(df: DataFrame, cols: list[str],
             wide.select(F.expr(
                 f"stack({len(cols)}, {stacked})")
                 .alias("column", "n", "n_null", "n_distinct", "min", "max", "sum"))
-            .withColumn("mean", F.round(F.col("sum") / F.col("n"), 6))
-            .withColumn("sum", F.round("sum", 2))
+            .withColumn("mean",
+                        _floor_round_col(F.col("sum") / F.col("n"), 6))
+            # native-round-ok: "sum" is a double holding an EXACT
+            # DECIMAL(18,2) sum — round-2 is idempotent re-quantization
+            .withColumn("sum", F.round("sum", 2))  # native-round-ok  # native-round-ok
         )
 
     stacked = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
@@ -71,8 +78,10 @@ def profile_numeric(df: DataFrame, cols: list[str],
         F.sum(d * F.col("cnt")).cast("double").alias("sum"),
     )
     return (
-        agg.withColumn("mean", F.round(F.col("sum") / F.col("n"), 6))
-        .withColumn("sum", F.round("sum", 2))
+        agg.withColumn("mean",
+                       _floor_round_col(F.col("sum") / F.col("n"), 6))
+        # native-round-ok: exact DECIMAL(18,2) sum, idempotent round-2
+        .withColumn("sum", F.round("sum", 2))  # native-round-ok
     )
 
 
@@ -89,8 +98,11 @@ def profile_numeric_duckdb_sql(table: str, cols: list[str]) -> str:
             f"count(DISTINCT {c}) AS n_distinct, "
             f"CAST(min({d}) AS DOUBLE) AS \"min\", "
             f"CAST(max({d}) AS DOUBLE) AS \"max\", "
-            f"round(CAST(sum({d}) AS DOUBLE), 2) AS \"sum\", "
-            f"round(CAST(sum({d}) AS DOUBLE) / count({c}), 6) AS mean "
+            # native-round-ok (sum): exact DECIMAL(18,2) sum
+            f"round(CAST(sum({d}) AS DOUBLE), 2) "  # native-round-ok
+            f"AS \"sum\", "
+            + _floor_round(f"CAST(sum({d}) AS DOUBLE) / count({c})",
+                           6, "duckdb") + " AS mean "
             f"FROM {table}")
     return " UNION ALL ".join(parts)
 
@@ -162,7 +174,7 @@ def profile_quantiles(df: DataFrame, cols: list[str],
             .alias("_qs"))
     return agg.select(
         "column",
-        *[F.round(F.col("_qs").getItem(i), 6).alias(n)
+        *[_floor_round_col(F.col("_qs").getItem(i), 6).alias(n)
           for i, n in enumerate(names)])
 
 
@@ -173,7 +185,8 @@ def profile_quantiles_duckdb_sql(table: str, cols: list[str],
     for c in cols:
         v = f"CAST(CAST({c} AS DECIMAL(18,2)) AS DOUBLE)"
         qs = ", ".join(
-            f"round(quantile_cont({v}, {p}), 6) AS p{int(p * 100)}"
+            _floor_round(f"quantile_cont({v}, {p})", 6, "duckdb")
+            + f" AS p{int(p * 100)}"
             for p in ps)
         parts.append(f"SELECT '{c}' AS \"column\", {qs} FROM {table}")
     return " UNION ALL ".join(parts)

@@ -20,7 +20,7 @@ Cross-engine exactness: the same md5 bits pick the same signs in the
 Spark emitter and the DuckDB oracle emitter; additions associate in
 the same written order, the final scale is an exact power-of-two-ish
 divide executed identically — projected doubles hash-match at
-round-to-6 output precision.
+floor_round-to-6 output precision.
 """
 
 from __future__ import annotations
@@ -28,6 +28,9 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame, functions as F
+
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round)
 
 __all__ = ["rp_signs", "rp_project", "rp_project_duckdb_sql"]
 
@@ -74,8 +77,8 @@ def rp_project(df: DataFrame, in_dim: int, out_dim: int = 16,
     comps = []
     for j, row in enumerate(signs):
         s = _sum_expr(row, lambda i: f"element_at(_xd, {i})")
-        comps.append(f"round(({s}) / CAST('{scale!r}' AS DOUBLE), "
-                     f"{round_to})")
+        comps.append(_floor_round(
+            f"({s}) / CAST('{scale!r}' AS DOUBLE)", round_to, "spark"))
     return (df.withColumn("_xd", F.expr(guarded))
             .withColumn("_xd", F.expr(
                 "CASE WHEN NOT exists(_xd, v -> v IS NULL OR isnan(v)) "
@@ -98,8 +101,8 @@ def rp_project_duckdb_sql(in_dim: int, out_dim: int = 16,
     comps = []
     for row in signs:
         s = _sum_expr(row, lambda i: f"xd[{i}]")
-        comps.append(f"round(({s}) / CAST('{scale!r}' AS DOUBLE), "
-                     f"{round_to})")
+        comps.append(_floor_round(
+            f"({s}) / CAST('{scale!r}' AS DOUBLE)", round_to, "duckdb"))
     return (
         f"WITH x AS (SELECT {id_col}, "
         f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "

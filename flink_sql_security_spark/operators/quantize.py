@@ -28,6 +28,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round,
+    floor_round_col as _floor_round_col)
+
 
 def _lit_array(vals: list[float], dialect: str) -> str:
     body = ", ".join(repr(float(v)) for v in vals)
@@ -110,7 +114,7 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
             _codes_expr("_xd", mn_lit, rng_lit, d, "spark")))
         .select(
             F.col(id_col), codes_out.alias("codes"),
-            F.round(F.expr(_err_expr(
+            _floor_round_col(F.expr(_err_expr(
                 "_xd", "codes", mn_lit, rng_lit, d, "spark")),
                 round_to).alias("err"),
         )
@@ -150,5 +154,6 @@ def quantize_int8_duckdb_sql(parquet_path: str, vec_col: str = "embedding",
         "FROM embeddings), "
         f"c AS (SELECT {id_col}, xd, {codes} AS codes FROM x) "
         f"SELECT {id_col}, {codes_out} AS codes, "
-        f"round({err}, {round_to}) AS err FROM c"
+        + _floor_round(err, round_to, "duckdb")
+        + " AS err FROM c"
     )

@@ -73,7 +73,9 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     cuts, acc = [], 0.0
     for w in weights[:-1]:
         acc += w
-        cuts.append(int(round(_BUCKETS * acc / total)))
+        # native-round-ok: driver-side Python, same integer literal
+        # embedded into BOTH engines' plans
+        cuts.append(int(round(_BUCKETS * acc / total)))  # native-round-ok
     bucket = F.expr(_bucket_expr(id_col, salt))
     case = F.when(bucket < cuts[0], F.lit(names[0]))
     for i in range(1, len(cuts)):
@@ -92,7 +94,9 @@ def hash_split_duckdb_sql(table: str = "documents", id_col: str = "doc_id",
     cuts, acc = [], 0.0
     for w in weights[:-1]:
         acc += w
-        cuts.append(int(round(_BUCKETS * acc / total)))
+        # native-round-ok: driver-side Python, same integer literal
+        # embedded into BOTH engines' plans
+        cuts.append(int(round(_BUCKETS * acc / total)))  # native-round-ok
     b = _bucket_duckdb(id_col, salt)
     whens = " ".join(
         f"WHEN bucket < {c} THEN '{n}'" for c, n in zip(cuts, names)
@@ -112,7 +116,8 @@ def stratified_hash_sample(df: DataFrame, fraction: float,
     and engines — the property a training-data pipeline needs so that a
     resumed 100 TB job keeps exactly the rows the first attempt kept.
     """
-    cut = int(round(_BUCKETS * fraction))
+    # native-round-ok: driver-side Python, same literal both engines
+    cut = int(round(_BUCKETS * fraction))  # native-round-ok
     return df.where(F.expr(_bucket_expr(id_col, salt)) < cut)
 
 
@@ -121,7 +126,8 @@ def stratified_hash_sample_duckdb_sql(fraction: float,
                                       id_col: str = "doc_id",
                                       salt: str = "sample",
                                       select: str = "*") -> str:
-    cut = int(round(_BUCKETS * fraction))
+    # native-round-ok: driver-side Python, same literal both engines
+    cut = int(round(_BUCKETS * fraction))  # native-round-ok
     return (f"SELECT {select} FROM {table} "
             f"WHERE {_bucket_duckdb(id_col, salt)} < {cut}")
 
@@ -389,10 +395,14 @@ def epoch_upsample(df: DataFrame, factor_col: str,
     """
     h = (f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
          f"':{salt}')), 1, 8), 16, 10) AS BIGINT) % {_BUCKETS}")
+    # floor(x+0.5), not round(x): the fractional-part threshold is an
+    # in-engine double, and native round() is the one op where the
+    # engines disagree (shortest-repr HALF_UP vs exact binary) — the
+    # floor form is bit-identical on both (functions/text.py rule)
     n_copies = (
         f"CAST(floor({factor_col}) AS BIGINT) + "
-        f"CASE WHEN {h} < CAST(round(({factor_col} - floor({factor_col}))"
-        f" * {_BUCKETS}) AS BIGINT) THEN 1 ELSE 0 END")
+        f"CASE WHEN {h} < CAST(floor(({factor_col} - floor({factor_col}))"
+        f" * {_BUCKETS} + 0.5) AS BIGINT) THEN 1 ELSE 0 END")
     return (
         df.withColumn("_n", F.expr(n_copies))
         .where(F.col("_n") > 0)
@@ -408,8 +418,8 @@ def epoch_upsample_duckdb_sql(factor_expr: str, table: str = "documents",
     h = (f"CAST(concat('0x', substring(md5(concat(CAST({id_col} AS VARCHAR), "
          f"':{salt}')), 1, 8)) AS BIGINT) % {_BUCKETS}")
     n = (f"CAST(floor({factor_expr}) AS BIGINT) + "
-         f"CASE WHEN {h} < CAST(round(({factor_expr} - floor({factor_expr}))"
-         f" * {_BUCKETS}) AS BIGINT) THEN 1 ELSE 0 END")
+         f"CASE WHEN {h} < CAST(floor(({factor_expr} - floor({factor_expr}))"
+         f" * {_BUCKETS} + 0.5) AS BIGINT) THEN 1 ELSE 0 END")
     return (
         f"SELECT {select}, c.c AS copy_i FROM "
         f"(SELECT *, {n} AS _n FROM {table}) t, "
@@ -642,7 +652,9 @@ def component_safe_split_duckdb_sql(pairs_sql: str,
     cuts, acc = [], 0.0
     for w in weights[:-1]:
         acc += w
-        cuts.append(int(round(_BUCKETS * acc / total)))
+        # native-round-ok: driver-side Python, same integer literal
+        # embedded into BOTH engines' plans
+        cuts.append(int(round(_BUCKETS * acc / total)))  # native-round-ok
     case = "CASE "
     for cut, name in zip(cuts, names):
         case += f"WHEN bucket < {cut} THEN '{name}' "

@@ -70,8 +70,9 @@ _UNIT_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc 
 #   while DuckDB's rounds the exact binary value, and the two disagree
 #   when a double sits within an ulp of a decimal midpoint — so NO
 #   cross-engine final may use either engine's native round(). The
-#   legacy _round_half_up below reproduces Spark round() and remains
-#   only for sites that must match a Spark round() that still exists.
+#   legacy _round_half_up below reproduces Spark round(); no production
+#   site uses it anymore (round-8 sweep) — it stays as the reference
+#   implementation the floor_round divergence tests compare against.
 
 def _seq_sq_norms(M):
     """Per-row sqrt of the sequential-fold sum of squares."""

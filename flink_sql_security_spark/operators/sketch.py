@@ -31,6 +31,9 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from flink_sql_security_spark.functions.text import (
+    floor_round as _floor_round,
+    floor_round_col as _floor_round_col)
 from flink_sql_security_spark.operators.cache import attach
 
 HLL_P = 9                 # 2^9 = 512 registers
@@ -104,7 +107,9 @@ def approx_distinct_hll(df: DataFrame, cols: list[str],
                 f"s0 + ({HLL_M} - present) * shiftleft(CAST(1 AS BIGINT), {_RHO_MAX})"
             ).alias("s"))
         .select("column",
-                F.expr(f"CAST(round({est}) AS BIGINT)").alias("n_est"))
+                # floor(x+0.5), not round(x): functions/text.py rule
+                F.expr(f"CAST(floor(({est}) + 0.5) AS BIGINT)")
+                .alias("n_est"))
     )
     if not with_exact:
         return sketch
@@ -118,7 +123,7 @@ def approx_distinct_hll(df: DataFrame, cols: list[str],
     rel = (F.col("n_est").cast("double") - F.col("n_exact").cast("double")) \
         / F.col("n_exact").cast("double")
     return joined.select("column", "n_est", "n_exact",
-                         F.round(rel, 4).alias("rel_err"))
+                         _floor_round_col(rel, 4).alias("rel_err"))
 
 
 def approx_distinct_hll_duckdb_sql(table: str, cols: list[str],
@@ -149,7 +154,8 @@ def approx_distinct_hll_duckdb_sql(table: str, cols: list[str],
         f"CAST(count(*) AS BIGINT) AS present FROM regs GROUP BY 1), "
         f"est AS (SELECT \"column\", present, "
         f"s0 + ({HLL_M} - present) * (1::BIGINT << {_RHO_MAX}) AS s FROM agg), "
-        f"sk AS (SELECT \"column\", CAST(round({est}) AS BIGINT) AS n_est FROM est)"
+        f"sk AS (SELECT \"column\", CAST(floor(({est}) + 0.5) AS BIGINT) "
+        f"AS n_est FROM est)"
     )
     if not with_exact:
         return sql + " SELECT \"column\", n_est FROM sk"
@@ -157,8 +163,10 @@ def approx_distinct_hll_duckdb_sql(table: str, cols: list[str],
         sql + f", ex AS (SELECT \"column\", "
         f"CAST(count(DISTINCT val) AS BIGINT) AS n_exact FROM long GROUP BY 1) "
         f"SELECT sk.\"column\", n_est, n_exact, "
-        f"round((CAST(n_est AS DOUBLE) - CAST(n_exact AS DOUBLE)) "
-        f"/ CAST(n_exact AS DOUBLE), 4) AS rel_err "
+        + _floor_round(
+            "(CAST(n_est AS DOUBLE) - CAST(n_exact AS DOUBLE)) "
+            "/ CAST(n_exact AS DOUBLE)", 4, "duckdb")
+        + " AS rel_err "
         f"FROM sk JOIN ex USING (\"column\")"
     )
 
@@ -488,10 +496,11 @@ def histogram_quantiles(df: DataFrame, col: str, ps: tuple = (0.25, 0.5, 0.75, 0
                                  "n")).alias("s"))
              .select(
                  F.lit(p).alias("p"),
-                 F.expr(
-                     f"round(s.lo + (CAST(s.bin AS DOUBLE) + "
+                 F.expr(_floor_round(
+                     f"s.lo + (CAST(s.bin AS DOUBLE) + "
                      f"CAST(s.r - s.cum_before AS DOUBLE) / CAST(s.cnt AS DOUBLE))"
-                     f" * (s.hi - s.lo) / {n_bins}, 6)").alias("q_est")))
+                     f" * (s.hi - s.lo) / {n_bins}", 6, "spark"))
+                 .alias("q_est")))
         ests = e if ests is None else ests.unionByName(e)
     if not with_exact:
         return attach(ests, hist)
@@ -501,7 +510,8 @@ def histogram_quantiles(df: DataFrame, col: str, ps: tuple = (0.25, 0.5, 0.75, 0
     ex = None
     for i, p in enumerate(ps):
         e = exact.select(F.lit(p).alias("p"),
-                         F.round(F.col("_qs").getItem(i), 6).alias("q_exact"))
+                         _floor_round_col(F.col("_qs").getItem(i), 6)
+                         .alias("q_exact"))
         ex = e if ex is None else ex.unionByName(e)
     return attach(ests.join(ex, "p"), hist)
 
@@ -513,6 +523,10 @@ def histogram_quantiles_duckdb_sql(table: str, col: str,
     v = f"CAST(CAST({col} AS DECIMAL(18,2)) AS DOUBLE)"
     probes = " UNION ALL ".join(
         f"SELECT CAST({p} AS DOUBLE) AS p" for p in ps)
+    q_floor = _floor_round(
+        f"lo + (CAST(bin AS DOUBLE) + "
+        f"CAST(r - cum_before AS DOUBLE) / CAST(cnt AS DOUBLE)) "
+        f"* (hi - lo) / {n_bins}", 6, "duckdb")
     return f"""
 WITH b AS (SELECT min({v}) AS lo, max({v}) AS hi FROM {table}),
 binned AS (SELECT CASE WHEN hi = lo THEN 0 ELSE least(CAST(floor(
@@ -525,9 +539,7 @@ cum AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY bin
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
           sum(cnt) OVER () AS n FROM hist),
 probes AS ({probes})
-SELECT p, round(lo + (CAST(bin AS DOUBLE) +
-         CAST(r - cum_before AS DOUBLE) / CAST(cnt AS DOUBLE))
-         * (hi - lo) / {n_bins}, 6) AS q_est
+SELECT p, {q_floor} AS q_est
 FROM (SELECT p, min(struct_pack(bin := bin, cum_before := cum_before,
         cnt := cnt, lo := lo, hi := hi, r := r, n := n)) AS s
       FROM (SELECT probes.p, cum.*, CAST(ceil(probes.p * cum.n) AS BIGINT) AS r

@@ -107,7 +107,8 @@ def rate_source_demo(spark: SparkSession, rows_per_second: int = 100) -> DataFra
             F.concat(F.lit("cust_"), (F.col("value") % 7).cast("string"))
             .alias("customer_name"),
             (F.col("value") % 9 + 101).cast("int").alias("product_id"),
-            F.round(F.rand(seed=42) * 100, 2).cast("decimal(10,5)").alias("price"),
+            F.round(F.rand(seed=42) * 100, 2)  # native-round-ok: demo source
+            .cast("decimal(10,5)").alias("price"),
             F.lit(False).alias("order_status"),
             F.element_at(
                 F.array(F.lit("beijing"), F.lit("hangzhou"), F.lit("shanghai")),

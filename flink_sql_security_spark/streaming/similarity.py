@@ -65,8 +65,9 @@ def ann_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
 
         import pandas as pd
 
+        from flink_sql_security_spark.functions.text import floor_round_py
         from flink_sql_security_spark.operators.similarity import (
-            _exact_unit_matrix, _round_half_up, _seq_dot,
+            _exact_unit_matrix, _seq_dot,
         )
         import numpy as np
 
@@ -82,7 +83,7 @@ def ann_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
                 keep = np.nonzero(s >= threshold - margin)[0]
                 out_a, out_b, out_c = [], [], []
                 for t in keep:
-                    cv = _round_half_up(_seq_dot(Ua[t], Ub[t]), 6)
+                    cv = floor_round_py(_seq_dot(Ua[t], Ub[t]), 6)
                     if cv >= threshold:
                         out_a.append(chunk["id_new"].iloc[t])
                         out_b.append(chunk["id_old"].iloc[t])
