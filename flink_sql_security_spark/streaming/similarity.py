@@ -149,11 +149,12 @@ def pq_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
 def hamming_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id", k: int = 5,
-                          rerank: int = 0, round_to: int = 6,
+                          rerank: int | str = 0, round_to: int = 6,
                           d: int | None = None):
     """Streaming binary (sign-bit) search against a static corpus: each
     micro-batch of (id, vector) rows receives its hamming top-k (or
-    exact-rerank top-k when ``rerank > 0``) from the corpus —
+    exact-rerank top-k when ``rerank > 0`` or ``'auto'`` — the
+    corpus-sized shortlist rule, identical to batch) from the corpus —
     bit-identical to batch :func:`operators.binary.hamming_topk` on the
     same inputs.
 

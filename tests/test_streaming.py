@@ -667,3 +667,46 @@ def test_weighted_sample_stream_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_hamming_ingest_stream_auto_rerank_matches_batch(spark):
+    """rerank='auto' flows through the streaming path unchanged: the
+    per-query candidate count (and so the shortlist cutoff) is computed
+    in-plan per micro-batch, bit-identical to batch."""
+    import random
+
+    from flink_sql_security_spark.operators import binary as B
+    from flink_sql_security_spark.streaming.similarity import (
+        hamming_ingest_stream)
+
+    def vec(seed):
+        r = random.Random(seed)
+        return [r.uniform(-1, 1) for _ in range(32)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(80)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(200 + i, vec(2000 + i)) for i in range(6)],
+        "vec_id long, embedding array<double>")
+
+    expected = {tuple(r) for r in B.hamming_topk(
+        corpus, queries, k=4, rerank="auto", d=32).collect()}
+    assert expected
+
+    path = tempfile.mkdtemp(prefix="fss_stream_bin_auto")
+    try:
+        queries.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(
+            "vec_id long, embedding array<double>").parquet(path)
+        got = set()
+
+        def sink(df, batch_id):
+            got.update(tuple(r) for r in df.collect())
+
+        q = hamming_ingest_stream(src, corpus, sink, k=4, rerank="auto",
+                                  d=32).start()
+        q.processAllAvailable(); q.stop()
+        assert got == expected
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
