@@ -54,26 +54,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     K, Q = 10, 32
 
-    print("binary search: shortlist scaled with corpus (rerank = n/2000)")
-    print(f"{'n_vecs':>8} {'rerank':>6} {'sec':>8} {'vecs/sec':>9} "
-          f"{'recall@10':>9}")
+    print("binary search: fraction rule (rerank = n/2000) vs "
+          "rerank='auto' (shortlist max(8k, ceil(5*sqrt(n))))")
+    print(f"{'n_vecs':>8} {'rule':>8} {'shortlist':>9} {'sec':>8} "
+          f"{'vecs/sec':>9} {'recall@10':>9}")
     for n in sizes:
         vecs = synth_vectors(spark, n).localCheckpoint()
         q = vecs.where(f"vec_id < {Q}")
         truth = {}
         for r in S.cosine_topk(vecs, q, k=K).collect():
             truth.setdefault(r["q_id"], set()).add(r["n_id"])
-        rerank = max(8, n // (K * 200))   # shortlist k·rerank ≈ n/200 (0.5%)
-        t0 = time.time()
-        got = {}
-        for r in B.hamming_topk(vecs, q, k=K, rerank=rerank,
-                                d=DIM).collect():
-            got.setdefault(r["q_id"], set()).add(r["n_id"])
-        dt = time.time() - t0
-        hit = sum(len(truth[qi] & got.get(qi, set())) for qi in truth)
-        recall = hit / sum(len(v) for v in truth.values())
-        print(f"{n:>8} {rerank:>6} {dt:>8.2f} {n / dt:>9.0f} "
-              f"{recall:>9.3f}")
+        frac_rerank = max(8, n // (K * 200))  # shortlist ≈ n/200 (0.5%)
+        import math
+        auto_short = max(8 * K, math.ceil(5.0 * math.sqrt(n)))
+        for rule, rr, short in (("n/2000", frac_rerank, K * frac_rerank),
+                                ("auto", "auto", auto_short)):
+            t0 = time.time()
+            got = {}
+            for r in B.hamming_topk(vecs, q, k=K, rerank=rr,
+                                    d=DIM).collect():
+                got.setdefault(r["q_id"], set()).add(r["n_id"])
+            dt = time.time() - t0
+            hit = sum(len(truth[qi] & got.get(qi, set())) for qi in truth)
+            recall = hit / sum(len(v) for v in truth.values())
+            print(f"{n:>8} {rule:>8} {short:>9} {dt:>8.2f} "
+                  f"{n / dt:>9.0f} {recall:>9.3f}")
         spark.catalog.clearCache()
 
     print("\nridge fit: one-pass normal equations (quantized integer sums)")
