@@ -313,3 +313,51 @@ def test_rerank_rejects_bad_string(emb):
     with pytest.raises(ValueError):
         B.hamming_topk(emb, emb.where("vec_id < 2"), k=3,
                        rerank="bogus").collect()
+
+
+def test_fuzz_binary_configs_cross_engine(spark):
+    """Config fuzz for the binary tier: random (d, k, rerank — int, 0
+    and 'auto' — n_probe, flat-vs-IVF) draws, each verified value-exact
+    against the DuckDB oracle end to end. Deterministic seeds (base
+    5353); rotate alongside the SQL fuzz bursts."""
+    import random
+
+    from flink_sql_security_spark.operators import pq as PQ
+
+    rng = random.Random(5353)
+    for trial in range(5):
+        d = rng.choice([32, 64])
+        k = rng.randint(3, 6)
+        rerank = rng.choice([0, 2, 4, "auto"])
+        n_q = rng.choice([4, 6])
+        ivf = rng.random() < 0.5
+        cfg = (trial, d, k, rerank, n_q, ivf)
+        pred = f"vec_id < {n_q}"
+        if ivf:
+            n_cells = rng.choice([4, 8])
+            n_probe = rng.randint(2, n_cells)
+            emb = spark.read.parquet(EMB)
+            coarse = PQ.coarse_train(emb, n_cells=n_cells, iters=2)
+            got = rows(B.ivf_hamming_topk(
+                emb, emb.where(pred), coarse, k=k, n_probe=n_probe,
+                rerank=rerank, d=64))
+            con2 = duckdb.connect()
+            con2.execute(
+                f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{EMB}')")
+            want = fetch(con2, B.ivf_hamming_topk_duckdb_sql(
+                EMB, query_pred=pred, k=k, n_cells=n_cells,
+                n_probe=n_probe, rerank=rerank, iters=2, d=64))
+            con2.close()
+        else:
+            emb = spark.read.parquet(EMB)
+            got = rows(B.hamming_topk(emb, emb.where(pred), k=k,
+                                      rerank=rerank, d=d))
+            con2 = duckdb.connect()
+            con2.execute(
+                f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{EMB}')")
+            want = fetch(con2, B.hamming_topk_duckdb_sql(
+                query_pred=pred, k=k, rerank=rerank, d=d))
+            con2.close()
+        assert got == want and len(got) == n_q * k, cfg
