@@ -1301,6 +1301,32 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
                                   m=32, k_cb=64, iters=3,
                                   n_cells=16, n_probe=4, k=5),
     )
+    # OPQ (operators/opq.py): Ge et al. 2013 learned rotation before
+    # PQ — the rotation decorrelates the subspaces so the same code
+    # budget quantizes ~12-19% less distortion (pytest-pinned); the
+    # rotation applies as ONE narrow literal-matrix projection and
+    # everything downstream is pq_topk verbatim. Oracle re-derives
+    # (R, codebooks) with the same numpy and recomputes the rotation
+    # in SQL with the identical fold + floor rule.
+    from flink_sql_security_spark.operators import opq as OPQ
+
+    _opq_art = None
+
+    def _opq(s):
+        nonlocal _opq_art
+        if _opq_art is None:
+            _opq_art = OPQ.opq_train(emb(s), m=8, k=16, iters=2,
+                                     opq_iters=2)
+        return _opq_art
+
+    out["emb_opq_topk"] = (
+        with_tables(lambda s: OPQ.opq_topk(
+            emb(s), emb(s).where("vec_id < 10"), _opq(s)[0], _opq(s)[1],
+            k=5)),
+        OPQ.opq_topk_duckdb_sql(_emb_path, query_pred="vec_id < 10",
+                                m=8, k_cb=16, iters=2, opq_iters=2,
+                                k=5),
+    )
     # JL sign projection (operators/projection.py): 64→16-dim
     # database-friendly random projection — md5-derived ±1 matrix,
     # unrolled codegen-able ± chains, zero shuffle; the pre-ANN cost

@@ -946,3 +946,80 @@ def test_pq_topk_explicit_ivf_mode_trains_coarse(spark):
     want = sorted(map(tuple, PQ.ivfpq_topk(
         df, q, coarse, books, k=3, n_probe=2).collect()))
     assert got == want and len(got) == 15
+
+
+# ---------------------------------------------------------------------------
+# OPQ: learned rotation before PQ (Ge et al. 2013)
+# ---------------------------------------------------------------------------
+
+def test_opq_train_deterministic_and_orthogonal(spark):
+    import numpy as np
+
+    from flink_sql_security_spark.operators import opq as O
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    R1, b1 = O.opq_train(emb, m=8, k=16, iters=2, opq_iters=2)
+    R2, b2 = O.opq_train(emb.repartition(7), m=8, k=16, iters=2,
+                         opq_iters=2)
+    assert R1 == R2 and b1 == b2  # lowest-id sample → layout-independent
+    Rn = np.asarray(R1)
+    # orthogonal up to the 1e-6 literal quantization
+    assert float(abs(Rn @ Rn.T - np.eye(len(R1))).max()) < 1e-4
+    assert len(b1) == 8 and len(b1[0]) == 16
+
+
+def test_opq_topk_duckdb_parity(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import opq as O
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    R, books = O.opq_train(emb, m=8, k=16, iters=2, opq_iters=2)
+    got = sorted(map(tuple, O.opq_topk(
+        emb, emb.where("vec_id < 5"), R, books, k=4).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    want = sorted(map(tuple, con.execute(O.opq_topk_duckdb_sql(
+        path, query_pred="vec_id < 5", m=8, k_cb=16, iters=2,
+        opq_iters=2, k=4)).fetchall()))
+    assert got == want and len(got) == 5 * 4
+
+
+def test_opq_cuts_quantization_distortion():
+    """The OPQ objective (Ge et al. 2013 eq. 6): total quantization
+    distortion under the learned rotation is strictly lower than plain
+    axis-aligned PQ's on an anisotropic mixed corpus — the property
+    that buys recall at the same code budget. Deterministic fixture."""
+    import numpy as np
+
+    from flink_sql_security_spark.operators.opq import (
+        _opq_train_np, _pq_assign_np)
+    from flink_sql_security_spark.operators.pq import _pq_train_np
+
+    rng = np.random.RandomState(6)
+    lat = rng.randn(400, 16) * np.linspace(3.0, 0.1, 16)
+    X = lat @ np.linalg.qr(rng.randn(16, 16))[0]
+    books_pq = _pq_train_np(X, 8, 8, 3)
+    R, books_opq = _opq_train_np(X, 8, 8, 3, 3, 6)
+    Xr = X @ np.asarray(R)
+    dist_pq = float(((X - _pq_assign_np(X, books_pq)) ** 2).sum())
+    dist_opq = float(((Xr - _pq_assign_np(Xr, books_opq)) ** 2).sum())
+    assert dist_opq < 0.95 * dist_pq, (dist_opq, dist_pq)
+
+
+def test_opq_rotate_is_narrow_and_loud(spark):
+    from flink_sql_security_spark.operators import opq as O
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    R, _ = O.opq_train(emb, m=4, k=8, iters=1, opq_iters=1)
+    rot = O.opq_rotate(emb, R)
+    plan = rot._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # one narrow projection
+
+    bad = spark.createDataFrame([(1, [1.0, 2.0])],
+                                "vec_id long, embedding array<double>")
+    import pytest as _pt
+    with _pt.raises(Exception, match="opq_rotate"):
+        O.opq_rotate(bad, R).collect()

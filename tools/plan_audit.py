@@ -51,6 +51,9 @@ PYTHON_OK = {
     # code words — the PQ tier's query-pass pattern); the corpus scan
     # itself is pure JVM xor/bit_count.
     "emb_binary_ivf_topk",
+    # OPQ: pq_topk's documented query-side LUT kernel over the ROTATED
+    # query table; the rotation itself is a pure JVM projection.
+    "emb_opq_topk",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
@@ -75,6 +78,9 @@ NLJ_OK = {
     # scan by design; the corpus side never shuffles and the rerank
     # stage joins only the k·R shortlist.
     "emb_binary_topk",
+    # OPQ ADC: same n×Q LUT-broadcast contract as emb_pq_topk, over the
+    # rotated code table.
+    "emb_opq_topk",
 }
 
 
