@@ -139,9 +139,11 @@ def opq_rotate(df: DataFrame, R: list, vec_col: str = "embedding",
     """(id, rot): the rotated double vectors, one narrow projection.
 
     Zero shuffle, zero Python: the rotation matrix is a plan literal
-    and each component is a bound-lambda sequential fold (interpreted
-    HOF, but evaluated once per row on a projection — at 100 TB this
-    is a map-only pass fused into whatever consumes it)."""
+    and each component is a sequential fold. The guarded input vector
+    is bound ONCE per row with the ``transform(array(..), xd -> ..)[0]``
+    idiom (the round-2 lesson: a derived column referenced inside a
+    HOF lambda re-inlines and re-evaluates per outer iteration — here
+    the d-element guard+cast would run d× per row)."""
     d = len(R)
     guarded = (
         f"CASE WHEN size({vec_col}) = {d} AND NOT exists({vec_col}, "
@@ -151,10 +153,9 @@ def opq_rotate(df: DataFrame, R: list, vec_col: str = "embedding",
         f"CAST({id_col} AS STRING), ' (size ', "
         f"CAST(size({vec_col}) AS STRING), ', expected {d}, or "
         f"NULL/NaN element)')) END")
-    return (df.withColumn("_xd", F.expr(guarded))
-            .select(F.col(id_col),
-                    F.expr(_rotate_expr("_xd", R, "spark", round_to))
-                    .alias("rot")))
+    bound = (f"transform(array({guarded}), xd -> "
+             + _rotate_expr("xd", R, "spark", round_to) + ")[0]")
+    return df.select(F.col(id_col), F.expr(bound).alias("rot"))
 
 
 def opq_topk(df: DataFrame, queries_df: DataFrame, R: list,
