@@ -710,3 +710,37 @@ def test_hamming_ingest_stream_auto_rerank_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_mmr_ingest_stream_matches_batch(spark):
+    """Streaming MMR against a static corpus reproduces the batch
+    mmr_rerank result exactly — the corpus persists once, each
+    micro-batch runs the identical shortlist + greedy code paths."""
+    from flink_sql_security_spark.operators.retrieval import mmr_rerank
+    from flink_sql_security_spark.streaming.retrieval import (
+        mmr_ingest_stream)
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.where("vec_id < 6")
+
+    expected = {tuple(r) for r in mmr_rerank(
+        corpus, queries, k=4, shortlist=10, lam=0.7).collect()}
+    assert expected
+
+    path = tempfile.mkdtemp(prefix="fss_stream_mmr")
+    try:
+        queries.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(
+            "vec_id long, embedding array<float>").parquet(path)
+        got = set()
+
+        def sink(df, batch_id):
+            got.update(tuple(r) for r in df.collect())
+
+        q = mmr_ingest_stream(src, corpus, sink, k=4, shortlist=10,
+                              lam=0.7).start()
+        q.processAllAvailable(); q.stop()
+        assert got == expected
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
