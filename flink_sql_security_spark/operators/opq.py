@@ -158,13 +158,25 @@ def opq_rotate(df: DataFrame, R: list, vec_col: str = "embedding",
     return df.select(F.col(id_col), F.expr(bound).alias("rot"))
 
 
+def opq_encode(df: DataFrame, R: list, codebooks: list,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               round_to: int = 6) -> DataFrame:
+    """Rotated PQ codes — the stored OPQ index (build once, probe many;
+    the ``codes_df`` convention of the PQ tier)."""
+    from .pq import pq_encode
+
+    return pq_encode(opq_rotate(df, R, vec_col, id_col, round_to),
+                     codebooks, vec_col="rot", id_col=id_col)
+
+
 def opq_topk(df: DataFrame, queries_df: DataFrame, R: list,
              codebooks: list, vec_col: str = "embedding",
              id_col: str = "vec_id", k: int = 5, round_to: int = 6,
              broadcast_queries: bool | None = None,
              broadcast_limit_bytes: int = 256 << 20,
              mode: str = "auto",
-             flat_limit_bytes: int = 256 << 20) -> DataFrame:
+             flat_limit_bytes: int = 256 << 20,
+             codes_df: DataFrame | None = None) -> DataFrame:
     """(q_id, n_id, adc_dist, rank): PQ ADC top-k in the rotated space.
 
     Rotation is distance-preserving (orthogonal R), so ADC distances in
@@ -172,9 +184,17 @@ def opq_topk(df: DataFrame, queries_df: DataFrame, R: list,
     subspaces are near-decorrelated, so the codebooks quantize finer.
     Everything after the rotation is :func:`pq.pq_topk` verbatim: LUT
     distribution, broadcast gating, the persist boundary, and the
-    flat→IVF size gate all operate on the rotated frames."""
-    rot_corpus = opq_rotate(df, R, vec_col, id_col, round_to)
+    flat→IVF size gate all operate on the rotated frames. ``codes_df``
+    (a prebuilt :func:`opq_encode` output) skips the corpus rotate +
+    encode entirely — the build-once/probe-many serving shape."""
     rot_q = opq_rotate(queries_df, R, vec_col, id_col, round_to)
+    if codes_df is not None:
+        return pq_topk(df, rot_q, codebooks, vec_col="rot",
+                       id_col=id_col, k=k, round_to=round_to,
+                       broadcast_queries=broadcast_queries,
+                       broadcast_limit_bytes=broadcast_limit_bytes,
+                       codes_df=codes_df)
+    rot_corpus = opq_rotate(df, R, vec_col, id_col, round_to)
     return pq_topk(rot_corpus, rot_q, codebooks, vec_col="rot",
                    id_col=id_col, k=k, round_to=round_to,
                    broadcast_queries=broadcast_queries,

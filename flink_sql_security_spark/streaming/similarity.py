@@ -183,3 +183,33 @@ def hamming_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
                             codes_df=codes), batch_id)
 
     return stream.writeStream.outputMode("append").foreachBatch(_process)
+
+
+def opq_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink,
+                      R: list, codebooks: list,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      k: int = 5, round_to: int = 6):
+    """Streaming OPQ search against a static corpus: the ROTATED code
+    table — the stored OPQ index — is encoded once and persisted; each
+    micro-batch pays its own rotation + LUT pass and the ADC scan
+    against the persisted codes. ``sink(df, batch_id)`` receives
+    (q_id, n_id, adc_dist, rank) rows, bit-identical to batch
+    :func:`operators.opq.opq_topk` on the same inputs.
+
+    Returns the ``DataStreamWriter`` (caller sets checkpoint/trigger
+    and calls ``.start()``).
+    """
+    from flink_sql_security_spark.operators import opq as O
+
+    codes = O.opq_encode(corpus_df, R, codebooks, vec_col, id_col,
+                         round_to).persist()
+    codes.count()  # materialize the index before the stream starts
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(O.opq_topk(corpus_df, batch_df, R, codebooks, vec_col,
+                        id_col, k=k, round_to=round_to,
+                        codes_df=codes), batch_id)
+
+    return stream.writeStream.outputMode("append").foreachBatch(_process)

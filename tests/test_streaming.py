@@ -744,3 +744,37 @@ def test_mmr_ingest_stream_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_opq_ingest_stream_matches_batch(spark):
+    """Streaming OPQ search reproduces batch opq_topk exactly — the
+    rotated code table is the persisted index; each batch pays only
+    its own rotation + LUT pass."""
+    from flink_sql_security_spark.operators import opq as O
+    from flink_sql_security_spark.streaming.similarity import (
+        opq_ingest_stream)
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.where("vec_id < 6")
+    R, books = O.opq_train(corpus, m=8, k=16, iters=2, opq_iters=2)
+
+    expected = {tuple(r) for r in O.opq_topk(
+        corpus, queries, R, books, k=4).collect()}
+    assert expected
+
+    path = tempfile.mkdtemp(prefix="fss_stream_opq")
+    try:
+        queries.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(
+            "vec_id long, embedding array<float>").parquet(path)
+        got = set()
+
+        def sink(df, batch_id):
+            got.update(tuple(r) for r in df.collect())
+
+        q = opq_ingest_stream(src, corpus, sink, R, books, k=4).start()
+        q.processAllAvailable(); q.stop()
+        assert got == expected
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
