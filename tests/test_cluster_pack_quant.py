@@ -1023,3 +1023,36 @@ def test_opq_rotate_is_narrow_and_loud(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="opq_rotate"):
         O.opq_rotate(bad, R).collect()
+
+
+def test_fuzz_opq_configs_cross_engine(spark):
+    """Config fuzz for OPQ: random (m, k_cb, opq_iters, k) draws, each
+    verified value-exact against the DuckDB oracle end to end.
+    Deterministic seed base 6464."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators import opq as O
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    rng = random.Random(6464)
+    for trial in range(3):
+        m = rng.choice([4, 8, 16])
+        k_cb = rng.choice([8, 16])
+        opq_iters = rng.randint(1, 3)
+        k = rng.randint(3, 6)
+        n_q = rng.choice([3, 5])
+        cfg = (trial, m, k_cb, opq_iters, k, n_q)
+        R, books = O.opq_train(emb, m=m, k=k_cb, iters=2,
+                               opq_iters=opq_iters)
+        got = sorted(map(tuple, O.opq_topk(
+            emb, emb.where(f"vec_id < {n_q}"), R, books, k=k).collect()))
+        want = sorted(map(tuple, con.execute(O.opq_topk_duckdb_sql(
+            path, query_pred=f"vec_id < {n_q}", m=m, k_cb=k_cb, iters=2,
+            opq_iters=opq_iters, k=k)).fetchall()))
+        assert got == want and len(got) == n_q * k, cfg
