@@ -1327,6 +1327,26 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
                                 m=8, k_cb=16, iters=2, opq_iters=2,
                                 k=5),
     )
+    # OPQ → IVF-PQ (opq_ivf_topk): the faiss "OPQ,IVF,PQ" recipe —
+    # rotation fused into the one-pass encode, then the cell-keyed ADC
+    # join touches ~n_probe/n_cells of the ROTATED code table per query.
+    _opq_ivf_art = None
+
+    def _opq_ivf(s):
+        nonlocal _opq_ivf_art
+        if _opq_ivf_art is None:
+            _opq_ivf_art = OPQ.opq_ivf_train(
+                emb(s), m=8, k=16, iters=2, opq_iters=2, n_cells=8)
+        return _opq_ivf_art
+
+    out["emb_opq_ivf_topk"] = (
+        with_tables(lambda s: OPQ.opq_ivf_topk(
+            emb(s), emb(s).where("vec_id < 10"), *_opq_ivf(s),
+            k=5, n_probe=4)),
+        OPQ.opq_ivf_topk_duckdb_sql(_emb_path, query_pred="vec_id < 10",
+                                    m=8, k_cb=16, iters=2, opq_iters=2,
+                                    n_cells=8, n_probe=4, k=5),
+    )
     # JL sign projection (operators/projection.py): 64→16-dim
     # database-friendly random projection — md5-derived ±1 matrix,
     # unrolled codegen-able ± chains, zero shuffle; the pre-ANN cost

@@ -268,3 +268,176 @@ def opq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 10",
         "(PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank FROM scored) "
         f"SELECT q_id, n_id, adc_dist, rank FROM ranked WHERE rank <= {k}"
     )
+
+
+def _rotate_rows_np(X, R: list, round_to: int = 6):
+    """Vectorized-but-exact replica of the engine rotation for a sample
+    matrix: per output component the accumulation runs dimension by
+    dimension (``acc = acc + X[:, i]·R[i][j]``), elementwise IEEE ops in
+    the SAME order as the engines' sequential folds, then the floor
+    rule — so training artifacts derived from the rotated sample line
+    up with the values the engines actually compute."""
+    import numpy as np
+
+    Rn = np.asarray(R, dtype=np.float64)
+    d = Rn.shape[0]
+    out = np.empty((X.shape[0], d), dtype=np.float64)
+    scale = 10.0 ** round_to
+    for j in range(d):
+        acc = np.zeros(X.shape[0], dtype=np.float64)
+        for i in range(d):
+            acc = acc + X[:, i] * Rn[i, j]
+        out[:, j] = np.floor(acc * scale + 0.5) / scale
+    return out
+
+
+def _opq_ivf_train_np(X, m: int, k: int, iters: int, opq_iters: int,
+                      n_cells: int, round_to: int,
+                      residual: bool) -> tuple:
+    from .pq import _ivfpq_train_np, _l2_kmeans_np
+
+    R, _ = _opq_train_np(X, m, k, iters, opq_iters, round_to)
+    Xr = _rotate_rows_np(X, R, round_to)
+    if residual:
+        coarse, books = _ivfpq_train_np(Xr, n_cells, m, k, iters)
+    else:
+        books = _pq_train_np(Xr, m, k, iters)
+        coarse = [[float(v) for v in c]
+                  for c in _l2_kmeans_np(Xr, n_cells, iters)]
+    return R, coarse, books
+
+
+def opq_ivf_train(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", m: int = 16, k: int = 16,
+                  iters: int = 3, opq_iters: int = 3, n_cells: int = 16,
+                  sample: int = 2048, round_to: int = 6,
+                  residual: bool = False) -> tuple:
+    """(R, coarse, codebooks) for rotated IVF-PQ — the faiss
+    "OPQ,IVF,PQ" index recipe. The coarse quantizer and codebooks train
+    on the EXACTLY-rotated sample (:func:`_rotate_rows_np` — the same
+    doubles the engines compute), so cell assignment and encode agree
+    bit-for-bit with the oracle's re-derivation."""
+    return _opq_ivf_train_np(
+        _sample_matrix(df, vec_col, id_col, sample), m, k, iters,
+        opq_iters, n_cells, round_to, residual)
+
+
+def opq_ivf_topk(df: DataFrame, queries_df: DataFrame, R: list,
+                 coarse: list, codebooks: list,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 k: int = 5, n_probe: int = 4, round_to: int = 6,
+                 residual: bool = False,
+                 broadcast_queries: bool | None = None,
+                 broadcast_limit_bytes: int = 256 << 20,
+                 codes_df: DataFrame | None = None) -> DataFrame:
+    """(q_id, n_id, adc_dist, rank): cell-pruned ADC in the rotated
+    space — the composition that makes OPQ a 100 TB plan (rotation is a
+    narrow projection fused into the one-pass encode; the search itself
+    is :func:`pq.ivfpq_topk` verbatim on the rotated frames, touching
+    ~n_probe/n_cells of the rotated code table per query)."""
+    from .pq import ivfpq_topk
+
+    rot_q = opq_rotate(queries_df, R, vec_col, id_col, round_to)
+    rot_c = (df if codes_df is not None
+             else opq_rotate(df, R, vec_col, id_col, round_to))
+    return ivfpq_topk(rot_c, rot_q, coarse, codebooks, vec_col="rot",
+                      id_col=id_col, k=k, n_probe=n_probe,
+                      round_to=round_to, residual=residual,
+                      broadcast_queries=broadcast_queries,
+                      broadcast_limit_bytes=broadcast_limit_bytes,
+                      codes_df=codes_df)
+
+
+def opq_ivf_topk_duckdb_sql(parquet_path: str,
+                            query_pred: str = "vec_id < 10",
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id", m: int = 16,
+                            k_cb: int = 16, iters: int = 3,
+                            opq_iters: int = 3, n_cells: int = 16,
+                            n_probe: int = 4, sample: int = 2048,
+                            k: int = 5, round_to: int = 6,
+                            residual: bool = False,
+                            table: str = "embeddings") -> str:
+    """Oracle for :func:`opq_ivf_topk`: (R, coarse, codebooks) re-derive
+    from the parquet with the same numpy; the rotation recomputes IN SQL
+    (fold + floor rule), cell assignment / encode / the cell-keyed ADC
+    join verify over the rotated vectors, and the per-query probe sets +
+    LUTs come from the bit-equal Python rotation twin."""
+    import duckdb
+    import numpy as np
+
+    from .pq import _probe_cells, _query_lut
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"ORDER BY {id_col} LIMIT {sample}").df()
+    qdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"WHERE {query_pred} ORDER BY {id_col}").df()
+    con.close()
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_col].tolist()])
+    R, coarse, books = _opq_ivf_train_np(
+        X, m, k_cb, iters, opq_iters, n_cells, round_to, residual)
+    cmn = np.asarray(coarse, dtype=np.float64)
+
+    def _dists(vals: list, src: str, start: int, width: int) -> str:
+        cmat = _centroid_array_sql(vals, "duckdb")
+        return (f"list_transform({cmat}, c -> list_sum(list_transform("
+                f"list_zip({src}[{start}:{start + width - 1}], c), "
+                "p -> (p[1] - p[2]) * (p[1] - p[2]))))")
+
+    enc = "rd" if residual else "rot"
+    code_exprs = []
+    start = 1
+    for book in books:
+        width = len(book[0])
+        d = _dists(book, enc, start, width)
+        code_exprs.append(
+            f"CAST(list_position({d}, list_min({d})) AS INT) - 1")
+        start += width
+    codes = "[" + ", ".join(code_exprs) + "]"
+    dc = _dists(coarse, "rot", 1, len(coarse[0]))
+    cell = f"CAST(list_position({dc}, list_min({dc})) AS INT) - 1"
+    if residual:
+        cmat = _centroid_array_sql(coarse, "duckdb")
+        enc_src = (f"enc AS (SELECT {id_col}, cell, "
+                   f"list_transform(list_zip(rot, ({cmat})[cell + 1]), "
+                   "p -> p[1] - p[2]) AS rd FROM cells), ")
+    else:
+        enc_src = f"enc AS (SELECT {id_col}, cell, rot FROM cells), "
+
+    def _lut_sql(qvec) -> str:
+        return "[" + ", ".join(
+            "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in sub) + "]"
+            for sub in _query_lut(qvec, books)) + "]"
+
+    probe_values = []
+    for _, row in qdf.iterrows():
+        rq = np.asarray(_rotate_py(row[vec_col], R, round_to))
+        qid = int(row[id_col])
+        for c in _probe_cells(rq, coarse, n_probe):
+            lut = _lut_sql(rq - cmn[c] if residual else rq)
+            probe_values.append(f"({qid}, {int(c)}, {lut})")
+    return (
+        f"WITH x AS (SELECT {id_col}, "
+        f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
+        f"FROM {table}), "
+        f"r AS (SELECT {id_col}, "
+        + _rotate_expr("xd", R, "duckdb", round_to) + " AS rot FROM x), "
+        f"cells AS (SELECT {id_col}, rot, {cell} AS cell FROM r), "
+        + enc_src +
+        f"codes AS (SELECT {id_col}, cell, {codes} AS codes FROM enc), "
+        "probes(q_id, cell, lut) AS (VALUES "
+        + ", ".join(probe_values) + "), "
+        f"scored AS (SELECT pr.q_id, c.{id_col} AS n_id, "
+        + floor_round("list_sum(list_transform(list_zip(c.codes, pr.lut), "
+                      "p -> p[2][p[1] + 1]))", round_to, "duckdb")
+        + " AS adc_dist "
+        "FROM codes c JOIN probes pr ON c.cell = pr.cell "
+        f"WHERE c.{id_col} <> pr.q_id), "
+        "ranked AS (SELECT q_id, n_id, adc_dist, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY adc_dist, n_id) AS rank FROM scored) "
+        f"SELECT q_id, n_id, adc_dist, rank FROM ranked WHERE rank <= {k}"
+    )

@@ -1056,3 +1056,57 @@ def test_fuzz_opq_configs_cross_engine(spark):
             path, query_pred=f"vec_id < {n_q}", m=m, k_cb=k_cb, iters=2,
             opq_iters=opq_iters, k=k)).fetchall()))
         assert got == want and len(got) == n_q * k, cfg
+
+
+def test_opq_ivf_topk_duckdb_parity_both_modes(spark):
+    """OPQ → IVF-PQ composition (the faiss 'OPQ,IVF,PQ' recipe):
+    bit-equal Spark vs DuckDB in plain and residual modes — rotation,
+    cell assignment, encode, probe sets, LUTs and ranking all verify."""
+    import duckdb
+
+    from flink_sql_security_spark.operators import opq as O
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    for residual in (False, True):
+        R, coarse, books = O.opq_ivf_train(
+            emb, m=8, k=16, iters=2, opq_iters=2, n_cells=8,
+            residual=residual)
+        got = sorted(map(tuple, O.opq_ivf_topk(
+            emb, emb.where("vec_id < 5"), R, coarse, books, k=4,
+            n_probe=4, residual=residual).collect()))
+        want = sorted(map(tuple, con.execute(O.opq_ivf_topk_duckdb_sql(
+            path, query_pred="vec_id < 5", m=8, k_cb=16, iters=2,
+            opq_iters=2, n_cells=8, n_probe=4, k=4,
+            residual=residual)).fetchall()))
+        assert got == want and len(got) == 5 * 4, residual
+
+
+def test_opq_ivf_scores_only_probed_cells(spark):
+    """Every returned neighbor lives in one of the ROTATED query's
+    n_probe cells, and the plan is a cell-keyed join (no cartesian)."""
+    import numpy as np
+
+    from flink_sql_security_spark.operators import opq as O, pq as PQ
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    R, coarse, books = O.opq_ivf_train(emb, m=8, k=16, iters=2,
+                                       opq_iters=2, n_cells=8)
+    out = O.opq_ivf_topk(emb, emb.where("vec_id < 5"), R, coarse, books,
+                         k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+    cells = {r["vec_id"]: r["cell"] for r in PQ.pq_encode(
+        O.opq_rotate(emb, R), books, vec_col="rot",
+        coarse=coarse).select("vec_id", "cell").collect()}
+    qvecs = {r["vec_id"]: r["embedding"]
+             for r in emb.where("vec_id < 5").collect()}
+    for r in out.collect():
+        rq = np.asarray(O._rotate_py(qvecs[r["q_id"]], R))
+        probes = PQ._probe_cells(rq, coarse, 2)
+        assert cells[r["n_id"]] in probes, (r, probes)

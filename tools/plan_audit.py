@@ -53,7 +53,7 @@ PYTHON_OK = {
     "emb_binary_ivf_topk",
     # OPQ: pq_topk's documented query-side LUT kernel over the ROTATED
     # query table; the rotation itself is a pure JVM projection.
-    "emb_opq_topk",
+    "emb_opq_topk", "emb_opq_ivf_topk",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
