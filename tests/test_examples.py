@@ -58,6 +58,7 @@ def test_vector_search_walkthrough(spark):
     # exact-distance ordering itself is asserted inside run(), and the
     # cross-engine value parity by the duckdb oracle tests)
     assert len(out["rerank"]) == 15
+    assert len(out["opq"]) == 15            # rotated IVF-PQ, same contract
     per_q = {}
     for r in out["rerank"]:
         per_q.setdefault(r[0], set()).add(r[3])
