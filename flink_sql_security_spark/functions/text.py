@@ -44,18 +44,23 @@ def floor_round(expr: str, nd: int = 6, dialect: str = "spark") -> str:
     rule lands in one place; every cross-engine round-``nd`` final
     must use this helper (or :func:`floor_round_py` in Arrow kernels).
 
-    ``nd`` is bounded to [0, 15]: past 15 the ``repr(10.0**nd)`` scale
-    flips to scientific notation (``1e+16``), whose ``D``-suffixed form
-    Spark SQL does not parse, and 10.0**nd itself stops being exactly
-    representable past 2**53 — the helper would silently quantize with
-    a wrong scale instead of a tighter one.
+    ``nd`` is bounded to [0, 15] in ALL THREE forms (SQL, Column,
+    Python) so no engine side can silently accept a scale its twin
+    rejects: past 15 the ``repr(10.0**nd)`` scale flips to scientific
+    notation (``1e+16``), whose ``D``-suffixed form Spark SQL does not
+    parse — and doubles only have ~15.95 significant decimal digits,
+    so a finer quantum is no-op noise anyway.
     """
-    if not 0 <= nd <= 15:
-        raise ValueError(f"floor_round nd must be in [0, 15]: {nd}")
+    _check_nd(nd)
     scale = repr(10.0 ** nd)
     if dialect == "spark":
         return f"(floor(({expr}) * {scale}D + 0.5D) / {scale}D)"
     return f"(floor(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def _check_nd(nd: int) -> None:
+    if not 0 <= nd <= 15:
+        raise ValueError(f"floor_round nd must be in [0, 15]: {nd}")
 
 
 def floor_round_py(x: float, nd: int = 6) -> float:
@@ -66,6 +71,7 @@ def floor_round_py(x: float, nd: int = 6) -> float:
     expression re-derives."""
     import math
 
+    _check_nd(nd)
     scale = 10.0 ** nd
     return math.floor(x * scale + 0.5) / scale
 
@@ -79,6 +85,7 @@ def floor_round_col(col: Column, nd: int = 6) -> Column:
     """Column-API twin of :func:`floor_round`: the same IEEE multiply /
     add-0.5 / floor(→BIGINT) / divide sequence, for call sites that hold
     a ``Column`` rather than a SQL string."""
+    _check_nd(nd)
     scale = F.lit(10.0 ** nd)
     return F.floor(col * scale + F.lit(0.5)) / scale
 

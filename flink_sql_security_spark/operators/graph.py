@@ -83,6 +83,9 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     if dangling not in ("leak", "redistribute"):
         raise ValueError(
             f"dangling must be 'leak' or 'redistribute': {dangling!r}")
+    if checkpoint_every < 0:
+        raise ValueError(
+            f"checkpoint_every must be >= 0, got {checkpoint_every}")
     # the edge list feeds THREE derivations (nodes, outdeg, and the
     # join building ed reads it on both sides) — persist the input once
     # so an expensive upstream subtree (a join+distinct building the

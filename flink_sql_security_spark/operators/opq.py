@@ -160,13 +160,18 @@ def opq_rotate(df: DataFrame, R: list, vec_col: str = "embedding",
 
 def opq_encode(df: DataFrame, R: list, codebooks: list,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               round_to: int = 6) -> DataFrame:
+               round_to: int = 6, coarse: list | None = None,
+               residual: bool = False) -> DataFrame:
     """Rotated PQ codes — the stored OPQ index (build once, probe many;
-    the ``codes_df`` convention of the PQ tier)."""
+    the ``codes_df`` convention of the PQ tier). Pass ``coarse`` (and
+    ``residual``, matching :func:`opq_ivf_train`'s settings) to build
+    the CELL-KEYED index :func:`opq_ivf_topk` consumes — a flat index
+    has no ``cell`` column to prune on."""
     from .pq import pq_encode
 
     return pq_encode(opq_rotate(df, R, vec_col, id_col, round_to),
-                     codebooks, vec_col="rot", id_col=id_col)
+                     codebooks, vec_col="rot", id_col=id_col,
+                     coarse=coarse, residual=residual)
 
 
 def opq_topk(df: DataFrame, queries_df: DataFrame, R: list,
@@ -250,6 +255,10 @@ def opq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 10",
                for sub in _query_lut(rq, books)]
         lut_values.append(
             f"({int(row[id_col])}, [" + ", ".join(lut) + "])")
+    if not lut_values:
+        # a bare "VALUES" is a parse error; express the (valid) empty
+        # query set so the oracle still returns the empty answer
+        lut_values = ["(CAST(NULL AS BIGINT), [[CAST(NULL AS DOUBLE)]])"]
     return (
         f"WITH x AS (SELECT {id_col}, "
         f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
@@ -334,7 +343,9 @@ def opq_ivf_topk(df: DataFrame, queries_df: DataFrame, R: list,
     space — the composition that makes OPQ a 100 TB plan (rotation is a
     narrow projection fused into the one-pass encode; the search itself
     is :func:`pq.ivfpq_topk` verbatim on the rotated frames, touching
-    ~n_probe/n_cells of the rotated code table per query)."""
+    ~n_probe/n_cells of the rotated code table per query). ``codes_df``
+    must be a CELL-KEYED index — ``opq_encode(..., coarse=coarse,
+    residual=residual)`` with this call's settings."""
     from .pq import ivfpq_topk
 
     rot_q = opq_rotate(queries_df, R, vec_col, id_col, round_to)
@@ -420,6 +431,9 @@ def opq_ivf_topk_duckdb_sql(parquet_path: str,
         for c in _probe_cells(rq, coarse, n_probe):
             lut = _lut_sql(rq - cmn[c] if residual else rq)
             probe_values.append(f"({qid}, {int(c)}, {lut})")
+    if not probe_values:
+        probe_values = ["(CAST(NULL AS BIGINT), CAST(NULL AS INT), "
+                        "[[CAST(NULL AS DOUBLE)]])"]
     return (
         f"WITH x AS (SELECT {id_col}, "
         f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "

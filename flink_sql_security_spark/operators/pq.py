@@ -814,6 +814,11 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
     pins the exhaustive scan regardless of size (the
     strictly-oracle-checkable shape). A caller-provided ``codes_df``
     implies flat (a flat index has no ``cell`` column to prune on).
+    NOTE: 'auto' keys on the optimizer's size ESTIMATE, which depends
+    on file layout/compression — two deployments of the same logical
+    corpus can route differently (both results are valid approximate
+    top-k, but not bit-identical to each other). Pin ``mode`` where
+    cross-deployment bit-reproducibility or a fixed oracle matters.
     Routed results are IVF-PQ's: same schema, recall additionally
     shaped by (n_cells, n_probe).
     """
@@ -1000,6 +1005,10 @@ def pq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
                for sub in _query_lut(q, books)]
         lut_values.append(
             f"({int(row[id_col])}, [" + ", ".join(lut) + "])")
+    if not lut_values:
+        # a bare "VALUES" is a parse error; express the (valid) empty
+        # query set so the oracle still returns the empty answer
+        lut_values = ["(CAST(NULL AS BIGINT), [[CAST(NULL AS DOUBLE)]])"]
     return (
         f"WITH x AS (SELECT {id_col}, "
         f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
@@ -1090,6 +1099,9 @@ def ivfpq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 20",
         for c in _probe_cells(q, coarse, n_probe):
             lut = _lut_sql(q - cmn[c] if residual else q)
             probe_values.append(f"({qid}, {int(c)}, {lut})")
+    if not probe_values:
+        probe_values = ["(CAST(NULL AS BIGINT), CAST(NULL AS INT), "
+                        "[[CAST(NULL AS DOUBLE)]])"]
     return (
         f"WITH x AS (SELECT {id_col}, "
         f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "

@@ -59,7 +59,7 @@ def profile_numeric(df: DataFrame, cols: list[str],
                         _floor_round_col(F.col("sum") / F.col("n"), 6))
             # native-round-ok: "sum" is a double holding an EXACT
             # DECIMAL(18,2) sum — round-2 is idempotent re-quantization
-            .withColumn("sum", F.round("sum", 2))  # native-round-ok  # native-round-ok
+            .withColumn("sum", F.round("sum", 2))  # native-round-ok
         )
 
     stacked = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)

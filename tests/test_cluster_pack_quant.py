@@ -1110,3 +1110,51 @@ def test_opq_ivf_scores_only_probed_cells(spark):
         rq = np.asarray(O._rotate_py(qvecs[r["q_id"]], R))
         probes = PQ._probe_cells(rq, coarse, 2)
         assert cells[r["n_id"]] in probes, (r, probes)
+
+
+def test_oracle_builders_handle_empty_query_set(spark):
+    """Review fix: an empty query predicate must yield valid SQL that
+    returns zero rows — not a 'VALUES )' parse error — in the flat-PQ,
+    IVF-PQ, OPQ and OPQ-IVF oracle emitters."""
+    import duckdb
+
+    from flink_sql_security_spark.operators import opq as O, pq as PQ
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    pred = "vec_id < 0"
+    for sql in (
+            PQ.pq_topk_duckdb_sql(path, query_pred=pred, m=4, k_cb=8,
+                                  iters=1, k=3),
+            PQ.ivfpq_topk_duckdb_sql(path, query_pred=pred, m=4, k_cb=8,
+                                     iters=1, n_cells=4, n_probe=2, k=3),
+            O.opq_topk_duckdb_sql(path, query_pred=pred, m=4, k_cb=8,
+                                  iters=1, opq_iters=1, k=3),
+            O.opq_ivf_topk_duckdb_sql(path, query_pred=pred, m=4,
+                                      k_cb=8, iters=1, opq_iters=1,
+                                      n_cells=4, n_probe=2, k=3)):
+        assert con.execute(sql).fetchall() == []
+
+
+def test_opq_ivf_codes_df_reuse(spark):
+    """Review fix: opq_encode(coarse=...) builds the CELL-KEYED index
+    opq_ivf_topk's codes_df path consumes — identical result to the
+    from-scratch call, with the encode skipped."""
+    from flink_sql_security_spark.operators import opq as O
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    R, coarse, books = O.opq_ivf_train(emb, m=8, k=16, iters=2,
+                                       opq_iters=2, n_cells=8)
+    q = emb.where("vec_id < 5")
+    want = sorted(map(tuple, O.opq_ivf_topk(
+        emb, q, R, coarse, books, k=4, n_probe=4).collect()))
+    index = O.opq_encode(emb, R, books, coarse=coarse).persist()
+    try:
+        got = sorted(map(tuple, O.opq_ivf_topk(
+            emb, q, R, coarse, books, k=4, n_probe=4,
+            codes_df=index).collect()))
+    finally:
+        index.unpersist()
+    assert got == want and len(got) == 20

@@ -127,3 +127,20 @@ def test_floor_round_nd_bounds():
     for bad in (-1, 16, 100):
         with pytest.raises(ValueError, match="nd"):
             floor_round("x", bad)
+
+
+def test_floor_round_nd_bound_on_all_three_forms():
+    """Review fix: the [0,15] nd bound holds in the SQL, Column and
+    Python forms alike — no engine side can accept a scale its twin
+    rejects."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_sql_security_spark.functions.text import (
+        floor_round_col, floor_round_py)
+
+    for bad in (-1, 16):
+        with pytest.raises(ValueError, match="nd"):
+            floor_round_py(1.0, bad)
+        with pytest.raises(ValueError, match="nd"):
+            floor_round_col(F.lit(1.0), bad)
