@@ -385,3 +385,35 @@ def test_fuzzy_rejects_block_sql_kwarg(spark):
     with pytest.raises(TypeError):
         fuzzy_name_pairs(df, id_col="id", name_col="name",
                          block_sql="name[1]")
+
+
+def test_fuzz_pagerank_configs_cross_engine(spark):
+    """Config fuzz for PageRank: random (graph shape, iters, damping,
+    dangling mode) draws, each bit-equal Spark vs DuckDB. Deterministic
+    seed base 7575."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(7575)
+    for trial in range(4):
+        n_nodes = rng.randint(5, 12)
+        n_edges = rng.randint(n_nodes, 3 * n_nodes)
+        edges = sorted({(rng.randint(1, n_nodes), rng.randint(1, n_nodes))
+                        for _ in range(n_edges)})
+        edges = [(a, b) for a, b in edges if a != b] or [(1, 2)]
+        iters = rng.randint(1, 6)
+        damping = rng.choice([0.85, 0.5, 0.99])
+        dangling = rng.choice(["leak", "redistribute"])
+        cfg = (trial, len(edges), iters, damping, dangling)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        out = pagerank(df, iters=iters, damping=damping,
+                       dangling=dangling)
+        got = sorted(map(tuple, out.collect()))
+        release(out)
+        values = ", ".join(f"({a}, {b})" for a, b in edges)
+        sql = pagerank_sql(
+            f"SELECT * FROM (VALUES {values}) AS t(src, dst)",
+            iters=iters, damping=damping, dangling=dangling)
+        want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+        assert got == want, cfg
