@@ -1227,6 +1227,16 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(lambda s: CL.kmeans_cells(emb(s), k=8, iters=3)),
         CL.kmeans_duckdb_sql(_emb_path, k=8, iters=3),
     )
+    # topic-balanced subsample (operators/clustering.py
+    # cluster_balanced_sample): k-means cells + the md5-ordered per-cell
+    # quota — keeps a training mix from being dominated by its densest
+    # embedding regions; deterministic on any partitioning.
+    out["sample_cluster_balanced"] = (
+        with_tables(lambda s: CL.cluster_balanced_sample(
+            emb(s), k=8, iters=3, n_per_cell=20)),
+        CL.cluster_balanced_sample_duckdb_sql(_emb_path, k=8, iters=3,
+                                              n_per_cell=20),
+    )
     # int8 scalar quantization (operators/quantize.py): exact min/max
     # codebook + fixed-op-order affine codes — engine-identical ints
     from flink_sql_security_spark.operators import quantize as QZ

@@ -230,3 +230,66 @@ def kmeans_duckdb_sql(parquet_path: str, k: int = 8, iters: int = 3,
         + _floor_round("list_min(dists)", round_to, "duckdb")
         + " AS dist FROM d"
     )
+
+
+def cluster_balanced_sample(df: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id", k: int = 8,
+                            iters: int = 3, n_per_cell: int = 10,
+                            salt: str = "balance") -> DataFrame:
+    """(id, cell): a topic-balanced subsample — at most ``n_per_cell``
+    rows per k-means cell, each cell's subset drawn deterministically.
+
+    The composition corpus curation runs to keep a training mix from
+    being dominated by its densest embedding regions: cluster the
+    corpus (:func:`kmeans_fit` — bounded deterministic sample,
+    :func:`kmeans_assign` — narrow centroid-literal projection, zero
+    shuffle), then cap each cell with the md5-ordered per-key quota
+    (``sampling.per_key_quota`` — one hash exchange on ``cell``,
+    WindowGroupLimit keeps the running top-n map-side). Deterministic
+    end to end: same corpus → same cells → same picks, on any
+    partitioning or cluster.
+    """
+    from .sampling import per_key_quota
+
+    centroids = kmeans_fit(df, k, iters, vec_col, id_col)
+    cells = kmeans_assign(df, centroids, vec_col, id_col) \
+        .select(id_col, "cell")
+    return per_key_quota(cells, "cell", id_col, n_per_cell, salt)
+
+
+def cluster_balanced_sample_duckdb_sql(parquet_path: str, k: int = 8,
+                                       iters: int = 3,
+                                       n_per_cell: int = 10,
+                                       vec_col: str = "embedding",
+                                       id_col: str = "vec_id",
+                                       salt: str = "balance",
+                                       table: str = "embeddings") -> str:
+    """Oracle: centroids re-derive with the pure-Python replica, cell
+    assignment verifies in SQL (first-min argmin over the identical
+    sequential-fold L2), then the identical md5-ordered quota window."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"ORDER BY {id_col}").fetchall()
+    con.close()
+    centroids = kmeans_fit_replica(rows, k, iters)
+    cmat = _centroid_array_sql(centroids, "duckdb")
+    return (
+        f"WITH x AS (SELECT {id_col}, "
+        f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
+        f"FROM {table}), "
+        f"d AS (SELECT {id_col}, list_transform({cmat}, "
+        "c -> list_sum(list_transform(list_zip(xd, c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))) AS dists FROM x), "
+        f"cells AS (SELECT {id_col}, "
+        "CAST(list_position(dists, list_min(dists)) AS INT) - 1 AS cell "
+        "FROM d) "
+        f"SELECT {id_col}, cell FROM ("
+        f" SELECT {id_col}, cell, row_number() OVER ("
+        f"  PARTITION BY cell"
+        f"  ORDER BY md5(CAST({id_col} AS VARCHAR) || ':{salt}') ASC,"
+        f"  {id_col} ASC) AS rn"
+        f" FROM cells) q WHERE rn <= {n_per_cell}"
+    )

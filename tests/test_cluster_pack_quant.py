@@ -1158,3 +1158,32 @@ def test_opq_ivf_codes_df_reuse(spark):
     finally:
         index.unpersist()
     assert got == want and len(got) == 20
+
+
+def test_cluster_balanced_sample_contract(spark):
+    """Topic-balanced subsample: at most n rows per k-means cell,
+    deterministic under repartitioning, bit-equal vs the oracle."""
+    import duckdb
+    from collections import Counter
+
+    from flink_sql_security_spark.operators import clustering as C
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    out = C.cluster_balanced_sample(emb, k=4, iters=2, n_per_cell=6)
+    got = sorted(map(tuple, out.collect()))
+    counts = Counter(c for _, c in got)
+    assert all(v <= 6 for v in counts.values())
+    assert len(counts) >= 2  # the corpus genuinely spreads over cells
+
+    again = sorted(map(tuple, C.cluster_balanced_sample(
+        emb.repartition(7), k=4, iters=2, n_per_cell=6).collect()))
+    assert again == got
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    want = sorted(map(tuple, con.execute(
+        C.cluster_balanced_sample_duckdb_sql(
+            path, k=4, iters=2, n_per_cell=6)).fetchall()))
+    assert got == want
