@@ -1751,6 +1751,15 @@ FROM s GROUP BY user_id, session_id
             s.table("lineitem"), _HLL_COLS)),
         SK.approx_distinct_hll_duckdb_sql("lineitem", _HLL_COLS),
     )
+    # per-key cardinality profile (sketch.py grouped_distinct_hll):
+    # mergeable registers keyed by (key, bucket) — a skewed key costs m
+    # register rows, never its raw distinct set
+    out["sketch_hll_by_key"] = (
+        with_tables(lambda s: SK.grouped_distinct_hll(
+            s.table("events"), "event_type", "user_id")),
+        SK.grouped_distinct_hll_duckdb_sql("events", "event_type",
+                                           "user_id"),
+    )
 
     # ---- histogram quantile sketch (operators/sketch.py): the mergeable
     # fixed-grid alternative to exact percentile — estimates from ≤256

@@ -548,3 +548,115 @@ FROM (SELECT p, min(struct_pack(bin := bin, cum_before := cum_before,
      LATERAL (SELECT m.s.bin AS bin, m.s.cum_before AS cum_before,
               m.s.cnt AS cnt, m.s.lo AS lo, m.s.hi AS hi, m.s.r AS r) u
 """
+
+
+def grouped_distinct_hll(df: DataFrame, key_col: str, val_col: str,
+                         with_exact: bool = True) -> DataFrame:
+    """(key, n_est[, n_exact, rel_err]) — HLL distinct-``val_col``
+    estimate PER KEY (distinct users per domain, distinct docs per
+    source — the grouped cardinality profile).
+
+    Same mergeable-register machinery as :func:`approx_distinct_hll`
+    keyed by ``key_col``: registers shuffle once on (key, bucket) with
+    map-side max-combine (≤ m rows per key per task), so a skewed key
+    costs m register rows, never its raw distinct set — the property
+    that makes per-key cardinality computable at 100 TB where
+    count(DISTINCT) per key shuffles the raw pairs.
+    """
+    c_lit = repr(_alpha_m(HLL_M) * HLL_M * HLL_M * float(1 << _RHO_MAX))
+    est_raw = f"{c_lit} / CAST(s AS DOUBLE)"
+    est = (
+        f"CASE WHEN {est_raw} <= {2.5 * HLL_M} AND ({HLL_M} - present) > 0 "
+        f"THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - present)) "
+        f"ELSE {est_raw} END"
+    )
+    h = "CAST(conv(substring(md5(val), 1, 15), 16, 10) AS BIGINT)"
+    regs = (
+        df.select(F.col(key_col).alias("key"),
+                  F.expr(f"CAST({val_col} AS STRING)").alias("val"))
+        .where(F.col("val").isNotNull() & F.col("key").isNotNull())
+        .select(
+            "key",
+            F.expr(f"{h} % {HLL_M}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN ({h} >= {HLL_M} AND shiftright({h}, {HLL_P}) > 0) "
+                f"THEN {_RHO_MAX} - length(bin(shiftright({h}, {HLL_P}))) "
+                f"ELSE {_RHO_MAX} END").alias("rho"),
+        )
+        .groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
+    )
+    sketch = (
+        regs.groupBy("key").agg(
+            F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {_RHO_MAX} - rho))")
+            .alias("s0"),
+            F.count("*").alias("present"))
+        .select(
+            "key", "present",
+            F.expr(
+                f"s0 + ({HLL_M} - present) * "
+                f"shiftleft(CAST(1 AS BIGINT), {_RHO_MAX})").alias("s"))
+        .select("key",
+                # floor(x+0.5), not round(x): functions/text.py rule
+                F.expr(f"CAST(floor(({est}) + 0.5) AS BIGINT)")
+                .alias("n_est"))
+    )
+    if not with_exact:
+        return sketch
+    exact = (
+        df.select(F.col(key_col).alias("key"),
+                  F.expr(f"CAST({val_col} AS STRING)").alias("val"))
+        .where(F.col("val").isNotNull() & F.col("key").isNotNull())
+        .groupBy("key").agg(F.count_distinct("val").alias("n_exact"))
+    )
+    joined = sketch.join(exact, "key")
+    rel = (F.col("n_est").cast("double") - F.col("n_exact").cast("double")) \
+        / F.col("n_exact").cast("double")
+    from flink_sql_security_spark.functions.text import floor_round_col
+    return joined.select("key", "n_est", "n_exact",
+                         floor_round_col(rel, 4).alias("rel_err"))
+
+
+def grouped_distinct_hll_duckdb_sql(table: str, key_col: str,
+                                    val_col: str,
+                                    with_exact: bool = True) -> str:
+    """DuckDB SQL computing the identical grouped sketch (oracle)."""
+    from flink_sql_security_spark.functions.text import floor_round
+
+    c_lit = repr(_alpha_m(HLL_M) * HLL_M * HLL_M * float(1 << _RHO_MAX))
+    h = "CAST(concat('0x', substring(md5(val), 1, 15)) AS BIGINT)"
+    est_raw = f"{c_lit} / CAST(s AS DOUBLE)"
+    est = (
+        f"CASE WHEN {est_raw} <= {2.5 * HLL_M} AND ({HLL_M} - present) > 0 "
+        f"THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - present)) "
+        f"ELSE {est_raw} END"
+    )
+    sql = (
+        f"WITH long AS (SELECT {key_col} AS key, "
+        f"CAST({val_col} AS VARCHAR) AS val FROM {table} "
+        f"WHERE {val_col} IS NOT NULL AND {key_col} IS NOT NULL), "
+        f"hashed AS (SELECT key, {h} % {HLL_M} AS bucket, "
+        f"CASE WHEN ({h} >= {HLL_M} AND ({h} >> {HLL_P}) > 0) "
+        f"THEN {_RHO_MAX} - length(bin({h} >> {HLL_P})) "
+        f"ELSE {_RHO_MAX} END AS rho FROM long), "
+        f"regs AS (SELECT key, bucket, max(rho) AS rho "
+        f"FROM hashed GROUP BY 1, 2), "
+        f"agg AS (SELECT key, "
+        f"CAST(sum(1::BIGINT << ({_RHO_MAX} - rho)) AS BIGINT) AS s0, "
+        f"CAST(count(*) AS BIGINT) AS present FROM regs GROUP BY 1), "
+        f"est AS (SELECT key, present, "
+        f"s0 + ({HLL_M} - present) * (1::BIGINT << {_RHO_MAX}) AS s FROM agg), "
+        f"sk AS (SELECT key, CAST(floor(({est}) + 0.5) AS BIGINT) "
+        f"AS n_est FROM est)"
+    )
+    if not with_exact:
+        return sql + " SELECT key, n_est FROM sk"
+    return (
+        sql + ", ex AS (SELECT key, "
+        "CAST(count(DISTINCT val) AS BIGINT) AS n_exact "
+        "FROM long GROUP BY 1) "
+        "SELECT sk.key, n_est, n_exact, "
+        + floor_round(
+            "(CAST(n_est AS DOUBLE) - CAST(n_exact AS DOUBLE)) "
+            "/ CAST(n_exact AS DOUBLE)", 4, "duckdb")
+        + " AS rel_err FROM sk JOIN ex USING (key)"
+    )

@@ -692,3 +692,32 @@ def test_snapshot_diff_null_content_is_a_value(spark):
     # NULL==NULL content: unchanged; NULL vs 'x': changed; one-sided
     # presence stays added/removed regardless of NULL content
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_grouped_distinct_hll_contract(spark):
+    """Per-key HLL: estimates within the m=512 error band of the exact
+    per-key distinct counts, register merge = sketch of the union, and
+    bit-equal vs the DuckDB oracle."""
+    import duckdb
+
+    from flink_sql_security_spark.operators import sketch as SK
+
+    path = "/root/testdata/sf0.01/events.parquet"
+    ev = spark.read.parquet(path)
+    out = SK.grouped_distinct_hll(ev, "event_type", "user_id").collect()
+    assert len(out) == 5
+    for r in out:
+        assert abs(r["rel_err"]) < 0.1, r  # ~4.6% expected at m=512
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    want = sorted(map(tuple, con.execute(
+        SK.grouped_distinct_hll_duckdb_sql(
+            "events", "event_type", "user_id")).fetchall()))
+    assert sorted(map(tuple, out)) == want
+
+    # partitioning invariance (register max is order-independent)
+    again = sorted(map(tuple, SK.grouped_distinct_hll(
+        ev.repartition(7), "event_type", "user_id").collect()))
+    assert again == sorted(map(tuple, out))
