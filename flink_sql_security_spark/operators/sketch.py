@@ -550,6 +550,29 @@ FROM (SELECT p, min(struct_pack(bin := bin, cum_before := cum_before,
 """
 
 
+def grouped_hll_registers(df: DataFrame, key_col: str,
+                          val_col: str) -> DataFrame:
+    """(key, bucket, rho): per-key mergeable HLL registers — the sketch
+    state of :func:`grouped_distinct_hll`, exposed separately because
+    the groupBy(key, bucket).max is ALSO a valid streaming stateful
+    aggregation (update mode, state ≤ m rows per key)."""
+    h = "CAST(conv(substring(md5(val), 1, 15), 16, 10) AS BIGINT)"
+    return (
+        df.select(F.col(key_col).alias("key"),
+                  F.expr(f"CAST({val_col} AS STRING)").alias("val"))
+        .where(F.col("val").isNotNull() & F.col("key").isNotNull())
+        .select(
+            "key",
+            F.expr(f"{h} % {HLL_M}").alias("bucket"),
+            F.expr(
+                f"CASE WHEN ({h} >= {HLL_M} AND shiftright({h}, {HLL_P}) > 0) "
+                f"THEN {_RHO_MAX} - length(bin(shiftright({h}, {HLL_P}))) "
+                f"ELSE {_RHO_MAX} END").alias("rho"),
+        )
+        .groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
+    )
+
+
 def grouped_distinct_hll(df: DataFrame, key_col: str, val_col: str,
                          with_exact: bool = True) -> DataFrame:
     """(key, n_est[, n_exact, rel_err]) — HLL distinct-``val_col``
@@ -570,21 +593,7 @@ def grouped_distinct_hll(df: DataFrame, key_col: str, val_col: str,
         f"THEN {float(HLL_M)} * ln({float(HLL_M)} / ({HLL_M} - present)) "
         f"ELSE {est_raw} END"
     )
-    h = "CAST(conv(substring(md5(val), 1, 15), 16, 10) AS BIGINT)"
-    regs = (
-        df.select(F.col(key_col).alias("key"),
-                  F.expr(f"CAST({val_col} AS STRING)").alias("val"))
-        .where(F.col("val").isNotNull() & F.col("key").isNotNull())
-        .select(
-            "key",
-            F.expr(f"{h} % {HLL_M}").alias("bucket"),
-            F.expr(
-                f"CASE WHEN ({h} >= {HLL_M} AND shiftright({h}, {HLL_P}) > 0) "
-                f"THEN {_RHO_MAX} - length(bin(shiftright({h}, {HLL_P}))) "
-                f"ELSE {_RHO_MAX} END").alias("rho"),
-        )
-        .groupBy("key", "bucket").agg(F.max("rho").alias("rho"))
-    )
+    regs = grouped_hll_registers(df, key_col, val_col)
     sketch = (
         regs.groupBy("key").agg(
             F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {_RHO_MAX} - rho))")

@@ -62,3 +62,13 @@ def cms_counter_stream(stream: DataFrame, col: str,
     State ≤ depth·width rows; point-query a snapshot with
     ``operators.sketch.cms_estimate``."""
     return _b.cms_counters(stream, col, width, depth)
+
+
+def grouped_hll_register_stream(stream: DataFrame, key_col: str,
+                                val_col: str) -> DataFrame:
+    """Continuously-maintained PER-KEY HLL registers (key, bucket, rho).
+    State ≤ m rows per key; snapshot per-key estimates via
+    ``operators.sketch.grouped_distinct_hll``'s estimator over the
+    sink (the register max is order-independent, so any prefix of the
+    stream equals the batch sketch of the rows seen)."""
+    return _b.grouped_hll_registers(stream, key_col, val_col)

