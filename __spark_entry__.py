@@ -2024,8 +2024,14 @@ _CHECK_ORDER = [
     # ANN entry's ranked-limit); the nested-subquery-chain (q20: IN over
     # correlated scalar subquery threshold) and multi-self-join
     # EXISTS/NOT-EXISTS (q21) shapes had no driver row ever.
+    # r09 rotation: q20_heavy_suppliers + q21_waiting_supplier →
+    # (slots to the pipeline tier). Both went first-time green in r08,
+    # so the nested-subquery-chain and multi-self-join EXISTS shapes now
+    # have recorded driver rows; their cores stay pinned by in-window
+    # q11_important_parts (HAVING + scalar subquery), rls_subquery, and
+    # the golden rewrite suite in pytest.
     "q1_pricing_summary", "q9_product_profit",
-    "q11_important_parts", "q20_heavy_suppliers", "q21_waiting_supplier",
+    "q11_important_parts",
     "classifier_probe_score",
     "q22_global_sales", "pivot_daily_events", "interval_click_purchase",
     # training-data pipeline operators, one per family. dedup_minhash_pairs
@@ -2132,13 +2138,58 @@ _CHECK_ORDER = [
     # - emb_pq_codes → emb_ivfpq_topk: PQ train+encode is literally
     #   stage 1 of BOTH incoming quantized-search entries; the IVF-PQ
     #   probe+ADC composition (second r07 blind spot) gets the row.
+    # r09 rotation (pipeline tier; same breadth-over-redundancy rule;
+    # all ten incomers have full strict oracles but had NEVER been
+    # driver-checked — executing VERDICT-r08 task 1 verbatim):
+    # - dedup_keep_best → dedup_minhash_pairs: keep_best went first-time
+    #   green r08 and its quality-ranked survivor window rides through
+    #   in-window cdc_upsert_latest (same row_number-over-partition
+    #   core); the raw MinHash signature+band candidate generation —
+    #   stage 1 of dedup_lsh_verified but with its own banding output
+    #   shape — gets its first driver row.
+    # - split_component_safe → split_contamination: component_safe went
+    #   first-time green r08; the min-id component core keeps its
+    #   in-window pin via dedup_components, and the train/eval n-gram
+    #   contamination report (a distinct decontamination output family)
+    #   gets the slot.
+    # - emb_cosine_topk → emb_opq_topk: the exact-cosine yardstick went
+    #   first-time green r08 and its bit-equal scoring arithmetic stays
+    #   pinned by the exact-rerank stage of in-window emb_ivfpq_rerank;
+    #   the learned-rotation OPQ scan (new in r08, never windowed) gets
+    #   the slot.
+    # - emb_ivfpq_topk → emb_opq_ivf_topk: ivfpq_topk IS stage 1 of
+    #   in-window emb_ivfpq_rerank at the same config, so the coarse
+    #   assign / ADC join / ranking cores keep a driver pin; the
+    #   OPQ-IVF composition (rotation folded before coarse+books) gets
+    #   its first row.
+    # - text_lm_score → sample_token_budget: lm_score went first-time
+    #   green r08; its broadcast-vocab fixed-order fold rides through
+    #   in-window text_bm25_topk (same score-fold family); the windowed
+    #   running-total budget cutoff gets the slot.
+    # - sample_quality_curriculum → sample_cluster_balanced: curriculum
+    #   went first-time green r08; quantile bucketing rides through
+    #   in-window profile_quantiles; topic-balanced cluster sampling
+    #   (new in r08, never windowed) gets the slot.
+    # - contrastive_triplets → emb_semantic_dedup: triplets went
+    #   first-time green r08; per-anchor ranked-negative windows ride
+    #   through cdc_upsert_latest's ranked-window pin; the
+    #   embedding-threshold near-dup composition gets its first row.
+    # - fim_psm_transform → dedup_decontaminate: fim went first-time
+    #   green r08 and is a deterministic narrow span re-assembly
+    #   (golden-pinned in pytest, no distributed failure mode); the
+    #   broadcast n-gram decontamination filter gets the slot.
+    # - (relational tier) q20 → sketch_hll_by_key, q21 →
+    #   quota_per_source: the grouped per-key HLL profile (new in r08)
+    #   and the top-N-per-key source quota (WindowGroupLimit lowering)
+    #   each get their first driver row.
     "sketch_distinct_hll", "retrieval_mmr_topk", "sketch_bloom_decon",
-    "dedup_keep_best", "cdc_upsert_latest",
+    "dedup_minhash_pairs", "cdc_upsert_latest",
     "sample_dsir_weights", "dedup_lsh_verified", "dedup_components",
-    "split_component_safe",
-    "emb_cosine_topk", "emb_pq_topk", "emb_ivfpq_topk",
+    "split_contamination", "dedup_decontaminate", "emb_semantic_dedup",
+    "emb_opq_topk", "emb_pq_topk", "emb_opq_ivf_topk",
     "emb_ivfpq_rerank",
     "emb_binary_topk", "pack_sequences",
+    "sketch_hll_by_key", "quota_per_source",
     # r05 in-round rotation (three NEW operator families shipped after
     # the first r05 rotation; same breadth-over-redundancy rule):
     # - text_pii_redact → text_bm25_topk: the redact entry is a pure
@@ -2167,8 +2218,8 @@ _CHECK_ORDER = [
     # text_tfidf_terms (corpus df-stats + per-doc term ranking), and
     # sample_quality_curriculum (quantile-bucketed curriculum
     # assignment) — three never-windowed families.
-    "text_lm_score", "text_tfidf_terms", "sample_quality_curriculum",
-    "text_bm25_topk",
+    "text_tfidf_terms", "sample_token_budget",
+    "text_bm25_topk", "sample_cluster_balanced",
     # round-3: sample_token_budget's windowed running-sum core is a
     # sub-shape of pack_sequences' per-bucket cumsum (in-window); its
     # slot goes to the BPE tokenizer family (distributed train + narrow
@@ -2217,12 +2268,35 @@ _CHECK_ORDER = [
     # re-assembly) had no driver row ever.
     "sample_temperature_mix", "bpe_tokens",
     "multimodal_features", "graph_pagerank",
-    "contrastive_triplets", "fim_psm_transform",
     "profile_quantiles", "pipeline_clean_corpus",
     "sessionize_events", "asof_purchase_click",
     # 50th slot: the analytic-window family (lag / framed running sum /
     # ntile) — round 1 measured the driver budget at exactly 50 entries
     "window_lag_running",
+    # ------------------------------------------------------------------
+    # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
+    # After the r09 rotation above, ever-windowed union = 117/139.
+    # The r10 rotation MUST take the remaining 22 never-windowed
+    # entries so the union reaches 139/139:
+    #   dedup_exact_groups, dedup_jaccard_pairs, dedup_incremental_batch,
+    #   dedup_simhash_pairs, dedup_source_overlap, dedup_span_trim,
+    #   emb_cosine_pairs, emb_pq_reconstruct, emb_rp_project,
+    #   emb_binary_ivf_topk, sample_hash_fraction, sample_weighted,
+    #   sample_epoch_upsample, corpus_shard_shuffle, chunk_fixed_tokens,
+    #   text_fingerprint, skew_salted_agg, vocab_top_tokens,
+    #   pack_length_batches, multimodal_resize, multimodal_frame,
+    #   multimodal_audio
+    # Feasibility: the 11 security entries stay (the reference's whole
+    # surface); 50 − 11 = 39 slots leave room for all 22 incomers plus
+    # 17 veterans. Outgoing candidates for r10 (all will then hold
+    # recorded driver rows + pytest pins): the ten r09 incomers above,
+    # plus q22_global_sales, pivot_daily_events, interval_click_purchase,
+    # sample_dsir_weights, text_tfidf_terms, sample_temperature_mix,
+    # bpe_tokens, profile_quantiles — pick 22 by the same
+    # breadth-over-redundancy rule. Any NEW entries added in r09/r10
+    # join the r10 incoming list too. Run tools/driver_sim.py after the
+    # swap, at all three SFs.
+    # ------------------------------------------------------------------
 ]
 
 
