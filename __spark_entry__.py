@@ -1271,12 +1271,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
                                  stringify_codes=True),
     )
     out["emb_pq_topk"] = (
-        # mode='flat' pins the exhaustive, strictly-oracle-checked
-        # shape: 'auto' keys on the optimizer's (layout-dependent) size
-        # estimate, so a driver-side oracle must pin the route
+        # mode='auto' is safe to drive since r9: the flat→IVF gate keys
+        # on the EXACT corpus row count (layout/compression-independent
+        # — pq.py pq_topk), so every test SF (500/500/2k rows, far
+        # under the 500k threshold) deterministically resolves to the
+        # flat exhaustive scan the oracle below re-derives
         with_tables(lambda s: PQm.pq_topk(
             emb(s), emb(s).where("vec_id < 10"), _books(s), k=5,
-            mode="flat")),
+            mode="auto")),
         PQm.pq_topk_duckdb_sql(_emb_path, query_pred="vec_id < 10",
                                m=32, k_cb=64, iters=3, k=5),
     )

@@ -153,6 +153,20 @@ def _shortlist_cutoff(k: int, rerank) -> str:
     return str(k * int(rerank))
 
 
+def _check_rerank(rerank):
+    """Validate ``rerank`` ONCE at operator entry: an int multiplier
+    (``<= 0`` = no rerank) or the literal ``'auto'``. Any other string
+    — including numeric strings like ``"4"`` — raises the same clear
+    message as :func:`_shortlist_cutoff` instead of being silently
+    coerced by a downstream ``int()`` (or crashing with a bare
+    ``ValueError`` on non-numeric strings)."""
+    if rerank == "auto":
+        return rerank
+    if isinstance(rerank, str):
+        raise ValueError(f"rerank must be an int or 'auto': {rerank!r}")
+    return int(rerank)
+
+
 def _rerank_sql_parts(table: str, vec_col: str, id_col: str, k: int,
                       rerank, round_to: int) -> list[str]:
     """The oracle-side twin of :func:`_exact_rerank`: CTE fragments
@@ -285,7 +299,8 @@ def hamming_topk(df: DataFrame, queries_df: DataFrame,
     w_ham = Window.partitionBy("q_id").orderBy(F.asc("hamming"),
                                                F.asc("n_id"))
     ranked = scan.withColumn("rank", F.row_number().over(w_ham))
-    if rerank != "auto" and int(rerank) <= 0:
+    rerank = _check_rerank(rerank)
+    if rerank != "auto" and rerank <= 0:
         return ranked.where(F.col("rank") <= k) \
             .select("q_id", "n_id", "hamming", "rank")
     shortlist = _shortlist(ranked, k, rerank)
@@ -320,7 +335,8 @@ def hamming_topk_duckdb_sql(query_pred: str = "vec_id < 20",
         "ranked AS (SELECT q_id, n_id, hamming, row_number() OVER "
         "(PARTITION BY q_id ORDER BY hamming, n_id) AS rank FROM scan)",
     ]
-    if rerank != "auto" and int(rerank) <= 0:
+    rerank = _check_rerank(rerank)
+    if rerank != "auto" and rerank <= 0:
         return (", ".join(parts) +
                 f" SELECT q_id, n_id, hamming, rank FROM ranked "
                 f"WHERE rank <= {k}")
@@ -496,7 +512,8 @@ def ivf_hamming_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
     w_ham = Window.partitionBy("q_id").orderBy(F.asc("hamming"),
                                                F.asc("n_id"))
     ranked = scan.withColumn("rank", F.row_number().over(w_ham))
-    if rerank != "auto" and int(rerank) <= 0:
+    rerank = _check_rerank(rerank)
+    if rerank != "auto" and rerank <= 0:
         return ranked.where(F.col("rank") <= k) \
             .select("q_id", "n_id", "hamming", "rank")
     shortlist = _shortlist(ranked, k, rerank)
@@ -581,7 +598,8 @@ def ivf_hamming_topk_duckdb_sql(parquet_path: str,
         "ranked AS (SELECT q_id, n_id, hamming, row_number() OVER "
         "(PARTITION BY q_id ORDER BY hamming, n_id) AS rank FROM scan)",
     ]
-    if rerank != "auto" and int(rerank) <= 0:
+    rerank = _check_rerank(rerank)
+    if rerank != "auto" and rerank <= 0:
         return (", ".join(parts) +
                 f" SELECT q_id, n_id, hamming, rank FROM ranked "
                 f"WHERE rank <= {k}")

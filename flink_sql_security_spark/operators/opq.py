@@ -81,11 +81,14 @@ def _opq_train_np(X, m: int, k: int, iters: int, opq_iters: int,
         U, _, Vt = np.linalg.svd(X.T @ Xhat)
         R = U @ Vt
     # quantize the rotation to the shared floor rule, then retrain the
-    # codebooks against the QUANTIZED rotation — the published artifact
-    # pair is self-consistent and every engine sees the same literals
+    # codebooks against the vectors the ENGINES will actually encode:
+    # _rotate_rows_np replays the engines' sequential fold + floor rule
+    # exactly (same recipe as _opq_ivf_train_np), so the published
+    # artifact pair is self-consistent — the books are fit to the very
+    # doubles opq_rotate emits, not to a BLAS matmul's close-but-
+    # different accumulation order
     Rq = [[floor_round_py(float(v), round_to) for v in row] for row in R]
-    books = _pq_train_np(X @ np.asarray(Rq, dtype=np.float64),
-                         m, k, iters)
+    books = _pq_train_np(_rotate_rows_np(X, Rq, round_to), m, k, iters)
     return Rq, books
 
 
@@ -180,7 +183,8 @@ def opq_topk(df: DataFrame, queries_df: DataFrame, R: list,
              broadcast_queries: bool | None = None,
              broadcast_limit_bytes: int = 256 << 20,
              mode: str = "auto",
-             flat_limit_bytes: int = 256 << 20,
+             flat_limit_rows: int = 500_000,
+             corpus_rows: int | None = None,
              codes_df: DataFrame | None = None) -> DataFrame:
     """(q_id, n_id, adc_dist, rank): PQ ADC top-k in the rotated space.
 
@@ -189,7 +193,9 @@ def opq_topk(df: DataFrame, queries_df: DataFrame, R: list,
     subspaces are near-decorrelated, so the codebooks quantize finer.
     Everything after the rotation is :func:`pq.pq_topk` verbatim: LUT
     distribution, broadcast gating, the persist boundary, and the
-    flat→IVF size gate all operate on the rotated frames. ``codes_df``
+    flat→IVF row-count gate (``flat_limit_rows`` / ``corpus_rows`` —
+    the rotation is a 1:1 projection, so the corpus row count is the
+    input's) all operate on the rotated frames. ``codes_df``
     (a prebuilt :func:`opq_encode` output) skips the corpus rotate +
     encode entirely — the build-once/probe-many serving shape."""
     rot_q = opq_rotate(queries_df, R, vec_col, id_col, round_to)
@@ -204,7 +210,8 @@ def opq_topk(df: DataFrame, queries_df: DataFrame, R: list,
                    id_col=id_col, k=k, round_to=round_to,
                    broadcast_queries=broadcast_queries,
                    broadcast_limit_bytes=broadcast_limit_bytes,
-                   mode=mode, flat_limit_bytes=flat_limit_bytes)
+                   mode=mode, flat_limit_rows=flat_limit_rows,
+                   corpus_rows=corpus_rows)
 
 
 def opq_topk_duckdb_sql(parquet_path: str, query_pred: str = "vec_id < 10",

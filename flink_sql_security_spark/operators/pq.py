@@ -784,7 +784,8 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
             broadcast_limit_bytes: int = 256 << 20,
             codes_df: DataFrame | None = None,
             mode: str = "auto",
-            flat_limit_bytes: int = 256 << 20,
+            flat_limit_rows: int = 500_000,
+            corpus_rows: int | None = None,
             coarse: list | None = None, n_cells: int = 64,
             n_probe: int = 8, coarse_sample: int = 2048) -> DataFrame:
     """(q_id, n_id, adc_dist, rank): approximate top-k by ADC distance.
@@ -802,35 +803,43 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
     Scale gate (``mode``): flat ADC scans the FULL code table per query
     — affordable only on a small corpus. ``mode='auto'`` (default)
     routes through :func:`ivfpq_topk` (cell-pruned scan, ~n_probe/
-    n_cells of the code table per query) when the optimizer KNOWS the
-    corpus plan size and it exceeds ``flat_limit_bytes`` (default
-    256 MiB — the same order as the LUT broadcast gate: past it the
-    rows×queries scan dominates every other cost). A coarse quantizer
+    n_cells of the code table per query) when the corpus EXCEEDS
+    ``flat_limit_rows`` rows (default 500k — the row-count equivalent
+    of the former 256 MiB raw-vector-plan threshold at the repo's
+    d=64 reference shape; past it the rows×queries scan dominates
+    every other cost). The routing key is the EXACT row count —
+    ``corpus_rows`` if the caller passes it, else one ``df.count()``
+    job — so the same logical corpus routes identically regardless of
+    file layout, compression, or optimizer statistics (the former
+    plan-size-estimate key was layout-dependent). A coarse quantizer
     is trained with the deterministic :func:`coarse_train` recipe
-    unless ``coarse`` is passed. Unknown plan size stays flat — the
-    conservative choice for derived/in-memory frames whose size the
-    optimizer can't prove; at production scale pass ``mode='ivf'`` (or
-    a prebuilt cell-keyed ``codes_df``) explicitly. ``mode='flat'``
-    pins the exhaustive scan regardless of size (the
+    unless ``coarse`` is passed. At production scale pass
+    ``corpus_rows`` (skips the count job), ``mode='ivf'``, or a
+    prebuilt cell-keyed ``codes_df`` in serving loops — the count job
+    is one metadata-cheap pass, but it is still a per-call job.
+    ``mode='flat'`` pins the exhaustive scan regardless of size (the
     strictly-oracle-checkable shape). A caller-provided ``codes_df``
     implies flat (a flat index has no ``cell`` column to prune on).
-    NOTE: 'auto' keys on the optimizer's size ESTIMATE, which depends
-    on file layout/compression — two deployments of the same logical
-    corpus can route differently (both results are valid approximate
-    top-k, but not bit-identical to each other). Pin ``mode`` where
-    cross-deployment bit-reproducibility or a fixed oracle matters.
-    Routed results are IVF-PQ's: same schema, recall additionally
-    shaped by (n_cells, n_probe).
+    The auto route is announced at INFO level (``logging``) so serving
+    paths comparing runs can see which tier answered. Routed results
+    are IVF-PQ's: same schema, recall additionally shaped by
+    (n_cells, n_probe).
     """
     if mode not in ("auto", "flat", "ivf"):
         raise ValueError(f"pq_topk mode must be auto|flat|ivf: {mode!r}")
     if codes_df is None and mode != "flat":
         route = mode == "ivf"
         if mode == "auto":
-            from flink_sql_security_spark.operators.similarity import (
-                _plan_size_bytes)
-            size = _plan_size_bytes(df.select(id_col, vec_col))
-            route = size is not None and size > flat_limit_bytes
+            rows = (corpus_rows if corpus_rows is not None
+                    else df.select(id_col).count())
+            route = rows > flat_limit_rows
+            if route:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "pq_topk mode='auto' routing to IVF-PQ: corpus "
+                    "rows %d > flat_limit_rows %d", rows,
+                    flat_limit_rows)
         if route:
             if coarse is None:
                 coarse = coarse_train(df, vec_col, id_col,

@@ -315,6 +315,28 @@ def test_rerank_rejects_bad_string(emb):
                        rerank="bogus").collect()
 
 
+def test_rerank_rejects_all_non_auto_strings_at_entry(emb, coarse):
+    """Validation happens ONCE at operator entry (_check_rerank): a
+    numeric string like "4" must raise the clear message instead of
+    being silently coerced by int(), and non-numeric strings must get
+    the same message instead of a bare int() ValueError — on every
+    rerank-taking surface (flat + IVF, Spark + oracle builders)."""
+    q = emb.where("vec_id < 2")
+    for bad in ("4", "abc", ""):
+        with pytest.raises(ValueError, match="rerank must be"):
+            B.hamming_topk(emb, q, k=3, rerank=bad)
+        with pytest.raises(ValueError, match="rerank must be"):
+            B.ivf_hamming_topk(emb, q, coarse, k=3, n_probe=2,
+                               rerank=bad)
+        with pytest.raises(ValueError, match="rerank must be"):
+            B.hamming_topk_duckdb_sql(query_pred="vec_id < 2", k=3,
+                                      rerank=bad)
+        with pytest.raises(ValueError, match="rerank must be"):
+            B.ivf_hamming_topk_duckdb_sql(
+                "/root/testdata/sf0.001/embeddings.parquet",
+                query_pred="vec_id < 2", k=3, rerank=bad)
+
+
 def test_fuzz_binary_configs_cross_engine(spark):
     """Config fuzz for the binary tier: random (d, k, rerank — int, 0
     and 'auto' — n_probe, flat-vs-IVF) draws, each verified value-exact

@@ -888,9 +888,12 @@ def test_pq_encode_reconstruct_empty_input(spark):
 
 def test_pq_topk_auto_gate_routes_large_corpus_to_ivf(spark):
     """The flat-ADC scale gate: mode='auto' must route through the
-    cell-pruned IVF path once the corpus plan size exceeds
-    flat_limit_bytes, and the routed result must be ivfpq_topk's exact
-    output (same coarse quantizer, same config)."""
+    cell-pruned IVF path once the corpus row count exceeds
+    flat_limit_rows, and the routed result must be ivfpq_topk's exact
+    output (same coarse quantizer, same config). The routing key is
+    the EXACT row count (layout/compression-independent), supplied
+    either by the gate's own count job or by the corpus_rows hint —
+    both must route identically."""
     from flink_sql_security_spark.operators import pq as PQ
 
     df = _clustered_vectors(spark)
@@ -899,7 +902,7 @@ def test_pq_topk_auto_gate_routes_large_corpus_to_ivf(spark):
     q = df.where("vec_id < 5")
 
     routed = PQ.pq_topk(df, q, books, k=3, mode="auto",
-                        flat_limit_bytes=1, coarse=coarse, n_probe=2)
+                        flat_limit_rows=1, coarse=coarse, n_probe=2)
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "NestedLoop" not in plan, plan
@@ -907,11 +910,27 @@ def test_pq_topk_auto_gate_routes_large_corpus_to_ivf(spark):
         df, q, coarse, books, k=3, n_probe=2).collect()))
     assert sorted(map(tuple, routed.collect())) == want and len(want) == 15
 
+    # corpus_rows hint: skips the count job, same route, same rows
+    hinted = PQ.pq_topk(df, q, books, k=3, mode="auto",
+                        flat_limit_rows=1, corpus_rows=df.count(),
+                        coarse=coarse, n_probe=2)
+    assert sorted(map(tuple, hinted.collect())) == want
+
+    # a small hint keeps the flat route even when the real corpus is
+    # past the threshold — the hint IS the routing key
+    flat_hint = PQ.pq_topk(df, q, books, k=3, mode="auto",
+                           flat_limit_rows=1_000_000, corpus_rows=10,
+                           coarse=coarse, n_probe=2)
+    flat = sorted(map(tuple, PQ.pq_topk(
+        df, q, books, k=3, mode="flat").collect()))
+    assert sorted(map(tuple, flat_hint.collect())) == flat
+
 
 def test_pq_topk_auto_gate_small_corpus_stays_flat(spark):
-    """Below the threshold (default 256 MiB) auto == flat: identical
+    """Below the threshold (default 500k rows) auto == flat: identical
     rows, and the plan still carries the exhaustive crossJoin — the
-    strictly-oracle-checked shape the emb_pq_topk entry pins."""
+    strictly-oracle-checked shape the emb_pq_topk entry (mode='auto')
+    resolves to at every test SF."""
     from flink_sql_security_spark.operators import pq as PQ
 
     df = _clustered_vectors(spark, n_clusters=3, per=10, d=8)
@@ -924,7 +943,7 @@ def test_pq_topk_auto_gate_small_corpus_stays_flat(spark):
 
     # mode='flat' pins the exhaustive scan even past the size gate
     pinned = PQ.pq_topk(df, q, books, k=3, mode="flat",
-                        flat_limit_bytes=1)
+                        flat_limit_rows=1)
     assert sorted(map(tuple, pinned.collect())) == flat
 
     with __import__("pytest").raises(ValueError, match="mode"):
