@@ -1922,6 +1922,34 @@ FROM s GROUP BY user_id, session_id
         RT.bm25_topk_sql(_BM25_TERMS, k=20),
     )
 
+    # ---- reciprocal-rank fusion (operators/retrieval.py rrf_fuse):
+    # hybrid retrieval — BM25 lexical ranks fused with exact-cosine
+    # semantic ranks by 1/(k0+rank) sums (Cormack et al., SIGIR 2009).
+    # doc_id and vec_id are the driver corpus's shared key. Strictly
+    # oracle-checkable: only integer RANKS enter the formula (one IEEE
+    # divide each, fixed-order sum, floor rule once on the final) ----
+    def _rrf_hybrid(s):
+        lex = RT.bm25_topk(docs(s), _BM25_TERMS, k=50)
+        sem = (S.cosine_topk(emb(s), emb(s).where("vec_id = 7"), k=50)
+               .select(F.col("n_id").alias("doc_id"), "rank"))
+        return RT.rrf_fuse([("lex", lex), ("sem", sem)], k0=60, k=20)
+
+    _rrf_sem_sql = (
+        "WITH " + _DUCK_UNIT + ", "
+        "scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, "
+        + _DUCK_UNIT_DOT.format(a="q.unit", b="n.unit") + " AS cosine"
+        " FROM u q, u n WHERE q.vec_id = 7 AND q.vec_id <> n.vec_id), "
+        "rk AS (SELECT n_id, row_number() OVER (PARTITION BY q_id "
+        "ORDER BY cosine DESC, n_id) AS rank FROM scored) "
+        "SELECT n_id AS doc_id, rank FROM rk WHERE rank <= 50")
+    out["retrieval_rrf_hybrid"] = (
+        with_tables(_rrf_hybrid),
+        RT.rrf_fuse_sql(
+            [("lex", "SELECT doc_id, rank FROM ("
+              + RT.bm25_topk_sql(_BM25_TERMS, k=50) + ") b"),
+             ("sem", _rrf_sem_sql)], k0=60, k=20),
+    )
+
     # ---- blocked fuzzy matching (operators/fuzzy.py): edit-distance
     # near-dup pairs of document "titles" (40-char prefixes) under a
     # first-token block key — the block→verify linkage shape; threshold
@@ -2277,9 +2305,10 @@ _CHECK_ORDER = [
     "window_lag_running",
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
-    # After the r09 rotation above, ever-windowed union = 117/139.
-    # The r10 rotation MUST take the remaining 22 never-windowed
-    # entries so the union reaches 139/139:
+    # After the r09 rotation above, ever-windowed union = 117/140.
+    # The r10 rotation MUST take the remaining 23 never-windowed
+    # entries so the union reaches 140/140 — the 22 listed below plus
+    # retrieval_rrf_hybrid (NEW in r09, strict at all three SFs):
     #   dedup_exact_groups, dedup_jaccard_pairs, dedup_incremental_batch,
     #   dedup_simhash_pairs, dedup_source_overlap, dedup_span_trim,
     #   emb_cosine_pairs, emb_pq_reconstruct, emb_rp_project,

@@ -338,3 +338,141 @@ def mmr_rerank_duckdb_sql(query_pred: str = "vec_id < 10",
     return (", ".join(parts) +
             f" SELECT q_id, n_id, score AS mmr_score, "
             f"sel_pos FROM ({final})")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid lexical + semantic retrieval)
+# ---------------------------------------------------------------------------
+
+def _check_rrf_names(names: list[str]) -> None:
+    if not names:
+        raise ValueError("rrf_fuse requires at least one ranked input")
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rrf input names: {names}")
+    for n in names:
+        if not n or not all(c.isalnum() or c == "_" for c in n):
+            raise ValueError(
+                f"rrf input name must be [A-Za-z0-9_]+ (used in output "
+                f"column r_<name>): {n!r}")
+
+
+def rrf_fuse(ranked, *, id_col: str = "doc_id", rank_col: str = "rank",
+             k0: int = 60, k: int = 20, round_to: int = 6,
+             group_col: str | None = None):
+    """Reciprocal-rank fusion of N ranked candidate lists
+    (Cormack, Clarke & Buettcher, SIGIR 2009): each document scores
+    ``sum over lists of 1/(k0 + rank_in_list)``, missing-from-a-list
+    contributes 0, and the fused top-``k`` re-ranks by that sum.
+    The standard way to combine heterogeneous retrievers — e.g. BM25
+    lexical ranks with embedding-cosine ranks — without score
+    calibration, since only RANK POSITIONS enter the formula.
+
+    ``ranked`` is an ordered list of ``(name, DataFrame)`` pairs; each
+    frame needs ``id_col`` + integer ``rank_col`` (ranks >= 1, unique
+    ids per list — the top-k output shape every retrieval operator in
+    this package emits). Returns
+    ``(id_col, r_<name>..., rrf_score, rank)`` — the per-list rank
+    columns are NULL where a list missed the document. ``group_col``
+    (e.g. ``q_id``) fuses per group: grouping, scoring, and the final
+    window all partition by it, so multi-query fusion stays one plan.
+
+    Scale shape (100 TB corpus): the inputs are top-k SHORTLISTS
+    (bounded rows — the expensive work happened in the upstream
+    retrievers), so fusion is one union + one hash aggregation over
+    ~sum(|list_i|) rows + one per-group window; nothing here touches
+    the corpus. No new scan, no driver collect, no cartesian.
+
+    Determinism / oracle parity: ``1/(k0 + rank)`` is ONE IEEE double
+    divide of exact small integers — bit-identical on any engine — and
+    the per-list contributions add left-associated in the caller's
+    list order on both engines (the BM25 fixed-order-fold rule), so
+    the only rounding anywhere is the shared floor rule applied ONCE
+    to the final sum. Ties break on ascending ``id_col``.
+    """
+    names = [n for n, _ in ranked]
+    _check_rrf_names(names)
+    if k0 < 1:
+        raise ValueError(f"rrf_fuse k0 must be >= 1: {k0}")
+    keys = ([group_col] if group_col else []) + [id_col]
+
+    tagged = None
+    for name, rdf in ranked:
+        sel = rdf.select(
+            *[F.col(c) for c in keys],
+            F.col(rank_col).cast("long").alias("r"),
+            F.lit(name).alias("src"))
+        tagged = sel if tagged is None else tagged.unionByName(sel)
+
+    per = tagged.groupBy(*keys).agg(
+        *[F.max(F.when(F.col("src") == n, F.col("r"))).alias(f"r_{n}")
+          for n in names])
+
+    def contrib(n: str):
+        return F.when(F.col(f"r_{n}").isNotNull(),
+                      F.lit(1.0) / (F.lit(k0) + F.col(f"r_{n}"))) \
+                .otherwise(F.lit(0.0))
+
+    total = contrib(names[0])
+    for n in names[1:]:
+        total = total + contrib(n)
+    per = per.withColumn("rrf_score", floor_round_col(total, round_to))
+
+    w = (Window.partitionBy(group_col) if group_col else Window) \
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (per.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(*keys, *[f"r_{n}" for n in names], "rrf_score",
+                    "rank"))
+
+
+def rrf_fuse_sql(ranked_sqls, *, id_col: str = "doc_id",
+                 rank_col: str = "rank", k0: int = 60, k: int = 20,
+                 round_to: int = 6,
+                 group_col: str | None = None) -> str:
+    """DuckDB SQL computing the identical fusion (strict oracle).
+
+    ``ranked_sqls`` is an ordered list of ``(name, sql)`` pairs; each
+    ``sql`` is a complete SELECT (its own WITH allowed — it embeds as
+    a derived table) producing ``id_col`` + ``rank_col`` (+
+    ``group_col`` if set). Arithmetic mirrors :func:`rrf_fuse`
+    verbatim: integer-exact ``1/(k0 + rank)`` divides, left-associated
+    sum in list order, floor rule once on the final score.
+    """
+    names = [n for n, _ in ranked_sqls]
+    _check_rrf_names(names)
+    if k0 < 1:
+        raise ValueError(f"rrf_fuse k0 must be >= 1: {k0}")
+    keys = ([group_col] if group_col else []) + [id_col]
+    key_list = ", ".join(keys)
+
+    parts = [
+        f"l_{n} AS (SELECT {key_list}, CAST({rank_col} AS BIGINT) AS r, "
+        f"'{n}' AS src FROM ({sql}) t_{n})"
+        for n, sql in ranked_sqls]
+    union = " UNION ALL ".join(f"SELECT * FROM l_{n}" for n in names)
+    r_cols = ", ".join(
+        f"max(CASE WHEN src = '{n}' THEN r END) AS r_{n}" for n in names)
+    parts.append(f"tagged AS ({union})")
+    parts.append(f"per AS (SELECT {key_list}, {r_cols} FROM tagged "
+                 f"GROUP BY {key_list})")
+
+    def contrib(n: str) -> str:
+        return (f"CASE WHEN r_{n} IS NOT NULL THEN "
+                f"CAST(1.0 AS DOUBLE) / ({k0} + r_{n}) "
+                f"ELSE CAST(0.0 AS DOUBLE) END")
+
+    total = contrib(names[0])
+    for n in names[1:]:
+        total = f"({total} + {contrib(n)})"
+    out_r = ", ".join(f"r_{n}" for n in names)
+    part = f"PARTITION BY {group_col} " if group_col else ""
+    parts.append(
+        f"scored AS (SELECT {key_list}, {out_r}, "
+        + floor_round(total, round_to, "duckdb") + " AS rrf_score "
+        "FROM per)")
+    parts.append(
+        f"ranked_out AS (SELECT *, row_number() OVER ({part}"
+        f"ORDER BY rrf_score DESC, {id_col}) AS rank FROM scored)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT {key_list}, {out_r}, rrf_score, rank "
+            f"FROM ranked_out WHERE rank <= {k}")

@@ -417,3 +417,127 @@ def test_fuzz_pagerank_configs_cross_engine(spark):
             iters=iters, damping=damping, dangling=dangling)
         want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
         assert got == want, cfg
+
+
+# ----------------------------------------------------- rrf fusion
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "rank"])
+
+
+def test_rrf_fuse_semantics(spark):
+    """Docs in both lists beat single-list docs at similar ranks;
+    per-list rank columns surface; missing-list contribution is 0."""
+    from flink_sql_security_spark.operators.retrieval import rrf_fuse
+
+    lex = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    sem = _ranked(spark, [(2, 1), (4, 2), (1, 3)])
+    out = {r["doc_id"]: r for r in
+           rrf_fuse([("lex", lex), ("sem", sem)], k0=60, k=10).collect()}
+    # doc 2: 1/62 + 1/61; doc 1: 1/61 + 1/63 -> doc 2 wins
+    assert out[2]["rank"] == 1 and out[1]["rank"] == 2
+    assert out[3]["r_sem"] is None and out[3]["r_lex"] == 3
+    assert out[4]["r_lex"] is None
+    exp = 1.0 / 62 + 1.0 / 61
+    assert abs(out[2]["rrf_score"] - exp) < 1e-6
+    # single-list docs score exactly one reciprocal
+    assert abs(out[3]["rrf_score"] - 1.0 / 63) < 1e-6
+
+
+def test_rrf_fuse_cross_engine_exact(spark):
+    """Spark fusion == DuckDB oracle, value-exact, over real BM25 +
+    cosine shortlists at sf0.001 (the entry's own composition)."""
+    from flink_sql_security_spark.functions.text import floor_round
+    from flink_sql_security_spark.operators import similarity as S
+    from flink_sql_security_spark.operators.retrieval import (
+        bm25_topk, bm25_topk_sql, rrf_fuse, rrf_fuse_sql)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    terms = ["vector", "stream", "hash"]
+    lex = bm25_topk(docs, terms, k=25)
+    sem = (S.cosine_topk(emb, emb.where("vec_id = 7"), k=25)
+           .select(F.col("n_id").alias("doc_id"), "rank"))
+    got = sorted(map(tuple, rrf_fuse(
+        [("lex", lex), ("sem", sem)], k0=60, k=10).collect()))
+
+    dot = floor_round(
+        "list_sum(list_transform(list_zip(q.unit, n.unit), "
+        "x -> x[1] * x[2]))", 6, "duckdb")
+    unit = (
+        "SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) / n) AS unit FROM (SELECT vec_id, "
+        "embedding, sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n "
+        "FROM embeddings)")
+    sem_sql = (
+        f"WITH u AS ({unit}), scored AS (SELECT q.vec_id AS q_id, "
+        f"n.vec_id AS n_id, {dot} AS cosine FROM u q, u n "
+        "WHERE q.vec_id = 7 AND q.vec_id <> n.vec_id), "
+        "rk AS (SELECT n_id, row_number() OVER (PARTITION BY q_id "
+        "ORDER BY cosine DESC, n_id) AS rank FROM scored) "
+        "SELECT n_id AS doc_id, rank FROM rk WHERE rank <= 25")
+    import duckdb
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    want = sorted(map(tuple, con.execute(rrf_fuse_sql(
+        [("lex", "SELECT doc_id, rank FROM ("
+          + bm25_topk_sql(terms, k=25) + ") b"),
+         ("sem", sem_sql)], k0=60, k=10)).fetchall()))
+    con.close()
+    assert got == want and len(got) == 10
+
+
+def test_rrf_fuse_grouped_multi_query(spark):
+    """group_col fuses per group: each q_id gets its own fused top-k,
+    cross-engine exact."""
+    from flink_sql_security_spark.operators.retrieval import (
+        rrf_fuse, rrf_fuse_sql)
+
+    a = spark.createDataFrame(
+        [(10, 1, 1), (10, 2, 2), (20, 2, 1), (20, 3, 2)],
+        ["q_id", "doc_id", "rank"])
+    b = spark.createDataFrame(
+        [(10, 2, 1), (10, 3, 2), (20, 3, 1), (20, 1, 2)],
+        ["q_id", "doc_id", "rank"])
+    got = sorted(map(tuple, rrf_fuse(
+        [("x", a), ("y", b)], k0=10, k=2,
+        group_col="q_id").collect()))
+
+    import duckdb
+    con = duckdb.connect()
+    a_sql = ("SELECT * FROM (VALUES (10, 1, 1), (10, 2, 2), (20, 2, 1), "
+             "(20, 3, 2)) t(q_id, doc_id, rank)")
+    b_sql = ("SELECT * FROM (VALUES (10, 2, 1), (10, 3, 2), (20, 3, 1), "
+             "(20, 1, 2)) t(q_id, doc_id, rank)")
+    want = sorted(map(tuple, con.execute(rrf_fuse_sql(
+        [("x", a_sql), ("y", b_sql)], k0=10, k=2,
+        group_col="q_id")).fetchall()))
+    con.close()
+    assert got == want
+    # both groups present, each with ranks 1..2
+    qids = {}
+    for r in got:
+        qids.setdefault(r[0], []).append(r[-1])
+    assert {q: sorted(v) for q, v in qids.items()} == \
+        {10: [1, 2], 20: [1, 2]}
+
+
+def test_rrf_fuse_validation(spark):
+    from flink_sql_security_spark.operators.retrieval import (
+        rrf_fuse, rrf_fuse_sql)
+
+    df = _ranked(spark, [(1, 1)])
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="duplicate"):
+        rrf_fuse([("a", df), ("a", df)])
+    with pytest.raises(ValueError, match="name must be"):
+        rrf_fuse([("bad name", df)])
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse([("a", df)], k0=0)
+    with pytest.raises(ValueError, match="k0"):
+        rrf_fuse_sql([("a", "SELECT 1")], k0=0)

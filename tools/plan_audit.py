@@ -54,6 +54,10 @@ PYTHON_OK = {
     # OPQ: pq_topk's documented query-side LUT kernel over the ROTATED
     # query table; the rotation itself is a pure JVM projection.
     "emb_opq_topk", "emb_opq_ivf_topk",
+    # RRF hybrid: the semantic arm is cosine_topk's documented
+    # query-side kernel; the fusion itself (union + hash agg + window
+    # over two top-k SHORTLISTS) is pure JVM.
+    "retrieval_rrf_hybrid",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
