@@ -44,3 +44,39 @@ def mmr_ingest_stream(stream: DataFrame, corpus_df: DataFrame, sink, *,
                         round_to=round_to), batch_id)
 
     return stream.writeStream.outputMode("append").foreachBatch(_process)
+
+
+def rrf_ingest_stream(stream: DataFrame, retrievers, sink, *,
+                      id_col: str = "vec_id", group_col: str = "q_id",
+                      k0: int = 60, k: int = 20, round_to: int = 6):
+    """Per-micro-batch hybrid retrieval: each batch of streaming
+    queries runs every retriever arm, and the arms' ranked shortlists
+    fuse by reciprocal-rank (:func:`operators.retrieval.rrf_fuse`,
+    grouped per query) — bit-identical to batch fusion on the same
+    inputs, since every arm and the fusion itself are the batch code
+    paths.
+
+    ``retrievers`` is an ordered list of ``(name, fn)`` pairs where
+    ``fn(batch_df)`` returns that arm's ranked frame with
+    ``(group_col, id_col, rank)`` — the arm closures own their
+    persisted indexes (codes tables, unit-vector caches), which is the
+    build-once/probe-many convention of the other ingest wrappers.
+    ``sink(df, batch_id)`` receives the fused
+    ``(group_col, id_col, r_<name>..., rrf_score, rank)`` rows.
+    Returns the ``DataStreamWriter``; the caller owns
+    checkpoint/trigger and calls ``.start()``.
+    """
+    from flink_sql_security_spark.operators.retrieval import rrf_fuse
+
+    names = [n for n, _ in retrievers]
+    if not names:
+        raise ValueError("rrf_ingest_stream requires at least one arm")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ranked = [(name, fn(batch_df)) for name, fn in retrievers]
+        sink(rrf_fuse(ranked, id_col=id_col, group_col=group_col,
+                      k0=k0, k=k, round_to=round_to), batch_id)
+
+    return stream.writeStream.outputMode("append").foreachBatch(_process)

@@ -1206,3 +1206,113 @@ def test_cluster_balanced_sample_contract(spark):
         C.cluster_balanced_sample_duckdb_sql(
             path, k=4, iters=2, n_per_cell=6)).fetchall()))
     assert got == want
+
+
+def test_fuzz_opq_ivf_configs_cross_engine(spark):
+    """Config fuzz over the OPQ→IVF-PQ composition: random
+    (m, k_cb, n_cells, n_probe, residual, k) draws, each value-exact
+    vs the DuckDB oracle (mirrors the OPQ flat suite, seed base 6464).
+    Deterministic seed base 7575; rotate alongside the SQL fuzz
+    bursts."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators import opq as O
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    rng = random.Random(7575)
+    for trial in range(3):
+        m = rng.choice([4, 8])
+        k_cb = rng.choice([8, 16])
+        n_cells = rng.choice([4, 8])
+        n_probe = rng.randint(2, n_cells)
+        residual = rng.random() < 0.5
+        k = rng.randint(3, 6)
+        n_q = rng.choice([3, 5])
+        cfg = (trial, m, k_cb, n_cells, n_probe, residual, k, n_q)
+        R, coarse, books = O.opq_ivf_train(
+            emb, m=m, k=k_cb, iters=2, opq_iters=2, n_cells=n_cells,
+            residual=residual)
+        got = sorted(map(tuple, O.opq_ivf_topk(
+            emb, emb.where(f"vec_id < {n_q}"), R, coarse, books, k=k,
+            n_probe=n_probe, residual=residual).collect()))
+        want = sorted(map(tuple, con.execute(O.opq_ivf_topk_duckdb_sql(
+            path, query_pred=f"vec_id < {n_q}", m=m, k_cb=k_cb,
+            iters=2, opq_iters=2, n_cells=n_cells, n_probe=n_probe,
+            k=k, residual=residual)).fetchall()))
+        assert got == want and len(got) == n_q * k, cfg
+    con.close()
+
+
+def test_fuzz_cluster_balanced_configs_cross_engine(spark):
+    """Config fuzz over topic-balanced subsampling: random
+    (k, iters, n_per_cell, salt) draws, each value-exact vs the
+    oracle's replica-centroid + md5-quota SQL. Seed base 8686."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators import clustering as CL
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    rng = random.Random(8686)
+    for trial in range(3):
+        k = rng.choice([4, 6, 8])
+        iters = rng.randint(1, 3)
+        n_per_cell = rng.choice([3, 7, 12])
+        salt = rng.choice(["balance", "fz", "r9"])
+        cfg = (trial, k, iters, n_per_cell, salt)
+        got = sorted(map(tuple, CL.cluster_balanced_sample(
+            emb, k=k, iters=iters, n_per_cell=n_per_cell,
+            salt=salt).collect()))
+        want = sorted(map(tuple, con.execute(
+            CL.cluster_balanced_sample_duckdb_sql(
+                path, k=k, iters=iters, n_per_cell=n_per_cell,
+                salt=salt)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
+
+
+def test_fuzz_grouped_hll_configs_cross_engine(spark):
+    """Config fuzz over the grouped per-key HLL profile: random
+    (key_col, val_col, with_exact) draws over the documents/lineitem
+    tables, each value-exact vs the oracle. Seed base 9797."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators import sketch as SK
+
+    rng = random.Random(9797)
+    cases = [
+        ("documents", "lang", "source"),
+        ("documents", "source", "doc_id"),
+        ("lineitem", "l_returnflag", "l_partkey"),
+        ("lineitem", "l_linestatus", "l_orderkey"),
+    ]
+    for trial in range(3):
+        table, key_col, val_col = rng.choice(cases)
+        with_exact = rng.random() < 0.5
+        cfg = (trial, table, key_col, val_col, with_exact)
+        path = f"/root/testdata/sf0.001/{table}.parquet"
+        df = spark.read.parquet(path)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW {table} AS SELECT * FROM "
+                    f"read_parquet('{path}')")
+        got = sorted(map(tuple, SK.grouped_distinct_hll(
+            df, key_col, val_col, with_exact=with_exact).collect()))
+        want = sorted(map(tuple, con.execute(
+            SK.grouped_distinct_hll_duckdb_sql(
+                table, key_col, val_col,
+                with_exact=with_exact)).fetchall()))
+        con.close()
+        assert got == want and len(got) > 0, cfg

@@ -807,3 +807,52 @@ def test_grouped_hll_register_stream_matches_batch(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_rrf_ingest_stream_matches_batch(spark):
+    """Streaming hybrid fusion reproduces batch rrf_fuse exactly: two
+    retriever arms (exact cosine + binary hamming tiers over the same
+    persisted corpus) run per micro-batch and their shortlists fuse
+    per query — every value bit-equal to the batch composition."""
+    from pyspark.sql import functions as F
+
+    from flink_sql_security_spark.operators import binary as B
+    from flink_sql_security_spark.operators import similarity as S
+    from flink_sql_security_spark.operators.retrieval import rrf_fuse
+    from flink_sql_security_spark.streaming.retrieval import (
+        rrf_ingest_stream)
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.where("vec_id < 6")
+
+    def cos_arm(q):
+        return (S.cosine_topk(corpus, q, k=8)
+                .select("q_id", F.col("n_id").alias("vec_id"), "rank"))
+
+    def ham_arm(q):
+        return (B.hamming_topk(corpus, q, k=8, d=64)
+                .select("q_id", F.col("n_id").alias("vec_id"), "rank"))
+
+    expected = {tuple(r) for r in rrf_fuse(
+        [("cos", cos_arm(queries)), ("ham", ham_arm(queries))],
+        id_col="vec_id", group_col="q_id", k0=60, k=5).collect()}
+    assert expected
+
+    path = tempfile.mkdtemp(prefix="fss_stream_rrf")
+    try:
+        queries.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(
+            "vec_id long, embedding array<float>").parquet(path)
+        got = set()
+
+        def sink(df, batch_id):
+            got.update(tuple(r) for r in df.collect())
+
+        q = rrf_ingest_stream(
+            src, [("cos", cos_arm), ("ham", ham_arm)], sink,
+            id_col="vec_id", group_col="q_id", k0=60, k=5).start()
+        q.processAllAvailable(); q.stop()
+        assert got == expected
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
