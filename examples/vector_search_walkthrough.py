@@ -133,9 +133,29 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     opq_rows = O.opq_ivf_topk(emb, queries, R, ocoarse, obooks,
                               k=3, n_probe=3).collect()
     assert {r["q_id"] for r in opq_rows} == {r["q_id"] for r in mmr_rows}
+
+    # 9. hybrid ensembles: when two tiers rank the same corpus (here
+    # the cheap binary prefilter and the exact cosine baseline),
+    # reciprocal-rank fusion combines them with NO score calibration —
+    # only rank positions enter. The fused list recovers from either
+    # arm's blind spots at shortlist cost.
+    from pyspark.sql import functions as F
+
+    from flink_sql_security_spark.operators import similarity as S
+    from flink_sql_security_spark.operators.retrieval import rrf_fuse
+
+    cos_arm = (S.cosine_topk(emb, queries, k=9)
+               .select("q_id", F.col("n_id").alias("vec_id"), "rank"))
+    ham_arm = (BIN.hamming_topk(emb, queries, k=9, d=64)
+               .select("q_id", F.col("n_id").alias("vec_id"), "rank"))
+    fused_rows = rrf_fuse([("cos", cos_arm), ("ham", ham_arm)],
+                          id_col="vec_id", group_col="q_id",
+                          k0=60, k=3).collect()
+    assert {r["q_id"] for r in fused_rows} == {r["q_id"] for r in opq_rows}
     return {"n_indexed": n_indexed, "batch": batch_rows,
             "stream": stream_rows, "rerank": rerank_rows,
-            "binary": bin_rows, "mmr": mmr_rows, "opq": opq_rows}
+            "binary": bin_rows, "mmr": mmr_rows, "opq": opq_rows,
+            "fused": fused_rows}
 
 
 def main() -> None:
