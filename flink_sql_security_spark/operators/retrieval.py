@@ -36,6 +36,8 @@ anywhere in the plan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -356,9 +358,22 @@ def _check_rrf_names(names: list[str]) -> None:
                 f"column r_<name>): {n!r}")
 
 
+def _check_rrf_weights(weights, names):
+    if weights is None:
+        return [1.0] * len(names)
+    if len(weights) != len(names):
+        raise ValueError(
+            f"rrf weights length {len(weights)} != inputs {len(names)}")
+    ws = [float(w) for w in weights]
+    if any(w <= 0 or not math.isfinite(w) for w in ws):
+        raise ValueError(f"rrf weights must be finite and > 0: {weights}")
+    return ws
+
+
 def rrf_fuse(ranked, *, id_col: str = "doc_id", rank_col: str = "rank",
              k0: int = 60, k: int = 20, round_to: int = 6,
-             group_col: str | None = None):
+             group_col: str | None = None,
+             weights: list[float] | None = None):
     """Reciprocal-rank fusion of N ranked candidate lists
     (Cormack, Clarke & Buettcher, SIGIR 2009): each document scores
     ``sum over lists of 1/(k0 + rank_in_list)``, missing-from-a-list
@@ -393,6 +408,7 @@ def rrf_fuse(ranked, *, id_col: str = "doc_id", rank_col: str = "rank",
     _check_rrf_names(names)
     if k0 < 1:
         raise ValueError(f"rrf_fuse k0 must be >= 1: {k0}")
+    ws = _check_rrf_weights(weights, names)
     keys = ([group_col] if group_col else []) + [id_col]
 
     tagged = None
@@ -407,14 +423,18 @@ def rrf_fuse(ranked, *, id_col: str = "doc_id", rank_col: str = "rank",
         *[F.max(F.when(F.col("src") == n, F.col("r"))).alias(f"r_{n}")
           for n in names])
 
-    def contrib(n: str):
+    def contrib(n: str, w: float):
+        # w * (1/(k0+r)): one integer-exact divide then one multiply of
+        # bit-identical doubles — still engine-exact (w=1.0 is a no-op
+        # multiply, so unweighted fusion stays the plain RRF formula)
         return F.when(F.col(f"r_{n}").isNotNull(),
-                      F.lit(1.0) / (F.lit(k0) + F.col(f"r_{n}"))) \
+                      F.lit(w) * (F.lit(1.0)
+                                  / (F.lit(k0) + F.col(f"r_{n}")))) \
                 .otherwise(F.lit(0.0))
 
-    total = contrib(names[0])
-    for n in names[1:]:
-        total = total + contrib(n)
+    total = contrib(names[0], ws[0])
+    for n, w in zip(names[1:], ws[1:]):
+        total = total + contrib(n, w)
     per = per.withColumn("rrf_score", floor_round_col(total, round_to))
 
     w = (Window.partitionBy(group_col) if group_col else Window) \
@@ -428,7 +448,8 @@ def rrf_fuse(ranked, *, id_col: str = "doc_id", rank_col: str = "rank",
 def rrf_fuse_sql(ranked_sqls, *, id_col: str = "doc_id",
                  rank_col: str = "rank", k0: int = 60, k: int = 20,
                  round_to: int = 6,
-                 group_col: str | None = None) -> str:
+                 group_col: str | None = None,
+                 weights: list[float] | None = None) -> str:
     """DuckDB SQL computing the identical fusion (strict oracle).
 
     ``ranked_sqls`` is an ordered list of ``(name, sql)`` pairs; each
@@ -442,6 +463,7 @@ def rrf_fuse_sql(ranked_sqls, *, id_col: str = "doc_id",
     _check_rrf_names(names)
     if k0 < 1:
         raise ValueError(f"rrf_fuse k0 must be >= 1: {k0}")
+    ws = _check_rrf_weights(weights, names)
     keys = ([group_col] if group_col else []) + [id_col]
     key_list = ", ".join(keys)
 
@@ -456,14 +478,15 @@ def rrf_fuse_sql(ranked_sqls, *, id_col: str = "doc_id",
     parts.append(f"per AS (SELECT {key_list}, {r_cols} FROM tagged "
                  f"GROUP BY {key_list})")
 
-    def contrib(n: str) -> str:
+    def contrib(n: str, w: float) -> str:
         return (f"CASE WHEN r_{n} IS NOT NULL THEN "
-                f"CAST(1.0 AS DOUBLE) / ({k0} + r_{n}) "
+                f"CAST({w!r} AS DOUBLE) * (CAST(1.0 AS DOUBLE) "
+                f"/ ({k0} + r_{n})) "
                 f"ELSE CAST(0.0 AS DOUBLE) END")
 
-    total = contrib(names[0])
-    for n in names[1:]:
-        total = f"({total} + {contrib(n)})"
+    total = contrib(names[0], ws[0])
+    for n, w in zip(names[1:], ws[1:]):
+        total = f"({total} + {contrib(n, w)})"
     out_r = ", ".join(f"r_{n}" for n in names)
     part = f"PARTITION BY {group_col} " if group_col else ""
     parts.append(

@@ -541,3 +541,53 @@ def test_rrf_fuse_validation(spark):
         rrf_fuse([("a", df)], k0=0)
     with pytest.raises(ValueError, match="k0"):
         rrf_fuse_sql([("a", "SELECT 1")], k0=0)
+
+
+def test_rrf_fuse_weighted_cross_engine(spark):
+    """Weighted RRF: per-arm weights scale contributions identically on
+    both engines, and weights=None reproduces the unweighted result."""
+    import duckdb
+
+    from flink_sql_security_spark.operators.retrieval import (
+        rrf_fuse, rrf_fuse_sql)
+
+    lex = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    sem = _ranked(spark, [(2, 1), (4, 2), (1, 3)])
+    got = sorted(map(tuple, rrf_fuse(
+        [("a", lex), ("b", sem)], k0=10, k=4,
+        weights=[2.0, 0.5]).collect()))
+
+    con = duckdb.connect()
+    a_sql = ("SELECT * FROM (VALUES (1, 1), (2, 2), (3, 3)) "
+             "t(doc_id, rank)")
+    b_sql = ("SELECT * FROM (VALUES (2, 1), (4, 2), (1, 3)) "
+             "t(doc_id, rank)")
+    want = sorted(map(tuple, con.execute(rrf_fuse_sql(
+        [("a", a_sql), ("b", b_sql)], k0=10, k=4,
+        weights=[2.0, 0.5])).fetchall()))
+    con.close()
+    assert got == want and len(got) == 4
+
+    # doc 1: 2.0/11 + 0.5/13 beats doc 2: 2.0/12 + 0.5/11
+    by_id = {r[0]: r for r in got}
+    assert abs(by_id[1][3] - (2.0 / 11 + 0.5 / 13)) < 1e-6
+
+    plain = sorted(map(tuple, rrf_fuse(
+        [("a", lex), ("b", sem)], k0=10, k=4).collect()))
+    ones = sorted(map(tuple, rrf_fuse(
+        [("a", lex), ("b", sem)], k0=10, k=4,
+        weights=[1.0, 1.0]).collect()))
+    assert plain == ones
+
+
+def test_rrf_fuse_weight_validation(spark):
+    from flink_sql_security_spark.operators.retrieval import (
+        rrf_fuse, rrf_fuse_sql)
+
+    df = _ranked(spark, [(1, 1)])
+    with pytest.raises(ValueError, match="weights length"):
+        rrf_fuse([("a", df)], weights=[1.0, 2.0])
+    with pytest.raises(ValueError, match="finite and > 0"):
+        rrf_fuse([("a", df)], weights=[0.0])
+    with pytest.raises(ValueError, match="finite and > 0"):
+        rrf_fuse_sql([("a", "SELECT 1")], weights=[float("nan")])
