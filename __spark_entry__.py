@@ -2306,9 +2306,8 @@ _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
     # After the r09 rotation above, ever-windowed union = 117/140.
-    # The r10 rotation MUST take the remaining 23 never-windowed
-    # entries so the union reaches 140/140 — the 22 listed below plus
-    # retrieval_rrf_hybrid (NEW in r09, strict at all three SFs):
+    # The r10 rotation MUST take ALL 23 remaining never-windowed
+    # entries so the union reaches 140/140:
     #   dedup_exact_groups, dedup_jaccard_pairs, dedup_incremental_batch,
     #   dedup_simhash_pairs, dedup_source_overlap, dedup_span_trim,
     #   emb_cosine_pairs, emb_pq_reconstruct, emb_rp_project,
@@ -2316,16 +2315,17 @@ _CHECK_ORDER = [
     #   sample_epoch_upsample, corpus_shard_shuffle, chunk_fixed_tokens,
     #   text_fingerprint, skew_salted_agg, vocab_top_tokens,
     #   pack_length_batches, multimodal_resize, multimodal_frame,
-    #   multimodal_audio
+    #   multimodal_audio, retrieval_rrf_hybrid (NEW in r09, strict at
+    #   all three SFs)
     # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 22 incomers plus
-    # 17 veterans. Outgoing candidates for r10 (all will then hold
+    # surface); 50 − 11 = 39 slots leave room for all 23 incomers plus
+    # 16 veterans. Outgoing candidates for r10 (all will then hold
     # recorded driver rows + pytest pins): the ten r09 incomers above,
     # plus q22_global_sales, pivot_daily_events, interval_click_purchase,
     # sample_dsir_weights, text_tfidf_terms, sample_temperature_mix,
-    # bpe_tokens, profile_quantiles — pick 22 by the same
-    # breadth-over-redundancy rule. Any NEW entries added in r09/r10
-    # join the r10 incoming list too. Run tools/driver_sim.py after the
+    # bpe_tokens, profile_quantiles — pick 23 outgoing by the same
+    # breadth-over-redundancy rule. Any NEW entries added in r10 join
+    # the r10 incoming list too. Run tools/driver_sim.py after the
     # swap, at all three SFs.
     # ------------------------------------------------------------------
 ]

@@ -145,12 +145,11 @@ def _shortlist_cutoff(k: int, rerank) -> str:
     ``sqrt``/``ceil``/``greatest`` are IEEE-exact and identical in both
     engines, so shortlist membership — and therefore every reranked
     value — stays strictly oracle-checkable."""
+    rerank = _check_rerank(rerank)  # single validation rule
     if rerank == "auto":
         return (f"greatest({8 * k}, "
                 "CAST(ceil(5.0 * sqrt(cand)) AS BIGINT))")
-    if isinstance(rerank, str):
-        raise ValueError(f"rerank must be an int or 'auto': {rerank!r}")
-    return str(k * int(rerank))
+    return str(k * rerank)
 
 
 def _check_rerank(rerank):
@@ -250,7 +249,7 @@ def _shortlist(ranked: DataFrame, k: int, rerank) -> DataFrame:
                             F.count("*").over(Window.partitionBy("q_id")))
                 .where(F.col("rank") <= F.expr(_shortlist_cutoff(k, rerank)))
                 .select("q_id", "n_id"))
-    return (ranked.where(F.col("rank") <= k * int(rerank))
+    return (ranked.where(F.col("rank") <= k * _check_rerank(rerank))
             .select("q_id", "n_id"))
 
 
@@ -281,6 +280,7 @@ def hamming_topk(df: DataFrame, queries_df: DataFrame,
     """
     from pyspark.sql.window import Window
 
+    rerank = _check_rerank(rerank)  # before any Spark job (_dim)
     if d is None:
         d = _dim(df, vec_col)
     W = _n_words(d)
@@ -299,7 +299,6 @@ def hamming_topk(df: DataFrame, queries_df: DataFrame,
     w_ham = Window.partitionBy("q_id").orderBy(F.asc("hamming"),
                                                F.asc("n_id"))
     ranked = scan.withColumn("rank", F.row_number().over(w_ham))
-    rerank = _check_rerank(rerank)
     if rerank != "auto" and rerank <= 0:
         return ranked.where(F.col("rank") <= k) \
             .select("q_id", "n_id", "hamming", "rank")
@@ -443,6 +442,7 @@ def ivf_hamming_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
     """
     from pyspark.sql.window import Window
 
+    rerank = _check_rerank(rerank)  # before any Spark job (_dim)
     if d is None:
         d = _dim(df, vec_col)
     W = _n_words(d)
@@ -512,7 +512,6 @@ def ivf_hamming_topk(df: DataFrame, queries_df: DataFrame, coarse: list,
     w_ham = Window.partitionBy("q_id").orderBy(F.asc("hamming"),
                                                F.asc("n_id"))
     ranked = scan.withColumn("rank", F.row_number().over(w_ham))
-    rerank = _check_rerank(rerank)
     if rerank != "auto" and rerank <= 0:
         return ranked.where(F.col("rank") <= k) \
             .select("q_id", "n_id", "hamming", "rank")

@@ -68,6 +68,17 @@ def _pq_assign_np(Xr, books: list):
 
 def _opq_train_np(X, m: int, k: int, iters: int, opq_iters: int,
                   round_to: int) -> tuple:
+    Rq, books, _ = _opq_train_np_full(X, m, k, iters, opq_iters,
+                                      round_to)
+    return Rq, books
+
+
+def _opq_train_np_full(X, m: int, k: int, iters: int, opq_iters: int,
+                       round_to: int) -> tuple:
+    """(Rq, books, Xr): like :func:`_opq_train_np` but also returns the
+    exactly-rotated sample, so composing trainers (OPQ-IVF) reuse it
+    instead of re-running the d×d engine-replica rotation and the m
+    subspace k-means trainings for bit-identical results."""
     import numpy as np
 
     d = X.shape[1]
@@ -88,8 +99,9 @@ def _opq_train_np(X, m: int, k: int, iters: int, opq_iters: int,
     # doubles opq_rotate emits, not to a BLAS matmul's close-but-
     # different accumulation order
     Rq = [[floor_round_py(float(v), round_to) for v in row] for row in R]
-    books = _pq_train_np(_rotate_rows_np(X, Rq, round_to), m, k, iters)
-    return Rq, books
+    Xr = _rotate_rows_np(X, Rq, round_to)
+    books = _pq_train_np(Xr, m, k, iters)
+    return Rq, books, Xr
 
 
 def opq_train(df: DataFrame, vec_col: str = "embedding",
@@ -312,12 +324,14 @@ def _opq_ivf_train_np(X, m: int, k: int, iters: int, opq_iters: int,
                       residual: bool) -> tuple:
     from .pq import _ivfpq_train_np, _l2_kmeans_np
 
-    R, _ = _opq_train_np(X, m, k, iters, opq_iters, round_to)
-    Xr = _rotate_rows_np(X, R, round_to)
+    # reuse the flat trainer's rotated sample AND (non-residual) its
+    # codebooks — both are bit-identical to recomputing them here
+    R, books_flat, Xr = _opq_train_np_full(X, m, k, iters, opq_iters,
+                                           round_to)
     if residual:
         coarse, books = _ivfpq_train_np(Xr, n_cells, m, k, iters)
     else:
-        books = _pq_train_np(Xr, m, k, iters)
+        books = books_flat
         coarse = [[float(v) for v in c]
                   for c in _l2_kmeans_np(Xr, n_cells, iters)]
     return R, coarse, books

@@ -813,10 +813,13 @@ def pq_topk(df: DataFrame, queries_df: DataFrame, codebooks: list,
     file layout, compression, or optimizer statistics (the former
     plan-size-estimate key was layout-dependent). A coarse quantizer
     is trained with the deterministic :func:`coarse_train` recipe
-    unless ``coarse`` is passed. At production scale pass
-    ``corpus_rows`` (skips the count job), ``mode='ivf'``, or a
-    prebuilt cell-keyed ``codes_df`` in serving loops — the count job
-    is one metadata-cheap pass, but it is still a per-call job.
+    unless ``coarse`` is passed. The count is cheap on a plain parquet
+    scan (column-pruned footer-driven pass) but executes the FULL
+    upstream lineage on a derived/unpersisted corpus frame — so in
+    serving loops pass ``corpus_rows`` (skips the job entirely), pin
+    ``mode``, or hand a prebuilt cell-keyed ``codes_df``; per-call
+    auto-routing of an expensive derived corpus pays its lineage twice
+    (once to count, once to encode/scan).
     ``mode='flat'`` pins the exhaustive scan regardless of size (the
     strictly-oracle-checkable shape). A caller-provided ``codes_df``
     implies flat (a flat index has no ``cell`` column to prune on).

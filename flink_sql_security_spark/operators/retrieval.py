@@ -352,7 +352,11 @@ def _check_rrf_names(names: list[str]) -> None:
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rrf input names: {names}")
     for n in names:
-        if not n or not all(c.isalnum() or c == "_" for c in n):
+        # ASCII-only: the name embeds in unquoted SQL identifiers
+        # (l_<name>, r_<name>) on both engines — bare str.isalnum()
+        # would wave through Unicode alphanumerics DuckDB rejects
+        if not n or not all(
+                c == "_" or (c.isascii() and c.isalnum()) for c in n):
             raise ValueError(
                 f"rrf input name must be [A-Za-z0-9_]+ (used in output "
                 f"column r_<name>): {n!r}")

@@ -66,11 +66,15 @@ def rrf_ingest_stream(stream: DataFrame, retrievers, sink, *,
     Returns the ``DataStreamWriter``; the caller owns
     checkpoint/trigger and calls ``.start()``.
     """
-    from flink_sql_security_spark.operators.retrieval import rrf_fuse
+    from flink_sql_security_spark.operators.retrieval import (
+        _check_rrf_names, rrf_fuse)
 
+    # config errors (duplicate/malformed arm names, bad k0) must fail
+    # at CONSTRUCTION, not inside the first micro-batch's foreachBatch
     names = [n for n, _ in retrievers]
-    if not names:
-        raise ValueError("rrf_ingest_stream requires at least one arm")
+    _check_rrf_names(names)
+    if k0 < 1:
+        raise ValueError(f"rrf_ingest_stream k0 must be >= 1: {k0}")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
