@@ -2248,7 +2248,14 @@ _CHECK_ORDER = [
     # text_tfidf_terms (corpus df-stats + per-doc term ranking), and
     # sample_quality_curriculum (quantile-bucketed curriculum
     # assignment) — three never-windowed families.
-    "text_tfidf_terms", "sample_token_budget",
+    # late-r09 swap: text_tfidf_terms → retrieval_rrf_hybrid. tfidf
+    # went first-time green r08 and its corpus-df-stats + per-doc term
+    # ranking core rides through in-window text_bm25_topk (same
+    # broadcast-df-stats + fixed-order score-fold family); the NEW
+    # hybrid-fusion entry (BM25 ⊕ cosine RRF) gets its driver row in
+    # its birth round — the r7 lesson that an oracle can rot invisibly
+    # outside the window.
+    "retrieval_rrf_hybrid", "sample_token_budget",
     "text_bm25_topk", "sample_cluster_balanced",
     # round-3: sample_token_budget's windowed running-sum core is a
     # sub-shape of pack_sequences' per-bucket cumsum (in-window); its
@@ -2306,8 +2313,10 @@ _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
     # After the r09 rotation above, ever-windowed union = 117/140.
-    # The r10 rotation MUST take ALL 23 remaining never-windowed
-    # entries so the union reaches 140/140:
+    # The r10 rotation MUST take ALL 22 remaining never-windowed
+    # entries so the union reaches 140/140 (retrieval_rrf_hybrid, the
+    # r09 newcomer, was windowed in its birth round — the late-r09
+    # swap above):
     #   dedup_exact_groups, dedup_jaccard_pairs, dedup_incremental_batch,
     #   dedup_simhash_pairs, dedup_source_overlap, dedup_span_trim,
     #   emb_cosine_pairs, emb_pq_reconstruct, emb_rp_project,
@@ -2315,18 +2324,17 @@ _CHECK_ORDER = [
     #   sample_epoch_upsample, corpus_shard_shuffle, chunk_fixed_tokens,
     #   text_fingerprint, skew_salted_agg, vocab_top_tokens,
     #   pack_length_batches, multimodal_resize, multimodal_frame,
-    #   multimodal_audio, retrieval_rrf_hybrid (NEW in r09, strict at
-    #   all three SFs)
+    #   multimodal_audio
     # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 23 incomers plus
-    # 16 veterans. Outgoing candidates for r10 (all will then hold
-    # recorded driver rows + pytest pins): the ten r09 incomers above,
-    # plus q22_global_sales, pivot_daily_events, interval_click_purchase,
-    # sample_dsir_weights, text_tfidf_terms, sample_temperature_mix,
-    # bpe_tokens, profile_quantiles — pick 23 outgoing by the same
-    # breadth-over-redundancy rule. Any NEW entries added in r10 join
-    # the r10 incoming list too. Run tools/driver_sim.py after the
-    # swap, at all three SFs.
+    # surface); 50 − 11 = 39 slots leave room for all 22 incomers plus
+    # 17 veterans. Outgoing candidates for r10 (all will then hold
+    # recorded driver rows + pytest pins): the eleven r09 incomers
+    # above, plus q22_global_sales, pivot_daily_events,
+    # interval_click_purchase, sample_dsir_weights,
+    # sample_temperature_mix, bpe_tokens, profile_quantiles — pick 22
+    # outgoing by the same breadth-over-redundancy rule. Any NEW
+    # entries added in r10 join the r10 incoming list too. Run
+    # tools/driver_sim.py after the swap, at all three SFs.
     # ------------------------------------------------------------------
 ]
 

@@ -591,3 +591,54 @@ def test_rrf_fuse_weight_validation(spark):
         rrf_fuse([("a", df)], weights=[0.0])
     with pytest.raises(ValueError, match="finite and > 0"):
         rrf_fuse_sql([("a", "SELECT 1")], weights=[float("nan")])
+
+
+def test_fuzz_rrf_configs_cross_engine(spark):
+    """Config fuzz over RRF fusion: random (n_arms, k0, k, weights,
+    group) draws over synthetic ranked lists, each value-exact vs the
+    DuckDB oracle. Seed base 10101; rotate alongside the SQL bursts."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.retrieval import (
+        rrf_fuse, rrf_fuse_sql)
+
+    rng = random.Random(10101)
+    for trial in range(4):
+        n_arms = rng.randint(2, 4)
+        k0 = rng.choice([1, 10, 60])
+        k = rng.randint(2, 6)
+        grouped = rng.random() < 0.5
+        weighted = rng.random() < 0.5
+        weights = ([round(rng.uniform(0.25, 4.0), 2)
+                    for _ in range(n_arms)] if weighted else None)
+        arms, arm_sqls = [], []
+        for a in range(n_arms):
+            n_rows = rng.randint(3, 10)
+            rows = []
+            for g in ([1, 2] if grouped else [0]):
+                ids = rng.sample(range(1, 30), n_rows)
+                rows += [(g, doc, r + 1) for r, doc in enumerate(ids)]
+            name = f"arm{a}"
+            cols = ["q_id", "doc_id", "rank"]
+            sdf = spark.createDataFrame(rows, cols)
+            vals = ", ".join(f"({g}, {d}, {r})" for g, d, r in rows)
+            sql = (f"SELECT * FROM (VALUES {vals}) "
+                   f"t(q_id, doc_id, rank)")
+            if not grouped:
+                sdf = sdf.select("doc_id", "rank")
+                sql = f"SELECT doc_id, rank FROM ({sql}) s"
+            arms.append((name, sdf))
+            arm_sqls.append((name, sql))
+        cfg = (trial, n_arms, k0, k, grouped, weights)
+        gc = "q_id" if grouped else None
+        got = sorted(map(tuple, rrf_fuse(
+            arms, k0=k0, k=k, group_col=gc,
+            weights=weights).collect()))
+        con = duckdb.connect()
+        want = sorted(map(tuple, con.execute(rrf_fuse_sql(
+            arm_sqls, k0=k0, k=k, group_col=gc,
+            weights=weights)).fetchall()))
+        con.close()
+        assert got == want and len(got) > 0, cfg
