@@ -1468,6 +1468,23 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(lambda s: chunk_tokens(docs(s), size=32, stride=24)),
         chunk_tokens_duckdb_sql(size=32, stride=24),
     )
+    # boundary-preserving chunking (operators/corpus.py
+    # chunk_sentences): greedy prefix-DIV assignment of consecutive
+    # sentences to token-budget chunks — a break never lands
+    # mid-sentence. The synthetic corpus has no '. ' sentence
+    # boundaries, so the entry drives the IDENTICAL machinery (split →
+    # per-segment counts → one-exchange running-total window → DIV
+    # assignment → order-fixed re-concat) on the ' a ' token boundary,
+    # where the chunk structure is non-degenerate (255/500 docs
+    # multi-chunk at sf0.01); production calls pass the real delimiter.
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_sentences, chunk_sentences_duckdb_sql)
+
+    out["chunk_sentence_budget"] = (
+        with_tables(lambda s: chunk_sentences(
+            docs(s), budget=24, delim=" a ")),
+        chunk_sentences_duckdb_sql(budget=24, delim=" a "),
+    )
 
     def text_stats(s):
         return docs(s).select(
@@ -2313,10 +2330,12 @@ _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
     # After the r09 rotation above, ever-windowed union = 117/140.
-    # The r10 rotation MUST take ALL 22 remaining never-windowed
-    # entries so the union reaches 140/140 (retrieval_rrf_hybrid, the
-    # r09 newcomer, was windowed in its birth round — the late-r09
-    # swap above):
+    # The r10 rotation MUST take ALL 23 remaining never-windowed
+    # entries so the union reaches 141/141 (retrieval_rrf_hybrid, the
+    # first r09 newcomer, was windowed in its birth round — the
+    # late-r09 swap above; chunk_sentence_budget, the second r09
+    # newcomer, landed after the final window validation and joins the
+    # list below):
     #   dedup_exact_groups, dedup_jaccard_pairs, dedup_incremental_batch,
     #   dedup_simhash_pairs, dedup_source_overlap, dedup_span_trim,
     #   emb_cosine_pairs, emb_pq_reconstruct, emb_rp_project,
@@ -2324,14 +2343,14 @@ _CHECK_ORDER = [
     #   sample_epoch_upsample, corpus_shard_shuffle, chunk_fixed_tokens,
     #   text_fingerprint, skew_salted_agg, vocab_top_tokens,
     #   pack_length_batches, multimodal_resize, multimodal_frame,
-    #   multimodal_audio
+    #   multimodal_audio, chunk_sentence_budget
     # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 22 incomers plus
-    # 17 veterans. Outgoing candidates for r10 (all will then hold
+    # surface); 50 − 11 = 39 slots leave room for all 23 incomers plus
+    # 16 veterans. Outgoing candidates for r10 (all will then hold
     # recorded driver rows + pytest pins): the eleven r09 incomers
     # above, plus q22_global_sales, pivot_daily_events,
     # interval_click_purchase, sample_dsir_weights,
-    # sample_temperature_mix, bpe_tokens, profile_quantiles — pick 22
+    # sample_temperature_mix, bpe_tokens, profile_quantiles — pick 23
     # outgoing by the same breadth-over-redundancy rule. Any NEW
     # entries added in r10 join the r10 incoming list too. Run
     # tools/driver_sim.py after the swap, at all three SFs.

@@ -274,3 +274,99 @@ SELECT {id_col}, fim_applied,
        CASE WHEN fim_applied THEN {fim} ELSE _orig END AS fim_text
 FROM q
 """
+
+
+def chunk_sentences(df: DataFrame, budget: int = 128,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    delim: str = ". ") -> DataFrame:
+    """Sentence-boundary chunking: (id, chunk_id, n_sentences,
+    n_tokens, chunk_text) — split each document at ``delim``
+    boundaries (default sentence-ish ``". "``), then greedily assign
+    consecutive sentences to ≤``budget``-token chunks so a chunk break
+    NEVER lands mid-sentence. The RAG / pretraining chunker that
+    preserves sentence integrity; the fixed-stride twin is
+    :func:`chunk_tokens` (which cuts anywhere).
+
+    Assignment rule (prefix-DIV): sentence i with exclusive running
+    token total ``cum`` joins chunk ``cum DIV budget``. Boundaries
+    fall only at sentence edges, chunks are ≥1 sentence, and a chunk
+    may exceed ``budget`` by at most the straddling sentence's length
+    (the documented cost of never splitting a sentence; a single
+    sentence longer than ``budget`` gets its own chunk). Deterministic
+    integer arithmetic end to end — partitioning-independent and
+    strictly oracle-checkable.
+
+    Scale shape: tokenize + per-sentence counts are narrow projections;
+    ONE hash exchange on ``id`` feeds the running-total window, and the
+    final (id, chunk_id) aggregation reuses that partitioning
+    (HashPartitioning on a subset of the grouping keys satisfies the
+    clustered distribution), so the whole operator is a single shuffle
+    of (id, pos, sentence) rows at any corpus size. Chunk text
+    re-concatenates with ``delim`` via an order-fixed fold (sorted
+    struct array on Spark, ``ORDER BY pos`` string_agg in the oracle).
+    """
+    from pyspark.sql.window import Window
+
+    if budget < 1:
+        raise ValueError(f"chunk_sentences budget must be >= 1: {budget}")
+    esc = delim.replace("\\", "\\\\").replace(".", "\\\\.")
+    sent = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.expr(f"split(trim({text_col}), '{esc}')").alias("_s"))
+        .select(F.col(id_col),
+                F.posexplode("_s").alias("pos", "sentence"))
+        .withColumn("t", F.size(F.split(F.col("sentence"), r"\s+")))
+    )
+    w = (Window.partitionBy(id_col).orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    assigned = sent.withColumn(
+        "cum", F.coalesce(F.sum("t").over(w), F.lit(0))
+    ).withColumn(
+        "chunk_id",
+        F.floor(F.col("cum") / F.lit(budget)).cast("int"))
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sentence"))),
+            lambda x: x["sentence"]),
+        delim)
+    return (assigned.groupBy(id_col, "chunk_id")
+            .agg(F.count("*").alias("n_sentences"),
+                 F.sum("t").alias("n_tokens"),
+                 joined.alias("chunk_text"))
+            .select(id_col, "chunk_id", "n_sentences", "n_tokens",
+                    "chunk_text"))
+
+
+def chunk_sentences_duckdb_sql(budget: int = 128,
+                               table: str = "documents",
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               delim: str = ". ") -> str:
+    """DuckDB oracle: identical split, counts, prefix totals, DIV
+    assignment, and ORDER BY pos re-concatenation."""
+    if budget < 1:
+        raise ValueError(f"chunk_sentences budget must be >= 1: {budget}")
+    dlit = delim.replace("'", "''")
+    return (
+        f"WITH sp AS (SELECT {id_col}, "
+        f"string_split(trim({text_col}), '{dlit}') AS s_arr "
+        f"FROM {table} WHERE trim({text_col}) <> ''), "
+        f"sent AS (SELECT {id_col}, CAST(i.i AS INTEGER) AS pos, "
+        f"s_arr[i.i + 1] AS sentence, "
+        f"len(string_split_regex(s_arr[i.i + 1], '\\s+')) AS t "
+        f"FROM sp, UNNEST(range(0, len(s_arr))) AS i(i)), "
+        f"assigned AS (SELECT {id_col}, pos, sentence, t, "
+        f"coalesce(sum(t) OVER (PARTITION BY {id_col} ORDER BY pos "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum "
+        f"FROM sent) "
+        f"SELECT {id_col}, "
+        f"CAST(floor(CAST(cum AS DOUBLE) / {budget}) AS INTEGER) "
+        f"AS chunk_id, "
+        f"CAST(count(*) AS BIGINT) AS n_sentences, "
+        f"CAST(sum(t) AS BIGINT) AS n_tokens, "
+        f"string_agg(sentence, '{dlit}' ORDER BY pos) AS chunk_text "
+        f"FROM assigned GROUP BY {id_col}, "
+        f"CAST(floor(CAST(cum AS DOUBLE) / {budget}) AS INTEGER)"
+    )

@@ -1621,3 +1621,76 @@ def test_temperature_mix_empty_and_all_null_groups(spark):
     assert SM.temperature_mix(all_null, alpha=0.5,
                               target_rows=40).count() == 0
     assert _take_case_sql({}, "source") == "0"
+
+
+# ------------------------------------------- sentence-boundary chunking
+
+def test_chunk_sentences_boundaries_and_budget(spark):
+    """Chunk breaks fall only at sentence edges; each chunk holds >= 1
+    sentence; a chunk exceeds the budget only by its straddling
+    sentence; re-concatenation preserves sentence order."""
+    from flink_sql_security_spark.operators.corpus import chunk_sentences
+
+    rows = [
+        (1, "one two three. four five. six seven eight nine. ten"),
+        (2, "a b c d e f g h i j k l"),           # no boundary: 1 chunk
+        (3, "s1 w w. s2 w w. s3 w w. s4 w w"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_sentences(df, budget=5, delim=". ").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 2: single sentence longer than the budget -> exactly 1 chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 12
+
+    # doc 1 sentence token counts: 3, 2, 4, 1; prefix DIV 5 ->
+    # chunks {0: [s0, s1], 1: [s2, s3]}
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_sentences"] for r in c1] == [2, 2]
+    assert c1[0]["chunk_text"] == "one two three. four five"
+    assert c1[1]["chunk_text"] == "six seven eight nine. ten"
+
+    # every chunk's text is whole sentences in order: re-joining all
+    # chunks with the delimiter reproduces the original text
+    for doc_id, text in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert ". ".join(r["chunk_text"] for r in chunks) == text
+
+
+def test_chunk_sentences_cross_engine_exact(spark):
+    """Spark == DuckDB value-exact on the documents fixture at two
+    budgets and a custom delimiter (the entry's config)."""
+    import duckdb
+
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_sentences, chunk_sentences_duckdb_sql)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    for budget, delim in ((24, " a "), (8, " the ")):
+        got = sorted(map(tuple, chunk_sentences(
+            docs, budget=budget, delim=delim).collect()))
+        want = sorted(map(tuple, con.execute(chunk_sentences_duckdb_sql(
+            budget=budget, delim=delim)).fetchall()))
+        assert got == want and len(got) > 0, (budget, delim)
+    con.close()
+
+
+def test_chunk_sentences_validation_and_empty(spark):
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_sentences, chunk_sentences_duckdb_sql)
+
+    df = spark.createDataFrame([(1, "x. y"), (2, "   "), (3, None)],
+                               ["doc_id", "text"])
+    out = chunk_sentences(df, budget=2, delim=". ").collect()
+    # blank/NULL docs are dropped, not crashed on
+    assert {r["doc_id"] for r in out} == {1}
+    with pytest.raises(ValueError, match="budget"):
+        chunk_sentences(df, budget=0)
+    with pytest.raises(ValueError, match="budget"):
+        chunk_sentences_duckdb_sql(budget=0)
