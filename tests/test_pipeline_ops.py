@@ -1694,3 +1694,32 @@ def test_chunk_sentences_validation_and_empty(spark):
         chunk_sentences(df, budget=0)
     with pytest.raises(ValueError, match="budget"):
         chunk_sentences_duckdb_sql(budget=0)
+
+
+def test_fuzz_chunk_sentences_configs_cross_engine(spark):
+    """Config fuzz over sentence-boundary chunking: random
+    (budget, delim) draws on the documents fixture, each value-exact
+    vs the oracle. Seed base 11211."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_sentences, chunk_sentences_duckdb_sql)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    rng = random.Random(11211)
+    for trial in range(4):
+        budget = rng.choice([1, 4, 16, 64, 500])
+        delim = rng.choice([" a ", " the ", " table ", ". "])
+        cfg = (trial, budget, delim)
+        got = sorted(map(tuple, chunk_sentences(
+            docs, budget=budget, delim=delim).collect()))
+        want = sorted(map(tuple, con.execute(chunk_sentences_duckdb_sql(
+            budget=budget, delim=delim)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
