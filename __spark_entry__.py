@@ -2336,14 +2336,17 @@ _CHECK_ORDER = [
     # late-r09 swap above; chunk_sentence_budget, the second r09
     # newcomer, landed after the final window validation and joins the
     # list below):
-    #   dedup_exact_groups, dedup_jaccard_pairs, dedup_incremental_batch,
-    #   dedup_simhash_pairs, dedup_source_overlap, dedup_span_trim,
-    #   emb_cosine_pairs, emb_pq_reconstruct, emb_rp_project,
-    #   emb_binary_ivf_topk, sample_hash_fraction, sample_weighted,
-    #   sample_epoch_upsample, corpus_shard_shuffle, chunk_fixed_tokens,
-    #   text_fingerprint, skew_salted_agg, vocab_top_tokens,
-    #   pack_length_batches, multimodal_resize, multimodal_frame,
-    #   multimodal_audio, chunk_sentence_budget
+    # (authoritative list, recomputed late-r9 as all 141 entries minus
+    # the union of CORRECTNESS_r01..r08 keys minus the current window —
+    # an earlier draft had three name errors):
+    #   chunk_fixed_tokens, chunk_sentence_budget, corpus_shard_shuffle,
+    #   dedup_exact_groups, dedup_incremental_batch, dedup_jaccard_pairs,
+    #   dedup_simhash, dedup_source_overlap, dedup_span_trim,
+    #   emb_binary_ivf_topk, emb_cosine_pairs, emb_pq_reconstruct,
+    #   emb_rp_project, multimodal_audio_segments, multimodal_frame_plan,
+    #   multimodal_resize_plan, pack_length_batches,
+    #   sample_epoch_upsample, sample_hash_fraction, sample_weighted,
+    #   skew_salted_agg, text_fingerprint, vocab_top_tokens
     # Feasibility: the 11 security entries stay (the reference's whole
     # surface); 50 − 11 = 39 slots leave room for all 23 incomers plus
     # 16 veterans. Outgoing candidates for r10 (all will then hold
