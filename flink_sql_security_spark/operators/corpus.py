@@ -288,13 +288,22 @@ def chunk_sentences(df: DataFrame, budget: int = 128,
     :func:`chunk_tokens` (which cuts anywhere).
 
     Assignment rule (prefix-DIV): sentence i with exclusive running
-    token total ``cum`` joins chunk ``cum DIV budget``. Boundaries
-    fall only at sentence edges, chunks are ≥1 sentence, and a chunk
-    may exceed ``budget`` by at most the straddling sentence's length
-    (the documented cost of never splitting a sentence; a single
-    sentence longer than ``budget`` gets its own chunk). Deterministic
-    integer arithmetic end to end — partitioning-independent and
-    strictly oracle-checkable.
+    token total ``cum`` joins raw chunk ``cum DIV budget``; the output
+    ``chunk_id`` is then DENSELY renumbered 0..n-1 per document
+    (``dense_rank`` over the same partitioning — no extra exchange),
+    so consumers can iterate contiguous ids even when a sentence
+    longer than the budget straddles several budget multiples.
+    Boundaries fall only at sentence edges, chunks are ≥1 sentence,
+    and a chunk may exceed ``budget`` by at most the straddling
+    sentence's length (the documented cost of never splitting a
+    sentence; a single sentence longer than ``budget`` gets its own
+    chunk). Token counts trim each sentence first — delimiter-adjacent
+    whitespace never counts as a phantom token, and an empty segment
+    (consecutive delimiters) counts 0. ``delim`` is treated as a
+    LITERAL on both engines (regex-escaped before Spark's ``split``),
+    so delimiters containing regex metacharacters are safe.
+    Deterministic integer arithmetic end to end —
+    partitioning-independent and strictly oracle-checkable.
 
     Scale shape: tokenize + per-sentence counts are narrow projections;
     ONE hash exchange on ``id`` feeds the running-total window, and the
@@ -305,36 +314,54 @@ def chunk_sentences(df: DataFrame, budget: int = 128,
     re-concatenates with ``delim`` via an order-fixed fold (sorted
     struct array on Spark, ``ORDER BY pos`` string_agg in the oracle).
     """
+    import re as _re
+
     from pyspark.sql.window import Window
 
     if budget < 1:
         raise ValueError(f"chunk_sentences budget must be >= 1: {budget}")
-    esc = delim.replace("\\", "\\\\").replace(".", "\\\\.")
+    if not delim:
+        raise ValueError("chunk_sentences delim must be non-empty")
+    # literal-delimiter contract: regex-escape for Spark's split (the
+    # pattern goes to F.split directly — no SQL-literal round trip, so
+    # quotes need no escaping); DuckDB's string_split is literal already
     sent = (
         df.where(F.trim(F.col(text_col)) != "")
         .select(
             F.col(id_col),
-            F.expr(f"split(trim({text_col}), '{esc}')").alias("_s"))
+            F.split(F.trim(F.col(text_col)),
+                    _re.escape(delim)).alias("_s"))
         .select(F.col(id_col),
                 F.posexplode("_s").alias("pos", "sentence"))
-        .withColumn("t", F.size(F.split(F.col("sentence"), r"\s+")))
+        # trim before counting: delimiter-adjacent whitespace is not a
+        # token, and an empty segment has 0 tokens (split('') is [''])
+        .withColumn(
+            "t",
+            F.when(F.trim(F.col("sentence")) == "", F.lit(0)).otherwise(
+                F.size(F.split(F.trim(F.col("sentence")), r"\s+"))))
     )
     w = (Window.partitionBy(id_col).orderBy("pos")
          .rowsBetween(Window.unboundedPreceding, -1))
     assigned = sent.withColumn(
         "cum", F.coalesce(F.sum("t").over(w), F.lit(0))
     ).withColumn(
-        "chunk_id",
+        "raw_chunk",
         F.floor(F.col("cum") / F.lit(budget)).cast("int"))
     joined = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "sentence"))),
             lambda x: x["sentence"]),
         delim)
-    return (assigned.groupBy(id_col, "chunk_id")
-            .agg(F.count("*").alias("n_sentences"),
-                 F.sum("t").alias("n_tokens"),
-                 joined.alias("chunk_text"))
+    per_chunk = (assigned.groupBy(id_col, "raw_chunk")
+                 .agg(F.count("*").alias("n_sentences"),
+                      F.sum("t").alias("n_tokens"),
+                      joined.alias("chunk_text")))
+    # dense renumber: same id-partitioning as the window/agg above, so
+    # Catalyst adds no exchange for this rank
+    w_dense = Window.partitionBy(id_col).orderBy("raw_chunk")
+    return (per_chunk
+            .withColumn("chunk_id",
+                        (F.dense_rank().over(w_dense) - 1).cast("int"))
             .select(id_col, "chunk_id", "n_sentences", "n_tokens",
                     "chunk_text"))
 
@@ -344,10 +371,13 @@ def chunk_sentences_duckdb_sql(budget: int = 128,
                                text_col: str = "text",
                                id_col: str = "doc_id",
                                delim: str = ". ") -> str:
-    """DuckDB oracle: identical split, counts, prefix totals, DIV
-    assignment, and ORDER BY pos re-concatenation."""
+    """DuckDB oracle: identical literal split, trimmed counts, prefix
+    totals, DIV assignment, dense renumbering, and ORDER BY pos
+    re-concatenation."""
     if budget < 1:
         raise ValueError(f"chunk_sentences budget must be >= 1: {budget}")
+    if not delim:
+        raise ValueError("chunk_sentences delim must be non-empty")
     dlit = delim.replace("'", "''")
     return (
         f"WITH sp AS (SELECT {id_col}, "
@@ -355,18 +385,23 @@ def chunk_sentences_duckdb_sql(budget: int = 128,
         f"FROM {table} WHERE trim({text_col}) <> ''), "
         f"sent AS (SELECT {id_col}, CAST(i.i AS INTEGER) AS pos, "
         f"s_arr[i.i + 1] AS sentence, "
-        f"len(string_split_regex(s_arr[i.i + 1], '\\s+')) AS t "
+        f"CASE WHEN trim(s_arr[i.i + 1]) = '' THEN 0 ELSE "
+        f"len(string_split_regex(trim(s_arr[i.i + 1]), '\\s+')) END AS t "
         f"FROM sp, UNNEST(range(0, len(s_arr))) AS i(i)), "
         f"assigned AS (SELECT {id_col}, pos, sentence, t, "
         f"coalesce(sum(t) OVER (PARTITION BY {id_col} ORDER BY pos "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum "
-        f"FROM sent) "
-        f"SELECT {id_col}, "
+        f"FROM sent), "
+        f"per_chunk AS (SELECT {id_col}, "
         f"CAST(floor(CAST(cum AS DOUBLE) / {budget}) AS INTEGER) "
-        f"AS chunk_id, "
+        f"AS raw_chunk, "
         f"CAST(count(*) AS BIGINT) AS n_sentences, "
         f"CAST(sum(t) AS BIGINT) AS n_tokens, "
         f"string_agg(sentence, '{dlit}' ORDER BY pos) AS chunk_text "
         f"FROM assigned GROUP BY {id_col}, "
-        f"CAST(floor(CAST(cum AS DOUBLE) / {budget}) AS INTEGER)"
+        f"CAST(floor(CAST(cum AS DOUBLE) / {budget}) AS INTEGER)) "
+        f"SELECT {id_col}, CAST(dense_rank() OVER "
+        f"(PARTITION BY {id_col} ORDER BY raw_chunk) - 1 AS INTEGER) "
+        f"AS chunk_id, n_sentences, n_tokens, chunk_text "
+        f"FROM per_chunk"
     )

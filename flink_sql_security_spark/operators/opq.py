@@ -74,11 +74,14 @@ def _opq_train_np(X, m: int, k: int, iters: int, opq_iters: int,
 
 
 def _opq_train_np_full(X, m: int, k: int, iters: int, opq_iters: int,
-                       round_to: int) -> tuple:
+                       round_to: int, train_books: bool = True) -> tuple:
     """(Rq, books, Xr): like :func:`_opq_train_np` but also returns the
     exactly-rotated sample, so composing trainers (OPQ-IVF) reuse it
     instead of re-running the d×d engine-replica rotation and the m
-    subspace k-means trainings for bit-identical results."""
+    subspace k-means trainings for bit-identical results.
+    ``train_books=False`` skips the final flat codebook training and
+    returns ``books=None`` — for compositions (residual OPQ-IVF) that
+    train their own books on the rotated sample."""
     import numpy as np
 
     d = X.shape[1]
@@ -100,7 +103,7 @@ def _opq_train_np_full(X, m: int, k: int, iters: int, opq_iters: int,
     # different accumulation order
     Rq = [[floor_round_py(float(v), round_to) for v in row] for row in R]
     Xr = _rotate_rows_np(X, Rq, round_to)
-    books = _pq_train_np(Xr, m, k, iters)
+    books = _pq_train_np(Xr, m, k, iters) if train_books else None
     return Rq, books, Xr
 
 
@@ -325,9 +328,11 @@ def _opq_ivf_train_np(X, m: int, k: int, iters: int, opq_iters: int,
     from .pq import _ivfpq_train_np, _l2_kmeans_np
 
     # reuse the flat trainer's rotated sample AND (non-residual) its
-    # codebooks — both are bit-identical to recomputing them here
-    R, books_flat, Xr = _opq_train_np_full(X, m, k, iters, opq_iters,
-                                           round_to)
+    # codebooks — both bit-identical to recomputing them here; the
+    # residual branch trains its OWN books on the residuals, so it
+    # skips the flat training entirely (train_books=False)
+    R, books_flat, Xr = _opq_train_np_full(
+        X, m, k, iters, opq_iters, round_to, train_books=not residual)
     if residual:
         coarse, books = _ivfpq_train_np(Xr, n_cells, m, k, iters)
     else:

@@ -71,6 +71,8 @@ def rrf_ingest_stream(stream: DataFrame, retrievers, sink, *,
 
     # config errors (duplicate/malformed arm names, bad k0) must fail
     # at CONSTRUCTION, not inside the first micro-batch's foreachBatch
+    if not retrievers:
+        raise ValueError("rrf_ingest_stream requires at least one arm")
     names = [n for n, _ in retrievers]
     _check_rrf_names(names)
     if k0 < 1:

@@ -1723,3 +1723,48 @@ def test_fuzz_chunk_sentences_configs_cross_engine(spark):
             budget=budget, delim=delim)).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+def test_chunk_sentences_dense_ids_metachar_delim_and_trim(spark):
+    """The three review-fix behaviors: (a) chunk ids are DENSE even
+    when a long sentence straddles several budget multiples, (b) a
+    regex-metacharacter delimiter is treated literally on both
+    engines, (c) delimiter-adjacent whitespace never counts as a
+    phantom token and empty segments count 0."""
+    import duckdb
+
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_sentences, chunk_sentences_duckdb_sql)
+
+    # (a) dense ids: sentences of 10 and 10 tokens at budget 5 land in
+    # raw chunks 0 and 2 -> renumbered 0 and 1
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10. "
+             "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")],
+        ["doc_id", "text"])
+    out = sorted(chunk_sentences(df, budget=5, delim=". ").collect(),
+                 key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in out] == [0, 1]
+    assert [r["n_tokens"] for r in out] == [10, 10]
+
+    # (b)+(c): '? ' delimiter (regex metachar) + double-space after
+    # the boundary; cross-engine exact and no phantom token
+    df2 = spark.createDataFrame(
+        [(1, "foo bar?  baz qux? tail")], ["doc_id", "text"])
+    got = sorted(map(tuple, chunk_sentences(
+        df2, budget=3, delim="? ").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1 AS doc_id, "
+                "'foo bar?  baz qux? tail' AS text")
+    want = sorted(map(tuple, con.execute(chunk_sentences_duckdb_sql(
+        budget=3, delim="? ")).fetchall()))
+    con.close()
+    assert got == want
+    # segments: 'foo bar' (2), ' baz qux' (trimmed -> 2, NOT 3 with a
+    # phantom leading-space token), 'tail' (1)
+    assert sum(r[3] for r in got) == 5
+
+    with pytest.raises(ValueError, match="delim"):
+        chunk_sentences(df2, budget=3, delim="")
+    with pytest.raises(ValueError, match="delim"):
+        chunk_sentences_duckdb_sql(budget=3, delim="")

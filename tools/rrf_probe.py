@@ -37,15 +37,19 @@ def main() -> None:
     LIST_LEN, K = 50, 10
 
     def arm(n_q: int, salt: int):
-        # n_q queries × LIST_LEN ranked ids, deterministic per salt
+        # n_q queries × LIST_LEN ranked ids, deterministic per salt.
+        # doc_id is INJECTIVE within each (q_id, arm) list (rank maps
+        # linearly with a stride that can't wrap inside 50 draws), so
+        # rrf_fuse's unique-ids-per-list precondition holds exactly;
+        # arms still overlap heavily on ids, keeping fusion non-trivial
         return (spark.range(n_q * LIST_LEN)
                 .select((F.col("id") / LIST_LEN).cast("long")
                         .alias("q_id"),
                         (F.col("id") % LIST_LEN + 1).cast("long")
                         .alias("rank"))
                 .withColumn("doc_id",
-                            F.abs(F.hash("q_id", "rank",
-                                         F.lit(salt))) % 100000))
+                            (F.col("q_id") * 53 + F.lit(salt) * 17
+                             + F.col("rank") * 101) % 100000))
 
     for n_q in (1_000, 8_000, 64_000):
         arms = [("a", arm(n_q, 1)), ("b", arm(n_q, 2)),
