@@ -1967,6 +1967,42 @@ FROM s GROUP BY user_id, session_id
              ("sem", _rrf_sem_sql)], k0=60, k=20),
     )
 
+    # grouped + weighted fusion — the million-query scale shape:
+    # per-query ranked lists from TWO index tiers (exact cosine and
+    # the binary hamming prefilter) fuse per q_id with arm weights
+    # (cosine trusted 2×), one shuffle keyed on (q_id, vec_id). Covers
+    # the group_col and weights surfaces at driver level.
+    def _rrf_grouped(s):
+        q = emb(s).where("vec_id < 5")
+        cos = (S.cosine_topk(emb(s), q, k=20)
+               .select("q_id", F.col("n_id").alias("vec_id"), "rank"))
+        ham = (BIN.hamming_topk(emb(s), q, k=20, d=64)
+               .select("q_id", F.col("n_id").alias("vec_id"), "rank"))
+        return RT.rrf_fuse([("cos", cos), ("ham", ham)],
+                           id_col="vec_id", group_col="q_id",
+                           k0=60, k=5, weights=[2.0, 1.0])
+
+    _rrf_cos_g_sql = (
+        "WITH " + _DUCK_UNIT + ", "
+        "scored AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id, "
+        + _DUCK_UNIT_DOT.format(a="q.unit", b="n.unit") + " AS cosine"
+        " FROM u q, u n WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id), "
+        "rk AS (SELECT q_id, n_id AS vec_id, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank "
+        "FROM scored) SELECT q_id, vec_id, rank FROM rk "
+        "WHERE rank <= 20")
+    _rrf_ham_g_sql = (
+        "SELECT q_id, n_id AS vec_id, rank FROM ("
+        + BIN.hamming_topk_duckdb_sql(query_pred="vec_id < 5", k=20,
+                                      rerank=0, d=64) + ") h")
+    out["retrieval_rrf_grouped"] = (
+        with_tables(_rrf_grouped),
+        RT.rrf_fuse_sql(
+            [("cos", _rrf_cos_g_sql), ("ham", _rrf_ham_g_sql)],
+            id_col="vec_id", group_col="q_id", k0=60, k=5,
+            weights=[2.0, 1.0]),
+    )
+
     # ---- blocked fuzzy matching (operators/fuzzy.py): edit-distance
     # near-dup pairs of document "titles" (40-char prefixes) under a
     # first-token block key — the block→verify linkage shape; threshold
@@ -2330,12 +2366,12 @@ _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
     # After the r09 rotation above, ever-windowed union = 117/140.
-    # The r10 rotation MUST take ALL 23 remaining never-windowed
-    # entries so the union reaches 141/141 (retrieval_rrf_hybrid, the
+    # The r10 rotation MUST take ALL 24 remaining never-windowed
+    # entries so the union reaches 142/142 (retrieval_rrf_hybrid, the
     # first r09 newcomer, was windowed in its birth round — the
-    # late-r09 swap above; chunk_sentence_budget, the second r09
-    # newcomer, landed after the final window validation and joins the
-    # list below):
+    # late-r09 swap above; chunk_sentence_budget and
+    # retrieval_rrf_grouped landed after the final window validation
+    # and join the list below):
     # (authoritative list, recomputed late-r9 as all 141 entries minus
     # the union of CORRECTNESS_r01..r08 keys minus the current window —
     # an earlier draft had three name errors):
@@ -2346,14 +2382,15 @@ _CHECK_ORDER = [
     #   emb_rp_project, multimodal_audio_segments, multimodal_frame_plan,
     #   multimodal_resize_plan, pack_length_batches,
     #   sample_epoch_upsample, sample_hash_fraction, sample_weighted,
-    #   skew_salted_agg, text_fingerprint, vocab_top_tokens
+    #   skew_salted_agg, text_fingerprint, vocab_top_tokens,
+    #   retrieval_rrf_grouped
     # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 23 incomers plus
-    # 16 veterans. Outgoing candidates for r10 (all will then hold
+    # surface); 50 − 11 = 39 slots leave room for all 24 incomers plus
+    # 15 veterans. Outgoing candidates for r10 (all will then hold
     # recorded driver rows + pytest pins): the eleven r09 incomers
     # above, plus q22_global_sales, pivot_daily_events,
     # interval_click_purchase, sample_dsir_weights,
-    # sample_temperature_mix, bpe_tokens, profile_quantiles — pick 23
+    # sample_temperature_mix, bpe_tokens, profile_quantiles — pick 24
     # outgoing by the same breadth-over-redundancy rule. Any NEW
     # entries added in r10 join the r10 incoming list too. Run
     # tools/driver_sim.py after the swap, at all three SFs.

@@ -58,6 +58,8 @@ PYTHON_OK = {
     # query-side kernel; the fusion itself (union + hash agg + window
     # over two top-k SHORTLISTS) is pure JVM.
     "retrieval_rrf_hybrid",
+    # grouped RRF: same cosine-arm kernel per query batch.
+    "retrieval_rrf_grouped",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
@@ -85,6 +87,10 @@ NLJ_OK = {
     # OPQ ADC: same n×Q LUT-broadcast contract as emb_pq_topk, over the
     # rotated code table.
     "emb_opq_topk",
+    # grouped RRF: its hamming ARM is emb_binary_topk's documented n×Q
+    # broadcast code-word scan; the fusion stage itself never joins
+    # the corpus.
+    "retrieval_rrf_grouped",
 }
 
 
