@@ -2394,6 +2394,39 @@ _CHECK_ORDER = [
     # outgoing by the same breadth-over-redundancy rule. Any NEW
     # entries added in r10 join the r10 incoming list too. Run
     # tools/driver_sim.py after the swap, at all three SFs.
+    #
+    # PROVISIONAL r10 outgoing pick (authored late-r9 while the
+    # rationale is fresh; subject to VERDICT-r09 — every exiting entry
+    # will hold a recorded r9 driver row plus the pytest/in-window pin
+    # named):
+    #   q9_product_profit (5-table star; q1/q11 agg pins stay),
+    #   q22_global_sales (anti-join+scalar-avg; pytest plan gates),
+    #   pivot_daily_events (CASE-sum shape; q12 pytest),
+    #   interval_click_purchase (streaming twin pytest-pinned),
+    #   dedup_minhash_pairs (stage 1 of in-window dedup_lsh_verified),
+    #   dedup_decontaminate (broadcast-membership rides bloom pytest),
+    #   emb_semantic_dedup (composition of pinned cores),
+    #   split_contamination, sample_token_budget (cumsum rides
+    #   pack_sequences), quota_per_source (WindowGroupLimit rides
+    #   cdc_upsert_latest), sample_cluster_balanced, sketch_hll_by_key
+    #   (global HLL stays), sketch_bloom_decon (membership verdict
+    #   in-row; CMS/HLL pins stay), emb_opq_topk + emb_opq_ivf_topk
+    #   (PQ/ADC cores stay via emb_pq_topk + emb_ivfpq_rerank),
+    #   emb_pq_topk (ADC core = stage 1 of in-window emb_ivfpq_rerank),
+    #   sample_dsir_weights, sample_temperature_mix, bpe_tokens,
+    #   profile_quantiles, retrieval_mmr_topk, retrieval_rrf_hybrid
+    #   (fusion arithmetic pytest+config-fuzz pinned),
+    #   graph_pagerank (quantized-core partitioning-invariance pytest),
+    #   sessionize_events (applyInPandasWithState streaming tests).
+    # Keepers (15): q1_pricing_summary, q11_important_parts,
+    #   classifier_probe_score, sketch_distinct_hll, cdc_upsert_latest,
+    #   dedup_lsh_verified, dedup_components, emb_ivfpq_rerank,
+    #   emb_binary_topk, pack_sequences, text_bm25_topk,
+    #   pipeline_clean_corpus, asof_purchase_click, window_lag_running,
+    #   multimodal_features — agg, HAVING+subquery, learned filter,
+    #   sketches, CDC, LSH dedup, components, IVF-PQ+rerank, binary,
+    #   packing, lexical retrieval, composed pipeline, as-of join,
+    #   analytic windows, multimodal plumbing.
     # ------------------------------------------------------------------
 ]
 
