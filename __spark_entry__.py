@@ -1485,6 +1485,20 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             docs(s), budget=24, delim=" a ")),
         chunk_sentences_duckdb_sql(budget=24, delim=" a "),
     )
+    # content-defined chunking (operators/corpus.py
+    # chunk_content_defined): rolling w-gram md5 boundaries
+    # (hash % 2^mask_bits == 0) — the storage-dedup CDC technique at
+    # token level; boundaries are local, so edits don't re-shift the
+    # tail chunks (the edit-stability pytest pins it). Expected chunk
+    # length 2^4 = 16 tokens on the ~60-token synthetic docs.
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_content_defined, chunk_content_defined_duckdb_sql)
+
+    out["chunk_content_defined"] = (
+        with_tables(lambda s: chunk_content_defined(
+            docs(s), w=3, mask_bits=4)),
+        chunk_content_defined_duckdb_sql(w=3, mask_bits=4),
+    )
 
     def text_stats(s):
         return docs(s).select(
@@ -2366,12 +2380,12 @@ _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
     # After the r09 rotation above, ever-windowed union = 117/140.
-    # The r10 rotation MUST take ALL 24 remaining never-windowed
-    # entries so the union reaches 142/142 (retrieval_rrf_hybrid, the
+    # The r10 rotation MUST take ALL 25 remaining never-windowed
+    # entries so the union reaches 143/143 (retrieval_rrf_hybrid, the
     # first r09 newcomer, was windowed in its birth round — the
-    # late-r09 swap above; chunk_sentence_budget and
-    # retrieval_rrf_grouped landed after the final window validation
-    # and join the list below):
+    # late-r09 swap above; chunk_sentence_budget,
+    # retrieval_rrf_grouped, and chunk_content_defined landed after
+    # the final window validation and join the list below):
     # (authoritative list, recomputed late-r9 as all 141 entries minus
     # the union of CORRECTNESS_r01..r08 keys minus the current window —
     # an earlier draft had three name errors):
@@ -2383,14 +2397,14 @@ _CHECK_ORDER = [
     #   multimodal_resize_plan, pack_length_batches,
     #   sample_epoch_upsample, sample_hash_fraction, sample_weighted,
     #   skew_salted_agg, text_fingerprint, vocab_top_tokens,
-    #   retrieval_rrf_grouped
+    #   retrieval_rrf_grouped, chunk_content_defined
     # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 24 incomers plus
-    # 15 veterans. Outgoing candidates for r10 (all will then hold
+    # surface); 50 − 11 = 39 slots leave room for all 25 incomers plus
+    # 14 veterans. Outgoing candidates for r10 (all will then hold
     # recorded driver rows + pytest pins): the eleven r09 incomers
     # above, plus q22_global_sales, pivot_daily_events,
     # interval_click_purchase, sample_dsir_weights,
-    # sample_temperature_mix, bpe_tokens, profile_quantiles — pick 24
+    # sample_temperature_mix, bpe_tokens, profile_quantiles — pick 25
     # outgoing by the same breadth-over-redundancy rule. Any NEW
     # entries added in r10 join the r10 incoming list too. Run
     # tools/driver_sim.py after the swap, at all three SFs.
@@ -2417,12 +2431,15 @@ _CHECK_ORDER = [
     #   profile_quantiles, retrieval_mmr_topk, retrieval_rrf_hybrid
     #   (fusion arithmetic pytest+config-fuzz pinned),
     #   graph_pagerank (quantized-core partitioning-invariance pytest),
-    #   sessionize_events (applyInPandasWithState streaming tests).
-    # Keepers (15): q1_pricing_summary, q11_important_parts,
+    #   sessionize_events (applyInPandasWithState streaming tests),
+    #   window_lag_running (core-SQL analytic windows, rows since r1,
+    #   pytest-pinned — released for the 25th incoming slot).
+    # Keepers (14):
+    #   q1_pricing_summary, q11_important_parts,
     #   classifier_probe_score, sketch_distinct_hll, cdc_upsert_latest,
     #   dedup_lsh_verified, dedup_components, emb_ivfpq_rerank,
     #   emb_binary_topk, pack_sequences, text_bm25_topk,
-    #   pipeline_clean_corpus, asof_purchase_click, window_lag_running,
+    #   pipeline_clean_corpus, asof_purchase_click,
     #   multimodal_features — agg, HAVING+subquery, learned filter,
     #   sketches, CDC, LSH dedup, components, IVF-PQ+rerank, binary,
     #   packing, lexical retrieval, composed pipeline, as-of join,

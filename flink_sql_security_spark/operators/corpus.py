@@ -405,3 +405,116 @@ def chunk_sentences_duckdb_sql(budget: int = 128,
         f"AS chunk_id, n_sentences, n_tokens, chunk_text "
         f"FROM per_chunk"
     )
+
+
+def chunk_content_defined(df: DataFrame, w: int = 3,
+                          mask_bits: int = 4,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking: (id, chunk_id, n_tokens, chunk_text)
+    — chunk boundaries fall where the rolling ``w``-gram hash of the
+    token stream matches a mask (``hash % 2^mask_bits == 0``), the
+    storage-dedup technique (Rabin/CDC) applied at token level. The
+    third chunking mode next to fixed-stride :func:`chunk_tokens` and
+    :func:`chunk_sentences`: boundaries depend ONLY on a local w-token
+    window, so inserting or deleting text perturbs the chunks around
+    the edit and leaves every later chunk's CONTENT byte-identical —
+    the property that makes chunk-level exact dedup robust to small
+    edits, where fixed-stride chunking re-shifts (and re-hashes) the
+    whole tail. Expected chunk length is ``2^mask_bits`` tokens.
+
+    Semantics: token j (0-based) ends a chunk when ``j >= w-1`` and
+    the md5-derived integer of the w-gram ending at j is divisible by
+    ``2^mask_bits``; each token's chunk is the count of boundaries
+    strictly before it, so ids are dense 0..k by construction.
+    ``chunk_text`` re-joins tokens with single spaces (a token-level
+    transform — original inter-token whitespace is not preserved).
+
+    Scale shape: identical to :func:`chunk_sentences` — the gram
+    hashes and boundary flags compute INSIDE the token array (one
+    narrow projection, no self-join, no per-position shuffle blowup),
+    then ONE hash exchange on ``id`` feeds the prefix-count window and
+    the (id, chunk_id) aggregation reuses that partitioning. md5 is
+    the engine-portable hash everywhere in this package, so the op is
+    strictly oracle-checkable.
+    """
+    from pyspark.sql.window import Window
+
+    if w < 1:
+        raise ValueError(f"chunk_content_defined w must be >= 1: {w}")
+    if not 1 <= mask_bits <= 20:
+        raise ValueError(
+            f"chunk_content_defined mask_bits must be in [1, 20]: "
+            f"{mask_bits}")
+    m = 1 << mask_bits
+    # clamp the slice start: positions j < w-1 never pass the boundary
+    # guard, but vectorized engines may still EVALUATE the hash there
+    # (no short-circuit) — an out-of-range slice must stay well-defined
+    gram = f"concat_ws(' ', slice(_tk, greatest(j - {w - 2}, 1), {w}))"
+    h = f"CAST(conv(substring(md5({gram}), 1, 15), 16, 10) AS BIGINT)"
+    bounds = (f"transform(sequence(0, size(_tk) - 1), j -> "
+              f"CASE WHEN j >= {w - 1} AND {h} % {m} = 0 "
+              f"THEN 1 ELSE 0 END)")
+    sent = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col),
+                F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_tk"))
+        .select(F.col(id_col), F.col("_tk"),
+                F.expr(bounds).alias("_b"))
+        .select(F.col(id_col),
+                F.posexplode(F.arrays_zip(F.col("_tk"), F.col("_b")))
+                .alias("pos", "z"))
+        .select(F.col(id_col), F.col("pos"),
+                F.col("z._tk").alias("tok"),
+                F.col("z._b").alias("b"))
+    )
+    win = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    assigned = sent.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum("b").over(win), F.lit(0)).cast("int"))
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+            lambda x: x["tok"]),
+        " ")
+    return (assigned.groupBy(id_col, "chunk_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 joined.alias("chunk_text"))
+            .select(id_col, "chunk_id", "n_tokens", "chunk_text"))
+
+
+def chunk_content_defined_duckdb_sql(w: int = 3, mask_bits: int = 4,
+                                     table: str = "documents",
+                                     text_col: str = "text",
+                                     id_col: str = "doc_id") -> str:
+    """DuckDB oracle: identical tokenization, w-gram md5 boundaries,
+    prefix counts, and ORDER BY pos re-concatenation."""
+    if w < 1:
+        raise ValueError(f"chunk_content_defined w must be >= 1: {w}")
+    if not 1 <= mask_bits <= 20:
+        raise ValueError(
+            f"chunk_content_defined mask_bits must be in [1, 20]: "
+            f"{mask_bits}")
+    m = 1 << mask_bits
+    # same clamp as the Spark side: the hash may be evaluated at early
+    # positions even though the boundary guard discards it
+    gram = f"array_to_string(t[greatest(i.i - {w - 2}, 1):i.i + 1], ' ')"
+    h = (f"CAST(concat('0x', substring(md5({gram}), 1, 15)) AS BIGINT)")
+    return (
+        f"WITH sp AS (SELECT {id_col}, "
+        f"string_split_regex(trim({text_col}), '\\s+') AS t "
+        f"FROM {table} WHERE trim({text_col}) <> ''), "
+        f"sent AS (SELECT {id_col}, CAST(i.i AS INTEGER) AS pos, "
+        f"t[i.i + 1] AS tok, "
+        f"CASE WHEN i.i >= {w - 1} AND {h} % {m} = 0 THEN 1 ELSE 0 END "
+        f"AS b FROM sp, UNNEST(range(0, len(t))) AS i(i)), "
+        f"assigned AS (SELECT {id_col}, pos, tok, "
+        f"CAST(coalesce(sum(b) OVER (PARTITION BY {id_col} "
+        f"ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"1 PRECEDING), 0) AS INTEGER) AS chunk_id FROM sent) "
+        f"SELECT {id_col}, chunk_id, "
+        f"CAST(count(*) AS BIGINT) AS n_tokens, "
+        f"string_agg(tok, ' ' ORDER BY pos) AS chunk_text "
+        f"FROM assigned GROUP BY {id_col}, chunk_id"
+    )

@@ -1768,3 +1768,112 @@ def test_chunk_sentences_dense_ids_metachar_delim_and_trim(spark):
         chunk_sentences(df2, budget=3, delim="")
     with pytest.raises(ValueError, match="delim"):
         chunk_sentences_duckdb_sql(budget=3, delim="")
+
+
+# --------------------------------------------- content-defined chunking
+
+def test_chunk_content_defined_edit_stability(spark):
+    """THE content-defined property: prepending tokens to a document
+    perturbs only the chunks up to the first shared boundary — every
+    later chunk's text is byte-identical, where fixed-stride chunking
+    would re-shift the entire tail."""
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_content_defined, chunk_tokens)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine "
+            "ten eleven twelve thirteen fourteen fifteen sixteen")
+    edited = "INSERTED TOKENS " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], ["doc_id", "text"])
+    out = chunk_content_defined(df, w=3, mask_bits=3).collect()
+    chunks = {1: [], 2: []}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        chunks[r["doc_id"]].append(r["chunk_text"])
+    # enough signal to compare
+    assert len(chunks[1]) >= 3 and len(chunks[2]) >= 3
+    # boundaries are local w-grams: the suffix chunk lists converge
+    shared = set(chunks[1]) & set(chunks[2])
+    assert shared, (chunks[1], chunks[2])
+    # specifically the LAST chunk is identical (tail stability)
+    assert chunks[1][-1] == chunks[2][-1]
+
+    # fixed-stride chunking does NOT have this property on the same
+    # edit (tail re-shifts) — the contrast that motivates CDC
+    ft = chunk_tokens(df, size=8, stride=8).collect()
+    fchunks = {1: [], 2: []}
+    for r in sorted(ft, key=lambda r: (r["doc_id"], r["chunk_i"])):
+        fchunks[r["doc_id"]].append(r["chunk_text"])
+    assert fchunks[1][-1] != fchunks[2][-1]
+
+
+def test_chunk_content_defined_semantics_and_validation(spark):
+    """Dense ids, boundary rule (count of boundaries strictly before),
+    single-token docs, validation bounds."""
+    import duckdb
+
+    import pytest as _pt
+
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_content_defined, chunk_content_defined_duckdb_sql)
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "  "), (3, None)], ["doc_id", "text"])
+    out = chunk_content_defined(df, w=3, mask_bits=2).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1 \
+        and out[0]["chunk_id"] == 0 and out[0]["n_tokens"] == 1
+
+    with _pt.raises(ValueError, match="w must be"):
+        chunk_content_defined(df, w=0)
+    with _pt.raises(ValueError, match="mask_bits"):
+        chunk_content_defined(df, mask_bits=0)
+    with _pt.raises(ValueError, match="mask_bits"):
+        chunk_content_defined_duckdb_sql(mask_bits=21)
+
+    # reconstruction: chunks in id order re-join (single-space) to the
+    # whitespace-normalized document
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    rows = chunk_content_defined(docs, w=3, mask_bits=4).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append((r["chunk_id"],
+                                                r["chunk_text"]))
+    orig = {r["doc_id"]: " ".join(r["text"].split())
+            for r in docs.select("doc_id", "text").collect()
+            if r["text"] and r["text"].strip()}
+    for doc_id, lst in per.items():
+        joined = " ".join(t for _, t in sorted(lst))
+        assert joined == orig[doc_id], doc_id
+        # ids dense 0..k
+        assert sorted(c for c, _ in lst) == list(range(len(lst)))
+
+
+def test_fuzz_chunk_content_defined_configs_cross_engine(spark):
+    """Config fuzz: random (w, mask_bits) draws, value-exact vs the
+    oracle. Seed base 12321."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.corpus import (
+        chunk_content_defined, chunk_content_defined_duckdb_sql)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    rng = random.Random(12321)
+    for trial in range(4):
+        w = rng.randint(1, 6)
+        mb = rng.randint(1, 7)
+        cfg = (trial, w, mb)
+        got = sorted(map(tuple, chunk_content_defined(
+            docs, w=w, mask_bits=mb).collect()))
+        want = sorted(map(tuple, con.execute(
+            chunk_content_defined_duckdb_sql(
+                w=w, mask_bits=mb)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
