@@ -1192,6 +1192,29 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         " row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM scored) "
         "SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5",
     )
+    # filtered vector search (pre-filter semantics — the predicate prunes
+    # the corpus scan BEFORE any distance math; post-filtering a top-k'
+    # list is not equivalent and under-returns on selective filters).
+    # Oracle: same unit-dot scoring with the label predicate on the
+    # corpus side only — queries come from the unfiltered table.
+    out["emb_filtered_topk"] = (
+        with_tables(lambda s: S.filtered_topk(
+            emb(s), emb(s).where("vec_id < 15"), "label = 3", k=5)),
+        "WITH x AS (SELECT vec_id, label, "
+        "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd, "
+        "sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n "
+        "FROM embeddings), "
+        "u AS (SELECT vec_id, label, "
+        "list_transform(xd, v -> v / n) AS unit FROM x), "
+        "scored AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, "
+        + _DUCK_UNIT_DOT.format(a="q.unit", b="c.unit") + " AS cosine"
+        " FROM u q, u c WHERE q.vec_id < 15 AND c.label = 3"
+        " AND q.vec_id <> c.vec_id), "
+        "ranked AS (SELECT q_id, n_id, cosine,"
+        " row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM scored) "
+        "SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5",
+    )
     # ANN (LSH-bucketed), fully hash-checked: the deterministic hyperplanes
     # embed as literals in the DuckDB oracle, and the Spark side's
     # near-zero sequential recheck makes bucket ids fold-order-exact.
@@ -1299,15 +1322,15 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
 
     # PQ decode (operators/pq.py pq_reconstruct): the quantized
     # approximation of every vector — centroid-literal concat, one
-    # narrow projection. Array-valued output: fine for the strict
-    # checker (which normalizes lists) because this entry stays OUTSIDE
-    # the 50-entry driver window (the driver's canonicalizer cannot
-    # sort list cells); stringify=True exists but Spark's CAST(double
-    # AS STRING) uses scientific notation where DuckDB prints decimal,
-    # so the CSV forms differ textually while the values are identical.
+    # narrow projection. explode=True ((id, dim, val) DOUBLE rows)
+    # ahead of this entry's r10 windowing: the driver's canonicalizer
+    # cannot sort list cells, and stringify's CSV forms text-diverge
+    # (Spark scientific vs DuckDB decimal notation).
     out["emb_pq_reconstruct"] = (
-        with_tables(lambda s: PQm.pq_reconstruct(emb(s), _books(s))),
-        PQm.pq_reconstruct_duckdb_sql(_emb_path, m=32, k=64, iters=3),
+        with_tables(lambda s: PQm.pq_reconstruct(emb(s), _books(s),
+                                                 explode=True)),
+        PQm.pq_reconstruct_duckdb_sql(_emb_path, m=32, k=64, iters=3,
+                                      explode=True),
     )
     out["emb_ivfpq_topk"] = (
         with_tables(lambda s: PQm.ivfpq_topk(
@@ -1369,10 +1392,34 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     # lever (LSH/IVF/rerank all get a 4× work cut on reduced vectors)
     from flink_sql_security_spark.operators import projection as RPJ
 
+    # explode=True ahead of this entry's r10 windowing — see the
+    # emb_pca_project note (list cells break the driver canonicalizer)
     out["emb_rp_project"] = (
         with_tables(lambda s: RPJ.rp_project(emb(s), in_dim=64,
-                                             out_dim=16)),
-        RPJ.rp_project_duckdb_sql(in_dim=64, out_dim=16),
+                                             out_dim=16, explode=True)),
+        RPJ.rp_project_duckdb_sql(in_dim=64, out_dim=16, explode=True),
+    )
+    # PCA (trained, data-aware) beside the oblivious JL projection:
+    # artifacts re-derived by the oracle emitter with the same numpy on
+    # the same lowest-id sample (the OPQ pattern), projection is the
+    # identical quantized-literal multiply-add fold in both engines.
+    _pca_art = None
+
+    def _pca(s):
+        nonlocal _pca_art
+        if _pca_art is None:
+            _pca_art = RPJ.pca_train(emb(s), out_dim=8, sample=512)
+        return _pca_art
+
+    # explode=True (one (id, dim, val) DOUBLE row per component): the
+    # window-safe shape — the driver's pandas canonicalizer cannot sort
+    # list cells, and CSV stringification text-diverges across engines
+    # (Spark scientific vs DuckDB decimal notation).
+    out["emb_pca_project"] = (
+        with_tables(lambda s: RPJ.pca_project(emb(s), _pca(s)[0],
+                                              _pca(s)[1], explode=True)),
+        RPJ.pca_project_duckdb_sql(_emb_path, out_dim=8, sample=512,
+                                   explode=True),
     )
     # binary (sign-bit) quantization + hamming prefilter → exact rerank
     # (operators/binary.py): 32× compression, xor+bit_count scan with
@@ -1952,6 +1999,21 @@ FROM s GROUP BY user_id, session_id
         with_tables(lambda s: RT.bm25_topk(docs(s), _BM25_TERMS, k=20)),
         RT.bm25_topk_sql(_BM25_TERMS, k=20),
     )
+    # BM25 from a prebuilt inverted index (build-once / probe-many — the
+    # serving shape at corpus scale: tokenize once, each probe reads only
+    # its terms' posting lists). Scores are bit-identical to the scan
+    # path (shared _bm25_score_tail), so the SAME oracle checks it; a
+    # different term set keeps the two windowed entries non-redundant.
+    _BM25_IDX_TERMS = ["data", "query", "merge"]
+
+    def _bm25_indexed(s):
+        postings, stats = RT.bm25_build_index(docs(s))
+        return RT.bm25_topk_indexed(postings, stats, _BM25_IDX_TERMS, k=20)
+
+    out["text_bm25_indexed"] = (
+        with_tables(_bm25_indexed),
+        RT.bm25_topk_sql(_BM25_IDX_TERMS, k=20),
+    )
 
     # ---- reciprocal-rank fusion (operators/retrieval.py rrf_fuse):
     # hybrid retrieval — BM25 lexical ranks fused with exact-cosine
@@ -2127,10 +2189,29 @@ _CHECK_ORDER = [
     # have recorded driver rows; their cores stay pinned by in-window
     # q11_important_parts (HAVING + scalar subquery), rls_subquery, and
     # the golden rewrite suite in pytest.
-    "q1_pricing_summary", "q9_product_profit",
+    # late-r09 swap (second pass — three NEW operator families shipped
+    # after the first r09 rotation; newcomers are windowed in their
+    # birth round, the r7 lesson):
+    # - q9_product_profit → text_bm25_indexed: q9's multi-join grouped
+    #   agg keeps in-window pins via q1 (grouped agg) +
+    #   q11_important_parts (join + HAVING) + the golden TPC-H pytest
+    #   rows; BM25 answered from a prebuilt inverted index (build-once/
+    #   probe-many — bit-identical scores to the scan path via the
+    #   shared score tail) is a new family.
+    # - pivot_daily_events → emb_filtered_topk: the pivot lowers to the
+    #   CASE-sum conditional-agg shape pinned in-window by
+    #   q1_pricing_summary and golden-pinned by q12's pytest row;
+    #   pre-filtered exact vector search (predicate pruned into the
+    #   corpus scan BEFORE distance math) is a new family.
+    # - sample_dsir_weights → emb_pca_project: DSIR's hashed-feature
+    #   log-ratio fold is pytest- and config-fuzz-pinned and its
+    #   md5-bucket core rides in-window sample_temperature_mix (shared
+    #   _bucket_expr); the trained-PCA quantized-literal projection
+    #   fold gets its birth-round driver row.
+    "q1_pricing_summary", "text_bm25_indexed",
     "q11_important_parts",
     "classifier_probe_score",
-    "q22_global_sales", "pivot_daily_events", "interval_click_purchase",
+    "q22_global_sales", "emb_filtered_topk", "interval_click_purchase",
     # training-data pipeline operators, one per family. dedup_minhash_pairs
     # and dedup_jaccard_pairs are strict sub-computations of
     # dedup_lsh_verified (candidate generation / exact verification), so
@@ -2281,7 +2362,7 @@ _CHECK_ORDER = [
     #   each get their first driver row.
     "sketch_distinct_hll", "retrieval_mmr_topk", "sketch_bloom_decon",
     "dedup_minhash_pairs", "cdc_upsert_latest",
-    "sample_dsir_weights", "dedup_lsh_verified", "dedup_components",
+    "emb_pca_project", "dedup_lsh_verified", "dedup_components",
     "split_contamination", "dedup_decontaminate", "emb_semantic_dedup",
     "emb_opq_topk", "emb_pq_topk", "emb_opq_ivf_topk",
     "emb_ivfpq_rerank",
@@ -2379,14 +2460,16 @@ _CHECK_ORDER = [
     "window_lag_running",
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
-    # After the r09 rotation above, ever-windowed union = 117/140.
+    # After the r09 rotations above, ever-windowed union = 120/146
+    # (every r09-born entry — retrieval_rrf_hybrid, text_bm25_indexed,
+    # emb_filtered_topk, emb_pca_project — is windowed in its birth
+    # round, the r7 lesson; q9_product_profit / pivot_daily_events /
+    # sample_dsir_weights hold driver rows from earlier rounds).
     # The r10 rotation MUST take ALL 25 remaining never-windowed
-    # entries so the union reaches 143/143 (retrieval_rrf_hybrid, the
-    # first r09 newcomer, was windowed in its birth round — the
-    # late-r09 swap above; chunk_sentence_budget,
+    # entries so the union reaches 146/146 (chunk_sentence_budget,
     # retrieval_rrf_grouped, and chunk_content_defined landed after
-    # the final window validation and join the list below):
-    # (authoritative list, recomputed late-r9 as all 141 entries minus
+    # the r9 window validation and join the list below):
+    # (authoritative list, recomputed late-r9 as all entries minus
     # the union of CORRECTNESS_r01..r08 keys minus the current window —
     # an earlier draft had three name errors):
     #   chunk_fixed_tokens, chunk_sentence_budget, corpus_shard_shuffle,
@@ -2413,10 +2496,14 @@ _CHECK_ORDER = [
     # rationale is fresh; subject to VERDICT-r09 — every exiting entry
     # will hold a recorded r9 driver row plus the pytest/in-window pin
     # named):
-    #   q9_product_profit (5-table star; q1/q11 agg pins stay),
     #   q22_global_sales (anti-join+scalar-avg; pytest plan gates),
-    #   pivot_daily_events (CASE-sum shape; q12 pytest),
     #   interval_click_purchase (streaming twin pytest-pinned),
+    #   text_bm25_indexed (scores bit-equal to scan path via shared
+    #   score tail; text_bm25_topk pytest + oracle pins stay),
+    #   emb_filtered_topk (thin pre-filter over the cosine_topk core,
+    #   which emb_ivfpq_rerank's exact-rerank stage keeps pinned),
+    #   emb_pca_project (quantized-literal fold, same lowering family
+    #   as emb_rp_project which ENTERS in r10),
     #   dedup_minhash_pairs (stage 1 of in-window dedup_lsh_verified),
     #   dedup_decontaminate (broadcast-membership rides bloom pytest),
     #   emb_semantic_dedup (composition of pinned cores),
@@ -2427,7 +2514,7 @@ _CHECK_ORDER = [
     #   in-row; CMS/HLL pins stay), emb_opq_topk + emb_opq_ivf_topk
     #   (PQ/ADC cores stay via emb_pq_topk + emb_ivfpq_rerank),
     #   emb_pq_topk (ADC core = stage 1 of in-window emb_ivfpq_rerank),
-    #   sample_dsir_weights, sample_temperature_mix, bpe_tokens,
+    #   sample_temperature_mix, bpe_tokens,
     #   profile_quantiles, retrieval_mmr_topk, retrieval_rrf_hybrid
     #   (fusion arithmetic pytest+config-fuzz pinned),
     #   graph_pagerank (quantized-core partitioning-invariance pytest),

@@ -436,7 +436,8 @@ def pq_reconstruct(df: DataFrame, codebooks: list,
                    round_to: int = 6, coarse: list | None = None,
                    residual: bool = False,
                    stringify: bool = False,
-                   impl: str = "arrow") -> DataFrame:
+                   impl: str = "arrow",
+                   explode: bool = False) -> DataFrame:
     """(id[, cell], approx): the PQ decode — each vector's quantized
     approximation, the concat over subspaces of the nearest centroid
     (plus the coarse centroid back in residual mode). The inspection /
@@ -450,7 +451,19 @@ def pq_reconstruct(df: DataFrame, codebooks: list,
     ``impl="arrow"`` (default) decodes in the same Arrow kernel family
     as :func:`pq_encode` — bit-identical, ~8× faster; the stringified
     form always takes the expression path (its CSV text must come from
-    Spark's own double→string cast)."""
+    Spark's own double→string cast); ``explode`` emits one
+    (id[, cell], dim, val) DOUBLE row per component instead — the
+    WINDOW-SAFE shape (the driver's pandas canonicalizer cannot sort
+    list cells, and the CSV forms text-diverge across engines)."""
+    if explode:
+        if stringify:
+            raise ValueError(
+                "pq_reconstruct: explode and stringify are exclusive")
+        out = pq_reconstruct(df, codebooks, vec_col, id_col, round_to,
+                             coarse, residual, False, impl)
+        keep = [c for c in out.columns if c != "approx"]
+        return out.select(*keep,
+                          F.posexplode("approx").alias("dim", "val"))
     if impl == "arrow" and not stringify:
         return _reconstruct_arrow(df, codebooks, vec_col, id_col,
                                   round_to, coarse, residual)
@@ -488,7 +501,8 @@ def pq_reconstruct_duckdb_sql(parquet_path: str,
                               sample: int = 2048, round_to: int = 6,
                               n_cells: int | None = None,
                               residual: bool = False,
-                              stringify: bool = False) -> str:
+                              stringify: bool = False,
+                              explode: bool = False) -> str:
     """Oracle for :func:`pq_reconstruct` — codebooks (and coarse, when
     ``n_cells``) re-derive from the parquet; the SQL recomputes codes
     and concatenates the same centroid literals."""
@@ -553,6 +567,17 @@ def pq_reconstruct_duckdb_sql(parquet_path: str,
                  "p -> p[1] + p[2])")
     recon = (f"list_transform({recon}, v -> "
              + floor_round("CAST(v AS DOUBLE)", round_to, "duckdb") + ")")
+    if explode:
+        if stringify:
+            raise ValueError(
+                "pq_reconstruct_duckdb_sql: explode and stringify are "
+                "exclusive")
+        d = X.shape[1]
+        return (f"WITH {src_cte}, p AS (SELECT {id_col}, {sel_cell}"
+                f"{recon} AS approx FROM enc) "
+                f"SELECT {id_col}, {sel_cell}CAST(i - 1 AS INT) AS dim, "
+                f"approx[i] AS val "
+                f"FROM p, UNNEST(range(1, {d + 1})) AS t(i)")
     if stringify:
         recon = f"array_to_string({recon}, ',')"
     return (f"WITH {src_cte} "

@@ -1,4 +1,5 @@
-"""Random projection (Johnson–Lindenstrauss) for embedding columns.
+"""Dimensionality reduction for embedding columns: random projection
+(Johnson–Lindenstrauss) and trained PCA.
 
 Beyond-reference scope (driver brief: similarity-search scale path; no
 vector surface exists in the reference repo). Dimensionality reduction
@@ -30,9 +31,10 @@ import hashlib
 from pyspark.sql import DataFrame, functions as F
 
 from flink_sql_security_spark.functions.text import (
-    floor_round as _floor_round)
+    floor_round as _floor_round, floor_round_py as _floor_round_py)
 
-__all__ = ["rp_signs", "rp_project", "rp_project_duckdb_sql"]
+__all__ = ["rp_signs", "rp_project", "rp_project_duckdb_sql",
+           "pca_train", "pca_project", "pca_project_duckdb_sql"]
 
 
 def rp_signs(out_dim: int, in_dim: int, salt: str = "rp") -> list[list[int]]:
@@ -53,10 +55,43 @@ def _sum_expr(signs: list[int], elem) -> str:
     return out
 
 
+def _maybe_explode(df: DataFrame, id_col: str, comps: list,
+                   explode: bool) -> DataFrame:
+    """Final projection shape shared by rp/pca: the array column, or —
+    ``explode=True`` — one (id, dim, val) row per component. The
+    exploded form is the WINDOW-SAFE one: the driver's pandas
+    canonicalizer ``sort_values`` raises on list cells, and CSV
+    stringification is off the table because Spark's double→string cast
+    uses scientific notation where DuckDB prints decimals; per-dim
+    DOUBLE rows sort and hash identically on both engines.
+
+    The explode is a SECOND select over the materialized ``proj``
+    column, not posexplode over the inline array expression: feeding
+    the unrolled multiply-add chains straight into the Generate node
+    blows janino's method-size limit (measured: whole-stage codegen
+    falls back to interpreted eval at 16×64), while the two-step shape
+    keeps the projection in its own compiled unit."""
+    arr = F.array(*[F.expr(c) for c in comps])
+    out = df.select(id_col, arr.alias("proj"))
+    if explode:
+        return out.select(id_col, F.posexplode("proj").alias("dim", "val"))
+    return out
+
+
+def _explode_duckdb(inner: str, id_col: str, out_dim: int) -> str:
+    """Oracle twin of the exploded shape: 0-based dim via a 1-based
+    subscript walk (matches Spark posexplode's INT position)."""
+    return (f", p AS ({inner}) "
+            f"SELECT {id_col}, CAST(i - 1 AS INT) AS dim, proj[i] AS val "
+            f"FROM p, UNNEST(range(1, {out_dim + 1})) AS t(i)")
+
+
 def rp_project(df: DataFrame, in_dim: int, out_dim: int = 16,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               salt: str = "rp", round_to: int = 6) -> DataFrame:
-    """(id, proj): k-dim sign-projection of a d-dim embedding column.
+               salt: str = "rp", round_to: int = 6,
+               explode: bool = False) -> DataFrame:
+    """(id, proj) — or (id, dim, val) with ``explode=True``: k-dim
+    sign-projection of a d-dim embedding column.
 
     ``proj[j] = (Σ_i sign_ji · x_i) / sqrt(out_dim)`` — the
     database-friendly JL transform. Narrow per-row work (no shuffle, no
@@ -79,21 +114,21 @@ def rp_project(df: DataFrame, in_dim: int, out_dim: int = 16,
         s = _sum_expr(row, lambda i: f"element_at(_xd, {i})")
         comps.append(_floor_round(
             f"({s}) / CAST('{scale!r}' AS DOUBLE)", round_to, "spark"))
-    return (df.withColumn("_xd", F.expr(guarded))
+    base = (df.withColumn("_xd", F.expr(guarded))
             .withColumn("_xd", F.expr(
                 "CASE WHEN NOT exists(_xd, v -> v IS NULL OR isnan(v)) "
                 "THEN _xd ELSE assert_true(false, concat("
                 f"'rp_project: NULL/NaN element in vector for ', "
-                f"CAST({id_col} AS STRING))) END"))
-            .select(id_col, F.array(*[F.expr(c) for c in comps])
-                    .alias("proj")))
+                f"CAST({id_col} AS STRING))) END")))
+    return _maybe_explode(base, id_col, comps, explode)
 
 
 def rp_project_duckdb_sql(in_dim: int, out_dim: int = 16,
                           table: str = "embeddings",
                           vec_col: str = "embedding",
                           id_col: str = "vec_id", salt: str = "rp",
-                          round_to: int = 6) -> str:
+                          round_to: int = 6,
+                          explode: bool = False) -> str:
     """Oracle: identical signs from the shared generator, identical
     written-order additions and scale divide."""
     signs = rp_signs(out_dim, in_dim, salt)
@@ -103,9 +138,166 @@ def rp_project_duckdb_sql(in_dim: int, out_dim: int = 16,
         s = _sum_expr(row, lambda i: f"xd[{i}]")
         comps.append(_floor_round(
             f"({s}) / CAST('{scale!r}' AS DOUBLE)", round_to, "duckdb"))
-    return (
+    prefix = (
         f"WITH x AS (SELECT {id_col}, "
         f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
-        f"FROM {table}) "
-        f"SELECT {id_col}, [" + ", ".join(comps) + "] AS proj FROM x"
-    )
+        f"FROM {table})")
+    inner = f"SELECT {id_col}, [" + ", ".join(comps) + "] AS proj FROM x"
+    if explode:
+        return prefix + _explode_duckdb(inner, id_col, out_dim)
+    return f"{prefix} {inner}"
+
+
+# ---------------------------------------------------------------------------
+# PCA projection — the data-aware complement of the oblivious JL transform
+# ---------------------------------------------------------------------------
+
+def _pca_train_np(X, out_dim: int, round_to: int) -> tuple[list, list]:
+    """(mean, components): quantized PCA artifacts from a sample matrix.
+
+    Top ``out_dim`` right-singular vectors of the centered sample, each
+    sign-fixed (largest-|coefficient| element made positive — SVD signs
+    are otherwise arbitrary) and quantized to the shared floor rule so
+    the published artifact is a stable list of exactly-representable
+    literals. Deterministic: the Spark trainer and the oracle emitter
+    run this same function on the same lowest-id sample.
+    """
+    import numpy as np
+
+    if X.ndim != 2 or X.shape[0] < 2:
+        raise ValueError(
+            f"pca_train: need a 2-D sample with >= 2 rows, got {X.shape}")
+    d = X.shape[1]
+    if not 1 <= out_dim <= d:
+        raise ValueError(f"pca_train: out_dim {out_dim} not in [1, {d}]")
+    mu = X.mean(axis=0)
+    _, _, Vt = np.linalg.svd(X - mu, full_matrices=False)
+    W = Vt[:out_dim].copy()
+    for j in range(out_dim):
+        i = int(np.argmax(np.abs(W[j])))
+        if W[j][i] < 0:
+            W[j] = -W[j]
+    return ([_floor_round_py(float(v), round_to) for v in mu],
+            [[_floor_round_py(float(v), round_to) for v in row] for row in W])
+
+
+def pca_train(df: DataFrame, out_dim: int = 8,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              sample: int = 2048, round_to: int = 6) -> tuple[list, list]:
+    """(mean, components): PCA trained on the ``sample`` lowest-id rows.
+
+    Driver-side numpy bounded by ``sample`` (the `_sample_matrix`
+    contract every quantizer trainer in this package uses — never a
+    full-corpus collect); the artifacts are tiny ((1+out_dim)×d quantized
+    doubles) and fold into the projection plan as literals.
+
+    Where :func:`rp_project` is data-OBLIVIOUS (a JL sign matrix —
+    distance-preserving on average, no training pass), PCA spends one
+    bounded training pass to capture the top variance directions, which
+    at the same out_dim preserves neighborhoods better on anisotropic
+    real-embedding distributions — the standard pre-ANN reduction (and
+    the rotation initializer in faiss's OPQ recipe). Use RP when you
+    cannot afford a train step or need a shipping-free matrix; PCA when
+    you can (Jolliffe, *Principal Component Analysis*; Ge et al. 2013
+    §2 for the ANN framing).
+    """
+    from .pq import _sample_matrix
+
+    return _pca_train_np(_sample_matrix(df, vec_col, id_col, sample),
+                         out_dim, round_to)
+
+
+def _wsum_expr(weights: list, elem) -> str:
+    """Left-associated weighted chain Σ w_i·elem(i) over 1-indexed
+    elements, every coefficient a quantized literal parsed identically
+    by both engines; ``elem`` formats one element access."""
+    def lit(w) -> str:
+        return f"CAST('{w!r}' AS DOUBLE)"
+
+    out = f"({lit(weights[0])} * {elem(1)})"
+    for i, w in enumerate(weights[1:], start=2):
+        out = f"({out} + ({lit(w)} * {elem(i)}))"
+    return out
+
+
+def pca_project(df: DataFrame, mean: list, components: list,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                round_to: int = 6, explode: bool = False) -> DataFrame:
+    """(id, proj) — or (id, dim, val) with ``explode=True``: project
+    embeddings onto trained PCA components.
+
+    ``proj[j] = Σ_i W_ji · (x_i − μ_i)``, lowered exactly like
+    :func:`rp_project`: center once into a derived array (one
+    ``zip_with`` against the literal mean), then one unrolled
+    left-associated multiply-add chain per output component — a narrow
+    zero-shuffle codegen projection, no Python anywhere, artifacts live
+    in the plan. Rows with NULL / wrong-length / NaN vectors fail loudly
+    (the shared quantizer contract: a silent NaN poisons every
+    downstream distance).
+    """
+    in_dim, out_dim = len(mean), len(components)
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"pca_project: bad dims ({out_dim}, {in_dim})")
+    for j, row in enumerate(components):
+        if len(row) != in_dim:
+            raise ValueError(
+                f"pca_project: component {j} has {len(row)} coefficients, "
+                f"mean has {in_dim}")
+    mus = ", ".join(f"CAST('{m!r}' AS DOUBLE)" for m in mean)
+    guarded = (
+        f"CASE WHEN size({vec_col}) = {in_dim} THEN "
+        f"transform({vec_col}, v -> CAST(v AS DOUBLE)) "
+        f"ELSE assert_true(false, concat('pca_project: vector for ', "
+        f"CAST({id_col} AS STRING), ' has size ', "
+        f"CAST(size({vec_col}) AS STRING), ', expected {in_dim}')) END")
+    comps = []
+    for row in components:
+        s = _wsum_expr(row, lambda i: f"element_at(_cd, {i})")
+        comps.append(_floor_round(s, round_to, "spark"))
+    base = (df.withColumn("_xd", F.expr(guarded))
+            .withColumn("_xd", F.expr(
+                "CASE WHEN NOT exists(_xd, v -> v IS NULL OR isnan(v)) "
+                "THEN _xd ELSE assert_true(false, concat("
+                f"'pca_project: NULL/NaN element in vector for ', "
+                f"CAST({id_col} AS STRING))) END"))
+            .withColumn("_cd", F.expr(
+                f"zip_with(_xd, array({mus}), (v, m) -> v - m)")))
+    return _maybe_explode(base, id_col, comps, explode)
+
+
+def pca_project_duckdb_sql(parquet_path: str, out_dim: int = 8,
+                           table: str = "embeddings",
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id", sample: int = 2048,
+                           round_to: int = 6,
+                           explode: bool = False) -> str:
+    """Oracle for :func:`pca_project`: re-derives (mean, components)
+    from the parquet with the same numpy on the same lowest-id sample,
+    then emits the identical center + weighted-chain fold in DuckDB —
+    same written order, same quantized literals."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{parquet_path}') "
+        f"ORDER BY {id_col} LIMIT {sample}").df()
+    con.close()
+    X = np.array([np.asarray(v, dtype=np.float64)
+                  for v in pdf[vec_col].tolist()])
+    mean, components = _pca_train_np(X, out_dim, round_to)
+    mus = ", ".join(f"CAST('{m!r}' AS DOUBLE)" for m in mean)
+    comps = []
+    for row in components:
+        s = _wsum_expr(row, lambda i: f"cd[{i}]")
+        comps.append(_floor_round(s, round_to, "duckdb"))
+    prefix = (
+        f"WITH x AS (SELECT {id_col}, "
+        f"list_transform({vec_col}, v -> CAST(v AS DOUBLE)) AS xd "
+        f"FROM {table}), "
+        f"c AS (SELECT {id_col}, list_transform(list_zip(xd, [{mus}]), "
+        f"p -> p[1] - p[2]) AS cd FROM x)")
+    inner = f"SELECT {id_col}, [" + ", ".join(comps) + "] AS proj FROM c"
+    if explode:
+        return prefix + _explode_duckdb(inner, id_col, out_dim)
+    return f"{prefix} {inner}"

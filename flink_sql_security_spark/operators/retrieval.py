@@ -98,6 +98,16 @@ def bm25_topk(df, terms, k: int = 20, *, text_col: str = "text",
     # re-exploding the full corpus in a second subtree
     tf = (toks.groupBy(id_col, "dl", "token")
           .agg(F.count("*").alias("tf")).persist())
+    out = _bm25_score_tail(tf, terms, n_docs, avgdl, k1, b, k, id_col)
+    return attach(out, tf)
+
+
+def _bm25_score_tail(tf, terms, n_docs: int, avgdl: float, k1: float,
+                     b: float, k: int, id_col: str):
+    """Score + rank tail shared by the scan path (:func:`bm25_topk`) and
+    the index path (:func:`bm25_topk_indexed`): both hand in the same
+    (id, dl, token, tf) relation, so both emit bit-identical scores and
+    check against the one oracle (:func:`bm25_topk_sql`)."""
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
 
     # Robertson-Sparck-Jones idf (the "+1" variant, always positive), and
@@ -122,8 +132,82 @@ def bm25_topk(df, terms, k: int = 20, *, text_col: str = "text",
     per_doc = per_doc.withColumn("score", floor_round_col(total, 6))
 
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    out = (per_doc.withColumn("rank", F.row_number().over(w))
-           .where(F.col("rank") <= k))
+    return (per_doc.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def bm25_build_index(df, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(postings, stats): the build-once artifacts for indexed BM25.
+
+    ``postings`` is one row per distinct (document, token):
+    (token, id_col, dl, tf) — the classic inverted index laid out
+    relationally, with the document length denormalized onto every
+    posting so probes never join back to the corpus. ``stats`` is the
+    exact (n_docs, avgdl) pair computed the same way as
+    :func:`bm25_topk`'s driver-side stats job (exact integer aggregates,
+    one IEEE divide), so indexed scores are bit-identical to scan scores.
+
+    This is the build-once / probe-many production shape the per-call
+    :func:`bm25_topk` scan cannot give you at scale: the 100 TB corpus is
+    tokenized EXACTLY ONCE (one explode + one (doc, token) aggregate —
+    the same single shuffle the scan path pays per query), and every
+    subsequent query touches only its own terms' posting lists. Persist
+    the result yourself — ``postings.write.partitionBy()`` is wrong here
+    (token cardinality ~vocabulary size would explode the file count);
+    write plain parquet sorted within partitions by token
+    (``sortWithinPartitions('token')``) so min/max row-group stats make
+    the probe-time ``token IN (...)`` filter skip row groups, or bucket
+    by token for the co-located aggregate.
+    """
+    toks_all = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), _WS), lambda t: t != "")
+    with_dl = df.select(F.col(id_col), F.size(toks_all).alias("dl"),
+                        F.col(text_col))
+    row = with_dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("total")).collect()[0]
+    n_docs = int(row["n"])
+    avgdl = int(row["total"]) / n_docs  # exact ints -> one IEEE divide
+
+    postings = (
+        with_dl.repartition(F.col(id_col))
+        .select(F.col(id_col), F.col("dl"),
+                F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS))
+                .alias("token"))
+        # the split's empty artifacts are not words — dl already excludes
+        # them; a probe never asks for '' so storing its postings is waste
+        .where(F.col("token") != "")
+        .groupBy("token", F.col(id_col), F.col("dl"))
+        .agg(F.count("*").alias("tf"))
+    )
+    return postings, (n_docs, avgdl)
+
+
+def bm25_topk_indexed(postings, stats, terms, k: int = 20, *,
+                      id_col: str = "doc_id", k1: float = 1.2,
+                      b: float = 0.75):
+    """Top-k BM25 answered from a prebuilt inverted index.
+
+    ``postings``/``stats`` come from :func:`bm25_build_index` (or the
+    same relation read back from its parquet artifact). Per query the
+    plan reads ONLY the query terms' posting lists — the ``token IN``
+    filter is pushed into the scan of the narrow postings table, so
+    probe cost is O(Σ posting-list length), independent of corpus size —
+    then runs the identical score/rank tail as :func:`bm25_topk`.
+    Output schema and every double match the scan path bit-for-bit
+    (same fixed-order fold, same floor rule), so the one oracle
+    (:func:`bm25_topk_sql`) checks both.
+    """
+    terms = list(terms)
+    if not terms:
+        raise ValueError("bm25_topk_indexed requires at least one query term")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"duplicate query terms: {terms}")
+    n_docs, avgdl = int(stats[0]), float(stats[1])
+    # persist the pruned slice: the score tail reads it twice (df agg +
+    # score join); without the boundary both subtrees re-scan the index
+    tf = (postings.where(F.col("token").isin(terms))
+          .select(id_col, "dl", "token", "tf").persist())
+    out = _bm25_score_tail(tf, terms, n_docs, avgdl, k1, b, k, id_col)
     return attach(out, tf)
 
 

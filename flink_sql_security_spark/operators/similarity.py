@@ -383,6 +383,43 @@ def cosine_topk(df: DataFrame, queries_df: DataFrame,
     )
 
 
+def filtered_topk(df: DataFrame, queries_df: DataFrame, predicate: str,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  k: int = 5, round_to: int = 6,
+                  broadcast_queries: bool | None = None,
+                  broadcast_limit_bytes: int = 64 << 20,
+                  n_blocks: int = 8, q_blocks: int = 8) -> DataFrame:
+    """Filtered vector search: exact top-k among corpus rows satisfying
+    a metadata ``predicate`` (SQL expression over the corpus columns).
+
+    The filter applies BEFORE any distance math (pre-filtering) — the
+    semantics every production vector store documents as "filtered
+    search". The alternative, post-filtering (run plain top-k' then drop
+    non-matching neighbors), is NOT equivalent: for a selective
+    predicate the unfiltered top-k' may contain fewer than k matches —
+    or none — however large k' is, so post-filtering silently under-
+    returns exactly when the filter matters most. Pre-filtering is
+    always exact: every returned neighbor matches, every match competes.
+
+    Scale shape: the predicate lands on the corpus scan (Catalyst pushes
+    a stored-column predicate into the parquet reader — check
+    ``PushedFilters`` in the plan), so IO and the brute-force scan both
+    shrink by the filter's selectivity before a single dot product runs;
+    the scored side is then the usual :func:`cosine_topk` physical plan
+    (broadcast-LUT mapInPandas or blocked NLJ). For a predicate over a
+    SEPARATE metadata table, semi-join it in first
+    (``df.join(meta_ids, id_col, 'left_semi')``) — same pre-filter
+    semantics, broadcastable when the id set is small.
+    """
+    if not isinstance(predicate, str) or not predicate.strip():
+        raise ValueError(
+            f"filtered_topk: predicate must be a non-empty SQL string, "
+            f"got {predicate!r}")
+    return cosine_topk(df.where(predicate), queries_df, vec_col, id_col,
+                       k, round_to, broadcast_queries,
+                       broadcast_limit_bytes, n_blocks, q_blocks)
+
+
 def _blocked_cosine_topk(raw: DataFrame, q: DataFrame, vec_col: str,
                          id_col: str, k: int, round_to: int,
                          n_blocks: int, q_blocks: int) -> DataFrame:

@@ -1556,6 +1556,184 @@ def test_rp_project_is_narrow_and_loud(spark):
         RP.rp_project(bad_el, in_dim=64, out_dim=8).collect()
 
 
+# ---------------------------------------------------------------------------
+# Trained PCA projection (operators/projection.py)
+# ---------------------------------------------------------------------------
+
+def test_pca_project_duckdb_parity(spark):
+    import duckdb
+
+    from flink_sql_security_spark.operators import projection as RP
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    mean, comps = RP.pca_train(emb, out_dim=8, sample=512)
+    got = sorted((r["vec_id"], tuple(r["proj"]))
+                 for r in RP.pca_project(emb, mean, comps).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    want = sorted((i, tuple(p)) for i, p in con.execute(
+        RP.pca_project_duckdb_sql(path, out_dim=8, sample=512)).fetchall())
+    assert got == want and len(got) == 500
+
+
+def test_pca_train_artifacts_are_canonical(spark):
+    """Deterministic train, sign-fixed components (largest-|coef|
+    element positive), components ordered by decreasing captured
+    variance on the training sample."""
+    import numpy as np
+
+    from flink_sql_security_spark.operators import projection as RP
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = RP.pca_train(emb, out_dim=6, sample=256)
+    b = RP.pca_train(emb, out_dim=6, sample=256)
+    assert a == b
+    mean, comps = a
+    assert len(mean) == 64 and [len(r) for r in comps] == [64] * 6
+    for row in comps:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # captured variance decreasing: project the sample, compare
+    # per-component variances (weakly, post-quantization)
+    proj = {r["vec_id"]: r["proj"] for r in RP.pca_project(
+        emb.where("vec_id < 256"), mean, comps).collect()}
+    P = np.array([proj[i] for i in sorted(proj)])
+    v = P.var(axis=0)
+    assert all(v[j] >= v[j + 1] - 1e-9 for j in range(len(v) - 1)), v
+
+
+def test_pca_beats_rp_at_equal_dim_on_neighbor_recall(spark):
+    """The reason to pay the training pass: at the same out_dim, PCA's
+    projected space preserves true nearest-neighbor sets better than an
+    oblivious JL sign projection on the same vectors (recall@10 of the
+    exact top-10 measured in the projected space)."""
+    import numpy as np
+
+    from flink_sql_security_spark.operators import projection as RP
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .where("vec_id < 120")
+    orig = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(orig)
+    X = np.array([orig[i] for i in ids])
+
+    def recall(P):
+        hits = tot = 0
+        for qi in range(len(ids)):
+            d_true = ((X - X[qi]) ** 2).sum(axis=1)
+            d_proj = ((P - P[qi]) ** 2).sum(axis=1)
+            t = set(np.argsort(d_true)[1:11])
+            p = set(np.argsort(d_proj)[1:11])
+            hits += len(t & p)
+            tot += 10
+        return hits / tot
+
+    mean, comps = RP.pca_train(emb, out_dim=8, sample=512)
+    pca = {r["vec_id"]: r["proj"]
+           for r in RP.pca_project(emb, mean, comps).collect()}
+    rp = {r["vec_id"]: r["proj"]
+          for r in RP.rp_project(emb, in_dim=64, out_dim=8).collect()}
+    r_pca = recall(np.array([pca[i] for i in ids]))
+    r_rp = recall(np.array([rp[i] for i in ids]))
+    assert r_pca > r_rp, (r_pca, r_rp)
+
+
+def test_projection_exploded_form_matches_array_form(spark):
+    """explode=True (the window-safe (id, dim, val) shape — the driver
+    canonicalizer cannot sort list cells) carries exactly the array
+    form's values, for PCA, RP and PQ-reconstruct."""
+    from flink_sql_security_spark.operators import pq as PQ
+    from flink_sql_security_spark.operators import projection as RP
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .where("vec_id < 60")
+    mean, comps = RP.pca_train(emb, out_dim=4, sample=64)
+    books = PQ.pq_train(emb, m=8, k=8, iters=2, sample=64)
+    for arr_df, ex_df, val_col in [
+        (RP.pca_project(emb, mean, comps),
+         RP.pca_project(emb, mean, comps, explode=True), "proj"),
+        (RP.rp_project(emb, in_dim=64, out_dim=4),
+         RP.rp_project(emb, in_dim=64, out_dim=4, explode=True), "proj"),
+        (PQ.pq_reconstruct(emb, books),
+         PQ.pq_reconstruct(emb, books, explode=True), "approx"),
+    ]:
+        arrays = {r["vec_id"]: list(r[val_col]) for r in arr_df.collect()}
+        got: dict[int, dict[int, float]] = {}
+        for r in ex_df.collect():
+            got.setdefault(r["vec_id"], {})[r["dim"]] = r["val"]
+        rebuilt = {i: [d[j] for j in sorted(d)] for i, d in got.items()}
+        assert rebuilt == arrays and len(arrays) == 60
+    import pytest
+
+    with pytest.raises(ValueError, match="exclusive"):
+        PQ.pq_reconstruct(emb, books, stringify=True, explode=True)
+
+
+def test_pca_project_is_narrow_and_loud(spark):
+    import pytest
+
+    from flink_sql_security_spark.operators import projection as RP
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comps = RP.pca_train(emb, out_dim=4, sample=128)
+    plan = RP.pca_project(emb, mean, comps) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan and "InPandas" not in plan
+    assert "EvalPython" not in plan
+    bad_len = spark.createDataFrame([(1, [0.5] * 8)],
+                                    "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="has size"):
+        RP.pca_project(bad_len, mean, comps).collect()
+    vec = [0.5] * 64
+    vec[5] = None
+    bad_el = spark.createDataFrame([(1, vec)],
+                                   "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NULL/NaN element"):
+        RP.pca_project(bad_el, mean, comps).collect()
+    with pytest.raises(ValueError, match="component 0 has"):
+        RP.pca_project(emb, mean, [[0.0] * 63])
+    with pytest.raises(ValueError, match="out_dim"):
+        RP.pca_train(emb, out_dim=0)
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search (operators/similarity.py filtered_topk)
+# ---------------------------------------------------------------------------
+
+def test_filtered_topk_prefilter_semantics(spark):
+    """Every neighbor satisfies the predicate, every match competes —
+    including matches a post-filter of the unfiltered top-k would have
+    missed entirely."""
+    rows = [
+        # query 1 plus nine A-label vectors nearly parallel to it and
+        # two B-label vectors further away: the unfiltered top-3 is all
+        # A, so post-filtering it for B returns NOTHING — pre-filtering
+        # must return both B vectors.
+        (1, [1.0, 0.0, 0.0, 0.0], "A"),
+        *[(i, [1.0, 0.001 * i, 0.0, 0.0], "A") for i in range(2, 11)],
+        (11, [0.8, 0.6, 0.0, 0.0], "B"),
+        (12, [0.6, 0.8, 0.0, 0.0], "B"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.where("vec_id = 1")
+    plain = S.cosine_topk(df, q, k=3).collect()
+    assert all(r["n_id"] < 11 for r in plain)  # top-3 is all label A
+    filt = S.filtered_topk(df, q, "label = 'B'", k=3).collect()
+    assert sorted(r["n_id"] for r in filt) == [11, 12]
+    assert [r["rank"] for r in sorted(filt, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_filtered_topk_validates_predicate(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="non-empty SQL string"):
+        S.filtered_topk(df, df, "  ")
+    with pytest.raises(ValueError, match="non-empty SQL string"):
+        S.filtered_topk(df, df, None)
+
+
 def test_component_safe_split_no_leakage(docs):
     """The operator's contract: every member of a near-dup component
     lands in ONE split; singletons match plain hash_split keyed on

@@ -67,6 +67,72 @@ def test_bm25_presupplied_stats_match(spark):
     assert sorted(map(tuple, auto)) == sorted(map(tuple, manual))
 
 
+# ----------------------------------------------- bm25 inverted index
+
+def test_bm25_indexed_matches_scan_bitwise(spark):
+    """The index path's contract: same (id, dl, per-term, score, rank)
+    rows as the per-call scan — bit-for-bit, since both feed the shared
+    score tail; one oracle therefore checks both."""
+    from flink_sql_security_spark.operators.retrieval import (
+        bm25_build_index, bm25_topk_indexed)
+
+    df = _docs(spark)
+    terms = ["vector", "stream", "hash"]
+    postings, stats = bm25_build_index(df)
+    scan = bm25_topk(df, terms, k=10).collect()
+    probe = bm25_topk_indexed(postings, stats, terms, k=10).collect()
+    assert sorted(map(tuple, scan)) == sorted(map(tuple, probe))
+    assert len(scan) > 0
+
+
+def test_bm25_index_artifact_shape(spark):
+    """Postings are one row per distinct (doc, token), no empty-string
+    artifacts, dl denormalized; stats match the scan path's exact
+    integer aggregates."""
+    from flink_sql_security_spark.operators.retrieval import (
+        bm25_build_index)
+
+    postings, (n_docs, avgdl) = bm25_build_index(_docs(spark))
+    rows = postings.collect()
+    assert all(r["token"] != "" for r in rows)
+    assert len({(r["doc_id"], r["token"]) for r in rows}) == len(rows)
+    # doc 1: "vector vector vector search index" -> tf(vector)=3, dl=5
+    by = {(r["doc_id"], r["token"]): r for r in rows}
+    assert by[(1, "vector")]["tf"] == 3 and by[(1, "vector")]["dl"] == 5
+    assert n_docs == 5
+    assert avgdl == pytest.approx((5 + 2 + 3 + 4 + 4) / 5)
+
+
+def test_bm25_indexed_roundtrips_parquet(spark, tmp_path):
+    """The probe-many production shape: postings written to parquet
+    (sorted within partitions by token so row-group stats prune the
+    term filter), read back cold, probed — identical answer."""
+    from flink_sql_security_spark.operators.retrieval import (
+        bm25_build_index, bm25_topk_indexed)
+
+    df = _docs(spark)
+    postings, stats = bm25_build_index(df)
+    path = str(tmp_path / "postings.parquet")
+    postings.sortWithinPartitions("token").write.parquet(path)
+    cold = spark.read.parquet(path)
+    direct = bm25_topk_indexed(postings, stats, ["vector", "hash"],
+                               k=10).collect()
+    reread = bm25_topk_indexed(cold, stats, ["vector", "hash"],
+                               k=10).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, reread))
+
+
+def test_bm25_indexed_validates_terms(spark):
+    from flink_sql_security_spark.operators.retrieval import (
+        bm25_build_index, bm25_topk_indexed)
+
+    postings, stats = bm25_build_index(_docs(spark))
+    with pytest.raises(ValueError, match="at least one"):
+        bm25_topk_indexed(postings, stats, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bm25_topk_indexed(postings, stats, ["a", "a"])
+
+
 # --------------------------------------------------------------- fuzzy
 
 def test_fuzzy_blocks_and_verifies(spark):

@@ -31,6 +31,9 @@ import sys
 PYTHON_OK = {
     "multimodal_features", "multimodal_resize_plan", "multimodal_frame_plan",
     "emb_cosine_pairs", "emb_semantic_dedup", "emb_cosine_topk",
+    # filtered search: the SAME cosine_topk query-side kernel — the
+    # predicate prunes the corpus scan before it (pure JVM filter).
+    "emb_filtered_topk",
     "emb_ann_pairs", "emb_ivf_topk", "emb_kmeans_cells", "emb_quantize_int8",
     # PQ top-k: per-query ADC LUTs build in ONE mapInPandas over the
     # query table (round-5: replaced the driver toPandas loop) — an
