@@ -1724,6 +1724,101 @@ def test_filtered_topk_prefilter_semantics(spark):
     assert [r["rank"] for r in sorted(filt, key=lambda r: r["rank"])] == [1, 2]
 
 
+def test_fuzz_pca_configs_cross_engine(spark):
+    """Config fuzz over trained PCA: random (out_dim, sample, explode)
+    draws, each trial's artifacts re-derived by the oracle emitter and
+    the projection value-exact vs DuckDB. Seed base 13131."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators import projection as RP
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    rng = random.Random(13131)
+    for trial in range(4):
+        out_dim = rng.choice([1, 3, 8, 17])
+        sample = rng.choice([16, 100, 333, 500])
+        explode = rng.random() < 0.5
+        cfg = (trial, out_dim, sample, explode)
+        mean, comps = RP.pca_train(emb, out_dim=out_dim, sample=sample)
+        got = sorted(
+            (r["vec_id"], r["dim"], r["val"]) if explode
+            else (r["vec_id"], tuple(r["proj"]))
+            for r in RP.pca_project(emb, mean, comps,
+                                    explode=explode).collect())
+        want = sorted(
+            (r[0], r[1], r[2]) if explode else (r[0], tuple(r[1]))
+            for r in con.execute(RP.pca_project_duckdb_sql(
+                path, out_dim=out_dim, sample=sample,
+                explode=explode)).fetchall())
+        assert got == want and len(got) > 0, cfg
+    con.close()
+
+
+def _filtered_topk_duckdb_sql(corpus_pred: str, query_pred: str,
+                              k: int) -> str:
+    """Oracle twin of filtered_topk for the fuzz suite: unit-dot
+    scoring with the predicate on the corpus side only (the
+    emb_filtered_topk entry shape, parameterized)."""
+    from flink_sql_security_spark.functions.text import floor_round
+
+    dot = floor_round(
+        "list_sum(list_transform(list_zip(q.unit, c.unit), "
+        "x -> x[1] * x[2]))", 6, "duckdb")
+    return (
+        "WITH x AS (SELECT vec_id, label, "
+        "list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd, "
+        "sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n "
+        "FROM embeddings), "
+        "u AS (SELECT vec_id, label, "
+        "list_transform(xd, v -> v / n) AS unit FROM x), "
+        f"scored AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, {dot} "
+        f"AS cosine FROM u q, u c WHERE ({query_pred.replace('vec_id', 'q.vec_id')}) "
+        f"AND ({corpus_pred}) AND q.vec_id <> c.vec_id), "
+        "ranked AS (SELECT q_id, n_id, cosine, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank "
+        "FROM scored) "
+        f"SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= {k}")
+
+
+def test_fuzz_filtered_topk_configs_cross_engine(spark):
+    """Config fuzz over filtered search: random corpus predicates
+    (equality / set / range / modulo over label and vec_id), query
+    slices and k draws, each value-exact vs the DuckDB oracle. Seed
+    base 15151."""
+    import random
+
+    import duckdb
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    rng = random.Random(15151)
+    for trial in range(4):
+        pred = rng.choice([
+            "label = 3", "label IN (1, 2)", "label >= 7",
+            "vec_id % 5 = 2", "label = 4 AND vec_id % 2 = 0"])
+        qhi = rng.choice([5, 12, 20])
+        k = rng.choice([1, 3, 7])
+        cfg = (trial, pred, qhi, k)
+        got = sorted(map(tuple, S.filtered_topk(
+            emb, emb.where(f"vec_id < {qhi}"), pred, k=k).collect()))
+        duck_pred = (pred.replace("label", "c.label")
+                     .replace("vec_id", "c.vec_id"))
+        want = sorted(map(tuple, con.execute(_filtered_topk_duckdb_sql(
+            duck_pred, f"vec_id < {qhi}", k)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
+
+
 def test_filtered_topk_validates_predicate(spark):
     import pytest
 

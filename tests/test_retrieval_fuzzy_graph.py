@@ -122,6 +122,42 @@ def test_bm25_indexed_roundtrips_parquet(spark, tmp_path):
     assert sorted(map(tuple, direct)) == sorted(map(tuple, reread))
 
 
+def test_fuzz_bm25_indexed_configs_cross_engine(spark):
+    """Config fuzz over the index path: random term sets (drawn from
+    the real corpus vocabulary) and k, each trial checked BOTH ways —
+    indexed ≡ scan bitwise, and indexed value-exact vs the DuckDB
+    oracle. Seed base 14141."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.retrieval import (
+        bm25_build_index, bm25_topk, bm25_topk_indexed, bm25_topk_sql)
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{path}')")
+    pool = ["scan", "column", "window", "order", "join", "merge",
+            "query", "vector", "hash", "stream", "filter", "data"]
+    postings, stats = bm25_build_index(docs)
+    postings = postings.persist()
+    rng = random.Random(14141)
+    for trial in range(4):
+        terms = rng.sample(pool, rng.choice([1, 2, 4]))
+        k = rng.choice([5, 20, 50])
+        cfg = (trial, terms, k)
+        probe = sorted(map(tuple, bm25_topk_indexed(
+            postings, stats, terms, k=k).collect()))
+        scan = sorted(map(tuple, bm25_topk(docs, terms, k=k).collect()))
+        want = sorted(map(tuple, con.execute(
+            bm25_topk_sql(terms, k=k)).fetchall()))
+        assert probe == scan == want and len(probe) > 0, cfg
+    postings.unpersist()
+    con.close()
+
+
 def test_bm25_indexed_validates_terms(spark):
     from flink_sql_security_spark.operators.retrieval import (
         bm25_build_index, bm25_topk_indexed)
