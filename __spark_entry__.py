@@ -2130,6 +2130,31 @@ FROM s GROUP BY user_id, session_id
         with_tables(trade_pagerank),
         G.pagerank_sql(_EDGES_SQL, iters=5),
     )
+
+    # HITS on the DIRECTED bipartite trade graph (customer → supplier):
+    # the two-score ranking — supplier authority vs customer hub weight
+    # — that symmetrized PageRank conflates. Same quantized-integer
+    # determinism recipe; strict oracle unrolls the identical mutual
+    # recursion.
+    _DIRECTED_EDGES_SQL = (
+        "SELECT DISTINCT o.o_custkey AS src, "
+        "l.l_suppkey + 1000000 AS dst FROM orders o "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey")
+
+    def trade_hits(s):
+        edges = (
+            s.table("orders")
+            .join(s.table("lineitem"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + F.lit(1000000)).alias("dst"))
+            .distinct())
+        return G.hits(edges, iters=5)
+
+    out["graph_hits"] = (
+        with_tables(trade_hits),
+        G.hits_sql(_DIRECTED_EDGES_SQL, iters=5),
+    )
     return out
 
 
@@ -2451,7 +2476,14 @@ _CHECK_ORDER = [
     # mining (anchor/positive/negative joins with per-anchor ranked
     # negatives) and the fill-in-middle PSM split (deterministic span
     # re-assembly) had no driver row ever.
-    "sample_temperature_mix", "bpe_tokens",
+    # late-r09 swap (third pass): bpe_tokens → graph_hits. The BPE
+    # train/encode pair is golden- and parity-pinned in pytest and was
+    # already slated to exit in the provisional r10 pick below; HITS
+    # (directed two-score link analysis, new this round) gets its
+    # birth-round driver row beside graph_pagerank — the mutual
+    # recursion + per-half-step L1 normalization is a shape the
+    # single-score power iteration does not pin.
+    "sample_temperature_mix", "graph_hits",
     "multimodal_features", "graph_pagerank",
     "profile_quantiles", "pipeline_clean_corpus",
     "sessionize_events", "asof_purchase_click",
@@ -2460,13 +2492,14 @@ _CHECK_ORDER = [
     "window_lag_running",
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
-    # After the r09 rotations above, ever-windowed union = 120/146
+    # After the r09 rotations above, ever-windowed union = 121/147
     # (every r09-born entry — retrieval_rrf_hybrid, text_bm25_indexed,
-    # emb_filtered_topk, emb_pca_project — is windowed in its birth
+    # emb_filtered_topk, emb_pca_project, graph_hits — is windowed in its birth
     # round, the r7 lesson; q9_product_profit / pivot_daily_events /
-    # sample_dsir_weights hold driver rows from earlier rounds).
+    # sample_dsir_weights / bpe_tokens hold driver rows from earlier
+    # rounds).
     # The r10 rotation MUST take ALL 25 remaining never-windowed
-    # entries so the union reaches 146/146 (chunk_sentence_budget,
+    # entries so the union reaches 147/147 (chunk_sentence_budget,
     # retrieval_rrf_grouped, and chunk_content_defined landed after
     # the r9 window validation and join the list below):
     # (authoritative list, recomputed late-r9 as all entries minus
@@ -2514,7 +2547,7 @@ _CHECK_ORDER = [
     #   in-row; CMS/HLL pins stay), emb_opq_topk + emb_opq_ivf_topk
     #   (PQ/ADC cores stay via emb_pq_topk + emb_ivfpq_rerank),
     #   emb_pq_topk (ADC core = stage 1 of in-window emb_ivfpq_rerank),
-    #   sample_temperature_mix, bpe_tokens,
+    #   sample_temperature_mix,
     #   profile_quantiles, retrieval_mmr_topk, retrieval_rrf_hybrid
     #   (fusion arithmetic pytest+config-fuzz pinned),
     #   graph_pagerank (quantized-core partitioning-invariance pytest),

@@ -1,4 +1,5 @@
-"""Iterative graph analytics on DataFrames: fixed-iteration PageRank.
+"""Iterative graph analytics on DataFrames: fixed-iteration PageRank
+and HITS (hubs/authorities).
 
 The link-analysis primitive of a corpus pipeline — rank entities by
 connectivity (site importance for crawl prioritization, influence
@@ -177,6 +178,175 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     if dangling == "redistribute":
         return attach(out, ed, nodes, edges, dang_nodes)
     return attach(out, ed, nodes, edges)
+
+
+def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
+         n_nodes: int | None = None,
+         broadcast_scores_limit: int = 5_000_000):
+    """(node, hub, auth, auth_pos) after ``iters`` HITS iterations
+    (Kleinberg 1999, "Authoritative sources in a hyperlinked
+    environment") — the two-score companion to :func:`pagerank` for
+    DIRECTED graphs: authorities are pointed-to by good hubs, hubs
+    point to good authorities. The corpus-pipeline use is ranking a
+    bipartite interaction graph from both sides at once (customers →
+    suppliers, crawlers → sites, queries → documents) where a single
+    PageRank score conflates the two roles.
+
+    Per iteration (the synchronous mutual-recursion update, L1
+    normalization each half-step so scores stay a distribution):
+    ``auth(v) = Σ_{u→v} hub(u) / Σ`` then ``hub(u) = Σ_{u→v} auth(v)
+    / Σ``. Plan shape mirrors pagerank exactly: the edge table is
+    persisted once and traversed twice per iteration (join on src for
+    the authority pass, on dst for the hub pass), the |V|-row score
+    tables broadcast under ``broadcast_scores_limit``, and the 1-row
+    normalization totals broadcast into the rebuilds.
+
+    Strict-oracle float parity (the pagerank recipe): every
+    contribution quantizes to integer micro-units
+    (``floor(score·1e12)`` as BIGINT) before summing, so the sums are
+    exact and partition-order-independent; normalization is ONE IEEE
+    divide of two exact integers per row. A node with no out-edges
+    has hub 0, no in-edges auth 0 — with ≥1 edge the totals stay
+    positive (initial hub 1/N quantizes to ≥1 unit for N ≤ 1e12), so
+    the divides never see zero.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    edges = edges.persist()
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct().persist())
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    init = 1.0 / n_nodes
+    small_v = n_nodes <= broadcast_scores_limit
+
+    def hint(df):
+        return F.broadcast(df) if small_v else df
+
+    e = (edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+         .persist())
+
+    hubs = nodes.select("node", F.lit(init).alias("hub"))
+    auths = None
+    for _ in range(iters):
+        a_sums = (
+            e.join(hint(hubs), e["e_src"] == hubs["node"])
+            .select(F.col("e_dst"),
+                    F.floor(F.col("hub") * F.lit(_QUANTUM))
+                    .cast("long").alias("c"))
+            .groupBy("e_dst").agg(F.sum("c").alias("araw")))
+        a_tot = a_sums.agg(
+            F.coalesce(F.sum("araw"), F.lit(0)).alias("atot"))
+        auths = (
+            nodes.join(hint(a_sums), nodes["node"] == a_sums["e_dst"],
+                       "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select("node",
+                    (F.coalesce(F.col("araw"), F.lit(0)).cast("double")
+                     / F.col("atot").cast("double")).alias("auth")))
+        h_sums = (
+            e.join(hint(auths), e["e_dst"] == auths["node"])
+            .select(F.col("e_src"),
+                    F.floor(F.col("auth") * F.lit(_QUANTUM))
+                    .cast("long").alias("c"))
+            .groupBy("e_src").agg(F.sum("c").alias("hraw")))
+        h_tot = h_sums.agg(
+            F.coalesce(F.sum("hraw"), F.lit(0)).alias("htot"))
+        hubs = (
+            nodes.join(hint(h_sums), nodes["node"] == h_sums["e_src"],
+                       "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select("node",
+                    (F.coalesce(F.col("hraw"), F.lit(0)).cast("double")
+                     / F.col("htot").cast("double")).alias("hub")))
+        # MANDATORY materialization boundary — unlike pagerank's
+        # optional checkpoint_every. HITS nests FOUR broadcasts per
+        # iteration (score hint + 1-row total, twice), and every
+        # broadcast re-executes its whole upstream subtree, so the
+        # uncut DAG replays ~4× more work per added iteration:
+        # measured OOM (executor heap, 291 stages) at iters=4 on a
+        # 15-node fuzz graph. Cutting lineage at each |V|-row score
+        # table keeps per-iteration work linear — the ranks ARE the
+        # small state, exactly what an iterative graph algorithm
+        # should materialize. Values are unchanged (a storage
+        # boundary, not math).
+        auths = auths.localCheckpoint(eager=True)
+        hubs = hubs.localCheckpoint(eager=True)
+
+    w = Window.orderBy(F.desc("auth"), F.asc("node"))
+    out = (hubs.join(hint(auths), "node")
+           .withColumn("auth_pos", F.row_number().over(w))
+           .select("node", "hub", "auth", "auth_pos"))
+    return attach(out, e, nodes, edges)
+
+
+def hits_sql(edges_sql: str, *, iters: int = 5) -> str:
+    """DuckDB SQL unrolling the identical HITS iteration (oracle).
+
+    ``edges_sql`` must select columns (src, dst). Same construction
+    rules as :func:`pagerank_sql`: quoted-string double literals,
+    BIGINT micro-unit sums, identical association in every divide.
+
+    Every CTE is ``AS MATERIALIZED`` — the oracle-side twin of the
+    operator's mandatory localCheckpoint. DuckDB may inline a CTE per
+    reference, and the mutual recursion references each level at least
+    twice (score join + normalization total), so the inlined expansion
+    multiplies base-table scans ~4× per iteration: at 5 iterations the
+    un-materialized oracle opened thousands of parquet readers and
+    died on fd exhaustion inside a long oracle-sweep session.
+    MATERIALIZED pins one evaluation per level (values unchanged — the
+    same exact-integer arithmetic either way).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
+    q = "CAST('1e12' AS DOUBLE)"
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "stats AS MATERIALIZED (SELECT count(*) AS n FROM nodes)",
+        "h0 AS MATERIALIZED (SELECT node, CAST('1.0' AS DOUBLE) / n "
+        "AS hub FROM nodes CROSS JOIN stats)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst, "
+            f"CAST(sum(CAST(floor(h.hub * {q}) "
+            f"AS BIGINT)) AS BIGINT) AS araw FROM edges e "
+            f"JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst)")
+        parts.append(
+            f"at{i} AS MATERIALIZED (SELECT "
+            f"CAST(coalesce(sum(araw), 0) AS BIGINT) "
+            f"AS atot FROM ar{i})")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT nodes.node, "
+            f"CAST(coalesce(ar{i}.araw, 0) AS DOUBLE) "
+            f"/ CAST(at{i}.atot AS DOUBLE) AS auth "
+            f"FROM nodes CROSS JOIN at{i} "
+            f"LEFT JOIN ar{i} ON nodes.node = ar{i}.dst)")
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src, "
+            f"CAST(sum(CAST(floor(a.auth * {q}) "
+            f"AS BIGINT)) AS BIGINT) AS hraw FROM edges e "
+            f"JOIN a{i} a ON e.dst = a.node GROUP BY e.src)")
+        parts.append(
+            f"ht{i} AS MATERIALIZED (SELECT "
+            f"CAST(coalesce(sum(hraw), 0) AS BIGINT) "
+            f"AS htot FROM hr{i})")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT nodes.node, "
+            f"CAST(coalesce(hr{i}.hraw, 0) AS DOUBLE) "
+            f"/ CAST(ht{i}.htot AS DOUBLE) AS hub "
+            f"FROM nodes CROSS JOIN ht{i} "
+            f"LEFT JOIN hr{i} ON nodes.node = hr{i}.src)")
+    return (
+        ", ".join(parts)
+        + f" SELECT h{iters}.node, hub, auth, row_number() OVER "
+        f"(ORDER BY auth DESC, h{iters}.node) AS auth_pos "
+        f"FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node"
+    )
 
 
 def pagerank_sql(edges_sql: str, *, iters: int = 5,

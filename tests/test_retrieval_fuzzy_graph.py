@@ -169,6 +169,98 @@ def test_bm25_indexed_validates_terms(spark):
         bm25_topk_indexed(postings, stats, ["a", "a"])
 
 
+# ---------------------------------------------------------------- hits
+
+def _hits_edges(spark):
+    # 1 points at both targets (best hub); 10 is pointed at by three
+    # hubs (best authority); 4 -> 11 is a weak hub
+    rows = [(1, 10), (2, 10), (3, 10), (1, 11), (4, 11)]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_hits_golden_roles(spark):
+    from flink_sql_security_spark.operators.graph import hits
+
+    out = {r["node"]: r for r in hits(_hits_edges(spark),
+                                      iters=3).collect()}
+    # authorities: only targets have in-edges; 10 beats 11
+    assert out[10]["auth_pos"] == 1 and out[11]["auth_pos"] == 2
+    assert out[10]["auth"] > out[11]["auth"] > 0
+    assert all(out[n]["auth"] == 0.0 for n in (1, 2, 3, 4))
+    # hubs: only sources have out-edges; 1 (points at both) is top
+    hubs = sorted(((r["hub"], n) for n, r in out.items()), reverse=True)
+    assert hubs[0][1] == 1
+    assert all(out[n]["hub"] == 0.0 for n in (10, 11))
+    # L1 normalization: each score family sums to ~1
+    assert abs(sum(r["auth"] for r in out.values()) - 1.0) < 1e-9
+    assert abs(sum(r["hub"] for r in out.values()) - 1.0) < 1e-9
+
+
+def test_hits_partitioning_invariant(spark):
+    """The quantized-integer recipe's contract: identical doubles under
+    any physical layout of the edge table."""
+    from flink_sql_security_spark.operators.graph import hits
+
+    edges = _hits_edges(spark)
+    a = sorted(map(tuple, hits(edges, iters=4).collect()))
+    b = sorted(map(tuple, hits(edges.repartition(7, "dst"),
+                               iters=4).collect()))
+    assert a == b
+
+
+def test_hits_regular_graph_is_uniform(spark):
+    """On a directed cycle (every node indeg = outdeg = 1) the mutual
+    recursion's fixed point is uniform from iteration one: auth = hub
+    = 1/N for every node, BIT-exactly (equal integer contributions →
+    equal exact divides)."""
+    from flink_sql_security_spark.operators.graph import hits
+
+    n = 7
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], ["src", "dst"])
+    for r in hits(cycle, iters=3).collect():
+        assert r["auth"] == 1.0 / n and r["hub"] == 1.0 / n, r
+
+
+def test_hits_validates_iters(spark):
+    from flink_sql_security_spark.operators.graph import hits, hits_sql
+
+    with pytest.raises(ValueError, match="iters"):
+        hits(_hits_edges(spark), iters=0)
+    with pytest.raises(ValueError, match="iters"):
+        hits_sql("SELECT 1 AS src, 2 AS dst", iters=0)
+
+
+def test_fuzz_hits_configs_cross_engine(spark):
+    """Config fuzz over HITS: random directed graphs (size, density,
+    iteration count), each bit-equal vs the unrolled DuckDB oracle.
+    Seed base 16161."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.graph import hits, hits_sql
+
+    con = duckdb.connect()
+    rng = random.Random(16161)
+    for trial in range(4):
+        n = rng.choice([4, 9, 15])
+        m = rng.choice([5, 12, 25])
+        iters = rng.choice([1, 2, 4])
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        cfg = (trial, n, m, iters)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = sorted(map(tuple, hits(df, iters=iters).collect()))
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        want = sorted(map(tuple, con.execute(hits_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+            iters=iters)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
+
+
 # --------------------------------------------------------------- fuzzy
 
 def test_fuzzy_blocks_and_verifies(spark):

@@ -67,6 +67,10 @@ PYTHON_OK = {
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
 NLJ_OK = {
+    # HITS: the per-half-step L1 normalization cross-joins a 1-ROW
+    # quantized total into the |V|-row score rebuild (same shape as
+    # pagerank's redistribute dq) — tiny side by construction.
+    "graph_hits",
     "zorder_orders", "q11_important_parts", "q22_global_sales",
     "q15_top_supplier", "q17_small_qty_revenue", "sample_token_budget",
     "emb_kmeans_cells", "emb_quantize_int8", "dedup_span_stats",
