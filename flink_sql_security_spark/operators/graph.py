@@ -195,11 +195,13 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     Per iteration (the synchronous mutual-recursion update, L1
     normalization each half-step so scores stay a distribution):
     ``auth(v) = Σ_{u→v} hub(u) / Σ`` then ``hub(u) = Σ_{u→v} auth(v)
-    / Σ``. Plan shape mirrors pagerank exactly: the edge table is
-    persisted once and traversed twice per iteration (join on src for
-    the authority pass, on dst for the hub pass), the |V|-row score
-    tables broadcast under ``broadcast_scores_limit``, and the 1-row
-    normalization totals broadcast into the rebuilds.
+    / Σ``. Plan shape: the edge table is persisted once and traversed
+    twice per iteration (join on src for the authority pass, on dst
+    for the hub pass), the |V|-row score tables broadcast under
+    ``broadcast_scores_limit``, the per-iteration sum tables persist
+    once each, and the L1 totals resolve driver-side to exact BIGINT
+    scalars embedded as literals (see the in-loop comment for why —
+    in-plan 1-row broadcasts replayed the aggregates multiplicatively).
 
     Strict-oracle float parity (the pagerank recipe): every
     contribution quantizes to integer micro-units
@@ -229,56 +231,69 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
 
     hubs = nodes.select("node", F.lit(init).alias("hub"))
     auths = None
+    prev_cache: list = []
     for _ in range(iters):
+        # Materialization discipline — the part that makes the mutual
+        # recursion affordable (unlike pagerank, whose two broadcasts
+        # per iteration keep the uncut DAG cheap at shallow depth):
+        # every Spark broadcast re-executes its upstream subtree, and
+        # HITS consumes each |V|-row aggregate from MULTIPLE broadcast
+        # positions, so un-persisted sums replayed ~9× per iteration
+        # (measured 18-20 s at sf0.1/iters=5; the fully-uncut variant
+        # OOM'd at iters=4 on a 15-NODE fuzz graph, 291 stages).
+        # The shape that works: persist each sum table (computed once),
+        # pull the 1-row L1 totals to the driver as EXACT BIGINT
+        # scalars (bounded driver traffic — one integer per half-step,
+        # the same class as the n_nodes count; the literal divides
+        # produce bit-identical doubles to the former in-plan column),
+        # and cut lineage once per iteration at the checkpointed hub
+        # table the recursion carries forward. 18.3 → 11.0 s min-of-3
+        # at sf0.1/iters=5 (each remaining second is real work: two
+        # ~550k-row edge-pass aggregates per iteration — structurally
+        # ~2× pagerank's one — plus the checkpoint jobs).
         a_sums = (
             e.join(hint(hubs), e["e_src"] == hubs["node"])
             .select(F.col("e_dst"),
                     F.floor(F.col("hub") * F.lit(_QUANTUM))
                     .cast("long").alias("c"))
-            .groupBy("e_dst").agg(F.sum("c").alias("araw")))
-        a_tot = a_sums.agg(
-            F.coalesce(F.sum("araw"), F.lit(0)).alias("atot"))
+            .groupBy("e_dst").agg(F.sum("c").alias("araw"))
+            .persist())
+        atot = int(a_sums.agg(F.coalesce(
+            F.sum("araw"), F.lit(0))).collect()[0][0])
         auths = (
             nodes.join(hint(a_sums), nodes["node"] == a_sums["e_dst"],
                        "left")
-            .crossJoin(F.broadcast(a_tot))
             .select("node",
                     (F.coalesce(F.col("araw"), F.lit(0)).cast("double")
-                     / F.col("atot").cast("double")).alias("auth")))
+                     / F.lit(atot).cast("double")).alias("auth")))
         h_sums = (
             e.join(hint(auths), e["e_dst"] == auths["node"])
             .select(F.col("e_src"),
                     F.floor(F.col("auth") * F.lit(_QUANTUM))
                     .cast("long").alias("c"))
-            .groupBy("e_src").agg(F.sum("c").alias("hraw")))
-        h_tot = h_sums.agg(
-            F.coalesce(F.sum("hraw"), F.lit(0)).alias("htot"))
+            .groupBy("e_src").agg(F.sum("c").alias("hraw"))
+            .persist())
+        htot = int(h_sums.agg(F.coalesce(
+            F.sum("hraw"), F.lit(0))).collect()[0][0])
         hubs = (
             nodes.join(hint(h_sums), nodes["node"] == h_sums["e_src"],
                        "left")
-            .crossJoin(F.broadcast(h_tot))
             .select("node",
                     (F.coalesce(F.col("hraw"), F.lit(0)).cast("double")
-                     / F.col("htot").cast("double")).alias("hub")))
-        # MANDATORY materialization boundary — unlike pagerank's
-        # optional checkpoint_every. HITS nests FOUR broadcasts per
-        # iteration (score hint + 1-row total, twice), and every
-        # broadcast re-executes its whole upstream subtree, so the
-        # uncut DAG replays ~4× more work per added iteration:
-        # measured OOM (executor heap, 291 stages) at iters=4 on a
-        # 15-node fuzz graph. Cutting lineage at each |V|-row score
-        # table keeps per-iteration work linear — the ranks ARE the
-        # small state, exactly what an iterative graph algorithm
-        # should materialize. Values are unchanged (a storage
-        # boundary, not math).
-        auths = auths.localCheckpoint(eager=True)
-        hubs = hubs.localCheckpoint(eager=True)
+                     / F.lit(htot).cast("double")).alias("hub"))
+            .localCheckpoint(eager=True))
+        # previous iterations' sums are now baked into the checkpoint;
+        # the FINAL iteration's stay persisted (auths still reads
+        # a_sums lazily) and release with the output via attach()
+        for c in prev_cache:
+            c.unpersist()
+        prev_cache = [a_sums, h_sums]
 
     w = Window.orderBy(F.desc("auth"), F.asc("node"))
     out = (hubs.join(hint(auths), "node")
            .withColumn("auth_pos", F.row_number().over(w))
            .select("node", "hub", "auth", "auth_pos"))
-    return attach(out, e, nodes, edges)
+    return attach(out, e, nodes, edges, *prev_cache)
 
 
 def hits_sql(edges_sql: str, *, iters: int = 5) -> str:
