@@ -86,10 +86,27 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     # is the number of distinct 256-token bins
     n_assigned = packed.count()
     n_bins = packed.select("bin_id").distinct().count()
+
+    # targeted topic extraction over the SAME corpus, the build-once/
+    # probe-many way: the inverted index tokenizes the documents once;
+    # each probe below reads only its own terms' posting lists (at
+    # corpus scale: row-group-pruned reads, not a re-scan).
+    from flink_sql_security_spark.operators.retrieval import (
+        bm25_build_index, bm25_topk_indexed)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings, stats = bm25_build_index(docs)
+    postings = postings.persist()
+    probes = {terms[0]: bm25_topk_indexed(postings, stats, terms,
+                                          k=5).count()
+              for terms in (["vector", "hash"], ["stream"], ["join"])}
+    postings.unpersist()
+
     release(cleaned)
     return {"n_raw": n_raw, "n_clean": n_clean, "keep": keep_rows,
             "n_mixed": n_mixed, "by_split": by_split,
-            "n_assigned": n_assigned, "n_bins": n_bins}
+            "n_assigned": n_assigned, "n_bins": n_bins,
+            "probes": probes}
 
 
 def main() -> None:
@@ -104,6 +121,7 @@ def main() -> None:
           f"-> mixed {out['n_mixed']} -> splits {out['by_split']} "
           f"-> {out['n_bins']} training bins")
     print(f"near-dup clusters with a canonical pick: {len(out['keep'])}")
+    print(f"indexed BM25 probes (term -> hits): {out['probes']}")
     spark.stop()
 
 

@@ -152,10 +152,29 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
                           id_col="vec_id", group_col="q_id",
                           k0=60, k=3).collect()
     assert {r["q_id"] for r in fused_rows} == {r["q_id"] for r in opq_rows}
+
+    # 9) filtered search: serve "top-k among label-3 vectors" — the
+    # predicate prunes the corpus scan BEFORE any distance math
+    # (post-filtering a top-k' list under-returns on selective
+    # filters); every hit must carry the label.
+    filt_rows = S.filtered_topk(emb, queries, "label = 3", k=3).collect()
+    lab3 = {r["vec_id"] for r in emb.where("label = 3").collect()}
+    assert all(r["n_id"] in lab3 for r in filt_rows)
+
+    # 10) PCA reduction ahead of ANN: train on the bounded lowest-id
+    # sample, project 64 -> 8 dims as a zero-shuffle literal fold —
+    # the data-aware alternative to the JL sign projection when one
+    # training pass is affordable.
+    from flink_sql_security_spark.operators import projection as RPJ
+
+    mean, comps = RPJ.pca_train(emb, out_dim=8, sample=256)
+    pca_rows = RPJ.pca_project(emb, mean, comps).collect()
+    assert len(pca_rows) == n_indexed and len(pca_rows[0]["proj"]) == 8
+
     return {"n_indexed": n_indexed, "batch": batch_rows,
             "stream": stream_rows, "rerank": rerank_rows,
             "binary": bin_rows, "mmr": mmr_rows, "opq": opq_rows,
-            "fused": fused_rows}
+            "fused": fused_rows, "filtered": filt_rows, "pca": pca_rows}
 
 
 def main() -> None:

@@ -64,6 +64,10 @@ def test_vector_search_walkthrough(spark):
         per_q.setdefault(r[0], set()).add(r[3])
     assert all(ranks == {1, 2, 3} for ranks in per_q.values())
     assert set(per_q) == {r[0] for r in out["batch"]}
+    # filtered search keeps the per-query contract on the label slice
+    # (membership asserted inside run()); PCA projects every vector
+    assert len(out["filtered"]) == 15
+    assert len(out["pca"]) == 500
 
 
 def test_curation_pipeline_walkthrough(spark):
@@ -84,6 +88,8 @@ def test_curation_pipeline_walkthrough(spark):
     assert 0 < out["n_bins"] <= out["n_assigned"]
     # canonical picks: one keeper per cluster, members >= 2
     assert out["keep"] and all(r["n_members"] >= 2 for r in out["keep"])
+    # indexed BM25 probes: each term set finds hits from the one index
+    assert out["probes"] and all(n > 0 for n in out["probes"].values())
     # deterministic under re-run (content-hash arithmetic everywhere)
     again = run(spark)
     assert again["n_mixed"] == out["n_mixed"]
