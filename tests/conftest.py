@@ -25,6 +25,12 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # one JVM hosts the whole ~500-test session; the 1g default
+        # heap accumulates broadcast/GC pressure until a deep-DAG test
+        # late in the run OOMs (seen once on the pagerank config fuzz
+        # at ~test 490 — passes standalone). Headroom, not a fix for
+        # any operator: the box has 128 GiB.
+        .config("spark.driver.memory", "6g")
         .getOrCreate()
     )
     yield spark
