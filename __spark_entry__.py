@@ -2159,6 +2159,29 @@ FROM s GROUP BY user_id, session_id
         with_tables(trade_hits),
         G.hits_sql(_DIRECTED_EDGES_SQL, iters=3),
     )
+
+    # Personalized PageRank: teleport to a 3-customer seed set over the
+    # directed trade graph — "suppliers related to THESE customers".
+    # NOT windowed (same precedent as emb_binary_ivf_topk): the
+    # quantized power-iteration core holds its driver pin via in-window
+    # graph_pagerank; the seed-teleport delta is a literal CASE both
+    # engines fold identically, strictly checked here at all SFs.
+    _PPR_SEEDS = [1, 2, 3]
+
+    def trade_ppr(s):
+        edges = (
+            s.table("orders")
+            .join(s.table("lineitem"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + F.lit(1000000)).alias("dst"))
+            .distinct())
+        return G.pagerank(edges, iters=4, seeds=_PPR_SEEDS)
+
+    out["graph_ppr"] = (
+        with_tables(trade_ppr),
+        G.pagerank_sql(_DIRECTED_EDGES_SQL, iters=4, seeds=_PPR_SEEDS),
+    )
     return out
 
 
@@ -2496,14 +2519,14 @@ _CHECK_ORDER = [
     "window_lag_running",
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
-    # After the r09 rotations above, ever-windowed union = 121/147
+    # After the r09 rotations above, ever-windowed union = 121/148
     # (every r09-born entry — retrieval_rrf_hybrid, text_bm25_indexed,
     # emb_filtered_topk, emb_pca_project, graph_hits — is windowed in its birth
     # round, the r7 lesson; q9_product_profit / pivot_daily_events /
     # sample_dsir_weights / bpe_tokens hold driver rows from earlier
     # rounds).
-    # The r10 rotation MUST take ALL 25 remaining never-windowed
-    # entries so the union reaches 147/147 (chunk_sentence_budget,
+    # The r10 rotation MUST take ALL 26 remaining never-windowed
+    # entries so the union reaches 148/148 (chunk_sentence_budget,
     # retrieval_rrf_grouped, and chunk_content_defined landed after
     # the r9 window validation and join the list below):
     # (authoritative list, recomputed late-r9 as all entries minus
@@ -2517,10 +2540,11 @@ _CHECK_ORDER = [
     #   multimodal_resize_plan, pack_length_batches,
     #   sample_epoch_upsample, sample_hash_fraction, sample_weighted,
     #   skew_salted_agg, text_fingerprint, vocab_top_tokens,
-    #   retrieval_rrf_grouped, chunk_content_defined
+    #   retrieval_rrf_grouped, chunk_content_defined, graph_ppr
     # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 25 incomers plus
-    # 14 veterans. Outgoing candidates for r10 (all will then hold
+    # surface); 50 − 11 = 39 slots leave room for all 26 incomers plus
+    # 13 veterans (drop one from the Keepers list below — its cores all
+    # hold pytest pins). Outgoing candidates for r10 (all will then hold
     # recorded driver rows + pytest pins): the eleven r09 incomers
     # above, plus q22_global_sales, pivot_daily_events,
     # interval_click_purchase, sample_dsir_weights,

@@ -60,7 +60,8 @@ _QUANTUM = 1.0e12
 def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
              damping: float = 0.85, n_nodes: int | None = None,
              broadcast_ranks_limit: int = 5_000_000,
-             dangling: str = "leak", checkpoint_every: int = 0):
+             dangling: str = "leak", checkpoint_every: int = 0,
+             seeds: list | None = None):
     """Ranks after ``iters`` synchronous PageRank iterations.
 
     ``edges`` is a DataFrame of DISTINCT directed (src, dst) pairs.
@@ -68,6 +69,24 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     endpoint; rank_pos orders by rank desc, node asc.  Initial rank is
     uniform 1/N; per-iteration update
     ``rank = (1-d)/N + d * sum_in(floor(rank_src/outdeg * 1e12))/1e12``.
+
+    ``seeds`` switches to PERSONALIZED PageRank (Haveliwala 2002 /
+    the Page et al. 1998 personalization vector): teleport mass goes
+    to the seed set instead of uniformly — ``tele(v) = 1/|S|`` for
+    seed nodes, 0 elsewhere; initial rank is the teleport vector and
+    the update becomes ``rank = (1-d)·tele(v) + d·sum_in`` (with
+    ``dangling='redistribute'``, dangling mass also returns via
+    ``tele``, the standard treatment). The result scores every node
+    by proximity to the seeds — the graph-expansion primitive of
+    retrieval pipelines ("documents related to THESE") and the
+    crawl-frontier scorer for topic-focused corpus collection. The
+    seed list folds into the plan as an IN-literal: it is
+    query-sized by contract (a handful to a few thousand ids), NOT a
+    distributed table — for seed sets beyond literal-folding scale,
+    run one PPR per seed batch and sum (PPR is linear in the
+    teleport vector). Seeds absent from the graph keep their 1/|S|
+    share of teleport mass by design (it simply never lands), so
+    ranks still compare across graphs sharing a seed list.
 
     ``broadcast_ranks_limit``: the |V|-row rank/contribution tables are
     derived through joins+aggregates, so Catalyst has no size estimate
@@ -87,6 +106,12 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     if checkpoint_every < 0:
         raise ValueError(
             f"checkpoint_every must be >= 0, got {checkpoint_every}")
+    if seeds is not None:
+        seeds = list(seeds)
+        if not seeds:
+            raise ValueError("seeds must be a non-empty list (or None)")
+        if len(set(seeds)) != len(seeds):
+            raise ValueError(f"duplicate seeds: {seeds}")
     # the edge list feeds THREE derivations (nodes, outdeg, and the
     # join building ed reads it on both sides) — persist the input once
     # so an expensive upstream subtree (a join+distinct building the
@@ -124,7 +149,27 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
             hint(outdeg.select(F.col(src).alias("node"))),
             "node", "left_anti").persist()
 
-    ranks = nodes.select("node", F.lit(init).alias("rank"))
+    # teleport vector: uniform literal, or — personalized — a CASE on
+    # seed membership. Literals identical to the oracle's; the (1-d)·
+    # tele multiply runs per row with the same operands on both engines
+    if seeds is not None:
+        tshare = 1.0 / len(seeds)
+
+        def tele():
+            return (F.when(F.col("node").isin(seeds), F.lit(tshare))
+                    .otherwise(F.lit(0.0)))
+
+        def base_col():
+            return F.lit(1.0 - damping) * tele()
+
+        init_col = tele()
+    else:
+        def base_col():
+            return F.lit(base)
+
+        init_col = F.lit(init)
+
+    ranks = nodes.select("node", init_col.alias("rank"))
     for it in range(iters):
         contribs = (
             ed.join(hint(ranks), ed["e_src"] == ranks["node"])
@@ -132,7 +177,7 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
                     F.floor((F.col("rank") / F.col("outdeg"))
                             * F.lit(_QUANTUM)).cast("long").alias("c")))
         sums = contribs.groupBy("e_dst").agg(F.sum("c").alias("csum"))
-        new_rank = (F.lit(base) + (F.lit(damping)
+        new_rank = (base_col() + (F.lit(damping)
                     * (F.coalesce(F.col("csum"), F.lit(0)).cast("double")
                        / F.lit(_QUANTUM))))
         if dangling == "redistribute":
@@ -144,11 +189,15 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
                   .agg(F.coalesce(
                       F.sum(F.floor(F.col("rank") * F.lit(_QUANTUM))
                             .cast("long")), F.lit(0)).alias("dq")))
-            new_rank = (F.lit(base) + (F.lit(damping)
+            # dangling mass returns via the teleport distribution:
+            # /N uniform, ·tele(v) personalized
+            dterm = F.col("dq").cast("double") / F.lit(_QUANTUM)
+            dterm = (dterm * tele() if seeds is not None
+                     else dterm / F.lit(float(n_nodes)))
+            new_rank = (base_col() + (F.lit(damping)
                         * ((F.coalesce(F.col("csum"), F.lit(0))
                             .cast("double") / F.lit(_QUANTUM))
-                           + ((F.col("dq").cast("double") / F.lit(_QUANTUM))
-                              / F.lit(float(n_nodes))))))
+                           + dterm)))
             ranks = (
                 nodes.join(hint(sums), nodes["node"] == sums["e_dst"],
                            "left")
@@ -365,7 +414,8 @@ def hits_sql(edges_sql: str, *, iters: int = 5) -> str:
 
 
 def pagerank_sql(edges_sql: str, *, iters: int = 5,
-                 damping: float = 0.85, dangling: str = "leak") -> str:
+                 damping: float = 0.85, dangling: str = "leak",
+                 seeds: list | None = None) -> str:
     """DuckDB SQL unrolling the identical fixed-point iteration (oracle).
 
     ``edges_sql`` must select columns (src, dst).  Doubles are built
@@ -374,7 +424,9 @@ def pagerank_sql(edges_sql: str, *, iters: int = 5,
     ``dangling='redistribute'`` mirrors :func:`pagerank`'s option: the
     per-iteration dangling total is the same quantized BIGINT sum, and
     the rank update appends ``+ (dq/1e12)/n`` with identical
-    association, so the engines stay bit-equal.
+    association, so the engines stay bit-equal. ``seeds`` mirrors the
+    personalized variant: the same CASE teleport vector, the same
+    per-row ``(1-d)·tele`` multiply, dangling mass times ``tele``.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -388,6 +440,22 @@ def pagerank_sql(edges_sql: str, *, iters: int = 5,
     q = "CAST('1e12' AS DOUBLE)"
     one_minus = 1.0 - damping
     redis = dangling == "redistribute"
+    if seeds is not None:
+        seeds = list(seeds)
+        if not seeds:
+            raise ValueError("seeds must be a non-empty list (or None)")
+        if len(set(seeds)) != len(seeds):
+            raise ValueError(f"duplicate seeds: {seeds}")
+        ids = ", ".join(str(s) for s in seeds)
+
+        def tele(node: str) -> str:
+            return (f"(CASE WHEN {node} IN ({ids}) "
+                    f"THEN {d(1.0 / len(seeds))} ELSE {d(0.0)} END)")
+
+        r0 = f"r0 AS (SELECT node, {tele('node')} AS rank FROM nodes)"
+    else:
+        r0 = (f"r0 AS (SELECT node, {d(1.0)} / n AS rank "
+              "FROM nodes CROSS JOIN stats)")
     parts = [
         f"WITH edges AS ({edges_sql})",
         "nodes AS (SELECT src AS node FROM edges "
@@ -397,13 +465,14 @@ def pagerank_sql(edges_sql: str, *, iters: int = 5,
         "GROUP BY src)",
         "ed AS (SELECT e.src, e.dst, o.outdeg FROM edges e "
         "JOIN outdeg o ON e.src = o.src)",
-        f"r0 AS (SELECT node, {d(1.0)} / n AS rank "
-        "FROM nodes CROSS JOIN stats)",
+        r0,
     ]
     if redis:
         parts.append(
             "dnodes AS (SELECT n1.node FROM nodes n1 LEFT JOIN outdeg o "
             "ON n1.node = o.src WHERE o.src IS NULL)")
+    base = (f"({d(one_minus)} * {tele('nodes.node')})" if seeds is not None
+            else f"({d(one_minus)} / n)")
     for i in range(1, iters + 1):
         parts.append(
             f"c{i} AS (SELECT ed.dst, CAST(sum(CAST(floor((r.rank "
@@ -414,16 +483,19 @@ def pagerank_sql(edges_sql: str, *, iters: int = 5,
                 f"d{i} AS (SELECT CAST(coalesce(sum(CAST(floor(r.rank "
                 f"* {q}) AS BIGINT)), 0) AS BIGINT) AS dq "
                 f"FROM dnodes JOIN r{i - 1} r ON dnodes.node = r.node)")
+            dterm = (f"((CAST(d{i}.dq AS DOUBLE) / {q}) "
+                     + (f"* {tele('nodes.node')})" if seeds is not None
+                        else "/ n)"))
             parts.append(
-                f"r{i} AS (SELECT nodes.node, ({d(one_minus)} / n) "
+                f"r{i} AS (SELECT nodes.node, {base} "
                 f"+ ({d(damping)} * ((CAST(coalesce(c{i}.csum, 0) "
-                f"AS DOUBLE) / {q}) + ((CAST(d{i}.dq AS DOUBLE) / {q}) "
-                f"/ n))) AS rank FROM nodes CROSS JOIN stats "
+                f"AS DOUBLE) / {q}) + {dterm})) AS rank "
+                f"FROM nodes CROSS JOIN stats "
                 f"CROSS JOIN d{i} "
                 f"LEFT JOIN c{i} ON nodes.node = c{i}.dst)")
             continue
         parts.append(
-            f"r{i} AS (SELECT nodes.node, ({d(one_minus)} / n) "
+            f"r{i} AS (SELECT nodes.node, {base} "
             f"+ ({d(damping)} * (CAST(coalesce(c{i}.csum, 0) AS DOUBLE) "
             f"/ {q})) AS rank FROM nodes CROSS JOIN stats "
             f"LEFT JOIN c{i} ON nodes.node = c{i}.dst)")

@@ -261,6 +261,95 @@ def test_fuzz_hits_configs_cross_engine(spark):
     con.close()
 
 
+# ----------------------------------------------------- personalized pr
+
+def test_ppr_mass_decays_from_seed(spark):
+    """On a directed path 1→2→3→4→5 with seeds=[1], rank decays with
+    distance from the seed, the seed holds its (1-d)·1 teleport floor,
+    and off-path teleport mass is zero (node 5 receives only flow)."""
+    from flink_sql_security_spark.operators.graph import pagerank
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in pagerank(
+        path, iters=6, seeds=[1]).collect()}
+    assert out[1] >= 0.15 - 1e-12          # (1-d)·tele = 0.15 floor
+    assert out[2] > out[3] > out[4] > out[5] > 0
+    assert out[2] < out[1] + 1e-12 or out[2] > 0  # sanity: finite
+
+
+def test_ppr_all_seeds_close_to_uniform_pagerank(spark):
+    """seeds = every node ≡ uniform teleport: ranks match the standard
+    run to within an ulp-scale tolerance (the two paths fold
+    (1-d)/N vs (1-d)·(1/N) — same value, different op order)."""
+    from flink_sql_security_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11), (4, 11), (10, 1)],
+        ["src", "dst"])
+    nodes = [1, 2, 3, 4, 10, 11]
+    uni = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=4).collect()}
+    ppr = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=4, seeds=nodes).collect()}
+    assert set(uni) == set(ppr)
+    for n in uni:
+        assert abs(uni[n] - ppr[n]) < 1e-12, (n, uni[n], ppr[n])
+
+
+def test_ppr_validates_seeds(spark):
+    from flink_sql_security_spark.operators.graph import (
+        pagerank, pagerank_sql)
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(df, seeds=[])
+    with pytest.raises(ValueError, match="duplicate"):
+        pagerank(df, seeds=[1, 1])
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank_sql("SELECT 1 AS src, 2 AS dst", seeds=[])
+    with pytest.raises(ValueError, match="duplicate"):
+        pagerank_sql("SELECT 1 AS src, 2 AS dst", seeds=[2, 2])
+
+
+def test_fuzz_ppr_configs_cross_engine(spark):
+    """Config fuzz for personalized PageRank: random graphs, seed
+    sets, iteration counts, damping and dangling draws — each
+    bit-equal Spark vs DuckDB. Seed base 17171."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.graph import (
+        pagerank, pagerank_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(17171)
+    for trial in range(4):
+        n = rng.randint(5, 12)
+        m = rng.randint(n, 3 * n)
+        edges = sorted({(rng.randint(1, n), rng.randint(1, n))
+                        for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b] or [(1, 2)]
+        iters = rng.randint(1, 5)
+        damping = rng.choice([0.85, 0.5, 0.99])
+        dangling = rng.choice(["leak", "redistribute"])
+        n_seeds = rng.randint(1, max(1, n // 2))
+        seeds = sorted(rng.sample(range(1, n + 1), n_seeds))
+        cfg = (trial, len(edges), iters, damping, dangling, seeds)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = sorted(map(tuple, pagerank(
+            df, iters=iters, damping=damping, dangling=dangling,
+            seeds=seeds).collect()))
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        want = sorted(map(tuple, con.execute(pagerank_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+            iters=iters, damping=damping, dangling=dangling,
+            seeds=seeds)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
+
+
 # --------------------------------------------------------------- fuzzy
 
 def test_fuzzy_blocks_and_verifies(spark):
