@@ -2182,6 +2182,39 @@ FROM s GROUP BY user_id, session_id
         with_tables(trade_ppr),
         G.pagerank_sql(_DIRECTED_EDGES_SQL, iters=4, seeds=_PPR_SEEDS),
     )
+
+    # Triangle counting + local clustering coefficient over the part
+    # CO-PURCHASE graph (parts bought together in the same urgent
+    # order) — the community-density companion to the rank family
+    # above; the urgent-priority slice bounds the graph at ~240k edges
+    # at sf0.1 (full corpus would be ~1.2M edges / 70M wedges — a
+    # cluster job, not a bench entry). Degree-oriented wedge join, so
+    # integer-exact counts survive any partitioning; strict oracle.
+    _COPURCHASE_EDGES_SQL = (
+        "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "JOIN orders o ON a.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderpriority = '1-URGENT'")
+
+    def part_triangles(s):
+        li = s.table("lineitem").select("l_orderkey", "l_partkey")
+        urgent = (s.table("orders")
+                  .where(F.col("o_orderpriority") == "1-URGENT")
+                  .select("o_orderkey"))
+        a, b = li.alias("a"), li.alias("b")
+        edges = (
+            a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .join(urgent, F.col("a.l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("a.l_partkey").alias("src"),
+                    F.col("b.l_partkey").alias("dst")))
+        return G.triangle_count(edges)
+
+    out["graph_triangles"] = (
+        with_tables(part_triangles),
+        G.triangle_sql(_COPURCHASE_EDGES_SQL),
+    )
     return out
 
 

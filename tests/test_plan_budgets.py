@@ -88,6 +88,12 @@ BUDGETS = {
     # IVF-binary: the probe side broadcasts (a hash join on cell, no
     # cartesian), leaving only the top-k window's q_id exchange
     "emb_binary_ivf_topk": 1,
+    # round-9 triangles: the shuffles the algorithm owns — edge
+    # distinct, degree agg, wedge self-join (both sides), closure
+    # probe, corner count — with e/o/tri persisted once and the
+    # degree table broadcast into the orientation join (measured 9;
+    # the unpersisted/unbroadcast first cut was 22)
+    "graph_triangles": 9,
 }
 
 

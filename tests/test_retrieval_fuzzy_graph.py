@@ -925,3 +925,103 @@ def test_fuzz_rrf_configs_cross_engine(spark):
             weights=weights)).fetchall()))
         con.close()
         assert got == want and len(got) > 0, cfg
+
+
+# ------------------------------------------------------------ triangles
+
+def test_triangles_complete_graph(spark):
+    """K5: every node sits in C(4,2)=6 triangles with coefficient 1.0;
+    degree-orientation must not lose or double-count any."""
+    from flink_sql_security_spark.operators.graph import triangle_count
+
+    k5 = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(5) if a < b],
+        ["src", "dst"])
+    for r in triangle_count(k5).collect():
+        assert r["degree"] == 4 and r["triangles"] == 6, r
+        assert r["clustering"] == 1.0, r
+
+
+def test_triangles_bipartite_is_zero(spark):
+    """A bipartite graph has no triangles; degree-1 nodes take the
+    0.0 coefficient branch (no 0/0 divide)."""
+    from flink_sql_security_spark.operators.graph import triangle_count
+
+    bi = spark.createDataFrame(
+        [(a, 100 + b) for a in range(4) for b in range(3)] + [(9, 108)],
+        ["src", "dst"])
+    rows = triangle_count(bi).collect()
+    assert all(r["triangles"] == 0 for r in rows)
+    assert all(r["clustering"] == 0.0 for r in rows)
+    deg1 = [r for r in rows if r["degree"] == 1]
+    assert deg1 and all(r["clustering"] == 0.0 for r in deg1)
+
+
+def test_triangles_brute_force(spark):
+    """Random multigraph with self-loops and reversed duplicates vs an
+    itertools brute force over the simplified graph."""
+    import itertools
+    import random
+
+    from flink_sql_security_spark.operators.graph import triangle_count
+
+    rng = random.Random(2718)
+    raw = [(rng.randrange(12), rng.randrange(12)) for _ in range(80)]
+    simple = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    per: dict[int, int] = {}
+    for a, b, c in itertools.combinations(
+            sorted({x for e in simple for x in e}), 3):
+        if {(a, b), (b, c), (a, c)} <= simple:
+            for x in (a, b, c):
+                per[x] = per.get(x, 0) + 1
+    out = {r["node"]: r for r in triangle_count(
+        spark.createDataFrame(raw, ["src", "dst"])).collect()}
+    for node, row in out.items():
+        assert row["triangles"] == per.get(node, 0), node
+    assert sum(r["triangles"] for r in out.values()) == sum(per.values())
+
+
+def test_triangles_partitioning_invariant(spark):
+    """Integer counts make the result independent of input layout —
+    same rows under a hostile repartition."""
+    from flink_sql_security_spark.operators.graph import triangle_count
+
+    import random
+
+    rng = random.Random(31415)
+    raw = [(rng.randrange(20), rng.randrange(20)) for _ in range(150)]
+    df = spark.createDataFrame(raw, ["src", "dst"])
+    a = sorted(map(tuple, triangle_count(df).collect()))
+    b = sorted(map(tuple, triangle_count(
+        df.repartition(11, "dst")).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_fuzz_triangles_configs_cross_engine(spark):
+    """Config fuzz: random undirected graphs (size, density), each
+    bit-equal vs the triangle_sql DuckDB oracle — including the
+    floor-rounded clustering coefficient. Seed base 27182."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.graph import (
+        triangle_count, triangle_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(27182)
+    for trial in range(4):
+        n = rng.choice([6, 10, 16])
+        m = rng.choice([8, 20, 40])
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        if all(a == b for a, b in edges):
+            edges.append((0, 1))
+        cfg = (trial, n, m)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = sorted(map(tuple, triangle_count(df).collect()))
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        want = sorted(map(tuple, con.execute(triangle_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)"
+        )).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
