@@ -1713,6 +1713,41 @@ FROM s GROUP BY user_id, session_id
 """,
     )
 
+    # robust per-group outlier detection (operators/profile.py
+    # robust_outliers): median/MAD flags on the heavy-tailed events.value
+    # — exact lower-median order statistics (no interpolation, no float
+    # parity risk), the whole operator ONE hash exchange on the group key
+    def outliers(s):
+        from flink_sql_security_spark.operators.profile import robust_outliers
+        return robust_outliers(
+            s.table("events"), value_col="value",
+            group_cols=["event_type"], id_cols=["event_id"], k=3.0)
+
+    from flink_sql_security_spark.operators.profile import (
+        robust_outliers_duckdb_sql)
+    out["profile_outliers"] = (
+        with_tables(outliers),
+        robust_outliers_duckdb_sql(
+            "events", value_col="value", group_cols=["event_type"],
+            id_cols=["event_id"], k=3.0),
+    )
+
+    # time-series gap-fill (operators/timeseries.py): hourly resample of
+    # each user's purchase values with forward-fill — the join-free
+    # formulation (lead + sequence-explode, two shuffles on the user key,
+    # no calendar join). Values are carried, never recomputed → strict.
+    def gapfilled(s):
+        from flink_sql_security_spark.operators.timeseries import resample_ffill
+        return resample_ffill(
+            s.table("events").where(F.col("event_type") == "purchase"))
+
+    from flink_sql_security_spark.operators.timeseries import resample_ffill_sql
+    out["events_gapfill"] = (
+        with_tables(gapfilled),
+        resample_ffill_sql(
+            "(SELECT * FROM events WHERE event_type = 'purchase')"),
+    )
+
     # as-of join: each purchase attributed to the user's most recent prior
     # click (operators/asof.py: union + ordered-window, one shuffle). The
     # right side is deduped per (user_id, ts) so ties are deterministic;

@@ -190,3 +190,105 @@ def profile_quantiles_duckdb_sql(table: str, cols: list[str],
             for p in ps)
         parts.append(f"SELECT '{c}' AS \"column\", {qs} FROM {table}")
     return " UNION ALL ".join(parts)
+
+
+def robust_outliers(df: DataFrame, *, value_col: str,
+                    group_cols: list[str], id_cols: list[str],
+                    k: float = 3.0) -> DataFrame:
+    """Per-group robust outlier detection: rows where the absolute
+    deviation from the group median exceeds ``k`` × MAD (median
+    absolute deviation) — the data-QA step that catches corrupted
+    values mean/stddev z-scores miss, because median and MAD don't
+    move when the corruption itself inflates the moments (50%
+    breakdown point vs 0% for the mean).
+
+    Exact LOWER-median order statistic (the value at 1-indexed rank
+    ``floor((n+1)/2)``) instead of the interpolated median: selecting
+    an element that exists in the data involves no float arithmetic,
+    so the engines agree bit-for-bit on ANY doubles — interpolation
+    parity would restrict inputs to 2-decimal money values (see
+    :func:`profile_quantiles`). Deviations are one IEEE subtract of
+    two carried doubles; the only rounded value is the reported
+    ``score`` (NULL when MAD = 0 — in that degenerate group every
+    deviation > 0 already flags, and 0/0 is engine-dependent).
+
+    Scale: every step — rank, count, median broadcast-within-group,
+    deviation rank, MAD — is a window over the SAME group key, so the
+    whole operator is ONE hash exchange plus in-partition sorts; no
+    joins, no driver collection. Skewed group sizes are the usual
+    window caveat; pre-salt pathological groups upstream if one group
+    dominates the table.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if not id_cols:
+        raise ValueError("id_cols must be non-empty")
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy(*group_cols)
+    w_val = wp.orderBy(F.col("_v"), *[F.col(c) for c in id_cols])
+    w_dev = wp.orderBy(F.col("_dev"), *[F.col(c) for c in id_cols])
+    base = (df.select(*group_cols, *id_cols,
+                      F.col(value_col).cast("double").alias("_v"))
+            .where(F.col("_v").isNotNull()))
+    med = (base
+           .withColumn("_rn", F.row_number().over(w_val))
+           .withColumn("_n", F.count("*").over(wp))
+           .withColumn("_med", F.max(F.when(
+               F.col("_rn") == F.floor((F.col("_n") + 1) / 2),
+               F.col("_v")).otherwise(None)).over(wp)))
+    dev = med.withColumn("_dev", F.abs(F.col("_v") - F.col("_med")))
+    mad = (dev
+           .withColumn("_rn2", F.row_number().over(w_dev))
+           .withColumn("_mad", F.max(F.when(
+               F.col("_rn2") == F.floor((F.col("_n") + 1) / 2),
+               F.col("_dev")).otherwise(None)).over(wp)))
+    out = (mad.where(F.col("_dev") > F.lit(float(k)) * F.col("_mad"))
+           .select(
+               *group_cols, *id_cols,
+               F.col("_v").alias("value"),
+               F.col("_med").alias("med"),
+               F.col("_mad").alias("mad"),
+               F.when(F.col("_mad") > 0,
+                      _floor_round_col(F.col("_dev") / F.col("_mad")))
+               .otherwise(None).alias("score")))
+    return out
+
+
+def robust_outliers_duckdb_sql(table: str, *, value_col: str,
+                               group_cols: list[str], id_cols: list[str],
+                               k: float = 3.0) -> str:
+    """DuckDB SQL twin of :func:`robust_outliers` (oracle): the same
+    lower-median rank selection, deviation, MAD, and floor-rounded
+    score."""
+    if not group_cols or not id_cols:
+        raise ValueError("group_cols and id_cols must be non-empty")
+    g = ", ".join(group_cols)
+    ids = ", ".join(id_cols)
+    score = _floor_round("_dev / _mad", 6, "duckdb")
+    return f"""
+WITH base AS (
+  SELECT {g}, {ids}, CAST({value_col} AS DOUBLE) AS _v
+  FROM {table} WHERE {value_col} IS NOT NULL),
+med AS (
+  SELECT *,
+    max(CASE WHEN _rn = (_n + 1) // 2 THEN _v END)
+      OVER (PARTITION BY {g}) AS _med
+  FROM (
+    SELECT *,
+      row_number() OVER (PARTITION BY {g} ORDER BY _v, {ids}) AS _rn,
+      count(*) OVER (PARTITION BY {g}) AS _n
+    FROM base)),
+mad AS (
+  SELECT *,
+    max(CASE WHEN _rn2 = (_n + 1) // 2 THEN _dev END)
+      OVER (PARTITION BY {g}) AS _mad
+  FROM (
+    SELECT *, abs(_v - _med) AS _dev,
+      row_number() OVER (
+        PARTITION BY {g} ORDER BY abs(_v - _med), {ids}) AS _rn2
+    FROM med))
+SELECT {g}, {ids}, _v AS value, _med AS med, _mad AS mad,
+       CASE WHEN _mad > 0 THEN {score} END AS score
+FROM mad WHERE _dev > CAST('{float(k)!r}' AS DOUBLE) * _mad
+""".strip()

@@ -1,0 +1,119 @@
+"""Time-series regularization: resample an event stream onto a fixed
+grid with forward-fill (gap-fill).
+
+The metrics/feature-engineering primitive a training pipeline needs
+before any per-entity sequence model or windowed join: raw event
+streams are irregular, and most downstream ops (lag features, sliding
+aggregates, sequence packing) want one row per (entity, period) with
+the last-known value carried forward. Not present in the reference
+(no time-series surface there); built Spark-first.
+
+Scale design — NO grid join. The textbook formulation materializes a
+per-entity calendar table and left-joins observations onto it (one
+extra shuffle on (entity, period) plus a |entities|×|periods| build).
+Instead each observed period generates its own fill range directly:
+
+  1. one shuffle: latest observation per (entity, period) — a
+     row_number window keyed by the same partitioning the next step
+     needs;
+  2. ``lead(period)`` over the entity timeline (no new shuffle — same
+     partition key), then ``explode(sequence(period, next-1, step))``
+     emits the observed row plus its forward-filled gap rows.
+
+Total: two hash exchanges on the entity key and zero joins; output
+size is exactly the filled grid, and the explode is lazy per row (no
+driver-side calendar). Values are CARRIED, never recomputed, so there
+is no float arithmetic to quantize and the DuckDB oracle is strict by
+construction. The grid spans each entity's own [min, max] observed
+period — no fabricated history before the first event or after the
+last.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_STEPS = ("hour", "day")
+
+
+def _check_step(step: str) -> None:
+    if step not in _STEPS:
+        raise ValueError(f"step must be one of {_STEPS}: {step!r}")
+
+
+def resample_ffill(events, *, user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value", step: str = "hour"):
+    """(user, period, value, filled) — one row per ``step`` period in
+    each entity's observed [min, max] span; ``value`` is the latest
+    observation in that period (ties on ``ts`` broken by the highest
+    ``id_col``, so the pick is deterministic), forward-filled across
+    empty periods; ``filled`` marks carried rows.
+    """
+    _check_step(step)
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc(step, F.col(ts_col)).alias("period"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).alias("value"))
+    pick = Window.partitionBy("user_id", "period").orderBy(
+        F.desc("_ts"), F.desc("_id"))
+    latest = (ev.withColumn("_rn", F.row_number().over(pick))
+              .where(F.col("_rn") == 1)
+              .select("user_id", "period", "value"))
+    timeline = Window.partitionBy("user_id").orderBy("period")
+    step_iv = F.expr(f"interval 1 {step}")
+    fill = (
+        latest.withColumn("_next", F.lead("period").over(timeline))
+        .withColumn(
+            "grid",
+            F.explode(F.sequence(
+                F.col("period"),
+                F.coalesce(F.col("_next") - step_iv, F.col("period")),
+                step_iv)))
+        .select(
+            "user_id",
+            F.col("grid").alias("period"),
+            "value",
+            (F.col("grid") != F.col("period")).alias("filled")))
+    return fill
+
+
+def resample_ffill_sql(table_sql: str, *, user_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       value_col: str = "value",
+                       step: str = "hour") -> str:
+    """DuckDB SQL twin of :func:`resample_ffill` (oracle): identical
+    latest-per-period pick, lead timeline, and generate_series fill —
+    timestamp arithmetic is exact integer micros on both engines and
+    values are carried, so the comparison is strict.
+    """
+    _check_step(step)
+    return f"""
+WITH ev AS (
+  SELECT {user_col} AS user_id,
+         date_trunc('{step}', {ts_col}) AS period,
+         {ts_col} AS _ts, {id_col} AS _id, {value_col} AS value
+  FROM {table_sql}),
+latest AS (
+  SELECT user_id, period, value FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, period ORDER BY _ts DESC, _id DESC) AS _rn
+    FROM ev) WHERE _rn = 1),
+tl AS (
+  SELECT user_id, period, value,
+         lead(period) OVER (PARTITION BY user_id ORDER BY period)
+           AS _next
+  FROM latest),
+expanded AS (
+  SELECT user_id, period AS obs_period, value,
+         unnest(generate_series(
+           period,
+           coalesce(_next - INTERVAL 1 {step}, period),
+           INTERVAL 1 {step})) AS g
+  FROM tl)
+SELECT user_id, g AS period, value, g <> obs_period AS filled
+FROM expanded
+""".strip()

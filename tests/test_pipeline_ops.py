@@ -2150,3 +2150,106 @@ def test_fuzz_chunk_content_defined_configs_cross_engine(spark):
                 w=w, mask_bits=mb)).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# ------------------------------------------------------ robust outliers
+
+def test_robust_outliers_flags_planted_corruption(spark):
+    """A group of well-behaved values plus one planted 1e6 corruption:
+    only the corruption flags at k=3; med/MAD come from the clean mass."""
+    from flink_sql_security_spark.operators.profile import robust_outliers
+
+    rows = [("a", i, float(v)) for i, v in enumerate(
+        [10, 11, 12, 13, 14, 9, 8, 12, 11, 10])]
+    rows.append(("a", 99, 1e6))
+    out = robust_outliers(
+        spark.createDataFrame(rows, ["g", "id", "v"]),
+        value_col="v", group_cols=["g"], id_cols=["id"]).collect()
+    assert len(out) == 1 and out[0]["id"] == 99
+    assert out[0]["med"] == 11.0   # lower median of 11 values
+    assert out[0]["mad"] == 1.0
+    assert out[0]["score"] is not None and out[0]["score"] > 1e5
+
+
+def test_robust_outliers_zero_mad_group(spark):
+    """Constant group (MAD=0): any deviating value flags, score NULL
+    (0-MAD score is engine-dependent, so the operator refuses to emit
+    one); the constant rows never flag."""
+    from flink_sql_security_spark.operators.profile import robust_outliers
+
+    rows = [("c", i, 5.0) for i in range(8)] + [("c", 50, 6.0)]
+    out = robust_outliers(
+        spark.createDataFrame(rows, ["g", "id", "v"]),
+        value_col="v", group_cols=["g"], id_cols=["id"]).collect()
+    assert len(out) == 1 and out[0]["id"] == 50
+    assert out[0]["mad"] == 0.0 and out[0]["score"] is None
+
+
+def test_robust_outliers_median_is_breakdown_resistant(spark):
+    """Mean/stddev z-scores break when 30% of a group is corrupted;
+    the median stays on the clean mass — pin exactly that case."""
+    from flink_sql_security_spark.operators.profile import robust_outliers
+
+    clean = [("g", i, float(100 + (i % 5))) for i in range(7)]
+    bad = [("g", 100 + i, 1e9) for i in range(3)]
+    out = robust_outliers(
+        spark.createDataFrame(clean + bad, ["g", "id", "v"]),
+        value_col="v", group_cols=["g"], id_cols=["id"]).collect()
+    assert sorted(r["id"] for r in out) == [100, 101, 102]
+    assert all(100 <= r["med"] <= 104 for r in out)
+
+
+def test_robust_outliers_validates_args(spark):
+    from flink_sql_security_spark.operators.profile import (
+        robust_outliers, robust_outliers_duckdb_sql)
+
+    df = spark.createDataFrame([("a", 1, 1.0)], ["g", "id", "v"])
+    import pytest
+    with pytest.raises(ValueError):
+        robust_outliers(df, value_col="v", group_cols=[], id_cols=["id"])
+    with pytest.raises(ValueError):
+        robust_outliers(df, value_col="v", group_cols=["g"], id_cols=[])
+    with pytest.raises(ValueError):
+        robust_outliers_duckdb_sql(
+            "t", value_col="v", group_cols=[], id_cols=["id"])
+
+
+def test_fuzz_robust_outliers_cross_engine(spark):
+    """Config fuzz: random heavy-tailed grouped values (group count,
+    corruption rate, k), bit-equal vs the DuckDB oracle. Seed 16180."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.profile import (
+        robust_outliers, robust_outliers_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(16180)
+    for trial in range(4):
+        n_groups = rng.choice([1, 2, 4])
+        n = rng.choice([15, 40])
+        k = rng.choice([1.5, 2.0, 3.0])
+        rows = []
+        for i in range(n):
+            v = rng.gauss(50, 5)
+            if rng.random() < 0.15:
+                v *= rng.choice([20.0, -30.0])
+            rows.append((f"g{rng.randrange(n_groups)}", i, v))
+        cfg = (trial, n_groups, n, k)
+        df = spark.createDataFrame(rows, ["g", "id", "v"])
+        got = sorted(map(tuple, robust_outliers(
+            df, value_col="v", group_cols=["g"], id_cols=["id"],
+            k=k).collect()))
+        # quoted-string casts: DuckDB parses bare decimal literals as
+        # DECIMAL then casts (double rounding, 1 ulp off); the string
+        # form parses correctly-rounded — the pagerank_sql convention
+        vals = ", ".join(
+            f"('{g}', {i}, CAST('{v!r}' AS DOUBLE))" for g, i, v in rows)
+        want = sorted(map(tuple, con.execute(robust_outliers_duckdb_sql(
+            f"(SELECT * FROM (VALUES {vals}) AS t(g, id, v))",
+            value_col="v", group_cols=["g"], id_cols=["id"],
+            k=k)).fetchall()))
+        assert got == want, cfg
+        assert len(got) > 0, cfg
+    con.close()

@@ -123,3 +123,107 @@ def test_sessionize_stream_matches_batch_sessions(spark, events_df):
         assert s1["n_events"] == 3 and s1["total_value"] == 6.0
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# -------------------------------------------------------------- gapfill
+
+def _gap_events(spark):
+    d = datetime.datetime
+    rows = [
+        # user 1: events at hours 0, 0 (tie in bucket), 3 → grid 0..3
+        (1, d(2024, 1, 1, 0, 10), 101, 10.0),
+        (1, d(2024, 1, 1, 0, 50), 102, 20.0),
+        (2, d(2024, 1, 1, 5, 0), 103, 7.0),   # single event → 1 row
+        (1, d(2024, 1, 1, 3, 5), 104, 30.0),
+    ]
+    return spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "value"])
+
+
+def test_gapfill_forward_fills_gaps(spark):
+    from flink_sql_security_spark.operators.timeseries import resample_ffill
+
+    out = sorted(map(tuple, resample_ffill(_gap_events(spark)).collect()))
+    d = datetime.datetime
+    assert out == [
+        (1, d(2024, 1, 1, 0, 0), 20.0, False),   # latest in hour 0
+        (1, d(2024, 1, 1, 1, 0), 20.0, True),    # carried
+        (1, d(2024, 1, 1, 2, 0), 20.0, True),    # carried
+        (1, d(2024, 1, 1, 3, 0), 30.0, False),
+        (2, d(2024, 1, 1, 5, 0), 7.0, False),    # no fabricated history
+    ]
+
+
+def test_gapfill_tie_breaks_by_id(spark):
+    """Two events at the SAME timestamp in one bucket: the higher
+    event_id wins — deterministic on any partitioning."""
+    from flink_sql_security_spark.operators.timeseries import resample_ffill
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 0, 30), 7, 1.0),
+         (1, d(2024, 1, 1, 0, 30), 9, 2.0)],
+        ["user_id", "ts", "event_id", "value"])
+    [row] = resample_ffill(df).collect()
+    assert row["value"] == 2.0 and row["filled"] is False
+
+
+def test_gapfill_day_step(spark):
+    from flink_sql_security_spark.operators.timeseries import resample_ffill
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 8, 0), 1, 5.0),
+         (1, d(2024, 1, 4, 9, 0), 2, 6.0)],
+        ["user_id", "ts", "event_id", "value"])
+    out = sorted(map(tuple, resample_ffill(df, step="day").collect()))
+    assert [r[1].day for r in out] == [1, 2, 3, 4]
+    assert [r[2] for r in out] == [5.0, 5.0, 5.0, 6.0]
+    assert [r[3] for r in out] == [False, True, True, False]
+
+
+def test_gapfill_validates_step(spark):
+    from flink_sql_security_spark.operators.timeseries import (
+        resample_ffill, resample_ffill_sql)
+
+    with pytest.raises(ValueError, match="step"):
+        resample_ffill(_gap_events(spark), step="minute")
+    with pytest.raises(ValueError, match="step"):
+        resample_ffill_sql("events", step="week")
+
+
+def test_fuzz_gapfill_configs_cross_engine(spark):
+    """Config fuzz: random sparse event sets (users, span, step),
+    bit-equal vs the DuckDB oracle. Seed base 14142."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.timeseries import (
+        resample_ffill, resample_ffill_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(14142)
+    d0 = datetime.datetime(2024, 3, 1)
+    for trial in range(4):
+        n_users = rng.choice([1, 3, 5])
+        n_ev = rng.choice([4, 12, 30])
+        step = rng.choice(["hour", "day"])
+        rows = []
+        for i in range(n_ev):
+            rows.append((
+                rng.randrange(n_users),
+                d0 + datetime.timedelta(minutes=rng.randrange(60 * 24 * 9)),
+                i, float(rng.randrange(100))))
+        cfg = (trial, n_users, n_ev, step)
+        df = spark.createDataFrame(
+            rows, ["user_id", "ts", "event_id", "value"])
+        got = sorted(map(tuple, resample_ffill(df, step=step).collect()))
+        vals = ", ".join(
+            f"({u}, TIMESTAMP '{ts}', {i}, {v})" for u, ts, i, v in rows)
+        want = sorted(map(tuple, con.execute(resample_ffill_sql(
+            f"(SELECT * FROM (VALUES {vals}) "
+            "AS t(user_id, ts, event_id, value))",
+            step=step)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
