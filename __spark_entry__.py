@@ -1215,6 +1215,21 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         " row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM scored) "
         "SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5",
     )
+    # Matryoshka two-stage search (Kusupati et al. 2022): 32/64-dim
+    # prefix shortlist (the scan reads half the vector bytes — the
+    # memory-bandwidth lever at 100 TB), exact full-dim rerank of
+    # k·shortlist candidates via the shared refine stage. Recall 0.72
+    # here because the synthetic vectors are isotropic (a prefix keeps
+    # ~p/d of the signal — the worst case); MRL-trained embeddings
+    # front-load it. Strict oracle: prefix-unit shortlist membership is
+    # floor-rounded + id-tie-broken, so both engines pick the same set.
+    out["emb_matryoshka_topk"] = (
+        with_tables(lambda s: S.matryoshka_topk(
+            emb(s), emb(s).where("vec_id < 12"),
+            prefix_dims=32, shortlist=8, k=5)),
+        S.matryoshka_topk_duckdb_sql(
+            "embeddings", "vec_id < 12", prefix_dims=32, shortlist=8, k=5),
+    )
     # ANN (LSH-bucketed), fully hash-checked: the deterministic hyperplanes
     # embed as literals in the DuckDB oracle, and the Spark side's
     # near-zero sequential recheck makes bucket ids fold-order-exact.

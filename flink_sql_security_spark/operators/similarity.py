@@ -1143,3 +1143,107 @@ def lsh_bits_for(n_vectors: int, target_bucket: int = 40,
 
     bits = int(math.ceil(math.log2(max(n_vectors, 1) / max(target_bucket, 1))))
     return max(min_bits, min(max_bits, bits))
+
+
+def matryoshka_topk(df: DataFrame, queries_df: DataFrame, *,
+                    prefix_dims: int, vec_col: str = "embedding",
+                    id_col: str = "vec_id", k: int = 5,
+                    shortlist: int = 4, round_to: int = 6,
+                    broadcast_queries: bool | None = None,
+                    broadcast_limit_bytes: int = 64 << 20,
+                    n_blocks: int = 8, q_blocks: int = 8) -> DataFrame:
+    """Matryoshka two-stage search (Kusupati et al. 2022, "Matryoshka
+    Representation Learning"): shortlist with the first ``prefix_dims``
+    dimensions, rerank the shortlist with the full vector.
+
+    MRL-trained embeddings make every prefix a usable embedding, so the
+    scan stage reads ``prefix_dims/d`` of the vector bytes (at 100 TB of
+    embeddings the scan is memory-bandwidth-bound — a 16/64 prefix is a
+    ~4× throughput lift on the dominant stage), and the exact full-dim
+    pass touches only ``k·shortlist`` candidates per query. Same
+    prune-then-verify shape as the binary/IVF tiers, with a different
+    pruning geometry (prefix subspace instead of sign bits / cells).
+
+    Both stages reuse the proven machinery: the shortlist is
+    :func:`cosine_topk` over ``slice(vec, 1, prefix_dims)`` (chunk-local
+    top-k superset + floor-rounded sequential-fold cosines, so shortlist
+    MEMBERSHIP is engine-exact), and the rerank is the shared
+    ``_exact_rerank`` refine stage (one tie rule for every pruned scan).
+    Recall is a property of the embedding's MRL quality; on the
+    synthetic test vectors a 16/64 prefix with shortlist=4 measures
+    ~0.9+ (see tests).
+    """
+    if prefix_dims < 1:
+        raise ValueError(f"prefix_dims must be >= 1: {prefix_dims}")
+    if shortlist < 1:
+        raise ValueError(f"shortlist must be >= 1: {shortlist}")
+    from .binary import _exact_rerank
+
+    def truncate(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col))
+
+    short = cosine_topk(
+        truncate(df), truncate(queries_df), vec_col, id_col,
+        k=k * shortlist, round_to=round_to,
+        broadcast_queries=broadcast_queries,
+        broadcast_limit_bytes=broadcast_limit_bytes,
+        n_blocks=n_blocks, q_blocks=q_blocks)
+    return _exact_rerank(
+        df.select(id_col, vec_col), queries_df.select(id_col, vec_col),
+        short.select("q_id", "n_id"), vec_col, id_col, k, round_to)
+
+
+def matryoshka_topk_duckdb_sql(table: str = "embeddings",
+                               query_pred: str = "vec_id < 20", *,
+                               prefix_dims: int,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id", k: int = 5,
+                               shortlist: int = 4,
+                               round_to: int = 6) -> str:
+    """DuckDB SQL twin of :func:`matryoshka_topk` (oracle): the same
+    prefix-unit shortlist (floor-rounded sequential-fold cosine, id tie
+    break) and full-unit rerank."""
+    if prefix_dims < 1:
+        raise ValueError(f"prefix_dims must be >= 1: {prefix_dims}")
+    if shortlist < 1:
+        raise ValueError(f"shortlist must be >= 1: {shortlist}")
+
+    def unit_cte(name: str, vec: str) -> str:
+        return (
+            f"{name} AS (SELECT {id_col}, list_transform(xd, "
+            "x -> x / n) AS unit "
+            f"FROM (SELECT {id_col}, "
+            f"list_transform({vec}, x -> CAST(x AS DOUBLE)) AS xd, "
+            f"sqrt(list_sum(list_transform({vec}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n "
+            f"FROM {table}))")
+
+    dot = floor_round(
+        "list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))",
+        round_to, "duckdb")
+    return (
+        "WITH "
+        + unit_cte("pu", f"list_slice({vec_col}, 1, {prefix_dims})") + ", "
+        + unit_cte("fu", vec_col) + ", "
+        "pre AS (SELECT q.{i} AS q_id, n.{i} AS n_id, "
+        .format(i=id_col)
+        + dot.format(a="q.unit", b="n.unit") + " AS pcos "
+        f"FROM pu q, pu n WHERE q.{id_col} IN "
+        f"(SELECT {id_col} FROM {table} WHERE {query_pred}) "
+        f"AND q.{id_col} <> n.{id_col}), "
+        "short AS (SELECT q_id, n_id FROM ("
+        "SELECT q_id, n_id, row_number() OVER ("
+        "PARTITION BY q_id ORDER BY pcos DESC, n_id) AS prank FROM pre) "
+        f"WHERE prank <= {k * shortlist}), "
+        "rescored AS (SELECT s.q_id, s.n_id, "
+        + dot.format(a="qu.unit", b="nu.unit") + " AS cosine "
+        "FROM short s "
+        f"JOIN fu qu ON qu.{id_col} = s.q_id "
+        f"JOIN fu nu ON nu.{id_col} = s.n_id) "
+        "SELECT q_id, n_id, cosine, rank FROM ("
+        "SELECT q_id, n_id, cosine, row_number() OVER ("
+        "PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank "
+        f"FROM rescored) WHERE rank <= {k}"
+    )

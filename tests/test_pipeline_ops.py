@@ -2253,3 +2253,84 @@ def test_fuzz_robust_outliers_cross_engine(spark):
         assert got == want, cfg
         assert len(got) > 0, cfg
     con.close()
+
+
+# ------------------------------------------------------- matryoshka
+
+def test_matryoshka_full_prefix_equals_exact(spark):
+    """prefix_dims = full dim with a covering shortlist is EXACTLY
+    brute-force top-k: same neighbors, same bit-identical cosines."""
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<float>")
+                   .alias("embedding")))
+    q = emb.where("vec_id < 8")
+    exact = sorted(map(tuple, S.cosine_topk(emb, q, k=5).collect()))
+    full = sorted(map(tuple, S.matryoshka_topk(
+        emb, q, prefix_dims=64, shortlist=100, k=5).collect()))
+    assert full == exact
+
+
+def test_matryoshka_recall_on_fixture(spark):
+    """Isotropic synthetic vectors are the WORST case for prefix
+    pruning (flat spectrum, prefix keeps ~p/d of the signal) — pin the
+    floor so a machinery regression shows up as a recall collapse."""
+    emb = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<float>")
+                   .alias("embedding")))
+    q = emb.where("vec_id < 10")
+    exact = {(r["q_id"], r["n_id"]) for r in
+             S.cosine_topk(emb, q, k=5).collect()}
+    got_rows = S.matryoshka_topk(
+        emb, q, prefix_dims=32, shortlist=8, k=5).collect()
+    got = {(r["q_id"], r["n_id"]) for r in got_rows}
+    assert len(exact & got) / len(exact) >= 0.6
+    # every returned pair carries the exact full-dim cosine
+    exact_cos = {(r["q_id"], r["n_id"]): r["cosine"] for r in
+                 S.cosine_topk(emb, q, k=50).collect()}
+    for r in got_rows:
+        if (r["q_id"], r["n_id"]) in exact_cos:
+            assert r["cosine"] == exact_cos[(r["q_id"], r["n_id"])]
+
+
+def test_matryoshka_validates_args(spark):
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="prefix_dims"):
+        S.matryoshka_topk(emb, emb, prefix_dims=0, k=5)
+    with pytest.raises(ValueError, match="shortlist"):
+        S.matryoshka_topk(emb, emb, prefix_dims=8, shortlist=0, k=5)
+    with pytest.raises(ValueError, match="prefix_dims"):
+        S.matryoshka_topk_duckdb_sql("t", "1=1", prefix_dims=-1)
+    with pytest.raises(ValueError, match="shortlist"):
+        S.matryoshka_topk_duckdb_sql("t", "1=1", prefix_dims=8,
+                                     shortlist=0)
+
+
+def test_fuzz_matryoshka_configs_cross_engine(spark):
+    """Config fuzz over (prefix_dims, shortlist, k) on the sf0.001
+    fixture — bit-equal vs the DuckDB oracle. Seed base 22360."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(22360)
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<float>")
+                   .alias("embedding")))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+    for trial in range(3):
+        p = rng.choice([8, 16, 33, 64])
+        sl = rng.choice([2, 4, 7])
+        k = rng.choice([3, 5])
+        cfg = (trial, p, sl, k)
+        got = sorted(map(tuple, S.matryoshka_topk(
+            emb, emb.where("vec_id < 6"), prefix_dims=p, shortlist=sl,
+            k=k).collect()))
+        want = sorted(map(tuple, con.execute(S.matryoshka_topk_duckdb_sql(
+            "embeddings", "vec_id < 6", prefix_dims=p, shortlist=sl,
+            k=k)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()

@@ -63,6 +63,10 @@ PYTHON_OK = {
     "retrieval_rrf_hybrid",
     # grouped RRF: same cosine-arm kernel per query batch.
     "retrieval_rrf_grouped",
+    # Matryoshka: stage 1 is cosine_topk's documented query-side kernel
+    # over the PREFIX slices (half the vector bytes); stage 2 rerank is
+    # pure JVM expression work (the shared _exact_rerank refine).
+    "emb_matryoshka_topk",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
