@@ -921,6 +921,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         + _floor_round("n_inter / (sa.n_sh + sb.n_sh - n_inter)",
                        6, "duckdb") + " >= 0.05",
     )
+    # asymmetric containment |A∩B|/|A| (Broder 1997 resemblance-vs-
+    # containment): catches sub-document duplication — excerpts/quotes
+    # fully inside a larger doc — that the Jaccard threshold misses
+    # because the union is dominated by the big doc
+    out["dedup_containment"] = (
+        with_tables(lambda s: D.containment_pairs(docs(s), threshold=0.5)),
+        D.containment_pairs_duckdb_sql(_DUCK_SHINGLES, threshold=0.5),
+    )
     # the scale path: LSH candidate pruning then exact-Jaccard verification
     # restricted to candidates (prune-then-verify, not all co-shingled pairs)
     out["dedup_lsh_verified"] = (

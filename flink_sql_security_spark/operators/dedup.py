@@ -1316,3 +1316,84 @@ def keep_best_duckdb_sql(pairs_sql: str, score_sql: str,
         + " AS quality, n_members "
         "FROM r WHERE _rn = 1"
     )
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """(id_sub, id_super, containment): ordered near-dup pairs by
+    shingle-set CONTAINMENT ``C(A→B) = |A∩B| / |A|`` — the asymmetric
+    companion to :func:`ngram_jaccard_pairs` for SUB-document
+    duplication: a quote, a syndicated excerpt, or a doc embedded in a
+    larger page has high containment in its superset but low Jaccard
+    (the union is dominated by the big doc), so a Jaccard threshold
+    misses exactly the pairs a decontamination/canonicalization pass
+    wants (Broder 1997 distinguishes resemblance vs containment for
+    this reason).
+
+    Same machinery and shuffle census as the Jaccard op: one persisted
+    per-doc set build, one self-join exchange on the shingle hash, one
+    pair aggregation; |I| is computed once per unordered pair and both
+    directions are derived from it as per-row arithmetic (no second
+    join). NOTE the size-ratio prefilter is deliberately ABSENT: a
+    small set fully contained in a huge one is the target signal here,
+    not prunable noise — at scale, bound the join by composing with
+    LSH candidates instead (the MinHash row-sampling bound applies to
+    resemblance, not containment, so prune with the SUPERSET side's
+    bands only — or run on a decontamination-style probe set).
+    """
+    sh = hashed_shingle_sets(df, text_col, id_col, n).persist()
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+                  F.explode("hs").alias("h"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+                  F.explode("hs").alias("h"))
+    inter = (
+        a.join(b, on="h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    c_ab = _floor_round_col(
+        F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6)
+    c_ba = _floor_round_col(
+        F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 6)
+    both = inter.select(
+        F.col("id_a").alias("id_sub"), F.col("id_b").alias("id_super"),
+        c_ab.alias("containment")
+    ).union(inter.select(
+        F.col("id_b").alias("id_sub"), F.col("id_a").alias("id_super"),
+        c_ba.alias("containment")))
+    return attach(
+        both.where(F.col("containment") >= threshold), sh)
+
+
+def containment_pairs_duckdb_sql(shingles_cte: str, n: int = 3,
+                                 threshold: float = 0.5,
+                                 id_col: str = "doc_id") -> str:
+    """DuckDB SQL twin of :func:`containment_pairs` (oracle): identical
+    hashed-set intersection counts and per-direction floor-rounded
+    divides."""
+    from ..functions.text import floor_round
+
+    c_ab = floor_round("n_inter / CAST(sa.n_sh AS DOUBLE)", 6, "duckdb")
+    c_ba = floor_round("n_inter / CAST(sb.n_sh AS DOUBLE)", 6, "duckdb")
+    return (
+        "WITH " + shingles_cte + ", "
+        "hs AS (SELECT DISTINCT doc_id, CAST(concat('0x', "
+        f"substring(md5(shingle), 1, {SHINGLE_HASH_HEX})) AS BIGINT) AS h "
+        "FROM sh), "
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM hs GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS n_inter FROM hs a JOIN hs b ON a.h = b.h "
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2), "
+        "both_dirs AS ("
+        f"SELECT id_a AS id_sub, id_b AS id_super, {c_ab} AS containment "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        "UNION ALL "
+        f"SELECT id_b AS id_sub, id_a AS id_super, {c_ba} AS containment "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b) "
+        f"SELECT id_sub, id_super, containment FROM both_dirs "
+        f"WHERE containment >= {threshold}"
+    )

@@ -2334,3 +2334,71 @@ def test_fuzz_matryoshka_configs_cross_engine(spark):
             k=k)).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# ----------------------------------------------------------- containment
+
+def test_containment_excerpt_beats_jaccard(spark):
+    """A 6-word excerpt embedded verbatim in a 60-word page: containment
+    of the excerpt is 1.0 while Jaccard stays tiny — the exact pair a
+    resemblance threshold misses (Broder 1997)."""
+    page_words = " ".join(f"w{i}" for i in range(54))
+    excerpt = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, excerpt), (2, page_words + " " + excerpt)],
+        ["doc_id", "text"])
+    rows = {(r["id_sub"], r["id_super"]): r["containment"]
+            for r in D.containment_pairs(df, threshold=0.5).collect()}
+    assert rows == {(1, 2): 1.0}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(df, threshold=0.01).collect()}
+    assert jac[(1, 2)] < 0.1  # resemblance misses what containment finds
+
+
+def test_containment_is_directional(docs):
+    """Both directions emit independently: identical docs contain each
+    other (two rows); a subset-superset pair emits only the sub→super
+    direction above threshold."""
+    rows = {(r["id_sub"], r["id_super"]): r["containment"]
+            for r in D.containment_pairs(docs, threshold=0.9).collect()}
+    assert rows[(1, 2)] == 1.0 and rows[(2, 1)] == 1.0
+
+
+def test_fuzz_containment_cross_engine(spark):
+    """Config fuzz: random word docs with planted excerpts, bit-equal
+    vs the DuckDB oracle at random (n, threshold). Seed 17320."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(17320)
+    con = duckdb.connect()
+    for trial in range(3):
+        n = rng.choice([2, 3])
+        thr = rng.choice([0.3, 0.5, 0.8])
+        vocab = [f"t{j}" for j in range(30)]
+        docs_rows = []
+        for i in range(12):
+            words = [vocab[rng.randrange(len(vocab))]
+                     for _ in range(rng.randrange(5, 25))]
+            docs_rows.append((i, " ".join(words)))
+        # plant one exact excerpt
+        base = docs_rows[0][1]
+        docs_rows.append((99, base + " " + docs_rows[1][1]))
+        cfg = (trial, n, thr)
+        df = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+        got = sorted(map(tuple, D.containment_pairs(
+            df, n=n, threshold=thr).collect()))
+        vals = ", ".join(
+            f"({i}, '{t}')" for i, t in docs_rows)
+        sh = (
+            "w AS (SELECT doc_id, string_split_regex(lower(trim(text)), "
+            f"'\\s+') AS ws FROM (SELECT * FROM (VALUES {vals}) "
+            "AS t(doc_id, text))), "
+            f"sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+{n}], ' ') AS shingle "
+            f"FROM w, UNNEST(range(greatest(len(ws)-{n - 1}, 0))) AS t(i))")
+        want = sorted(map(tuple, con.execute(
+            D.containment_pairs_duckdb_sql(sh, n=n, threshold=thr)
+        ).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
