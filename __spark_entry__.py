@@ -2354,7 +2354,7 @@ _CHECK_ORDER = [
     "q1_pricing_summary", "text_bm25_indexed",
     "q11_important_parts",
     "classifier_probe_score",
-    "q22_global_sales", "emb_filtered_topk", "interval_click_purchase",
+    "emb_filtered_topk",
     # training-data pipeline operators, one per family. dedup_minhash_pairs
     # and dedup_jaccard_pairs are strict sub-computations of
     # dedup_lsh_verified (candidate generation / exact verification), so
@@ -2503,12 +2503,12 @@ _CHECK_ORDER = [
     #   quota_per_source: the grouped per-key HLL profile (new in r08)
     #   and the top-N-per-key source quota (WindowGroupLimit lowering)
     #   each get their first driver row.
-    "sketch_distinct_hll", "retrieval_mmr_topk", "sketch_bloom_decon",
-    "dedup_minhash_pairs", "cdc_upsert_latest",
+    "sketch_distinct_hll", "profile_outliers", "sketch_bloom_decon",
+    "dedup_minhash_pairs", "cdc_upsert_latest", "dedup_containment",
     "emb_pca_project", "dedup_lsh_verified", "dedup_components",
     "split_contamination", "dedup_decontaminate", "emb_semantic_dedup",
     "emb_opq_topk", "emb_pq_topk", "emb_opq_ivf_topk",
-    "emb_ivfpq_rerank",
+    "emb_ivfpq_rerank", "emb_matryoshka_topk",
     "emb_binary_topk", "pack_sequences",
     "sketch_hll_by_key", "quota_per_source",
     # r05 in-round rotation (three NEW operator families shipped after
@@ -2601,25 +2601,63 @@ _CHECK_ORDER = [
     # birth-round driver row beside graph_pagerank — the mutual
     # recursion + per-half-step L1 normalization is a shape the
     # single-score power iteration does not pin.
-    "sample_temperature_mix", "graph_hits",
+    # late-r09 swap (fourth pass — five NEW operator families shipped
+    # after the third pass; newcomers windowed in their birth round,
+    # the r7 lesson. The five outgoing veterans each hold recorded
+    # driver rows (r05–r08 green) and exit by the breadth rule:
+    # - retrieval_mmr_topk → profile_outliers: MMR's greedy-diversity
+    #   kernel is pytest+config-fuzz pinned and the retrieval family
+    #   keeps TWO window pins (text_bm25_topk, retrieval_rrf_hybrid);
+    #   median/MAD robust flags are a new family (exact lower-median
+    #   order statistics, single group-key exchange).
+    # - cdc_upsert_latest's neighbor slot (freed by consolidating the
+    #   dedup tier) → dedup_containment: asymmetric sub-document
+    #   containment — resemblance-vs-containment is a semantics no
+    #   Jaccard entry pins.
+    # - emb_ivfpq_rerank's neighbor slot → emb_matryoshka_topk: the
+    #   prefix-shortlist + full-dim rerank tier (new pruning geometry;
+    #   stage 2 shares _exact_rerank with the in-window rerank pin).
+    # - profile_quantiles → (slot to graph_triangles): the exact/approx
+    #   quantile auto-switch holds r05–r08 driver rows and a pytest
+    #   parity suite, and the quantile-bucket core keeps riding through
+    #   in-window sketch-family entries; degree-oriented triangle
+    #   counting (the skew-proof wedge join) is a new family.
+    # - sample_temperature_mix → events_gapfill: the md5-bucket
+    #   mixture-rate core is pytest-pinned (shared _bucket_expr with
+    #   split_hash_assign's golden rows) and holds r05–r08 driver rows;
+    #   the join-free forward-fill resample is a new family.
+    # - q22_global_sales → (slot to the fifth incomer): the anti-join +
+    #   scalar-avg cores hold r01–r08 driver rows, pytest plan gates,
+    #   and an in-window relative via not_exists_anti_join's golden
+    #   suite; already first on the provisional r10-outgoing pick.
+    # - interval_click_purchase → (slot balance): the time-range
+    #   self-join holds r05–r08 driver rows, its streaming twin is
+    #   pytest-pinned, and the temporal-join family keeps its window
+    #   pin via asof_purchase_click; also on the r10-outgoing pick.
+    "graph_triangles", "graph_hits",
     "multimodal_features", "graph_pagerank",
-    "profile_quantiles", "pipeline_clean_corpus",
+    "events_gapfill", "pipeline_clean_corpus",
     "sessionize_events", "asof_purchase_click",
     # 50th slot: the analytic-window family (lag / framed running sum /
     # ntile) — round 1 measured the driver budget at exactly 50 entries
     "window_lag_running",
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
-    # After the r09 rotations above, ever-windowed union = 121/148
-    # (every r09-born entry — retrieval_rrf_hybrid, text_bm25_indexed,
-    # emb_filtered_topk, emb_pca_project, graph_hits — is windowed in its birth
-    # round, the r7 lesson; q9_product_profit / pivot_daily_events /
-    # sample_dsir_weights / bpe_tokens hold driver rows from earlier
-    # rounds).
+    # After the r09 rotations above (four passes), ever-windowed union
+    # = 127/153: every r09-born entry — retrieval_rrf_hybrid,
+    # text_bm25_indexed, emb_filtered_topk, emb_pca_project, graph_hits,
+    # graph_triangles, events_gapfill, profile_outliers,
+    # emb_matryoshka_topk, dedup_containment — is windowed in its birth
+    # round (the r7 lesson), so corpus growth added ZERO to the r10
+    # burden; q9_product_profit / pivot_daily_events /
+    # sample_dsir_weights / bpe_tokens / q22_global_sales /
+    # interval_click_purchase / retrieval_mmr_topk / profile_quantiles /
+    # sample_temperature_mix hold driver rows from earlier rounds.
     # The r10 rotation MUST take ALL 26 remaining never-windowed
-    # entries so the union reaches 148/148 (chunk_sentence_budget,
-    # retrieval_rrf_grouped, and chunk_content_defined landed after
-    # the r9 window validation and join the list below):
+    # entries so the union reaches 153/153 (graph_ppr,
+    # chunk_sentence_budget, retrieval_rrf_grouped, and
+    # chunk_content_defined landed after the r9 window validation and
+    # join the list below):
     # (authoritative list, recomputed late-r9 as all entries minus
     # the union of CORRECTNESS_r01..r08 keys minus the current window —
     # an earlier draft had three name errors):
@@ -2636,13 +2674,16 @@ _CHECK_ORDER = [
     # surface); 50 − 11 = 39 slots leave room for all 26 incomers plus
     # 13 veterans (drop one from the Keepers list below — its cores all
     # hold pytest pins). Outgoing candidates for r10 (all will then hold
-    # recorded driver rows + pytest pins): the eleven r09 incomers
-    # above, plus q22_global_sales, pivot_daily_events,
-    # interval_click_purchase, sample_dsir_weights,
-    # sample_temperature_mix, bpe_tokens, profile_quantiles — pick 25
-    # outgoing by the same breadth-over-redundancy rule. Any NEW
-    # entries added in r10 join the r10 incoming list too. Run
-    # tools/driver_sim.py after the swap, at all three SFs.
+    # recorded driver rows + pytest pins): the r09 incomers above —
+    # including this round's five birth-round entries (graph_triangles,
+    # events_gapfill, profile_outliers, emb_matryoshka_topk,
+    # dedup_containment — each golden/fuzz-pinned in pytest) — pick 26
+    # outgoing by the same breadth-over-redundancy rule.
+    # (q22_global_sales, interval_click_purchase, retrieval_mmr_topk,
+    # profile_quantiles, sample_temperature_mix already exited in the
+    # fourth r09 pass and hold recorded rows.) Any NEW entries added in
+    # r10 join the r10 incoming list too. Run tools/driver_sim.py after
+    # the swap, at all three SFs.
     #
     # PROVISIONAL r10 outgoing pick (authored late-r9 while the
     # rationale is fresh; subject to VERDICT-r09 — every exiting entry
