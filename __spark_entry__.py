@@ -1736,6 +1736,22 @@ FROM s GROUP BY user_id, session_id
 """,
     )
 
+    # funnel analysis (operators/funnel.py): earliest ordered
+    # view→click→purchase chain per user within 72h of funnel entry —
+    # k entity-keyed exchanges for k steps, carried MIN timestamps
+    # (no float arithmetic) → strict oracle by construction
+    def funneled(s):
+        from flink_sql_security_spark.operators.funnel import funnel
+        return funnel(s.table("events"), ["view", "click", "purchase"],
+                      within_hours=72)
+
+    from flink_sql_security_spark.operators.funnel import funnel_duckdb_sql
+    out["events_funnel"] = (
+        with_tables(funneled),
+        funnel_duckdb_sql("events", ["view", "click", "purchase"],
+                          within_hours=72),
+    )
+
     # robust per-group outlier detection (operators/profile.py
     # robust_outliers): median/MAD flags on the heavy-tailed events.value
     # — exact lower-median order statistics (no interpolation, no float
@@ -2638,9 +2654,16 @@ _CHECK_ORDER = [
     "multimodal_features", "graph_pagerank",
     "events_gapfill", "pipeline_clean_corpus",
     "sessionize_events", "asof_purchase_click",
-    # 50th slot: the analytic-window family (lag / framed running sum /
-    # ntile) — round 1 measured the driver budget at exactly 50 entries
-    "window_lag_running",
+    # late-r09 swap (fifth pass): window_lag_running → events_funnel.
+    # The analytic-window family (lag / framed running sum / ntile)
+    # holds driver rows since r1 and a pytest pin, and was already
+    # marked "released" on the provisional r10 pick below; the NEW
+    # ordered-step funnel chain (earliest-after-previous MIN joins with
+    # an entry-anchored horizon) is a sequence-analytics family no
+    # entry covers — windowed in its birth round, the r7 lesson.
+    # 50th slot — round 1 measured the driver budget at exactly 50
+    # entries:
+    "events_funnel",
     # ------------------------------------------------------------------
     # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
     # After the r09 rotations above (four passes), ever-windowed union

@@ -1,0 +1,116 @@
+"""Funnel analysis: ordered multi-step conversion over an event stream.
+
+The product-analytics staple (view → click → purchase): for each
+entity, find the earliest chain of events matching the step sequence
+in order, optionally within a horizon of the first step, and report
+how deep each entity got. Not present in the reference (no event
+surface there); built Spark-first.
+
+Semantics (the standard "earliest completion" funnel):
+
+- ``t1`` = the entity's earliest step-1 event;
+- ``t_i`` = the earliest step-i event STRICTLY AFTER ``t_{i-1}`` (ties
+  at the same timestamp do not chain — two steps need two moments);
+- with ``within``, every subsequent step must land in
+  ``(t_{i-1}, t1 + within]`` — the horizon anchors at funnel ENTRY,
+  the common product definition ("converted within 7 days of first
+  touch");
+- ``depth`` = number of completed steps; a broken chain leaves later
+  step timestamps NULL.
+
+Earliest-chain is greedy-optimal for this containment semantics
+(exchange argument: taking the earliest valid event at every step
+never excludes a completion a later choice would allow), so one
+forward pass per step is exact — no backtracking search.
+
+Scale design: one aggregation per step, each keyed on the entity —
+step 1 is a groupBy(min); each later step filters the event scan to
+that step's type BEFORE the join (predicate on the scan), joins the
+(entity, t_{i-1}, t1) table — |entities| rows, broadcastable under
+AQE — and takes min(ts) per entity. k steps = k scans of the
+(filtered) event table and k entity-keyed exchanges; nothing is ever
+quadratic in events, and timestamps are carried MINs (no float
+arithmetic) so the DuckDB oracle is strict by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _check_steps(steps) -> list[str]:
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError(f"funnel needs >= 2 steps: {steps!r}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"duplicate funnel steps: {steps!r}")
+    return steps
+
+
+def funnel(events: DataFrame, steps, *, user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type",
+           within_hours: int | None = None) -> DataFrame:
+    """(user, step_1_ts … step_k_ts, depth) per entity that entered the
+    funnel (has ≥1 step-1 event)."""
+    steps = _check_steps(steps)
+    ev = events.select(F.col(user_col).alias("user_id"),
+                       F.col(ts_col).alias("ts"),
+                       F.col(type_col).alias("et"))
+    cur = (ev.where(F.col("et") == steps[0])
+           .groupBy("user_id").agg(F.min("ts").alias("step_1_ts")))
+    prev_col = "step_1_ts"
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("et") == step).withColumnRenamed(
+            "user_id", "_u")
+        cond = (F.col("_u") == F.col("user_id")) & \
+               (F.col("ts") > F.col(prev_col))
+        if within_hours is not None:
+            cond = cond & (
+                F.col("ts") <= F.col("step_1_ts")
+                + F.expr(f"interval {int(within_hours)} hours"))
+        this_col = f"step_{i}_ts"
+        hit = (cur.join(nxt, cond, "inner")
+               .groupBy(*[c for c in cur.columns])
+               .agg(F.min("ts").alias(this_col)))
+        cur = cur.join(hit.select("user_id", this_col), "user_id", "left")
+        prev_col = this_col
+    ts_cols = [f"step_{i}_ts" for i in range(1, len(steps) + 1)]
+    depth = sum(
+        (F.col(c).isNotNull().cast("int") for c in ts_cols),
+        F.lit(0))
+    return cur.select("user_id", *ts_cols, depth.alias("depth"))
+
+
+def funnel_duckdb_sql(table: str, steps, *, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      within_hours: int | None = None) -> str:
+    """DuckDB SQL twin of :func:`funnel` (oracle): the identical
+    per-step earliest-after-previous min chain."""
+    steps = _check_steps(steps)
+    parts = [
+        f"WITH ev AS (SELECT {user_col} AS user_id, {ts_col} AS ts, "
+        f"{type_col} AS et FROM {table})",
+        f"s1 AS (SELECT user_id, min(ts) AS step_1_ts FROM ev "
+        f"WHERE et = '{steps[0]}' GROUP BY user_id)",
+    ]
+    prev = "s1"
+    prev_col = "step_1_ts"
+    for i, step in enumerate(steps[1:], start=2):
+        horizon = ""
+        if within_hours is not None:
+            horizon = (f" AND e.ts <= p.step_1_ts "
+                       f"+ INTERVAL {int(within_hours)} HOUR")
+        parts.append(
+            f"s{i} AS (SELECT p.*, m.step_{i}_ts FROM {prev} p "
+            f"LEFT JOIN (SELECT p.user_id, min(e.ts) AS step_{i}_ts "
+            f"FROM {prev} p JOIN ev e ON e.user_id = p.user_id "
+            f"AND e.et = '{step}' AND e.ts > p.{prev_col}{horizon} "
+            f"GROUP BY p.user_id) m ON m.user_id = p.user_id)")
+        prev = f"s{i}"
+        prev_col = f"step_{i}_ts"
+    ts_cols = [f"step_{i}_ts" for i in range(1, len(steps) + 1)]
+    depth = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)" for c in ts_cols)
+    return (", ".join(parts)
+            + f" SELECT user_id, {', '.join(ts_cols)}, "
+            f"CAST({depth} AS INTEGER) AS depth FROM {prev}")

@@ -227,3 +227,119 @@ def test_fuzz_gapfill_configs_cross_engine(spark):
             step=step)).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# --------------------------------------------------------------- funnel
+
+def _funnel_events(spark):
+    d = datetime.datetime
+    rows = [
+        # user 1 completes all three in order
+        (1, d(2024, 1, 1, 0), "view"), (1, d(2024, 1, 1, 1), "click"),
+        (1, d(2024, 1, 1, 2), "purchase"),
+        # user 2: purchase BEFORE click → depth 2
+        (2, d(2024, 1, 1, 0), "view"), (2, d(2024, 1, 1, 2), "click"),
+        (2, d(2024, 1, 1, 1), "purchase"),
+        # user 3: never enters (no view)
+        (3, d(2024, 1, 1, 0), "click"), (3, d(2024, 1, 1, 1), "purchase"),
+        # user 4: same-timestamp view+click must NOT chain (strict >)
+        (4, d(2024, 1, 1, 0), "view"), (4, d(2024, 1, 1, 0), "click"),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+
+def test_funnel_order_and_strictness(spark):
+    from flink_sql_security_spark.operators.funnel import funnel
+
+    out = {r["user_id"]: r for r in funnel(
+        _funnel_events(spark), ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4}          # user 3 never entered
+    assert out[1]["depth"] == 3
+    assert out[2]["depth"] == 2           # purchase before click ≠ chain
+    assert out[2]["step_3_ts"] is None
+    assert out[4]["depth"] == 1           # ties don't chain
+
+
+def test_funnel_horizon_anchors_at_entry(spark):
+    """click at +1h chains; purchase at +100h breaks a 72h horizon even
+    though it is <72h after the click — the horizon anchors at step 1."""
+    import datetime as dt
+
+    from flink_sql_security_spark.operators.funnel import funnel
+
+    d = dt.datetime
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 0), "view"), (1, d(2024, 1, 1, 1), "click"),
+         (1, d(2024, 1, 5, 4), "purchase")],
+        ["user_id", "ts", "event_type"])
+    [row] = funnel(df, ["view", "click", "purchase"],
+                   within_hours=72).collect()
+    assert row["depth"] == 2 and row["step_3_ts"] is None
+    [row] = funnel(df, ["view", "click", "purchase"],
+                   within_hours=120).collect()
+    assert row["depth"] == 3
+
+
+def test_funnel_takes_earliest_chain(spark):
+    """Multiple candidate events per step: each step takes the EARLIEST
+    valid one (greedy-optimal for containment semantics)."""
+    import datetime as dt
+
+    from flink_sql_security_spark.operators.funnel import funnel
+
+    d = dt.datetime
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 0), "view"), (1, d(2024, 1, 1, 5), "view"),
+         (1, d(2024, 1, 1, 2), "click"), (1, d(2024, 1, 1, 9), "click")],
+        ["user_id", "ts", "event_type"])
+    [row] = funnel(df, ["view", "click"]).collect()
+    assert row["step_1_ts"] == d(2024, 1, 1, 0)
+    assert row["step_2_ts"] == d(2024, 1, 1, 2)
+
+
+def test_funnel_validates_steps(spark):
+    import pytest
+
+    from flink_sql_security_spark.operators.funnel import (
+        funnel, funnel_duckdb_sql)
+
+    with pytest.raises(ValueError, match="steps"):
+        funnel(_funnel_events(spark), ["view"])
+    with pytest.raises(ValueError, match="duplicate"):
+        funnel_duckdb_sql("events", ["view", "view"])
+
+
+def test_fuzz_funnel_cross_engine(spark):
+    """Config fuzz: random event streams × (step count, horizon),
+    bit-equal vs the DuckDB oracle. Seed 31416."""
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.funnel import (
+        funnel, funnel_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(31416)
+    d0 = dt.datetime(2024, 5, 1)
+    types = ["a", "b", "c", "d"]
+    for trial in range(4):
+        k = rng.choice([2, 3, 4])
+        wh = rng.choice([None, 24, 96])
+        rows = []
+        for _ in range(rng.choice([30, 80])):
+            rows.append((rng.randrange(8),
+                         d0 + dt.timedelta(minutes=rng.randrange(60 * 200)),
+                         types[rng.randrange(len(types))]))
+        cfg = (trial, k, wh)
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = sorted(map(tuple, funnel(
+            df, types[:k], within_hours=wh).collect()))
+        vals = ", ".join(f"({u}, TIMESTAMP '{t}', '{e}')"
+                         for u, t, e in rows)
+        want = sorted(map(tuple, con.execute(funnel_duckdb_sql(
+            f"(SELECT * FROM (VALUES {vals}) AS t(user_id, ts, event_type))",
+            types[:k], within_hours=wh)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
