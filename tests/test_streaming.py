@@ -856,3 +856,50 @@ def test_rrf_ingest_stream_matches_batch(spark):
         assert got == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_gapfill_state_stream_matches_batch(spark):
+    """Streaming stage-1 state (latest obs per (user, period)) equals
+    the batch pick, and resample_ffill over the streamed state equals
+    resample_ffill over the raw events — the stream-maintains /
+    batch-fills split documented in streaming/timeseries.py."""
+    import datetime as dt
+
+    from flink_sql_security_spark.operators.timeseries import resample_ffill
+    from flink_sql_security_spark.streaming.timeseries import (
+        latest_per_period_stream)
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 0, 10), 101, 10.0),
+        (1, d(2024, 1, 1, 0, 50), 102, 20.0),
+        (1, d(2024, 1, 1, 0, 50), 99, 15.0),   # same-ts tie: id 102 wins
+        (1, d(2024, 1, 1, 3, 5), 104, 30.0),
+        (2, d(2024, 1, 1, 5, 0), 103, 7.0),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    path = tempfile.mkdtemp(prefix="fss_stream_gapfill")
+    try:
+        df = spark.createDataFrame(rows, schema)
+        df.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(schema).parquet(path)
+        q = (latest_per_period_stream(src).writeStream
+             .format("memory").queryName("gf_state")
+             .outputMode("complete").start())
+        q.processAllAvailable(); q.stop()
+        state = spark.table("gf_state")
+        # streamed state == the batch stage-1 pick (derive it from the
+        # batch op by taking the unfilled rows)
+        batch_obs = sorted(
+            (r["user_id"], r["period"], r["value"])
+            for r in resample_ffill(df).collect() if not r["filled"])
+        got_state = sorted(map(tuple, state.collect()))
+        assert got_state == batch_obs
+        # batch fill over the streamed state == fill over raw events
+        refill = resample_ffill(
+            state.withColumn("event_id", F.lit(0)),
+            ts_col="period", id_col="event_id")
+        assert sorted(map(tuple, refill.collect())) == sorted(
+            map(tuple, resample_ffill(df).collect()))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
