@@ -1736,6 +1736,43 @@ FROM s GROUP BY user_id, session_id
 """,
     )
 
+    # SCD Type-2 history (operators/cdc.py scd2_history): every version
+    # of every key with sequence-valued validity intervals — ONE window
+    # pass on the key partitioning (lead bound + last-op flag), no
+    # joins; deletes close intervals and emit no version. Carried
+    # values only → strict.
+    from flink_sql_security_spark.operators import cdc as C
+
+    out["cdc_scd2"] = (
+        with_tables(lambda s: C.scd2_history(
+            s.table("events"), ["user_id"], "ts", ["value"],
+            op_col="event_type", delete_op="error",
+            tiebreak_cols=["event_id"])),
+        C.scd2_history_duckdb_sql(
+            "events", ["user_id"], "ts", ["value"],
+            op_col="event_type", delete_op="error",
+            tiebreak_cols=["event_id"]),
+    )
+
+    # cohort retention (operators/timeseries.py retention_cohorts):
+    # high-value purchaser cohorts by first-activity week — integer-
+    # exact truncated-epoch offsets, one floor-rounded rate divide
+    def retained(s):
+        from flink_sql_security_spark.operators.timeseries import (
+            retention_cohorts)
+        return retention_cohorts(
+            s.table("events")
+            .where("event_type = 'purchase' AND value > 100"))
+
+    from flink_sql_security_spark.operators.timeseries import (
+        retention_cohorts_sql)
+    out["events_retention"] = (
+        with_tables(retained),
+        retention_cohorts_sql(
+            "(SELECT * FROM events "
+            "WHERE event_type = 'purchase' AND value > 100)"),
+    )
+
     # funnel analysis (operators/funnel.py): earliest ordered
     # view→click→purchase chain per user within 72h of funnel entry —
     # k entity-keyed exchanges for k steps, carried MIN timestamps
@@ -2519,11 +2556,26 @@ _CHECK_ORDER = [
     #   quota_per_source: the grouped per-key HLL profile (new in r08)
     #   and the top-N-per-key source quota (WindowGroupLimit lowering)
     #   each get their first driver row.
-    "sketch_distinct_hll", "profile_outliers", "sketch_bloom_decon",
+    # late-r09 swap (sixth pass — two more birth-round entries; both
+    # outgoing veterans were already on the provisional r10-outgoing
+    # pick below and hold recorded driver rows):
+    # - sketch_bloom_decon → events_retention: the bloom membership
+    #   verdict is carried in-row and the md5-keyed mergeable-sketch
+    #   fold family keeps TWO window pins (sketch_distinct_hll,
+    #   sketch_hll_by_key); cohort retention (integer-exact truncated-
+    #   epoch offsets) is a new analytics family.
+    # - emb_pq_topk → cdc_scd2: the flat-ADC scan is stage 1 of
+    #   in-window emb_ivfpq_rerank's machinery and holds its r08/r09
+    #   rows + the forced-route parity tests; SCD Type-2 validity
+    #   intervals (lead-bounded versions, delete-closed) are a
+    #   changelog family cdc_upsert_latest's latest-only shape does
+    #   not pin.
+    "sketch_distinct_hll", "profile_outliers", "events_retention",
     "dedup_minhash_pairs", "cdc_upsert_latest", "dedup_containment",
+    "cdc_scd2",
     "emb_pca_project", "dedup_lsh_verified", "dedup_components",
     "split_contamination", "dedup_decontaminate", "emb_semantic_dedup",
-    "emb_opq_topk", "emb_pq_topk", "emb_opq_ivf_topk",
+    "emb_opq_topk", "emb_opq_ivf_topk",
     "emb_ivfpq_rerank", "emb_matryoshka_topk",
     "emb_binary_topk", "pack_sequences",
     "sketch_hll_by_key", "quota_per_source",

@@ -119,3 +119,80 @@ SELECT {keys},
             ELSE 'unchanged' END AS status
 FROM o FULL OUTER JOIN n USING ({keys})
 """
+
+
+def scd2_history(df: DataFrame, key_cols: list[str], seq_col: str,
+                 value_cols: list[str], op_col: str | None = None,
+                 delete_op: str = "D",
+                 tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 history from a changelog:
+    one VERSION row per upsert, with its validity interval.
+
+    Where :func:`upsert_latest` keeps only each key's current row,
+    SCD2 keeps every version: ``valid_from`` = the row's own sequence,
+    ``valid_to`` = the NEXT change's sequence for the key (any op —
+    an update supersedes, a delete closes), NULL while current;
+    ``is_current`` additionally requires that the key's latest op is
+    not a delete (a deleted key has no current version — its last
+    interval is closed by the delete row). Delete rows bound intervals
+    but emit no version of their own. This is the standard warehouse
+    history table (Kimball SCD Type 2) with sequence-valued validity —
+    swap timestamps in via ``seq_col`` for time-based intervals.
+
+    Scale: ONE window pass over the key partitioning (lead for the
+    closing bound, max_by-style last-op via the same ordered window) —
+    a single hash exchange, no joins, no state beyond the window sort.
+    All outputs are carried values → strict oracle by construction.
+    """
+    order = [F.col(seq_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    wall = (Window.partitionBy(*key_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    out = (df
+           .withColumn("_valid_to", F.lead(seq_col).over(w))
+           .withColumn("_last_op",
+                       F.last(F.col(op_col)).over(wall)
+                       if op_col else F.lit(None).cast("string")))
+    if op_col is not None:
+        out = out.where(F.col(op_col) != delete_op)
+        current = (F.col("_valid_to").isNull()
+                   & (F.col("_last_op") != delete_op))
+    else:
+        current = F.col("_valid_to").isNull()
+    return out.select(
+        *key_cols, *value_cols,
+        F.col(seq_col).alias("valid_from"),
+        F.col("_valid_to").alias("valid_to"),
+        current.alias("is_current"))
+
+
+def scd2_history_duckdb_sql(table_sql: str, key_cols: list[str],
+                            seq_col: str, value_cols: list[str],
+                            op_col: str | None = None,
+                            delete_op: str = "D",
+                            tiebreak_cols: list[str] | None = None) -> str:
+    """DuckDB oracle: the identical lead/last-op window formulation."""
+    order = ", ".join(
+        [f"{seq_col} ASC"] + [f"{c} ASC" for c in (tiebreak_cols or [])])
+    keys = ", ".join(key_cols)
+    vals = ", ".join(value_cols)
+    if op_col is not None:
+        last_op = (f"last_value({op_col}) OVER (PARTITION BY {keys} "
+                   f"ORDER BY {order} ROWS BETWEEN UNBOUNDED PRECEDING "
+                   f"AND UNBOUNDED FOLLOWING) AS _last_op")
+        guard = f"WHERE {op_col} <> '{delete_op}' "
+        current = (f"(_valid_to IS NULL AND _last_op <> '{delete_op}')")
+    else:
+        last_op = "NULL AS _last_op"
+        guard = ""
+        current = "(_valid_to IS NULL)"
+    return (
+        f"SELECT {keys}, {vals}, {seq_col} AS valid_from, "
+        f"_valid_to AS valid_to, {current} AS is_current FROM ("
+        f"SELECT *, lead({seq_col}) OVER (PARTITION BY {keys} "
+        f"ORDER BY {order}) AS _valid_to, {last_op} "
+        f"FROM {table_sql} t) s {guard}"
+    )

@@ -117,3 +117,103 @@ expanded AS (
 SELECT user_id, g AS period, value, g <> obs_period AS filled
 FROM expanded
 """.strip()
+
+
+_PERIOD_SECONDS = {"day": 86_400, "week": 604_800}
+
+
+def retention_cohorts(events, *, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      period: str = "week"):
+    """(cohort_period, period_offset, n_active, n_cohort, retention) —
+    classic cohort retention: entities grouped by their FIRST-activity
+    period, then for each later period the fraction still active.
+
+    The companion readout to :func:`resample_ffill` and the funnel op
+    for event streams (is the corpus/user base churning?). Offsets are
+    computed as exact integer arithmetic on truncated-period epochs
+    (both engines' ``date_trunc`` anchors weeks on Monday and the
+    difference of two truncated epochs is an exact multiple of the
+    period), so everything except the final rate is integer-exact; the
+    rate is one floor-rounded IEEE divide.
+
+    Scale: first-activity per entity is one entity-keyed aggregation;
+    per-period activity is one distinct over (entity, period); the
+    cohort map (|entities| rows) broadcasts into the activity join
+    under AQE; the final (cohort, offset) aggregation and the
+    |cohorts|-row size table are small. No step is quadratic and the
+    only per-event work is the truncation projection.
+    """
+    if period not in _PERIOD_SECONDS:
+        raise ValueError(
+            f"period must be one of {tuple(_PERIOD_SECONDS)}: {period!r}")
+    secs = _PERIOD_SECONDS[period]
+    cohort = (events.groupBy(F.col(user_col).alias("user_id"))
+              .agg(F.min(ts_col).alias("_first"))
+              .select("user_id",
+                      F.date_trunc(period, F.col("_first"))
+                      .alias("cohort_period")))
+    act = (events.select(F.col(user_col).alias("user_id"),
+                         F.date_trunc(period, F.col(ts_col))
+                         .alias("_p"))
+           .distinct())
+    offsets = (act.join(cohort, "user_id")
+               .select("cohort_period",
+                       ((F.unix_timestamp("_p")
+                         - F.unix_timestamp("cohort_period"))
+                        / F.lit(secs)).cast("long")
+                       .alias("period_offset"),
+                       "user_id"))
+    active = (offsets.groupBy("cohort_period", "period_offset")
+              .agg(F.count("*").alias("n_active")))
+    sizes = (cohort.groupBy("cohort_period")
+             .agg(F.count("*").alias("n_cohort")))
+    from ..functions.text import floor_round_col
+    return (active.join(sizes, "cohort_period")
+            .select("cohort_period", "period_offset", "n_active",
+                    "n_cohort",
+                    floor_round_col(
+                        F.col("n_active").cast("double")
+                        / F.col("n_cohort").cast("double"))
+                    .alias("retention")))
+
+
+def retention_cohorts_sql(table_sql: str, *, user_col: str = "user_id",
+                          ts_col: str = "ts",
+                          period: str = "week") -> str:
+    """DuckDB SQL twin of :func:`retention_cohorts` (oracle)."""
+    if period not in _PERIOD_SECONDS:
+        raise ValueError(
+            f"period must be one of {tuple(_PERIOD_SECONDS)}: {period!r}")
+    secs = _PERIOD_SECONDS[period]
+    from ..functions.text import floor_round
+
+    rate = floor_round(
+        "CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)", 6, "duckdb")
+    return f"""
+WITH cohort AS (
+  SELECT {user_col} AS user_id,
+         CAST(date_trunc('{period}', min({ts_col})) AS TIMESTAMP)
+           AS cohort_period
+  FROM {table_sql} GROUP BY 1),
+act AS (
+  SELECT DISTINCT {user_col} AS user_id,
+         CAST(date_trunc('{period}', {ts_col}) AS TIMESTAMP) AS _p
+  FROM {table_sql}),
+offsets AS (
+  SELECT c.cohort_period,
+         CAST((floor(epoch(a._p)) - floor(epoch(c.cohort_period)))
+              / {secs} AS BIGINT) AS period_offset,
+         a.user_id
+  FROM act a JOIN cohort c USING (user_id)),
+active AS (
+  SELECT cohort_period, period_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM offsets GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_period, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM cohort GROUP BY 1)
+SELECT cohort_period, period_offset, n_active, n_cohort,
+       {rate} AS retention
+FROM active JOIN sizes USING (cohort_period)
+""".strip()

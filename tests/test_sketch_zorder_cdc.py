@@ -721,3 +721,81 @@ def test_grouped_distinct_hll_contract(spark):
     again = sorted(map(tuple, SK.grouped_distinct_hll(
         ev.repartition(7), "event_type", "user_id").collect()))
     assert again == sorted(map(tuple, out))
+
+
+# ----------------------------------------------------------------- scd2
+
+def test_scd2_versions_and_intervals(spark):
+    """Update chain with a delete: every upsert becomes a version, the
+    delete closes the last interval and emits no row, is_current only
+    on live keys."""
+    from flink_sql_security_spark.operators.cdc import scd2_history
+
+    rows = [(1, 1, "U", "a1"), (1, 3, "U", "a3"), (1, 2, "U", "a2"),
+            (2, 1, "U", "b1"), (2, 2, "D", None),
+            (3, 5, "U", "c5")]
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v string")
+    out = sorted(map(tuple, scd2_history(
+        df, ["k"], "seq", ["v"], op_col="op").collect()))
+    assert out == [
+        (1, "a1", 1, 2, False),
+        (1, "a2", 2, 3, False),
+        (1, "a3", 3, None, True),
+        (2, "b1", 1, 2, False),   # closed by the delete, not current
+        (3, "c5", 5, None, True),
+    ]
+
+
+def test_scd2_latest_agrees_with_upsert_latest(spark):
+    """The is_current slice of SCD2 must equal upsert_latest — two
+    formulations of 'current state' may never diverge."""
+    from flink_sql_security_spark.operators.cdc import (
+        scd2_history, upsert_latest)
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    cur = sorted(map(tuple, scd2_history(
+        ev, ["user_id"], "ts", ["value"], op_col="event_type",
+        delete_op="error", tiebreak_cols=["event_id"])
+        .where("is_current")
+        .select("user_id", "value").collect()))
+    latest = sorted(map(tuple, upsert_latest(
+        ev, ["user_id"], "ts", op_col="event_type", delete_op="error",
+        tiebreak_cols=["event_id"]).select("user_id", "value").collect()))
+    assert cur == latest and len(cur) > 0
+
+
+def test_fuzz_scd2_cross_engine(spark):
+    """Config fuzz: random changelogs (keys, ops, tiebreak collisions),
+    bit-equal vs the DuckDB oracle. Seed 27183."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.cdc import (
+        scd2_history, scd2_history_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(27183)
+    for trial in range(4):
+        n = rng.choice([10, 30])
+        rows = []
+        for i in range(n):
+            rows.append((rng.randrange(4),
+                         rng.randrange(8),      # seq collisions likely
+                         i,                      # unique tiebreak
+                         rng.choice(["U", "U", "U", "D"]),
+                         f"v{i}"))
+        cfg = (trial, n)
+        df = spark.createDataFrame(
+            rows, "k long, seq long, tb long, op string, v string")
+        got = sorted(map(tuple, scd2_history(
+            df, ["k"], "seq", ["v"], op_col="op",
+            tiebreak_cols=["tb"]).collect()))
+        vals = ", ".join(f"({k}, {s}, {t}, '{o}', '{v}')"
+                         for k, s, t, o, v in rows)
+        want = sorted(map(tuple, con.execute(scd2_history_duckdb_sql(
+            f"(SELECT * FROM (VALUES {vals}) AS t(k, seq, tb, op, v))",
+            ["k"], "seq", ["v"], op_col="op",
+            tiebreak_cols=["tb"])).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()

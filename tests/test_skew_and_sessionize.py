@@ -343,3 +343,79 @@ def test_fuzz_funnel_cross_engine(spark):
             types[:k], within_hours=wh)).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# ------------------------------------------------------------- retention
+
+def test_retention_decay_and_exactness(spark):
+    """Hand-built two-cohort stream: exact counts and rates, including
+    a user active in a later week than their cohort."""
+    import datetime as dt
+
+    from flink_sql_security_spark.operators.timeseries import (
+        retention_cohorts)
+
+    d = dt.datetime
+    # cohort A (week of Jan 1): users 1,2 — user 1 returns week+1
+    # cohort B (week of Jan 8): user 3
+    rows = [
+        (1, d(2024, 1, 2, 10)), (2, d(2024, 1, 3, 11)),
+        (1, d(2024, 1, 9, 9)),
+        (3, d(2024, 1, 10, 8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_period"], r["period_offset"]):
+           (r["n_active"], r["n_cohort"], r["retention"])
+           for r in retention_cohorts(df).collect()}
+    a, b = d(2024, 1, 1), d(2024, 1, 8)
+    assert got[(a, 0)] == (2, 2, 1.0)
+    assert got[(a, 1)] == (1, 2, 0.5)
+    assert got[(b, 0)] == (1, 1, 1.0)
+    assert len(got) == 3
+
+
+def test_retention_validates_period(spark):
+    import pytest
+
+    from flink_sql_security_spark.operators.timeseries import (
+        retention_cohorts, retention_cohorts_sql)
+
+    df = spark.createDataFrame([(1,)], "user_id long").withColumn(
+        "ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="period"):
+        retention_cohorts(df, period="month")
+    with pytest.raises(ValueError, match="period"):
+        retention_cohorts_sql("events", period="hour")
+
+
+def test_fuzz_retention_cross_engine(spark):
+    """Config fuzz: random sparse activity streams × period, bit-equal
+    vs the DuckDB oracle. Seed 16181."""
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.timeseries import (
+        retention_cohorts, retention_cohorts_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(16181)
+    d0 = dt.datetime(2024, 2, 1)
+    for trial in range(4):
+        period = rng.choice(["day", "week"])
+        rows = []
+        for _ in range(rng.choice([20, 60])):
+            rows.append((rng.randrange(6),
+                         d0 + dt.timedelta(
+                             minutes=rng.randrange(60 * 24 * 40))))
+        cfg = (trial, period)
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = sorted(map(tuple, retention_cohorts(
+            df, period=period).collect()))
+        vals = ", ".join(f"({u}, TIMESTAMP '{t}')" for u, t in rows)
+        want = sorted(map(tuple, con.execute(retention_cohorts_sql(
+            f"(SELECT * FROM (VALUES {vals}) AS t(user_id, ts))",
+            period=period)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
