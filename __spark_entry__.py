@@ -2326,6 +2326,31 @@ FROM s GROUP BY user_id, session_id
         with_tables(part_triangles),
         G.triangle_sql(_COPURCHASE_EDGES_SQL),
     )
+
+    # Label-propagation communities (Raghavan et al. 2007, the
+    # deterministic synchronous variant — count DESC / label ASC total
+    # order, so the unrolled oracle is strict) over the same urgent
+    # co-purchase graph: product communities without the transitive
+    # over-merge of connected components (one spurious edge merges two
+    # CCs; LPA needs a neighbor majority).
+    def part_lpa(s):
+        li = s.table("lineitem").select("l_orderkey", "l_partkey")
+        urgent = (s.table("orders")
+                  .where(F.col("o_orderpriority") == "1-URGENT")
+                  .select("o_orderkey"))
+        a, b = li.alias("a"), li.alias("b")
+        edges = (
+            a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+            .join(urgent, F.col("a.l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("a.l_partkey").alias("src"),
+                    F.col("b.l_partkey").alias("dst")))
+        return G.label_propagation(edges, iters=3)
+
+    out["graph_lpa"] = (
+        with_tables(part_lpa),
+        G.label_propagation_sql(_COPURCHASE_EDGES_SQL, iters=3),
+    )
     return out
 
 
@@ -2702,10 +2727,17 @@ _CHECK_ORDER = [
     #   self-join holds r05–r08 driver rows, its streaming twin is
     #   pytest-pinned, and the temporal-join family keeps its window
     #   pin via asof_purchase_click; also on the r10-outgoing pick.
+    # late-r09 swap (seventh pass): sessionize_events → graph_lpa.
+    # Sessionize holds driver rows since r1 and its
+    # applyInPandasWithState core is stream≡batch pytest-pinned (it was
+    # already on the provisional r10-outgoing pick); deterministic
+    # label-propagation communities (majority-flip partitioning — a
+    # semantics neither components nor pagerank pins) get their
+    # birth-round row.
     "graph_triangles", "graph_hits",
     "multimodal_features", "graph_pagerank",
     "events_gapfill", "pipeline_clean_corpus",
-    "sessionize_events", "asof_purchase_click",
+    "graph_lpa", "asof_purchase_click",
     # late-r09 swap (fifth pass): window_lag_running → events_funnel.
     # The analytic-window family (lag / framed running sum / ntile)
     # holds driver rows since r1 and a pytest pin, and was already

@@ -658,3 +658,96 @@ SELECT deg.node, deg.degree,
             ELSE CAST('0.0' AS DOUBLE) END AS clustering
 FROM deg LEFT JOIN per_node t ON deg.node = t.node
 """.strip()
+
+
+def label_propagation(edges, *, src: str = "src", dst: str = "dst",
+                      iters: int = 3,
+                      broadcast_labels_limit: int = 5_000_000):
+    """(node, community) after ``iters`` synchronous label-propagation
+    rounds over the UNDIRECTED graph (Raghavan et al. 2007) — the
+    community-detection companion to :func:`triangle_count`:
+    near-linear-time partitioning of a content/interaction graph into
+    densely connected groups (near-dup clusters, topical link
+    neighborhoods), without the transitive over-merge of pure
+    connected components (a single spurious edge merges two CC's;
+    LPA needs a MAJORITY of neighbors to flip a node).
+
+    DETERMINISTIC variant — vanilla LPA tie-breaks randomly and
+    processes nodes in random order, which can never be strictly
+    oracle-checked; this is the synchronous form with a total order on
+    (count DESC, label ASC): every node simultaneously adopts its
+    neighbors' most frequent label, ties to the smallest. Integer
+    counts + a fixed tie order make every round partition-order-exact,
+    so the unrolled DuckDB oracle is strict. Labels start as node ids.
+
+    Scale: per round, one edge⋈labels join (labels broadcast under
+    ``broadcast_labels_limit`` — the |V|-row table, same gate as
+    :func:`hits`), one (node, label) count aggregation, one per-node
+    window pick. The symmetrized edge table persists once; each
+    round's label table localCheckpoints to cut the growing lineage
+    (the HITS discipline — un-cut, the per-round broadcast replays
+    every prior round's subtree).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a") != F.col("b")))
+    und = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .distinct().persist())
+    nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    small_v = nodes.count() <= broadcast_labels_limit
+
+    def hint(df):
+        return F.broadcast(df) if small_v else df
+
+    labels = nodes.select("node", F.col("node").alias("community"))
+    w = Window.partitionBy("a").orderBy(
+        F.desc("cnt"), F.asc("community"))
+    for _ in range(iters):
+        neigh = (und.join(hint(labels),
+                          und["b"] == labels["node"])
+                 .groupBy("a", "community")
+                 .agg(F.count("*").alias("cnt")))
+        labels = (neigh.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1)
+                  .select(F.col("a").alias("node"), "community")
+                  .localCheckpoint(eager=True))
+    out = (nodes.join(hint(labels), "node", "left")
+           .select(nodes["node"],
+                   F.coalesce(F.col("community"),
+                              nodes["node"]).alias("community")))
+    return attach(out, und, nodes)
+
+
+def label_propagation_sql(edges_sql: str, *, iters: int = 3) -> str:
+    """DuckDB SQL twin of :func:`label_propagation` (oracle): the
+    identical symmetrize / count / (count DESC, label ASC) pick chain,
+    unrolled per round; CTEs MATERIALIZED (see :func:`hits_sql`)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    parts = [
+        f"WITH raw AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT src AS a, dst AS b FROM raw "
+        "WHERE src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT a, b FROM e UNION ALL SELECT b, a FROM e))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM und)",
+        "l0 AS MATERIALIZED (SELECT node, node AS community FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT und.a, l.community, "
+            f"CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM und JOIN l{i - 1} l ON und.b = l.node "
+            f"GROUP BY und.a, l.community)")
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT a AS node, community FROM ("
+            f"SELECT a, community, row_number() OVER (PARTITION BY a "
+            f"ORDER BY cnt DESC, community ASC) AS _rn FROM n{i}) "
+            f"WHERE _rn = 1)")
+    return (
+        ", ".join(parts)
+        + f" SELECT nodes.node, coalesce(l{iters}.community, nodes.node) "
+        f"AS community FROM nodes LEFT JOIN l{iters} "
+        f"ON nodes.node = l{iters}.node"
+    )

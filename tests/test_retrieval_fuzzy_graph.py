@@ -1025,3 +1025,93 @@ def test_fuzz_triangles_configs_cross_engine(spark):
         )).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# ------------------------------------------------------------------ lpa
+
+def test_lpa_separates_planted_clusters(spark):
+    """Two dense 8-cliques joined by ONE bridge edge: LPA keeps them
+    separate (a majority of neighbors must flip a node) where connected
+    components would merge them through the bridge."""
+    from flink_sql_security_spark.operators.graph import label_propagation
+
+    edges = []
+    for base in (0, 100):
+        edges += [(base + i, base + j)
+                  for i in range(8) for j in range(i + 1, 8)]
+    edges.append((3, 103))  # the spurious bridge
+    out = {r["node"]: r["community"] for r in label_propagation(
+        spark.createDataFrame(edges, ["src", "dst"]), iters=3).collect()}
+    left = {out[i] for i in range(8)}
+    right = {out[100 + i] for i in range(8)}
+    assert left == {0} and right == {100}
+
+
+def test_lpa_deterministic_tie_rule(spark):
+    """A node with equal-count neighbor labels adopts the SMALLEST —
+    pinned so the oracle contract can't drift."""
+    from flink_sql_security_spark.operators.graph import label_propagation
+
+    # node 9 sees labels {1, 2} once each after round 1
+    df = spark.createDataFrame([(1, 9), (2, 9)], ["src", "dst"])
+    out = {r["node"]: r["community"] for r in label_propagation(
+        df, iters=1).collect()}
+    assert out[9] == 1
+
+
+def test_lpa_partitioning_invariant(spark):
+    import random
+
+    from flink_sql_security_spark.operators.graph import label_propagation
+
+    rng = random.Random(99)
+    raw = [(rng.randrange(18), rng.randrange(18)) for _ in range(120)]
+    df = spark.createDataFrame(raw, ["src", "dst"])
+    a = sorted(map(tuple, label_propagation(df, iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(
+        df.repartition(13, "src"), iters=3).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_lpa_validates_iters(spark):
+    import pytest
+
+    from flink_sql_security_spark.operators.graph import (
+        label_propagation, label_propagation_sql)
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(df, iters=0)
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation_sql("SELECT 1 AS src, 2 AS dst", iters=-1)
+
+
+def test_fuzz_lpa_configs_cross_engine(spark):
+    """Config fuzz: random graphs × iteration depth, bit-equal vs the
+    unrolled DuckDB oracle. Seed base 14143."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.graph import (
+        label_propagation, label_propagation_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(14143)
+    for trial in range(4):
+        n = rng.choice([5, 10, 16])
+        m = rng.choice([8, 20, 40])
+        iters = rng.choice([1, 2, 4])
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        if all(a == b for a, b in edges):
+            edges.append((0, 1))
+        cfg = (trial, n, m, iters)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = sorted(map(tuple, label_propagation(
+            df, iters=iters).collect()))
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        want = sorted(map(tuple, con.execute(label_propagation_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+            iters=iters)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
