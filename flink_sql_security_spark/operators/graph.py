@@ -507,6 +507,7 @@ def pagerank_sql(edges_sql: str, *, iters: int = 5,
 
 
 def triangle_count(edges, *, src: str = "src", dst: str = "dst",
+                   n_nodes: int | None = None,
                    broadcast_degrees_limit: int = 5_000_000):
     """(node, degree, triangles, clustering) — exact per-node triangle
     counts and local clustering coefficient over an UNDIRECTED simple
@@ -551,7 +552,11 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
            .union(e.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("degree"))
            .persist())
-    small_v = deg.count() <= broadcast_degrees_limit
+    # n_nodes: the pagerank/hits escape hatch — serving loops that know
+    # |V| skip the broadcast-gate count job entirely
+    if n_nodes is None:
+        n_nodes = deg.count()
+    small_v = n_nodes <= broadcast_degrees_limit
 
     def hint(df):
         return F.broadcast(df) if small_v else df
@@ -661,7 +666,7 @@ FROM deg LEFT JOIN per_node t ON deg.node = t.node
 
 
 def label_propagation(edges, *, src: str = "src", dst: str = "dst",
-                      iters: int = 3,
+                      iters: int = 3, n_nodes: int | None = None,
                       broadcast_labels_limit: int = 5_000_000):
     """(node, community) after ``iters`` synchronous label-propagation
     rounds over the UNDIRECTED graph (Raghavan et al. 2007) — the
@@ -695,7 +700,9 @@ def label_propagation(edges, *, src: str = "src", dst: str = "dst",
     und = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct().persist())
     nodes = und.select(F.col("a").alias("node")).distinct().persist()
-    small_v = nodes.count() <= broadcast_labels_limit
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    small_v = n_nodes <= broadcast_labels_limit
 
     def hint(df):
         return F.broadcast(df) if small_v else df
