@@ -94,3 +94,21 @@ def test_curation_pipeline_walkthrough(spark):
     again = run(spark)
     assert again["n_mixed"] == out["n_mixed"]
     assert again["n_bins"] == out["n_bins"]
+
+
+def test_event_analytics_walkthrough(spark):
+    """The event-analytics composition runs end to end: QA flags feed
+    the funnel scan, the funnel has every depth, SCD2's current slice
+    is bounded by the user count, the fill fraction is a real fraction,
+    and the co-purchase graph has closed triangles and fewer
+    communities than nodes."""
+    from examples.event_analytics_walkthrough import run
+
+    out = run(spark)
+    assert out["n_flags"] > 0
+    assert set(out["depths"]) <= {1, 2, 3} and 3 in out["depths"]
+    assert out["curve"].get(0) == 1.0           # cohort week is active
+    assert 0 < out["n_current"] < out["n_versions"]
+    assert 0.0 < out["fill_frac"] < 1.0
+    assert out["n_closed"] > 0
+    assert 0 < out["n_comms"] < 200             # fewer communities than parts
