@@ -52,9 +52,44 @@ def _with_partitions(spark, n, fn):
                             s.table("embeddings").where("vec_id < 5"), k=3),
     lambda s: S.ann_candidate_pairs(s.table("embeddings"), bits=4, tables=8,
                                     threshold=0.4),
+    # round-9 additions: the event/graph analytics tier
+    lambda s: __import__("flink_sql_security_spark.operators.graph",
+                         fromlist=["x"]).triangle_count(
+        s.table("lineitem").selectExpr("l_orderkey % 97 AS src",
+                                       "l_partkey % 89 AS dst")),
+    lambda s: __import__("flink_sql_security_spark.operators.graph",
+                         fromlist=["x"]).label_propagation(
+        s.table("lineitem").selectExpr("l_orderkey % 97 AS src",
+                                       "l_partkey % 89 AS dst"), iters=2),
+    lambda s: __import__("flink_sql_security_spark.operators.timeseries",
+                         fromlist=["x"]).resample_ffill(
+        s.table("events").where("event_type = 'purchase'")),
+    lambda s: __import__("flink_sql_security_spark.operators.timeseries",
+                         fromlist=["x"]).retention_cohorts(
+        s.table("events").where("value > 100")),
+    lambda s: __import__("flink_sql_security_spark.operators.profile",
+                         fromlist=["x"]).robust_outliers(
+        s.table("events"), value_col="value", group_cols=["event_type"],
+        id_cols=["event_id"], k=2.0),
+    lambda s: __import__("flink_sql_security_spark.operators.similarity",
+                         fromlist=["x"]).matryoshka_topk(
+        s.table("embeddings"), s.table("embeddings").where("vec_id < 5"),
+        prefix_dims=16, shortlist=4, k=3),
+    lambda s: __import__("flink_sql_security_spark.operators.dedup",
+                         fromlist=["x"]).containment_pairs(
+        s.table("documents"), threshold=0.5),
+    lambda s: __import__("flink_sql_security_spark.operators.funnel",
+                         fromlist=["x"]).funnel(
+        s.table("events"), ["view", "click", "purchase"], within_hours=72),
+    lambda s: __import__("flink_sql_security_spark.operators.cdc",
+                         fromlist=["x"]).scd2_history(
+        s.table("events"), ["user_id"], "ts", ["value"],
+        op_col="event_type", delete_op="error", tiebreak_cols=["event_id"]),
 ], ids=["exact_groups", "minhash_pairs", "lsh_verified", "simhash",
         "simhash_pairs", "components", "cosine_pairs", "cosine_topk",
-        "ann_pairs"])
+        "ann_pairs",
+        "triangles", "lpa", "gapfill", "retention", "outliers",
+        "matryoshka", "containment", "funnel", "scd2"])
 def test_identical_under_relayout(tables, op):
     spark = tables
     base = _rows(op(spark))
