@@ -144,6 +144,8 @@ def scd2_history(df: DataFrame, key_cols: list[str], seq_col: str,
     a single hash exchange, no joins, no state beyond the window sort.
     All outputs are carried values → strict oracle by construction.
     """
+    if not key_cols or not value_cols:
+        raise ValueError("key_cols and value_cols must be non-empty")
     order = [F.col(seq_col).asc()] + [
         F.col(c).asc() for c in (tiebreak_cols or [])]
     w = Window.partitionBy(*key_cols).orderBy(*order)
@@ -175,6 +177,8 @@ def scd2_history_duckdb_sql(table_sql: str, key_cols: list[str],
                             delete_op: str = "D",
                             tiebreak_cols: list[str] | None = None) -> str:
     """DuckDB oracle: the identical lead/last-op window formulation."""
+    if not key_cols or not value_cols:
+        raise ValueError("key_cols and value_cols must be non-empty")
     order = ", ".join(
         [f"{seq_col} ASC"] + [f"{c} ASC" for c in (tiebreak_cols or [])])
     keys = ", ".join(key_cols)

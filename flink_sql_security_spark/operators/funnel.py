@@ -44,6 +44,13 @@ def _check_steps(steps) -> list[str]:
         raise ValueError(f"funnel needs >= 2 steps: {steps!r}")
     if len(set(steps)) != len(steps):
         raise ValueError(f"duplicate funnel steps: {steps!r}")
+    for s in steps:
+        # step values embed as SQL string literals in the oracle
+        # emitter — refuse anything that could escape the quoting
+        # (the same single-statement discipline as plans/parser.py)
+        if not isinstance(s, str) or "'" in s or "\\" in s or ";" in s:
+            raise ValueError(f"funnel steps must be plain strings "
+                             f"without quotes/backslashes: {s!r}")
     return steps
 
 
