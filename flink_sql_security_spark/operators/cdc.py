@@ -179,8 +179,12 @@ def scd2_history_duckdb_sql(table_sql: str, key_cols: list[str],
     """DuckDB oracle: the identical lead/last-op window formulation."""
     if not key_cols or not value_cols:
         raise ValueError("key_cols and value_cols must be non-empty")
+    # NULLS FIRST pins DuckDB to Spark's ASC default (asc_nulls_first);
+    # DuckDB's default is NULLS LAST on ASC — a NULL-sequence changelog
+    # row would otherwise reorder the whole version chain
     order = ", ".join(
-        [f"{seq_col} ASC"] + [f"{c} ASC" for c in (tiebreak_cols or [])])
+        [f"{seq_col} ASC NULLS FIRST"]
+        + [f"{c} ASC NULLS FIRST" for c in (tiebreak_cols or [])])
     keys = ", ".join(key_cols)
     vals = ", ".join(value_cols)
     if op_col is not None:

@@ -52,7 +52,10 @@ def resample_ffill(events, *, user_col: str = "user_id",
     empty periods; ``filled`` marks carried rows.
     """
     _check_step(step)
-    ev = events.select(
+    # NULL timestamps can't be bucketed; drop them on BOTH engines —
+    # explode(sequence(NULL,…)) vs unnest(generate_series(NULL,…)) is
+    # exactly the kind of corner the engines need not agree on
+    ev = events.where(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("user_id"),
         F.date_trunc(step, F.col(ts_col)).alias("period"),
         F.col(ts_col).alias("_ts"),
@@ -96,7 +99,7 @@ WITH ev AS (
   SELECT {user_col} AS user_id,
          date_trunc('{step}', {ts_col}) AS period,
          {ts_col} AS _ts, {id_col} AS _id, {value_col} AS value
-  FROM {table_sql}),
+  FROM {table_sql} WHERE {ts_col} IS NOT NULL),
 latest AS (
   SELECT user_id, period, value FROM (
     SELECT *, row_number() OVER (
@@ -148,6 +151,7 @@ def retention_cohorts(events, *, user_col: str = "user_id",
         raise ValueError(
             f"period must be one of {tuple(_PERIOD_SECONDS)}: {period!r}")
     secs = _PERIOD_SECONDS[period]
+    events = events.where(F.col(ts_col).isNotNull())
     cohort = (events.groupBy(F.col(user_col).alias("user_id"))
               .agg(F.min(ts_col).alias("_first"))
               .select("user_id",
@@ -195,11 +199,11 @@ WITH cohort AS (
   SELECT {user_col} AS user_id,
          CAST(date_trunc('{period}', min({ts_col})) AS TIMESTAMP)
            AS cohort_period
-  FROM {table_sql} GROUP BY 1),
+  FROM {table_sql} WHERE {ts_col} IS NOT NULL GROUP BY 1),
 act AS (
   SELECT DISTINCT {user_col} AS user_id,
          CAST(date_trunc('{period}', {ts_col}) AS TIMESTAMP) AS _p
-  FROM {table_sql}),
+  FROM {table_sql} WHERE {ts_col} IS NOT NULL),
 offsets AS (
   SELECT c.cohort_period,
          CAST((floor(epoch(a._p)) - floor(epoch(c.cohort_period)))

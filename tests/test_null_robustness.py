@@ -125,3 +125,102 @@ def test_cms_null_values_skipped_both_engines(both):
         SELECT j AS row_j, pos, CAST(count(*) AS BIGINT) AS cnt
         FROM cells GROUP BY 1, 2""", got.columns)
     assert _rows(got) == want
+
+
+# ------------------------------------------- round-9 event/time ops
+
+EVENT_ROWS = [
+    (1, "2024-01-01 00:10:00", 10, 1.0, "view"),
+    (1, None, 11, 2.0, "click"),            # NULL ts — must drop
+    (2, "2024-01-01 05:00:00", 12, None, "purchase"),  # NULL value carries
+    (None, "2024-01-01 06:00:00", 13, 3.0, "view"),    # NULL user groups
+    (3, "2024-01-02 00:00:00", 14, 4.0, "purchase"),
+]
+
+
+def _rows_pd(df):
+    """toPandas-faithful row render — the driver compares pandas frames
+    on BOTH sides, so a nullable BIGINT becomes float64 on both; the
+    collect()-based _rows helper would keep Spark ints and diverge."""
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return sorted(tuple(str(v) for v in r)
+                  for r in pdf[cols].itertuples(index=False, name=None))
+
+
+@pytest.fixture(scope="module")
+def event_both(spark):
+    df = spark.createDataFrame(
+        EVENT_ROWS, "user_id long, ts string, event_id long, "
+        "value double, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nullev(user_id BIGINT, ts TIMESTAMP, "
+                "event_id BIGINT, value DOUBLE, event_type VARCHAR)")
+    con.executemany("INSERT INTO nullev VALUES (?, ?, ?, ?, ?)", EVENT_ROWS)
+    return df, con
+
+
+def test_gapfill_null_parity(event_both):
+    from flink_sql_security_spark.operators.timeseries import (
+        resample_ffill, resample_ffill_sql)
+
+    df, con = event_both
+    got = _rows_pd(resample_ffill(df))
+    want = _duck(con, resample_ffill_sql("nullev"),
+                 ["user_id", "period", "value", "filled"])
+    assert got == want and len(got) > 0
+
+
+def test_retention_null_parity(event_both):
+    from flink_sql_security_spark.operators.timeseries import (
+        retention_cohorts, retention_cohorts_sql)
+
+    df, con = event_both
+    got = _rows_pd(retention_cohorts(df, period="day"))
+    want = _duck(con, retention_cohorts_sql("nullev", period="day"),
+                 ["cohort_period", "period_offset", "n_active",
+                  "n_cohort", "retention"])
+    assert got == want and len(got) > 0
+
+
+def test_funnel_null_parity(event_both):
+    from flink_sql_security_spark.operators.funnel import (
+        funnel, funnel_duckdb_sql)
+
+    df, con = event_both
+    got = _rows_pd(funnel(df, ["view", "purchase"], within_hours=48))
+    want = _duck(con, funnel_duckdb_sql(
+        "nullev", ["view", "purchase"], within_hours=48),
+        ["user_id", "step_1_ts", "step_2_ts", "depth"])
+    assert got == want and len(got) > 0
+
+
+def test_scd2_null_parity(event_both):
+    from flink_sql_security_spark.operators.cdc import (
+        scd2_history, scd2_history_duckdb_sql)
+
+    df, con = event_both
+    got = _rows_pd(scd2_history(df, ["user_id"], "ts", ["value"],
+                             op_col="event_type", delete_op="error",
+                             tiebreak_cols=["event_id"]))
+    want = _duck(con, scd2_history_duckdb_sql(
+        "nullev", ["user_id"], "ts", ["value"], op_col="event_type",
+        delete_op="error", tiebreak_cols=["event_id"]),
+        ["user_id", "value", "valid_from", "valid_to", "is_current"])
+    assert got == want and len(got) > 0
+
+
+def test_outliers_null_parity(event_both):
+    from flink_sql_security_spark.operators.profile import (
+        robust_outliers, robust_outliers_duckdb_sql)
+
+    df, con = event_both
+    got = _rows_pd(robust_outliers(df, value_col="value",
+                                group_cols=["event_type"],
+                                id_cols=["event_id"], k=0.5))
+    want = _duck(con, robust_outliers_duckdb_sql(
+        "nullev", value_col="value", group_cols=["event_type"],
+        id_cols=["event_id"], k=0.5),
+        ["event_type", "event_id", "value", "med", "mad", "score"])
+    assert got == want
