@@ -140,6 +140,13 @@ def retention_cohorts(events, *, user_col: str = "user_id",
     period), so everything except the final rate is integer-exact; the
     rate is one floor-rounded IEEE divide.
 
+    Timezone contract: ``unix_timestamp`` reads the session timezone,
+    so run with ``spark.sql.session.timeZone`` fixed (UTC here, the
+    repo-wide default) — in a DST-shifting zone two periods straddling
+    a transition would differ by a non-multiple of the period and
+    floor into the wrong offset bucket. Naive-UTC epochs make the
+    subtraction exact and match DuckDB's ``epoch()`` by construction.
+
     Scale: first-activity per entity is one entity-keyed aggregation;
     per-period activity is one distinct over (entity, period); the
     cohort map (|entities| rows) broadcasts into the activity join
