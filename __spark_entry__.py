@@ -1736,6 +1736,25 @@ FROM s GROUP BY user_id, session_id
 """,
     )
 
+    # association rules (operators/assoc.py basket_rules): pairwise
+    # support/confidence/lift over order baskets — integer counts, two
+    # floor-rounded divides; the support floor prunes before the
+    # projection
+    def rules(s):
+        from flink_sql_security_spark.operators.assoc import basket_rules
+        return basket_rules(s.table("lineitem"),
+                            basket_col="l_orderkey",
+                            item_col="l_partkey", min_support=2)
+
+    from flink_sql_security_spark.operators.assoc import (
+        basket_rules_duckdb_sql)
+    out["basket_rules"] = (
+        with_tables(rules),
+        basket_rules_duckdb_sql(
+            "lineitem", basket_col="l_orderkey", item_col="l_partkey",
+            min_support=2),
+    )
+
     # SCD Type-2 history (operators/cdc.py scd2_history): every version
     # of every key with sequence-valued validity intervals — ONE window
     # pass on the key partitioning (lead bound + last-op flag), no
@@ -2595,8 +2614,15 @@ _CHECK_ORDER = [
     #   intervals (lead-bounded versions, delete-closed) are a
     #   changelog family cdc_upsert_latest's latest-only shape does
     #   not pin.
+    # late-r09 swap (eighth pass): cdc_upsert_latest → basket_rules.
+    # upsert_latest holds driver rows r03–r08, its ranked-window core
+    # is pytest-pinned, and in-window cdc_scd2 now pins the changelog
+    # family — with the is_current≡upsert_latest cross-formulation
+    # test tying the two shapes together. Association rules
+    # (support/confidence/lift — Agrawal & Srikant 1994 pair level)
+    # are a new analytics family.
     "sketch_distinct_hll", "profile_outliers", "events_retention",
-    "dedup_minhash_pairs", "cdc_upsert_latest", "dedup_containment",
+    "dedup_minhash_pairs", "basket_rules", "dedup_containment",
     "cdc_scd2",
     "emb_pca_project", "dedup_lsh_verified", "dedup_components",
     "split_contamination", "dedup_decontaminate", "emb_semantic_dedup",

@@ -2402,3 +2402,68 @@ def test_fuzz_containment_cross_engine(spark):
         ).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# ----------------------------------------------------- basket rules
+
+def test_basket_rules_hand_computed(spark):
+    """4 baskets, hand-computed measures: {a,b} in 2 of 4 baskets,
+    a alone in 3, b in 2 → conf(a→b)=2/3, lift=(2·4)/(3·2)=4/3."""
+    from flink_sql_security_spark.operators.assoc import basket_rules
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+            (1, "a")]  # duplicate item in basket 1 must not double-count
+    out = {(r["antecedent"], r["consequent"]): r for r in basket_rules(
+        spark.createDataFrame(rows, ["basket", "item"]),
+        basket_col="basket", item_col="item").collect()}
+    ab = out[("a", "b")]
+    assert ab["n_pair"] == 2 and ab["n_ante"] == 3 and ab["n_cons"] == 2
+    assert ab["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert ab["lift"] == pytest.approx(4 / 3, abs=1e-6)
+    ba = out[("b", "a")]
+    assert ba["confidence"] == 1.0       # b always co-occurs with a
+    assert ba["lift"] == ab["lift"]      # lift is symmetric
+    assert ("a", "c") not in out         # below the support floor
+
+
+def test_basket_rules_validates_support(spark):
+    from flink_sql_security_spark.operators.assoc import (
+        basket_rules, basket_rules_duckdb_sql)
+
+    df = spark.createDataFrame([(1, "a")], ["b", "i"])
+    with pytest.raises(ValueError, match="min_support"):
+        basket_rules(df, basket_col="b", item_col="i", min_support=0)
+    with pytest.raises(ValueError, match="min_support"):
+        basket_rules_duckdb_sql("t", basket_col="b", item_col="i",
+                                min_support=-1)
+
+
+def test_fuzz_basket_rules_cross_engine(spark):
+    """Config fuzz: random baskets × support floor, bit-equal vs the
+    DuckDB oracle. Seed 26180."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.assoc import (
+        basket_rules, basket_rules_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(26180)
+    for trial in range(4):
+        n_b = rng.choice([5, 12])
+        n_i = rng.choice([4, 8])
+        ms = rng.choice([1, 2, 3])
+        rows = [(rng.randrange(n_b), f"i{rng.randrange(n_i)}")
+                for _ in range(rng.choice([20, 60]))]
+        cfg = (trial, n_b, n_i, ms)
+        df = spark.createDataFrame(rows, ["b", "i"])
+        got = sorted(map(tuple, basket_rules(
+            df, basket_col="b", item_col="i",
+            min_support=ms).collect()))
+        vals = ", ".join(f"({b}, '{i}')" for b, i in rows)
+        want = sorted(map(tuple, con.execute(basket_rules_duckdb_sql(
+            f"(SELECT * FROM (VALUES {vals}) AS t(b, i))",
+            basket_col="b", item_col="i", min_support=ms)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
