@@ -2313,6 +2313,33 @@ FROM s GROUP BY user_id, session_id
         G.pagerank_sql(_DIRECTED_EDGES_SQL, iters=4, seeds=_PPR_SEEDS),
     )
 
+    # Weighted PageRank: trade volume (lineitem count per customer→
+    # supplier pair) as edge weight — an edge seen 50× carries 50× the
+    # rank share. NOT windowed (the graph_ppr precedent): the quantized
+    # power-iteration core holds its driver pin via in-window
+    # graph_pagerank; the weighted delta is a decimal-exact per-edge
+    # fraction column, strictly checked here at all SFs.
+    _WEIGHTED_EDGES_SQL = (
+        "SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst, "
+        "CAST(count(*) AS BIGINT) AS w FROM orders o "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY 1, 2")
+
+    def trade_pagerank_weighted(s):
+        edges = (
+            s.table("orders")
+            .join(s.table("lineitem"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy(F.col("o_custkey").alias("src"),
+                     (F.col("l_suppkey") + F.lit(1000000)).alias("dst"))
+            .agg(F.count("*").alias("w")))
+        return G.pagerank(edges, iters=4, weight_col="w")
+
+    out["graph_pagerank_weighted"] = (
+        with_tables(trade_pagerank_weighted),
+        G.pagerank_sql(_WEIGHTED_EDGES_SQL, iters=4, weight="w"),
+    )
+
     # Triangle counting + local clustering coefficient over the part
     # CO-PURCHASE graph (parts bought together in the same urgent
     # order) — the community-density companion to the rank family

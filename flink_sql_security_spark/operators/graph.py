@@ -61,7 +61,7 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
              damping: float = 0.85, n_nodes: int | None = None,
              broadcast_ranks_limit: int = 5_000_000,
              dangling: str = "leak", checkpoint_every: int = 0,
-             seeds: list | None = None):
+             seeds: list | None = None, weight_col: str | None = None):
     """Ranks after ``iters`` synchronous PageRank iterations.
 
     ``edges`` is a DataFrame of DISTINCT directed (src, dst) pairs.
@@ -87,6 +87,18 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     teleport vector). Seeds absent from the graph keep their 1/|S|
     share of teleport mass by design (it simply never lands), so
     ranks still compare across graphs sharing a seed list.
+
+    ``weight_col`` switches to WEIGHTED PageRank: each out-edge carries
+    its weight's share of the source rank instead of a uniform
+    1/outdeg — the realistic trade/click graph where an edge seen 50×
+    matters more than one seen once. Weights must be positive
+    (non-positive rows are dropped on both engines); per-source totals
+    are summed as DECIMAL(18,6) — exact and order-independent — and
+    each edge's fraction is ONE IEEE divide of two decimal-exact
+    doubles, so the quantized-contribution recipe (and the strict
+    oracle) carries over unchanged. With equal weights the ranks match
+    the unweighted path to ~1e-12 (not bitwise: ``rank·(w/Σw)`` vs
+    ``rank/outdeg`` round differently), pinned in pytest.
 
     ``broadcast_ranks_limit``: the |V|-row rank/contribution tables are
     derived through joins+aggregates, so Catalyst has no size estimate
@@ -117,6 +129,8 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     # so an expensive upstream subtree (a join+distinct building the
     # graph) runs a single time instead of once per consumer (measured
     # 6.1 s → 2.9 s at sf0.1 on the trade-graph entry)
+    if weight_col is not None:
+        edges = edges.where(F.col(weight_col) > 0)
     edges = edges.persist()
     # nodes is consumed 1 + iters times (every rank rebuild left-joins
     # it) — persist so the union+distinct subtree runs once, not per
@@ -124,7 +138,12 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct().persist())
-    outdeg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    if weight_col is None:
+        outdeg = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    else:
+        outdeg = edges.groupBy(src).agg(
+            F.sum(F.col(weight_col).cast("decimal(18,6)"))
+            .alias("out_w"))
     if n_nodes is None:
         n_nodes = nodes.count()
     init = 1.0 / n_nodes                       # same IEEE divide as oracle
@@ -136,10 +155,19 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
 
     # outdeg is ≤|V| rows — same gate: broadcasting it into the one-off
     # ed build spares the |E|-row table its only non-iteration shuffle
-    ed = (edges.join(hint(outdeg), src)
-          .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
-                  "outdeg")
-          .persist())
+    if weight_col is None:
+        ed = (edges.join(hint(outdeg), src)
+              .select(F.col(src).alias("e_src"),
+                      F.col(dst).alias("e_dst"), "outdeg")
+              .persist())
+    else:
+        ed = (edges.join(hint(outdeg), src)
+              .select(F.col(src).alias("e_src"),
+                      F.col(dst).alias("e_dst"),
+                      (F.col(weight_col).cast("decimal(18,6)")
+                       .cast("double")
+                       / F.col("out_w").cast("double")).alias("frac"))
+              .persist())
 
     # dangling nodes = endpoints that never appear as src; a static
     # |V|-row set, derived once (the per-iteration dangling MASS still
@@ -171,11 +199,13 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
 
     ranks = nodes.select("node", init_col.alias("rank"))
     for it in range(iters):
+        share = (F.col("rank") * F.col("frac") if weight_col is not None
+                 else F.col("rank") / F.col("outdeg"))
         contribs = (
             ed.join(hint(ranks), ed["e_src"] == ranks["node"])
             .select(F.col("e_dst"),
-                    F.floor((F.col("rank") / F.col("outdeg"))
-                            * F.lit(_QUANTUM)).cast("long").alias("c")))
+                    F.floor(share * F.lit(_QUANTUM))
+                    .cast("long").alias("c")))
         sums = contribs.groupBy("e_dst").agg(F.sum("c").alias("csum"))
         new_rank = (base_col() + (F.lit(damping)
                     * (F.coalesce(F.col("csum"), F.lit(0)).cast("double")
@@ -415,13 +445,17 @@ def hits_sql(edges_sql: str, *, iters: int = 5) -> str:
 
 def pagerank_sql(edges_sql: str, *, iters: int = 5,
                  damping: float = 0.85, dangling: str = "leak",
-                 seeds: list | None = None) -> str:
+                 seeds: list | None = None,
+                 weight: str | None = None) -> str:
     """DuckDB SQL unrolling the identical fixed-point iteration (oracle).
 
     ``edges_sql`` must select columns (src, dst).  Doubles are built
     from quoted-string casts (correctly-rounded parse, identical to the
     Python literals Spark embeds); contribution sums are BIGINT.
-    ``dangling='redistribute'`` mirrors :func:`pagerank`'s option: the
+    ``weight`` names the weight column ``edges_sql`` emits and mirrors
+    ``pagerank(weight_col=…)``: the same positive-weight filter,
+    DECIMAL(18,6) per-source totals, and one decimal-exact IEEE divide
+    per edge. ``dangling='redistribute'`` mirrors :func:`pagerank`'s option: the
     per-iteration dangling total is the same quantized BIGINT sum, and
     the rank update appends ``+ (dq/1e12)/n`` with identical
     association, so the engines stay bit-equal. ``seeds`` mirrors the
@@ -456,15 +490,28 @@ def pagerank_sql(edges_sql: str, *, iters: int = 5,
     else:
         r0 = (f"r0 AS (SELECT node, {d(1.0)} / n AS rank "
               "FROM nodes CROSS JOIN stats)")
+    if weight is None:
+        edges_cte = f"WITH edges AS ({edges_sql})"
+        outdeg_cte = ("outdeg AS (SELECT src, count(*) AS outdeg "
+                      "FROM edges GROUP BY src)")
+        ed_cte = ("ed AS (SELECT e.src, e.dst, o.outdeg FROM edges e "
+                  "JOIN outdeg o ON e.src = o.src)")
+    else:
+        edges_cte = (f"WITH edges AS (SELECT * FROM ({edges_sql}) "
+                     f"WHERE {weight} > 0)")
+        outdeg_cte = (f"outdeg AS (SELECT src, sum(CAST({weight} AS "
+                      "DECIMAL(18,6))) AS out_w FROM edges GROUP BY src)")
+        ed_cte = ("ed AS (SELECT e.src, e.dst, "
+                  f"CAST(CAST(e.{weight} AS DECIMAL(18,6)) AS DOUBLE) "
+                  "/ CAST(o.out_w AS DOUBLE) AS frac FROM edges e "
+                  "JOIN outdeg o ON e.src = o.src)")
     parts = [
-        f"WITH edges AS ({edges_sql})",
+        edges_cte,
         "nodes AS (SELECT src AS node FROM edges "
         "UNION SELECT dst FROM edges)",
         "stats AS (SELECT count(*) AS n FROM nodes)",
-        "outdeg AS (SELECT src, count(*) AS outdeg FROM edges "
-        "GROUP BY src)",
-        "ed AS (SELECT e.src, e.dst, o.outdeg FROM edges e "
-        "JOIN outdeg o ON e.src = o.src)",
+        outdeg_cte,
+        ed_cte,
         r0,
     ]
     if redis:
@@ -474,9 +521,11 @@ def pagerank_sql(edges_sql: str, *, iters: int = 5,
     base = (f"({d(one_minus)} * {tele('nodes.node')})" if seeds is not None
             else f"({d(one_minus)} / n)")
     for i in range(1, iters + 1):
+        share = ("(r.rank * ed.frac)" if weight is not None
+                 else "(r.rank / ed.outdeg)")
         parts.append(
-            f"c{i} AS (SELECT ed.dst, CAST(sum(CAST(floor((r.rank "
-            f"/ ed.outdeg) * {q}) AS BIGINT)) AS BIGINT) AS csum "
+            f"c{i} AS (SELECT ed.dst, CAST(sum(CAST(floor({share} "
+            f"* {q}) AS BIGINT)) AS BIGINT) AS csum "
             f"FROM ed JOIN r{i - 1} r ON ed.src = r.node GROUP BY ed.dst)")
         if redis:
             parts.append(

@@ -1115,3 +1115,86 @@ def test_fuzz_lpa_configs_cross_engine(spark):
             iters=iters)).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# ------------------------------------------------------ weighted pr
+
+def test_weighted_pagerank_follows_weight(spark):
+    """Two targets with 9:1 edge weights from one source: the heavy
+    target's rank gets ~9× the flowed mass."""
+    from flink_sql_security_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1)], ["src", "dst", "w"])
+    out = {r["node"]: r["rank"] for r in pagerank(
+        df, iters=1, weight_col="w").collect()}
+    base = min(out.values())          # the no-inflow (1-d)/N floor
+    assert (out[2] - base) == pytest.approx(9 * (out[3] - base), rel=1e-9)
+
+
+def test_weighted_equal_weights_matches_unweighted(spark):
+    """All-equal weights reproduce the unweighted ranks to ~1e-12
+    (rank·(w/Σw) vs rank/outdeg round differently — not bitwise)."""
+    import random
+
+    from flink_sql_security_spark.operators.graph import pagerank
+
+    rng = random.Random(60)
+    edges = sorted({(rng.randrange(10), rng.randrange(10))
+                    for _ in range(30)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame([(a, b, 7) for a, b in edges],
+                               ["src", "dst", "w"])
+    wr = {r["node"]: r["rank"] for r in pagerank(
+        df, iters=4, weight_col="w").collect()}
+    ur = {r["node"]: r["rank"] for r in pagerank(
+        df.select("src", "dst"), iters=4).collect()}
+    assert max(abs(wr[n] - ur[n]) for n in wr) < 1e-12
+
+
+def test_weighted_pagerank_drops_nonpositive(spark):
+    """Zero/negative-weight edges are dropped on BOTH engines — a node
+    reachable only through them becomes dangling, not divide-by-zero."""
+    from flink_sql_security_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 0), (2, 3, -1), (2, 1, 2)],
+        ["src", "dst", "w"])
+    out = {r["node"]: r for r in pagerank(
+        df, iters=2, weight_col="w").collect()}
+    assert set(out) == {1, 2}    # node 3's only edges were dropped
+
+
+def test_fuzz_weighted_pagerank_cross_engine(spark):
+    """Config fuzz: random weighted graphs × (iters, seeds, dangling),
+    bit-equal vs the DuckDB oracle. Seed base 16182."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.graph import (
+        pagerank, pagerank_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(16182)
+    for trial in range(3):
+        n = rng.choice([6, 12])
+        iters = rng.choice([2, 4])
+        seeds = rng.choice([None, [0, 1]])
+        dang = rng.choice(["leak", "redistribute"])
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(30)})
+        edges = [(a, b, rng.randrange(1, 20))
+                 for a, b in edges if a != b] or [(0, 1, 3)]
+        cfg = (trial, n, iters, seeds, dang)
+        df = spark.createDataFrame(edges, ["src", "dst", "w"])
+        got = sorted(map(tuple, pagerank(
+            df, iters=iters, weight_col="w", seeds=seeds,
+            dangling=dang).collect()))
+        vals = ", ".join(f"({a}, {b}, {w})" for a, b, w in edges)
+        want = sorted(map(tuple, con.execute(pagerank_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst, w)",
+            iters=iters, weight="w", seeds=seeds,
+            dangling=dang)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
