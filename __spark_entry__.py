@@ -2397,6 +2397,36 @@ FROM s GROUP BY user_id, session_id
         with_tables(part_lpa),
         G.label_propagation_sql(_COPURCHASE_EDGES_SQL, iters=3),
     )
+
+    # BFS hop-distance from a 3-customer seed set over the directed
+    # trade graph — the expansion-radius primitive ("everything within
+    # 3 hops of THESE"); min-distance integers → strict by construction.
+    _BFS_SEEDS = [1, 2, 3]
+
+    def trade_bfs(s):
+        edges = (
+            s.table("orders")
+            .join(s.table("lineitem"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + F.lit(1000000)).alias("dst"))
+            .distinct())
+        # symmetrize so hops can alternate customer↔supplier
+        both = edges.union(edges.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst")))
+        return G.bfs_levels(both, _BFS_SEEDS, max_hops=3)
+
+    _BFS_EDGES_SQL = (
+        "WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, "
+        "l.l_suppkey + 1000000 AS s FROM orders o "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey) "
+        "SELECT c AS src, s AS dst FROM pairs "
+        "UNION ALL SELECT s AS src, c AS dst FROM pairs")
+
+    out["graph_bfs"] = (
+        with_tables(trade_bfs),
+        G.bfs_levels_sql(_BFS_EDGES_SQL, _BFS_SEEDS, max_hops=3),
+    )
     return out
 
 
@@ -2651,7 +2681,14 @@ _CHECK_ORDER = [
     "sketch_distinct_hll", "profile_outliers", "events_retention",
     "dedup_minhash_pairs", "basket_rules", "dedup_containment",
     "cdc_scd2",
-    "emb_pca_project", "dedup_lsh_verified", "dedup_components",
+    # late-r09 swap (ninth pass): dedup_components → graph_bfs. The
+    # min-label component core holds r01–r08 driver rows, its own
+    # pytest suite, AND an in-window composition pin (emb_semantic_dedup
+    # runs connected_components as its clustering stage); synchronous
+    # frontier expansion (BFS hop distance — anti-join visited set,
+    # per-hop checkpoint) is a graph shape none of the four in-window
+    # graph entries pin.
+    "emb_pca_project", "dedup_lsh_verified", "graph_bfs",
     "split_contamination", "dedup_decontaminate", "emb_semantic_dedup",
     "emb_opq_topk", "emb_opq_ivf_topk",
     "emb_ivfpq_rerank", "emb_matryoshka_topk",

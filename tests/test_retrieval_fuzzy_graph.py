@@ -1198,3 +1198,88 @@ def test_fuzz_weighted_pagerank_cross_engine(spark):
             dangling=dang)).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# ------------------------------------------------------------------ bfs
+
+def test_bfs_levels_hand_graph(spark):
+    """Path 1→2→3→4 with a shortcut 1→3: min distances win, the
+    unreached tail stays absent, hops cap respected."""
+    from flink_sql_security_spark.operators.graph import bfs_levels
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (4, 5), (5, 6)],
+        ["src", "dst"])
+    out = dict(map(tuple, bfs_levels(df, [1], max_hops=2).collect()))
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}   # 3 via shortcut; 5,6 beyond
+
+
+def test_bfs_early_exhaustion(spark):
+    """Frontier empties before max_hops: no phantom rows, no error."""
+    from flink_sql_security_spark.operators.graph import bfs_levels
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    out = dict(map(tuple, bfs_levels(df, [1], max_hops=5).collect()))
+    assert out == {1: 0, 2: 1}
+
+
+def test_bfs_validates_args(spark):
+    import pytest
+
+    from flink_sql_security_spark.operators.graph import (
+        bfs_levels, bfs_levels_sql)
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_levels(df, [1], max_hops=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        bfs_levels(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        bfs_levels_sql("SELECT 1 AS src, 2 AS dst", [1, 1])
+
+
+def test_fuzz_bfs_cross_engine(spark):
+    """Config fuzz: random graphs × (seed sets, depth), exact vs the
+    unrolled DuckDB oracle AND a python brute force. Seed 27184."""
+    import collections
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.graph import (
+        bfs_levels, bfs_levels_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(27184)
+    for trial in range(3):
+        n = rng.choice([8, 15])
+        m = rng.choice([15, 40])
+        hops = rng.choice([1, 2, 4])
+        seeds = rng.sample(range(n), rng.choice([1, 3]))
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        cfg = (trial, n, m, hops, seeds)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = sorted(map(tuple, bfs_levels(
+            df, seeds, max_hops=hops).collect()))
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        want = sorted(map(tuple, con.execute(bfs_levels_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", seeds,
+            max_hops=hops)).fetchall()))
+        assert got == want, cfg
+        adj = collections.defaultdict(list)
+        for a, b in edges:
+            adj[a].append(b)
+        dist = {s: 0 for s in seeds}
+        q = list(seeds)
+        for _ in range(hops):
+            q2 = []
+            for u in q:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        q2.append(v)
+            q = q2
+        assert dict(got) == dist, cfg
+    con.close()
