@@ -85,11 +85,27 @@ def _with_partitions(spark, n, fn):
                          fromlist=["x"]).scd2_history(
         s.table("events"), ["user_id"], "ts", ["value"],
         op_col="event_type", delete_op="error", tiebreak_cols=["event_id"]),
+    lambda s: __import__("flink_sql_security_spark.operators.assoc",
+                         fromlist=["x"]).basket_rules(
+        s.table("lineitem"), basket_col="l_orderkey",
+        item_col="l_partkey", min_support=2),
+    lambda s: __import__("flink_sql_security_spark.operators.graph",
+                         fromlist=["x"]).bfs_levels(
+        s.table("lineitem").selectExpr("l_orderkey % 97 AS src",
+                                       "l_partkey % 89 AS dst"),
+        [0, 1], max_hops=2),
+    lambda s: __import__("flink_sql_security_spark.operators.graph",
+                         fromlist=["x"]).pagerank(
+        s.table("lineitem").selectExpr("l_orderkey % 97 AS src",
+                                       "l_partkey % 89 AS dst",
+                                       "l_linenumber AS w"),
+        iters=2, weight_col="w"),
 ], ids=["exact_groups", "minhash_pairs", "lsh_verified", "simhash",
         "simhash_pairs", "components", "cosine_pairs", "cosine_topk",
         "ann_pairs",
         "triangles", "lpa", "gapfill", "retention", "outliers",
-        "matryoshka", "containment", "funnel", "scd2"])
+        "matryoshka", "containment", "funnel", "scd2",
+        "basket_rules", "bfs", "weighted_pr"])
 def test_identical_under_relayout(tables, op):
     spark = tables
     base = _rows(op(spark))
