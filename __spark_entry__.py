@@ -1827,6 +1827,27 @@ FROM s GROUP BY user_id, session_id
             id_cols=["event_id"], k=3.0),
     )
 
+    # per-group z-score normalization (operators/profile.py
+    # feature_scale): decimal-exact Σv/Σv² make the distributed
+    # mean/variance order-independent — the ML feature-prep step. NOT
+    # windowed (joins the r10 incoming list): strict here at all 3 SFs,
+    # with minmax/rank variants pinned by pytest + config fuzz.
+    def zscored(s):
+        from flink_sql_security_spark.operators.profile import feature_scale
+        return feature_scale(
+            s.table("events"), value_col="value",
+            group_cols=["event_type"], id_cols=["event_id"],
+            method="zscore")
+
+    from flink_sql_security_spark.operators.profile import (
+        feature_scale_duckdb_sql)
+    out["profile_zscore"] = (
+        with_tables(zscored),
+        feature_scale_duckdb_sql(
+            "events", value_col="value", group_cols=["event_type"],
+            id_cols=["event_id"], method="zscore"),
+    )
+
     # time-series gap-fill (operators/timeseries.py): hourly resample of
     # each user's purchase values with forward-fill — the join-free
     # formulation (lead + sequence-explode, two shuffles on the user key,

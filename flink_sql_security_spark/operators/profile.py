@@ -292,3 +292,122 @@ SELECT {g}, {ids}, _v AS value, _med AS med, _mad AS mad,
        CASE WHEN _mad > 0 THEN {score} END AS score
 FROM mad WHERE _dev > CAST('{float(k)!r}' AS DOUBLE) * _mad
 """.strip()
+
+
+_SCALE_METHODS = ("zscore", "minmax", "rank")
+
+
+def feature_scale(df: DataFrame, *, value_col: str,
+                  group_cols: list[str], id_cols: list[str],
+                  method: str = "zscore") -> DataFrame:
+    """Per-group feature normalization: ``zscore`` ((v-μ)/σ),
+    ``minmax`` ((v-min)/(max-min)), or ``rank`` (percent_rank) — the
+    standard ML-preprocessing step before mixing features of different
+    scales (quality scores, lengths, perplexities) into one model.
+
+    Cross-engine determinism is the design problem: a distributed
+    float mean/variance depends on partition order. The repo's
+    decimal-exact recipe applies — values cast to DECIMAL(18,6) (the
+    package money/metric convention; wider inputs should be pre-scaled)
+    so Σv is exact and Σv² (DECIMAL(38,12) — products of two (18,6)s
+    are exact 12-scale decimals) is exact, both order-independent;
+    μ, σ² = (Σv² − (Σv)²/n)/(n−1), and every downstream op is then a
+    deterministic IEEE expression on decimal-exact doubles. The
+    textbook cancellation caveat applies to σ² — it is deterministic
+    cancellation, identical on both engines, and for feature scaling
+    (not numerics research) that is the contract that matters; a
+    negative σ² from cancellation clamps to 0 on both engines.
+    ``rank`` is percent_rank over the group (ties share a rank — the
+    standard definition both engines implement identically). Scaled
+    outputs are floor-rounded; degenerate groups (σ=0, max=min, or a
+    single row) emit NULL.
+
+    One hash exchange on the group key (stats via window on zscore/
+    minmax, the rank window for rank) — no joins, no collect.
+    """
+    if method not in _SCALE_METHODS:
+        raise ValueError(
+            f"method must be one of {_SCALE_METHODS}: {method!r}")
+    if not group_cols or not id_cols:
+        raise ValueError("group_cols and id_cols must be non-empty")
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy(*group_cols)
+    base = (df.select(*group_cols, *id_cols,
+                      F.col(value_col).cast("double").alias("_v"))
+            .where(F.col("_v").isNotNull()))
+    if method == "rank":
+        wr = wp.orderBy(F.col("_v"))
+        scaled = F.when(
+            F.count("*").over(wp) > 1,
+            _floor_round_col(F.percent_rank().over(wr))).otherwise(None)
+    elif method == "minmax":
+        rng = F.max("_v").over(wp) - F.min("_v").over(wp)
+        scaled = F.when(
+            rng > 0,
+            _floor_round_col((F.col("_v") - F.min("_v").over(wp)) / rng)
+        ).otherwise(None)
+    else:
+        dec = F.col("_v").cast("decimal(18,6)")
+        s1 = F.sum(dec).over(wp).cast("double")
+        s2 = F.sum((dec * dec).cast("decimal(38,12)")).over(wp) \
+            .cast("double")
+        n = F.count("*").over(wp).cast("double")
+        var = F.when(
+            F.count("*").over(wp) > 1,
+            F.greatest((s2 - (s1 * s1) / n) / (n - F.lit(1.0)),
+                       F.lit(0.0))).otherwise(None)
+        std = F.sqrt(var)
+        scaled = F.when(
+            std > 0,
+            _floor_round_col((F.col("_v") - s1 / n) / std)
+        ).otherwise(None)
+    return base.select(*group_cols, *id_cols,
+                       F.col("_v").alias("value"),
+                       scaled.alias("scaled"))
+
+
+def feature_scale_duckdb_sql(table: str, *, value_col: str,
+                             group_cols: list[str], id_cols: list[str],
+                             method: str = "zscore") -> str:
+    """DuckDB SQL twin of :func:`feature_scale` (oracle): identical
+    decimal-exact sums and IEEE expression order."""
+    if method not in _SCALE_METHODS:
+        raise ValueError(
+            f"method must be one of {_SCALE_METHODS}: {method!r}")
+    if not group_cols or not id_cols:
+        raise ValueError("group_cols and id_cols must be non-empty")
+    g = ", ".join(group_cols)
+    ids = ", ".join(id_cols)
+    if method == "rank":
+        expr = _floor_round(
+            f"percent_rank() OVER (PARTITION BY {g} ORDER BY _v)",
+            6, "duckdb")
+        scaled = (f"CASE WHEN count(*) OVER (PARTITION BY {g}) > 1 "
+                  f"THEN {expr} END")
+    elif method == "minmax":
+        mn = f"min(_v) OVER (PARTITION BY {g})"
+        mx = f"max(_v) OVER (PARTITION BY {g})"
+        expr = _floor_round(f"(_v - {mn}) / ({mx} - {mn})", 6, "duckdb")
+        scaled = f"CASE WHEN ({mx} - {mn}) > 0 THEN {expr} END"
+    else:
+        s1 = (f"CAST(sum(CAST(_v AS DECIMAL(18,6))) "
+              f"OVER (PARTITION BY {g}) AS DOUBLE)")
+        # widen one operand so DuckDB's int64 decimal multiply gets
+        # int128 headroom (19+18=37 ≤ 38); the product is the same
+        # exact 12-scale decimal Spark computes natively
+        s2 = (f"CAST(sum(CAST(CAST(_v AS DECIMAL(19,6)) "
+              f"* CAST(_v AS DECIMAL(18,6)) AS DECIMAL(38,12))) "
+              f"OVER (PARTITION BY {g}) AS DOUBLE)")
+        n = f"CAST(count(*) OVER (PARTITION BY {g}) AS DOUBLE)"
+        var = (f"CASE WHEN count(*) OVER (PARTITION BY {g}) > 1 "
+               f"THEN greatest(({s2} - ({s1} * {s1}) / {n}) "
+               f"/ ({n} - 1.0), 0.0) END")
+        std = f"sqrt({var})"
+        expr = _floor_round(f"(_v - {s1} / {n}) / {std}", 6, "duckdb")
+        scaled = f"CASE WHEN {std} > 0 THEN {expr} END"
+    return f"""
+SELECT {g}, {ids}, _v AS value, {scaled} AS scaled
+FROM (SELECT {g}, {ids}, CAST({value_col} AS DOUBLE) AS _v
+      FROM {table} WHERE {value_col} IS NOT NULL)
+""".strip()

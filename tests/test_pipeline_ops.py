@@ -2467,3 +2467,100 @@ def test_fuzz_basket_rules_cross_engine(spark):
             basket_col="b", item_col="i", min_support=ms)).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# ---------------------------------------------------- feature scaling
+
+def test_feature_scale_zscore_hand_values(spark):
+    """Group {2, 4, 6}: μ=4, σ=2 → z = (-1, 0, 1)."""
+    from flink_sql_security_spark.operators.profile import feature_scale
+
+    df = spark.createDataFrame(
+        [("g", 1, 2.0), ("g", 2, 4.0), ("g", 3, 6.0)], ["g", "id", "v"])
+    out = {r["id"]: r["scaled"] for r in feature_scale(
+        df, value_col="v", group_cols=["g"], id_cols=["id"]).collect()}
+    assert out == {1: -1.0, 2: 0.0, 3: 1.0}
+
+
+def test_feature_scale_minmax_and_rank(spark):
+    from flink_sql_security_spark.operators.profile import feature_scale
+
+    df = spark.createDataFrame(
+        [("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 40.0), ("g", 4, 20.0)],
+        ["g", "id", "v"])
+    mm = {r["id"]: r["scaled"] for r in feature_scale(
+        df, value_col="v", group_cols=["g"], id_cols=["id"],
+        method="minmax").collect()}
+    assert mm[1] == 0.0 and mm[3] == 1.0
+    assert mm[2] == pytest.approx(1 / 3, abs=1e-6)
+    rk = {r["id"]: r["scaled"] for r in feature_scale(
+        df, value_col="v", group_cols=["g"], id_cols=["id"],
+        method="rank").collect()}
+    assert rk[1] == 0.0 and rk[3] == 1.0
+    assert rk[2] == rk[4] == pytest.approx(1 / 3, abs=1e-6)  # tied rank
+
+
+def test_feature_scale_degenerate_groups(spark):
+    """Constant group and singleton group: NULL scaled, never a
+    divide-by-zero (engine-dependent)."""
+    from flink_sql_security_spark.operators.profile import feature_scale
+
+    df = spark.createDataFrame(
+        [("c", 1, 5.0), ("c", 2, 5.0), ("s", 3, 9.0)], ["g", "id", "v"])
+    for m in ("zscore", "minmax", "rank"):
+        out = {r["id"]: r["scaled"] for r in feature_scale(
+            df, value_col="v", group_cols=["g"], id_cols=["id"],
+            method=m).collect()}
+        if m == "rank":
+            # an all-tied group has a DEFINED percent_rank (0.0) —
+            # only the singleton is degenerate
+            assert out[1] == 0.0 and out[2] == 0.0, m
+        else:
+            assert out[1] is None and out[2] is None, m
+        assert out[3] is None, m
+
+
+def test_feature_scale_validates_args(spark):
+    from flink_sql_security_spark.operators.profile import (
+        feature_scale, feature_scale_duckdb_sql)
+
+    df = spark.createDataFrame([("g", 1, 1.0)], ["g", "id", "v"])
+    with pytest.raises(ValueError, match="method"):
+        feature_scale(df, value_col="v", group_cols=["g"],
+                      id_cols=["id"], method="log")
+    with pytest.raises(ValueError, match="non-empty"):
+        feature_scale_duckdb_sql("t", value_col="v", group_cols=[],
+                                 id_cols=["id"])
+
+
+def test_fuzz_feature_scale_cross_engine(spark):
+    """Config fuzz: random grouped values × method, bit-equal vs the
+    DuckDB oracle (quoted-string casts for float literals). Seed
+    16183."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.profile import (
+        feature_scale, feature_scale_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(16183)
+    for trial in range(4):
+        method = rng.choice(["zscore", "minmax", "rank"])
+        n = rng.choice([10, 40])
+        rows = [(f"g{rng.randrange(3)}", i,
+                 round(rng.uniform(-100, 100), 6)) for i in range(n)]
+        cfg = (trial, method, n)
+        df = spark.createDataFrame(rows, ["g", "id", "v"])
+        got = sorted(map(tuple, feature_scale(
+            df, value_col="v", group_cols=["g"], id_cols=["id"],
+            method=method).collect()))
+        vals = ", ".join(
+            f"('{g}', {i}, CAST('{v!r}' AS DOUBLE))" for g, i, v in rows)
+        want = sorted(map(tuple, con.execute(feature_scale_duckdb_sql(
+            f"(SELECT * FROM (VALUES {vals}) AS t(g, id, v))",
+            value_col="v", group_cols=["g"], id_cols=["id"],
+            method=method)).fetchall()))
+        assert got == want and len(got) > 0, cfg
+    con.close()
