@@ -2871,12 +2871,12 @@ _CHECK_ORDER = [
     # sample_dsir_weights / bpe_tokens / q22_global_sales /
     # interval_click_purchase / retrieval_mmr_topk / profile_quantiles /
     # sample_temperature_mix hold driver rows from earlier rounds.
-    # The r10 rotation MUST take ALL 27 remaining never-windowed
-    # entries so the union reaches 159/159 (graph_ppr,
+    # The r10 rotation MUST take ALL 28 remaining never-windowed
+    # entries so the union reaches 161/161 (graph_ppr,
     # chunk_sentence_budget, retrieval_rrf_grouped,
-    # chunk_content_defined, and graph_pagerank_weighted landed after
-    # the r9 window validation / by the composition precedent and
-    # join the list below):
+    # chunk_content_defined, graph_pagerank_weighted, and
+    # profile_zscore landed after the r9 window validation / by the
+    # composition precedent and join the list below):
     # (authoritative list, recomputed late-r9 as all entries minus
     # the union of CORRECTNESS_r01..r08 keys minus the current window —
     # an earlier draft had three name errors):
@@ -2889,10 +2889,10 @@ _CHECK_ORDER = [
     #   sample_epoch_upsample, sample_hash_fraction, sample_weighted,
     #   skew_salted_agg, text_fingerprint, vocab_top_tokens,
     #   retrieval_rrf_grouped, chunk_content_defined, graph_ppr,
-    #   graph_pagerank_weighted
+    #   graph_pagerank_weighted, profile_zscore
     # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 27 incomers plus
-    # 12 veterans (drop two from the Keepers list below — their cores
+    # surface); 50 − 11 = 39 slots leave room for all 28 incomers plus
+    # 11 veterans (drop three from the Keepers list below — their cores
     # all hold pytest pins). Outgoing candidates for r10 (all will then hold
     # recorded driver rows + pytest pins): the r09 incomers above —
     # including this round's five birth-round entries (graph_triangles,
