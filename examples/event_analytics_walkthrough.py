@@ -20,7 +20,13 @@ pins the COMPOSITION:
    forward-fill that feeds any downstream sequence model;
 6. **structure** — ``triangle_count`` + ``label_propagation`` over the
    part co-purchase graph (which products cluster together, and how
-   tightly).
+   tightly);
+7. **prediction** — ``basket_rules``: which co-purchases are actually
+   predictive (confidence/lift over the same baskets);
+8. **reach + influence** — ``bfs_levels`` (3-hop radius of a seed
+   customer set) and weighted ``pagerank`` (trade-volume edge weights);
+9. **features** — ``feature_scale``: decimal-exact per-type z-scores
+   of the event values, ready to mix into a model.
 
 Everything is carried values, integer counts, or floor-rounded finals
 — deterministic on any cluster layout.
@@ -96,10 +102,40 @@ def run(spark, sf_dir: str = "/root/testdata/sf0.001") -> dict:
     comms = label_propagation(edges, iters=3)
     n_comms = comms.select("community").distinct().count()
 
+    # 7. predictive co-purchases over the same baskets
+    from flink_sql_security_spark.operators.assoc import basket_rules
+    top_rule = (basket_rules(li, basket_col="l_orderkey",
+                             item_col="l_partkey", min_support=2)
+                .orderBy(F.desc("lift"), "antecedent", "consequent")
+                .select("confidence", "lift").first())
+
+    # 8. reach (3-hop BFS radius) and influence (volume-weighted rank)
+    from flink_sql_security_spark.operators.graph import bfs_levels, pagerank
+    trade = (spark.table("orders")
+             .join(spark.table("lineitem"),
+                   F.col("o_orderkey") == F.col("l_orderkey"))
+             .groupBy(F.col("o_custkey").alias("src"),
+                      (F.col("l_suppkey") + F.lit(1000000)).alias("dst"))
+             .agg(F.count("*").alias("w")))
+    sym = trade.select("src", "dst").union(
+        trade.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    n_reach = bfs_levels(sym, [1, 2, 3], max_hops=2).count()
+    top_supplier = (pagerank(trade, iters=3, weight_col="w")
+                    .where("node > 1000000")
+                    .orderBy("rank_pos").first()["node"])
+
+    # 9. decimal-exact per-type z-scores of the event values
+    from flink_sql_security_spark.operators.profile import feature_scale
+    z = feature_scale(clean, value_col="value",
+                      group_cols=["event_type"], id_cols=["event_id"])
+    z_extremes = z.where("abs(scaled) > 3").count()
+
     return {"n_flags": n_flags, "depths": depths, "curve": curve,
             "n_versions": n_versions, "n_current": n_current,
             "fill_frac": fill_frac, "n_closed": n_closed,
-            "n_comms": n_comms}
+            "n_comms": n_comms, "top_rule": top_rule,
+            "n_reach": n_reach, "top_supplier": top_supplier,
+            "z_extremes": z_extremes}
 
 
 def main() -> None:
@@ -117,6 +153,11 @@ def main() -> None:
     print(f"gap-fill carried fraction: {out['fill_frac']:.3f}")
     print(f"co-purchase: {out['n_closed']} parts in triangles, "
           f"{out['n_comms']} communities")
+    print(f"top rule: conf={out['top_rule']['confidence']:.2f} "
+          f"lift={out['top_rule']['lift']:.1f}")
+    print(f"2-hop reach of 3 seed customers: {out['n_reach']} nodes; "
+          f"top weighted supplier: {out['top_supplier']}")
+    print(f"post-QA |z|>3 extremes: {out['z_extremes']}")
     spark.stop()
 
 

@@ -112,3 +112,7 @@ def test_event_analytics_walkthrough(spark):
     assert 0.0 < out["fill_frac"] < 1.0
     assert out["n_closed"] > 0
     assert 0 < out["n_comms"] < 200             # fewer communities than parts
+    assert out["top_rule"]["lift"] > 1.0        # predictive, not noise
+    assert out["n_reach"] > 3                   # seeds reached suppliers
+    assert out["top_supplier"] > 1000000        # supplier-side id space
+    assert out["z_extremes"] >= 0               # QA removed the blowups
