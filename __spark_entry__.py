@@ -1827,6 +1827,27 @@ FROM s GROUP BY user_id, session_id
             id_cols=["event_id"], k=3.0),
     )
 
+    # pairwise Pearson correlation matrix (operators/profile.py
+    # profile_correlations): ONE groupless agg computes every
+    # decimal-exact Σx/Σx²/Σxy; the matrix is per-pair expressions over
+    # the 1-row stats frame. NOT windowed (r10 incoming list): the
+    # decimal-sum core rides in-window q1_pricing_summary.
+    def correlated(s):
+        from flink_sql_security_spark.operators.profile import (
+            profile_correlations)
+        return profile_correlations(
+            s.table("lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+    from flink_sql_security_spark.operators.profile import (
+        profile_correlations_duckdb_sql)
+    out["profile_correlations"] = (
+        with_tables(correlated),
+        profile_correlations_duckdb_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+    )
+
     # per-group z-score normalization (operators/profile.py
     # feature_scale): decimal-exact Σv/Σv² make the distributed
     # mean/variance order-independent — the ML feature-prep step. NOT
@@ -2871,8 +2892,8 @@ _CHECK_ORDER = [
     # sample_dsir_weights / bpe_tokens / q22_global_sales /
     # interval_click_purchase / retrieval_mmr_topk / profile_quantiles /
     # sample_temperature_mix hold driver rows from earlier rounds.
-    # The r10 rotation MUST take ALL 28 remaining never-windowed
-    # entries so the union reaches 161/161 (graph_ppr,
+    # The r10 rotation MUST take ALL 29 remaining never-windowed
+    # entries so the union reaches 162/162 (graph_ppr,
     # chunk_sentence_budget, retrieval_rrf_grouped,
     # chunk_content_defined, graph_pagerank_weighted, and
     # profile_zscore landed after the r9 window validation / by the
@@ -2889,10 +2910,10 @@ _CHECK_ORDER = [
     #   sample_epoch_upsample, sample_hash_fraction, sample_weighted,
     #   skew_salted_agg, text_fingerprint, vocab_top_tokens,
     #   retrieval_rrf_grouped, chunk_content_defined, graph_ppr,
-    #   graph_pagerank_weighted, profile_zscore
+    #   graph_pagerank_weighted, profile_zscore, profile_correlations
     # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 28 incomers plus
-    # 11 veterans (drop three from the Keepers list below — their cores
+    # surface); 50 − 11 = 39 slots leave room for all 29 incomers plus
+    # 10 veterans (drop four from the Keepers list below — their cores
     # all hold pytest pins). Outgoing candidates for r10 (all will then hold
     # recorded driver rows + pytest pins): the r09 incomers above —
     # including this round's five birth-round entries (graph_triangles,

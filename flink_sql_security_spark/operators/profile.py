@@ -411,3 +411,117 @@ SELECT {g}, {ids}, _v AS value, {scaled} AS scaled
 FROM (SELECT {g}, {ids}, CAST({value_col} AS DOUBLE) AS _v
       FROM {table} WHERE {value_col} IS NOT NULL)
 """.strip()
+
+
+def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_a, col_b, n, corr) — Pearson correlation for every column
+    pair (a < b lexicographically): the data-QA readout for redundant
+    features and leakage candidates before model training.
+
+    Same determinism recipe as :func:`feature_scale`: rows where ANY
+    profiled column is NULL are dropped (one consistent n for every
+    pair — listwise deletion, the convention a correlation MATRIX
+    needs for positive semidefiniteness), values quantize to
+    DECIMAL(18,6), and Σx, Σxy (DECIMAL(38,12) via the widened
+    multiply) are exact order-independent sums; corr =
+    (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) is then a fixed
+    IEEE expression on decimal-exact doubles — identical on any
+    partitioning and any engine. Degenerate pairs (either side
+    constant) emit NULL, never a 0/0.
+
+    ONE aggregation job for the whole matrix: every pairwise sum is a
+    column of the same single groupless agg (map-side combined), so
+    the cost is one table pass regardless of how many of the
+    k·(k−1)/2 pairs are requested — the matrix rows are then built
+    from the 1-row stats frame with per-pair expressions.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 cols: {cols!r}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate cols: {cols!r}")
+    cols = list(cols)
+    base = df
+    for c in cols:
+        base = base.where(F.col(c).isNotNull())
+    dec = {c: F.col(c).cast("double").cast("decimal(18,6)") for c in cols}
+    aggs = [F.count("*").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c]).alias(f"s_{c}"))
+        aggs.append(F.sum((dec[c] * dec[c]).cast("decimal(38,12)"))
+                    .alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum((dec[a] * dec[b]).cast("decimal(38,12)"))
+                    .alias(f"sp_{a}_{b}"))
+    # ONE row, but referenced once per pair by the union below —
+    # unpersisted, every branch would replay the full table aggregation
+    # (measured: 6 exchanges for 4 columns → 1 after the persist)
+    stats = base.agg(*aggs).persist()
+
+    rows = []
+    for a, b in pairs:
+        pa, pb = (a, b) if a < b else (b, a)
+        n = F.col("_n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        va = n * ssa - sa * sa
+        vb = n * ssb - sb * sb
+        corr = F.when(
+            (va > 0) & (vb > 0),
+            _floor_round_col((n * sp - sa * sb)
+                             / (F.sqrt(va) * F.sqrt(vb)))).otherwise(None)
+        rows.append(stats.select(
+            F.lit(pa).alias("col_a"), F.lit(pb).alias("col_b"),
+            F.col("_n").alias("n"), corr.alias("corr")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    from .cache import attach
+    return attach(out, stats)
+
+
+def profile_correlations_duckdb_sql(table: str, cols: list[str]) -> str:
+    """DuckDB SQL twin of :func:`profile_correlations` (oracle)."""
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 cols: {cols!r}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate cols: {cols!r}")
+    cols = list(cols)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+
+    def d(c):
+        return f"CAST(CAST({c} AS DOUBLE) AS DECIMAL(18,6))"
+
+    def dw(c):
+        return f"CAST(CAST({c} AS DOUBLE) AS DECIMAL(19,6))"
+
+    sums = ["CAST(count(*) AS BIGINT) AS _n"]
+    for c in cols:
+        sums.append(f"sum({d(c)}) AS s_{c}")
+        sums.append(f"sum(CAST({dw(c)} * {d(c)} AS DECIMAL(38,12))) "
+                    f"AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        sums.append(f"sum(CAST({dw(a)} * {d(b)} AS DECIMAL(38,12))) "
+                    f"AS sp_{a}_{b}")
+    selects = []
+    for a, b in pairs:
+        pa, pb = (a, b) if a < b else (b, a)
+        n = "CAST(_n AS DOUBLE)"
+        sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+        ssa, ssb = f"CAST(ss_{a} AS DOUBLE)", f"CAST(ss_{b} AS DOUBLE)"
+        sp = f"CAST(sp_{a}_{b} AS DOUBLE)"
+        va = f"({n} * {ssa} - {sa} * {sa})"
+        vb = f"({n} * {ssb} - {sb} * {sb})"
+        corr = _floor_round(
+            f"({n} * {sp} - {sa} * {sb}) / (sqrt({va}) * sqrt({vb}))",
+            6, "duckdb")
+        selects.append(
+            f"SELECT '{pa}' AS col_a, '{pb}' AS col_b, _n AS n, "
+            f"CASE WHEN {va} > 0 AND {vb} > 0 THEN {corr} END AS corr "
+            "FROM stats")
+    return (f"WITH stats AS (SELECT {', '.join(sums)} FROM {table} "
+            f"WHERE {notnull}) " + " UNION ALL ".join(selects))

@@ -2564,3 +2564,83 @@ def test_fuzz_feature_scale_cross_engine(spark):
             method=method)).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+# ------------------------------------------------------- correlations
+
+def test_correlations_hand_values(spark):
+    """Perfectly correlated, anti-correlated, and constant columns."""
+    from flink_sql_security_spark.operators.profile import (
+        profile_correlations)
+
+    rows = [(float(i), 2.0 * i + 1, -3.0 * i, 7.0) for i in range(10)]
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in profile_correlations(
+               spark.createDataFrame(rows, ["x", "y", "z", "c"]),
+               ["x", "y", "z", "c"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+    assert out[("c", "x")] is None          # constant side → NULL
+    assert len(out) == 6
+
+
+def test_correlations_listwise_deletion(spark):
+    """A NULL in ANY profiled column drops the whole row — one
+    consistent n for every pair."""
+    from flink_sql_security_spark.operators.profile import (
+        profile_correlations)
+
+    rows = [(1.0, 1.0), (2.0, 2.0), (None, 9.0), (3.0, 3.0)]
+    out = profile_correlations(
+        spark.createDataFrame(rows, "x double, y double"),
+        ["x", "y"]).collect()
+    assert out[0]["n"] == 3 and out[0]["corr"] == 1.0
+
+
+def test_correlations_validates_cols(spark):
+    from flink_sql_security_spark.operators.profile import (
+        profile_correlations, profile_correlations_duckdb_sql)
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    with pytest.raises(ValueError, match=">= 2"):
+        profile_correlations(df, ["x"])
+    with pytest.raises(ValueError, match="duplicate"):
+        profile_correlations_duckdb_sql("t", ["x", "x"])
+
+
+def test_fuzz_correlations_cross_engine(spark):
+    """Config fuzz: random column sets with planted linear relations
+    and NULLs, bit-equal vs the DuckDB oracle. Seed 16184."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.profile import (
+        profile_correlations, profile_correlations_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(16184)
+    for trial in range(3):
+        n = rng.choice([8, 25])
+        rows = []
+        for i in range(n):
+            x = round(rng.uniform(-50, 50), 4)
+            y = round(2.5 * x + rng.uniform(-5, 5), 4)
+            z = round(rng.uniform(0, 9), 4) if rng.random() > 0.1 else None
+            rows.append((x, y, z))
+        cfg = (trial, n)
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        got = sorted(map(tuple, profile_correlations(
+            df, ["x", "y", "z"]).collect()), key=repr)
+        vals = ", ".join(
+            "(" + ", ".join(
+                "NULL" if v is None else f"CAST('{v!r}' AS DOUBLE)"
+                for v in r) + ")"
+            for r in rows)
+        want = sorted(map(tuple, con.execute(
+            profile_correlations_duckdb_sql(
+                f"(SELECT * FROM (VALUES {vals}) AS t(x, y, z))",
+                ["x", "y", "z"])).fetchall()), key=repr)
+        assert got == want and len(got) == 3, cfg
+    con.close()
