@@ -1827,6 +1827,26 @@ FROM s GROUP BY user_id, session_id
             id_cols=["event_id"], k=3.0),
     )
 
+    # SECURED funnel: the reference's RLS rewrite composing with the
+    # analytics tier — the funnel runs over ctx.table(USER_EVENTS,
+    # "events"), so the injected telemetry gate (event_type <> 'error')
+    # prunes every per-step scan BEFORE the chain joins; the oracle
+    # applies the same predicate to the source subquery
+    def secured_funneled(s):
+        from flink_sql_security_spark.operators.funnel import funnel
+        from flink_sql_security_spark.presets import USER_EVENTS
+        ev = demo_context(s).table(USER_EVENTS, "events")
+        return funnel(ev, ["view", "click", "purchase"], within_hours=72)
+
+    from flink_sql_security_spark.operators.funnel import funnel_duckdb_sql
+
+    out["secured_funnel"] = (
+        with_tables(secured_funneled),
+        funnel_duckdb_sql(
+            "(SELECT * FROM events WHERE event_type <> 'error')",
+            ["view", "click", "purchase"], within_hours=72),
+    )
+
     # pairwise Pearson correlation matrix (operators/profile.py
     # profile_correlations): ONE groupless agg computes every
     # decimal-exact Σx/Σx²/Σxy; the matrix is per-pair expressions over
@@ -2892,8 +2912,8 @@ _CHECK_ORDER = [
     # sample_dsir_weights / bpe_tokens / q22_global_sales /
     # interval_click_purchase / retrieval_mmr_topk / profile_quantiles /
     # sample_temperature_mix hold driver rows from earlier rounds.
-    # The r10 rotation MUST take ALL 29 remaining never-windowed
-    # entries so the union reaches 162/162 (graph_ppr,
+    # The r10 rotation MUST take ALL 30 remaining never-windowed
+    # entries so the union reaches 163/163 (graph_ppr,
     # chunk_sentence_budget, retrieval_rrf_grouped,
     # chunk_content_defined, graph_pagerank_weighted, and
     # profile_zscore landed after the r9 window validation / by the
@@ -2910,10 +2930,11 @@ _CHECK_ORDER = [
     #   sample_epoch_upsample, sample_hash_fraction, sample_weighted,
     #   skew_salted_agg, text_fingerprint, vocab_top_tokens,
     #   retrieval_rrf_grouped, chunk_content_defined, graph_ppr,
-    #   graph_pagerank_weighted, profile_zscore, profile_correlations
+    #   graph_pagerank_weighted, profile_zscore, profile_correlations,
+    #   secured_funnel
     # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 29 incomers plus
-    # 10 veterans (drop four from the Keepers list below — their cores
+    # surface); 50 − 11 = 39 slots leave room for all 30 incomers plus
+    # 9 veterans (drop five from the Keepers list below — their cores
     # all hold pytest pins). Outgoing candidates for r10 (all will then hold
     # recorded driver rows + pytest pins): the r09 incomers above —
     # including this round's five birth-round entries (graph_triangles,

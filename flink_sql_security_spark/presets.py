@@ -21,6 +21,7 @@ USER_NULL = "user_null"          # nullify mask
 USER_DATE = "user_date"          # date mask (MASK_DATE_SHOW_YEAR)
 USER_CUSTOM = "user_custom"      # CUSTOM mask with a {col} SQL template
 USER_DOCS = "user_docs"          # RLS on the documents corpus (source gate)
+USER_EVENTS = "user_events"      # RLS on the event stream (telemetry gate)
 
 
 def demo_context(spark: SparkSession) -> SecurityContext:
@@ -42,4 +43,9 @@ def demo_context(spark: SparkSession) -> SecurityContext:
     # training-data governance: per-user source restriction on the corpus —
     # pipeline ops run over ctx.table(user, "documents") and inherit the gate
     ctx.add_policy(RowFilterPolicy(USER_DOCS, "documents", "source <> 'src0'"))
+    # event-stream governance: analysts never see error telemetry — the
+    # analytics tier (funnel/retention/gap-fill) runs over
+    # ctx.table(user, "events") and inherits the gate
+    ctx.add_policy(RowFilterPolicy(USER_EVENTS, "events",
+                                   "event_type <> 'error'"))
     return ctx
