@@ -1829,9 +1829,10 @@ FROM s GROUP BY user_id, session_id
 
     # SECURED funnel: the reference's RLS rewrite composing with the
     # analytics tier — the funnel runs over ctx.table(USER_EVENTS,
-    # "events"), so the injected telemetry gate (event_type <> 'error')
-    # prunes every per-step scan BEFORE the chain joins; the oracle
-    # applies the same predicate to the source subquery
+    # "events"), so the injected consent gate (user_id % 10 != 0, a
+    # predicate that BITES: every tenth user disappears from the
+    # conversion report) prunes every per-step scan BEFORE the chain
+    # joins; the oracle applies the same predicate to the source
     def secured_funneled(s):
         from flink_sql_security_spark.operators.funnel import funnel
         from flink_sql_security_spark.presets import USER_EVENTS
@@ -1843,7 +1844,7 @@ FROM s GROUP BY user_id, session_id
     out["secured_funnel"] = (
         with_tables(secured_funneled),
         funnel_duckdb_sql(
-            "(SELECT * FROM events WHERE event_type <> 'error')",
+            "(SELECT * FROM events WHERE user_id % 10 != 0)",
             ["view", "click", "purchase"], within_hours=72),
     )
 

@@ -43,9 +43,11 @@ def demo_context(spark: SparkSession) -> SecurityContext:
     # training-data governance: per-user source restriction on the corpus —
     # pipeline ops run over ctx.table(user, "documents") and inherit the gate
     ctx.add_policy(RowFilterPolicy(USER_DOCS, "documents", "source <> 'src0'"))
-    # event-stream governance: analysts never see error telemetry — the
-    # analytics tier (funnel/retention/gap-fill) runs over
-    # ctx.table(user, "events") and inherits the gate
+    # event-stream governance: analysts see only consented users (a
+    # GDPR-style gate that BITES every downstream op — an event-type
+    # gate would be invisible to a funnel that never reads that type);
+    # the analytics tier runs over ctx.table(user, "events") and
+    # inherits it
     ctx.add_policy(RowFilterPolicy(USER_EVENTS, "events",
-                                   "event_type <> 'error'"))
+                                   "user_id % 10 != 0"))
     return ctx

@@ -423,23 +423,25 @@ def test_fuzz_retention_cross_engine(spark):
 
 def test_secured_funnel_matches_filtered(spark):
     """The RLS-rewritten event stream feeding the funnel equals the
-    funnel over a hand-filtered table — and the injected telemetry gate
-    reaches the parquet scan (PushedFilters), so every per-step pass is
-    pruned before the chain joins."""
+    funnel over a hand-filtered table, and DIFFERS from the unfiltered
+    funnel — the consent gate provably bites (an assertion a
+    non-biting gate like event_type<>'error' could not make, since the
+    funnel never reads that type)."""
     from flink_sql_security_spark.operators.funnel import funnel
     from flink_sql_security_spark.presets import USER_EVENTS, demo_context
     from flink_sql_security_spark.sources import register_tables
 
     register_tables(spark, "/root/testdata/sf0.001")
     ctx = demo_context(spark)
-    secured = funnel(ctx.table(USER_EVENTS, "events"),
-                     ["view", "click", "purchase"], within_hours=72)
-    manual = funnel(spark.table("events").where("event_type <> 'error'"),
-                    ["view", "click", "purchase"], within_hours=72)
-    assert sorted(map(tuple, secured.collect())) == \
-        sorted(map(tuple, manual.collect()))
-    # executedPlan().toString() abbreviates long scan lines, so assert
-    # the gate on the optimized logical plan (the physical pushdown is
-    # separately visible in PLAN_AUDIT's pushed column for the entry)
-    plan = secured._jdf.queryExecution().optimizedPlan().toString()
-    assert "event_type" in plan and "error" in plan
+    steps = ["view", "click", "purchase"]
+    secured = sorted(map(tuple, funnel(
+        ctx.table(USER_EVENTS, "events"), steps,
+        within_hours=72).collect()))
+    manual = sorted(map(tuple, funnel(
+        spark.table("events").where("user_id % 10 != 0"), steps,
+        within_hours=72).collect()))
+    raw = sorted(map(tuple, funnel(
+        spark.table("events"), steps, within_hours=72).collect()))
+    assert secured == manual
+    assert secured != raw
+    assert not any(r[0] % 10 == 0 for r in secured)
