@@ -33,7 +33,8 @@ from ..functions.text import floor_round, floor_round_col
 
 
 def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
-                 min_support: int = 2) -> DataFrame:
+                 min_support: int = 2,
+                 broadcast_items_limit: int = 5_000_000) -> DataFrame:
     """(antecedent, consequent, n_pair, n_ante, n_cons, confidence,
     lift) for every ordered pair with pair support ≥ ``min_support``.
     """
@@ -43,8 +44,16 @@ def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
                     F.col(item_col).alias("i"))
           .where(F.col("i").isNotNull() & F.col("b").isNotNull())
           .distinct().persist())
-    n_baskets = bi.select("b").distinct().count()
+    # one pass over the persisted pairs for BOTH cardinalities: the
+    # basket total (a lift literal) and the item count (the broadcast
+    # gate — a billion-item catalog keeps the scale-safe shuffle join)
+    n_baskets, n_items = bi.agg(
+        F.countDistinct("b"), F.countDistinct("i")).collect()[0]
     item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
+
+    def hint(frame):
+        return (F.broadcast(frame) if n_items <= broadcast_items_limit
+                else frame)
     a, c = bi.alias("a"), bi.alias("c")
     pairs = (a.join(c, (F.col("a.b") == F.col("c.b"))
                     & (F.col("a.i") < F.col("c.i")))
@@ -60,8 +69,8 @@ def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
                        F.col("n_i").alias("n_ante"))
     nc = item_n.select(F.col("i").alias("consequent"),
                        F.col("n_i").alias("n_cons"))
-    out = (both.join(F.broadcast(na), "antecedent")
-           .join(F.broadcast(nc), "consequent")
+    out = (both.join(hint(na), "antecedent")
+           .join(hint(nc), "consequent")
            .select(
                "antecedent", "consequent", "n_pair", "n_ante", "n_cons",
                floor_round_col(
