@@ -96,7 +96,12 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     are summed as DECIMAL(18,6) — exact and order-independent — and
     each edge's fraction is ONE IEEE divide of two decimal-exact
     doubles, so the quantized-contribution recipe (and the strict
-    oracle) carries over unchanged. With equal weights the ranks match
+    oracle) carries over unchanged. Weights are expected to be counts
+    or ≤6-decimal-exact values (the package DECIMAL convention): a
+    double with information past the 6th decimal would be rounded by
+    the decimal cast, whose tie rule is engine-native — the same class
+    of caveat as the DECIMAL(18,2) money rule, not a new one. With
+    equal weights the ranks match
     the unweighted path to ~1e-12 (not bitwise: ``rank·(w/Σw)`` vs
     ``rank/outdeg`` round differently), pinned in pytest.
 
