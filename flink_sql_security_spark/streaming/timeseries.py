@@ -40,6 +40,10 @@ def latest_per_period_stream(stream: DataFrame, *,
     from ..operators.timeseries import _check_step
 
     _check_step(step)
+    # same NULL-timestamp drop as the batch stage-1 (a NULL can't be
+    # bucketed; without this the stream would carry a NULL-period key
+    # the batch twin never produces)
+    stream = stream.where(F.col(ts_col).isNotNull())
     ev = stream.select(
         F.col(user_col).alias("user_id"),
         F.date_trunc(step, F.col(ts_col)).alias("period"),
