@@ -2506,488 +2506,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, then one entry per pipeline-operator family — breadth first,
 # near-duplicates of already-covered families last.
 _CHECK_ORDER = [
-    # security layer (the reference's whole surface).
-    # r05 driver-round rotation (breadth over redundancy, same rule as
-    # every prior swap; all eight incomers have full strict oracles but
-    # had NEVER been driver-checked — see CORRECTNESS_r01–r04):
-    # - mask_hash / mask_null / mask_show_last → rls_union + mask_union:
-    #   the three outgoing masks' subquery-wrap machinery rides through
-    #   the five remaining in-window mask entries and their function
-    #   cores are golden-pinned in pytest (test_masks.py); the set-op
-    #   rewrite path (per-branch filter/mask injection through UNION)
-    #   was a family with no driver row at all.
-    # r08 rotation (breadth over redundancy; 12 first-time incomers, all
-    # with strict local oracles — union of ever-windowed entries was 95
-    # of 135 and had not moved since r05):
-    # - rls_select → (slot to the relational tier): the single-table
-    #   row-filter injection core rides through FIVE in-window pins
-    #   (rls_or_where composition, rls_join_3way, rls_groupby, rls_union,
-    #   mixed_flagship).
-    # - mask_date_year → (slot to the pipeline tier): the subquery-wrap
-    #   machinery keeps four in-window mask pins and the date-trunc
-    #   function core is golden-pinned in test_masks.py.
+    # ------------------------------------------------------------------
+    # r10 ROTATION — executes VERDICT-r09 task 1 verbatim: all 30
+    # entries that had never held a driver CORRECTNESS row (union of
+    # CORRECTNESS_r01..r09 = 133/163) enter the 50-slot window this
+    # round, moving the ever-windowed union to 163/163. Validated
+    # before commit with tools/driver_sim.py (30/30 hash== at sf0.01)
+    # and tools/check_oracles.py --sf all.
+    #
+    # Slot budget (50 = driver budget measured in round 1):
+    #   11 security entries (the reference's whole surface — never
+    #      rotated out),
+    #   30 first-time incomers,
+    #    3 re-pins for entries whose IMPLEMENTATION changes in r10
+    #      (basket_rules hot-basket guard, emb_matryoshka_topk in-plan
+    #      shortlist, dedup_components star-contraction path) — the r7
+    #      lesson applies to changed code, not just new entries,
+    #    2 birth-round slots for the r10 newcomers
+    #      (cdc_debezium_state, basket_rules_2to1),
+    #    4 veteran keepers for otherwise-unpinned families:
+    #      q1_pricing_summary (grouped agg), q11_important_parts
+    #      (HAVING + scalar subquery), sketch_distinct_hll (mergeable
+    #      sketches), events_funnel (sequence analytics, born r9).
+    # Every r09-window veteran that exits holds a recorded green
+    # driver row (r09 or earlier) plus the pytest/in-window pin named
+    # in the r01–r09 rotation history (preserved in git at
+    # da14b5c:__spark_entry__.py:2508 — compressed here because the
+    # 300-line running commentary had outgrown its usefulness).
+    # ------------------------------------------------------------------
+    # security layer (the reference's whole surface):
     "rls_or_where", "rls_join_3way", "rls_subquery",
     "rls_groupby", "rls_union", "mask_show_first", "mask_default_supplier",
     "mask_join", "mask_union", "mask_custom_template",
     "mixed_flagship",
-    # relational surface (incl. all round-1 hash-mismatch fixes).
-    # r05 rotation: q12_priority_case → pivot_daily_events (the pivot
-    # lowers to exactly q12's CASE-sum conditional-agg shape, so the
-    # incoming entry pins the same core PLUS the native PIVOT lowering);
-    # events_daily → interval_click_purchase (daily date-trunc groupBy is
-    # a sub-shape of in-window events_hourly_window on the same table;
-    # the time-range self-join is a family with no driver row ever).
-    # r08 rotation: q3_shipping_priority → q20_heavy_suppliers +
-    # q21_waiting_supplier. q3's join+agg+sort/limit cores each keep an
-    # in-window pin (q9 multi-join agg, q11 ORDER BY + HAVING, every
-    # ANN entry's ranked-limit); the nested-subquery-chain (q20: IN over
-    # correlated scalar subquery threshold) and multi-self-join
-    # EXISTS/NOT-EXISTS (q21) shapes had no driver row ever.
-    # r09 rotation: q20_heavy_suppliers + q21_waiting_supplier →
-    # (slots to the pipeline tier). Both went first-time green in r08,
-    # so the nested-subquery-chain and multi-self-join EXISTS shapes now
-    # have recorded driver rows; their cores stay pinned by in-window
-    # q11_important_parts (HAVING + scalar subquery), rls_subquery, and
-    # the golden rewrite suite in pytest.
-    # late-r09 swap (second pass — three NEW operator families shipped
-    # after the first r09 rotation; newcomers are windowed in their
-    # birth round, the r7 lesson):
-    # - q9_product_profit → text_bm25_indexed: q9's multi-join grouped
-    #   agg keeps in-window pins via q1 (grouped agg) +
-    #   q11_important_parts (join + HAVING) + the golden TPC-H pytest
-    #   rows; BM25 answered from a prebuilt inverted index (build-once/
-    #   probe-many — bit-identical scores to the scan path via the
-    #   shared score tail) is a new family.
-    # - pivot_daily_events → emb_filtered_topk: the pivot lowers to the
-    #   CASE-sum conditional-agg shape pinned in-window by
-    #   q1_pricing_summary and golden-pinned by q12's pytest row;
-    #   pre-filtered exact vector search (predicate pruned into the
-    #   corpus scan BEFORE distance math) is a new family.
-    # - sample_dsir_weights → emb_pca_project: DSIR's hashed-feature
-    #   log-ratio fold is pytest- and config-fuzz-pinned and its
-    #   md5-bucket core rides in-window sample_temperature_mix (shared
-    #   _bucket_expr); the trained-PCA quantized-literal projection
-    #   fold gets its birth-round driver row.
-    "q1_pricing_summary", "text_bm25_indexed",
-    "q11_important_parts",
-    "classifier_probe_score",
-    "emb_filtered_topk",
-    # training-data pipeline operators, one per family. dedup_minhash_pairs
-    # and dedup_jaccard_pairs are strict sub-computations of
-    # dedup_lsh_verified (candidate generation / exact verification), so
-    # the window carries the composition and gives their slots to the
-    # ANN paths, which are now fully hash-checked too. Round-2 swaps for
-    # the same reason: emb_cosine_pairs (the scoring arithmetic rides
-    # through emb_semantic_dedup), sample_hash_fraction (same md5-bucket
-    # core as split_hash_assign), and skew_salted_agg (pure physical
-    # redistribution, pinned by plan gates) give their slots to the new
-    # clustering / quantization / packing families. Round-2 additions:
-    # dedup_span_stats (corpus-duplicated-span statistics — a df-count
-    # join-back shape no other entry covers) and sample_token_budget
-    # (windowed running-total cutoff) enter the window; text_fingerprint
-    # (md5 one-liner, same portable-hash core split_hash_assign pins) and
-    # vocab_top_tokens (explode+count core, a strict sub-computation of
-    # the tf-idf operator's oracle) hand over their slots.
-    # dedup_incremental_batch also moves past the window: it composes the
-    # exact semi-join and LSH->verify cores that dedup_exact_groups and
-    # dedup_lsh_verified already pin, and round 1's budget stopped at 49
-    # entries — keeping the list at 49 protects the distinctive tail
-    # families (sessionize, as-of) from falling off the edge.
-    # round-3 window swaps (breadth over redundancy, same rule as before):
-    # emb_cosine_topk's scoring core rides through emb_ivf_topk (cosines
-    # bit-equal to brute force), emb_semantic_dedup composes cores pinned
-    # by dedup_components + the ANN scoring path, pipeline_clean_corpus is
-    # a strict subset of secured_clean_corpus (same pipeline, no RLS), and
-    # quota_per_source's top-N-per-key WindowGroupLimit shape is now
-    # exercised by cdc_upsert_latest. Their slots go to the four new
-    # operator families: HLL sketch, Z-order layout key, CDC changelog
-    # compaction, and native PIVOT.
-    # round-4 window swaps (same breadth-over-redundancy rule):
-    # - pivot_daily_events → sketch_cms_tokens: the pivot oracle is the
-    #   CASE-sum conditional-agg shape already pinned in-window by
-    #   q12_priority_case and q8_market_share; the CMS frequency sketch is
-    #   a new family (one-sided-error counters, broadcast point queries).
-    # - dedup_decontaminate → sketch_bloom_decon: the bloom entry carries
-    #   the exact-membership verdict in its own output (exact_member) AND
-    #   the new mergeable-bit-set family, so the exact broadcast-probe
-    #   core stays pinned while the slot buys the sketch path.
-    # - dedup_exact_groups → sample_dsir_weights: the md5-normalize
-    #   hash-groupBy core rides through secured_clean_corpus (in-window,
-    #   stage 3 of the pipeline); DSIR's hashed-feature log-ratio +
-    #   decimal-exact sum is a family no window entry covers.
-    # round-5 window swaps (same breadth-over-redundancy rule; both
-    # incomers have full hash oracles but had never been driver-checked):
-    # - dedup_simhash_pairs → cdc_snapshot_diff: the banded-hamming
-    #   pigeonhole core now also rides through the in-suite phash path
-    #   (same hamming_pairs kernel, pinned by golden + parity tests);
-    #   snapshot_diff's typed-md5 full-outer-join status matrix is a
-    #   family no window entry covers.
-    # - text_langid → sketch_hist_quantiles: langid's regex-case core is
-    #   exercised in-window by the clean-corpus entry (its stage-1 gate);
-    #   the mergeable histogram-quantile sketch (cumulative-bin
-    #   interpolation) is a new family.
-    # r05 rotation (pipeline tier, same breadth-over-redundancy rule):
-    # - emb_ivf_topk → emb_ivfpq_topk: the incoming composition carries
-    #   the IVF probe/prune core forward AND adds the ADC lookup-fold
-    #   scan; exact-cosine scoring stays pinned in-window by
-    #   emb_ann_pairs (bit-equal arithmetic, test-pinned).
-    # - emb_ivfpq_topk → emb_ivfpq_rerank (late-r05): rerank's stage 1
-    #   IS ivfpq_topk at the same (m, k_cb, n_cells, n_probe) config —
-    #   widened to k·rerank — so the incoming entry pins the entire
-    #   IVF-PQ core (coarse assign, residual-free encode, cell-keyed
-    #   ADC join, deterministic ranking) PLUS the exact-L2 shortlist
-    #   re-scoring that no window entry covered.
-    # - emb_kmeans_cells → emb_pq_codes: both entries' distance kernel is
-    #   the SAME _dists_expr sequential-fold argmin (pq_encode imports it
-    #   from clustering.py); the incoming entry pins it per-subspace plus
-    #   the codebook train; the distributed decimal-exact Lloyd update
-    #   remains pinned by pytest (test_cluster_pack_quant.py).
-    # - secured_clean_corpus → pipeline_clean_corpus: secured = the same
-    #   pipeline over an RLS-filtered table — the RLS-gate core is pinned
-    #   in-window by the 13 security entries (incl. mixed_flagship) and
-    #   the pipeline stages by the incoming entry, so every sub-core
-    #   stays covered while the never-windowed entry gets its driver row.
-    # - profile_quantiles enters on the slot freed by the security-tier
-    #   consolidation: its exact→approx auto-switch shipped this round
-    #   and the exact histogram-percentile path deserves the hard signal.
-    # r08 rotation (pipeline tier; same breadth-over-redundancy rule):
-    # - zorder_orders → dedup_keep_best: the interleaved-bits layout key
-    #   is a zero-exchange narrow projection, golden-pinned in pytest
-    #   (same exit rationale as text_pii_redact / emb_quantize_int8);
-    #   survivor selection by quality-ranked window over dup groups is a
-    #   family with no driver row.
-    # - cdc_snapshot_diff → split_component_safe: the typed-md5 cores
-    #   keep in-window pins (sketch_bloom_decon, sample_temperature_mix)
-    #   and the full-outer status matrix is golden-pinned in
-    #   test_sketch_zorder_cdc.py; cdc_upsert_latest keeps the CDC
-    #   family's driver row. Leakage-safe component-keyed splits (the
-    #   never-windowed composition r05 documented) get the slot — the
-    #   incoming entry also pins the min-id component core at driver
-    #   level alongside dedup_components.
-    # - dedup_span_stats → emb_cosine_topk: span stats' df-count
-    #   join-back rides through the dedup family pins + pytest; the
-    #   brute-force exact cosine top-k baseline (the recall yardstick
-    #   every ANN tier is measured against) had no driver row.
-    # - emb_ann_pairs → emb_pq_topk: the bit-equal cosine arithmetic is
-    #   pinned by incoming emb_cosine_topk AND the exact-rerank stage of
-    #   in-window emb_ivfpq_rerank; the flat-ADC path (whose oracle
-    #   broke UNSEEN in r07 precisely because it was never windowed)
-    #   gets a driver row.
-    # - emb_pq_codes → emb_ivfpq_topk: PQ train+encode is literally
-    #   stage 1 of BOTH incoming quantized-search entries; the IVF-PQ
-    #   probe+ADC composition (second r07 blind spot) gets the row.
-    # r09 rotation (pipeline tier; same breadth-over-redundancy rule;
-    # all ten incomers have full strict oracles but had NEVER been
-    # driver-checked — executing VERDICT-r08 task 1 verbatim):
-    # - dedup_keep_best → dedup_minhash_pairs: keep_best went first-time
-    #   green r08 and its quality-ranked survivor window rides through
-    #   in-window cdc_upsert_latest (same row_number-over-partition
-    #   core); the raw MinHash signature+band candidate generation —
-    #   stage 1 of dedup_lsh_verified but with its own banding output
-    #   shape — gets its first driver row.
-    # - split_component_safe → split_contamination: component_safe went
-    #   first-time green r08; the min-id component core keeps its
-    #   in-window pin via dedup_components, and the train/eval n-gram
-    #   contamination report (a distinct decontamination output family)
-    #   gets the slot.
-    # - emb_cosine_topk → emb_opq_topk: the exact-cosine yardstick went
-    #   first-time green r08 and its bit-equal scoring arithmetic stays
-    #   pinned by the exact-rerank stage of in-window emb_ivfpq_rerank;
-    #   the learned-rotation OPQ scan (new in r08, never windowed) gets
-    #   the slot.
-    # - emb_ivfpq_topk → emb_opq_ivf_topk: ivfpq_topk IS stage 1 of
-    #   in-window emb_ivfpq_rerank at the same config, so the coarse
-    #   assign / ADC join / ranking cores keep a driver pin; the
-    #   OPQ-IVF composition (rotation folded before coarse+books) gets
-    #   its first row.
-    # - text_lm_score → sample_token_budget: lm_score went first-time
-    #   green r08; its broadcast-vocab fixed-order fold rides through
-    #   in-window text_bm25_topk (same score-fold family); the windowed
-    #   running-total budget cutoff gets the slot.
-    # - sample_quality_curriculum → sample_cluster_balanced: curriculum
-    #   went first-time green r08; quantile bucketing rides through
-    #   in-window profile_quantiles; topic-balanced cluster sampling
-    #   (new in r08, never windowed) gets the slot.
-    # - contrastive_triplets → emb_semantic_dedup: triplets went
-    #   first-time green r08; per-anchor ranked-negative windows ride
-    #   through cdc_upsert_latest's ranked-window pin; the
-    #   embedding-threshold near-dup composition gets its first row.
-    # - fim_psm_transform → dedup_decontaminate: fim went first-time
-    #   green r08 and is a deterministic narrow span re-assembly
-    #   (golden-pinned in pytest, no distributed failure mode); the
-    #   broadcast n-gram decontamination filter gets the slot.
-    # - (relational tier) q20 → sketch_hll_by_key, q21 →
-    #   quota_per_source: the grouped per-key HLL profile (new in r08)
-    #   and the top-N-per-key source quota (WindowGroupLimit lowering)
-    #   each get their first driver row.
-    # late-r09 swap (sixth pass — two more birth-round entries; both
-    # outgoing veterans were already on the provisional r10-outgoing
-    # pick below and hold recorded driver rows):
-    # - sketch_bloom_decon → events_retention: the bloom membership
-    #   verdict is carried in-row and the md5-keyed mergeable-sketch
-    #   fold family keeps TWO window pins (sketch_distinct_hll,
-    #   sketch_hll_by_key); cohort retention (integer-exact truncated-
-    #   epoch offsets) is a new analytics family.
-    # - emb_pq_topk → cdc_scd2: the flat-ADC scan is stage 1 of
-    #   in-window emb_ivfpq_rerank's machinery and holds its r08/r09
-    #   rows + the forced-route parity tests; SCD Type-2 validity
-    #   intervals (lead-bounded versions, delete-closed) are a
-    #   changelog family cdc_upsert_latest's latest-only shape does
-    #   not pin.
-    # late-r09 swap (eighth pass): cdc_upsert_latest → basket_rules.
-    # upsert_latest holds driver rows r03–r08, its ranked-window core
-    # is pytest-pinned, and in-window cdc_scd2 now pins the changelog
-    # family — with the is_current≡upsert_latest cross-formulation
-    # test tying the two shapes together. Association rules
-    # (support/confidence/lift — Agrawal & Srikant 1994 pair level)
-    # are a new analytics family.
-    "sketch_distinct_hll", "profile_outliers", "events_retention",
-    "dedup_minhash_pairs", "basket_rules", "dedup_containment",
-    "cdc_scd2",
-    # late-r09 swap (ninth pass): dedup_components → graph_bfs. The
-    # min-label component core holds r01–r08 driver rows, its own
-    # pytest suite, AND an in-window composition pin (emb_semantic_dedup
-    # runs connected_components as its clustering stage); synchronous
-    # frontier expansion (BFS hop distance — anti-join visited set,
-    # per-hop checkpoint) is a graph shape none of the four in-window
-    # graph entries pin.
-    "emb_pca_project", "dedup_lsh_verified", "graph_bfs",
-    "split_contamination", "dedup_decontaminate", "emb_semantic_dedup",
-    "emb_opq_topk", "emb_opq_ivf_topk",
-    "emb_ivfpq_rerank", "emb_matryoshka_topk",
-    "emb_binary_topk", "pack_sequences",
-    "sketch_hll_by_key", "quota_per_source",
-    # r05 in-round rotation (three NEW operator families shipped after
-    # the first r05 rotation; same breadth-over-redundancy rule):
-    # - text_pii_redact → text_bm25_topk: the redact entry is a pure
-    #   narrow regexp_replace chain — zero exchanges at any scale, no
-    #   distributed failure mode, golden-pinned in pytest — while BM25
-    #   brings a whole new family (lexical retrieval: pre-shuffle term
-    #   filter, broadcast df-stats join, fixed-order score fold).
-    # - profile_lineitem → fuzzy_title_pairs: the numeric-profile
-    #   conditional aggregates ride through in-window q1_pricing_summary
-    #   (same grouped sum/avg/count core) and profile_quantiles stays
-    #   windowed; the blocked edit-distance join is a new family
-    #   (block→verify linkage on a JVM levenshtein kernel).
-    # - events_hourly_window → graph_pagerank: the epoch-hour bucket agg
-    #   is a sub-shape of in-window pivot_daily_events (same date-trunc
-    #   groupBy core) and the watermark path is streaming-tested in
-    #   pytest; iterative link analysis (quantized order-independent
-    #   power iteration) had no driver row anywhere.
-    # r08 rotation (text tier): text_stats and text_repetition are
-    # narrow zero-exchange per-row ratio projections (no distributed
-    # failure mode; golden-pinned in pytest, and the quality-gate core
-    # rides through in-window pipeline_clean_corpus stage 1);
-    # sketch_hist_quantiles' mergeable-bin interpolation keeps a
-    # quantile-family pin via in-window profile_quantiles and its own
-    # pytest parity suite. Their slots go to text_lm_score (unigram
-    # log-prob scoring — broadcast vocab join + fixed-order fold),
-    # text_tfidf_terms (corpus df-stats + per-doc term ranking), and
-    # sample_quality_curriculum (quantile-bucketed curriculum
-    # assignment) — three never-windowed families.
-    # late-r09 swap: text_tfidf_terms → retrieval_rrf_hybrid. tfidf
-    # went first-time green r08 and its corpus-df-stats + per-doc term
-    # ranking core rides through in-window text_bm25_topk (same
-    # broadcast-df-stats + fixed-order score-fold family); the NEW
-    # hybrid-fusion entry (BM25 ⊕ cosine RRF) gets its driver row in
-    # its birth round — the r7 lesson that an oracle can rot invisibly
-    # outside the window.
-    "retrieval_rrf_hybrid", "sample_token_budget",
-    "text_bm25_topk", "sample_cluster_balanced",
-    # round-3: sample_token_budget's windowed running-sum core is a
-    # sub-shape of pack_sequences' per-bucket cumsum (in-window); its
-    # slot goes to the BPE tokenizer family (distributed train + narrow
-    # encode — a core no other entry covers)
-    # late-r05: split_hash_assign → sample_temperature_mix: the
-    # incoming entry applies the SAME md5 10k-bucket core (shared
-    # _bucket_expr) as a per-source threshold, so the portable-hash
-    # arithmetic stays pinned while the mixture-reweighting family
-    # (count^alpha temperature rates) gets its first driver row.
-    # late-r05: emb_quantize_int8 → emb_binary_topk: int8's affine
-    # codes are a zero-exchange narrow projection with no distributed
-    # failure mode (golden-pinned in pytest + strict local oracle —
-    # the same exit rationale as text_pii_redact), while the incoming
-    # sign-bit entry drives a full distributed search: broadcast
-    # xor/bit_count scan, per-query window, shortlist-only exact
-    # rerank — more driver signal per slot, and a first-time row.
-    # late-r05 (second pass, two NEW families shipped after the binary
-    # tier; same breadth-over-redundancy rule):
-    # - q18_large_orders → classifier_probe_score: q18's grouped-agg-
-    #   with-HAVING and IN-subquery cores stay pinned in-window by
-    #   q11_important_parts (HAVING + scalar subquery) and
-    #   rls_subquery; the learned-quality-filter family (quantized
-    #   integer normal-equation sums + closed-form probe scoring) had
-    #   no driver row anywhere.
-    # - sketch_cms_tokens → retrieval_mmr_topk: the md5-keyed mergeable
-    #   integer-sketch fold family keeps TWO in-window pins
-    #   (sketch_distinct_hll, sketch_bloom_decon); diversity-aware
-    #   selection (iterative greedy over a shortlist — MMR) is a
-    #   family no window entry covers.
-    # Deliberately NOT windowed (breadth rule, documented decision):
-    # emb_binary_ivf_topk and split_component_safe are COMPOSITIONS of
-    # cores that each hold an in-window pin — coarse cell assign +
-    # probe sets (emb_ivfpq_rerank), the hamming scan + exact rerank
-    # (emb_binary_topk), min-id components (dedup_components), and the
-    # md5 bucket thresholds (sample_temperature_mix's shared
-    # _bucket_expr). Their full compositions stay strictly checked by
-    # tools/check_oracles.py; the 50 driver slots go to entries whose
-    # cores would otherwise be unpinned.
-    # r08 rotation: fuzzy_title_pairs → contrastive_triplets +
-    # fim_psm_transform. The blocked edit-distance join's block→verify
-    # linkage shape shares its structure with in-window
-    # dedup_lsh_verified (candidate block join + exact verification) and
-    # the JVM levenshtein kernel is golden-pinned in pytest; triplet
-    # mining (anchor/positive/negative joins with per-anchor ranked
-    # negatives) and the fill-in-middle PSM split (deterministic span
-    # re-assembly) had no driver row ever.
-    # late-r09 swap (third pass): bpe_tokens → graph_hits. The BPE
-    # train/encode pair is golden- and parity-pinned in pytest and was
-    # already slated to exit in the provisional r10 pick below; HITS
-    # (directed two-score link analysis, new this round) gets its
-    # birth-round driver row beside graph_pagerank — the mutual
-    # recursion + per-half-step L1 normalization is a shape the
-    # single-score power iteration does not pin.
-    # late-r09 swap (fourth pass — five NEW operator families shipped
-    # after the third pass; newcomers windowed in their birth round,
-    # the r7 lesson. The five outgoing veterans each hold recorded
-    # driver rows (r05–r08 green) and exit by the breadth rule:
-    # - retrieval_mmr_topk → profile_outliers: MMR's greedy-diversity
-    #   kernel is pytest+config-fuzz pinned and the retrieval family
-    #   keeps TWO window pins (text_bm25_topk, retrieval_rrf_hybrid);
-    #   median/MAD robust flags are a new family (exact lower-median
-    #   order statistics, single group-key exchange).
-    # - cdc_upsert_latest's neighbor slot (freed by consolidating the
-    #   dedup tier) → dedup_containment: asymmetric sub-document
-    #   containment — resemblance-vs-containment is a semantics no
-    #   Jaccard entry pins.
-    # - emb_ivfpq_rerank's neighbor slot → emb_matryoshka_topk: the
-    #   prefix-shortlist + full-dim rerank tier (new pruning geometry;
-    #   stage 2 shares _exact_rerank with the in-window rerank pin).
-    # - profile_quantiles → (slot to graph_triangles): the exact/approx
-    #   quantile auto-switch holds r05–r08 driver rows and a pytest
-    #   parity suite, and the quantile-bucket core keeps riding through
-    #   in-window sketch-family entries; degree-oriented triangle
-    #   counting (the skew-proof wedge join) is a new family.
-    # - sample_temperature_mix → events_gapfill: the md5-bucket
-    #   mixture-rate core is pytest-pinned (shared _bucket_expr with
-    #   split_hash_assign's golden rows) and holds r05–r08 driver rows;
-    #   the join-free forward-fill resample is a new family.
-    # - q22_global_sales → (slot to the fifth incomer): the anti-join +
-    #   scalar-avg cores hold r01–r08 driver rows, pytest plan gates,
-    #   and an in-window relative via not_exists_anti_join's golden
-    #   suite; already first on the provisional r10-outgoing pick.
-    # - interval_click_purchase → (slot balance): the time-range
-    #   self-join holds r05–r08 driver rows, its streaming twin is
-    #   pytest-pinned, and the temporal-join family keeps its window
-    #   pin via asof_purchase_click; also on the r10-outgoing pick.
-    # late-r09 swap (seventh pass): sessionize_events → graph_lpa.
-    # Sessionize holds driver rows since r1 and its
-    # applyInPandasWithState core is stream≡batch pytest-pinned (it was
-    # already on the provisional r10-outgoing pick); deterministic
-    # label-propagation communities (majority-flip partitioning — a
-    # semantics neither components nor pagerank pins) get their
-    # birth-round row.
-    "graph_triangles", "graph_hits",
-    "multimodal_features", "graph_pagerank",
-    "events_gapfill", "pipeline_clean_corpus",
-    "graph_lpa", "asof_purchase_click",
-    # late-r09 swap (fifth pass): window_lag_running → events_funnel.
-    # The analytic-window family (lag / framed running sum / ntile)
-    # holds driver rows since r1 and a pytest pin, and was already
-    # marked "released" on the provisional r10 pick below; the NEW
-    # ordered-step funnel chain (earliest-after-previous MIN joins with
-    # an entry-anchored horizon) is a sequence-analytics family no
-    # entry covers — windowed in its birth round, the r7 lesson.
-    # 50th slot — round 1 measured the driver budget at exactly 50
-    # entries:
-    "events_funnel",
-    # ------------------------------------------------------------------
-    # WINDOWING COMPLETION PLAN (two rounds; VERDICT-r08 task 6).
-    # After the r09 rotations above (four passes), ever-windowed union
-    # = 127/153: every r09-born entry — retrieval_rrf_hybrid,
-    # text_bm25_indexed, emb_filtered_topk, emb_pca_project, graph_hits,
-    # graph_triangles, events_gapfill, profile_outliers,
-    # emb_matryoshka_topk, dedup_containment — is windowed in its birth
-    # round (the r7 lesson), so corpus growth added ZERO to the r10
-    # burden; q9_product_profit / pivot_daily_events /
-    # sample_dsir_weights / bpe_tokens / q22_global_sales /
-    # interval_click_purchase / retrieval_mmr_topk / profile_quantiles /
-    # sample_temperature_mix hold driver rows from earlier rounds.
-    # The r10 rotation MUST take ALL 30 remaining never-windowed
-    # entries so the union reaches 163/163 (graph_ppr,
-    # chunk_sentence_budget, retrieval_rrf_grouped,
-    # chunk_content_defined, graph_pagerank_weighted, and
-    # profile_zscore landed after the r9 window validation / by the
-    # composition precedent and join the list below):
-    # (authoritative list, recomputed late-r9 as all entries minus
-    # the union of CORRECTNESS_r01..r08 keys minus the current window —
-    # an earlier draft had three name errors):
-    #   chunk_fixed_tokens, chunk_sentence_budget, corpus_shard_shuffle,
-    #   dedup_exact_groups, dedup_incremental_batch, dedup_jaccard_pairs,
-    #   dedup_simhash, dedup_source_overlap, dedup_span_trim,
-    #   emb_binary_ivf_topk, emb_cosine_pairs, emb_pq_reconstruct,
-    #   emb_rp_project, multimodal_audio_segments, multimodal_frame_plan,
-    #   multimodal_resize_plan, pack_length_batches,
-    #   sample_epoch_upsample, sample_hash_fraction, sample_weighted,
-    #   skew_salted_agg, text_fingerprint, vocab_top_tokens,
-    #   retrieval_rrf_grouped, chunk_content_defined, graph_ppr,
-    #   graph_pagerank_weighted, profile_zscore, profile_correlations,
-    #   secured_funnel
-    # Feasibility: the 11 security entries stay (the reference's whole
-    # surface); 50 − 11 = 39 slots leave room for all 30 incomers plus
-    # 9 veterans (drop five from the Keepers list below — their cores
-    # all hold pytest pins). Outgoing candidates for r10 (all will then hold
-    # recorded driver rows + pytest pins): the r09 incomers above —
-    # including this round's five birth-round entries (graph_triangles,
-    # events_gapfill, profile_outliers, emb_matryoshka_topk,
-    # dedup_containment — each golden/fuzz-pinned in pytest) — pick 26
-    # outgoing by the same breadth-over-redundancy rule.
-    # (q22_global_sales, interval_click_purchase, retrieval_mmr_topk,
-    # profile_quantiles, sample_temperature_mix already exited in the
-    # fourth r09 pass and hold recorded rows.) Any NEW entries added in
-    # r10 join the r10 incoming list too. Run tools/driver_sim.py after
-    # the swap, at all three SFs.
-    #
-    # PROVISIONAL r10 outgoing pick (authored late-r9 while the
-    # rationale is fresh; subject to VERDICT-r09 — every exiting entry
-    # will hold a recorded r9 driver row plus the pytest/in-window pin
-    # named):
-    #   q22_global_sales (anti-join+scalar-avg; pytest plan gates),
-    #   interval_click_purchase (streaming twin pytest-pinned),
-    #   text_bm25_indexed (scores bit-equal to scan path via shared
-    #   score tail; text_bm25_topk pytest + oracle pins stay),
-    #   emb_filtered_topk (thin pre-filter over the cosine_topk core,
-    #   which emb_ivfpq_rerank's exact-rerank stage keeps pinned),
-    #   emb_pca_project (quantized-literal fold, same lowering family
-    #   as emb_rp_project which ENTERS in r10),
-    #   dedup_minhash_pairs (stage 1 of in-window dedup_lsh_verified),
-    #   dedup_decontaminate (broadcast-membership rides bloom pytest),
-    #   emb_semantic_dedup (composition of pinned cores),
-    #   split_contamination, sample_token_budget (cumsum rides
-    #   pack_sequences), quota_per_source (WindowGroupLimit rides
-    #   cdc_upsert_latest), sample_cluster_balanced, sketch_hll_by_key
-    #   (global HLL stays), sketch_bloom_decon (membership verdict
-    #   in-row; CMS/HLL pins stay), emb_opq_topk + emb_opq_ivf_topk
-    #   (PQ/ADC cores stay via emb_pq_topk + emb_ivfpq_rerank),
-    #   emb_pq_topk (ADC core = stage 1 of in-window emb_ivfpq_rerank),
-    #   sample_temperature_mix,
-    #   profile_quantiles, retrieval_mmr_topk, retrieval_rrf_hybrid
-    #   (fusion arithmetic pytest+config-fuzz pinned),
-    #   graph_pagerank (quantized-core partitioning-invariance pytest),
-    #   sessionize_events (applyInPandasWithState streaming tests),
-    #   window_lag_running (core-SQL analytic windows, rows since r1,
-    #   pytest-pinned — released for the 25th incoming slot).
-    # Keepers (14):
-    #   q1_pricing_summary, q11_important_parts,
-    #   classifier_probe_score, sketch_distinct_hll, cdc_upsert_latest,
-    #   dedup_lsh_verified, dedup_components, emb_ivfpq_rerank,
-    #   emb_binary_topk, pack_sequences, text_bm25_topk,
-    #   pipeline_clean_corpus, asof_purchase_click,
-    #   multimodal_features — agg, HAVING+subquery, learned filter,
-    #   sketches, CDC, LSH dedup, components, IVF-PQ+rerank, binary,
-    #   packing, lexical retrieval, composed pipeline, as-of join,
-    #   analytic windows, multimodal plumbing.
-    # ------------------------------------------------------------------
+    # 30 first-time incomers (never driver-checked before r10):
+    "chunk_content_defined", "chunk_fixed_tokens", "chunk_sentence_budget",
+    "corpus_shard_shuffle", "dedup_exact_groups", "dedup_incremental_batch",
+    "dedup_jaccard_pairs", "dedup_simhash", "dedup_source_overlap",
+    "dedup_span_trim", "emb_binary_ivf_topk", "emb_cosine_pairs",
+    "emb_pq_reconstruct", "emb_rp_project", "graph_pagerank_weighted",
+    "graph_ppr", "multimodal_audio_segments", "multimodal_frame_plan",
+    "multimodal_resize_plan", "pack_length_batches", "profile_correlations",
+    "profile_zscore", "retrieval_rrf_grouped", "sample_epoch_upsample",
+    "sample_hash_fraction", "sample_weighted", "secured_funnel",
+    "skew_salted_agg", "text_fingerprint", "vocab_top_tokens",
+    # re-pins: implementation changes in r10 (windowed like newcomers):
+    "basket_rules", "emb_matryoshka_topk", "dedup_components",
+    # r10 newcomers (birth-round window, the r7 lesson):
+    "cdc_debezium_state", "basket_rules_2to1",
+    # veteran keepers (otherwise-unpinned families):
+    "q1_pricing_summary", "q11_important_parts",
+    "sketch_distinct_hll", "events_funnel",
 ]
 
 
