@@ -1755,6 +1755,26 @@ FROM s GROUP BY user_id, session_id
             min_support=2),
     )
 
+    # 2→1 association rules (operators/assoc.py basket_rules_2to1):
+    # Apriori level 3 restricted to pair-antecedent rules — frequent
+    # pairs seed the triple count (monotonicity prune), three rules
+    # per frequent triple, integer counts, floor-rounded divides.
+    def rules_2to1(s):
+        from flink_sql_security_spark.operators.assoc import (
+            basket_rules_2to1)
+        return basket_rules_2to1(s.table("lineitem"),
+                                 basket_col="l_orderkey",
+                                 item_col="l_suppkey", min_support=3)
+
+    from flink_sql_security_spark.operators.assoc import (
+        basket_rules_2to1_duckdb_sql)
+    out["basket_rules_2to1"] = (
+        with_tables(rules_2to1),
+        basket_rules_2to1_duckdb_sql(
+            "lineitem", basket_col="l_orderkey", item_col="l_suppkey",
+            min_support=3),
+    )
+
     # SCD Type-2 history (operators/cdc.py scd2_history): every version
     # of every key with sequence-valued validity intervals — ONE window
     # pass on the key partitioning (lead bound + last-op flag), no

@@ -1,49 +1,99 @@
-"""Association-rule mining over baskets: pairwise support, confidence,
-and lift.
+"""Association-rule mining over baskets: pairwise and 2→1 support,
+confidence, and lift.
 
 The market-basket readout over the same co-occurrence structure the
 graph tier ranks (`triangle_count` / `label_propagation` find WHERE
 the dense neighborhoods are; this op quantifies HOW predictive each
 co-occurrence is): for every ordered item pair (a → b) that clears a
 support floor, ``confidence = P(b|a)`` and ``lift = P(a,b) /
-(P(a)·P(b))``. The classic retail/recsys primitive (Agrawal &
-Srikant 1994's Apriori measures, restricted to pairs — the 2-itemset
-level is where distributed basket analysis lives; deeper levels
-explode combinatorially and are built by iterating this op on
-filtered baskets).
+(P(a)·P(b))``. :func:`basket_rules_2to1` lifts the same machinery one
+Apriori level — rules ``{a,b} → c`` counted from frequent-pair
+occurrences (Agrawal & Srikant 1994's candidate-generation step: a
+triple can only be frequent if its sub-pairs are, so the pair join
+output seeds the triple count).
 
 Scale design: items are deduped per basket first (one (basket, item)
-distinct — map-side combinable), pair counts come from ONE self-join
-on the basket key restricted to ``item_a < item_b`` (each unordered
-pair counted once; the join is basket-keyed, so a hot basket is the
-only skew source — cap basket size upstream if a pathological basket
-exists, standard practice since a B-item basket emits B²/2 pairs),
-item supports are one aggregation, and both directions derive
-per-row from one pair count. The support floor applies BEFORE the
-confidence/lift projection, so the expensive tail never materializes.
-Counts are BIGINTs; confidence and lift are each ONE floor-rounded
-IEEE divide of exact integers → strict oracle.
+distinct — map-side combinable), then **capped per basket**
+(``max_basket_items``, default 1000): a pathological hot basket with
+B items would otherwise emit B²/2 pair rows from the basket-keyed
+self-join — a single 100k-item basket is ~5×10⁹ rows that no
+AQE skew-split can shrink (it spreads the shuffle, not the row
+count). The cap is a documented truncation: a basket keeps only its
+``max_basket_items`` smallest items (ordered by item value, so the
+truncation is deterministic and the DuckDB oracle reproduces it
+bit-for-bit); item supports, pair counts and basket totals are all
+computed over the capped view so every ratio stays internally
+consistent. The cap bounds the pair stage at cap²/2 rows per basket
+— O(B log B) sort work for the hot basket instead of O(B²) join
+output (measured: tools/hotbasket_probe.py). Pair counts come from
+ONE self-join on the basket key restricted to ``item_a < item_b``
+(each unordered pair counted once), item supports are one
+aggregation, and both directions derive per-row from one pair count.
+The support floor applies BEFORE the confidence/lift projection, so
+the expensive tail never materializes. Counts are BIGINTs;
+confidence and lift are each ONE floor-rounded IEEE divide of exact
+integers → strict oracle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import floor_round, floor_round_col
 
 
-def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
-                 min_support: int = 2,
-                 broadcast_items_limit: int = 5_000_000) -> DataFrame:
-    """(antecedent, consequent, n_pair, n_ante, n_cons, confidence,
-    lift) for every ordered pair with pair support ≥ ``min_support``.
-    """
-    if min_support < 1:
-        raise ValueError(f"min_support must be >= 1: {min_support}")
+def _capped_items(df: DataFrame, basket_col: str, item_col: str,
+                  max_basket_items: int | None) -> DataFrame:
+    """Distinct (b, i) pairs, truncated to the ``max_basket_items``
+    smallest items per basket (deterministic: items are unique within
+    a basket after the distinct, so ORDER BY item is a total order)."""
     bi = (df.select(F.col(basket_col).alias("b"),
                     F.col(item_col).alias("i"))
           .where(F.col("i").isNotNull() & F.col("b").isNotNull())
-          .distinct().persist())
+          .distinct())
+    if max_basket_items is not None:
+        if max_basket_items < 2:
+            raise ValueError(
+                f"max_basket_items must be >= 2 (pairs need two items) "
+                f"or None: {max_basket_items}")
+        w = Window.partitionBy("b").orderBy("i")
+        bi = (bi.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= max_basket_items).drop("_rn"))
+    return bi
+
+
+def _capped_items_cte(table: str, basket_col: str, item_col: str,
+                      max_basket_items: int | None) -> str:
+    """DuckDB CTE body mirroring :func:`_capped_items`."""
+    base = (f"SELECT DISTINCT {basket_col} AS b, {item_col} AS i "
+            f"FROM {table} WHERE {item_col} IS NOT NULL "
+            f"AND {basket_col} IS NOT NULL")
+    if max_basket_items is None:
+        return base
+    if max_basket_items < 2:
+        raise ValueError(
+            f"max_basket_items must be >= 2 or None: {max_basket_items}")
+    return (f"SELECT b, i FROM (SELECT b, i, row_number() OVER "
+            f"(PARTITION BY b ORDER BY i) AS rn FROM ({base})) "
+            f"WHERE rn <= {max_basket_items}")
+
+
+def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
+                 min_support: int = 2,
+                 max_basket_items: int | None = 1000,
+                 broadcast_items_limit: int = 5_000_000) -> DataFrame:
+    """(antecedent, consequent, n_pair, n_ante, n_cons, confidence,
+    lift) for every ordered pair with pair support ≥ ``min_support``.
+
+    ``max_basket_items`` (default 1000) truncates every basket to its
+    smallest items before counting — the hot-basket guard documented
+    in the module docstring. Pass ``None`` to count uncapped (only
+    safe when the basket-size distribution is known bounded).
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1: {min_support}")
+    bi = _capped_items(df, basket_col, item_col,
+                       max_basket_items).persist()
     # one pass over the persisted pairs for BOTH cardinalities: the
     # basket total (a lift literal) and the item count (the broadcast
     # gate — a billion-item catalog keeps the scale-safe shuffle join)
@@ -87,11 +137,12 @@ def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
 
 def basket_rules_duckdb_sql(table: str, *, basket_col: str,
                             item_col: str,
-                            min_support: int = 2) -> str:
+                            min_support: int = 2,
+                            max_basket_items: int | None = 1000) -> str:
     """DuckDB SQL twin of :func:`basket_rules` (oracle): identical
-    distinct / self-join / count / divide chain. The basket total is
-    computed in-query (a scalar subquery) with the same integer value
-    the Spark side folds as a literal."""
+    cap / distinct / self-join / count / divide chain. The basket
+    total is computed in-query (a scalar subquery) with the same
+    integer value the Spark side folds as a literal."""
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1: {min_support}")
     conf = floor_round("CAST(n_pair AS DOUBLE) / CAST(na.n_i AS DOUBLE)",
@@ -100,10 +151,9 @@ def basket_rules_duckdb_sql(table: str, *, basket_col: str,
         "(CAST(n_pair AS DOUBLE) * nb.n) "
         "/ (CAST(na.n_i AS DOUBLE) * CAST(nc.n_i AS DOUBLE))",
         6, "duckdb")
+    bi = _capped_items_cte(table, basket_col, item_col, max_basket_items)
     return f"""
-WITH bi AS (
-  SELECT DISTINCT {basket_col} AS b, {item_col} AS i FROM {table}
-  WHERE {item_col} IS NOT NULL AND {basket_col} IS NOT NULL),
+WITH bi AS ({bi}),
 nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM bi),
 item_n AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY i),
 pairs AS (
@@ -120,6 +170,146 @@ SELECT antecedent, consequent, n_pair,
        {lift} AS lift
 FROM both_dirs
 JOIN item_n na ON na.i = antecedent
+JOIN item_n nc ON nc.i = consequent
+CROSS JOIN nb
+""".strip()
+
+
+def basket_rules_2to1(df: DataFrame, *, basket_col: str, item_col: str,
+                      min_support: int = 2,
+                      max_basket_items: int | None = 1000,
+                      broadcast_items_limit: int = 5_000_000) -> DataFrame:
+    """Rules ``{ante_1, ante_2} → consequent`` from frequent triples:
+    (ante_1, ante_2, consequent, n_triple, n_ante_pair, n_cons,
+    confidence, lift), ``ante_1 < ante_2``, for every unordered triple
+    with support ≥ ``min_support`` (three rules per triple).
+
+    Apriori level 3 restricted to 2→1 rules. Candidate generation is
+    the monotonicity prune: a triple {x,y,z} (x<y<z) is counted by
+    joining occurrences of the frequent pair (x,y) back to a third
+    basket item z>y — any sub-pair of a frequent triple is itself
+    frequent, so seeding from frequent (x,y) pairs loses nothing, and
+    the antecedent-pair counts needed for confidence are guaranteed
+    present in the frequent-pair table for the same reason.
+    ``confidence = n_triple / n_pair(ante)`` and ``lift = n_triple ·
+    n_baskets / (n_pair(ante) · n_item(cons))`` — the standard pair→
+    item lift (how much the consequent is boosted over independence
+    from the antecedent pair). Same hot-basket cap and strict
+    floor-rounded divides as :func:`basket_rules`.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1: {min_support}")
+    bi = _capped_items(df, basket_col, item_col,
+                       max_basket_items).persist()
+    n_baskets, n_items = bi.agg(
+        F.countDistinct("b"), F.countDistinct("i")).collect()[0]
+    item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
+
+    def hint(frame):
+        return (F.broadcast(frame) if n_items <= broadcast_items_limit
+                else frame)
+    a, c = bi.alias("a"), bi.alias("c")
+    # frequent-pair OCCURRENCES (basket retained) — the triple seed;
+    # the aggregated frequent-pair counts derive from the same frame.
+    pair_occ = (a.join(c, (F.col("a.b") == F.col("c.b"))
+                       & (F.col("a.i") < F.col("c.i")))
+                .select(F.col("a.b").alias("b"),
+                        F.col("a.i").alias("x"),
+                        F.col("c.i").alias("y")))
+    pair_n = (pair_occ.groupBy("x", "y")
+              .agg(F.count("*").alias("n_pair"))
+              .where(F.col("n_pair") >= min_support))
+    freq_occ = pair_occ.join(pair_n.select("x", "y"),
+                             ["x", "y"]).alias("f")
+    z = bi.alias("z")
+    triples = (freq_occ.join(z, (F.col("f.b") == F.col("z.b"))
+                             & (F.col("f.y") < F.col("z.i")))
+               .groupBy(F.col("f.x").alias("x"),
+                        F.col("f.y").alias("y"),
+                        F.col("z.i").alias("w"))
+               .agg(F.count("*").alias("n_triple"))
+               .where(F.col("n_triple") >= min_support))
+    # three 2→1 rules per frequent triple x<y<w; every antecedent pair
+    # is emitted in its own sorted order, matching pair_n's (x<y) key.
+    rules = (
+        triples.select(F.col("x").alias("ante_1"),
+                       F.col("y").alias("ante_2"),
+                       F.col("w").alias("consequent"), "n_triple")
+        .union(triples.select(F.col("x").alias("ante_1"),
+                              F.col("w").alias("ante_2"),
+                              F.col("y").alias("consequent"), "n_triple"))
+        .union(triples.select(F.col("y").alias("ante_1"),
+                              F.col("w").alias("ante_2"),
+                              F.col("x").alias("consequent"),
+                              "n_triple")))
+    np_ = pair_n.select(F.col("x").alias("ante_1"),
+                        F.col("y").alias("ante_2"),
+                        F.col("n_pair").alias("n_ante_pair"))
+    nc = item_n.select(F.col("i").alias("consequent"),
+                       F.col("n_i").alias("n_cons"))
+    out = (rules.join(np_, ["ante_1", "ante_2"])
+           .join(hint(nc), "consequent")
+           .select(
+               "ante_1", "ante_2", "consequent", "n_triple",
+               "n_ante_pair", "n_cons",
+               floor_round_col(
+                   F.col("n_triple").cast("double")
+                   / F.col("n_ante_pair").cast("double"))
+               .alias("confidence"),
+               floor_round_col(
+                   (F.col("n_triple").cast("double")
+                    * F.lit(float(n_baskets)))
+                   / (F.col("n_ante_pair").cast("double")
+                      * F.col("n_cons").cast("double"))).alias("lift")))
+    from .cache import attach
+    return attach(out, bi)
+
+
+def basket_rules_2to1_duckdb_sql(table: str, *, basket_col: str,
+                                 item_col: str,
+                                 min_support: int = 2,
+                                 max_basket_items: int | None = 1000
+                                 ) -> str:
+    """DuckDB SQL twin of :func:`basket_rules_2to1` (oracle)."""
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1: {min_support}")
+    conf = floor_round(
+        "CAST(n_triple AS DOUBLE) / CAST(np.n_pair AS DOUBLE)",
+        6, "duckdb")
+    lift = floor_round(
+        "(CAST(n_triple AS DOUBLE) * nb.n) "
+        "/ (CAST(np.n_pair AS DOUBLE) * CAST(nc.n_i AS DOUBLE))",
+        6, "duckdb")
+    bi = _capped_items_cte(table, basket_col, item_col, max_basket_items)
+    return f"""
+WITH bi AS ({bi}),
+nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM bi),
+item_n AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY i),
+pair_occ AS (
+  SELECT a.b AS b, a.i AS x, c.i AS y
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i),
+pair_n AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS n_pair
+  FROM pair_occ GROUP BY 1, 2 HAVING count(*) >= {min_support}),
+freq_occ AS (
+  SELECT o.b, o.x, o.y FROM pair_occ o
+  JOIN pair_n p ON p.x = o.x AND p.y = o.y),
+triples AS (
+  SELECT f.x, f.y, z.i AS w, CAST(count(*) AS BIGINT) AS n_triple
+  FROM freq_occ f JOIN bi z ON f.b = z.b AND f.y < z.i
+  GROUP BY 1, 2, 3 HAVING count(*) >= {min_support}),
+rules AS (
+  SELECT x AS ante_1, y AS ante_2, w AS consequent, n_triple FROM triples
+  UNION ALL
+  SELECT x AS ante_1, w AS ante_2, y AS consequent, n_triple FROM triples
+  UNION ALL
+  SELECT y AS ante_1, w AS ante_2, x AS consequent, n_triple FROM triples)
+SELECT ante_1, ante_2, consequent, n_triple,
+       np.n_pair AS n_ante_pair, nc.n_i AS n_cons,
+       {conf} AS confidence,
+       {lift} AS lift
+FROM rules
+JOIN pair_n np ON np.x = ante_1 AND np.y = ante_2
 JOIN item_n nc ON nc.i = consequent
 CROSS JOIN nb
 """.strip()

@@ -2469,6 +2469,96 @@ def test_fuzz_basket_rules_cross_engine(spark):
     con.close()
 
 
+def test_basket_rules_hot_basket_cap(spark):
+    """max_basket_items keeps the CAP SMALLEST items per basket
+    (deterministic truncation) and all measures recompute over the
+    capped view: basket 1 = {a..e} capped to 3 keeps {a,b,c}, so
+    (a,d) loses its only co-occurrence and n_ante(d) drops."""
+    from flink_sql_security_spark.operators.assoc import basket_rules
+
+    rows = ([(1, x) for x in "abcde"]
+            + [(2, "a"), (2, "b"), (3, "a"), (3, "d")])
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    capped = {(r["antecedent"], r["consequent"]): r for r in basket_rules(
+        df, basket_col="basket", item_col="item", min_support=1,
+        max_basket_items=3).collect()}
+    assert ("a", "d") in capped          # survives via basket 3
+    assert capped[("a", "d")]["n_pair"] == 1   # basket-1 pair truncated
+    assert capped[("a", "d")]["n_ante"] == 3   # a kept everywhere
+    assert capped[("a", "d")]["n_cons"] == 1   # d dropped from basket 1
+    assert ("a", "e") not in capped      # e truncated from its only basket
+    uncapped = {(r["antecedent"], r["consequent"]): r["n_pair"]
+                for r in basket_rules(
+                    df, basket_col="basket", item_col="item",
+                    min_support=1, max_basket_items=None).collect()}
+    assert uncapped[("a", "d")] == 2 and ("a", "e") in uncapped
+    with pytest.raises(ValueError, match="max_basket_items"):
+        basket_rules(df, basket_col="basket", item_col="item",
+                     max_basket_items=1)
+
+
+def test_basket_rules_2to1_hand_computed(spark):
+    """Baskets {a,b,c}×2, {a,b}×1, {c}×1 (4 baskets): triple {a,b,c}
+    support 2, pair (a,b) support 3 → conf({a,b}→c)=2/3,
+    lift = 2·4/(3·3) = 8/9; the rotated rule ({a,c}→b) has
+    conf = 2/2 = 1 and lift = 2·4/(2·3) = 4/3."""
+    from flink_sql_security_spark.operators.assoc import basket_rules_2to1
+
+    rows = ([(1, x) for x in "abc"] + [(2, x) for x in "abc"]
+            + [(3, "a"), (3, "b"), (4, "c")])
+    out = {(r["ante_1"], r["ante_2"], r["consequent"]): r
+           for r in basket_rules_2to1(
+               spark.createDataFrame(rows, ["basket", "item"]),
+               basket_col="basket", item_col="item",
+               min_support=2).collect()}
+    abc = out[("a", "b", "c")]
+    assert abc["n_triple"] == 2 and abc["n_ante_pair"] == 3
+    assert abc["n_cons"] == 3
+    assert abc["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert abc["lift"] == pytest.approx(8 / 9, abs=1e-6)
+    acb = out[("a", "c", "b")]
+    assert acb["n_ante_pair"] == 2 and acb["confidence"] == 1.0
+    assert acb["lift"] == pytest.approx(4 / 3, abs=1e-6)
+    assert len(out) == 3                 # exactly the three rotations
+
+
+def test_fuzz_basket_rules_2to1_cross_engine(spark):
+    """Config fuzz: random baskets × support floor × cap, bit-equal
+    vs the DuckDB oracle. Seed 26181."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.assoc import (
+        basket_rules_2to1, basket_rules_2to1_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(26181)
+    nonempty = 0
+    for trial in range(4):
+        n_b = rng.choice([4, 8])
+        n_i = rng.choice([4, 6])
+        ms = rng.choice([1, 2])
+        cap = rng.choice([3, None])
+        rows = [(rng.randrange(n_b), f"i{rng.randrange(n_i)}")
+                for _ in range(rng.choice([30, 70]))]
+        cfg = (trial, n_b, n_i, ms, cap)
+        df = spark.createDataFrame(rows, ["b", "i"])
+        got = sorted(map(tuple, basket_rules_2to1(
+            df, basket_col="b", item_col="i", min_support=ms,
+            max_basket_items=cap).collect()))
+        vals = ", ".join(f"({b}, '{i}')" for b, i in rows)
+        want = sorted(map(tuple, con.execute(
+            basket_rules_2to1_duckdb_sql(
+                f"(SELECT * FROM (VALUES {vals}) AS t(b, i))",
+                basket_col="b", item_col="i", min_support=ms,
+                max_basket_items=cap)).fetchall()))
+        assert got == want, cfg
+        nonempty += bool(got)
+    assert nonempty >= 2   # the fuzz actually exercised triples
+    con.close()
+
+
 # ---------------------------------------------------- feature scaling
 
 def test_feature_scale_zscore_hand_values(spark):
