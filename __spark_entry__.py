@@ -1793,6 +1793,63 @@ FROM s GROUP BY user_id, session_id
             tiebreak_cols=["event_id"]),
     )
 
+    # Debezium-envelope CDC decode (sources/debezium.py) — the
+    # reference's actual wire format ('connector'='mysql-cdc',
+    # AbstractBasicTest.java:179-187): a deterministic mutation script
+    # over orders is serialized as envelope JSON IN-QUERY with
+    # dialect-common concat (inserts bare, updates payload-wrapped
+    # with a source.pos tiebreak, deletes before-image-only), then
+    # decoded with from_json and compacted with upsert_latest. The
+    # oracle runs the SAME serializer text through DuckDB's
+    # independent JSON parser — the decode machinery is what's under
+    # test, not the strings. Doubles stay out of the payload (engine
+    # string formats diverge); BIGINT/VARCHAR fields round-trip
+    # exactly.
+    _DEB_KEY = "CAST(o_orderkey AS VARCHAR(32))"
+    _DEB_CUST = "CAST(o_custkey AS VARCHAR(32))"
+    _DEB_CHANGELOG = f"""
+SELECT concat('{{"before":null,"after":{{"o_orderkey":', {_DEB_KEY},
+  ',"o_custkey":', {_DEB_CUST},
+  ',"o_orderstatus":"', o_orderstatus,
+  '","o_orderpriority":"', o_orderpriority,
+  '"}},"op":"c","ts_ms":1000}}') AS value
+FROM orders
+UNION ALL
+SELECT concat('{{"payload":{{"before":null,"after":{{"o_orderkey":',
+  {_DEB_KEY}, ',"o_custkey":', {_DEB_CUST},
+  ',"o_orderstatus":"X","o_orderpriority":"', o_orderpriority,
+  '"}},"op":"u","ts_ms":2000,"source":{{"pos":', {_DEB_KEY}, '}}}}}}')
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT concat('{{"before":{{"o_orderkey":', {_DEB_KEY},
+  ',"o_custkey":', {_DEB_CUST},
+  ',"o_orderstatus":"', o_orderstatus,
+  '","o_orderpriority":"', o_orderpriority,
+  '"}},"after":null,"op":"d","ts_ms":3000}}')
+FROM orders WHERE o_orderkey % 100 = 0
+""".strip()
+    _DEB_DDL = ("o_orderkey BIGINT, o_custkey BIGINT, "
+                "o_orderstatus STRING, o_orderpriority STRING")
+
+    def deb_state(s):
+        from flink_sql_security_spark.sources.debezium import (
+            debezium_state)
+        return debezium_state(s.sql(_DEB_CHANGELOG), row_ddl=_DEB_DDL,
+                              key_cols=["o_orderkey"],
+                              tiebreak_field="pos")
+
+    from flink_sql_security_spark.sources.debezium import (
+        debezium_state_duckdb_sql)
+    out["cdc_debezium_state"] = (
+        with_tables(deb_state),
+        debezium_state_duckdb_sql(
+            f"({_DEB_CHANGELOG})",
+            fields=[("o_orderkey", "BIGINT"), ("o_custkey", "BIGINT"),
+                    ("o_orderstatus", "VARCHAR"),
+                    ("o_orderpriority", "VARCHAR")],
+            key_cols=["o_orderkey"], tiebreak_path="pos"),
+    )
+
     # cohort retention (operators/timeseries.py retention_cohorts):
     # high-value purchaser cohorts by first-activity week — integer-
     # exact truncated-epoch offsets, one floor-rounded rate divide

@@ -111,3 +111,80 @@ def test_catalog_adapter_does_not_cache_misses(spark):
         assert adapter.get_table(["late_view_xyz"]) is t
     finally:
         spark.catalog.dropTempView("late_view_xyz")
+
+
+# --------------------------------------------------- debezium decode
+
+def _env(op, ts, key, val, *, wrapped=False, pos=None):
+    import json
+
+    row = {"id": key, "val": val}
+    env = {"before": row if op == "d" else None,
+           "after": None if op == "d" else row,
+           "op": op, "ts_ms": ts}
+    if pos is not None:
+        env["source"] = {"pos": pos}
+    return json.dumps({"payload": env} if wrapped else env)
+
+
+def test_debezium_decode_both_wrapper_shapes(spark):
+    """schemas.enable=true (payload wrapper) and =false (bare) decode
+    identically; deletes carry the before image; garbage rows drop."""
+    from flink_sql_security_spark.sources.debezium import debezium_decode
+
+    rows = [(_env("c", 1, 1, "a"),),
+            (_env("u", 2, 1, "b", wrapped=True),),
+            (_env("d", 3, 2, "gone"),),
+            ("{not json",), ('{"unrelated": true}',)]
+    out = debezium_decode(
+        spark.createDataFrame(rows, ["value"]),
+        row_ddl="id BIGINT, val STRING").collect()
+    got = {(r["id"], r["_op"]): (r["val"], r["_seq"]) for r in out}
+    assert len(out) == 3                      # garbage rows dropped
+    assert got[(1, "c")] == ("a", 1)
+    assert got[(1, "u")] == ("b", 2)          # wrapper shape decoded
+    assert got[(2, "d")] == ("gone", 3)       # delete = before image
+
+
+def test_debezium_state_compaction_and_tiebreak(spark):
+    """Latest op wins per key; same-ts_ms collisions break on
+    source.pos; a key whose latest op is a delete disappears."""
+    from flink_sql_security_spark.sources.debezium import debezium_state
+
+    rows = [(_env("c", 1, 1, "a"),),
+            (_env("u", 5, 1, "winner", pos=9),),
+            (_env("u", 5, 1, "loser", pos=3),),
+            (_env("c", 1, 2, "x"),),
+            (_env("d", 2, 2, "x"),),
+            (_env("c", 1, 3, "kept", wrapped=True),)]
+    out = {r["id"]: r["val"] for r in debezium_state(
+        spark.createDataFrame(rows, ["value"]),
+        row_ddl="id BIGINT, val STRING", key_cols=["id"],
+        tiebreak_field="pos").collect()}
+    assert out == {1: "winner", 3: "kept"}
+
+
+def test_debezium_state_matches_jdbc_cdc_end_state(spark):
+    """End-state parity on the SAME mutation script: the Debezium
+    decode + compaction must equal operators/cdc.upsert_latest over
+    the equivalent (key, seq, op, val) changelog — the contract the
+    JDBC-emulated source (sources/jdbc_cdc.py) is tested against in
+    test_jdbc_cdc.py."""
+    from flink_sql_security_spark.operators.cdc import upsert_latest
+    from flink_sql_security_spark.sources.debezium import debezium_state
+
+    script = [  # (id, seq, op, val) — inserts, updates, deletes, re-insert
+        (1, 1, "c", "a"), (1, 2, "u", "a2"),
+        (2, 1, "c", "b"), (2, 2, "d", "b"),
+        (3, 1, "c", "c"), (3, 2, "d", "c"), (3, 3, "c", "c3"),
+        (4, 1, "c", "d")]
+    tabular = spark.createDataFrame(script, ["id", "seq", "op", "val"])
+    want = {r["id"]: r["val"] for r in upsert_latest(
+        tabular, ["id"], "seq", op_col="op", delete_op="d").collect()}
+    envelopes = spark.createDataFrame(
+        [(_env(op, seq, i, val, wrapped=(i % 2 == 0)),)
+         for i, seq, op, val in script], ["value"])
+    got = {r["id"]: r["val"] for r in debezium_state(
+        envelopes, row_ddl="id BIGINT, val STRING",
+        key_cols=["id"]).collect()}
+    assert got == want == {1: "a2", 3: "c3", 4: "d"}
