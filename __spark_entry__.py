@@ -1225,18 +1225,22 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     )
     # Matryoshka two-stage search (Kusupati et al. 2022): 32/64-dim
     # prefix shortlist (the scan reads half the vector bytes — the
-    # memory-bandwidth lever at 100 TB), exact full-dim rerank of
-    # k·shortlist candidates via the shared refine stage. Recall 0.72
-    # here because the synthetic vectors are isotropic (a prefix keeps
-    # ~p/d of the signal — the worst case); MRL-trained embeddings
-    # front-load it. Strict oracle: prefix-unit shortlist membership is
-    # floor-rounded + id-tie-broken, so both engines pick the same set.
+    # memory-bandwidth lever at 100 TB), exact full-dim rerank via the
+    # shared refine stage. shortlist='auto' sizes the shortlist
+    # max(8k, ceil(5·sqrt(n))) — the binary tier's sqrt law — lifting
+    # recall on these isotropic vectors (a prefix keeps ~p/d of the
+    # signal — the worst case) from 0.72 at the old fixed ×8 to ≥0.9;
+    # MRL-trained embeddings front-load the spectrum and need less.
+    # Strict oracle: prefix-unit shortlist membership is floor-rounded
+    # + id-tie-broken and the sqrt cutoff is IEEE-identical in-query,
+    # so both engines pick the same set.
     out["emb_matryoshka_topk"] = (
         with_tables(lambda s: S.matryoshka_topk(
             emb(s), emb(s).where("vec_id < 12"),
-            prefix_dims=32, shortlist=8, k=5)),
+            prefix_dims=32, shortlist="auto", k=5)),
         S.matryoshka_topk_duckdb_sql(
-            "embeddings", "vec_id < 12", prefix_dims=32, shortlist=8, k=5),
+            "embeddings", "vec_id < 12", prefix_dims=32,
+            shortlist="auto", k=5),
     )
     # ANN (LSH-bucketed), fully hash-checked: the deterministic hyperplanes
     # embed as literals in the DuckDB oracle, and the Spark side's

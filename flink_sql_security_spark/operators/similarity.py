@@ -128,6 +128,26 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Catalyst's row-count estimate for the optimized plan, when the
+    optimizer has one (CBO stats / parquet metadata); None otherwise.
+    Free — no job."""
+    try:
+        opt = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return int(str(opt.get())) if not opt.isEmpty() else None
+    except Exception:
+        return None
+
+
+def _corpus_rows(df: DataFrame) -> int:
+    """Corpus cardinality for plan-time sizing rules: the optimizer's
+    row count when it has one, else ONE count job (metadata-only on
+    parquet scans — the footer row counts answer it without reading
+    data pages)."""
+    n = _plan_row_count(df)
+    return n if n is not None else df.count()
+
+
 def _auto_broadcast(df: DataFrame, flag: bool | None,
                     limit_bytes: int) -> bool:
     """Resolve a ``broadcast: bool | None`` strategy flag.
@@ -1145,10 +1165,40 @@ def lsh_bits_for(n_vectors: int, target_bucket: int = 40,
     return max(min_bits, min(max_bits, bits))
 
 
+def _matryoshka_shortlist_k(k: int, shortlist, n_corpus) -> int:
+    """ONE definition of the matryoshka shortlist size (Spark and the
+    DuckDB oracle compute the identical value). ``shortlist='auto'``
+    sizes it to the corpus like the binary tier's ``rerank='auto'``:
+    ``max(8·k, ceil(5·sqrt(n)))`` — the sqrt law the binary probe
+    measured (the required shortlist FRACTION falls as n grows, so a
+    √n shortlist keeps recall while rerank cost grows only as √n
+    against the O(n) prefix scan that dominates). Unlike the binary
+    tier the cutoff folds into a plan-time LITERAL rather than a
+    per-query window count: the prefix scan's chunk-local top-K prune
+    needs K before the scan runs, and corpus cardinality is a plan
+    constant (Catalyst stats, else one metadata-only count) — an
+    in-plan window count would require materializing all n·|Q| prefix
+    cosines first, forfeiting the O(K) per-chunk output that makes
+    stage 1 the cheap stage. sqrt/ceil are IEEE-exact and identical
+    across Python and DuckDB, so shortlist membership stays strictly
+    oracle-checkable."""
+    import math
+
+    if shortlist == "auto":
+        n = n_corpus() if callable(n_corpus) else n_corpus
+        return max(8 * k, int(math.ceil(5.0 * math.sqrt(n))))
+    if isinstance(shortlist, str):
+        raise ValueError(
+            f"shortlist must be an int >= 1 or 'auto': {shortlist!r}")
+    if int(shortlist) < 1:
+        raise ValueError(f"shortlist must be >= 1: {shortlist}")
+    return k * int(shortlist)
+
+
 def matryoshka_topk(df: DataFrame, queries_df: DataFrame, *,
                     prefix_dims: int, vec_col: str = "embedding",
                     id_col: str = "vec_id", k: int = 5,
-                    shortlist: int = 4, round_to: int = 6,
+                    shortlist: int | str = "auto", round_to: int = 6,
                     broadcast_queries: bool | None = None,
                     broadcast_limit_bytes: int = 64 << 20,
                     n_blocks: int = 8, q_blocks: int = 8) -> DataFrame:
@@ -1169,14 +1219,18 @@ def matryoshka_topk(df: DataFrame, queries_df: DataFrame, *,
     top-k superset + floor-rounded sequential-fold cosines, so shortlist
     MEMBERSHIP is engine-exact), and the rerank is the shared
     ``_exact_rerank`` refine stage (one tie rule for every pruned scan).
-    Recall is a property of the embedding's MRL quality; on the
-    synthetic test vectors a 16/64 prefix with shortlist=4 measures
-    ~0.9+ (see tests).
+    Recall is a property of the embedding's MRL quality AND the
+    shortlist size: ``shortlist='auto'`` (default) sizes it
+    ``max(8·k, ceil(5·sqrt(n)))`` via :func:`_matryoshka_shortlist_k`
+    — on the isotropic synthetic fixture (worst case for prefix
+    pruning: flat spectrum) auto lifts a 32/64 prefix from ~0.72 at
+    the old fixed ×8 to ≥0.9 (see tests, pinned at two corpus sizes);
+    an int is the legacy fixed multiplier (``k·shortlist``).
     """
     if prefix_dims < 1:
         raise ValueError(f"prefix_dims must be >= 1: {prefix_dims}")
-    if shortlist < 1:
-        raise ValueError(f"shortlist must be >= 1: {shortlist}")
+    short_k = _matryoshka_shortlist_k(
+        k, shortlist, lambda: _corpus_rows(df.select(id_col)))
     from .binary import _exact_rerank
 
     def truncate(frame: DataFrame) -> DataFrame:
@@ -1186,7 +1240,7 @@ def matryoshka_topk(df: DataFrame, queries_df: DataFrame, *,
 
     short = cosine_topk(
         truncate(df), truncate(queries_df), vec_col, id_col,
-        k=k * shortlist, round_to=round_to,
+        k=short_k, round_to=round_to,
         broadcast_queries=broadcast_queries,
         broadcast_limit_bytes=broadcast_limit_bytes,
         n_blocks=n_blocks, q_blocks=q_blocks)
@@ -1200,15 +1254,22 @@ def matryoshka_topk_duckdb_sql(table: str = "embeddings",
                                prefix_dims: int,
                                vec_col: str = "embedding",
                                id_col: str = "vec_id", k: int = 5,
-                               shortlist: int = 4,
+                               shortlist: int | str = "auto",
                                round_to: int = 6) -> str:
     """DuckDB SQL twin of :func:`matryoshka_topk` (oracle): the same
     prefix-unit shortlist (floor-rounded sequential-fold cosine, id tie
-    break) and full-unit rerank."""
+    break) and full-unit rerank. ``shortlist='auto'`` emits the
+    :func:`_matryoshka_shortlist_k` sqrt rule as an in-query scalar
+    subquery over the same table — ceil/sqrt are IEEE-identical to the
+    Python fold, so both engines cut the identical shortlist."""
     if prefix_dims < 1:
         raise ValueError(f"prefix_dims must be >= 1: {prefix_dims}")
-    if shortlist < 1:
-        raise ValueError(f"shortlist must be >= 1: {shortlist}")
+    if shortlist == "auto":
+        cutoff = (f"greatest({8 * k}, CAST(ceil(5.0 * sqrt("
+                  f"(SELECT count(*) FROM {table}))) AS BIGINT))")
+    else:
+        # validates the int range with the single shared rule
+        cutoff = str(_matryoshka_shortlist_k(k, shortlist, 0))
 
     def unit_cte(name: str, vec: str) -> str:
         return (
@@ -1236,7 +1297,7 @@ def matryoshka_topk_duckdb_sql(table: str = "embeddings",
         "short AS (SELECT q_id, n_id FROM ("
         "SELECT q_id, n_id, row_number() OVER ("
         "PARTITION BY q_id ORDER BY pcos DESC, n_id) AS prank FROM pre) "
-        f"WHERE prank <= {k * shortlist}), "
+        f"WHERE prank <= {cutoff}), "
         "rescored AS (SELECT s.q_id, s.n_id, "
         + dot.format(a="qu.unit", b="nu.unit") + " AS cosine "
         "FROM short s "

@@ -2270,26 +2270,47 @@ def test_matryoshka_full_prefix_equals_exact(spark):
     assert full == exact
 
 
-def test_matryoshka_recall_on_fixture(spark):
+@pytest.mark.parametrize("sf", ["0.001", "0.01"])
+def test_matryoshka_auto_recall_two_corpus_sizes(spark, sf):
     """Isotropic synthetic vectors are the WORST case for prefix
-    pruning (flat spectrum, prefix keeps ~p/d of the signal) — pin the
-    floor so a machinery regression shows up as a recall collapse."""
-    emb = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pruning (flat spectrum, prefix keeps ~p/d of the signal).
+    shortlist='auto' (the √n rule) must hold recall ≥ 0.85 at BOTH
+    corpus sizes — the old fixed ×8 multiplier measured 0.72 on the
+    larger fixture (VERDICT-r09 task 7)."""
+    emb = (spark.read.parquet(
+        f"/root/testdata/sf{sf}/embeddings.parquet")
            .select("vec_id", F.col("embedding").cast("array<float>")
                    .alias("embedding")))
     q = emb.where("vec_id < 10")
     exact = {(r["q_id"], r["n_id"]) for r in
              S.cosine_topk(emb, q, k=5).collect()}
     got_rows = S.matryoshka_topk(
-        emb, q, prefix_dims=32, shortlist=8, k=5).collect()
+        emb, q, prefix_dims=32, shortlist="auto", k=5).collect()
     got = {(r["q_id"], r["n_id"]) for r in got_rows}
-    assert len(exact & got) / len(exact) >= 0.6
+    assert len(exact & got) / len(exact) >= 0.85, sf
     # every returned pair carries the exact full-dim cosine
     exact_cos = {(r["q_id"], r["n_id"]): r["cosine"] for r in
-                 S.cosine_topk(emb, q, k=50).collect()}
+                 S.cosine_topk(emb, q, k=300).collect()}
     for r in got_rows:
         if (r["q_id"], r["n_id"]) in exact_cos:
             assert r["cosine"] == exact_cos[(r["q_id"], r["n_id"])]
+
+
+def test_matryoshka_auto_shortlist_rule():
+    """The shared sizing rule: max(8k, ceil(5√n)), floor engages on
+    tiny corpora, and the string-but-not-auto guard raises."""
+    import math
+
+    from flink_sql_security_spark.operators.similarity import (
+        _matryoshka_shortlist_k)
+
+    assert _matryoshka_shortlist_k(5, "auto", 16) == 40      # floor
+    assert _matryoshka_shortlist_k(5, "auto", 10_000) == 500  # 5·√n
+    assert _matryoshka_shortlist_k(
+        5, "auto", 2_000) == math.ceil(5 * math.sqrt(2_000))
+    assert _matryoshka_shortlist_k(5, 8, 0) == 40             # legacy int
+    with pytest.raises(ValueError, match="shortlist"):
+        _matryoshka_shortlist_k(5, "AUTO", 10)
 
 
 def test_matryoshka_validates_args(spark):
