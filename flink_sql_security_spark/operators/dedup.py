@@ -746,10 +746,91 @@ def simhash_duckdb_sql(table: str = "documents", text_col: str = "text",
 # Connected components over near-dup pairs (cluster assignment)
 # ---------------------------------------------------------------------------
 
+def _star_contraction(pairs: DataFrame, a, b,
+                      max_iter: int) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star min-id components (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond") —
+    the hub-and-chain-proof distributed path.
+
+    Why not min-label propagation: propagation moves labels ONE hop
+    per round, so rounds = graph diameter — a 200k-edge chain needs
+    200k rounds and re-shuffles every label each round. Star
+    contraction rewires edges toward each neighborhood's minimum
+    (large-star: every bigger neighbor of u hooks to min(Γ(u)∪u);
+    small-star: every smaller neighbor and u itself hook there), which
+    HALVES-or-better tree heights every alternation → O(log² n) rounds
+    worst case, ~log n in practice, INDEPENDENT of chain length
+    (measured: tools/starcc_probe.py — 4× the chain, +≤2 rounds).
+
+    Determinism: each op is a per-neighborhood min (windowed, order-
+    free) + distinct — partitioning-invariant by construction, same
+    invariance contract as the quantized graph tier. Convergence test:
+    (edge count, Σ endpoints) — both are non-increasing under either
+    star op and the sum strictly decreases unless the op was the
+    identity, the same monotone argument the label path uses.
+
+    Returns (labels, rounds); labels = (doc_id, component_id = min id
+    reachable). Isolated nodes (self-pairs only) label themselves via
+    the final left join.
+    """
+    from pyspark.sql.window import Window
+
+    nodes = (pairs.select(a.alias("doc_id"))
+             .union(pairs.select(b.alias("doc_id")))
+             .distinct().localCheckpoint())
+    # orient big → small; the invariant u > v survives both star ops
+    # (every rewired endpoint moves to a neighborhood MINIMUM)
+    edges = (pairs.select(a.alias("x"), b.alias("y"))
+             .where(F.col("x") != F.col("y"))
+             .select(F.greatest("x", "y").alias("u"),
+                     F.least("x", "y").alias("v"))
+             .distinct().localCheckpoint())
+    wu = Window.partitionBy("u")
+
+    def stats(e):
+        r = e.agg(F.count("*"), F.sum(F.col("u") + F.col("v"))).collect()
+        return (r[0][0], r[0][1])
+
+    prev = stats(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        if prev[0] == 0:
+            break
+        # large-star over the symmetrized adjacency: for each u, every
+        # neighbor v > u re-hooks to m = min(Γ(u) ∪ {u})
+        sym = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        ls = (sym.withColumn(
+                  "m", F.least(F.min("v").over(wu), F.col("u")))
+              .where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct())
+        # small-star on the (already big→small) edges: every neighbor
+        # AND u itself hook to m = min(Γ(u)); m < u always holds
+        ss = ls.withColumn("m", F.min("v").over(wu))
+        edges = (ss.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(ss.select("u", "m"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint())
+        rounds += 1
+        cur = stats(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint = disjoint stars centered at component minima
+    labels = (nodes.join(edges, nodes["doc_id"] == edges["u"], "left")
+              .select(nodes["doc_id"],
+                      F.coalesce(edges["v"],
+                                 nodes["doc_id"]).alias("component_id")))
+    return labels, rounds
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 50,
-                         driver_threshold: int = 200_000) -> DataFrame:
+                         driver_threshold: int = 200_000,
+                         distributed_algorithm: str = "star") -> DataFrame:
     """(doc_id, component_id): min-id components over pair edges.
 
     The dedup clustering step: near-dup PAIRS (from jaccard / minhash /
@@ -767,12 +848,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
       broadcast-able DataFrame. Iterating a 32-partition distributed job
       per round over a few thousand edges is pure scheduler overhead —
       measured 7s → <1s at sf0.1.
-    - larger graphs: iterative min-label propagation (Spark SQL has no
-      recursive CTE): each round joins labels across edges and takes the
-      elementwise min; convergence when the label sum stops falling
-      (labels only decrease, so the integer sum is a strictly decreasing
-      monotone — no row-level diff join needed). Rounds = graph diameter;
-      near-dup clusters are shallow, so 2-4 rounds in practice.
+    - larger graphs: alternating large-star/small-star contraction
+      (:func:`_star_contraction`, ``distributed_algorithm='star'``,
+      the default) — O(log² n) rounds worst case regardless of
+      diameter, so hub graphs AND long chains both converge.
+      ``distributed_algorithm='label'`` keeps the previous iterative
+      min-label propagation (one join + min per round; rounds = graph
+      DIAMETER, so a 200k-edge chain would exhaust ``max_iter`` — use
+      it only when the pair graph is known shallow, e.g. near-dup
+      clusters, where it saves one shuffle per round). Convergence on
+      both: a strictly decreasing integer monotone (label sum / edge
+      count+endpoint sum), no row-level diff join.
       `localCheckpoint` truncates lineage each round — without it the
       plan doubles per iteration and planning cost explodes at scale.
     """
@@ -821,6 +907,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             d.unpersist()
         return spark.createDataFrame(
             sorted((x, find(x)) for x in parent), out_schema)
+
+    if distributed_algorithm == "star":
+        labels, _ = _star_contraction(pairs, a, b, max_iter)
+        # nodes+edges are checkpointed inside — the pair pipeline and
+        # its attached super-stage caches have served their purpose
+        pairs.unpersist()
+        for d in upstream:
+            d.unpersist()
+        return labels
+    if distributed_algorithm != "label":
+        raise ValueError(
+            f"distributed_algorithm must be 'star' or 'label': "
+            f"{distributed_algorithm!r}")
 
     base = (
         pairs.select(a.alias("src"), b.alias("dst"))

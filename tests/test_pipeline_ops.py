@@ -503,6 +503,36 @@ def test_connected_components_long_chain_converges(spark):
     assert set(cc.values()) == {10}
 
 
+def test_connected_components_star_chain_sublinear_rounds(spark):
+    """The distributed default (large-star/small-star) converges a
+    chain in O(log n) rounds — label propagation needs diameter
+    rounds, so the SAME max_iter that star sails through leaves
+    label-prop unconverged (the failure class VERDICT-r09 task 8
+    removes). Both agree with the driver union-find."""
+    from pyspark.sql import functions as F
+
+    L = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(L)], ["id_a", "id_b"])
+    want = {r["doc_id"]: r["component_id"]
+            for r in D.connected_components(pairs).collect()}
+    p = pairs.persist()
+    labels, rounds = D._star_contraction(
+        p, F.col("id_a"), F.col("id_b"), 50)
+    got = {r["doc_id"]: r["component_id"] for r in labels.collect()}
+    p.unpersist()
+    assert got == want and set(got.values()) == {0}
+    assert rounds <= 12                       # log law, not diameter
+    lp = D.connected_components(pairs, driver_threshold=0,
+                                distributed_algorithm="label",
+                                max_iter=12)
+    assert {r["component_id"] for r in lp.collect()} != {0}  # capped out
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="distributed_algorithm"):
+        D.connected_components(pairs, driver_threshold=0,
+                               distributed_algorithm="bogus")
+
+
 # ---------------------------------------------------------------------------
 # Sampling / splitting (operators/sampling.py)
 # ---------------------------------------------------------------------------
