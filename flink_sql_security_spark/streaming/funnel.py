@@ -1,0 +1,171 @@
+"""Streaming twins of the funnel and retention batch operators
+(``operators/funnel.py`` / ``operators/timeseries.py::retention_cohorts``)
+— VERDICT-r09 task 4.
+
+Two different state shapes, matching what each readout actually needs:
+
+- **Funnel** (:func:`funnel_state_stream`) — a genuine per-user stateful
+  operator (``applyInPandasWithState``): state holds the user's retained
+  step-event timestamps, each batch re-runs the SAME greedy
+  earliest-chain the batch op proves optimal, and an update-mode row
+  (user, step timestamps, depth, upd) is emitted whenever the user's
+  funnel state changes. Exactness under out-of-order arrival comes from
+  retention-with-pruning, not ordering assumptions:
+
+  * step 1 keeps only its MIN timestamp — the chain anchor is a
+    monotone min, one value is exact;
+  * with a horizon, later steps prune events ABOVE ``t1 + within``
+    (the horizon only moves down as t1 improves, so nothing above it
+    can ever re-enter) — state per entered user is bounded by the
+    horizon window, the same watermark-style bound a stream-stream
+    interval join carries;
+  * without a horizon, later steps prune events at-or-above the
+    CURRENT chain point ``t_i`` (without a horizon every ``t_i`` is
+    monotone non-increasing as data arrives, so an event ≥ current
+    ``t_i`` can never become a future min);
+  * before a user's first step-1 event arrives, later-step events are
+    retained un-pruned (a late step-1 may land before them) — the
+    unbounded-until-entry phase every exact funnel has, normally
+    bounded in production by an event-time timeout that expires
+    never-entering users.
+
+- **Retention** (:func:`retention_activity_stream`) — the
+  stream-maintains / batch-finalizes split of ``streaming/timeseries.py``
+  (gap-fill's precedent): cohort retention is a pure function of the
+  DISTINCT (user, period) activity table (the cohort itself is
+  ``min(period)`` per user, and ``date_trunc(min ts) = min(date_trunc
+  ts)``), so the stream maintains exactly that table with
+  ``dropDuplicates`` — built-in stateful dedup, no Python — and the
+  batch ``retention_cohorts`` runs over a snapshot with ``ts_col=
+  "period"`` for bit-identical results (``date_trunc`` is idempotent).
+
+Both parities are pinned in ``tests/test_streaming.py`` against the
+batch ops on the same shuffled multi-batch input.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.funnel import _check_steps
+
+
+def funnel_state_stream(events: DataFrame, steps, *,
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        within_hours: int | None = None) -> DataFrame:
+    """Update-mode stream of each user's current funnel row
+    (user_id, step_1_ts … step_k_ts, depth, upd).
+
+    ``upd`` is the user's update sequence number (1, 2, …) so a sink
+    can pick each user's latest row without relying on arrival order.
+    Rows are emitted only for users that have entered the funnel
+    (≥1 step-1 event) — the same population the batch op reports.
+    """
+    steps = _check_steps(steps)
+    k = len(steps)
+    h_us = (None if within_hours is None
+            else int(within_hours) * 3_600 * 1_000_000)
+    idx = {s: i for i, s in enumerate(steps)}
+
+    ev = (events.select(F.col(user_col).alias("user_id"),
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("et"))
+          .where(F.col("et").isin(list(steps))
+                 & F.col("ts").isNotNull()))
+
+    state_schema = (", ".join(f"p{i} array<long>" for i in range(k))
+                    + ", upd int")
+    out_schema = ("user_id long, "
+                  + ", ".join(f"step_{i}_ts timestamp"
+                              for i in range(1, k + 1))
+                  + ", depth int, upd int")
+
+    def chain(pend: list[list[int]]) -> list[int | None]:
+        """The batch op's greedy earliest-chain over the retained
+        events — identical semantics (strictly-after, entry-anchored
+        horizon), recomputed exactly each batch."""
+        ts: list[int | None] = [None] * k
+        if not pend[0]:
+            return ts
+        ts[0] = min(pend[0])
+        cutoff = None if h_us is None else ts[0] + h_us
+        prev = ts[0]
+        for i in range(1, k):
+            cand = [t for t in pend[i]
+                    if t > prev and (cutoff is None or t <= cutoff)]
+            if not cand:
+                break
+            ts[i] = prev = min(cand)
+        return ts
+
+    def update(key: Tuple[Any, ...],
+               batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        pend: list[list[int]] = [[] for _ in range(k)]
+        upd = 0
+        if state.exists:
+            got = state.get
+            pend = [sorted(got[i]) for i in range(k)]
+            upd = got[k]
+        before = [list(p) for p in pend]
+        for pdf in batches:
+            for t, et in zip(pdf["ts"], pdf["et"]):
+                pend[idx[et]].append(int(t.value // 1_000))  # ns → µs
+        ts = chain(pend)
+        # prune (exactness arguments in the module docstring); at-or-
+        # below keeps the chain point itself so the next recompute
+        # still sees it
+        if pend[0]:
+            pend[0] = [ts[0]]
+            cutoff = None if h_us is None else ts[0] + h_us
+            for i in range(1, k):
+                if cutoff is not None:
+                    pend[i] = [t for t in pend[i] if t <= cutoff]
+                elif ts[i] is not None:
+                    pend[i] = [t for t in pend[i] if t <= ts[i]]
+        pend = [sorted(set(p)) for p in pend]
+        if pend == before:        # duplicate-only batch: no new info
+            return
+        upd += 1
+        state.update(tuple(pend) + (upd,))
+        if ts[0] is None:         # not entered yet: retain, emit nothing
+            return
+        row = {"user_id": key[0]}
+        for i in range(k):
+            row[f"step_{i + 1}_ts"] = (
+                pd.Timestamp(ts[i], unit="us") if ts[i] is not None
+                else pd.NaT)
+        row["depth"] = sum(t is not None for t in ts)
+        row["upd"] = upd
+        yield pd.DataFrame([row])
+
+    return (ev.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def retention_activity_stream(events: DataFrame, *,
+                              user_col: str = "user_id",
+                              ts_col: str = "ts",
+                              period: str = "week") -> DataFrame:
+    """Append-mode stream of the DISTINCT (user_id, period) activity
+    table — the complete state cohort retention needs. Built-in
+    stateful dedup (no Python, no custom state); finalize with
+    ``retention_cohorts(state_snapshot, ts_col="period",
+    period=<same>)`` for results bit-identical to the batch op over
+    the raw events."""
+    from ..operators.timeseries import _PERIOD_SECONDS
+
+    if period not in _PERIOD_SECONDS:
+        raise ValueError(
+            f"period must be one of {tuple(_PERIOD_SECONDS)}: {period!r}")
+    return (events.where(F.col(ts_col).isNotNull())
+            .select(F.col(user_col).alias("user_id"),
+                    F.date_trunc(period, F.col(ts_col)).alias("period"))
+            .dropDuplicates(["user_id", "period"]))

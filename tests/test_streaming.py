@@ -903,3 +903,162 @@ def test_gapfill_state_stream_matches_batch(spark):
             map(tuple, resample_ffill(df).collect()))
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_funnel_state_stream_matches_batch(spark):
+    """Streaming funnel (per-user retained-event state, update mode)
+    equals the batch op after the stream drains — with out-of-order
+    arrival ACROSS micro-batches (maxFilesPerTrigger=1): a late
+    step-1 re-anchors the chain, a horizon-excluded step stays
+    excluded, duplicates add nothing, and never-entering users emit
+    nothing."""
+    import datetime as dt
+    import os
+
+    from flink_sql_security_spark.operators.funnel import funnel
+    from flink_sql_security_spark.streaming.funnel import (
+        funnel_state_stream)
+
+    d = dt.datetime
+    steps = ["view", "click", "purchase"]
+    # user 1: completes within the horizon anchored at its 11:00 view
+    #         (cutoff 15:00 ≥ purchase 15:00), but its EARLIEST view
+    #         arrives in the LAST file — the re-anchor to 10:00 shrinks
+    #         the cutoff to 14:00 and pushes the purchase OUT
+    # user 2: completes in order within the horizon
+    # user 3: click before any view + duplicate clicks -> depth 1 after
+    #         its view arrives late
+    # user 4: never enters (click+purchase only) -> absent
+    batches = [
+        [(1, d(2024, 1, 1, 11), "view"), (1, d(2024, 1, 1, 12), "click"),
+         (2, d(2024, 1, 1, 9), "view"), (4, d(2024, 1, 1, 9), "click")],
+        [(1, d(2024, 1, 1, 15), "purchase"),
+         (2, d(2024, 1, 1, 9, 30), "click"),
+         (3, d(2024, 1, 1, 8), "click"), (3, d(2024, 1, 1, 8), "click"),
+         (4, d(2024, 1, 1, 10), "purchase")],
+        [(1, d(2024, 1, 1, 10), "view"),        # late re-anchor
+         (2, d(2024, 1, 1, 10), "purchase"),
+         (3, d(2024, 1, 1, 9), "view")],
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    rows = [r for b in batches for r in b]
+    path = tempfile.mkdtemp(prefix="fss_stream_funnel")
+    try:
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+                os.path.join(path, f"b{i}"))
+        # register the three part-directories as one file stream, one
+        # file per micro-batch
+        files = spark.createDataFrame(rows, schema)
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(os.path.join(path, "b*")))
+        q = (funnel_state_stream(src, steps, within_hours=4)
+             .writeStream.format("memory").queryName("fn_state")
+             .outputMode("update").start())
+        q.processAllAvailable(); q.stop()
+        sunk = spark.table("fn_state")
+        # latest update per user
+        last = {r["user_id"]: r for r in sunk.collect()}
+        for r in sunk.collect():
+            if r["upd"] >= last[r["user_id"]]["upd"]:
+                last[r["user_id"]] = r
+        want = {r["user_id"]: r for r in funnel(
+            files, steps, within_hours=4).collect()}
+        assert set(last) == set(want)
+        for u, w in want.items():
+            g = last[u]
+            assert (g["step_1_ts"], g["step_2_ts"], g["step_3_ts"],
+                    g["depth"]) == (w["step_1_ts"], w["step_2_ts"],
+                                    w["step_3_ts"], w["depth"]), u
+        # the documented fixture facts actually hold
+        assert want[1]["depth"] == 2      # purchase fell out of horizon
+        assert want[2]["depth"] == 3
+        assert want[3]["depth"] == 1
+        assert 4 not in want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_funnel_state_stream_no_horizon_matches_batch(spark):
+    """Same machinery without a horizon: the chain-point prune path."""
+    import datetime as dt
+    import os
+
+    from flink_sql_security_spark.operators.funnel import funnel
+    from flink_sql_security_spark.streaming.funnel import (
+        funnel_state_stream)
+
+    d = dt.datetime
+    steps = ["view", "click"]
+    batches = [
+        [(1, d(2024, 1, 1, 12), "click"), (2, d(2024, 1, 1, 1), "view")],
+        [(1, d(2024, 1, 1, 11), "view"), (2, d(2024, 1, 1, 0, 30), "click"),
+         (1, d(2024, 1, 1, 11, 30), "click")],  # earlier click arrives late
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    rows = [r for b in batches for r in b]
+    path = tempfile.mkdtemp(prefix="fss_stream_funnel2")
+    try:
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+                os.path.join(path, f"b{i}"))
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(os.path.join(path, "b*")))
+        q = (funnel_state_stream(src, steps)
+             .writeStream.format("memory").queryName("fn2_state")
+             .outputMode("update").start())
+        q.processAllAvailable(); q.stop()
+        last = {}
+        for r in spark.table("fn2_state").collect():
+            if (r["user_id"] not in last
+                    or r["upd"] >= last[r["user_id"]]["upd"]):
+                last[r["user_id"]] = r
+        want = {r["user_id"]: r for r in funnel(
+            spark.createDataFrame(rows, schema), steps).collect()}
+        assert set(last) == set(want)
+        for u, w in want.items():
+            g = last[u]
+            assert (g["step_1_ts"], g["step_2_ts"], g["depth"]) == \
+                (w["step_1_ts"], w["step_2_ts"], w["depth"]), u
+        assert want[1]["depth"] == 2 and want[2]["depth"] == 1
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_retention_activity_stream_matches_batch(spark):
+    """Streamed distinct-(user, period) state finalized by the batch
+    retention op equals retention over the raw events — the gap-fill
+    maintain/finalize split."""
+    import datetime as dt
+
+    from flink_sql_security_spark.operators.timeseries import (
+        retention_cohorts)
+    from flink_sql_security_spark.streaming.funnel import (
+        retention_activity_stream)
+
+    d = dt.datetime
+    rows = [(u, d(2024, 1, day, hr), 0, 1.0)
+            for u, day, hr in [(1, 1, 0), (1, 1, 5), (1, 8, 0),
+                               (1, 22, 0), (2, 8, 0), (2, 15, 0),
+                               (3, 1, 0)]]
+    schema = "user_id long, ts timestamp, event_id long, value double"
+    path = tempfile.mkdtemp(prefix="fss_stream_retention")
+    try:
+        df = spark.createDataFrame(rows, schema)
+        df.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(schema).parquet(path)
+        q = (retention_activity_stream(src).writeStream
+             .format("memory").queryName("ret_state")
+             .outputMode("append").start())
+        q.processAllAvailable(); q.stop()
+        state = spark.table("ret_state")
+        got = sorted(map(tuple, retention_cohorts(
+            state, ts_col="period").collect()))
+        want = sorted(map(tuple, retention_cohorts(df).collect()))
+        assert got == want and len(want) >= 4
+        with pytest.raises(ValueError, match="period"):
+            retention_activity_stream(df, period="fortnight")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
