@@ -50,6 +50,25 @@ def _release_cached(spark) -> None:
     spark._jvm.System.gc()         # let the ContextCleaner actually reap them
 
 
+# Session recycling between query families (VERDICT-r09 finding 2 /
+# task 3): even with the per-query clearCache+GC hygiene, heap state
+# accumulated over ~100 prior queries elevated heavy entries 2-3x above
+# their dedicated-session cost (pagerank 2.94 s dedicated vs 7.2-8.2 s
+# in-bench — adjudicated in BASELINE.md). Restarting the SparkSession
+# (same JVM: py4j keeps the gateway, so codegen JIT stays warm while
+# the block manager / broadcast registries / accumulated heap roots are
+# torn down) before each HEAVY family — and every RESTART_EVERY queries
+# as a backstop — keeps per-query numbers in the dedicated-session
+# band. Restart cost sits OUTSIDE the timers; it is session plumbing,
+# not any query's cost.
+_HEAVY_FAMILIES = {"graph", "pipeline", "secured", "profile", "dedup"}
+_RESTART_EVERY = 40
+
+
+def _family(name: str) -> str:
+    return name.split("_", 1)[0]
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry_mod
@@ -58,18 +77,43 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    spark = build_session("flink-sql-security-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    register_tables(spark, sf_dir)
+    def fresh_session(old=None):
+        """(Re)build the session and re-run the standard warmup: one
+        light query for parquet footers, one tiny mapInPandas for the
+        Arrow / Python-worker pool (workers are reused across queries
+        in any long-lived deployment; first-spawn cost isn't a
+        per-query property)."""
+        if old is not None:
+            old.stop()
+        s = build_session("flink-sql-security-spark-bench")
+        s.sparkContext.setLogLevel("ERROR")
+        register_tables(s, sf_dir)
+        s.sql("SELECT count(*) AS n FROM region").collect()
+        s.range(32).repartition(32).mapInPandas(
+            lambda it: it, "id long").count()
+        return s
 
+    spark = fresh_session()
     queries = entry_mod.queries()
-    # warm the JVM + parquet footers with one light query, and the Arrow /
-    # Python-worker pool with a tiny mapInPandas (workers are reused across
-    # queries in any long-lived deployment; first-spawn cost isn't a
-    # per-query property)
-    spark.sql("SELECT count(*) AS n FROM region").collect()
-    spark.range(32).repartition(32).mapInPandas(
-        lambda it: it, "id long").count()
+
+    class _Recycler:
+        """Restart the session at family boundaries into heavy
+        families, or after _RESTART_EVERY queries — the same policy in
+        every pass so passes stay comparable."""
+
+        def __init__(self):
+            self.prev_fam = None
+            self.since = 0
+
+        def before(self, spark, name):
+            fam = _family(name)
+            if (self.since >= _RESTART_EVERY
+                    or (fam != self.prev_fam and fam in _HEAVY_FAMILIES)):
+                spark = fresh_session(spark)
+                self.since = 0
+            self.prev_fam = fam
+            self.since += 1
+            return spark
 
     # Pass 1 (warmup): JVM whole-stage-codegen JIT is a one-time session
     # cost that lands on whichever query shape compiles first (measured:
@@ -78,7 +122,9 @@ def main() -> None:
     # steady state; cold_total_sec keeps the warmup pass visible.
     cold_total = 0.0
     first_pass: dict[str, float] = {}
+    rec = _Recycler()
     for name, fn in queries.items():
+        spark = rec.before(spark, name)
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         dt = time.perf_counter() - t0
@@ -95,7 +141,9 @@ def main() -> None:
     per_query: dict[str, float] = {}
     retried: list[str] = []
     total = 0.0
+    rec = _Recycler()
     for name, fn in queries.items():
+        spark = rec.before(spark, name)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         _force(df)  # full evaluation of every output column (see _force)
@@ -204,6 +252,11 @@ def main() -> None:
 
     # security tax (BASELINE.md): same SQL corpus executed with vs without
     # the SecurityContext rewrite. target ≤ 2.0x, stretch ≤ 1.1x.
+    # Fresh session: the tax is a RATIO of paired runs, but both sides
+    # should sit in the dedicated-session band, not on a heap shaped by
+    # the recall section's brute-force pair scans.
+    spark = fresh_session(spark)
+    ctx = demo_context(spark)
     secured_t = unsecured_t = 0.0
     for name, (user, sql, _) in entry_mod._QUERIES.items():
         t0 = time.perf_counter()

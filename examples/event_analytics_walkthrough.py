@@ -153,8 +153,12 @@ def main() -> None:
     print(f"gap-fill carried fraction: {out['fill_frac']:.3f}")
     print(f"co-purchase: {out['n_closed']} parts in triangles, "
           f"{out['n_comms']} communities")
-    print(f"top rule: conf={out['top_rule']['confidence']:.2f} "
-          f"lift={out['top_rule']['lift']:.1f}")
+    if out["top_rule"] is not None:
+        print(f"top rule: conf={out['top_rule']['confidence']:.2f} "
+              f"lift={out['top_rule']['lift']:.1f}")
+    else:
+        # a tiny or filtered sf_dir can leave no pair over min_support
+        print("top rule: none cleared min_support on this fixture")
     print(f"2-hop reach of 3 seed customers: {out['n_reach']} nodes; "
           f"top weighted supplier: {out['top_supplier']}")
     print(f"post-QA |z|>3 extremes: {out['z_extremes']}")

@@ -21,6 +21,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _check_delete_op(delete_op: str) -> str:
+    """``delete_op`` embeds as a single-quoted SQL literal in the
+    oracle emitters — refuse anything that could escape the quoting
+    (the same single-statement discipline as funnel._check_steps; a
+    quote would silently produce broken oracle SQL)."""
+    if (not isinstance(delete_op, str) or "'" in delete_op
+            or "\\" in delete_op or ";" in delete_op):
+        raise ValueError(f"delete_op must be a plain string without "
+                         f"quotes/backslashes/semicolons: {delete_op!r}")
+    return delete_op
+
+
 def upsert_latest(df: DataFrame, key_cols: list[str], seq_col: str,
                   op_col: str | None = None, delete_op: str = "D",
                   tiebreak_cols: list[str] | None = None) -> DataFrame:
@@ -51,6 +63,8 @@ def upsert_latest_duckdb_sql(table_sql: str, key_cols: list[str],
                              tiebreak_cols: list[str] | None = None) -> str:
     """DuckDB oracle: identical window formulation over ``table_sql``
     (a table name or parenthesized subquery)."""
+    if op_col is not None:
+        _check_delete_op(delete_op)
     order = ", ".join(
         [f"{seq_col} DESC"] + [f"{c} DESC" for c in (tiebreak_cols or [])])
     keys = ", ".join(key_cols)
@@ -139,6 +153,14 @@ def scd2_history(df: DataFrame, key_cols: list[str], seq_col: str,
     history table (Kimball SCD Type 2) with sequence-valued validity —
     swap timestamps in via ``seq_col`` for time-based intervals.
 
+    NULL-op contract: when ``op_col`` is given, a changelog row whose
+    op is NULL is an interval-bounding NON-version — ``op <> delete_op``
+    is NULL-false on BOTH engines, so the row emits no version of its
+    own, yet it still bounds the previous version's ``valid_to`` via
+    ``lead`` (every row participates in the window before the filter).
+    Real CDC feeds can carry NULL ops; coalesce them to the upsert op
+    upstream if they should version instead.
+
     Scale: ONE window pass over the key partitioning (lead for the
     closing bound, max_by-style last-op via the same ordered window) —
     a single hash exchange, no joins, no state beyond the window sort.
@@ -179,6 +201,8 @@ def scd2_history_duckdb_sql(table_sql: str, key_cols: list[str],
     """DuckDB oracle: the identical lead/last-op window formulation."""
     if not key_cols or not value_cols:
         raise ValueError("key_cols and value_cols must be non-empty")
+    if op_col is not None:
+        _check_delete_op(delete_op)
     # NULLS FIRST pins DuckDB to Spark's ASC default (asc_nulls_first);
     # DuckDB's default is NULLS LAST on ASC — a NULL-sequence changelog
     # row would otherwise reorder the whole version chain

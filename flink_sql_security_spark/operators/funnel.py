@@ -23,6 +23,15 @@ Earliest-chain is greedy-optimal for this containment semantics
 never excludes a completion a later choice would allow), so one
 forward pass per step is exact — no backtracking search.
 
+Anchoring caveat: the horizon anchors at the user's EARLIEST step-1
+event only. A user whose first funnel entry times out but who would
+complete within the horizon of a LATER step-1 event reports as
+unconverted here, so funnel tools that evaluate every entry attempt
+(per-attempt / re-anchored funnels) report conversion ≥ this op's.
+That is the deliberate "first touch" definition — per-attempt
+evaluation is a different (and more expensive: one chain per step-1
+event) operator, not a bug fix to this one.
+
 Scale design: one aggregation per step, each keyed on the entity —
 step 1 is a groupBy(min); each later step filters the event scan to
 that step's type BEFORE the join (predicate on the scan), joins the

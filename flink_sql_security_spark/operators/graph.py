@@ -861,8 +861,16 @@ def bfs_levels(edges, seeds, *, src: str = "src", dst: str = "dst",
         return (F.broadcast(df) if n_visited <= broadcast_frontier_limit
                 else df)
 
+    # the seed frame's node type derives from the edge dst column, so
+    # string/typed node ids work like everywhere else in the graph
+    # family (the old hard-coded 'node long' raised on non-int seeds)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    node_type = edges.schema[dst].dataType
     visited = spark.createDataFrame(
-        [(int(s), 0) for s in seeds], "node long, hops int")
+        [(s, 0) for s in seeds],
+        StructType([StructField("node", node_type),
+                    StructField("hops", IntegerType())]))
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):
         reached = (e.join(hint(frontier),
@@ -894,8 +902,22 @@ def bfs_levels_sql(edges_sql: str, seeds, *, max_hops: int = 3) -> str:
         raise ValueError("seeds must be a non-empty list")
     if len(set(seeds)) != len(seeds):
         raise ValueError(f"duplicate seeds: {seeds}")
+
+    def lit(s):
+        # seeds embed as SQL literals: ints verbatim, strings quoted
+        # under the same escape guard as funnel steps (single-statement
+        # discipline — no quote smuggling into the oracle)
+        if isinstance(s, bool) or not isinstance(s, (int, str)):
+            raise ValueError(f"seeds must be ints or strings: {s!r}")
+        if isinstance(s, int):
+            return str(s)
+        if "'" in s or "\\" in s or ";" in s:
+            raise ValueError(f"seed strings must not contain "
+                             f"quotes/backslashes/semicolons: {s!r}")
+        return f"'{s}'"
+
     seed_rows = " UNION ALL ".join(
-        f"SELECT {int(s)} AS node, 0 AS hops" for s in seeds)
+        f"SELECT {lit(s)} AS node, 0 AS hops" for s in seeds)
     parts = [
         f"WITH e AS MATERIALIZED (SELECT DISTINCT src AS e_src, "
         f"dst AS e_dst FROM ({edges_sql}))",

@@ -1236,6 +1236,28 @@ def test_bfs_validates_args(spark):
         bfs_levels(df, [])
     with pytest.raises(ValueError, match="duplicate"):
         bfs_levels_sql("SELECT 1 AS src, 2 AS dst", [1, 1])
+    with pytest.raises(ValueError, match="quotes"):
+        bfs_levels_sql("SELECT 'a' AS src, 'b' AS dst", ["a'; DROP"])
+
+
+def test_bfs_string_node_ids(spark):
+    """The seed frame's node type derives from the edge dst column —
+    string ids work like the rest of the graph family (ADVICE r09);
+    the SQL twin quotes string seed literals under the escape guard."""
+    import duckdb
+
+    from flink_sql_security_spark.operators.graph import (
+        bfs_levels, bfs_levels_sql)
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    out = dict(map(tuple, bfs_levels(df, ["a"], max_hops=2).collect()))
+    assert out == {"a": 0, "b": 1, "c": 2}
+    sql = bfs_levels_sql(
+        "SELECT * FROM (VALUES ('a','b'),('b','c'),('c','d')) "
+        "t(src, dst)", ["a"], max_hops=2)
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert want == out
 
 
 def test_fuzz_bfs_cross_engine(spark):

@@ -799,3 +799,21 @@ def test_fuzz_scd2_cross_engine(spark):
             tiebreak_cols=["tb"])).fetchall()))
         assert got == want and len(got) > 0, cfg
     con.close()
+
+
+def test_cdc_oracle_emitters_guard_delete_op():
+    """delete_op embeds as a quoted SQL literal in the oracle emitters
+    — the funnel-style escape guard rejects quote smuggling (ADVICE
+    r09)."""
+    import pytest
+
+    from flink_sql_security_spark.operators.cdc import (
+        scd2_history_duckdb_sql, upsert_latest_duckdb_sql)
+
+    for bad in ("D'; DROP TABLE x; --", "a\\b", "x;y"):
+        with pytest.raises(ValueError, match="delete_op"):
+            upsert_latest_duckdb_sql("t", ["k"], "seq", ["k", "v"],
+                                     op_col="op", delete_op=bad)
+        with pytest.raises(ValueError, match="delete_op"):
+            scd2_history_duckdb_sql("t", ["k"], "seq", ["v"],
+                                    op_col="op", delete_op=bad)
