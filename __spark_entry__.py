@@ -953,6 +953,16 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             D.ngram_jaccard_pairs(docs(s), threshold=0.05))),
         D.connected_components_duckdb_sql(out["dedup_jaccard_pairs"][1]),
     )
+    # the DISTRIBUTED star-contraction path forced (driver_threshold=0):
+    # at test SFs the pair graph sits under the driver threshold, so
+    # without this entry the large-star/small-star code would only ever
+    # be pytest/probe-checked — same oracle, different execution path
+    out["dedup_components_star"] = (
+        with_tables(lambda s: D.connected_components(
+            D.ngram_jaccard_pairs(docs(s), threshold=0.05),
+            driver_threshold=0)),
+        D.connected_components_duckdb_sql(out["dedup_jaccard_pairs"][1]),
+    )
     # canonical-doc selection (operators/dedup.py keep_best_per_component):
     # the step after clustering — keep the highest-quality copy per
     # near-dup component, ties to lowest id; top-1 and member count ride
@@ -2631,8 +2641,12 @@ _CHECK_ORDER = [
     "profile_zscore", "retrieval_rrf_grouped", "sample_epoch_upsample",
     "sample_hash_fraction", "sample_weighted", "secured_funnel",
     "skew_salted_agg", "text_fingerprint", "vocab_top_tokens",
-    # re-pins: implementation changes in r10 (windowed like newcomers):
-    "basket_rules", "emb_matryoshka_topk", "dedup_components",
+    # re-pins: implementation changes in r10 (windowed like newcomers).
+    # dedup_components_star rather than dedup_components: at driver SFs
+    # the plain entry takes the UNCHANGED driver union-find path, while
+    # the _star entry forces the new large-star/small-star distributed
+    # path (driver_threshold=0) — that's the code that changed:
+    "basket_rules", "emb_matryoshka_topk", "dedup_components_star",
     # r10 newcomers (birth-round window, the r7 lesson):
     "cdc_debezium_state", "basket_rules_2to1",
     # veteran keepers (otherwise-unpinned families):
