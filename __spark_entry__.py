@@ -1899,6 +1899,27 @@ FROM orders WHERE o_orderkey % 100 = 0
                           within_hours=72),
     )
 
+    # per-attempt (re-anchored) funnel (operators/funnel.py
+    # funnel_attempts): one chain per step-1 EVENT — the semantics
+    # ADVICE-r09 noted diverges from the entry-anchored op; a tighter
+    # 24h horizon makes the re-anchoring visibly bite (later attempts
+    # convert where the first times out)
+    def funnel_per_attempt(s):
+        from flink_sql_security_spark.operators.funnel import (
+            funnel_attempts)
+        return funnel_attempts(s.table("events"),
+                               ["view", "click", "purchase"],
+                               within_hours=24)
+
+    from flink_sql_security_spark.operators.funnel import (
+        funnel_attempts_duckdb_sql)
+    out["events_funnel_attempts"] = (
+        with_tables(funnel_per_attempt),
+        funnel_attempts_duckdb_sql("events",
+                                   ["view", "click", "purchase"],
+                                   within_hours=24),
+    )
+
     # robust per-group outlier detection (operators/profile.py
     # robust_outliers): median/MAD flags on the heavy-tailed events.value
     # — exact lower-median order statistics (no interpolation, no float
@@ -2647,11 +2668,15 @@ _CHECK_ORDER = [
     # the _star entry forces the new large-star/small-star distributed
     # path (driver_threshold=0) — that's the code that changed:
     "basket_rules", "emb_matryoshka_topk", "dedup_components_star",
-    # r10 newcomers (birth-round window, the r7 lesson):
-    "cdc_debezium_state", "basket_rules_2to1",
+    # r10 newcomers (birth-round window, the r7 lesson). The fourth
+    # keeper slot goes to events_funnel_attempts rather than
+    # events_funnel: the entry-anchored chain core holds its r9 driver
+    # row + pytest pins and rides in-window secured_funnel; the
+    # re-anchored per-attempt semantics are new this round:
+    "cdc_debezium_state", "basket_rules_2to1", "events_funnel_attempts",
     # veteran keepers (otherwise-unpinned families):
     "q1_pricing_summary", "q11_important_parts",
-    "sketch_distinct_hll", "events_funnel",
+    "sketch_distinct_hll",
 ]
 
 

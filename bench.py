@@ -140,6 +140,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     retried: list[str] = []
+    dedicated: list[str] = []
     total = 0.0
     rec = _Recycler()
     for name, fn in queries.items():
@@ -162,6 +163,25 @@ def main() -> None:
         # ("retried") so readers can see which numbers are min-of-3.
         if dt > 1.0:
             retried.append(name)
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            dt = min(dt, time.perf_counter() - t0)
+            _release_cached(spark)
+        # dedicated-protocol rerun for the residual heavies: BASELINE.md
+        # records each heavy operator's reference cost under "fresh
+        # session + one untimed warm-up run + timed run" — family-
+        # boundary recycling means a heavy query may never execute
+        # twice in one warm session (the min-of-3 retry pays the
+        # post-clearCache cache rebuild), so queries still > 3 s after
+        # min-of-3 get exactly that protocol once. Reported in
+        # `dedicated_rerun` so readers see which numbers used it.
+        if dt > 3.0:
+            dedicated.append(name)
+            spark = fresh_session(spark)
+            rec.prev_fam = _family(name)
+            rec.since = 1
+            _force(fn(spark, sf_dir))          # untimed warm-up
+            _release_cached(spark)
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             dt = min(dt, time.perf_counter() - t0)
@@ -284,8 +304,12 @@ def main() -> None:
         "secured_sql_sec": round(secured_t, 3),
         "unsecured_sql_sec": round(unsecured_t, 3),
         "retried": sorted(retried),
+        "dedicated_rerun": sorted(dedicated),
         "retry_policy": "uniform min-of-3 for every query with steady "
-                        "cost > 1.0s (symmetric; not disagreement-gated)",
+                        "cost > 1.0s (symmetric; not disagreement-gated); "
+                        "residual >3s heavies additionally measured once "
+                        "under the BASELINE dedicated protocol (fresh "
+                        "session + untimed warm-up + timed run)",
     }
     # Full detail for humans/debugging (stderr is not machine-parsed).
     print(json.dumps(payload), file=sys.stderr)

@@ -130,3 +130,99 @@ def funnel_duckdb_sql(table: str, steps, *, user_col: str = "user_id",
     return (", ".join(parts)
             + f" SELECT user_id, {', '.join(ts_cols)}, "
             f"CAST({depth} AS INTEGER) AS depth FROM {prev}")
+
+
+def funnel_attempts(events: DataFrame, steps, *,
+                    user_col: str = "user_id", ts_col: str = "ts",
+                    type_col: str = "event_type",
+                    within_hours: int | None = None) -> DataFrame:
+    """Per-attempt (re-anchored) funnel: one row per step-1 EVENT —
+    (user_id, step_1_ts … step_k_ts, depth).
+
+    The companion :func:`funnel` evaluates only each user's EARLIEST
+    entry, so a user whose first attempt times out but who converts
+    within a later attempt's horizon reports unconverted; this
+    operator anchors a fresh greedy chain at EVERY step-1 event (the
+    re-anchored semantics of per-attempt funnel tools), so per-attempt
+    conversion ≥ first-touch conversion by construction. The same
+    greedy earliest-after-previous chain applies within each attempt
+    (exchange-argument optimal, module docstring).
+
+    Scale: identical shape to :func:`funnel` with the chain table
+    keyed on (user, step_1_ts) instead of user — one filtered event
+    scan + one (user-keyed) join + min-agg per step. Per user the
+    step-i join emits |attempts| · |step-i events| candidate rows
+    before the per-attempt MIN; a user with MANY entries and MANY
+    completions pays that product, so cap attempt fan-out upstream
+    (e.g. per_key_quota on step-1 events) when the entry distribution
+    is pathological — the same documented-cap discipline as
+    basket_rules' hot-basket guard.
+    """
+    steps = _check_steps(steps)
+    ev = events.select(F.col(user_col).alias("user_id"),
+                       F.col(ts_col).alias("ts"),
+                       F.col(type_col).alias("et"))
+    cur = (ev.where(F.col("et") == steps[0])
+           .select("user_id", F.col("ts").alias("step_1_ts"))
+           .distinct())
+    prev_col = "step_1_ts"
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = ev.where(F.col("et") == step).withColumnRenamed(
+            "user_id", "_u")
+        cond = (F.col("_u") == F.col("user_id")) & \
+               (F.col("ts") > F.col(prev_col))
+        if within_hours is not None:
+            cond = cond & (
+                F.col("ts") <= F.col("step_1_ts")
+                + F.expr(f"interval {int(within_hours)} hours"))
+        this_col = f"step_{i}_ts"
+        hit = (cur.join(nxt, cond, "inner")
+               .groupBy(*[c for c in cur.columns])
+               .agg(F.min("ts").alias(this_col)))
+        cur = cur.join(hit.select("user_id", "step_1_ts", this_col),
+                       ["user_id", "step_1_ts"], "left")
+        prev_col = this_col
+    ts_cols = [f"step_{i}_ts" for i in range(1, len(steps) + 1)]
+    depth = sum(
+        (F.col(c).isNotNull().cast("int") for c in ts_cols),
+        F.lit(0))
+    return cur.select("user_id", *ts_cols, depth.alias("depth"))
+
+
+def funnel_attempts_duckdb_sql(table: str, steps, *,
+                               user_col: str = "user_id",
+                               ts_col: str = "ts",
+                               type_col: str = "event_type",
+                               within_hours: int | None = None) -> str:
+    """DuckDB SQL twin of :func:`funnel_attempts` (oracle): the
+    identical per-(user, entry) earliest-after-previous min chain."""
+    steps = _check_steps(steps)
+    parts = [
+        f"WITH ev AS (SELECT {user_col} AS user_id, {ts_col} AS ts, "
+        f"{type_col} AS et FROM {table})",
+        f"s1 AS (SELECT DISTINCT user_id, ts AS step_1_ts FROM ev "
+        f"WHERE et = '{steps[0]}')",
+    ]
+    prev = "s1"
+    prev_col = "step_1_ts"
+    for i, step in enumerate(steps[1:], start=2):
+        horizon = ""
+        if within_hours is not None:
+            horizon = (f" AND e.ts <= p.step_1_ts "
+                       f"+ INTERVAL {int(within_hours)} HOUR")
+        parts.append(
+            f"s{i} AS (SELECT p.*, m.step_{i}_ts FROM {prev} p "
+            f"LEFT JOIN (SELECT p.user_id, p.step_1_ts, "
+            f"min(e.ts) AS step_{i}_ts "
+            f"FROM {prev} p JOIN ev e ON e.user_id = p.user_id "
+            f"AND e.et = '{step}' AND e.ts > p.{prev_col}{horizon} "
+            f"GROUP BY p.user_id, p.step_1_ts) m "
+            f"ON m.user_id = p.user_id AND m.step_1_ts = p.step_1_ts)")
+        prev = f"s{i}"
+        prev_col = f"step_{i}_ts"
+    ts_cols = [f"step_{i}_ts" for i in range(1, len(steps) + 1)]
+    depth = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)" for c in ts_cols)
+    return (", ".join(parts)
+            + f" SELECT user_id, {', '.join(ts_cols)}, "
+            f"CAST({depth} AS INTEGER) AS depth FROM {prev}")

@@ -100,12 +100,33 @@ def _with_partitions(spark, n, fn):
                                        "l_partkey % 89 AS dst",
                                        "l_linenumber AS w"),
         iters=2, weight_col="w"),
+    # r10: the forced star-contraction distributed path (windowed
+    # per-neighborhood mins must be layout-invariant)
+    lambda s: __import__("flink_sql_security_spark.operators.dedup",
+                         fromlist=["x"]).connected_components(
+        s.table("lineitem").selectExpr("l_orderkey % 97 AS id_a",
+                                       "l_partkey % 89 AS id_b"),
+        driver_threshold=0),
+    # r10: 2→1 association rules (frequent-pair-seeded triple counts)
+    lambda s: __import__("flink_sql_security_spark.operators.assoc",
+                         fromlist=["x"]).basket_rules_2to1(
+        s.table("lineitem"), basket_col="l_orderkey",
+        item_col="l_suppkey", min_support=3),
+    # r10: Debezium decode + compaction over in-query envelope JSON
+    lambda s: __import__("flink_sql_security_spark.sources.debezium",
+                         fromlist=["x"]).debezium_state(
+        s.table("orders").selectExpr(
+            "concat('{\"before\":null,\"after\":{\"k\":', o_orderkey, "
+            "',\"v\":\"', o_orderstatus, '\"},\"op\":\"c\",\"ts_ms\":', "
+            "o_orderkey % 7, '}') AS value"),
+        row_ddl="k BIGINT, v STRING", key_cols=["k"]),
 ], ids=["exact_groups", "minhash_pairs", "lsh_verified", "simhash",
         "simhash_pairs", "components", "cosine_pairs", "cosine_topk",
         "ann_pairs",
         "triangles", "lpa", "gapfill", "retention", "outliers",
         "matryoshka", "containment", "funnel", "scd2",
-        "basket_rules", "bfs", "weighted_pr"])
+        "basket_rules", "bfs", "weighted_pr",
+        "components_star", "basket_2to1", "debezium_state"])
 def test_identical_under_relayout(tables, op):
     spark = tables
     base = _rows(op(spark))

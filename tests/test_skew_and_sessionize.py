@@ -445,3 +445,73 @@ def test_secured_funnel_matches_filtered(spark):
     assert secured == manual
     assert secured != raw
     assert not any(r[0] % 10 == 0 for r in secured)
+
+
+def test_funnel_attempts_reanchors(spark):
+    """The ADVICE-r09 divergence case made concrete: the FIRST view's
+    24h horizon times out before the purchase, but the SECOND view's
+    horizon contains a full chain — entry-anchored funnel reports
+    depth 2, the per-attempt op reports a depth-3 attempt."""
+    import datetime as dt
+
+    from flink_sql_security_spark.operators.funnel import (
+        funnel, funnel_attempts)
+
+    d = dt.datetime
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 1, 0), "view"),
+         (1, d(2024, 1, 1, 5), "click"),
+         (1, d(2024, 1, 3, 0), "view"),       # second attempt
+         (1, d(2024, 1, 3, 6), "click"),
+         (1, d(2024, 1, 3, 12), "purchase")],  # within attempt 2's 24h
+        ["user_id", "ts", "event_type"])
+    steps = ["view", "click", "purchase"]
+    [first_touch] = funnel(df, steps, within_hours=24).collect()
+    assert first_touch["depth"] == 2       # purchase beyond entry+24h
+    att = {r["step_1_ts"]: r for r in funnel_attempts(
+        df, steps, within_hours=24).collect()}
+    assert len(att) == 2                   # one row per step-1 event
+    assert att[d(2024, 1, 1, 0)]["depth"] == 2
+    assert att[d(2024, 1, 3, 0)]["depth"] == 3
+    # per-attempt conversion >= first-touch conversion by construction
+    assert max(r["depth"] for r in att.values()) >= first_touch["depth"]
+
+
+def test_fuzz_funnel_attempts_cross_engine(spark):
+    """Config fuzz: random event streams × (step count, horizon),
+    bit-equal vs the DuckDB oracle. Seed 31417."""
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.funnel import (
+        funnel_attempts, funnel_attempts_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(31417)
+    d0 = dt.datetime(2024, 5, 1)
+    types = ["a", "b", "c", "d"]
+    nonempty = 0
+    for trial in range(4):
+        k = rng.choice([2, 3])
+        wh = rng.choice([None, 24, 96])
+        rows = []
+        for _ in range(rng.choice([30, 80])):
+            rows.append((rng.randrange(8),
+                         d0 + dt.timedelta(minutes=rng.randrange(60 * 200)),
+                         types[rng.randrange(len(types))]))
+        cfg = (trial, k, wh)
+        df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+        got = sorted(map(tuple, funnel_attempts(
+            df, types[:k], within_hours=wh).collect()))
+        vals = ", ".join(f"({u}, TIMESTAMP '{t}', '{e}')"
+                         for u, t, e in rows)
+        want = sorted(map(tuple, con.execute(funnel_attempts_duckdb_sql(
+            f"(SELECT * FROM (VALUES {vals}) "
+            f"AS t(user_id, ts, event_type))",
+            types[:k], within_hours=wh)).fetchall()))
+        assert got == want, cfg
+        nonempty += bool(got)
+    assert nonempty >= 3
+    con.close()
