@@ -818,11 +818,17 @@ def _star_contraction(pairs: DataFrame, a, b,
         if cur == prev:
             break
         prev = cur
-    # fixpoint = disjoint stars centered at component minima
+    # fixpoint = disjoint stars centered at component minima. The
+    # groupBy(min) is shape insurance for a hypothetical max_iter
+    # cutoff (a not-yet-contracted node would otherwise emit one row
+    # per remaining edge); it rides the join's doc_id partitioning, so
+    # it adds no exchange.
     labels = (nodes.join(edges, nodes["doc_id"] == edges["u"], "left")
               .select(nodes["doc_id"],
                       F.coalesce(edges["v"],
-                                 nodes["doc_id"]).alias("component_id")))
+                                 nodes["doc_id"]).alias("component_id"))
+              .groupBy("doc_id")
+              .agg(F.min("component_id").alias("component_id")))
     return labels, rounds
 
 
