@@ -1920,6 +1920,29 @@ FROM orders WHERE o_orderkey % 100 = 0
                                    within_hours=24),
     )
 
+    # funnel step-conversion report (operators/funnel.py
+    # funnel_summary): per-step reach + step-over-step + from-entry
+    # rates — ONE aggregation over the funnel table, k projections of
+    # the 1-row counts. NOT windowed (documented composition
+    # precedent, emb_binary_ivf_topk): it composes the funnel chain
+    # (in-window via events_funnel_attempts + secured_funnel, r9 row
+    # for events_funnel) with a count-sum agg pinned by q1.
+    def funnel_report(s):
+        from flink_sql_security_spark.operators.funnel import (
+            funnel_summary)
+        return funnel_summary(s.table("events"),
+                              ["view", "click", "purchase"],
+                              within_hours=72)
+
+    from flink_sql_security_spark.operators.funnel import (
+        funnel_summary_duckdb_sql)
+    out["events_funnel_summary"] = (
+        with_tables(funnel_report),
+        funnel_summary_duckdb_sql("events",
+                                  ["view", "click", "purchase"],
+                                  within_hours=72),
+    )
+
     # robust per-group outlier detection (operators/profile.py
     # robust_outliers): median/MAD flags on the heavy-tailed events.value
     # — exact lower-median order statistics (no interpolation, no float

@@ -226,3 +226,86 @@ def funnel_attempts_duckdb_sql(table: str, steps, *,
     return (", ".join(parts)
             + f" SELECT user_id, {', '.join(ts_cols)}, "
             f"CAST({depth} AS INTEGER) AS depth FROM {prev}")
+
+
+def funnel_summary(events: DataFrame, steps, *,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   within_hours: int | None = None) -> DataFrame:
+    """Step-conversion report over :func:`funnel`: one row per step —
+    (step_index, step_name, n_reached, rate_vs_prev, rate_vs_entry).
+
+    The readout product analytics actually ships: how many entities
+    reached each step, the step-over-step conversion, and the
+    cumulative conversion from entry. ``n_reached(i)`` = entities with
+    ``step_i_ts`` non-NULL (the chain guarantees depth ≥ i ⇔ step i
+    completed); rates are floor-rounded IEEE divides of the exact
+    BIGINT counts, with a NULL rate where the denominator is zero
+    (explicit CASE on BOTH engines — Spark's non-ANSI double divide
+    yields NULL at zero while DuckDB yields inf, so the guard is
+    load-bearing for the oracle).
+
+    Scale: the funnel output (|entities| rows) reduces in ONE
+    aggregation to a single row of k counts; the k output rows are k
+    projections of that row (no second pass over events).
+    """
+    from ..functions.text import floor_round_col
+
+    steps = _check_steps(steps)
+    k = len(steps)
+    fun = funnel(events, steps, user_col=user_col, ts_col=ts_col,
+                 type_col=type_col, within_hours=within_hours)
+    agg = fun.agg(*[
+        F.sum(F.col(f"step_{i}_ts").isNotNull().cast("bigint"))
+        .alias(f"n{i}") for i in range(1, k + 1)])
+
+    def rate(num, den):
+        return F.when(F.col(den) > 0, floor_round_col(
+            F.col(num).cast("double") / F.col(den).cast("double")))
+
+    out = None
+    for i, name in enumerate(steps, start=1):
+        row = agg.select(
+            F.lit(i).alias("step_index"),
+            F.lit(name).alias("step_name"),
+            F.col(f"n{i}").alias("n_reached"),
+            (F.lit(1.0) if i == 1 else
+             rate(f"n{i}", f"n{i - 1}")).alias("rate_vs_prev"),
+            (F.lit(1.0) if i == 1 else
+             rate(f"n{i}", "n1")).alias("rate_vs_entry"))
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def funnel_summary_duckdb_sql(table: str, steps, *,
+                              user_col: str = "user_id",
+                              ts_col: str = "ts",
+                              type_col: str = "event_type",
+                              within_hours: int | None = None) -> str:
+    """DuckDB SQL twin of :func:`funnel_summary` (oracle)."""
+    from ..functions.text import floor_round
+
+    steps = _check_steps(steps)
+    k = len(steps)
+    inner = funnel_duckdb_sql(table, steps, user_col=user_col,
+                              ts_col=ts_col, type_col=type_col,
+                              within_hours=within_hours)
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN step_{i}_ts IS NOT NULL THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n{i}" for i in range(1, k + 1))
+
+    def rate(num, den):
+        return (f"CASE WHEN {den} > 0 THEN "
+                + floor_round(f"CAST({num} AS DOUBLE) "
+                              f"/ CAST({den} AS DOUBLE)", 6, "duckdb")
+                + " END")
+
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS step_index, '{name}' AS step_name, "
+        f"n{i} AS n_reached, "
+        + ("CAST(1.0 AS DOUBLE)" if i == 1
+           else rate(f"n{i}", f"n{i - 1}")) + " AS rate_vs_prev, "
+        + ("CAST(1.0 AS DOUBLE)" if i == 1
+           else rate(f"n{i}", "n1")) + " AS rate_vs_entry FROM a"
+        for i, name in enumerate(steps, start=1))
+    return f"WITH f AS ({inner}), a AS (SELECT {counts} FROM f) {rows}"

@@ -515,3 +515,58 @@ def test_fuzz_funnel_attempts_cross_engine(spark):
         nonempty += bool(got)
     assert nonempty >= 3
     con.close()
+
+
+def test_funnel_summary_hand_computed(spark):
+    """3 entrants, 2 click, 1 purchase → reach (3,2,1), step rates
+    (1.0, 2/3, 1/2), entry rates (1.0, 2/3, 1/3)."""
+    import datetime as dt
+
+    from flink_sql_security_spark.operators.funnel import funnel_summary
+
+    d = dt.datetime
+    rows = []
+    for u, depth in [(1, 3), (2, 2), (3, 1)]:
+        rows.append((u, d(2024, 1, 1, 0), "view"))
+        if depth >= 2:
+            rows.append((u, d(2024, 1, 1, 1), "click"))
+        if depth >= 3:
+            rows.append((u, d(2024, 1, 1, 2), "purchase"))
+    out = {r["step_index"]: r for r in funnel_summary(
+        spark.createDataFrame(rows, ["user_id", "ts", "event_type"]),
+        ["view", "click", "purchase"]).collect()}
+    assert [out[i]["n_reached"] for i in (1, 2, 3)] == [3, 2, 1]
+    assert [out[i]["step_name"] for i in (1, 2, 3)] == [
+        "view", "click", "purchase"]
+    assert out[1]["rate_vs_prev"] == out[1]["rate_vs_entry"] == 1.0
+    assert out[2]["rate_vs_prev"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[3]["rate_vs_prev"] == pytest.approx(1 / 2, abs=1e-6)
+    assert out[3]["rate_vs_entry"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_funnel_summary_zero_denominator_cross_engine(spark):
+    """No entity completes step 2 → step-3 rates are NULL on BOTH
+    engines (the explicit CASE guard — Spark divides to NULL at zero,
+    DuckDB to inf, so an unguarded divide would hash-mismatch)."""
+    import datetime as dt
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.funnel import (
+        funnel_summary, funnel_summary_duckdb_sql)
+
+    d = dt.datetime
+    rows = [(1, d(2024, 1, 1), "view"), (2, d(2024, 1, 2), "view")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = sorted(map(tuple, funnel_summary(
+        df, ["view", "click", "purchase"]).collect()))
+    vals = ", ".join(f"({u}, TIMESTAMP '{t}', '{e}')" for u, t, e in rows)
+    want = sorted(map(tuple, duckdb.connect().execute(
+        funnel_summary_duckdb_sql(
+            f"(SELECT * FROM (VALUES {vals}) AS t(user_id, ts, "
+            f"event_type))", ["view", "click", "purchase"])).fetchall()))
+    assert got == want
+    by_idx = {r[0]: r for r in got}
+    assert by_idx[1][2] == 2 and by_idx[2][2] == 0 and by_idx[3][2] == 0
+    assert by_idx[3][3] is None        # 0/0 step rate guarded to NULL
+    assert by_idx[3][4] == 0.0         # 0/2 entry rate is a real zero
