@@ -904,6 +904,18 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             docs(s), num_hashes=16, bands=4)),
         D.minhash_lsh_duckdb_sql(_DUCK_SHINGLES, num_hashes=16, bands=4),
     )
+    # prefix-filtering exact jaccard (operators/dedup.py
+    # prefix_jaccard_pairs): the SSJoin/PPJoin candidate strategy —
+    # bit-identical output to ngram_jaccard_pairs at the same config,
+    # so it shares that entry's oracle VERBATIM (the strictest check a
+    # second algorithm can get: a different plan must reproduce the
+    # identical hash). Not windowed: output-identical twin of the
+    # in-window dedup_jaccard_pairs.
+    out["dedup_jaccard_prefix"] = (
+        with_tables(lambda s: D.prefix_jaccard_pairs(docs(s),
+                                                     threshold=0.05)),
+        None,  # placeholder replaced below with dedup_jaccard_pairs SQL
+    )
     out["dedup_jaccard_pairs"] = (
         with_tables(lambda s: D.ngram_jaccard_pairs(docs(s), threshold=0.05)),
         "WITH " + _DUCK_SHINGLES + ", "
@@ -921,6 +933,9 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         + _floor_round("n_inter / (sa.n_sh + sb.n_sh - n_inter)",
                        6, "duckdb") + " >= 0.05",
     )
+    # the prefix-filtered twin answers to the same oracle verbatim
+    out["dedup_jaccard_prefix"] = (out["dedup_jaccard_prefix"][0],
+                                   out["dedup_jaccard_pairs"][1])
     # asymmetric containment |A∩B|/|A| (Broder 1997 resemblance-vs-
     # containment): catches sub-document duplication — excerpts/quotes
     # fully inside a larger doc — that the Jaccard threshold misses

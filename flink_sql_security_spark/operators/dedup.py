@@ -1502,3 +1502,87 @@ def containment_pairs_duckdb_sql(shingles_cte: str, n: int = 3,
         f"SELECT id_sub, id_super, containment FROM both_dirs "
         f"WHERE containment >= {threshold}"
     )
+
+
+def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 3,
+                         threshold: float = 0.2) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin family —
+    Chaudhuri et al. 2006, Bayardo et al. 2007, Xiao et al. 2008):
+    bit-identical output to :func:`ngram_jaccard_pairs` at the same
+    ``(n, threshold)``, with candidate generation pruned by a global
+    token order instead of the full co-shingle self-join.
+
+    The third candidate-generation strategy in the dedup family, and
+    the only PRUNED one with **zero recall loss**: MinHash-LSH prunes
+    probabilistically (a qualifying pair can miss every band), the
+    co-shingle join is exact but materializes every co-occurrence of
+    every shingle. Prefix filtering is exact-by-theorem: order each
+    document's shingle set by ascending document frequency (rarest
+    first, ties by hash — one global total order), keep only the first
+    ``|x| − ⌈t·|x|⌉ + 1`` tokens as the PREFIX, and join prefixes. If
+    J(x,y) ≥ t then |I| ≥ t·|U| ≥ t·max(|x|,|y|); if the smallest
+    common token (in the global order) sat beyond x's prefix, every
+    common token would lie in x's last ``⌈t·|x|⌉ − 1`` positions,
+    forcing |I| < t·|x| — contradiction; symmetrically for y. So every
+    qualifying pair shares a PREFIX token and the join loses nothing.
+    The ceil is computed with a 1e-9 downward nudge so IEEE noise in
+    ``t·|x|`` can only LENGTHEN a prefix (over-generate candidates),
+    never shorten one (lose a pair).
+
+    Scale: rare-first ordering makes prefix posting lists short —
+    candidate volume is Σ_token df(token)² over PREFIX occurrences
+    only, typically orders of magnitude under the co-shingle join's
+    same sum over ALL occurrences; the size-ratio prune (shared slack
+    rule with :func:`ngram_jaccard_pairs`) runs inside the join. Costs
+    one extra exchange pair vs the plain join (token df count + the
+    per-doc rank window); verification is per-candidate
+    ``array_intersect`` on the in-row sets — JVM built-ins, rows =
+    candidates, never corpus-shaped. Hot-token caveat: the commonest
+    tokens appear only in LOW-threshold prefixes of large documents;
+    at the loose thresholds where that bites, LSH→verify
+    (:func:`lsh_verified_jaccard_pairs`) is the documented alternative
+    — this operator is the tight-threshold exact path.
+    """
+    from pyspark.sql.window import Window
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"threshold must be in (0, 1]: {threshold}")
+    sh = hashed_shingle_sets(df, text_col, id_col, n).persist()
+    tok = sh.select(F.col(id_col).alias("id"), "n_sh",
+                    F.explode("hs").alias("h"))
+    df_h = tok.groupBy("h").agg(F.count("*").alias("df_h"))
+    w = Window.partitionBy("id").orderBy("df_h", "h")
+    plen = (F.col("n_sh")
+            - F.ceil(F.col("n_sh") * F.lit(float(threshold))
+                     - F.lit(1e-9)) + 1)
+    prefix = (tok.join(df_h, "h")
+              .withColumn("_rnk", F.row_number().over(w))
+              .where(F.col("_rnk") <= plen)
+              .select("id", "n_sh", "h"))
+    a = prefix.select(F.col("id").alias("id_a"),
+                      F.col("n_sh").alias("n_a"), "h")
+    b = prefix.select(F.col("id").alias("id_b"),
+                      F.col("n_sh").alias("n_b"), "h")
+    # same output-preserving relative-slack size prune as
+    # ngram_jaccard_pairs (rationale there)
+    ratio_ok = (F.least("n_a", "n_b").cast("double")
+                >= (threshold - 1e-6) * F.greatest("n_a", "n_b"))
+    cand = (a.join(b, on="h")
+            .where((F.col("id_a") < F.col("id_b")) & ratio_ok)
+            .select("id_a", "id_b")
+            .distinct())
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("_ha"),
+                   F.col("n_sh").alias("n_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("_hb"),
+                   F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+    out = (cand.join(sa, "id_a").join(sb, "id_b")
+           .withColumn("n_inter",
+                       F.size(F.array_intersect("_ha", "_hb")))
+           .withColumn("jaccard", _floor_round_col(jac, 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return attach(out, sh)

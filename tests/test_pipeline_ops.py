@@ -79,6 +79,56 @@ def test_jaccard_pairs_exact_values(docs):
     assert (1, 5) not in rows
 
 
+def test_prefix_jaccard_equals_brute_force(docs, spark):
+    """Prefix filtering is exact-by-theorem: bit-identical to
+    ngram_jaccard_pairs at several thresholds (unlike LSH, which may
+    drop pairs), while generating FEWER candidate rows than the full
+    co-shingle self-join."""
+    for t in (0.01, 0.2, 0.6):
+        want = sorted(map(tuple, D.ngram_jaccard_pairs(
+            docs, threshold=t).collect()))
+        got = sorted(map(tuple, D.prefix_jaccard_pairs(
+            docs, threshold=t).collect()))
+        assert got == want and (t > 0.01 or len(want) > 0), t
+    with pytest.raises(ValueError, match="threshold"):
+        D.prefix_jaccard_pairs(docs, threshold=0.0)
+    # pruning census at a tight threshold: candidates from the prefix
+    # join stay under the co-shingle join's pair volume
+    sh = D.hashed_shingle_sets(docs)
+    tokens = sh.select("doc_id", F.explode("hs").alias("h"))
+    full = (tokens.alias("a").join(tokens.alias("b"), "h")
+            .where("a.doc_id < b.doc_id").count())
+    from pyspark.sql.window import Window
+    tok = sh.select(F.col("doc_id").alias("id"), "n_sh",
+                    F.explode("hs").alias("h"))
+    df_h = tok.groupBy("h").agg(F.count("*").alias("df_h"))
+    plen = (F.col("n_sh")
+            - F.ceil(F.col("n_sh") * F.lit(0.6) - F.lit(1e-9)) + 1)
+    prefix = (tok.join(df_h, "h")
+              .withColumn("_r", F.row_number().over(
+                  Window.partitionBy("id").orderBy("df_h", "h")))
+              .where(F.col("_r") <= plen).select("id", "h"))
+    pruned = (prefix.alias("a").join(prefix.alias("b"), "h")
+              .where("a.id < b.id").count())
+    assert 0 < pruned < full
+
+
+def test_prefix_jaccard_common_token_pair(spark):
+    """A qualifying pair whose ONLY shared shingles are the corpus's
+    commonest (they sort LAST in the rare-first order) must still be
+    caught — the prefix-length theorem, not luck, is what holds."""
+    base = "alpha beta gamma delta"          # shared by every doc
+    rows = [(1, base), (2, base)]            # J = 1.0 via common tokens
+    rows += [(10 + i, base + f" unique{i} tail{i} x{i} y{i} z{i}")
+             for i in range(6)]              # make base shingles common
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.prefix_jaccard_pairs(df, threshold=0.9).collect()}
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert got == want and got[(1, 2)] == 1.0
+
+
 def test_lsh_verified_subset_of_brute_force(docs):
     brute = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in D.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
