@@ -2019,6 +2019,26 @@ FROM orders WHERE o_orderkey % 100 = 0
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
     )
 
+    # embedding-corpus QA profile (operators/profile.py
+    # profile_embeddings): per-dim stats + L2-norm distribution +
+    # centroid-norm anisotropy — the readout that runs BEFORE the ANN
+    # tiers (a dominant bias direction degrades cosine search and
+    # semantic dedup). Not windowed (composition precedent): the
+    # decimal Σv/Σv² recipe is in-window via profile_zscore +
+    # profile_correlations and the norm fold is the similarity tier's
+    # pinned sequential-sum convention.
+    def emb_profile(s):
+        from flink_sql_security_spark.operators.profile import (
+            profile_embeddings)
+        return profile_embeddings(emb(s))
+
+    from flink_sql_security_spark.operators.profile import (
+        profile_embeddings_duckdb_sql)
+    out["emb_profile_stats"] = (
+        with_tables(emb_profile),
+        profile_embeddings_duckdb_sql(dim=64),
+    )
+
     # per-group z-score normalization (operators/profile.py
     # feature_scale): decimal-exact Σv/Σv² make the distributed
     # mean/variance order-independent — the ML feature-prep step. NOT

@@ -525,3 +525,145 @@ def profile_correlations_duckdb_sql(table: str, cols: list[str]) -> str:
             "FROM stats")
     return (f"WITH stats AS (SELECT {', '.join(sums)} FROM {table} "
             f"WHERE {notnull}) " + " UNION ALL ".join(selects))
+
+
+def profile_embeddings(df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       dim: int | None = None) -> DataFrame:
+    """Embedding-corpus QA profile: (metric, dim, n, mean, std, min_v,
+    max_v) — per-dimension value stats (``metric='dim'``, one row per
+    dimension), the L2-norm distribution (``metric='norm'``), and the
+    centroid norm (``metric='centroid'``, the standard anisotropy
+    signal: ≈0 for a centered corpus, large when a common bias
+    direction dominates — the condition that degrades cosine ANN and
+    semantic dedup, which is why this runs BEFORE the ANN tiers).
+
+    Determinism recipe composed from pinned cores: per-dim values and
+    floor-rounded norms quantize to DECIMAL(18,6), Σv / Σv²
+    (DECIMAL(38,12) widened products) are exact order-independent sums
+    (the feature_scale / profile_correlations recipe), the norm itself
+    is the sequential left-fold sum of squares both engines execute
+    identically (the similarity-tier convention) floor-rounded before
+    quantization, and every final mean/std is one fixed IEEE
+    expression on decimal-exact doubles. Zero-variance dims emit
+    std=0; the centroid row derives from the per-dim means (already
+    exact), so the whole profile is strictly oracle-checkable.
+
+    Scale: ONE posexplode pass (n·d rows, map-side combined into d
+    groups) + one narrow norm projection aggregated in the same job
+    family; nothing corpus-quadratic, no Python, no driver collect.
+    Vectors failing the length check raise loudly — a ragged corpus
+    would silently skew per-dim stats otherwise.
+    """
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError("profile_embeddings: empty corpus")
+        dim = probe["d"]
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1: {dim}")
+    bad = df.where(F.size(F.col(vec_col)) != dim).count()
+    if bad:
+        raise ValueError(
+            f"profile_embeddings: {bad} vectors are not {dim}-dim")
+
+    def stats(frame, key_col, metric):
+        v = F.col("_v").cast("double").cast("decimal(18,6)")
+        agg = (frame.groupBy(key_col)
+               .agg(F.count("*").alias("n"),
+                    F.sum(v).alias("s"),
+                    F.sum((v * v).cast("decimal(38,12)")).alias("ss"),
+                    F.min(v).alias("mn"), F.max(v).alias("mx")))
+        n = F.col("n").cast("double")
+        s = F.col("s").cast("double")
+        ss = F.col("ss").cast("double")
+        var = (n * ss - s * s) / (n * n)
+        return agg.select(
+            F.lit(metric).alias("metric"),
+            F.col(key_col).cast("int").alias("dim"),
+            F.col("n"),
+            _floor_round_col(s / n).alias("mean"),
+            _floor_round_col(F.sqrt(F.greatest(var, F.lit(0.0))))
+            .alias("std"),
+            F.col("mn").cast("double").alias("min_v"),
+            F.col("mx").cast("double").alias("max_v"))
+
+    dims = df.select(
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"))
+    per_dim = stats(dims, "_dim", "dim")
+    norms = df.select(_floor_round_col(F.sqrt(F.expr(
+        f"aggregate({vec_col}, 0D, (acc, x) -> "
+        f"acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+        .alias("_v"), F.lit(0).alias("_k"))
+    norm_row = stats(norms, "_k", "norm").withColumn(
+        "dim", F.lit(None).cast("int"))
+    # centroid norm from the (exact) per-dim means: one tiny agg over
+    # the d-row frame — the means are floor-rounded doubles on both
+    # engines, so the fold is identical
+    centroid = (per_dim
+                .agg(F.sum((F.col("mean") * F.col("mean"))
+                           .cast("decimal(38,12)")).alias("_ssm"))
+                .select(F.lit("centroid").alias("metric"),
+                        F.lit(None).cast("int").alias("dim"),
+                        F.lit(dim).cast("bigint").alias("n"),
+                        _floor_round_col(F.sqrt(
+                            F.col("_ssm").cast("double"))).alias("mean"),
+                        F.lit(None).cast("double").alias("std"),
+                        F.lit(None).cast("double").alias("min_v"),
+                        F.lit(None).cast("double").alias("max_v")))
+    return per_dim.unionAll(norm_row).unionAll(centroid)
+
+
+def profile_embeddings_duckdb_sql(table: str = "embeddings",
+                                  vec_col: str = "embedding",
+                                  id_col: str = "vec_id",
+                                  dim: int = 64) -> str:
+    """DuckDB SQL twin of :func:`profile_embeddings` (oracle)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1: {dim}")
+    from ..functions.text import floor_round
+
+    def tail(metric, key):
+        var = "(n * ss - s * s) / (n * n)"
+        return (f"SELECT '{metric}' AS metric, CAST({key} AS INTEGER) "
+                f"AS dim, n, "
+                + floor_round("s / n", 6, "duckdb") + " AS mean, "
+                + floor_round(
+                    f"sqrt(CASE WHEN {var} > 0 THEN {var} ELSE 0 END)",
+                    6, "duckdb")
+                + " AS std, CAST(mn AS DOUBLE) AS min_v, "
+                "CAST(mx AS DOUBLE) AS max_v")
+
+    dim_stats = (
+        # zipped unnests (DuckDB has no WITH ORDINALITY): position and
+        # value expand in lockstep
+        f"d AS (SELECT unnest(range(len({vec_col}))) AS k, "
+        f"CAST(CAST(unnest({vec_col}) AS DOUBLE) AS DECIMAL(18,6)) AS v "
+        f"FROM {table}), "
+        "da AS (SELECT k, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS DOUBLE) AS s, "
+        "CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS ss, "
+        "min(v) AS mn, max(v) AS mx FROM d GROUP BY k)")
+    norm_expr = floor_round(
+        f"sqrt(list_sum(list_transform({vec_col}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))", 6, "duckdb")
+    norm_stats = (
+        f"nv AS (SELECT CAST({norm_expr} AS DECIMAL(18,6)) AS v "
+        f"FROM {table}), "
+        "na AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS DOUBLE) AS s, "
+        "CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS ss, "
+        "min(v) AS mn, max(v) AS mx FROM nv)")
+    mean_d = floor_round("s / n", 6, "duckdb")
+    centroid = (
+        "SELECT 'centroid' AS metric, CAST(NULL AS INTEGER) AS dim, "
+        f"CAST({dim} AS BIGINT) AS n, "
+        + floor_round(
+            "sqrt(CAST(sum(CAST(m * m AS DECIMAL(38,12))) AS DOUBLE))",
+            6, "duckdb")
+        + " AS mean, CAST(NULL AS DOUBLE) AS std, "
+        "CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v "
+        f"FROM (SELECT {mean_d} AS m FROM da)")
+    return (f"WITH {dim_stats}, {norm_stats} "
+            + tail("dim", "k") + " FROM da UNION ALL "
+            + tail("norm", "NULL") + " FROM na UNION ALL " + centroid)

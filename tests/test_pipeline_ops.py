@@ -2835,3 +2835,63 @@ def test_fuzz_correlations_cross_engine(spark):
                 ["x", "y", "z"])).fetchall()), key=repr)
         assert got == want and len(got) == 3, cfg
     con.close()
+
+
+# ------------------------------------------------ embedding profiling
+
+def test_profile_embeddings_hand_values(spark):
+    """Two 2-dim vectors (3,0) and (1,0): dim-0 mean 2, std 1; dim-1
+    all zero (std 0); norms (3,1) → mean 2, std 1; centroid =
+    ‖(2,0)‖ = 2."""
+    from flink_sql_security_spark.operators.profile import (
+        profile_embeddings)
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 0.0]), (2, [1.0, 0.0])], ["vec_id", "embedding"])
+    rows = profile_embeddings(df).collect()
+    by = {(r["metric"], r["dim"]): r for r in rows}
+    d0 = by[("dim", 0)]
+    assert (d0["n"], d0["mean"], d0["std"]) == (2, 2.0, 1.0)
+    assert (d0["min_v"], d0["max_v"]) == (1.0, 3.0)
+    d1 = by[("dim", 1)]
+    assert d1["mean"] == 0.0 and d1["std"] == 0.0
+    nr = by[("norm", None)]
+    assert (nr["n"], nr["mean"], nr["std"]) == (2, 2.0, 1.0)
+    assert by[("centroid", None)]["mean"] == 2.0
+    assert len(rows) == 4
+
+
+def test_profile_embeddings_guards(spark):
+    import pytest
+
+    from flink_sql_security_spark.operators.profile import (
+        profile_embeddings, profile_embeddings_duckdb_sql)
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="not 2-dim"):
+        profile_embeddings(ragged)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        profile_embeddings(empty)
+    with pytest.raises(ValueError, match="dim"):
+        profile_embeddings_duckdb_sql(dim=0)
+
+
+def test_profile_embeddings_anisotropy_signal(spark):
+    """A corpus with a shared bias direction scores a materially larger
+    centroid norm than its centered twin — the signal the op exists
+    for."""
+    from flink_sql_security_spark.operators.profile import (
+        profile_embeddings)
+
+    centered = [(i, [(-1.0) ** i, (-1.0) ** (i + 1)]) for i in range(20)]
+    biased = [(i, [1.0, 0.1 * ((-1.0) ** i)]) for i in range(20)]
+
+    def centroid(rows):
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        return [r["mean"] for r in profile_embeddings(df).collect()
+                if r["metric"] == "centroid"][0]
+
+    assert centroid(centered) == 0.0
+    assert centroid(biased) == 1.0
