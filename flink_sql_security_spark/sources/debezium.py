@@ -137,3 +137,36 @@ SELECT {names} FROM (
   FROM decoded) s
 WHERE _rn = 1 AND _op <> 'd'
 """.strip()
+
+
+def debezium_state_stream(stream: DataFrame, *, row_ddl: str,
+                          key_cols: list[str],
+                          value_col: str = "value",
+                          tiebreak_field: str | None = None) -> DataFrame:
+    """Streaming twin of :func:`debezium_state`: continuously-maintained
+    current state per key from an unbounded envelope stream (update
+    output mode) — the exact shape the reference's Flink runtime gives
+    its mysql-cdc tables.
+
+    The decode is stateless (pure ``from_json`` projections, streaming-
+    safe as-is); compaction delegates to
+    ``streaming/cdc.py::latest_state_stream`` with ``(ts_ms, tiebreak)``
+    packed into ONE ordering struct, so recency matches the batch op's
+    ``ORDER BY _seq DESC, _tie DESC`` exactly. State is one row per
+    live key. Deletes can't drop rows inside a streaming aggregation,
+    so they ride as the standard soft-delete carry: filter
+    ``NOT is_deleted`` for the batch-equal current state (the sink-side
+    merge applies deletes physically — ``upsert_stream``'s contract).
+    """
+    from ..streaming.cdc import latest_state_stream
+
+    decoded = debezium_decode(stream, row_ddl=row_ddl,
+                              value_col=value_col,
+                              tiebreak_field=tiebreak_field)
+    vals = [c for c in decoded.columns
+            if c not in ("_op", "_seq", "_tie") and c not in key_cols]
+    ev = (decoded.withColumn("_ord", F.struct("_seq", "_tie"))
+          .drop("_seq", "_tie"))
+    return (latest_state_stream(ev, key_cols, "_ord", vals,
+                                op_col="_op", delete_op=DELETE_OP)
+            .drop("_ord"))

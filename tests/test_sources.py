@@ -188,3 +188,45 @@ def test_debezium_state_matches_jdbc_cdc_end_state(spark):
         envelopes, row_ddl="id BIGINT, val STRING",
         key_cols=["id"]).collect()}
     assert got == want == {1: "a2", 3: "c3", 4: "d"}
+
+
+def test_debezium_state_stream_matches_batch(spark):
+    """Streaming envelope ingest (update mode, soft-delete carry)
+    equals the batch debezium_state on the same multi-batch stream:
+    NOT is_deleted rows match the batch current state, and a deleted
+    key surfaces with is_deleted=True instead of vanishing."""
+    import os
+
+    from flink_sql_security_spark.sources.debezium import (
+        debezium_state, debezium_state_stream)
+
+    batches = [
+        [(_env("c", 1, 1, "a"),), (_env("c", 1, 2, "x"),)],
+        [(_env("u", 5, 1, "winner", pos=9, wrapped=True),),
+         (_env("u", 5, 1, "loser", pos=3),), (_env("d", 2, 2, "x"),)],
+    ]
+    path = tempfile.mkdtemp(prefix="fss_deb_stream")
+    try:
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, ["value"]).coalesce(1).write.parquet(
+                os.path.join(path, f"b{i}"))
+        src = (spark.readStream.schema("value string")
+               .option("maxFilesPerTrigger", "1")
+               .parquet(os.path.join(path, "b*")))
+        q = (debezium_state_stream(src, row_ddl="id BIGINT, val STRING",
+                                   key_cols=["id"], tiebreak_field="pos")
+             .writeStream.format("memory").queryName("deb_state")
+             .outputMode("complete").start())
+        q.processAllAvailable(); q.stop()
+        state = {r["id"]: r for r in spark.table("deb_state").collect()}
+        batch_rows = spark.createDataFrame(
+            [r for b in batches for r in b], ["value"])
+        want = {r["id"]: r["val"] for r in debezium_state(
+            batch_rows, row_ddl="id BIGINT, val STRING",
+            key_cols=["id"], tiebreak_field="pos").collect()}
+        live = {k: r["val"] for k, r in state.items()
+                if not r["is_deleted"]}
+        assert live == want == {1: "winner"}
+        assert state[2]["is_deleted"]          # soft-delete carry
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
