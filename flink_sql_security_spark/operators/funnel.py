@@ -255,9 +255,12 @@ def funnel_summary(events: DataFrame, steps, *,
     k = len(steps)
     fun = funnel(events, steps, user_col=user_col, ts_col=ts_col,
                  type_col=type_col, within_hours=within_hours)
+    # ONE row, referenced once per step by the union below — without
+    # the persist every branch replays the whole funnel pipeline
+    # (k× the event scans; the profile_correlations lesson)
     agg = fun.agg(*[
         F.sum(F.col(f"step_{i}_ts").isNotNull().cast("bigint"))
-        .alias(f"n{i}") for i in range(1, k + 1)])
+        .alias(f"n{i}") for i in range(1, k + 1)]).persist()
 
     def rate(num, den):
         return F.when(F.col(den) > 0, floor_round_col(
@@ -274,7 +277,8 @@ def funnel_summary(events: DataFrame, steps, *,
             (F.lit(1.0) if i == 1 else
              rate(f"n{i}", "n1")).alias("rate_vs_entry"))
         out = row if out is None else out.unionAll(row)
-    return out
+    from .cache import attach
+    return attach(out, agg)
 
 
 def funnel_summary_duckdb_sql(table: str, steps, *,
