@@ -211,11 +211,15 @@ def basket_rules_2to1(df: DataFrame, *, basket_col: str, item_col: str,
     a, c = bi.alias("a"), bi.alias("c")
     # frequent-pair OCCURRENCES (basket retained) — the triple seed;
     # the aggregated frequent-pair counts derive from the same frame.
+    # persist: BOTH pair_n and freq_occ consume it — unpersisted, the
+    # basket self-join (the dominant stage, up to cap²/2 rows per
+    # basket) would run twice.
     pair_occ = (a.join(c, (F.col("a.b") == F.col("c.b"))
                        & (F.col("a.i") < F.col("c.i")))
                 .select(F.col("a.b").alias("b"),
                         F.col("a.i").alias("x"),
-                        F.col("c.i").alias("y")))
+                        F.col("c.i").alias("y"))
+                .persist())
     pair_n = (pair_occ.groupBy("x", "y")
               .agg(F.count("*").alias("n_pair"))
               .where(F.col("n_pair") >= min_support))
@@ -262,7 +266,7 @@ def basket_rules_2to1(df: DataFrame, *, basket_col: str, item_col: str,
                    / (F.col("n_ante_pair").cast("double")
                       * F.col("n_cons").cast("double"))).alias("lift")))
     from .cache import attach
-    return attach(out, bi)
+    return attach(out, bi, pair_occ)
 
 
 def basket_rules_2to1_duckdb_sql(table: str, *, basket_col: str,

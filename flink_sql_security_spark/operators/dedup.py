@@ -765,9 +765,10 @@ def _star_contraction(pairs: DataFrame, a, b,
     Determinism: each op is a per-neighborhood min (windowed, order-
     free) + distinct — partitioning-invariant by construction, same
     invariance contract as the quantized graph tier. Convergence test:
-    (edge count, Σ endpoints) — both are non-increasing under either
-    star op and the sum strictly decreases unless the op was the
-    identity, the same monotone argument the label path uses.
+    (edge count, Σ xxhash64(u, v)) — a type-agnostic set digest, so
+    string node ids converge exactly like ints (an arithmetic endpoint
+    sum would NULL-out or throw on strings); equal digest ⇒ the star
+    op was the identity ⇒ fixpoint.
 
     Returns (labels, rounds); labels = (doc_id, component_id = min id
     reachable). Isolated nodes (self-pairs only) label themselves via
@@ -788,7 +789,16 @@ def _star_contraction(pairs: DataFrame, a, b,
     wu = Window.partitionBy("u")
 
     def stats(e):
-        r = e.agg(F.count("*"), F.sum(F.col("u") + F.col("v"))).collect()
+        # type-agnostic fixpoint digest: (row count, Σ xxhash64(u, v))
+        # — equality means the edge SET is unchanged (order-free sum;
+        # collision odds are the repo's accepted md5/xxhash class). An
+        # arithmetic u+v sum would NULL-out (ANSI off) or throw (ANSI
+        # on) for string node ids, silently breaking convergence on
+        # the id types the rest of the family supports. DECIMAL(38,0)
+        # keeps the sum exact/overflow-free under either ANSI mode.
+        r = e.agg(F.count("*"),
+                  F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                  ).collect()
         return (r[0][0], r[0][1])
 
     prev = stats(edges)

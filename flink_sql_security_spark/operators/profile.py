@@ -556,16 +556,22 @@ def profile_embeddings(df: DataFrame, vec_col: str = "embedding",
     would silently skew per-dim stats otherwise.
     """
     if dim is None:
-        probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        probe = (df.where(F.col(vec_col).isNotNull())
+                 .select(F.size(F.col(vec_col)).alias("d")).first())
         if probe is None:
             raise ValueError("profile_embeddings: empty corpus")
         dim = probe["d"]
     if dim < 1:
         raise ValueError(f"dim must be >= 1: {dim}")
-    bad = df.where(F.size(F.col(vec_col)) != dim).count()
+    # NULL vectors must fail the guard too: size(NULL) != dim is NULL,
+    # not true, so an isNull arm is load-bearing — a silent NULL row
+    # would dilute the norm-metric stats (count counts it, sum skips it)
+    bad = df.where(F.col(vec_col).isNull()
+                   | (F.size(F.col(vec_col)) != dim)).count()
     if bad:
         raise ValueError(
-            f"profile_embeddings: {bad} vectors are not {dim}-dim")
+            f"profile_embeddings: {bad} vectors are NULL or not "
+            f"{dim}-dim")
 
     def stats(frame, key_col, metric):
         v = F.col("_v").cast("double").cast("decimal(18,6)")

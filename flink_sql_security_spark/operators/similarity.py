@@ -128,24 +128,18 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def _plan_row_count(df: DataFrame) -> int | None:
-    """Catalyst's row-count estimate for the optimized plan, when the
-    optimizer has one (CBO stats / parquet metadata); None otherwise.
-    Free — no job."""
-    try:
-        opt = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
-        return int(str(opt.get())) if not opt.isEmpty() else None
-    except Exception:
-        return None
-
-
 def _corpus_rows(df: DataFrame) -> int:
-    """Corpus cardinality for plan-time sizing rules: the optimizer's
-    row count when it has one, else ONE count job (metadata-only on
-    parquet scans — the footer row counts answer it without reading
-    data pages)."""
-    n = _plan_row_count(df)
-    return n if n is not None else df.count()
+    """EXACT corpus cardinality for plan-time sizing rules: always ONE
+    count job (metadata-only on unfiltered parquet scans — footer row
+    counts answer it without reading data pages). Deliberately NOT the
+    optimizer's rowCount statistic: with CBO/plan-stats enabled that
+    value can be a stale ANALYZE snapshot or a selectivity-derived
+    ESTIMATE on filtered plans, and a sizing rule that also embeds in
+    a DuckDB oracle as ``count(*)`` must agree with the oracle
+    exactly — an estimate would silently change shortlist membership
+    (the pq_topk flat→IVF gate was re-keyed onto exact counts for the
+    same reason, BASELINE round-9)."""
+    return df.count()
 
 
 def _auto_broadcast(df: DataFrame, flag: bool | None,
@@ -1176,7 +1170,7 @@ def _matryoshka_shortlist_k(k: int, shortlist, n_corpus) -> int:
     tier the cutoff folds into a plan-time LITERAL rather than a
     per-query window count: the prefix scan's chunk-local top-K prune
     needs K before the scan runs, and corpus cardinality is a plan
-    constant (Catalyst stats, else one metadata-only count) — an
+    constant (ONE exact count job — metadata-only on parquet) — an
     in-plan window count would require materializing all n·|Q| prefix
     cosines first, forfeiting the O(K) per-chunk output that makes
     stage 1 the cheap stage. sqrt/ceil are IEEE-exact and identical

@@ -55,10 +55,11 @@ def debezium_decode(df: DataFrame, *, row_ddl: str,
     ``_op`` (the raw Debezium op), ``_seq`` (the envelope ``ts_ms``)
     and ``_tie`` (``source.<tiebreak_field>`` as BIGINT, 0 when not
     requested) for deterministic ordering when ``ts_ms`` collides.
-    Rows whose JSON is malformed or that lack an op decode to NULL op
-    and are dropped (from_json's PERMISSIVE null, filtered) — a
-    changelog with garbage rows degrades by skipping them, never by
-    failing the batch.
+    Rows whose JSON is malformed, that lack an op, or whose op carries
+    no row image (Debezium 't' truncate / 'm' message events) are
+    dropped (from_json's PERMISSIVE null + the op whitelist) — a
+    changelog with garbage or non-row events degrades by skipping
+    them, never by failing the batch or emitting all-NULL rows.
 
     ``row_ddl``: the row-image schema as a DDL string, e.g.
     ``"id BIGINT, name STRING, price DECIMAL(12,2)"``.
@@ -81,7 +82,7 @@ def debezium_decode(df: DataFrame, *, row_ddl: str,
     return (df.select(image.alias("_row"), e["op"].alias("_op"),
                       e["ts_ms"].cast("bigint").alias("_seq"),
                       tie.alias("_tie"))
-            .where(F.col("_op").isNotNull())
+            .where(F.col("_op").isin(list(_UPSERT_OPS) + [DELETE_OP]))
             .select("_row.*", "_op", "_seq", "_tie"))
 
 
@@ -130,7 +131,7 @@ WITH decoded AS (
          CAST({ext('ts_ms')} AS BIGINT) AS _seq,
          {tie} AS _tie
   FROM {table_sql}
-  WHERE {ext('op')} IS NOT NULL)
+  WHERE {ext('op')} IN ('c', 'u', 'r', 'd'))
 SELECT {names} FROM (
   SELECT *, row_number() OVER (PARTITION BY {keys}
             ORDER BY _seq DESC, _tie DESC) AS _rn

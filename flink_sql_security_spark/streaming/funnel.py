@@ -80,10 +80,17 @@ def funnel_state_stream(events: DataFrame, steps, *,
 
     state_schema = (", ".join(f"p{i} array<long>" for i in range(k))
                     + ", upd int")
-    out_schema = ("user_id long, "
-                  + ", ".join(f"step_{i}_ts timestamp"
-                              for i in range(1, k + 1))
-                  + ", depth int, upd int")
+    # the output key type derives from the input column (string/typed
+    # entity ids work like the batch op — the bfs_levels lesson)
+    from pyspark.sql.types import (IntegerType, StructField, StructType,
+                                   TimestampType)
+
+    out_schema = StructType(
+        [StructField("user_id", events.schema[user_col].dataType)]
+        + [StructField(f"step_{i}_ts", TimestampType())
+           for i in range(1, k + 1)]
+        + [StructField("depth", IntegerType()),
+           StructField("upd", IntegerType())])
 
     def chain(pend: list[list[int]]) -> list[int | None]:
         """The batch op's greedy earliest-chain over the retained

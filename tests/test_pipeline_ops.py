@@ -2871,6 +2871,13 @@ def test_profile_embeddings_guards(spark):
         [(1, [1.0, 2.0]), (2, [1.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError, match="not 2-dim"):
         profile_embeddings(ragged)
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)],
+        "vec_id long, embedding array<double>")
+    # size(NULL) != dim is NULL-false — the isNull arm must catch it
+    # (and dim inference must skip the NULL row, not crash on it)
+    with pytest.raises(ValueError, match="NULL"):
+        profile_embeddings(withnull)
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         profile_embeddings(empty)
@@ -2895,3 +2902,17 @@ def test_profile_embeddings_anisotropy_signal(spark):
 
     assert centroid(centered) == 0.0
     assert centroid(biased) == 1.0
+
+
+def test_connected_components_star_string_ids(spark):
+    """The star-contraction default must converge on STRING node ids —
+    the old arithmetic endpoint-sum digest NULLed out on strings and
+    broke convergence mid-contraction (round-10 review finding)."""
+    pairs = spark.createDataFrame(
+        [(c, chr(ord(c) + 1)) for c in "abcdefg"], ["id_a", "id_b"])
+    want = {r["doc_id"]: r["component_id"]
+            for r in D.connected_components(pairs).collect()}
+    got = {r["doc_id"]: r["component_id"]
+           for r in D.connected_components(
+               pairs, driver_threshold=0).collect()}
+    assert got == want and set(got.values()) == {"a"} and len(got) == 8

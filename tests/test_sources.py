@@ -230,3 +230,22 @@ def test_debezium_state_stream_matches_batch(spark):
         assert state[2]["is_deleted"]          # soft-delete carry
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_debezium_decode_drops_imageless_ops(spark):
+    """Debezium 't' (truncate) and 'm' (message) events carry no row
+    image — they must be skipped, not decoded into all-NULL state rows
+    (round-10 review finding)."""
+    import json
+
+    from flink_sql_security_spark.sources.debezium import (
+        debezium_state)
+
+    rows = [(_env("c", 1, 1, "a"),),
+            (json.dumps({"op": "t", "ts_ms": 2}),),
+            (json.dumps({"payload": {"op": "m", "ts_ms": 3,
+                                     "before": None, "after": None}}),)]
+    out = debezium_state(spark.createDataFrame(rows, ["value"]),
+                         row_ddl="id BIGINT, val STRING",
+                         key_cols=["id"]).collect()
+    assert [(r["id"], r["val"]) for r in out] == [(1, "a")]

@@ -1062,3 +1062,38 @@ def test_retention_activity_stream_matches_batch(spark):
             retention_activity_stream(df, period="fortnight")
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_funnel_state_stream_string_user_ids(spark):
+    """The output key type derives from the input column — string
+    entity ids stream like the batch op (round-10 review finding)."""
+    import datetime as dt
+    import os
+
+    from flink_sql_security_spark.operators.funnel import funnel
+    from flink_sql_security_spark.streaming.funnel import (
+        funnel_state_stream)
+
+    d = dt.datetime
+    rows = [("dev-a", d(2024, 1, 1, 0), "view"),
+            ("dev-a", d(2024, 1, 1, 1), "click"),
+            ("dev-b", d(2024, 1, 1, 2), "view")]
+    schema = "user_id string, ts timestamp, event_type string"
+    path = tempfile.mkdtemp(prefix="fss_stream_funnel_str")
+    try:
+        spark.createDataFrame(rows, schema).write.parquet(
+            os.path.join(path, "b0"))
+        src = (spark.readStream.schema(schema)
+               .parquet(os.path.join(path, "b*")))
+        q = (funnel_state_stream(src, ["view", "click"])
+             .writeStream.format("memory").queryName("fn_str")
+             .outputMode("update").start())
+        q.processAllAvailable(); q.stop()
+        got = {r["user_id"]: r["depth"]
+               for r in spark.table("fn_str").collect()}
+        want = {r["user_id"]: r["depth"] for r in funnel(
+            spark.createDataFrame(rows, schema),
+            ["view", "click"]).collect()}
+        assert got == want == {"dev-a": 2, "dev-b": 1}
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
