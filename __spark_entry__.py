@@ -1958,6 +1958,49 @@ FROM orders WHERE o_orderkey % 100 = 0
                                   within_hours=72),
     )
 
+    # k-anonymity suppression (operators/privacy.py k_anonymize): the
+    # third classic privacy primitive after the reference's row
+    # filters and masks — release only rows whose quasi-identifier
+    # equivalence class holds >= k members. ONE class groupBy + a
+    # null-safe broadcastable join back; integer gate → strict.
+    _CUST_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                  "c_mktsegment"]
+
+    def k_release(s):
+        from flink_sql_security_spark.operators.privacy import k_anonymize
+        # k=6: bites at sf0.001 (min class 1) and sf0.01 (min 5),
+        # full pass-through at sf0.1 (min 93) — the keeps-everything
+        # case is itself a correctness case
+        return k_anonymize(s.table("customer"),
+                           ["c_nationkey", "c_mktsegment"], k=6)
+
+    from flink_sql_security_spark.operators.privacy import (
+        anonymity_report_duckdb_sql, k_anonymize_duckdb_sql)
+    out["privacy_k_anonymize"] = (
+        with_tables(k_release),
+        k_anonymize_duckdb_sql("customer",
+                               ["c_nationkey", "c_mktsegment"], k=6,
+                               select_cols=_CUST_COLS),
+    )
+
+    # release-audit report (operators/privacy.py anonymity_report):
+    # k_effective / l_effective / singleton exposure in one row —
+    # l-diversity over the customer key closes the homogeneity attack
+    # a bare k-anonymity gate allows
+    def k_audit(s):
+        from flink_sql_security_spark.operators.privacy import (
+            anonymity_report)
+        return anonymity_report(s.table("orders"),
+                                ["o_orderstatus", "o_orderpriority"],
+                                sensitive_col="o_custkey")
+
+    out["privacy_report"] = (
+        with_tables(k_audit),
+        anonymity_report_duckdb_sql(
+            "orders", ["o_orderstatus", "o_orderpriority"],
+            sensitive_col="o_custkey"),
+    )
+
     # robust per-group outlier detection (operators/profile.py
     # robust_outliers): median/MAD flags on the heavy-tailed events.value
     # — exact lower-median order statistics (no interpolation, no float
@@ -2732,8 +2775,13 @@ _CHECK_ORDER = [
     # row + pytest pins and rides in-window secured_funnel; the
     # re-anchored per-attempt semantics are new this round:
     "cdc_debezium_state", "basket_rules_2to1", "events_funnel_attempts",
-    # veteran keepers (otherwise-unpinned families):
-    "q1_pricing_summary", "q11_important_parts",
+    # late-r10 newcomers take the q1/q11 keeper slots (both hold driver
+    # rows since r1 plus the golden TPC-H pytest suite; their grouped-
+    # agg and HAVING+scalar-subquery cores also ride several of the 30
+    # incomers): the privacy tier is a brand-new family and the r7
+    # lesson says birth-round window or the oracle rots unseen.
+    "privacy_k_anonymize", "privacy_report",
+    # veteran keeper (otherwise-unpinned family):
     "sketch_distinct_hll",
 ]
 

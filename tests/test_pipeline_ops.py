@@ -2916,3 +2916,114 @@ def test_connected_components_star_string_ids(spark):
            for r in D.connected_components(
                pairs, driver_threshold=0).collect()}
     assert got == want and set(got.values()) == {"a"} and len(got) == 8
+
+
+# ----------------------------------------------------------- privacy
+
+def test_k_anonymize_hand_computed(spark):
+    """Classes: (a, 1)×3, (b, 1)×2, (c, NULL)×2, (d, 2)×1 → k=2 keeps
+    7 rows incl. the NULL class (null-safe gate); k=3 keeps only the
+    a-class; l=2 over the sensitive column drops the homogeneous
+    b-class."""
+    from flink_sql_security_spark.operators.privacy import k_anonymize
+
+    rows = [("a", 1, "x"), ("a", 1, "y"), ("a", 1, "z"),
+            ("b", 1, "s"), ("b", 1, "s"),          # homogeneous class
+            ("c", None, "u"), ("c", None, "v"),
+            ("d", 2, "w")]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, sens string")
+    k2 = k_anonymize(df, ["q1", "q2"], k=2)
+    assert k2.count() == 7 and k2.where("q1 = 'd'").count() == 0
+    assert k2.where("q2 IS NULL").count() == 2    # NULLs form a class
+    assert k_anonymize(df, ["q1", "q2"], k=3).count() == 3
+    ldiv = k_anonymize(df, ["q1", "q2"], k=2, sensitive_col="sens", l=2)
+    assert {r["q1"] for r in ldiv.collect()} == {"a", "c"}
+    assert k2.columns == df.columns               # row gate, not transform
+
+
+def test_anonymity_report_hand_computed(spark):
+    from flink_sql_security_spark.operators.privacy import (
+        anonymity_report)
+
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")]
+    df = spark.createDataFrame(rows, "q string, sens string")
+    [r] = anonymity_report(df, ["q"], sensitive_col="sens").collect()
+    assert (r["n_rows"], r["n_classes"], r["k_effective"]) == (4, 2, 1)
+    assert r["l_effective"] == 1                  # b-class: one value
+    assert r["singleton_classes"] == 1
+    assert r["singleton_rows_pct"] == 25.0
+    [r2] = anonymity_report(df, ["q"]).collect()
+    assert r2["l_effective"] is None
+
+
+def test_k_anonymize_validates_and_bites(spark):
+    """Argument validation + the gate provably suppresses rows on the
+    driver fixture (a gate that never bites tests nothing)."""
+    import pytest as _pytest
+
+    from flink_sql_security_spark.operators.privacy import (
+        anonymity_report, k_anonymize, k_anonymize_duckdb_sql)
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    total = cust.count()
+    kept = k_anonymize(cust, ["c_nationkey", "c_mktsegment"],
+                       k=6).count()
+    assert 0 < kept < total
+    [rep] = anonymity_report(cust,
+                             ["c_nationkey", "c_mktsegment"]).collect()
+    assert rep["k_effective"] < 6 <= rep["n_rows"]
+    with _pytest.raises(ValueError, match="k must"):
+        k_anonymize(cust, ["c_nationkey"], k=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        k_anonymize(cust, [], k=5)
+    with _pytest.raises(ValueError, match="together"):
+        k_anonymize(cust, ["c_nationkey"], k=5, l=2)
+    with _pytest.raises(ValueError, match="duplicate"):
+        k_anonymize_duckdb_sql("t", ["a", "a"], 5, ["a"])
+
+
+def test_fuzz_k_anonymity_cross_engine(spark):
+    """Config fuzz: random tables × (k, quasi set, optional l),
+    bit-equal vs the DuckDB oracle. Seed 20250."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.privacy import (
+        anonymity_report, anonymity_report_duckdb_sql, k_anonymize,
+        k_anonymize_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(20250)
+    for trial in range(4):
+        n = rng.choice([40, 120])
+        rows = [(rng.randrange(4),
+                 rng.choice(["p", "q", None]),
+                 rng.randrange(6)) for _ in range(n)]
+        k = rng.choice([2, 5])
+        use_l = rng.random() < 0.5
+        cfg = (trial, n, k, use_l)
+        df = spark.createDataFrame(rows, "qa int, qb string, sens int")
+        vals = ", ".join(
+            f"({a}, {'NULL' if b is None else repr(b)}, {c})"
+            for a, b, c in rows)
+        tbl = f"(SELECT * FROM (VALUES {vals}) AS t(qa, qb, sens))"
+
+        def key(t):  # None-safe total order for mixed rows
+            return [(x is None, str(x)) for x in t]
+
+        got = sorted(map(tuple, k_anonymize(
+            df, ["qa", "qb"], k=k,
+            **({"sensitive_col": "sens", "l": 2} if use_l else {})
+        ).collect()), key=key)
+        want = sorted(map(tuple, con.execute(k_anonymize_duckdb_sql(
+            tbl, ["qa", "qb"], k, ["qa", "qb", "sens"],
+            **({"sensitive_col": "sens", "l": 2} if use_l else {})
+        )).fetchall()), key=key)
+        assert got == want and len(got) > 0, cfg
+        gr = sorted(map(tuple, anonymity_report(
+            df, ["qa", "qb"], sensitive_col="sens").collect()))
+        wr = sorted(map(tuple, con.execute(anonymity_report_duckdb_sql(
+            tbl, ["qa", "qb"], sensitive_col="sens")).fetchall()))
+        assert gr == wr, cfg
+    con.close()
