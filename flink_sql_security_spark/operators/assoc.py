@@ -37,16 +37,28 @@ integers → strict oracle.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import floor_round, floor_round_col
+
+_log = logging.getLogger(__name__)
 
 
 def _capped_items(df: DataFrame, basket_col: str, item_col: str,
                   max_basket_items: int | None) -> DataFrame:
     """Distinct (b, i) pairs, truncated to the ``max_basket_items``
     smallest items per basket (deterministic: items are unique within
-    a basket after the distinct, so ORDER BY item is a total order)."""
+    a basket after the distinct, so ORDER BY item is a total order).
+
+    When capped, the output carries a ``_bsz`` column (the PRE-cap
+    basket size, computed in the same window exchange as the cap's
+    row_number) so :func:`_eager_counts` can detect actual truncation
+    in its existing one-pass aggregate at zero extra cost; callers'
+    projections never reference it, so Catalyst prunes it from every
+    downstream join.
+    """
     bi = (df.select(F.col(basket_col).alias("b"),
                     F.col(item_col).alias("i"))
           .where(F.col("i").isNotNull() & F.col("b").isNotNull())
@@ -58,8 +70,35 @@ def _capped_items(df: DataFrame, basket_col: str, item_col: str,
                 f"or None: {max_basket_items}")
         w = Window.partitionBy("b").orderBy("i")
         bi = (bi.withColumn("_rn", F.row_number().over(w))
+              .withColumn("_bsz", F.count("*").over(Window.partitionBy("b")))
               .where(F.col("_rn") <= max_basket_items).drop("_rn"))
     return bi
+
+
+def _eager_counts(bi: DataFrame, max_basket_items: int | None,
+                  op: str) -> tuple[int, int]:
+    """(n_baskets, n_items) from the persisted capped-items table —
+    the one eager aggregate both rule operators already pay. When the
+    cap is active, the same pass also reads max(_bsz) (pre-cap basket
+    size) and emits a one-time-per-call warning if any basket was
+    actually truncated — truncation silently changes support /
+    confidence / lift, so callers with legitimately large baskets get
+    a signal instead of a semantics shift (ADVICE r10)."""
+    if max_basket_items is None:
+        n_baskets, n_items = bi.agg(
+            F.countDistinct("b"), F.countDistinct("i")).collect()[0]
+        return n_baskets, n_items
+    n_baskets, n_items, max_bsz = bi.agg(
+        F.countDistinct("b"), F.countDistinct("i"),
+        F.max("_bsz")).collect()[0]
+    if max_bsz is not None and max_bsz > max_basket_items:
+        _log.warning(
+            "%s: max_basket_items=%d truncated at least one basket "
+            "(largest input basket: %d distinct items) — support/"
+            "confidence/lift reflect the truncated baskets; pass "
+            "max_basket_items=None for exact (unbounded) counting",
+            op, max_basket_items, max_bsz)
+    return n_baskets, n_items
 
 
 def _capped_items_cte(table: str, basket_col: str, item_col: str,
@@ -97,8 +136,9 @@ def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
     # one pass over the persisted pairs for BOTH cardinalities: the
     # basket total (a lift literal) and the item count (the broadcast
     # gate — a billion-item catalog keeps the scale-safe shuffle join)
-    n_baskets, n_items = bi.agg(
-        F.countDistinct("b"), F.countDistinct("i")).collect()[0]
+    # — plus the truncation check, free in the same aggregate
+    n_baskets, n_items = _eager_counts(bi, max_basket_items,
+                                       "basket_rules")
     item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
 
     def hint(frame):
@@ -201,8 +241,8 @@ def basket_rules_2to1(df: DataFrame, *, basket_col: str, item_col: str,
         raise ValueError(f"min_support must be >= 1: {min_support}")
     bi = _capped_items(df, basket_col, item_col,
                        max_basket_items).persist()
-    n_baskets, n_items = bi.agg(
-        F.countDistinct("b"), F.countDistinct("i")).collect()[0]
+    n_baskets, n_items = _eager_counts(bi, max_basket_items,
+                                       "basket_rules_2to1")
     item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
 
     def hint(frame):

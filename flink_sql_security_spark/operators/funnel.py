@@ -135,7 +135,8 @@ def funnel_duckdb_sql(table: str, steps, *, user_col: str = "user_id",
 def funnel_attempts(events: DataFrame, steps, *,
                     user_col: str = "user_id", ts_col: str = "ts",
                     type_col: str = "event_type",
-                    within_hours: int | None = None) -> DataFrame:
+                    within_hours: int | None = None,
+                    max_attempts: int | None = 1000) -> DataFrame:
     """Per-attempt (re-anchored) funnel: one row per step-1 EVENT —
     (user_id, step_1_ts … step_k_ts, depth).
 
@@ -152,11 +153,23 @@ def funnel_attempts(events: DataFrame, steps, *,
     keyed on (user, step_1_ts) instead of user — one filtered event
     scan + one (user-keyed) join + min-agg per step. Per user the
     step-i join emits |attempts| · |step-i events| candidate rows
-    before the per-attempt MIN; a user with MANY entries and MANY
-    completions pays that product, so cap attempt fan-out upstream
-    (e.g. per_key_quota on step-1 events) when the entry distribution
-    is pathological — the same documented-cap discipline as
-    basket_rules' hot-basket guard.
+    before the per-attempt MIN, so a bot user with many entries AND
+    many completions pays that product inside one join key (AQE
+    spreads the shuffle but cannot shrink the row count). The
+    built-in hot-user guard: ``max_attempts`` (default 1000) keeps
+    only each user's EARLIEST ``max_attempts`` step-1 events
+    (deterministic: step-1 timestamps are unique per user after the
+    distinct, so ORDER BY step_1_ts is a total order), bounding the
+    per-user candidate stage at ``max_attempts`` · |step-i events|
+    rows — the same built-in-cap discipline as ``basket_rules``'
+    ``max_basket_items`` (assoc.py), mirrored bit-for-bit in the
+    oracle CTE and measured by ``tools/hotuser_probe.py``. Pass
+    ``None`` to evaluate every attempt (only safe when the per-user
+    entry distribution is known bounded). Earliest-N is the right
+    truncation for re-anchored semantics: dropped attempts are the
+    LATEST entries, and any completion reachable from a late entry is
+    also reachable from depth-1 of the funnel itself (first-touch
+    conversion is unaffected — s1's earliest row always survives).
     """
     steps = _check_steps(steps)
     ev = events.select(F.col(user_col).alias("user_id"),
@@ -165,6 +178,14 @@ def funnel_attempts(events: DataFrame, steps, *,
     cur = (ev.where(F.col("et") == steps[0])
            .select("user_id", F.col("ts").alias("step_1_ts"))
            .distinct())
+    if max_attempts is not None:
+        if max_attempts < 1:
+            raise ValueError(
+                f"max_attempts must be >= 1 or None: {max_attempts}")
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("step_1_ts")
+        cur = (cur.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") <= max_attempts).drop("_rn"))
     prev_col = "step_1_ts"
     for i, step in enumerate(steps[1:], start=2):
         nxt = ev.where(F.col("et") == step).withColumnRenamed(
@@ -193,15 +214,26 @@ def funnel_attempts_duckdb_sql(table: str, steps, *,
                                user_col: str = "user_id",
                                ts_col: str = "ts",
                                type_col: str = "event_type",
-                               within_hours: int | None = None) -> str:
+                               within_hours: int | None = None,
+                               max_attempts: int | None = 1000) -> str:
     """DuckDB SQL twin of :func:`funnel_attempts` (oracle): the
-    identical per-(user, entry) earliest-after-previous min chain."""
+    identical per-(user, entry) earliest-after-previous min chain,
+    including the identical earliest-``max_attempts`` entry cap."""
     steps = _check_steps(steps)
+    s1 = (f"SELECT DISTINCT user_id, ts AS step_1_ts FROM ev "
+          f"WHERE et = '{steps[0]}'")
+    if max_attempts is not None:
+        if max_attempts < 1:
+            raise ValueError(
+                f"max_attempts must be >= 1 or None: {max_attempts}")
+        s1 = (f"SELECT user_id, step_1_ts FROM (SELECT user_id, "
+              f"step_1_ts, row_number() OVER (PARTITION BY user_id "
+              f"ORDER BY step_1_ts) AS rn FROM ({s1})) "
+              f"WHERE rn <= {max_attempts}")
     parts = [
         f"WITH ev AS (SELECT {user_col} AS user_id, {ts_col} AS ts, "
         f"{type_col} AS et FROM {table})",
-        f"s1 AS (SELECT DISTINCT user_id, ts AS step_1_ts FROM ev "
-        f"WHERE et = '{steps[0]}')",
+        f"s1 AS ({s1})",
     ]
     prev = "s1"
     prev_col = "step_1_ts"

@@ -478,8 +478,8 @@ def test_funnel_attempts_reanchors(spark):
 
 
 def test_fuzz_funnel_attempts_cross_engine(spark):
-    """Config fuzz: random event streams × (step count, horizon),
-    bit-equal vs the DuckDB oracle. Seed 31417."""
+    """Config fuzz: random event streams × (step count, horizon,
+    attempt cap), bit-equal vs the DuckDB oracle. Seed 31417."""
     import datetime as dt
     import random
 
@@ -496,25 +496,93 @@ def test_fuzz_funnel_attempts_cross_engine(spark):
     for trial in range(4):
         k = rng.choice([2, 3])
         wh = rng.choice([None, 24, 96])
+        cap = rng.choice([None, 2, 5, 1000])
         rows = []
         for _ in range(rng.choice([30, 80])):
             rows.append((rng.randrange(8),
                          d0 + dt.timedelta(minutes=rng.randrange(60 * 200)),
                          types[rng.randrange(len(types))]))
-        cfg = (trial, k, wh)
+        cfg = (trial, k, wh, cap)
         df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
         got = sorted(map(tuple, funnel_attempts(
-            df, types[:k], within_hours=wh).collect()))
+            df, types[:k], within_hours=wh,
+            max_attempts=cap).collect()))
         vals = ", ".join(f"({u}, TIMESTAMP '{t}', '{e}')"
                          for u, t, e in rows)
         want = sorted(map(tuple, con.execute(funnel_attempts_duckdb_sql(
             f"(SELECT * FROM (VALUES {vals}) "
             f"AS t(user_id, ts, event_type))",
-            types[:k], within_hours=wh)).fetchall()))
+            types[:k], within_hours=wh,
+            max_attempts=cap)).fetchall()))
         assert got == want, cfg
         nonempty += bool(got)
     assert nonempty >= 3
     con.close()
+
+
+def test_funnel_attempts_cap_semantics(spark):
+    """max_attempts keeps each user's EARLIEST N entries: the capped
+    output is exactly the uncapped output restricted to each user's N
+    smallest step-1 timestamps, first-touch rows always survive, and
+    cap >= attempts is the identity (VERDICT-r10 task 2)."""
+    import datetime as dt
+
+    from flink_sql_security_spark.operators.funnel import funnel_attempts
+
+    d = dt.datetime
+    rows = []
+    for u, n_att in [(1, 5), (2, 1), (3, 3)]:
+        for j in range(n_att):
+            rows.append((u, d(2024, 1, 1 + j, 0), "view"))
+            rows.append((u, d(2024, 1, 1 + j, 2), "click"))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["view", "click"]
+    full = sorted(map(tuple, funnel_attempts(
+        df, steps, max_attempts=None).collect()))
+    capped = sorted(map(tuple, funnel_attempts(
+        df, steps, max_attempts=2).collect()))
+    by_user = {}
+    for r in full:
+        by_user.setdefault(r[0], []).append(r)
+    want = sorted(r for u, rs in by_user.items()
+                  for r in sorted(rs, key=lambda t: t[1])[:2])
+    assert capped == want
+    # first-touch entry survives for every user
+    assert {r[0] for r in capped} == {1, 2, 3}
+    # a cap above every user's attempt count is the identity,
+    # as is the default cap
+    assert sorted(map(tuple, funnel_attempts(
+        df, steps, max_attempts=5).collect())) == full
+    assert sorted(map(tuple, funnel_attempts(
+        df, steps).collect())) == full
+    import pytest
+    with pytest.raises(ValueError, match="max_attempts"):
+        funnel_attempts(df, steps, max_attempts=0)
+
+
+def test_basket_cap_truncation_warns(spark, caplog):
+    """The hot-basket cap logs a warning IFF it actually truncates
+    (ADVICE r10): a silent support/confidence/lift shift is the thing
+    being guarded against."""
+    import logging
+
+    from flink_sql_security_spark.operators.assoc import basket_rules
+
+    df = spark.createDataFrame(
+        [(1, f"i{j}") for j in range(5)] + [(2, "i0"), (2, "i1")],
+        ["b_id", "item"])
+    with caplog.at_level(
+            logging.WARNING,
+            logger="flink_sql_security_spark.operators.assoc"):
+        basket_rules(df, basket_col="b_id", item_col="item",
+                     min_support=1, max_basket_items=3).collect()
+        assert any("truncated at least one basket" in r.message
+                   for r in caplog.records)
+        caplog.clear()
+        basket_rules(df, basket_col="b_id", item_col="item",
+                     min_support=1, max_basket_items=10).collect()
+        assert not any("truncated" in r.message
+                       for r in caplog.records)
 
 
 def test_funnel_summary_hand_computed(spark):
