@@ -957,20 +957,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     for d in upstream:
         d.unpersist()
     # init fuses the first propagation round: label0 = min(self, neighbors)
+    # Convergence probe: min-labels are monotonically non-increasing, so
+    # the exact BIGINT label sum is strictly decreasing until fixpoint —
+    # sum-stable ⟺ converged. The sum rides the eager localCheckpoint's
+    # own job via observe() (CollectMetrics fires on the checkpoint
+    # materialization — verified empirically), so each round pays ONE
+    # job and zero extra passes over labels; obs.get returns without
+    # blocking because the checkpoint action has already completed
+    # (VERDICT-r10 task 3's probe-fusion applied here).
+    from pyspark.sql import Observation
+
+    obs0 = Observation("lpa_sum_init")
     labels = (
         edges.groupBy("src").agg(F.min("dst").alias("label"))
         .withColumnRenamed("src", "id")
+        .observe(obs0, F.sum("label").alias("s"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
+    prev_sum = obs0.get["s"]
+    for i in range(max_iter):
+        obs = Observation(f"lpa_sum_{i}")
         labels = (
             edges.join(labels.withColumnRenamed("id", "dst"), on="dst")
             .groupBy("src").agg(F.min("label").alias("label"))
             .withColumnRenamed("src", "id")
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -283,9 +283,11 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     twice per iteration (join on src for the authority pass, on dst
     for the hub pass), the |V|-row score tables broadcast under
     ``broadcast_scores_limit``, the per-iteration sum tables persist
-    once each, and the L1 totals resolve driver-side to exact BIGINT
-    scalars embedded as literals (see the in-loop comment for why —
-    in-plan 1-row broadcasts replayed the aggregates multiplicatively).
+    once each, and the L1 totals ride as 1-row broadcast crossJoins
+    over those persisted sums — zero driver round-trips per iteration
+    (see the in-loop comment; the persist is what makes the in-plan
+    totals non-multiplicative, and the oracle's CROSS JOIN always had
+    this shape).
 
     Strict-oracle float parity (the pagerank recipe): every
     contribution quantizes to integer micro-units
@@ -326,15 +328,24 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
         # (measured 18-20 s at sf0.1/iters=5; the fully-uncut variant
         # OOM'd at iters=4 on a 15-NODE fuzz graph, 291 stages).
         # The shape that works: persist each sum table (computed once),
-        # pull the 1-row L1 totals to the driver as EXACT BIGINT
-        # scalars (bounded driver traffic — one integer per half-step,
-        # the same class as the n_nodes count; the literal divides
-        # produce bit-identical doubles to the former in-plan column),
-        # and cut lineage once per iteration at the checkpointed hub
-        # table the recursion carries forward. 18.3 → 11.0 s min-of-3
-        # at sf0.1/iters=5 (each remaining second is real work: two
-        # ~550k-row edge-pass aggregates per iteration — structurally
-        # ~2× pagerank's one — plus the checkpoint jobs).
+        # carry each half-step's 1-row L1 total as a broadcast
+        # crossJoin over the PERSISTED sum table (so replaying the
+        # total from any broadcast position re-reads the cache, never
+        # the edge pass — the persist is what made the former in-plan
+        # variant multiplicative; with it the totals cost nothing and
+        # the loop pays ZERO driver round-trips, down from two
+        # collect()s per iteration in the r9 shape, VERDICT-r10
+        # task 3), and cut lineage once per iteration at the
+        # checkpointed hub table the recursion carries forward.
+        # 18.3 → 11.0 s min-of-3 at sf0.1/iters=5 for the r9
+        # restructure; the total-fusion here took the iters=3 sf0.1
+        # dedicated min-of-3 5.69 → 5.36 s same-session (each remaining
+        # second is real work: two ~550k-row edge-pass aggregates per
+        # iteration — structurally ~2× pagerank's one — plus the
+        # checkpoint jobs). The BIGINT-column divide produces
+        # bit-identical doubles to the former driver-literal divide
+        # (same two exact integers either way — and the same CROSS
+        # JOIN shape the DuckDB oracle always used in at{i}/ht{i}).
         a_sums = (
             e.join(hint(hubs), e["e_src"] == hubs["node"])
             .select(F.col("e_dst"),
@@ -342,14 +353,15 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
                     .cast("long").alias("c"))
             .groupBy("e_dst").agg(F.sum("c").alias("araw"))
             .persist())
-        atot = int(a_sums.agg(F.coalesce(
-            F.sum("araw"), F.lit(0))).collect()[0][0])
+        atot = a_sums.agg(F.coalesce(
+            F.sum("araw"), F.lit(0)).cast("long").alias("_atot"))
         auths = (
             nodes.join(hint(a_sums), nodes["node"] == a_sums["e_dst"],
                        "left")
+            .crossJoin(F.broadcast(atot))
             .select("node",
                     (F.coalesce(F.col("araw"), F.lit(0)).cast("double")
-                     / F.lit(atot).cast("double")).alias("auth")))
+                     / F.col("_atot").cast("double")).alias("auth")))
         h_sums = (
             e.join(hint(auths), e["e_dst"] == auths["node"])
             .select(F.col("e_src"),
@@ -357,14 +369,15 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
                     .cast("long").alias("c"))
             .groupBy("e_src").agg(F.sum("c").alias("hraw"))
             .persist())
-        htot = int(h_sums.agg(F.coalesce(
-            F.sum("hraw"), F.lit(0))).collect()[0][0])
+        htot = h_sums.agg(F.coalesce(
+            F.sum("hraw"), F.lit(0)).cast("long").alias("_htot"))
         hubs = (
             nodes.join(hint(h_sums), nodes["node"] == h_sums["e_src"],
                        "left")
+            .crossJoin(F.broadcast(htot))
             .select("node",
                     (F.coalesce(F.col("hraw"), F.lit(0)).cast("double")
-                     / F.lit(htot).cast("double")).alias("hub"))
+                     / F.col("_htot").cast("double")).alias("hub"))
             .localCheckpoint(eager=True))
         # previous iterations' sums are now baked into the checkpoint;
         # the FINAL iteration's stay persisted (auths still reads
