@@ -909,11 +909,14 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     # bit-identical output to ngram_jaccard_pairs at the same config,
     # so it shares that entry's oracle VERBATIM (the strictest check a
     # second algorithm can get: a different plan must reproduce the
-    # identical hash). Not windowed: output-identical twin of the
-    # in-window dedup_jaccard_pairs.
+    # identical hash). mode='prefix' pins the zero-recall-loss exact
+    # path (the r11 hot-token auto-route is probed + fuzzed in pytest;
+    # the strict entry must never depend on the probabilistic LSH
+    # fallback). Windowed r11: born late-r10 after that window closed.
     out["dedup_jaccard_prefix"] = (
         with_tables(lambda s: D.prefix_jaccard_pairs(docs(s),
-                                                     threshold=0.05)),
+                                                     threshold=0.05,
+                                                     mode="prefix")),
         None,  # placeholder replaced below with dedup_jaccard_pairs SQL
     )
     out["dedup_jaccard_pairs"] = (

@@ -18,6 +18,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from flink_sql_security_spark.functions.text import (
@@ -25,6 +27,8 @@ from flink_sql_security_spark.functions.text import (
     floor_round6 as _floor_round6,
     floor_round_col as _floor_round_col)
 from flink_sql_security_spark.operators.cache import attach, cached_deps
+
+_log = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
@@ -1530,7 +1534,11 @@ def containment_pairs_duckdb_sql(shingles_cte: str, n: int = 3,
 
 def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 3,
-                         threshold: float = 0.2) -> DataFrame:
+                         threshold: float = 0.2, *,
+                         mode: str = "auto",
+                         hot_posting_limit: int = 10_000,
+                         num_hashes: int = 16,
+                         bands: int = 4) -> DataFrame:
     """Exact Jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin family —
     Chaudhuri et al. 2006, Bayardo et al. 2007, Xiao et al. 2008):
     bit-identical output to :func:`ngram_jaccard_pairs` at the same
@@ -1562,17 +1570,33 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
     one extra exchange pair vs the plain join (token df count + the
     per-doc rank window); verification is per-candidate
     ``array_intersect`` on the in-row sets — JVM built-ins, rows =
-    candidates, never corpus-shaped. Hot-token caveat: the commonest
-    tokens appear only in LOW-threshold prefixes of large documents;
-    at the loose thresholds where that bites, LSH→verify
-    (:func:`lsh_verified_jaccard_pairs`) is the documented alternative
-    — this operator is the tight-threshold exact path.
+    candidates, never corpus-shaped. Hot-token caveat: a token in P
+    documents' prefixes contributes P² candidate rows, so a hot
+    PREFIX token (loose thresholds put common tokens in prefixes; an
+    exact-duplicate cluster puts ITS tokens in every member's prefix)
+    re-creates the quadratic stage this operator exists to avoid.
+
+    ``mode='auto'`` (default) therefore probes the longest prefix
+    posting list (one count-agg over the persisted prefix table —
+    paid once, and the persist also spares the candidate self-join a
+    recompute) and, past ``hot_posting_limit`` (default 10 000 ⇒
+    ≥10⁸ candidate rows from one token), routes to
+    :func:`lsh_verified_jaccard_pairs` at the same ``(n, threshold,
+    num_hashes, bands)`` with a warning. The routed path bounds
+    candidates by band-bucket collisions but prunes
+    PROBABILISTICALLY — a qualifying pair can miss every band — so
+    callers needing the zero-recall-loss guarantee pin
+    ``mode='prefix'`` (the driver entry does; on an exact-duplicate
+    hot cluster the routed output is identical anyway — identical
+    docs collide in every band).
     """
     from pyspark.sql.window import Window
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError(
             f"threshold must be in (0, 1]: {threshold}")
+    if mode not in ("auto", "prefix"):
+        raise ValueError(f"mode must be 'auto' or 'prefix': {mode!r}")
     sh = hashed_shingle_sets(df, text_col, id_col, n).persist()
     tok = sh.select(F.col(id_col).alias("id"), "n_sh",
                     F.explode("hs").alias("h"))
@@ -1585,6 +1609,26 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
               .withColumn("_rnk", F.row_number().over(w))
               .where(F.col("_rnk") <= plen)
               .select("id", "n_sh", "h"))
+    extra_deps: tuple = ()
+    if mode == "auto":
+        prefix = prefix.persist()
+        extra_deps = (prefix,)
+        hot = prefix.groupBy("h").agg(
+            F.count("*").alias("p")).agg(F.max("p")).collect()[0][0]
+        if hot is not None and hot > hot_posting_limit:
+            _log.warning(
+                "prefix_jaccard_pairs: hottest prefix token appears in "
+                "%d documents (> hot_posting_limit=%d, ~%.0e candidate "
+                "rows from that token alone) — routing to "
+                "lsh_verified_jaccard_pairs(num_hashes=%d, bands=%d); "
+                "LSH prunes probabilistically, pass mode='prefix' to "
+                "force the exact path", hot, hot_posting_limit,
+                float(hot) ** 2, num_hashes, bands)
+            prefix.unpersist()
+            sh.unpersist()
+            return lsh_verified_jaccard_pairs(
+                df, text_col, id_col, n=n, num_hashes=num_hashes,
+                bands=bands, threshold=threshold)
     a = prefix.select(F.col("id").alias("id_a"),
                       F.col("n_sh").alias("n_a"), "h")
     b = prefix.select(F.col("id").alias("id_b"),
@@ -1609,4 +1653,4 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
            .withColumn("jaccard", _floor_round_col(jac, 6))
            .where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "jaccard"))
-    return attach(out, sh)
+    return attach(out, sh, *extra_deps)

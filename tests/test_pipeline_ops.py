@@ -129,6 +129,48 @@ def test_prefix_jaccard_common_token_pair(spark):
     assert got == want and got[(1, 2)] == 1.0
 
 
+def test_prefix_jaccard_hot_token_autoroute(spark, caplog):
+    """A planted hot-shingle corpus (an exact-duplicate cluster: every
+    member's prefix holds the SAME tokens, each with posting length =
+    cluster size) routes mode='auto' to LSH→verify with a warning, and
+    the routed output is IDENTICAL to the exact path here — identical
+    docs collide in every band, and no cross-cluster pair qualifies.
+    mode='prefix' must never route (VERDICT-r10 task 4)."""
+    import logging
+
+    # 40 identical docs (the hot cluster) + 20 fully-unique docs
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, dup) for i in range(40)]
+    rows += [(100 + i, f"unique{i} doc{i} nothing{i} shared{i} "
+              f"here{i} at{i} all{i} ever{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = sorted(map(tuple, D.prefix_jaccard_pairs(
+        df, threshold=0.5, mode="prefix").collect()))
+    assert len(exact) == 40 * 39 // 2          # the cluster, J = 1.0
+    with caplog.at_level(
+            logging.WARNING,
+            logger="flink_sql_security_spark.operators.dedup"):
+        routed = sorted(map(tuple, D.prefix_jaccard_pairs(
+            df, threshold=0.5, mode="auto",
+            hot_posting_limit=10).collect()))
+        assert any("routing to lsh_verified" in r.message
+                   for r in caplog.records)
+    assert routed == exact
+    # under the limit, auto stays on the exact path (no warning)
+    caplog.clear()
+    with caplog.at_level(
+            logging.WARNING,
+            logger="flink_sql_security_spark.operators.dedup"):
+        stay = sorted(map(tuple, D.prefix_jaccard_pairs(
+            df, threshold=0.5, mode="auto",
+            hot_posting_limit=100).collect()))
+        assert not any("routing" in r.message for r in caplog.records)
+    assert stay == exact
+    with pytest.raises(ValueError, match="mode"):
+        D.prefix_jaccard_pairs(df, threshold=0.5, mode="lsh")
+
+
 def test_lsh_verified_subset_of_brute_force(docs):
     brute = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in D.ngram_jaccard_pairs(docs, threshold=0.01).collect()}
