@@ -1961,6 +1961,57 @@ FROM orders WHERE o_orderkey % 100 = 0
                                   within_hours=72),
     )
 
+    # STREAMING funnel end state (streaming/funnel.py
+    # funnel_state_stream + latest_funnel_state) — VERDICT-r10 task 5:
+    # the stream≡batch parity that previously lived only in pytest,
+    # made driver-checkable. The events table is re-written as a
+    # 3-file stream in REVERSE funnel order (all purchases, then all
+    # clicks, then all views — maximal cross-batch out-of-order:
+    # every completion arrives before its entry), drained through the
+    # applyInPandasWithState operator one file per micro-batch, and
+    # compacted to the max-upd row per user. The pruning-exactness
+    # contract says that end state equals the BATCH funnel regardless
+    # of arrival order, so the entry answers to the batch op's oracle
+    # verbatim — the strictest check the streaming twin can get.
+    _STREAM_SINK_SEQ = [0]
+
+    def stream_funnel_end_state(spark):
+        import os
+        import shutil
+        import tempfile
+
+        from flink_sql_security_spark.streaming.funnel import (
+            funnel_state_stream, latest_funnel_state)
+
+        steps = ["view", "click", "purchase"]
+        ev = spark.table("events").select("user_id", "ts", "event_type")
+        path = tempfile.mkdtemp(prefix="fss_stream_entry_")
+        _STREAM_SINK_SEQ[0] += 1
+        name = f"fss_stream_funnel_sink_{_STREAM_SINK_SEQ[0]}"
+        try:
+            for i, et in enumerate(["purchase", "click", "view"]):
+                (ev.where(F.col("event_type") == et).coalesce(1)
+                 .write.parquet(os.path.join(path, f"b{i}")))
+            src = (spark.readStream.schema(ev.schema)
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(os.path.join(path, "b*")))
+            q = (funnel_state_stream(src, steps, within_hours=72)
+                 .writeStream.format("memory").queryName(name)
+                 .outputMode("update").start())
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        # the memory sink holds the drained updates driver-side; the
+        # compaction below is sink-shaped (≤ |users|·3 rows)
+        return latest_funnel_state(spark.table(name))
+
+    out["streaming_funnel_state"] = (
+        with_tables(stream_funnel_end_state),
+        funnel_duckdb_sql("events", ["view", "click", "purchase"],
+                          within_hours=72),
+    )
+
     # k-anonymity suppression (operators/privacy.py k_anonymize): the
     # third classic privacy primitive after the reference's row
     # filters and masks — release only rows whose quasi-identifier

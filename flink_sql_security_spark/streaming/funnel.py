@@ -27,7 +27,16 @@ Two different state shapes, matching what each readout actually needs:
     retained un-pruned (a late step-1 may land before them) — the
     unbounded-until-entry phase every exact funnel has, normally
     bounded in production by an event-time timeout that expires
-    never-entering users.
+    never-entering users;
+  * the no-horizon mode grows AFTER entry too (ADVICE r10): every
+    step-i event at-or-below the current chain point ``t_i`` is
+    retained forever (any one of them could become the new min after
+    a late re-anchor), and while a chain is broken at step i every
+    later-step event is retained — so per-user state scales with
+    event volume under ``t_i``, not with k. Correctness is unaffected;
+    memory is. For production streams pass ``within_hours`` (state
+    per entered user is then bounded by the horizon window) or expire
+    users with an event-time timeout.
 
 - **Retention** (:func:`retention_activity_stream`) — the
   stream-maintains / batch-finalizes split of ``streaming/timeseries.py``
@@ -155,6 +164,27 @@ def funnel_state_stream(events: DataFrame, steps, *,
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def latest_funnel_state(updates: DataFrame) -> DataFrame:
+    """Compact a drained update-mode funnel sink to its end state:
+    the max-``upd`` row per user, without the sequence column.
+
+    After the stream drains, this equals the BATCH ``funnel`` output
+    over the same events regardless of micro-batch arrival order (the
+    module docstring's pruning-exactness contract — ``upd`` counts
+    differ per interleaving, the final state never does), which makes
+    the stream≡batch parity DuckDB-checkable: the driver entry
+    ``streaming_funnel_state`` answers to the batch op's oracle SQL.
+    ONE user-keyed window over the |updates| ≤ |users|·|batches| sink
+    rows — sink-shaped, never event-shaped.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("upd"))
+    return (updates.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "upd"))
 
 
 def retention_activity_stream(events: DataFrame, *,
