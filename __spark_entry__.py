@@ -2055,6 +2055,66 @@ FROM orders WHERE o_orderkey % 100 = 0
             sensitive_col="o_custkey"),
     )
 
+    # generalization + suppression release (operators/privacy.py
+    # generalize → k_anonymize) — VERDICT-r10 task 6: suppression
+    # alone discards rows a generalization keeps (raw c_name/c_acctbal
+    # are near-unique → k_effective 1 → everything suppressed). The
+    # rung: c_name through the mask library's MASK_SHOW_FIRST
+    # (SURVEY §2.9 composed as a generalizer — 'Customer#000000042' →
+    # 'Customer#xxxxxxxxx') and c_acctbal bucketed to 2000-wide bands;
+    # then the k=3 class gate. Pure projection + ONE class groupBy +
+    # null-safe join back; gradient across SFs like privacy_k_anonymize
+    # (partial suppression at sf0.001/0.01, high retention at sf0.1).
+    _GEN_SPEC = {"c_name": ("mask_show_first", 9),
+                 "c_acctbal": ("bucket", 2000)}
+    _GEN_QUASI = ["c_nationkey", "c_mktsegment", "c_acctbal", "c_name"]
+
+    def gen_release(s):
+        from flink_sql_security_spark.operators.privacy import (
+            generalize, k_anonymize)
+        return k_anonymize(
+            generalize(s.table("customer").select(*_CUST_COLS),
+                       _GEN_SPEC),
+            _GEN_QUASI, k=3)
+
+    from flink_sql_security_spark.operators.privacy import (
+        generalization_report_duckdb_sql, generalize_duckdb_select)
+    out["privacy_generalize"] = (
+        with_tables(gen_release),
+        k_anonymize_duckdb_sql(
+            f"(SELECT {generalize_duckdb_select(_CUST_COLS, _GEN_SPEC)} "
+            f"FROM customer)",
+            _GEN_QUASI, k=3, select_cols=_CUST_COLS),
+    )
+
+    # the suppression/utility tradeoff table (operators/privacy.py
+    # generalization_report): one row per ladder rung — k_effective and
+    # the rows a k=6 release would keep, walked raw → mask → +bucket →
+    # coarse (suppress nation). The readout that picks the rung BEFORE
+    # releasing; |ladder| single-row class-aggregates over one
+    # persisted quasi projection.
+    _GEN_LADDER = [
+        ("raw", {}),
+        ("name_masked", {"c_name": ("mask_show_first", 9)}),
+        ("bal_2k", {"c_name": ("mask_show_first", 9),
+                    "c_acctbal": ("bucket", 2000)}),
+        ("coarse", {"c_name": ("mask_show_first", 9),
+                    "c_acctbal": ("bucket", 5000),
+                    "c_nationkey": ("suppress", "int")}),
+    ]
+
+    def gen_ladder(s):
+        from flink_sql_security_spark.operators.privacy import (
+            generalization_report)
+        return generalization_report(s.table("customer"), _GEN_QUASI,
+                                     _GEN_LADDER, k=6)
+
+    out["privacy_ladder_report"] = (
+        with_tables(gen_ladder),
+        generalization_report_duckdb_sql("customer", _GEN_QUASI,
+                                         _GEN_LADDER, k=6),
+    )
+
     # robust per-group outlier detection (operators/profile.py
     # robust_outliers): median/MAD flags on the heavy-tailed events.value
     # — exact lower-median order statistics (no interpolation, no float

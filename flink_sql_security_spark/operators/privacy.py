@@ -27,7 +27,17 @@ is simultaneously policy-filtered, masked, and k-anonymous.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: portable type names for ("suppress", <type>): spark_sql, duckdb
+_SUPPRESS_TYPES = {
+    "string": ("STRING", "VARCHAR"),
+    "int": ("INT", "INTEGER"),
+    "bigint": ("BIGINT", "BIGINT"),
+    "double": ("DOUBLE", "DOUBLE"),
+    "date": ("DATE", "DATE"),
+    "timestamp": ("TIMESTAMP", "TIMESTAMP"),
+}
 
 
 def _check_cols(quasi_cols) -> list[str]:
@@ -100,6 +110,228 @@ def k_anonymize_duckdb_sql(table: str, quasi_cols, k: int,
         f"FROM {table} GROUP BY {qs}) "
         f"SELECT {cols} FROM {table} r JOIN classes c ON {on} "
         f"WHERE _class_n >= {k}{lgate}")
+
+
+def _check_gen_spec(spec: dict) -> dict:
+    for col, g in spec.items():
+        if not isinstance(g, tuple) or not g:
+            raise ValueError(f"generalizer for {col!r} must be a "
+                             f"non-empty tuple: {g!r}")
+        kind = g[0]
+        if kind == "bucket":
+            if len(g) != 2 or not float(g[1]) > 0:
+                raise ValueError(f"('bucket', width>0) expected: {g!r}")
+        elif kind in ("prefix", "mask_show_first"):
+            if len(g) != 2 or int(g[1]) < 1:
+                raise ValueError(f"('{kind}', n>=1) expected: {g!r}")
+        elif kind == "year":
+            if len(g) != 1:
+                raise ValueError(f"('year',) expected: {g!r}")
+        elif kind == "suppress":
+            if len(g) != 2 or g[1] not in _SUPPRESS_TYPES:
+                raise ValueError(
+                    f"('suppress', one of {tuple(_SUPPRESS_TYPES)}) "
+                    f"expected: {g!r}")
+        else:
+            raise ValueError(f"unknown generalizer kind: {g!r}")
+    return spec
+
+
+def _gen_column(col: str, g: tuple) -> Column:
+    """Spark Column for one generalizer rung step. Shared-SQL kinds go
+    through F.expr with the EXACT string :func:`_gen_duckdb` emits (the
+    two dialects agree on floor/substring/year), so parity is by
+    construction; the mask kind reuses the mask library's proven
+    Spark/DuckDB pair (SURVEY §2.9 — generalization via masking)."""
+    kind = g[0]
+    if kind == "mask_show_first":
+        from ..functions.masks import mask_show_first_n_col
+        return mask_show_first_n_col(F.col(col), int(g[1]),
+                                     up="x", low="x", dig="x")
+    if kind == "suppress":
+        return F.expr(f"CAST(NULL AS {_SUPPRESS_TYPES[g[1]][0]})")
+    return F.expr(_gen_duckdb(col, g))
+
+
+def _gen_duckdb(col: str, g: tuple) -> str:
+    """DuckDB SQL for one generalizer rung step (oracle emitter)."""
+    kind = g[0]
+    if kind == "bucket":
+        w = float(g[1])
+        w_lit = int(g[1]) if float(g[1]).is_integer() else w
+        return (f"CAST(floor(CAST({col} AS DOUBLE) / {w_lit}) "
+                f"* {w_lit} AS DOUBLE)")
+    if kind == "prefix":
+        return f"substring({col}, 1, {int(g[1])})"
+    if kind == "year":
+        return f"CAST(year({col}) AS INTEGER)"
+    if kind == "suppress":
+        return f"CAST(NULL AS {_SUPPRESS_TYPES[g[1]][1]})"
+    if kind == "mask_show_first":
+        from ..functions.masks import duckdb_mask_show_first_n_sql
+        return duckdb_mask_show_first_n_sql(col, int(g[1]),
+                                            up="x", low="x", dig="x")
+    raise ValueError(f"unknown generalizer kind: {g!r}")
+
+
+def generalize(df: DataFrame, spec: dict) -> DataFrame:
+    """Global recoding: replace each column in ``spec`` with a coarser
+    value IN PLACE (same name, same column order) — the k-anonymity
+    move suppression alone can't make (Sweeney 2002 §3; Samarati
+    2001's generalization lattice). A rung spec maps column →
+    generalizer tuple:
+
+    - ``("bucket", width)`` — numeric → ``floor(x/width)·width``
+      (age → decade, balance → band), as DOUBLE on both engines;
+    - ``("prefix", n)`` — string → first n chars (zip → region);
+    - ``("year",)`` — date/timestamp → calendar year as INT;
+    - ``("mask_show_first", n)`` — the mask library's
+      MASK_SHOW_FIRST_N (SURVEY §2.9) as a generalizer: keep n chars,
+      x-out the rest — same value-coarsening as prefix but
+      length-preserving, and the release stays mask-composable;
+    - ``("suppress", type)`` — the lattice top: typed NULL.
+
+    Pure projection — no shuffle, no UDF; Catalyst folds it into the
+    scan. Compose as ``k_anonymize(generalize(df, spec), quasi, k)``:
+    generalize first, then gate classes (the entry corpus does)."""
+    spec = _check_gen_spec(dict(spec))
+    missing = [c for c in spec if c not in df.columns]
+    if missing:
+        raise ValueError(f"spec columns not in DataFrame: {missing}")
+    return df.select(*[
+        _gen_column(c, spec[c]).alias(c) if c in spec else F.col(c)
+        for c in df.columns])
+
+
+def generalize_duckdb_select(cols: list[str], spec: dict) -> str:
+    """The oracle-side projection list mirroring :func:`generalize`."""
+    spec = _check_gen_spec(dict(spec))
+    return ", ".join(
+        f"{_gen_duckdb(c, spec[c])} AS {c}" if c in spec else c
+        for c in cols)
+
+
+def generalization_report(df: DataFrame, quasi_cols, ladder, k: int,
+                          sensitive_col: str | None = None,
+                          l: int | None = None) -> DataFrame:
+    """The suppression/utility tradeoff table for a generalization
+    ladder: one row per rung — (level, rung, n_classes, k_effective,
+    l_effective, rows_kept, kept_pct) where ``rows_kept`` counts the
+    rows a k-anonymity (and optional l-diversity) suppression release
+    WOULD keep after applying that rung's generalization. The data-
+    release review readout: walk the ladder until kept_pct clears the
+    utility bar, instead of discovering post-hoc that suppression
+    alone dropped the dataset.
+
+    Scale: the quasi(+sensitive) projection is persisted ONCE (the
+    funnel_summary lesson — without it every rung replays the scan);
+    each rung is one groupBy over that cache reduced to a single row,
+    so the whole report is |ladder| class-aggregates over |quasi|-wide
+    rows, never a second pass over the full table. Integer counts +
+    one guarded floor-rounded percentage per rung → strict oracle.
+    """
+    from .cache import attach
+    from ..functions.text import floor_round_col
+
+    quasi_cols = _check_cols(quasi_cols)
+    ladder = list(ladder)
+    if not ladder:
+        raise ValueError("ladder must be non-empty")
+    if len({name for name, _ in ladder}) != len(ladder):
+        raise ValueError(f"duplicate rung names: {[n for n, _ in ladder]}")
+    for name, _ in ladder:
+        # rung names embed as SQL string literals in the oracle emitter
+        if (not isinstance(name, str) or "'" in name or "\\" in name
+                or ";" in name):
+            raise ValueError(f"invalid rung name: {name!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if (sensitive_col is None) != (l is None):
+        raise ValueError("sensitive_col and l must be given together")
+    for name, spec in ladder:
+        extra = [c for c in spec if c not in quasi_cols]
+        if extra:
+            raise ValueError(
+                f"rung {name!r} generalizes non-quasi columns: {extra}")
+    keep_cols = quasi_cols + ([sensitive_col] if sensitive_col else [])
+    base = df.select(*keep_cols).persist()
+    out = None
+    for level, (name, spec) in enumerate(ladder):
+        g = generalize(base, spec)
+        aggs = [F.count("*").alias("_n")]
+        if sensitive_col is not None:
+            aggs.append(F.countDistinct(sensitive_col).alias("_l"))
+        classes = g.groupBy(*quasi_cols).agg(*aggs)
+        kept_gate = F.col("_n") >= k
+        if sensitive_col is not None:
+            kept_gate = kept_gate & (F.col("_l") >= l)
+        l_eff = (F.min("_l").cast("bigint") if sensitive_col is not None
+                 else F.lit(None).cast("bigint"))
+        rows_kept = F.coalesce(
+            F.sum(F.when(kept_gate, F.col("_n")).otherwise(F.lit(0))),
+            F.lit(0)).cast("bigint")
+        total = F.sum("_n").cast("bigint")
+        row = classes.agg(
+            F.lit(level).alias("level"),
+            F.lit(name).alias("rung"),
+            F.count("*").alias("n_classes"),
+            F.min("_n").cast("bigint").alias("k_effective"),
+            l_eff.alias("l_effective"),
+            rows_kept.alias("rows_kept"),
+            F.when(total > 0, floor_round_col(
+                rows_kept.cast("double") * F.lit(100.0)
+                / total.cast("double"))).alias("kept_pct"))
+        out = row if out is None else out.unionAll(row)
+    return attach(out, base)
+
+
+def generalization_report_duckdb_sql(table: str, quasi_cols, ladder,
+                                     k: int,
+                                     sensitive_col: str | None = None,
+                                     l: int | None = None) -> str:
+    """DuckDB SQL twin of :func:`generalization_report` (oracle):
+    identical per-rung class aggregation, gate, and guarded divide."""
+    from ..functions.text import floor_round
+
+    quasi_cols = _check_cols(quasi_cols)
+    ladder = list(ladder)
+    if not ladder:
+        raise ValueError("ladder must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if (sensitive_col is None) != (l is None):
+        raise ValueError("sensitive_col and l must be given together")
+    keep_cols = quasi_cols + ([sensitive_col] if sensitive_col else [])
+    qs = ", ".join(quasi_cols)
+    lsel = (f", count(DISTINCT {sensitive_col}) AS _l"
+            if sensitive_col else "")
+    parts = [f"WITH base AS MATERIALIZED "
+             f"(SELECT {', '.join(keep_cols)} FROM {table})"]
+    selects = []
+    for level, (name, spec) in enumerate(ladder):
+        sel = generalize_duckdb_select(keep_cols, spec)
+        gate = f"_n >= {k}"
+        if sensitive_col is not None:
+            gate += f" AND _l >= {l}"
+        l_eff = ("CAST(min(_l) AS BIGINT)" if sensitive_col
+                 else "CAST(NULL AS BIGINT)")
+        kept = (f"CAST(coalesce(sum(CASE WHEN {gate} THEN _n "
+                f"ELSE 0 END), 0) AS BIGINT)")
+        pct = floor_round(
+            f"CAST({kept} AS DOUBLE) * 100.0 "
+            f"/ CAST(sum(_n) AS DOUBLE)", 6, "duckdb")
+        parts.append(
+            f"c{level} AS (SELECT {qs}, count(*) AS _n{lsel} "
+            f"FROM (SELECT {sel} FROM base) GROUP BY {qs})")
+        selects.append(
+            f"SELECT {level} AS level, '{name}' AS rung, "
+            f"CAST(count(*) AS BIGINT) AS n_classes, "
+            f"CAST(min(_n) AS BIGINT) AS k_effective, "
+            f"{l_eff} AS l_effective, "
+            f"{kept} AS rows_kept, "
+            f"CASE WHEN sum(_n) > 0 THEN {pct} END AS kept_pct "
+            f"FROM c{level}")
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def anonymity_report(df: DataFrame, quasi_cols,

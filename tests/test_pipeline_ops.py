@@ -3069,3 +3069,134 @@ def test_fuzz_k_anonymity_cross_engine(spark):
             tbl, ["qa", "qb"], sensitive_col="sens")).fetchall()))
         assert gr == wr, cfg
     con.close()
+
+
+def test_generalize_hand_computed(spark):
+    """Each generalizer kind against hand values; unknown kinds and
+    missing columns raise; untouched columns pass through in order."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from flink_sql_security_spark.operators.privacy import generalize
+
+    rows = [(1, "Customer#000000042", 17, 2547.4, dt.date(2024, 3, 9)),
+            (2, "Customer#000000007", -999.99 and 3, -999.99,
+             dt.date(1997, 12, 31))]
+    df = spark.createDataFrame(
+        rows, "id int, name string, nat int, bal double, d date")
+    g = generalize(df, {"name": ("mask_show_first", 9),
+                        "bal": ("bucket", 2000),
+                        "d": ("year",),
+                        "nat": ("suppress", "int")})
+    assert g.columns == df.columns
+    a, b = sorted(g.collect(), key=lambda r: r["id"])
+    assert a["name"] == "Customer#xxxxxxxxx"
+    assert a["bal"] == 2000.0 and b["bal"] == -2000.0   # floor, not trunc
+    assert a["d"] == 2024 and b["d"] == 1997
+    assert a["nat"] is None and b["nat"] is None
+    assert g.where("id = 1").select("name").first()[0] == \
+        "Customer#xxxxxxxxx"
+    # prefix kind
+    p = generalize(df, {"name": ("prefix", 8)})
+    assert p.select("name").distinct().count() == 1   # both 'Customer'
+    with _pytest.raises(ValueError, match="unknown generalizer"):
+        generalize(df, {"name": ("rot13",)})
+    with _pytest.raises(ValueError, match="not in DataFrame"):
+        generalize(df, {"zip": ("prefix", 3)})
+    with _pytest.raises(ValueError, match="bucket"):
+        generalize(df, {"bal": ("bucket", 0)})
+    with _pytest.raises(ValueError, match="suppress"):
+        generalize(df, {"bal": ("suppress", "decimal")})
+
+
+def test_generalization_report_hand_computed(spark):
+    """Two rungs over a 6-row fixture: raw keeps nothing at k=2 (all
+    singletons via the unique id-ish column), the bucketed rung keeps
+    the 4 rows that fall in shared bands; kept_pct floor-rounds."""
+    from flink_sql_security_spark.operators.privacy import (
+        generalization_report)
+
+    rows = [("a", 10.0), ("a", 11.0), ("a", 25.0), ("a", 26.0),
+            ("b", 10.5), ("c", 99.0)]
+    df = spark.createDataFrame(rows, "seg string, v double")
+    ladder = [("raw", {}), ("v10", {"v": ("bucket", 10)})]
+    out = {r["rung"]: r for r in generalization_report(
+        df, ["seg", "v"], ladder, k=2).collect()}
+    assert out["raw"]["k_effective"] == 1
+    assert out["raw"]["rows_kept"] == 0
+    # v10: classes (a,10)x2, (a,20)x2, (b,10)x1, (c,90)x1
+    assert out["v10"]["n_classes"] == 4
+    assert out["v10"]["rows_kept"] == 4
+    assert out["v10"]["kept_pct"] == 66.666667          # floor-rounded
+    assert out["v10"]["l_effective"] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-quasi"):
+        generalization_report(df, ["seg"], ladder, k=2)
+    with _pytest.raises(ValueError, match="duplicate rung"):
+        generalization_report(df, ["seg", "v"],
+                              [("r", {}), ("r", {})], k=2)
+    with _pytest.raises(ValueError, match="invalid rung name"):
+        generalization_report(df, ["seg", "v"], [("r'; --", {})], k=2)
+
+
+def test_fuzz_generalization_cross_engine(spark):
+    """Config fuzz: random tables × (ladder, k, optional l-diversity),
+    report AND generalized release bit-equal vs DuckDB. Seed 46368."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.privacy import (
+        generalization_report, generalization_report_duckdb_sql,
+        generalize, generalize_duckdb_select, k_anonymize,
+        k_anonymize_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(46368)
+    for trial in range(4):
+        n = rng.choice([50, 140])
+        rows = [(i,
+                 f"User#{rng.randrange(30):05d}",
+                 rng.choice([None, 1.0, 7.5, 23.0, 88.25, -12.5]),
+                 rng.randrange(5)) for i in range(n)]
+        k = rng.choice([2, 4])
+        width = rng.choice([10, 25])
+        m = rng.choice([4, 5])
+        use_l = rng.random() < 0.5
+        cfg = (trial, n, k, width, m, use_l)
+        df = spark.createDataFrame(
+            rows, "id int, name string, v double, sens int")
+        vals = ", ".join(
+            f"({i}, '{nm}', {'NULL' if v is None else v}, {s})"
+            for i, nm, v, s in rows)
+        tbl = (f"(SELECT * FROM (VALUES {vals}) "
+               f"AS t(id, name, v, sens))")
+        ladder = [("raw", {}),
+                  ("m", {"name": ("mask_show_first", m)}),
+                  ("mb", {"name": ("mask_show_first", m),
+                          "v": ("bucket", width)}),
+                  ("top", {"name": ("suppress", "string"),
+                           "v": ("bucket", width)})]
+        quasi = ["name", "v"]
+        lkw = ({"sensitive_col": "sens", "l": 2} if use_l else {})
+        gr = sorted(map(tuple, generalization_report(
+            df, quasi, ladder, k=k, **lkw).collect()))
+        wr = sorted(map(tuple, con.execute(
+            generalization_report_duckdb_sql(
+                tbl, quasi, ladder, k=k, **lkw)).fetchall()))
+        assert gr == wr and len(gr) == 4, cfg
+
+        def key(t):
+            return [(x is None, str(x)) for x in t]
+
+        spec = ladder[2][1]
+        cols = ["id", "name", "v", "sens"]
+        got = sorted(map(tuple, k_anonymize(
+            generalize(df, spec), quasi, k=k).collect()), key=key)
+        sub = (f"(SELECT {generalize_duckdb_select(cols, spec)} "
+               f"FROM {tbl})")
+        want = sorted(map(tuple, con.execute(k_anonymize_duckdb_sql(
+            sub, quasi, k, cols)).fetchall()), key=key)
+        assert got == want, cfg
+    con.close()
