@@ -1807,6 +1807,27 @@ FROM s GROUP BY user_id, session_id
             min_support=3),
     )
 
+    # 3→1 association rules (operators/assoc.py basket_rules_3to1) —
+    # VERDICT-r10 task 8: one more Apriori level behind the same
+    # capped machinery; frequent triples (persisted occurrences) seed
+    # the quadruple count, four rules per frequent quad. The ladder
+    # deliberately stops here (docstring).
+    def rules_3to1(s):
+        from flink_sql_security_spark.operators.assoc import (
+            basket_rules_3to1)
+        return basket_rules_3to1(s.table("lineitem"),
+                                 basket_col="l_orderkey",
+                                 item_col="l_suppkey", min_support=2)
+
+    from flink_sql_security_spark.operators.assoc import (
+        basket_rules_3to1_duckdb_sql)
+    out["basket_rules_3to1"] = (
+        with_tables(rules_3to1),
+        basket_rules_3to1_duckdb_sql(
+            "lineitem", basket_col="l_orderkey", item_col="l_suppkey",
+            min_support=2),
+    )
+
     # SCD Type-2 history (operators/cdc.py scd2_history): every version
     # of every key with sequence-valued validity intervals — ONE window
     # pass on the key partitioning (lead bound + last-op flag), no

@@ -357,3 +357,178 @@ JOIN pair_n np ON np.x = ante_1 AND np.y = ante_2
 JOIN item_n nc ON nc.i = consequent
 CROSS JOIN nb
 """.strip()
+
+
+def basket_rules_3to1(df: DataFrame, *, basket_col: str, item_col: str,
+                      min_support: int = 2,
+                      max_basket_items: int | None = 1000,
+                      broadcast_items_limit: int = 5_000_000) -> DataFrame:
+    """Rules ``{ante_1, ante_2, ante_3} → consequent`` from frequent
+    quadruples: (ante_1, ante_2, ante_3, consequent, n_quad,
+    n_ante_triple, n_cons, confidence, lift), antecedents sorted
+    ascending, for every unordered quadruple with support ≥
+    ``min_support`` (four rules per quadruple).
+
+    Apriori level 4 restricted to 3→1 rules — one more rung on the
+    :func:`basket_rules_2to1` ladder, same monotonicity-pruned
+    candidate generation applied twice: frequent-pair OCCURRENCES seed
+    the triple count, frequent-TRIPLE occurrences seed the quadruple
+    count (a quad {x,y,z,w}, x<y<z<w, is counted by extending the
+    frequent ordered triple (x,y,z) with a basket item w>z; every
+    sub-triple of a frequent quad is frequent, so the seed loses
+    nothing and every rule's antecedent-triple count is guaranteed
+    present in the frequent-triple table). This is the deliberate top
+    of the ladder: each level multiplies the oracle CTE's join depth,
+    and 4→1 adds cost without adding a new verification shape.
+
+    Scale: the dominant pair self-join runs ONCE (``pair_occ``
+    persisted, shared by the pair counts and both extension joins'
+    lineage); ``triple_occ`` is persisted for the same reason
+    (consumed by the triple counts and the quad extension). Both
+    extension joins are basket-keyed against the capped ``bi`` —
+    bounded at cap·|occ| rows, support-floored before any projection.
+    Same hot-basket cap, truncation warning, and strict floor-rounded
+    IEEE divides as the rest of the family:
+    ``confidence = n_quad / n_triple(ante)``, ``lift = n_quad ·
+    n_baskets / (n_triple(ante) · n_item(cons))``.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1: {min_support}")
+    bi = _capped_items(df, basket_col, item_col,
+                       max_basket_items).persist()
+    n_baskets, n_items = _eager_counts(bi, max_basket_items,
+                                       "basket_rules_3to1")
+    item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
+
+    def hint(frame):
+        return (F.broadcast(frame) if n_items <= broadcast_items_limit
+                else frame)
+    a, c = bi.alias("a"), bi.alias("c")
+    pair_occ = (a.join(c, (F.col("a.b") == F.col("c.b"))
+                       & (F.col("a.i") < F.col("c.i")))
+                .select(F.col("a.b").alias("b"),
+                        F.col("a.i").alias("x"),
+                        F.col("c.i").alias("y"))
+                .persist())
+    pair_n = (pair_occ.groupBy("x", "y")
+              .agg(F.count("*").alias("n_pair"))
+              .where(F.col("n_pair") >= min_support))
+    freq_pair_occ = pair_occ.join(pair_n.select("x", "y"),
+                                  ["x", "y"]).alias("f")
+    z = bi.alias("z")
+    triple_occ = (freq_pair_occ
+                  .join(z, (F.col("f.b") == F.col("z.b"))
+                        & (F.col("f.y") < F.col("z.i")))
+                  .select(F.col("f.b").alias("b"), F.col("f.x").alias("x"),
+                          F.col("f.y").alias("y"),
+                          F.col("z.i").alias("z"))
+                  .persist())
+    triple_n = (triple_occ.groupBy("x", "y", "z")
+                .agg(F.count("*").alias("n_triple"))
+                .where(F.col("n_triple") >= min_support))
+    freq_triple_occ = triple_occ.join(
+        triple_n.select("x", "y", "z"), ["x", "y", "z"]).alias("t")
+    w4 = bi.alias("w4")
+    quads = (freq_triple_occ
+             .join(w4, (F.col("t.b") == F.col("w4.b"))
+                   & (F.col("t.z") < F.col("w4.i")))
+             .groupBy(F.col("t.x").alias("x"), F.col("t.y").alias("y"),
+                      F.col("t.z").alias("z"),
+                      F.col("w4.i").alias("w"))
+             .agg(F.count("*").alias("n_quad"))
+             .where(F.col("n_quad") >= min_support))
+    # four 3→1 rules per frequent quad x<y<z<w; every antecedent
+    # triple is emitted in its own sorted order, matching triple_n's
+    # (x<y<z) key.
+    def rule(a1, a2, a3, cons):
+        return quads.select(F.col(a1).alias("ante_1"),
+                            F.col(a2).alias("ante_2"),
+                            F.col(a3).alias("ante_3"),
+                            F.col(cons).alias("consequent"), "n_quad")
+
+    rules = (rule("x", "y", "z", "w")
+             .union(rule("x", "y", "w", "z"))
+             .union(rule("x", "z", "w", "y"))
+             .union(rule("y", "z", "w", "x")))
+    nt = triple_n.select(F.col("x").alias("ante_1"),
+                         F.col("y").alias("ante_2"),
+                         F.col("z").alias("ante_3"),
+                         F.col("n_triple").alias("n_ante_triple"))
+    nc = item_n.select(F.col("i").alias("consequent"),
+                       F.col("n_i").alias("n_cons"))
+    out = (rules.join(nt, ["ante_1", "ante_2", "ante_3"])
+           .join(hint(nc), "consequent")
+           .select(
+               "ante_1", "ante_2", "ante_3", "consequent", "n_quad",
+               "n_ante_triple", "n_cons",
+               floor_round_col(
+                   F.col("n_quad").cast("double")
+                   / F.col("n_ante_triple").cast("double"))
+               .alias("confidence"),
+               floor_round_col(
+                   (F.col("n_quad").cast("double")
+                    * F.lit(float(n_baskets)))
+                   / (F.col("n_ante_triple").cast("double")
+                      * F.col("n_cons").cast("double"))).alias("lift")))
+    from .cache import attach
+    return attach(out, bi, pair_occ, triple_occ)
+
+
+def basket_rules_3to1_duckdb_sql(table: str, *, basket_col: str,
+                                 item_col: str,
+                                 min_support: int = 2,
+                                 max_basket_items: int | None = 1000
+                                 ) -> str:
+    """DuckDB SQL twin of :func:`basket_rules_3to1` (oracle)."""
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1: {min_support}")
+    conf = floor_round(
+        "CAST(n_quad AS DOUBLE) / CAST(nt.n_triple AS DOUBLE)",
+        6, "duckdb")
+    lift = floor_round(
+        "(CAST(n_quad AS DOUBLE) * nb.n) "
+        "/ (CAST(nt.n_triple AS DOUBLE) * CAST(nc.n_i AS DOUBLE))",
+        6, "duckdb")
+    bi = _capped_items_cte(table, basket_col, item_col, max_basket_items)
+    return f"""
+WITH bi AS MATERIALIZED ({bi}),
+nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM bi),
+item_n AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY i),
+pair_occ AS MATERIALIZED (
+  SELECT a.b AS b, a.i AS x, c.i AS y
+  FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i),
+pair_n AS (
+  SELECT x, y FROM pair_occ GROUP BY 1, 2
+  HAVING count(*) >= {min_support}),
+triple_occ AS MATERIALIZED (
+  SELECT f.b, f.x, f.y, z.i AS z
+  FROM (SELECT o.b, o.x, o.y FROM pair_occ o
+        JOIN pair_n p ON p.x = o.x AND p.y = o.y) f
+  JOIN bi z ON f.b = z.b AND f.y < z.i),
+triple_n AS MATERIALIZED (
+  SELECT x, y, z, CAST(count(*) AS BIGINT) AS n_triple
+  FROM triple_occ GROUP BY 1, 2, 3 HAVING count(*) >= {min_support}),
+quads AS (
+  SELECT t.x, t.y, t.z, w4.i AS w, CAST(count(*) AS BIGINT) AS n_quad
+  FROM (SELECT o.b, o.x, o.y, o.z FROM triple_occ o
+        JOIN triple_n q ON q.x = o.x AND q.y = o.y AND q.z = o.z) t
+  JOIN bi w4 ON t.b = w4.b AND t.z < w4.i
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= {min_support}),
+rules AS (
+  SELECT x AS ante_1, y AS ante_2, z AS ante_3, w AS consequent, n_quad
+  FROM quads
+  UNION ALL
+  SELECT x, y, w, z, n_quad FROM quads
+  UNION ALL
+  SELECT x, z, w, y, n_quad FROM quads
+  UNION ALL
+  SELECT y, z, w, x, n_quad FROM quads)
+SELECT ante_1, ante_2, ante_3, consequent, n_quad,
+       nt.n_triple AS n_ante_triple, nc.n_i AS n_cons,
+       {conf} AS confidence,
+       {lift} AS lift
+FROM rules
+JOIN triple_n nt ON nt.x = ante_1 AND nt.y = ante_2 AND nt.z = ante_3
+JOIN item_n nc ON nc.i = consequent
+CROSS JOIN nb
+""".strip()

@@ -3200,3 +3200,66 @@ def test_fuzz_generalization_cross_engine(spark):
             sub, quasi, k, cols)).fetchall()), key=key)
         assert got == want, cfg
     con.close()
+
+
+def test_basket_rules_3to1_hand_computed(spark):
+    """Baskets {a,b,c,d}×2, {a,b,c}×1, {d}×1 (4 baskets): quad
+    {a,b,c,d} support 2, triple (a,b,c) support 3 →
+    conf({a,b,c}→d) = 2/3, lift = 2·4/(3·3) = 8/9; the rotated rule
+    ({a,b,d}→c) has conf = 2/2 = 1 and lift = 2·4/(2·3) = 4/3."""
+    from flink_sql_security_spark.operators.assoc import basket_rules_3to1
+
+    rows = ([(1, x) for x in "abcd"] + [(2, x) for x in "abcd"]
+            + [(3, x) for x in "abc"] + [(4, "d")])
+    out = {(r["ante_1"], r["ante_2"], r["ante_3"], r["consequent"]): r
+           for r in basket_rules_3to1(
+               spark.createDataFrame(rows, ["basket", "item"]),
+               basket_col="basket", item_col="item",
+               min_support=2).collect()}
+    abcd = out[("a", "b", "c", "d")]
+    assert abcd["n_quad"] == 2 and abcd["n_ante_triple"] == 3
+    assert abcd["n_cons"] == 3
+    assert abcd["confidence"] == pytest.approx(2 / 3, abs=1e-6)
+    assert abcd["lift"] == pytest.approx(8 / 9, abs=1e-6)
+    abdc = out[("a", "b", "d", "c")]
+    assert abdc["n_ante_triple"] == 2 and abdc["confidence"] == 1.0
+    assert abdc["lift"] == pytest.approx(4 / 3, abs=1e-6)
+    assert len(out) == 4                 # exactly the four rotations
+
+
+def test_fuzz_basket_rules_3to1_cross_engine(spark):
+    """Config fuzz: random baskets × support floor × cap, bit-equal
+    vs the DuckDB oracle. Seed 75025."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from flink_sql_security_spark.operators.assoc import (
+        basket_rules_3to1, basket_rules_3to1_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(75025)
+    nonempty = 0
+    for trial in range(4):
+        n_b = rng.choice([5, 10])
+        n_i = rng.choice([5, 7])
+        ms = rng.choice([1, 2])
+        cap = rng.choice([4, None])
+        rows = [(rng.randrange(n_b), f"i{rng.randrange(n_i)}")
+                for _ in range(rng.choice([50, 90]))]
+        cfg = (trial, n_b, n_i, ms, cap)
+        df = spark.createDataFrame(rows, ["basket", "item"])
+        got = sorted(map(tuple, basket_rules_3to1(
+            df, basket_col="basket", item_col="item", min_support=ms,
+            max_basket_items=cap).collect()))
+        con.register(f"t{trial}", pd.DataFrame(
+            rows, columns=["basket", "item"]))
+        want = sorted(map(tuple, con.execute(
+            basket_rules_3to1_duckdb_sql(
+                f"t{trial}", basket_col="basket", item_col="item",
+                min_support=ms, max_basket_items=cap)).fetchall()))
+        assert got == want, cfg
+        nonempty += bool(got)
+    assert nonempty >= 3
+    con.close()
