@@ -2855,69 +2855,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # near-duplicates of already-covered families last.
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
-    # r10 ROTATION — executes VERDICT-r09 task 1 verbatim: all 30
-    # entries that had never held a driver CORRECTNESS row (union of
-    # CORRECTNESS_r01..r09 = 133/163) enter the 50-slot window this
-    # round, moving the ever-windowed union to 163/163. Validated
-    # before commit with tools/driver_sim.py (30/30 hash== at sf0.01)
-    # and tools/check_oracles.py --sf all.
-    #
-    # Slot budget (50 = driver budget measured in round 1):
+    # r11 ROTATION — slot budget (50 = driver budget measured in
+    # round 1): 11 + 3 + 4 + 4 + 28 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
-    #   30 first-time incomers,
-    #    3 re-pins for entries whose IMPLEMENTATION changes in r10
-    #      (basket_rules hot-basket guard, emb_matryoshka_topk in-plan
-    #      shortlist, dedup_components star-contraction path) — the r7
-    #      lesson applies to changed code, not just new entries,
-    #    2 birth-round slots for the r10 newcomers
-    #      (cdc_debezium_state, basket_rules_2to1),
-    #    4 veteran keepers for otherwise-unpinned families:
-    #      q1_pricing_summary (grouped agg), q11_important_parts
-    #      (HAVING + scalar subquery), sketch_distinct_hll (mergeable
-    #      sketches), events_funnel (sequence analytics, born r9).
-    # Every r09-window veteran that exits holds a recorded green
-    # driver row (r09 or earlier) plus the pytest/in-window pin named
-    # in the r01–r09 rotation history (preserved in git at
-    # da14b5c:__spark_entry__.py:2508 — compressed here because the
-    # 300-line running commentary had outgrown its usefulness).
+    #    3 late-r10 entries born after the r10 window closed — the
+    #      only ones without a driver row, union r01-r10 = 169/172
+    #      (VERDICT-r10 task 1; after this window the ever-checked
+    #      union is every pre-r11 entry),
+    #    4 r11 newcomers (birth-round window, the r7 lesson):
+    #      streaming_funnel_state (task 5), privacy_generalize +
+    #      privacy_ladder_report (task 6), basket_rules_3to1 (task 8),
+    #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
+    #      events_funnel_attempts (built-in max_attempts cap, task 2),
+    #      graph_hits (L1-total fusion, task 3), basket_rules +
+    #      basket_rules_2to1 (_capped_items now carries the pre-cap
+    #      basket size for the truncation warning),
+    #   28 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+9) plus 8 family-diverse r8 veterans, so
+    #      window coverage keeps cycling through the corpus instead of
+    #      re-checking last round's set.
+    # Validated before commit with tools/driver_sim.py (50/50 hash==
+    # at sf0.01) and tools/check_oracles.py --sf all. Every r10-window
+    # veteran that exits holds its green r10 driver row; the full
+    # r01-r10 rotation history is preserved in git
+    # (36c6155:__spark_entry__.py:2721 and da14b5c:__spark_entry__.py:2508).
     # ------------------------------------------------------------------
     # security layer (the reference's whole surface):
     "rls_or_where", "rls_join_3way", "rls_subquery",
     "rls_groupby", "rls_union", "mask_show_first", "mask_default_supplier",
     "mask_join", "mask_union", "mask_custom_template",
     "mixed_flagship",
-    # 30 first-time incomers (never driver-checked before r10):
-    "chunk_content_defined", "chunk_fixed_tokens", "chunk_sentence_budget",
-    "corpus_shard_shuffle", "dedup_exact_groups", "dedup_incremental_batch",
-    "dedup_jaccard_pairs", "dedup_simhash", "dedup_source_overlap",
-    "dedup_span_trim", "emb_binary_ivf_topk", "emb_cosine_pairs",
-    "emb_pq_reconstruct", "emb_rp_project", "graph_pagerank_weighted",
-    "graph_ppr", "multimodal_audio_segments", "multimodal_frame_plan",
-    "multimodal_resize_plan", "pack_length_batches", "profile_correlations",
-    "profile_zscore", "retrieval_rrf_grouped", "sample_epoch_upsample",
-    "sample_hash_fraction", "sample_weighted", "secured_funnel",
-    "skew_salted_agg", "text_fingerprint", "vocab_top_tokens",
-    # re-pins: implementation changes in r10 (windowed like newcomers).
-    # dedup_components_star rather than dedup_components: at driver SFs
-    # the plain entry takes the UNCHANGED driver union-find path, while
-    # the _star entry forces the new large-star/small-star distributed
-    # path (driver_threshold=0) — that's the code that changed:
-    "basket_rules", "emb_matryoshka_topk", "dedup_components_star",
-    # r10 newcomers (birth-round window, the r7 lesson). The fourth
-    # keeper slot goes to events_funnel_attempts rather than
-    # events_funnel: the entry-anchored chain core holds its r9 driver
-    # row + pytest pins and rides in-window secured_funnel; the
-    # re-anchored per-attempt semantics are new this round:
-    "cdc_debezium_state", "basket_rules_2to1", "events_funnel_attempts",
-    # late-r10 newcomers take the q1/q11 keeper slots (both hold driver
-    # rows since r1 plus the golden TPC-H pytest suite; their grouped-
-    # agg and HAVING+scalar-subquery cores also ride several of the 30
-    # incomers): the privacy tier is a brand-new family and the r7
-    # lesson says birth-round window or the oracle rots unseen.
-    "privacy_k_anonymize", "privacy_report",
-    # veteran keeper (otherwise-unpinned family):
-    "sketch_distinct_hll",
+    # late-r10, first driver rows (task 1):
+    "dedup_jaccard_prefix", "emb_profile_stats", "events_funnel_summary",
+    # r11 newcomers (birth-round window):
+    "streaming_funnel_state", "privacy_generalize",
+    "privacy_ladder_report", "basket_rules_3to1",
+    # r11 implementation re-pins:
+    "events_funnel_attempts", "graph_hits",
+    "basket_rules", "basket_rules_2to1",
+    # stalest veterans: last row r2
+    "dedup_simhash_pairs", "text_langid",
+    # last row r4
+    "emb_ivf_topk", "emb_kmeans_cells", "emb_quantize_int8",
+    "events_hourly_window", "profile_lineitem", "secured_clean_corpus",
+    "sketch_cms_tokens", "split_hash_assign", "text_pii_redact",
+    # last row r7
+    "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
+    "emb_pq_codes", "fuzzy_title_pairs", "sketch_hist_quantiles",
+    "text_repetition", "text_stats", "zorder_orders",
+    # last row r8 (family-diverse eight: tokenizer, CDC, components
+    # driver-path, exact ANN, fusion re-rank, importance sampling,
+    # sessionization, tf-idf)
+    "bpe_tokens", "cdc_upsert_latest", "dedup_components",
+    "emb_cosine_topk", "retrieval_mmr_topk", "sample_dsir_weights",
+    "sessionize_events", "text_tfidf_terms",
 ]
 
 
