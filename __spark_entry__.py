@@ -2033,6 +2033,57 @@ FROM orders WHERE o_orderkey % 100 = 0
                           within_hours=72),
     )
 
+    # STREAMING retention state (streaming/funnel.py
+    # retention_activity_stream), driver-checkable like the funnel
+    # twin: the filtered purchaser events stream in as 3 user-hash
+    # micro-batches, built-in stateful dropDuplicates maintains the
+    # DISTINCT (user, period) table (the complete state cohort
+    # retention needs — cohort = min period per user), and the batch
+    # retention_cohorts finalizes the drained snapshot with
+    # ts_col='period' (date_trunc is idempotent). Answers the batch
+    # op's oracle over the raw filtered events — same filter as the
+    # events_retention entry, so the two entries pin the
+    # maintain/finalize split against one oracle shape.
+    def stream_retention_end_state(spark):
+        import os
+        import shutil
+        import tempfile
+
+        from flink_sql_security_spark.operators.timeseries import (
+            retention_cohorts)
+        from flink_sql_security_spark.streaming.funnel import (
+            retention_activity_stream)
+
+        ev = (spark.table("events")
+              .where("event_type = 'purchase' AND value > 100")
+              .select("user_id", "ts", "event_id", "value"))
+        path = tempfile.mkdtemp(prefix="fss_stream_ret_")
+        _STREAM_SINK_SEQ[0] += 1
+        name = f"fss_stream_retention_sink_{_STREAM_SINK_SEQ[0]}"
+        try:
+            for i in range(3):
+                (ev.where(F.pmod(F.col("user_id"), F.lit(3)) == i)
+                 .coalesce(1)
+                 .write.parquet(os.path.join(path, f"b{i}")))
+            src = (spark.readStream.schema(ev.schema)
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(os.path.join(path, "b*")))
+            q = (retention_activity_stream(src)
+                 .writeStream.format("memory").queryName(name)
+                 .outputMode("append").start())
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        return retention_cohorts(spark.table(name), ts_col="period")
+
+    out["streaming_retention_state"] = (
+        with_tables(stream_retention_end_state),
+        retention_cohorts_sql(
+            "(SELECT * FROM events "
+            "WHERE event_type = 'purchase' AND value > 100)"),
+    )
+
     # k-anonymity suppression (operators/privacy.py k_anonymize): the
     # third classic privacy primitive after the reference's row
     # filters and masks — release only rows whose quasi-identifier
@@ -2863,16 +2914,18 @@ _CHECK_ORDER = [
     #      only ones without a driver row, union r01-r10 = 169/172
     #      (VERDICT-r10 task 1; after this window the ever-checked
     #      union is every pre-r11 entry),
-    #    4 r11 newcomers (birth-round window, the r7 lesson):
-    #      streaming_funnel_state (task 5), privacy_generalize +
-    #      privacy_ladder_report (task 6), basket_rules_3to1 (task 8),
+    #    5 r11 newcomers (birth-round window, the r7 lesson):
+    #      streaming_funnel_state + streaming_retention_state
+    #      (task 5 — both driver-checkable streaming twins),
+    #      privacy_generalize + privacy_ladder_report (task 6),
+    #      basket_rules_3to1 (task 8),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   28 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+9) plus 8 family-diverse r8 veterans, so
+    #   27 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+9) plus 7 family-diverse r8 veterans, so
     #      window coverage keeps cycling through the corpus instead of
     #      re-checking last round's set.
     # Validated before commit with tools/driver_sim.py (50/50 hash==
@@ -2889,8 +2942,8 @@ _CHECK_ORDER = [
     # late-r10, first driver rows (task 1):
     "dedup_jaccard_prefix", "emb_profile_stats", "events_funnel_summary",
     # r11 newcomers (birth-round window):
-    "streaming_funnel_state", "privacy_generalize",
-    "privacy_ladder_report", "basket_rules_3to1",
+    "streaming_funnel_state", "streaming_retention_state",
+    "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -2904,12 +2957,13 @@ _CHECK_ORDER = [
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
     "emb_pq_codes", "fuzzy_title_pairs", "sketch_hist_quantiles",
     "text_repetition", "text_stats", "zorder_orders",
-    # last row r8 (family-diverse eight: tokenizer, CDC, components
+    # last row r8 (family-diverse seven: tokenizer, CDC, components
     # driver-path, exact ANN, fusion re-rank, importance sampling,
-    # sessionization, tf-idf)
+    # sessionization; text_tfidf_terms ceded its slot to the second
+    # streaming newcomer — it holds an r8 row + the tf·idf pytest pins)
     "bpe_tokens", "cdc_upsert_latest", "dedup_components",
     "emb_cosine_topk", "retrieval_mmr_topk", "sample_dsir_weights",
-    "sessionize_events", "text_tfidf_terms",
+    "sessionize_events",
 ]
 
 
