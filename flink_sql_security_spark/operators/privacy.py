@@ -169,8 +169,12 @@ def _gen_duckdb(col: str, g: tuple) -> str:
         return f"CAST(NULL AS {_SUPPRESS_TYPES[g[1]][1]})"
     if kind == "mask_show_first":
         from ..functions.masks import duckdb_mask_show_first_n_sql
-        return duckdb_mask_show_first_n_sql(col, int(g[1]),
-                                            up="x", low="x", dig="x")
+        inner = duckdb_mask_show_first_n_sql(col, int(g[1]),
+                                             up="x", low="x", dig="x")
+        # DuckDB's concat folds NULL to '' while Spark's returns NULL —
+        # the CASE keeps NULL quasi-values NULL on both engines (they
+        # then form their own class, the k_anonymize convention)
+        return f"CASE WHEN {col} IS NULL THEN NULL ELSE {inner} END"
     raise ValueError(f"unknown generalizer kind: {g!r}")
 
 

@@ -3157,7 +3157,10 @@ def test_fuzz_generalization_cross_engine(spark):
     for trial in range(4):
         n = rng.choice([50, 140])
         rows = [(i,
-                 f"User#{rng.randrange(30):05d}",
+                 # NULL names exercise the CASE guard in the oracle's
+                 # mask generalizer (DuckDB concat folds NULL to '')
+                 (None if rng.random() < 0.1
+                  else f"User#{rng.randrange(30):05d}"),
                  rng.choice([None, 1.0, 7.5, 23.0, 88.25, -12.5]),
                  rng.randrange(5)) for i in range(n)]
         k = rng.choice([2, 4])
@@ -3168,7 +3171,8 @@ def test_fuzz_generalization_cross_engine(spark):
         df = spark.createDataFrame(
             rows, "id int, name string, v double, sens int")
         vals = ", ".join(
-            f"({i}, '{nm}', {'NULL' if v is None else v}, {s})"
+            f"({i}, {'NULL' if nm is None else repr(nm)}, "
+            f"{'NULL' if v is None else v}, {s})"
             for i, nm, v, s in rows)
         tbl = (f"(SELECT * FROM (VALUES {vals}) "
                f"AS t(id, name, v, sens))")
