@@ -2187,6 +2187,27 @@ FROM orders WHERE o_orderkey % 100 = 0
                                          _GEN_LADDER, k=6),
     )
 
+    # t-closeness audit (operators/privacy.py t_closeness_report):
+    # the third rung of the privacy ladder — per-class total-variation
+    # distance between the class's sensitive mix (market segment) and
+    # the population's, catching the skewness attack k/l let through.
+    # Exact-integer TVD numerator (DECIMAL(38,0) / HUGEINT twins), one
+    # floor-rounded division per class; one wide exchange beyond the
+    # class-value groupBy.
+    def t_audit(s):
+        from flink_sql_security_spark.operators.privacy import (
+            t_closeness_report)
+        return t_closeness_report(s.table("customer"),
+                                  ["c_nationkey"], "c_mktsegment")
+
+    from flink_sql_security_spark.operators.privacy import (
+        t_closeness_report_duckdb_sql)
+    out["privacy_t_closeness"] = (
+        with_tables(t_audit),
+        t_closeness_report_duckdb_sql("customer", ["c_nationkey"],
+                                      "c_mktsegment"),
+    )
+
     # robust per-group outlier detection (operators/profile.py
     # robust_outliers): median/MAD flags on the heavy-tailed events.value
     # — exact lower-median order statistics (no interpolation, no float
@@ -2907,27 +2928,35 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 4 + 4 + 28 =
+    # round 1): 11 + 3 + 6 + 4 + 26 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
     #      only ones without a driver row, union r01-r10 = 169/172
     #      (VERDICT-r10 task 1; after this window the ever-checked
     #      union is every pre-r11 entry),
-    #    5 r11 newcomers (birth-round window, the r7 lesson):
+    #    6 r11 newcomers (birth-round window, the r7 lesson):
     #      streaming_funnel_state + streaming_retention_state
     #      (task 5 — both driver-checkable streaming twins),
     #      privacy_generalize + privacy_ladder_report (task 6),
-    #      basket_rules_3to1 (task 8),
+    #      basket_rules_3to1 (task 8), privacy_t_closeness (the
+    #      third privacy rung, late r11),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   27 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+9) plus 7 family-diverse r8 veterans, so
-    #      window coverage keeps cycling through the corpus instead of
-    #      re-checking last round's set.
+    #   26 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+9) plus 5 family-diverse r8 veterans and
+    #      multimodal_features (stalest of its family, r9 — the window
+    #      contract requires every core family present, and the first
+    #      r11 cut dropped all multimodal entries:
+    #      test_check_order_is_prefix_and_covers_families), so window
+    #      coverage keeps cycling through the corpus instead of
+    #      re-checking last round's set. bpe_tokens and
+    #      cdc_upsert_latest ceded their r8-veteran slots (both hold
+    #      green r8 rows + pytest pins; cdc_snapshot_diff keeps CDC in
+    #      the window).
     # Validated before commit with tools/driver_sim.py (50/50 hash==
     # at sf0.01) and tools/check_oracles.py --sf all. Every r10-window
     # veteran that exits holds its green r10 driver row; the full
@@ -2944,6 +2973,7 @@ _CHECK_ORDER = [
     # r11 newcomers (birth-round window):
     "streaming_funnel_state", "streaming_retention_state",
     "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
+    "privacy_t_closeness",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -2957,13 +2987,13 @@ _CHECK_ORDER = [
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
     "emb_pq_codes", "fuzzy_title_pairs", "sketch_hist_quantiles",
     "text_repetition", "text_stats", "zorder_orders",
-    # last row r8 (family-diverse seven: tokenizer, CDC, components
-    # driver-path, exact ANN, fusion re-rank, importance sampling,
-    # sessionization; text_tfidf_terms ceded its slot to the second
-    # streaming newcomer — it holds an r8 row + the tf·idf pytest pins)
-    "bpe_tokens", "cdc_upsert_latest", "dedup_components",
-    "emb_cosine_topk", "retrieval_mmr_topk", "sample_dsir_weights",
-    "sessionize_events",
+    # last row r8 (family-diverse five: components driver-path, exact
+    # ANN, fusion re-rank, importance sampling, sessionization;
+    # text_tfidf_terms ceded its slot to the second streaming newcomer
+    # — it holds an r8 row + the tf·idf pytest pins) + the stalest
+    # multimodal (r9, family contract)
+    "dedup_components", "emb_cosine_topk", "retrieval_mmr_topk",
+    "sample_dsir_weights", "sessionize_events", "multimodal_features",
 ]
 
 

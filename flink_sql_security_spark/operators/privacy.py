@@ -338,6 +338,154 @@ def generalization_report_duckdb_sql(table: str, quasi_cols, ladder,
     return ", ".join(parts) + " " + " UNION ALL ".join(selects)
 
 
+def t_closeness_report(df: DataFrame, quasi_cols,
+                       sensitive_col: str) -> DataFrame:
+    """Per-class t-closeness audit (Li/Li/Venkatasubramanian 2007):
+    one row per quasi-identifier equivalence class with its size and
+    the TOTAL VARIATION DISTANCE between the class's sensitive-value
+    distribution and the table-wide one — the third rung of the
+    classic privacy ladder after k-anonymity (class size) and
+    l-diversity (class variety): a class can be large AND diverse yet
+    still leak when its sensitive mix differs sharply from the
+    population's (the skewness attack). A release satisfies
+    t-closeness for every t ≥ max(tvd).
+
+    Determinism (the decimal-exact Pearson recipe): TVD over a
+    categorical sensitive attribute is
+
+        tvd_c = 1/2 · [ Σ_{v∈class} |n_cv/n_c − n_v/N|  +  Σ_{v∉class} n_v/N ]
+              = ( Σ_{v∈class} |n_cv·N − n_v·n_c|  +  n_c·N − n_c·Σ_{v∈class} n_v )
+                / (2·n_c·N)
+
+    — the absent-value mass folded in via 1 − Σ p_v, so the plan only
+    touches (class, value) pairs that EXIST (never a class × value
+    cross join). Numerator and denominator are exact integers
+    (DECIMAL(38,0) products — BIGINT would overflow past ~10^9-row
+    classes at 100 TB); one guarded double division per class, floor-
+    rounded → strict oracle. Shape: one groupBy(quasi+sensitive), two
+    broadcastable side aggregates (global value counts, 1-row total),
+    one groupBy(quasi) — no shuffle wider than the class-value table.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import floor_round_col
+
+    quasi_cols = _check_cols(quasi_cols)
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive_col {sensitive_col!r} overlaps quasi_cols")
+    dec = "decimal(19,0)"
+    cv = (df.groupBy(*quasi_cols, sensitive_col)
+          .agg(F.count("*").cast(dec).alias("_n_cv")))
+    # global per-value counts and the 1-row table total: both tiny
+    # (|distinct sensitive| rows / 1 row) → broadcast joins, and both
+    # are second aggregations over frames no wider than cv
+    v = (df.groupBy(sensitive_col)
+         .agg(F.count("*").cast(dec).alias("_n_v")))
+    total = df.agg(F.count("*").cast(dec).alias("_N"))
+    w = Window.partitionBy(*quasi_cols)
+    # null-safe on the sensitive value: NULL is its own category (the
+    # k_anonymize convention) — an equi-join would silently drop the
+    # NULL-sensitive mass from every class while N still counts it
+    joined = (cv.alias("cv")
+              .join(F.broadcast(v).alias("v"),
+                    F.col(f"cv.{sensitive_col}")
+                    .eqNullSafe(F.col(f"v.{sensitive_col}")))
+              .select("cv.*", "v._n_v")
+              .crossJoin(F.broadcast(total))
+              .withColumn("_n_c", F.sum("_n_cv").over(w)))
+    # the window exchange hash-partitions by quasi, so the groupBy
+    # below reuses it — one wide exchange total beyond the cv agg
+    per_class = (
+        joined.groupBy(*quasi_cols)
+        .agg(F.min("_n_c").alias("_n_c"),
+             F.min("_N").alias("_N"),
+             F.sum(F.abs(F.col("_n_cv") * F.col("_N")
+                         - F.col("_n_v") * F.col("_n_c"))).alias("_s1"),
+             F.sum("_n_v").alias("_s2")))
+    num = (F.col("_s1") + F.col("_n_c") * F.col("_N")
+           - F.col("_n_c") * F.col("_s2"))
+    den = F.lit(2).cast("decimal(19,0)") * F.col("_n_c") * F.col("_N")
+    return per_class.select(
+        *quasi_cols,
+        F.col("_n_c").cast("bigint").alias("class_n"),
+        floor_round_col(num.cast("double") / den.cast("double"))
+        .alias("tvd"))
+
+
+def t_closeness_report_duckdb_sql(table: str, quasi_cols,
+                                  sensitive_col: str) -> str:
+    """DuckDB SQL twin of :func:`t_closeness_report` (oracle):
+    identical exact-integer TVD numerator/denominator (HUGEINT — the
+    same exact integers the Spark plan carries as DECIMAL(38,0)), one
+    double division, same floor-round."""
+    from ..functions.text import floor_round
+
+    quasi_cols = _check_cols(quasi_cols)
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive_col {sensitive_col!r} overlaps quasi_cols")
+    qs = ", ".join(quasi_cols)
+    tvd = floor_round(
+        "CAST(_s1 + _n_c * _N - _n_c * _s2 AS DOUBLE) "
+        "/ CAST(2 * _n_c * _N AS DOUBLE)", 6, "duckdb")
+    return (
+        f"WITH cv AS (SELECT {qs}, {sensitive_col}, "
+        f"CAST(count(*) AS HUGEINT) AS _n_cv "
+        f"FROM {table} GROUP BY {qs}, {sensitive_col}), "
+        f"v AS (SELECT {sensitive_col}, CAST(count(*) AS HUGEINT) AS _n_v "
+        f"FROM {table} GROUP BY {sensitive_col}), "
+        f"t AS (SELECT CAST(count(*) AS HUGEINT) AS _N FROM {table}), "
+        f"j AS (SELECT cv.*, v._n_v, t._N, "
+        f"sum(_n_cv) OVER (PARTITION BY {qs}) AS _n_c "
+        f"FROM cv JOIN v ON cv.{sensitive_col} "
+        f"IS NOT DISTINCT FROM v.{sensitive_col} CROSS JOIN t), "
+        f"pc AS (SELECT {qs}, min(_n_c) AS _n_c, min(_N) AS _N, "
+        f"sum(abs(_n_cv * _N - _n_v * _n_c)) AS _s1, "
+        f"sum(_n_v) AS _s2 FROM j GROUP BY {qs}) "
+        f"SELECT {qs}, CAST(_n_c AS BIGINT) AS class_n, {tvd} AS tvd "
+        f"FROM pc")
+
+
+def t_close_release(df: DataFrame, quasi_cols, sensitive_col: str,
+                    t: float) -> DataFrame:
+    """Suppression release under t-closeness: rows whose class TVD
+    (see :func:`t_closeness_report`) is ≤ t. Same null-safe
+    broadcastable join-back shape as :func:`k_anonymize`; compose the
+    three gates as k_anonymize(...) ∘ t_close_release(...) when a
+    release needs all of them (each is a row gate, so order is free).
+    """
+    if not 0.0 <= float(t) <= 1.0:
+        raise ValueError(f"t must be in [0, 1]: {t}")
+    quasi_cols = _check_cols(quasi_cols)
+    keep = (t_closeness_report(df, quasi_cols, sensitive_col)
+            .where(F.col("tvd") <= float(t)))
+    cols = df.columns
+    out = df.alias("r").join(
+        keep.alias("c"),
+        [F.col(f"r.{q}").eqNullSafe(F.col(f"c.{q}"))
+         for q in quasi_cols])
+    return out.select(*[F.col(f"r.{c}") for c in cols])
+
+
+def t_close_release_duckdb_sql(table: str, quasi_cols,
+                               sensitive_col: str, t: float,
+                               select_cols: list[str]) -> str:
+    """DuckDB SQL twin of :func:`t_close_release` (oracle)."""
+    if not 0.0 <= float(t) <= 1.0:
+        raise ValueError(f"t must be in [0, 1]: {t}")
+    quasi_cols = _check_cols(quasi_cols)
+    report = t_closeness_report_duckdb_sql(table, quasi_cols,
+                                           sensitive_col)
+    on = " AND ".join(
+        f"r.{q} IS NOT DISTINCT FROM c.{q}" for q in quasi_cols)
+    cols = ", ".join(f"r.{c}" for c in select_cols)
+    return (
+        f"SELECT {cols} FROM {table} r "
+        f"JOIN (SELECT * FROM ({report}) WHERE tvd <= {float(t)!r}) c "
+        f"ON {on}")
+
+
 def anonymity_report(df: DataFrame, quasi_cols,
                      sensitive_col: str | None = None) -> DataFrame:
     """One-row release audit: (n_rows, n_classes, k_effective,

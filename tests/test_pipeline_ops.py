@@ -3206,6 +3206,94 @@ def test_fuzz_generalization_cross_engine(spark):
     con.close()
 
 
+def test_t_closeness_hand_computed(spark):
+    """Global sens mix over 6 rows: x=4/6, y=1/6, z=1/6. Class a
+    (x,x,x,x): tvd = ½(|1−4/6| + 1/6 + 1/6) = 1/3. Class b (y,z):
+    tvd = ½(4/6 + |½−1/6|·2) = 2/3 — the small skewed class
+    t-closeness exists to catch. (Classes must differ in SIZE for an
+    asymmetric example: with two equal-size classes the global mix is
+    their average, so both sit at the same distance from it.)"""
+    from flink_sql_security_spark.operators.privacy import (
+        t_close_release, t_closeness_report)
+
+    rows = [("a", "x"), ("a", "x"), ("a", "x"), ("a", "x"),
+            ("b", "y"), ("b", "z")]
+    df = spark.createDataFrame(rows, "q string, sens string")
+    rep = {r["q"]: (r["class_n"], r["tvd"])
+           for r in t_closeness_report(df, ["q"], "sens").collect()}
+    assert rep == {"a": (4, 0.333333), "b": (2, 0.666667)}
+    kept = t_close_release(df, ["q"], "sens", t=0.5)
+    assert kept.columns == df.columns             # row gate
+    assert {r["q"] for r in kept.collect()} == {"a"}
+    assert t_close_release(df, ["q"], "sens", t=0.666667).count() == 6
+    # a one-class table has tvd 0 by construction
+    one = t_closeness_report(df.where("q = 'a'"), ["q"], "sens")
+    assert one.first()["tvd"] == 0.0
+
+
+def test_t_closeness_validates(spark):
+    import pytest as _pytest
+
+    from flink_sql_security_spark.operators.privacy import (
+        t_close_release, t_close_release_duckdb_sql, t_closeness_report)
+
+    df = spark.createDataFrame([("a", "x")], "q string, sens string")
+    with _pytest.raises(ValueError, match="overlaps"):
+        t_closeness_report(df, ["q"], "q")
+    with _pytest.raises(ValueError, match="non-empty"):
+        t_closeness_report(df, [], "sens")
+    with _pytest.raises(ValueError, match="t must"):
+        t_close_release(df, ["q"], "sens", t=1.5)
+    with _pytest.raises(ValueError, match="t must"):
+        t_close_release_duckdb_sql("t", ["q"], "sens", -0.1, ["q"])
+
+
+def test_fuzz_t_closeness_cross_engine(spark):
+    """Config fuzz: random tables × quasi sets (with NULL quasi values
+    and NULL sensitive values), report AND release bit-equal vs the
+    DuckDB oracle. Seed 75025."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.privacy import (
+        t_close_release, t_close_release_duckdb_sql,
+        t_closeness_report, t_closeness_report_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(75025)
+    for trial in range(4):
+        n = rng.choice([40, 130])
+        two_q = rng.random() < 0.5
+        rows = [(rng.randrange(4),
+                 rng.choice(["p", "q", None]),
+                 rng.choice([10, 20, 30, None])) for _ in range(n)]
+        t = rng.choice([0.1, 0.3, 0.6])
+        cfg = (trial, n, two_q, t)
+        df = spark.createDataFrame(rows, "qa int, qb string, sens int")
+        vals = ", ".join(
+            f"({a}, {'NULL' if b is None else repr(b)}, "
+            f"{'NULL' if c is None else c})" for a, b, c in rows)
+        tbl = f"(SELECT * FROM (VALUES {vals}) AS t(qa, qb, sens))"
+        quasi = ["qa", "qb"] if two_q else ["qa"]
+
+        def key(r):  # None-safe total order for mixed rows
+            return [(x is None, str(x)) for x in r]
+
+        gr = sorted(map(tuple, t_closeness_report(
+            df, quasi, "sens").collect()), key=key)
+        wr = sorted(map(tuple, con.execute(t_closeness_report_duckdb_sql(
+            tbl, quasi, "sens")).fetchall()), key=key)
+        assert gr == wr and len(gr) > 0, cfg
+        got = sorted(map(tuple, t_close_release(
+            df, quasi, "sens", t=t).collect()), key=key)
+        want = sorted(map(tuple, con.execute(t_close_release_duckdb_sql(
+            tbl, quasi, "sens", t, ["qa", "qb", "sens"])).fetchall()),
+            key=key)
+        assert got == want, cfg
+    con.close()
+
+
 def test_basket_rules_3to1_hand_computed(spark):
     """Baskets {a,b,c,d}×2, {a,b,c}×1, {d}×1 (4 baskets): quad
     {a,b,c,d} support 2, triple (a,b,c) support 3 →
