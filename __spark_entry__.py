@@ -1621,6 +1621,21 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             "doc_id", T.lang_id(F.col("text")).alias("lang_pred"))),
         f"SELECT doc_id, {T.lang_id_sql('text')} AS lang_pred FROM documents",
     )
+
+    # Gopher quality rules (functions/text.py gopher_flags): the
+    # published Rae et al. 2021 A1.1 heuristics — the de-facto public
+    # pretraining-corpus gate — as a pure projection (regexes in the
+    # dialect-common subset, zero exchanges; the keep filter fuses
+    # into the scan at 100 TB). Per-doc metrics + the 7-rule keep.
+    def gopher(s):
+        from flink_sql_security_spark.functions.text import gopher_select
+        return gopher_select(docs(s))
+
+    from flink_sql_security_spark.functions.text import gopher_select_sql
+    out["text_gopher_quality"] = (
+        with_tables(gopher),
+        gopher_select_sql("documents"),
+    )
     out["text_fingerprint"] = (
         with_tables(lambda s: docs(s).select(
             "doc_id", T.fingerprint(F.col("text")).alias("fp"))),
@@ -2928,7 +2943,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 6 + 4 + 26 =
+    # round 1): 11 + 3 + 7 + 4 + 25 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
@@ -2940,14 +2955,15 @@ _CHECK_ORDER = [
     #      (task 5 — both driver-checkable streaming twins),
     #      privacy_generalize + privacy_ladder_report (task 6),
     #      basket_rules_3to1 (task 8), privacy_t_closeness (the
-    #      third privacy rung, late r11),
+    #      third privacy rung, late r11), text_gopher_quality (the
+    #      published Gopher A1.1 gate, late r11),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   26 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+9) plus 5 family-diverse r8 veterans and
+    #   25 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+9) plus 4 family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:
@@ -2973,7 +2989,7 @@ _CHECK_ORDER = [
     # r11 newcomers (birth-round window):
     "streaming_funnel_state", "streaming_retention_state",
     "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
-    "privacy_t_closeness",
+    "privacy_t_closeness", "text_gopher_quality",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -2987,13 +3003,13 @@ _CHECK_ORDER = [
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
     "emb_pq_codes", "fuzzy_title_pairs", "sketch_hist_quantiles",
     "text_repetition", "text_stats", "zorder_orders",
-    # last row r8 (family-diverse five: components driver-path, exact
-    # ANN, fusion re-rank, importance sampling, sessionization;
-    # text_tfidf_terms ceded its slot to the second streaming newcomer
-    # — it holds an r8 row + the tf·idf pytest pins) + the stalest
-    # multimodal (r9, family contract)
+    # last row r8 (family-diverse four: components driver-path, exact
+    # ANN, fusion re-rank, importance sampling; text_tfidf_terms,
+    # bpe_tokens, cdc_upsert_latest and sessionize_events ceded their
+    # r8-veteran slots to late-r11 newcomers — each holds a green r8
+    # row + pytest pins) + the stalest multimodal (r9, family contract)
     "dedup_components", "emb_cosine_topk", "retrieval_mmr_topk",
-    "sample_dsir_weights", "sessionize_events", "multimodal_features",
+    "sample_dsir_weights", "multimodal_features",
 ]
 
 

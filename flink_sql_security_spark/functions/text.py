@@ -244,6 +244,154 @@ def quality_score_sql(c: str) -> str:
         + f["punct_ratio"] + ") * 2, 1.0))", "duckdb")
 
 
+# -- Gopher quality rules ---------------------------------------------------
+#
+# The published document-quality heuristics from Rae et al. 2021 ("Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Appendix A1.1) — the de-facto public baseline gate for web-scale LLM
+# pretraining corpora (MassiveWeb; reused by many open pipelines). Seven
+# rules; a document is kept only if it passes all of them:
+#
+#   1. 50 ≤ word count ≤ 100,000
+#   2. 3 ≤ mean word length ≤ 10
+#   3. symbol-to-word ratio ≤ 0.1        (symbols: '#', '...', '…')
+#   4. ≤ 90% of lines start with a bullet ('-', '*', '•')
+#   5. ≤ 30% of lines end with an ellipsis
+#   6. ≥ 80% of words contain ≥ 1 alphabetic character
+#   7. ≥ 2 DISTINCT members of the required-stopword set present
+#      (the paper's "contain at least two of the following English
+#      words: the, be, to, of, and, that, have, with")
+#
+# Pure projection in the dialect-common regex subset (JVM codegen on
+# Spark, RE2 on DuckDB) — no shuffle, no UDF; at 100 TB the gate fuses
+# into the scan and drops rows before anything wide runs. Like
+# `quality_features`, each metric evaluates its own split (readable,
+# independently usable); if a profiled hot path ever needs the arrays
+# bound once, apply the `quality_score` transform-bind recipe.
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_RE = r"^\s*[-*•]"
+_ELLIPSIS_LINE_RE = r"(\.\.\.|…)\s*$"
+_ELLIPSIS_RE = r"\.\.\.|…"
+
+
+def gopher_flags(text: Column) -> dict[str, Column]:
+    """Per-document Gopher rule metrics + the combined ``keep`` gate.
+
+    NULL text → NULL metrics and ``keep = false`` (a document that
+    cannot be measured is not releasable). All ratios floor-rounded
+    (package rule), so the threshold comparisons — and therefore
+    ``keep`` — are bit-identical on both engines.
+    """
+    words = F.split(F.lower(F.trim(text)), _WS)
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    ellipses = F.size(
+        F.regexp_extract_all(text, F.lit(_ELLIPSIS_RE), F.lit(0)))
+    bullet_lines = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE)))
+    ell_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(_ELLIPSIS_LINE_RE)))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    stop_hits = F.when(text.isNull(), F.lit(None).cast("int")).otherwise(
+        sum(F.when(F.array_contains(words, s), 1).otherwise(0)
+            for s in _GOPHER_STOPS))
+    m = {
+        "n_words": n_words,
+        "mean_word_len": _ratio(
+            F.length(F.regexp_replace(F.lower(F.trim(text)), _WS, "")),
+            n_words),
+        "symbol_word_ratio": _ratio(hashes + ellipses, n_words),
+        "bullet_line_frac": _ratio(bullet_lines, n_lines),
+        "ellipsis_line_frac": _ratio(ell_lines, n_lines),
+        "alpha_word_frac": _ratio(alpha_words, n_words),
+        "stop_hits": stop_hits,
+    }
+    rules = [
+        (m["n_words"] >= 50) & (m["n_words"] <= 100_000),
+        (m["mean_word_len"] >= 3.0) & (m["mean_word_len"] <= 10.0),
+        m["symbol_word_ratio"] <= 0.1,
+        m["bullet_line_frac"] <= 0.9,
+        m["ellipsis_line_frac"] <= 0.3,
+        m["alpha_word_frac"] >= 0.8,
+        m["stop_hits"] >= 2,
+    ]
+    # rules_passed (0-7) grades HOW close a document is to the gate —
+    # corpora where the binary keep is one-sided still hash a
+    # discriminating signal (the sf* documents all fail ≥2 rules)
+    m["rules_passed"] = sum(
+        F.when(r, 1).otherwise(0) for r in rules)
+    m["keep"] = F.coalesce(
+        rules[0] & rules[1] & rules[2] & rules[3]
+        & rules[4] & rules[5] & rules[6],
+        F.lit(False))
+    return m
+
+
+def gopher_flags_sql(c: str) -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_flags` (oracle emitters)."""
+    ws = f"string_split_regex(lower(trim({c})), '{_WS}')"
+    ls = f"string_split({c}, chr(10))"
+    n_words = f"len({ws})"
+    n_lines = f"len({ls})"
+    symbols = (f"(length({c}) - length(replace({c}, '#', ''))"
+               f" + len(regexp_extract_all({c}, '{_ELLIPSIS_RE}')))")
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains({ws}, '{s}') THEN 1 ELSE 0 END)"
+        for s in _GOPHER_STOPS)
+    m = {
+        "n_words": n_words,
+        "mean_word_len": floor_round6(
+            f"length(regexp_replace(lower(trim({c})), '{_WS}', '', 'g'))"
+            f" / greatest({n_words}, 1)", "duckdb"),
+        "symbol_word_ratio": floor_round6(
+            f"{symbols} / greatest({n_words}, 1)", "duckdb"),
+        "bullet_line_frac": floor_round6(
+            f"len(list_filter({ls}, l -> regexp_matches(l, "
+            f"'{_BULLET_RE}'))) / greatest({n_lines}, 1)", "duckdb"),
+        "ellipsis_line_frac": floor_round6(
+            f"len(list_filter({ls}, l -> regexp_matches(l, "
+            f"'{_ELLIPSIS_LINE_RE}'))) / greatest({n_lines}, 1)",
+            "duckdb"),
+        "alpha_word_frac": floor_round6(
+            f"len(list_filter({ws}, w -> regexp_matches(w, '[a-z]')))"
+            f" / greatest({n_words}, 1)", "duckdb"),
+        "stop_hits": (f"CASE WHEN {c} IS NULL THEN NULL "
+                      f"ELSE ({stop_sum}) END"),
+    }
+    rules = [
+        f"{m['n_words']} >= 50 AND {m['n_words']} <= 100000",
+        f"{m['mean_word_len']} >= 3.0 AND {m['mean_word_len']} <= 10.0",
+        f"{m['symbol_word_ratio']} <= 0.1",
+        f"{m['bullet_line_frac']} <= 0.9",
+        f"{m['ellipsis_line_frac']} <= 0.3",
+        f"{m['alpha_word_frac']} >= 0.8",
+        f"({m['stop_hits']}) >= 2",
+    ]
+    m["rules_passed"] = " + ".join(
+        f"(CASE WHEN {r} THEN 1 ELSE 0 END)" for r in rules)
+    m["keep"] = ("coalesce(" + " AND ".join(f"({r})" for r in rules)
+                 + ", false)")
+    return m
+
+
+def gopher_select(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, metrics…, keep) — the per-document Gopher quality report;
+    ``df.where(gopher_flags(col)['keep'])`` is the filtering form."""
+    flags = gopher_flags(F.col(text_col))
+    return df.select(F.col(id_col),
+                     *[v.alias(k) for k, v in flags.items()])
+
+
+def gopher_select_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB SQL twin of :func:`gopher_select` (oracle)."""
+    flags = gopher_flags_sql(text_col)
+    cols = ", ".join(f"{v} AS {k}" for k, v in flags.items())
+    return f"SELECT {id_col}, {cols} FROM {table}"
+
+
 # -- language identification ----------------------------------------------
 
 def lang_scores(text: Column) -> dict[str, Column]:

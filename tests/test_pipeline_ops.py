@@ -295,6 +295,81 @@ def test_text_functions(spark):
     assert len(out[1]["fp"]) == 32
 
 
+def test_gopher_flags_hand_computed(spark):
+    """Each rule fires on a crafted document; a prose doc passes all 7.
+    NULL text → NULL metrics, keep=false, rules_passed=0."""
+    from flink_sql_security_spark.functions.text import gopher_select
+
+    prose = ("the quick brown fox and that lazy dog have come to be "
+             "friends with all of them here today " * 4)      # 68 words
+    rows = [
+        (1, prose),                                   # passes all 7
+        (2, "short text"),                            # word count < 50
+        (3, "#### " * 60),                            # symbols, no alpha
+        (4, "- a\n- b\n- c\n- d"),                    # bullets
+        (5, "wait...\nmore...\nend…\n"),              # ellipsis lines
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in gopher_select(df).collect()}
+    assert out[1]["keep"] is True and out[1]["rules_passed"] == 7
+    assert 50 <= out[1]["n_words"] <= 100_000
+    assert out[1]["stop_hits"] == 8       # all 8 required stops present
+    assert out[2]["keep"] is False and out[2]["n_words"] == 2
+    assert out[3]["symbol_word_ratio"] > 0.1
+    assert out[3]["alpha_word_frac"] == 0.0
+    assert out[4]["bullet_line_frac"] == 1.0
+    assert out[5]["ellipsis_line_frac"] == 0.75       # 3 of 4 (trailing '')
+    assert out[6]["keep"] is False and out[6]["rules_passed"] == 0
+    assert out[6]["n_words"] is None and out[6]["stop_hits"] is None
+
+
+def test_fuzz_gopher_cross_engine(spark):
+    """Random documents (newlines, bullets, ellipses, unicode '…',
+    NULLs, symbol runs) bit-equal vs the DuckDB oracle. Seed 121393.
+    Documents embed via a registered pandas frame, not VALUES literals
+    (DuckDB standard strings do not process backslash escapes, so a
+    repr-embedded newline would silently become two characters)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from flink_sql_security_spark.functions.text import (
+        gopher_select, gopher_select_sql)
+
+    rng = random.Random(121393)
+    vocab = ["the", "be", "to", "of", "and", "word", "fox", "##",
+             "a1", "…", "...", "12", "zz"]
+    docs = []
+    for i in range(60):
+        if rng.random() < 0.05:
+            docs.append((i, None))
+            continue
+        lines = []
+        for _ in range(rng.randrange(1, 6)):
+            toks = [rng.choice(vocab)
+                    for _ in range(rng.randrange(0, 30))]
+            pre = rng.choice(["", "- ", "* ", "• ", "  "])
+            post = rng.choice(["", "...", "…", "  "])
+            lines.append(pre + " ".join(toks) + post)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = (gopher_select(df).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs,
+                                           columns=["doc_id", "text"]))
+    want = (con.execute(gopher_select_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        for i, (x, y) in enumerate(zip(got[c], want[c])):
+            assert (pd.isna(x) and pd.isna(y)) or str(x) == str(y), \
+                (c, i, x, y, docs[i])
+    con.close()
+
+
 def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "other")],
