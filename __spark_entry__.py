@@ -2838,6 +2838,29 @@ FROM orders WHERE o_orderkey % 100 = 0
         G.pagerank_sql(_WEIGHTED_EDGES_SQL, iters=4, weight="w"),
     )
 
+    # k-core of the trade graph (operators/graph.py k_core): the
+    # cohesive kernel — customers and suppliers that keep ≥ 10
+    # trading partners after iterative peeling (a peeled node drags
+    # neighbors below k, so degrees recompute per round). Converges
+    # in 2 rounds here at every SF; max_rounds=4 gives headroom, and
+    # converged rounds are no-ops on both engines so the unrolled
+    # oracle matches wherever the early exit fires. Per round: one
+    # degree agg + two broadcast semi-joins.
+    def trade_kcore(s):
+        edges = (
+            s.table("orders")
+            .join(s.table("lineitem"),
+                  F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(F.col("o_custkey").alias("src"),
+                    (F.col("l_suppkey") + F.lit(1000000)).alias("dst"))
+            .distinct())
+        return G.k_core(edges, k=10, max_rounds=4)
+
+    out["graph_kcore"] = (
+        with_tables(trade_kcore),
+        G.k_core_sql(_DIRECTED_EDGES_SQL, k=10, max_rounds=4),
+    )
+
     # Triangle counting + local clustering coefficient over the part
     # CO-PURCHASE graph (parts bought together in the same urgent
     # order) — the community-density companion to the rank family
@@ -2943,7 +2966,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 7 + 4 + 25 =
+    # round 1): 11 + 3 + 8 + 4 + 24 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
@@ -2956,14 +2979,15 @@ _CHECK_ORDER = [
     #      privacy_generalize + privacy_ladder_report (task 6),
     #      basket_rules_3to1 (task 8), privacy_t_closeness (the
     #      third privacy rung, late r11), text_gopher_quality (the
-    #      published Gopher A1.1 gate, late r11),
+    #      published Gopher A1.1 gate, late r11), graph_kcore (the
+    #      iterative-peel density kernel, late r11),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   25 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+9) plus 4 family-diverse r8 veterans and
+    #   24 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+9) plus 3 family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:
@@ -2989,7 +3013,7 @@ _CHECK_ORDER = [
     # r11 newcomers (birth-round window):
     "streaming_funnel_state", "streaming_retention_state",
     "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
-    "privacy_t_closeness", "text_gopher_quality",
+    "privacy_t_closeness", "text_gopher_quality", "graph_kcore",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -3003,12 +3027,13 @@ _CHECK_ORDER = [
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
     "emb_pq_codes", "fuzzy_title_pairs", "sketch_hist_quantiles",
     "text_repetition", "text_stats", "zorder_orders",
-    # last row r8 (family-diverse four: components driver-path, exact
-    # ANN, fusion re-rank, importance sampling; text_tfidf_terms,
-    # bpe_tokens, cdc_upsert_latest and sessionize_events ceded their
-    # r8-veteran slots to late-r11 newcomers — each holds a green r8
-    # row + pytest pins) + the stalest multimodal (r9, family contract)
-    "dedup_components", "emb_cosine_topk", "retrieval_mmr_topk",
+    # last row r8 (family-diverse three: components driver-path,
+    # exact ANN, importance sampling; text_tfidf_terms, bpe_tokens,
+    # cdc_upsert_latest, sessionize_events and retrieval_mmr_topk
+    # ceded their r8-veteran slots to late-r11 newcomers — each holds
+    # a green r8 row + pytest pins/probes) + the stalest multimodal
+    # (r9, family contract)
+    "dedup_components", "emb_cosine_topk",
     "sample_dsir_weights", "multimodal_features",
 ]
 

@@ -949,3 +949,97 @@ def bfs_levels_sql(edges_sql: str, seeds, *, max_hops: int = 3) -> str:
             f"UNION ALL SELECT node, {hop} AS hops FROM f{hop})")
     return (", ".join(parts)
             + f" SELECT node, hops FROM v{max_hops}")
+
+
+def k_core(edges, *, src: str = "src", dst: str = "dst", k: int,
+           max_rounds: int = 6,
+           broadcast_nodes_limit: int = 5_000_000):
+    """(node, degree) of the graph's k-CORE — the maximal subgraph in
+    which every node keeps ≥ k neighbors (Seidman 1983) — by the
+    classic iterative peel: drop all nodes of degree < k, recompute
+    degrees in what remains (peeling a node can drag its neighbors
+    below k), repeat. The density primitive the family lacked:
+    PageRank ranks, LPA groups, triangles count closure — the k-core
+    isolates the cohesive kernel (spam-link farms, power-user cliques,
+    the well-connected region worth the expensive downstream pass).
+
+    Bounded semantics like :func:`bfs_levels`'s ``max_hops``: AT MOST
+    ``max_rounds`` peels (each round is one degree aggregation, so a
+    pathological chain could otherwise loop O(|V|) times — a 10^9-node
+    path graph would mean 10^9 shuffles). The peel early-exits the
+    moment a round removes nothing, at which point the result IS the
+    exact k-core — extra rounds are no-ops, which is also why the
+    fixed-``max_rounds`` DuckDB oracle matches regardless of where the
+    early exit fired. Deterministic by construction: the surviving set
+    of each synchronous round is unique (no tie-breaks), degrees are
+    integers.
+
+    Scale: the symmetrized edge table persists once; per round, ONE
+    degree aggregation over the current edge set + two semi-joins
+    against the |V|-bounded survivor table (broadcast under
+    ``broadcast_nodes_limit``, the family gate), localCheckpointed to
+    cut the per-round lineage (the HITS discipline). Early exit costs
+    one scalar count per round — the same driver probe as
+    :func:`bfs_levels`.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a") != F.col("b")))
+    und = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+           .distinct().persist())
+    cur = und
+    n_nodes = None
+    for _ in range(max_rounds):
+        surv = (cur.groupBy("a").agg(F.count("*").alias("_deg"))
+                .where(F.col("_deg") >= k)
+                .select(F.col("a").alias("node"))
+                .localCheckpoint(eager=True))
+        n_surv = surv.count()
+        if n_surv == n_nodes:
+            break
+        n_nodes = n_surv
+        hint = (F.broadcast(surv) if n_surv <= broadcast_nodes_limit
+                else surv)
+        cur = (cur.join(hint, cur["a"] == surv["node"], "left_semi")
+               .join(hint, cur["b"] == surv["node"], "left_semi")
+               .localCheckpoint(eager=True))
+        if n_surv == 0:
+            break
+    out = (cur.groupBy("a")
+           .agg(F.count("*").alias("degree"))
+           .select(F.col("a").alias("node"), "degree"))
+    return attach(out, und)
+
+
+def k_core_sql(edges_sql: str, *, k: int, max_rounds: int = 6) -> str:
+    """DuckDB SQL twin of :func:`k_core` (oracle): the identical
+    symmetrize / degree / peel chain unrolled ``max_rounds`` times
+    (converged rounds are no-ops, so any round count ≥ the Spark
+    early-exit point yields the same table); CTEs MATERIALIZED (see
+    :func:`hits_sql`)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    parts = [
+        f"WITH raw AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT src AS a, dst AS b FROM raw "
+        "WHERE src <> dst)",
+        "u0 AS MATERIALIZED (SELECT DISTINCT a, b FROM "
+        "(SELECT a, b FROM e UNION ALL SELECT b, a FROM e))",
+    ]
+    for i in range(1, max_rounds + 1):
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT a AS node FROM "
+            f"(SELECT a, count(*) AS _deg FROM u{i - 1} GROUP BY a) "
+            f"WHERE _deg >= {k})")
+        parts.append(
+            f"u{i} AS MATERIALIZED (SELECT u.a, u.b FROM u{i - 1} u "
+            f"JOIN s{i} x ON u.a = x.node "
+            f"JOIN s{i} y ON u.b = y.node)")
+    return (", ".join(parts)
+            + f" SELECT a AS node, CAST(count(*) AS BIGINT) AS degree "
+            f"FROM u{max_rounds} GROUP BY a")

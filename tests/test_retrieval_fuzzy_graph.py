@@ -1305,3 +1305,89 @@ def test_fuzz_bfs_cross_engine(spark):
             q = q2
         assert dict(got) == dist, cfg
     con.close()
+
+
+# ------------------------------------------------------------- k-core
+
+def test_k_core_hand_graph_cascade(spark):
+    """4-cycle (1-2-3-4) with a 3-node tail 4-5-6-7: the 2-core is the
+    cycle, and the tail peels one node per round (7, then 6, then 5)
+    — a genuine multi-round cascade, not a single filter."""
+    from flink_sql_security_spark.operators.graph import k_core
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(map(tuple, k_core(df, k=2, max_rounds=6).collect()))
+    assert got == [(1, 2), (2, 2), (3, 2), (4, 2)]
+    # bounded semantics: 1 round only strips the current leaves
+    partial = sorted(map(tuple, k_core(df, k=2, max_rounds=1).collect()))
+    assert [n for n, _ in partial] == [1, 2, 3, 4, 5, 6]
+    # k above the max degree empties the graph
+    assert k_core(df, k=4, max_rounds=6).count() == 0
+
+
+def test_k_core_validates_and_self_loops(spark):
+    import pytest as _pytest
+
+    from flink_sql_security_spark.operators.graph import k_core, k_core_sql
+
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 1)], ["src", "dst"])
+    # self-loop dropped, duplicate/reversed edges collapse: max core
+    # is the single 1-2 edge → 1-core {1, 2}, 2-core empty
+    assert sorted(map(tuple, k_core(df, k=1).collect())) == \
+        [(1, 1), (2, 1)]
+    assert k_core(df, k=2).count() == 0
+    with _pytest.raises(ValueError, match="k must"):
+        k_core(df, k=0)
+    with _pytest.raises(ValueError, match="max_rounds"):
+        k_core(df, k=2, max_rounds=0)
+    with _pytest.raises(ValueError, match="k must"):
+        k_core_sql("SELECT 1 AS src, 2 AS dst", k=0)
+
+
+def test_fuzz_k_core_cross_engine(spark):
+    """Random graphs × (k, max_rounds) bit-equal vs the unrolled
+    DuckDB oracle, plus an exact python peel as the semantic referee
+    when max_rounds suffices for convergence. Seed 196418."""
+    import collections
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.graph import k_core, k_core_sql
+
+    con = duckdb.connect()
+    rng = random.Random(196418)
+    for trial in range(5):
+        n = rng.choice([8, 16])
+        m = rng.choice([12, 30])
+        k = rng.choice([2, 3])
+        rounds = rng.choice([1, 3, 8])
+        edges = sorted({(rng.randrange(n), rng.randrange(n))
+                        for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        cfg = (trial, n, m, k, rounds)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = sorted(map(tuple, k_core(
+            df, k=k, max_rounds=rounds).collect()))
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        want = sorted(map(tuple, con.execute(k_core_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+            k=k, max_rounds=rounds)).fetchall()))
+        assert got == want, cfg
+        if rounds >= 8:        # enough to converge on ≤16 nodes here
+            adj = collections.defaultdict(set)
+            for a, b in edges:
+                adj[a].add(b)
+                adj[b].add(a)
+            changed = True
+            while changed:
+                drop = [u for u, vs in adj.items() if len(vs) < k]
+                changed = bool(drop)
+                for u in drop:
+                    for v in adj[u]:
+                        adj[v].discard(u)
+                    del adj[u]
+            ref = sorted((u, len(vs)) for u, vs in adj.items())
+            assert got == ref, cfg
+    con.close()
