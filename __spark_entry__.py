@@ -2223,6 +2223,39 @@ FROM orders WHERE o_orderkey % 100 = 0
                                       "c_mktsegment"),
     )
 
+    # seeded ε-DP release (operators/privacy.py dp_count + dp_sum):
+    # the fourth privacy rung — noisy order counts and clipped noisy
+    # revenue per (status, priority), Laplace noise drawn from the
+    # md5-bucket uniform (reproducible given the per-release seed; the
+    # seed is the secret). Sums quantized to integer micro-units
+    # before the noise lands → partition-order-exact; one groupBy per
+    # aggregate, released table is |groups| rows. threshold=5 shows
+    # the suppression plumbing (all 15 groups clear it at every SF —
+    # the biting case is pinned in pytest on a singleton group).
+    def dp_release(s):
+        from flink_sql_security_spark.operators.privacy import (
+            dp_count, dp_sum)
+        counts = dp_count(s.table("orders"),
+                          ["o_orderstatus", "o_orderpriority"],
+                          epsilon=1.0, seed="r11-release",
+                          threshold=5.0)
+        sums = dp_sum(s.table("orders"),
+                      ["o_orderstatus", "o_orderpriority"],
+                      "o_totalprice", clip=100000.0, epsilon=1.0,
+                      seed="r11-release-sum")
+        return counts.join(sums, ["o_orderstatus", "o_orderpriority"])
+
+    from flink_sql_security_spark.operators.privacy import (
+        dp_count_duckdb_sql, dp_sum_duckdb_sql)
+    _DP_GRP = ["o_orderstatus", "o_orderpriority"]
+    out["privacy_dp_release"] = (
+        with_tables(dp_release),
+        f"SELECT c.o_orderstatus, c.o_orderpriority, c.n_noisy, "
+        f"s.sum_noisy FROM ({dp_count_duckdb_sql('orders', _DP_GRP, epsilon=1.0, seed='r11-release', threshold=5.0)}) c "
+        f"JOIN ({dp_sum_duckdb_sql('orders', _DP_GRP, 'o_totalprice', clip=100000.0, epsilon=1.0, seed='r11-release-sum')}) s "
+        f"USING (o_orderstatus, o_orderpriority)",
+    )
+
     # robust per-group outlier detection (operators/profile.py
     # robust_outliers): median/MAD flags on the heavy-tailed events.value
     # — exact lower-median order statistics (no interpolation, no float
@@ -2966,7 +2999,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 8 + 4 + 24 =
+    # round 1): 11 + 3 + 9 + 4 + 23 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
@@ -2981,13 +3014,14 @@ _CHECK_ORDER = [
     #      third privacy rung, late r11), text_gopher_quality (the
     #      published Gopher A1.1 gate, late r11), graph_kcore (the
     #      iterative-peel density kernel, late r11),
+    #      privacy_dp_release (seeded Laplace mechanism, late r11),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   24 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+9) plus 3 family-diverse r8 veterans and
+    #   23 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+9) plus 2 family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:
@@ -3014,6 +3048,7 @@ _CHECK_ORDER = [
     "streaming_funnel_state", "streaming_retention_state",
     "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
     "privacy_t_closeness", "text_gopher_quality", "graph_kcore",
+    "privacy_dp_release",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -3027,14 +3062,13 @@ _CHECK_ORDER = [
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
     "emb_pq_codes", "fuzzy_title_pairs", "sketch_hist_quantiles",
     "text_repetition", "text_stats", "zorder_orders",
-    # last row r8 (family-diverse three: components driver-path,
-    # exact ANN, importance sampling; text_tfidf_terms, bpe_tokens,
-    # cdc_upsert_latest, sessionize_events and retrieval_mmr_topk
+    # last row r8 (family-diverse two: components driver-path, exact
+    # ANN; text_tfidf_terms, bpe_tokens, cdc_upsert_latest,
+    # sessionize_events, retrieval_mmr_topk and sample_dsir_weights
     # ceded their r8-veteran slots to late-r11 newcomers — each holds
     # a green r8 row + pytest pins/probes) + the stalest multimodal
     # (r9, family contract)
-    "dedup_components", "emb_cosine_topk",
-    "sample_dsir_weights", "multimodal_features",
+    "dedup_components", "emb_cosine_topk", "multimodal_features",
 ]
 
 

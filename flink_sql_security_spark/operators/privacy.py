@@ -545,3 +545,180 @@ def anonymity_report_duckdb_sql(table: str, quasi_cols,
         f"AS singleton_classes, "
         f"{pct} AS singleton_rows_pct "
         f"FROM classes")
+
+
+# -- differential privacy (seeded release) ----------------------------------
+#
+# The fourth rung of the release ladder: k-anonymity / l-diversity /
+# t-closeness constrain WHAT leaves; the Laplace mechanism (Dwork,
+# McSherry, Nissim, Smith 2006) perturbs the AGGREGATES so that no
+# single row's presence is inferable — count queries with sensitivity
+# 1 get Laplace(1/ε) noise, clipped sums get Laplace(clip/ε).
+#
+# REPRODUCIBLE noise: the uniform draw per group is the md5 bucket of
+# (group key, seed) folded into [0, 10000) — the sampling family's
+# deterministic-bucket recipe (sampling.py:_bucket_expr) — pushed
+# through the Laplace inverse CDF. Given the seed, the release is
+# bit-reproducible (re-runs, audits, engine twins — and the strict
+# DuckDB oracle). The trade-off is explicit: an adversary who KNOWS
+# the seed can subtract the noise, so treat the seed like a key —
+# generate it per release from a CSPRNG, store it with the release
+# audit record, and never reuse it across releases (reuse correlates
+# noise, degrading the ε accounting). The mechanism's ε-DP analysis
+# is standard once the draw is uniform; the 1/10000 quantization of u
+# is the same resolution the package's hash-split machinery releases
+# training data at.
+#
+# Float parity: ln() on identical doubles is the lm_score/tf·idf
+# precedent (functions/text.py) — both engines evaluate the same IEEE
+# input, outputs floor-rounded to 6 decimals. Sums are quantized to
+# integer micro-units before summing (the PageRank recipe) so the
+# noiseless part is partition-order-exact.
+#
+# Noise-key typing: the uniform draw hashes CAST(group col AS STRING),
+# so group key columns should be types whose string casts are
+# canonical on every engine — strings, ints, bigints, dates. Raw
+# DOUBLE group keys risk repr drift between engines (bucket them
+# first, e.g. with generalize()'s ('bucket', w)); the released
+# AGGREGATE may of course be any numeric.
+
+_DP_BUCKETS = 10_000
+#: NULL group values hash as this sentinel (concat_ws drops NULLs,
+#: which would collide ('a', NULL) with (NULL, 'a'))
+_DP_NULL = "<NULL>"
+
+
+def _dp_key_spark(group_cols, seed: str):
+    return F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(_DP_NULL))
+               for c in group_cols],
+        F.lit(f":{seed}"))
+
+
+def _dp_noise_spark(group_cols, seed: str, scale: float) -> Column:
+    key = _dp_key_spark(group_cols, seed)
+    bucket = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+              .cast("bigint") % _DP_BUCKETS)
+    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(_DP_BUCKETS))
+    b = F.lit(float(scale))
+    return (F.when(u < 0.5, b * F.log(2.0 * u))
+            .otherwise(-b * F.log(2.0 * (F.lit(1.0) - u))))
+
+
+def _dp_key_duckdb(group_cols, seed: str) -> str:
+    cols = ", ".join(
+        f"coalesce(CAST({c} AS VARCHAR), '{_DP_NULL}')"
+        for c in group_cols)
+    return f"concat_ws('|', {cols}, ':{seed}')"
+
+
+def _dp_noise_duckdb(group_cols, seed: str, scale: float) -> str:
+    key = _dp_key_duckdb(group_cols, seed)
+    bucket = f"(('0x' || substring(md5({key}), 1, 8))::BIGINT) % {_DP_BUCKETS}"
+    u = f"((CAST({bucket} AS DOUBLE) + 0.5) / {float(_DP_BUCKETS)!r})"
+    b = repr(float(scale))
+    return (f"(CASE WHEN {u} < 0.5 THEN {b} * ln(2.0 * {u}) "
+            f"ELSE -{b} * ln(2.0 * (1.0 - {u})) END)")
+
+
+def _dp_check(group_cols, epsilon: float, seed: str):
+    group_cols = _check_cols(group_cols)
+    if not float(epsilon) > 0:
+        raise ValueError(f"epsilon must be > 0: {epsilon}")
+    if (not isinstance(seed, str) or not seed
+            or any(ch in seed for ch in ("'", "\\", ";", "|"))):
+        raise ValueError(f"seed must be a non-empty string without "
+                         f"quotes/backslashes/semicolons/pipes: {seed!r}")
+    return group_cols
+
+
+def dp_count(df: DataFrame, group_cols, *, epsilon: float, seed: str,
+             threshold: float | None = None) -> DataFrame:
+    """Per-group ε-DP noisy counts: (group…, n_noisy) with
+    Laplace(1/ε) noise (count sensitivity 1), floor-rounded at 6
+    decimals. ``threshold`` optionally suppresses groups whose NOISY
+    count falls below it — the standard thresholding companion that
+    keeps tiny (possibly singleton-revealing) groups out of the
+    release without consulting the true count.
+
+    ONE groupBy then per-row noise arithmetic — no second exchange;
+    at 100 TB the released table is |groups| rows.
+    """
+    group_cols = _dp_check(group_cols, epsilon, seed)
+    from ..functions.text import floor_round_col
+
+    noise = _dp_noise_spark(group_cols, seed, 1.0 / float(epsilon))
+    out = (df.groupBy(*group_cols)
+           .agg(F.count("*").alias("_n"))
+           .select(*group_cols,
+                   floor_round_col(F.col("_n").cast("double") + noise)
+                   .alias("n_noisy")))
+    if threshold is not None:
+        out = out.where(F.col("n_noisy") >= float(threshold))
+    return out
+
+
+def dp_count_duckdb_sql(table: str, group_cols, *, epsilon: float,
+                        seed: str,
+                        threshold: float | None = None) -> str:
+    """DuckDB SQL twin of :func:`dp_count` (oracle)."""
+    group_cols = _dp_check(group_cols, epsilon, seed)
+    from ..functions.text import floor_round
+
+    qs = ", ".join(group_cols)
+    noise = _dp_noise_duckdb(group_cols, seed, 1.0 / float(epsilon))
+    val = floor_round(f"CAST(_n AS DOUBLE) + {noise}", 6, "duckdb")
+    gate = (f" WHERE n_noisy >= {float(threshold)!r}"
+            if threshold is not None else "")
+    return (
+        f"SELECT * FROM (SELECT {qs}, {val} AS n_noisy FROM "
+        f"(SELECT {qs}, count(*) AS _n FROM {table} GROUP BY {qs})"
+        f"){gate}")
+
+
+def dp_sum(df: DataFrame, group_cols, value_col: str, *, clip: float,
+           epsilon: float, seed: str) -> DataFrame:
+    """Per-group ε-DP noisy sums: each value is clipped to [0, clip]
+    (bounding one row's influence, so sensitivity = clip), summed in
+    integer micro-units (exact on any partitioning — the PageRank
+    quantization), then Laplace(clip/ε) noise lands on the total.
+    Output (group…, sum_noisy) floor-rounded at 6 decimals. NULL
+    values clip to 0 (they contribute nothing, matching SQL sum)."""
+    group_cols = _dp_check(group_cols, epsilon, seed)
+    if not float(clip) > 0:
+        raise ValueError(f"clip must be > 0: {clip}")
+    from ..functions.text import floor_round_col
+
+    clipped = F.least(F.greatest(F.coalesce(
+        F.col(value_col).cast("double"), F.lit(0.0)), F.lit(0.0)),
+        F.lit(float(clip)))
+    q = F.floor(clipped * F.lit(1.0e6) + F.lit(0.5)).cast("bigint")
+    noise = _dp_noise_spark(group_cols, seed,
+                            float(clip) / float(epsilon))
+    return (df.groupBy(*group_cols)
+            .agg(F.sum(q).alias("_qs"))
+            .select(*group_cols,
+                    floor_round_col(
+                        F.col("_qs").cast("double") / F.lit(1.0e6)
+                        + noise).alias("sum_noisy")))
+
+
+def dp_sum_duckdb_sql(table: str, group_cols, value_col: str, *,
+                      clip: float, epsilon: float, seed: str) -> str:
+    """DuckDB SQL twin of :func:`dp_sum` (oracle)."""
+    group_cols = _dp_check(group_cols, epsilon, seed)
+    if not float(clip) > 0:
+        raise ValueError(f"clip must be > 0: {clip}")
+    from ..functions.text import floor_round
+
+    qs = ", ".join(group_cols)
+    clipped = (f"least(greatest(coalesce(CAST({value_col} AS DOUBLE), "
+               f"0.0), 0.0), {float(clip)!r})")
+    qexpr = f"CAST(floor({clipped} * 1000000.0 + 0.5) AS BIGINT)"
+    noise = _dp_noise_duckdb(group_cols, seed,
+                             float(clip) / float(epsilon))
+    val = floor_round(
+        f"CAST(_qs AS DOUBLE) / 1000000.0 + {noise}", 6, "duckdb")
+    return (
+        f"SELECT {qs}, {val} AS sum_noisy FROM "
+        f"(SELECT {qs}, sum({qexpr}) AS _qs FROM {table} GROUP BY {qs})")

@@ -3369,6 +3369,107 @@ def test_fuzz_t_closeness_cross_engine(spark):
     con.close()
 
 
+def test_dp_release_properties(spark):
+    """Seeded Laplace mechanism: reproducible given the seed, different
+    under a different seed, noise within sane bounds (|Laplace(1/ε)|
+    at 10^-4 tail ≈ ln(10^4)/ε), clipping bounds one row's influence,
+    threshold suppresses a noisy-small group."""
+    from flink_sql_security_spark.operators.privacy import dp_count, dp_sum
+
+    rows = ([("a", 1.0)] * 40 + [("b", 2.0)] * 25 + [("solo", 1e9)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    rel1 = {r["g"]: r["n_noisy"]
+            for r in dp_count(df, ["g"], epsilon=1.0, seed="x").collect()}
+    rel2 = {r["g"]: r["n_noisy"]
+            for r in dp_count(df, ["g"], epsilon=1.0, seed="x").collect()}
+    rel3 = {r["g"]: r["n_noisy"]
+            for r in dp_count(df, ["g"], epsilon=1.0, seed="y").collect()}
+    assert rel1 == rel2                       # reproducible
+    assert rel1 != rel3                       # seed-sensitive
+    true = {"a": 40, "b": 25, "solo": 1}
+    for g, n in rel1.items():
+        assert abs(n - true[g]) <= 10.0, (g, n)   # ln(10^4) ≈ 9.2
+    # tighter ε → larger noise scale on the same uniform draw
+    rel_tight = {r["g"]: r["n_noisy"] for r in dp_count(
+        df, ["g"], epsilon=0.1, seed="x").collect()}
+    for g in true:
+        assert abs(rel_tight[g] - true[g]) >= abs(rel1[g] - true[g]), g
+    # clipping: the 1e9 outlier contributes at most clip to its sum
+    sums = {r["g"]: r["sum_noisy"] for r in dp_sum(
+        df, ["g"], "v", clip=100.0, epsilon=1.0, seed="z").collect()}
+    assert sums["solo"] <= 100.0 + 1000.0     # clip + noise tail
+    # thresholding drops the noisy-small singleton group
+    kept = {r["g"] for r in dp_count(
+        df, ["g"], epsilon=1.0, seed="x", threshold=15.0).collect()}
+    assert kept == {"a", "b"}
+
+
+def test_dp_release_validates(spark):
+    import pytest as _pytest
+
+    from flink_sql_security_spark.operators.privacy import (
+        dp_count, dp_count_duckdb_sql, dp_sum)
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _pytest.raises(ValueError, match="epsilon"):
+        dp_count(df, ["g"], epsilon=0.0, seed="x")
+    with _pytest.raises(ValueError, match="seed"):
+        dp_count(df, ["g"], epsilon=1.0, seed="bad'seed")
+    with _pytest.raises(ValueError, match="seed"):
+        dp_count_duckdb_sql("t", ["g"], epsilon=1.0, seed="a|b")
+    with _pytest.raises(ValueError, match="clip"):
+        dp_sum(df, ["g"], "v", clip=0.0, epsilon=1.0, seed="x")
+    with _pytest.raises(ValueError, match="non-empty"):
+        dp_count(df, [], epsilon=1.0, seed="x")
+
+
+def test_fuzz_dp_release_cross_engine(spark):
+    """Random tables × (ε, clip, threshold, NULL group values)
+    bit-equal vs the DuckDB oracle. Seed 317811. Group keys stay
+    string/int (the documented noise-key typing rule)."""
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.privacy import (
+        dp_count, dp_count_duckdb_sql, dp_sum, dp_sum_duckdb_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(317811)
+    for trial in range(4):
+        n = rng.choice([30, 100])
+        rows = [(rng.choice(["p", "q", None]),
+                 rng.randrange(3),
+                 rng.choice([None, -5.0, 3.25, 40.0, 1e6]))
+                for _ in range(n)]
+        eps = rng.choice([0.5, 1.0, 4.0])
+        clip = rng.choice([10.0, 100.0])
+        thr = rng.choice([None, 5.0])
+        cfg = (trial, n, eps, clip, thr)
+        df = spark.createDataFrame(rows, "g string, h int, v double")
+        vals = ", ".join(
+            f"({'NULL' if g is None else repr(g)}, {h}, "
+            f"{'NULL' if v is None else v})" for g, h, v in rows)
+        tbl = (f"(SELECT g, CAST(h AS INTEGER) AS h, "
+               f"CAST(v AS DOUBLE) AS v FROM (VALUES {vals}) x(g, h, v))")
+        got = sorted(tuple(map(str, r)) for r in dp_count(
+            df, ["g", "h"], epsilon=eps, seed=f"t{trial}",
+            threshold=thr).collect())
+        want = sorted(tuple(map(str, r)) for r in con.execute(
+            dp_count_duckdb_sql(tbl, ["g", "h"], epsilon=eps,
+                                seed=f"t{trial}",
+                                threshold=thr)).fetchall())
+        assert got == want and len(want) > 0, cfg
+        gs = sorted(tuple(map(str, r)) for r in dp_sum(
+            df, ["g"], "v", clip=clip, epsilon=eps,
+            seed=f"u{trial}").collect())
+        ws = sorted(tuple(map(str, r)) for r in con.execute(
+            dp_sum_duckdb_sql(tbl, ["g"], "v", clip=clip, epsilon=eps,
+                              seed=f"u{trial}")).fetchall())
+        assert gs == ws, cfg
+    con.close()
+
+
 def test_basket_rules_3to1_hand_computed(spark):
     """Baskets {a,b,c,d}×2, {a,b,c}×1, {d}×1 (4 baskets): quad
     {a,b,c,d} support 2, triple (a,b,c) support 3 →
