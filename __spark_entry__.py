@@ -2099,6 +2099,51 @@ FROM orders WHERE o_orderkey % 100 = 0
             "WHERE event_type = 'purchase' AND value > 100)"),
     )
 
+    # STREAMING exact-dedup state (streaming/dedup.py dedup_stream),
+    # the third driver-checkable streaming twin: documents stream in
+    # as 3 doc_id-hash micro-batches (duplicate content deliberately
+    # split ACROSS batches), built-in dropDuplicates state emits each
+    # normalized-content key exactly once across the whole drain. The
+    # emitted KEY SET is deterministic (which duplicate row carries a
+    # key is not — batch arrival picks it — so the entry releases
+    # keys, not rows) and equals batch DISTINCT fingerprint: the same
+    # md5-normalization the text_fingerprint entry already pins, so
+    # the streaming state answers a proven oracle shape.
+    def stream_dedup_end_state(spark):
+        import os
+        import shutil
+        import tempfile
+
+        from flink_sql_security_spark.streaming.dedup import dedup_stream
+
+        ds = spark.table("documents").select("doc_id", "text")
+        path = tempfile.mkdtemp(prefix="fss_stream_dedup_")
+        _STREAM_SINK_SEQ[0] += 1
+        name = f"fss_stream_dedup_sink_{_STREAM_SINK_SEQ[0]}"
+        try:
+            for i in range(3):
+                (ds.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+                 .coalesce(1)
+                 .write.parquet(os.path.join(path, f"b{i}")))
+            src = (spark.readStream.schema(ds.schema)
+                   .option("maxFilesPerTrigger", "1")
+                   .parquet(os.path.join(path, "b*")))
+            q = (dedup_stream(src).select("dup_key")
+                 .writeStream.format("memory").queryName(name)
+                 .outputMode("append").start())
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        return spark.table(name).select("dup_key")
+
+    from flink_sql_security_spark.functions.text import fingerprint_sql
+    out["streaming_dedup_state"] = (
+        with_tables(stream_dedup_end_state),
+        f"SELECT DISTINCT {fingerprint_sql('text')} AS dup_key "
+        f"FROM documents",
+    )
+
     # k-anonymity suppression (operators/privacy.py k_anonymize): the
     # third classic privacy primitive after the reference's row
     # filters and masks — release only rows whose quasi-identifier
@@ -2999,7 +3044,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 9 + 4 + 23 =
+    # round 1): 11 + 3 + 10 + 4 + 22 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
@@ -3015,13 +3060,16 @@ _CHECK_ORDER = [
     #      published Gopher A1.1 gate, late r11), graph_kcore (the
     #      iterative-peel density kernel, late r11),
     #      privacy_dp_release (seeded Laplace mechanism, late r11),
+    #      streaming_dedup_state (third streaming twin, late r11 —
+    #      its slot came from r7-veteran text_stats, whose word-count
+    #      and ratio machinery the in-window gopher entry re-pins),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   23 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+9) plus 2 family-diverse r8 veterans and
+    #   22 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+8) plus 2 family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:
@@ -3048,7 +3096,7 @@ _CHECK_ORDER = [
     "streaming_funnel_state", "streaming_retention_state",
     "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
     "privacy_t_closeness", "text_gopher_quality", "graph_kcore",
-    "privacy_dp_release",
+    "privacy_dp_release", "streaming_dedup_state",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -3061,7 +3109,7 @@ _CHECK_ORDER = [
     # last row r7
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
     "emb_pq_codes", "fuzzy_title_pairs", "sketch_hist_quantiles",
-    "text_repetition", "text_stats", "zorder_orders",
+    "text_repetition", "zorder_orders",
     # last row r8 (family-diverse two: components driver-path, exact
     # ANN; text_tfidf_terms, bpe_tokens, cdc_upsert_latest,
     # sessionize_events, retrieval_mmr_topk and sample_dsir_weights
