@@ -3326,7 +3326,7 @@ def test_t_closeness_validates(spark):
 def test_fuzz_t_closeness_cross_engine(spark):
     """Config fuzz: random tables × quasi sets (with NULL quasi values
     and NULL sensitive values), report AND release bit-equal vs the
-    DuckDB oracle. Seed 75025."""
+    DuckDB oracle. Seed 514229."""
     import random
 
     import duckdb
@@ -3336,7 +3336,7 @@ def test_fuzz_t_closeness_cross_engine(spark):
         t_closeness_report, t_closeness_report_duckdb_sql)
 
     con = duckdb.connect()
-    rng = random.Random(75025)
+    rng = random.Random(514229)
     for trial in range(4):
         n = rng.choice([40, 130])
         two_q = rng.random() < 0.5
