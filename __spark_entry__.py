@@ -1636,6 +1636,36 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
         with_tables(gopher),
         gopher_select_sql("documents"),
     )
+
+    # C4 line-level cleaning (functions/text.py c4_clean): the
+    # published Raffel et al. 2020 §2.2 recipe — terminal-punctuation
+    # / ≥5-word / no-javascript line filter, ≥3-line / no-lorem-ipsum
+    # / no-brace page gate — the line-level companion to the Gopher
+    # document gate. The sf documents are single unpunctuated lines
+    # (every rule would be constant-false), so the entry derives a
+    # deterministic multi-line variant first — periods+newlines
+    # injected at token boundaries, the same leftmost-non-overlapping
+    # regexp_replace on both engines — giving 326 kept / 174 dropped
+    # pages with 0-8 kept lines at sf0.01. The hashed result includes
+    # the REWRITTEN text, so the oracle pins the transform, not just
+    # the flags. Pure projection, fuses into the scan.
+    _C4_SENT_RE = " (table|query|window) "
+
+    def c4(s):
+        from flink_sql_security_spark.functions.text import c4_select
+        lined = docs(s).select(
+            "doc_id",
+            F.concat(F.regexp_replace("text", _C4_SENT_RE, ".\n"),
+                     F.lit(".")).alias("text"))
+        return c4_select(lined)
+
+    from flink_sql_security_spark.functions.text import c4_select_sql
+    out["text_c4_clean"] = (
+        with_tables(c4),
+        c4_select_sql(
+            f"(SELECT doc_id, regexp_replace(text, '{_C4_SENT_RE}', "
+            f"'.' || chr(10), 'g') || '.' AS text FROM documents)"),
+    )
     out["text_fingerprint"] = (
         with_tables(lambda s: docs(s).select(
             "doc_id", T.fingerprint(F.col("text")).alias("fp"))),
@@ -3044,7 +3074,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 10 + 4 + 22 =
+    # round 1): 11 + 3 + 11 + 4 + 21 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
@@ -3063,13 +3093,16 @@ _CHECK_ORDER = [
     #      streaming_dedup_state (third streaming twin, late r11 —
     #      its slot came from r7-veteran text_stats, whose word-count
     #      and ratio machinery the in-window gopher entry re-pins),
+    #      text_c4_clean (published C4 line recipe, late r11 — slot
+    #      from r7-veteran text_repetition, pinned by its own fuzz +
+    #      goldens),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   22 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+8) plus 2 family-diverse r8 veterans and
+    #   21 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+7) plus 2 family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:
@@ -3096,7 +3129,7 @@ _CHECK_ORDER = [
     "streaming_funnel_state", "streaming_retention_state",
     "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
     "privacy_t_closeness", "text_gopher_quality", "graph_kcore",
-    "privacy_dp_release", "streaming_dedup_state",
+    "privacy_dp_release", "streaming_dedup_state", "text_c4_clean",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -3109,7 +3142,7 @@ _CHECK_ORDER = [
     # last row r7
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
     "emb_pq_codes", "fuzzy_title_pairs", "sketch_hist_quantiles",
-    "text_repetition", "zorder_orders",
+    "zorder_orders",
     # last row r8 (family-diverse two: components driver-path, exact
     # ANN; text_tfidf_terms, bpe_tokens, cdc_upsert_latest,
     # sessionize_events, retrieval_mmr_topk and sample_dsir_weights

@@ -392,6 +392,97 @@ def gopher_select_sql(table: str = "documents", text_col: str = "text",
     return f"SELECT {id_col}, {cols} FROM {table}"
 
 
+# -- C4 line-level cleaning ---------------------------------------------------
+#
+# The published line/page heuristics from Raffel et al. 2020 ("Exploring
+# the Limits of Transfer Learning with a Unified Text-to-Text
+# Transformer", §2.2 — the C4 corpus recipe), the line-level companion
+# to the document-level Gopher gate above:
+#
+#   line kept  ⇔ ends in terminal punctuation (. ! ? ")  AND
+#                has ≥ 5 words  AND  does not mention "javascript"
+#   page kept  ⇔ ≥ 3 retained lines  AND  no "lorem ipsum"  AND
+#                no "{" anywhere on the page
+#
+# (The paper's bad-words list is externally licensed; plug a custom
+# pattern into the keep filter where a deployment needs it.) Pure
+# projection like the Gopher gate — the transform rewrites the text
+# column in place, so at 100 TB it fuses into the scan.
+
+_C4_LINE_KEEP_RE = r'[.!?"]\s*$'
+_C4_MIN_LINE_WORDS = 5
+_C4_MIN_LINES = 3
+
+
+def _c4_kept_lines(text: Column) -> Column:
+    return F.filter(
+        F.split(text, "\n"),
+        lambda l: l.rlike(_C4_LINE_KEEP_RE)
+        & (F.size(F.split(F.lower(F.trim(l)), _WS))
+           >= _C4_MIN_LINE_WORDS)
+        & ~F.lower(l).contains("javascript"))
+
+
+def _c4_kept_lines_sql(c: str) -> str:
+    return (
+        f"list_filter(string_split({c}, chr(10)), l -> "
+        f"regexp_matches(l, '{_C4_LINE_KEEP_RE}') "
+        f"AND len(string_split_regex(lower(trim(l)), '{_WS}')) "
+        f">= {_C4_MIN_LINE_WORDS} "
+        f"AND NOT contains(lower(l), 'javascript'))")
+
+
+def c4_clean(text: Column) -> dict[str, Column]:
+    """C4 cleaning of one document: ``clean_text`` (retained lines
+    re-joined; NULL when the page is dropped), ``n_lines_kept``, and
+    the page-level ``keep``. NULL text → NULL/0/false like the Gopher
+    gate."""
+    kept = _c4_kept_lines(text)
+    n_kept = F.size(kept)
+    page = (F.coalesce(n_kept >= _C4_MIN_LINES, F.lit(False))
+            & ~F.coalesce(F.lower(text).contains("lorem ipsum"),
+                          F.lit(True))
+            & ~F.coalesce(text.contains("{"), F.lit(True)))
+    return {
+        "clean_text": F.when(page, F.array_join(kept, "\n")),
+        "n_lines_kept": F.when(text.isNull(),
+                               F.lit(None).cast("int")).otherwise(n_kept),
+        "keep": page,
+    }
+
+
+def c4_clean_sql(c: str) -> dict[str, str]:
+    """DuckDB twins of :func:`c4_clean` (oracle emitters)."""
+    kept = _c4_kept_lines_sql(c)
+    page = (f"(coalesce(len({kept}) >= {_C4_MIN_LINES}, false) "
+            f"AND NOT coalesce(contains(lower({c}), 'lorem ipsum'), true) "
+            f"AND NOT coalesce(contains({c}, '{{'), true))")
+    return {
+        "clean_text": (f"CASE WHEN {page} "
+                       f"THEN array_to_string({kept}, chr(10)) END"),
+        "n_lines_kept": (f"CASE WHEN {c} IS NULL THEN NULL "
+                         f"ELSE len({kept}) END"),
+        "keep": page,
+    }
+
+
+def c4_select(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, clean_text, n_lines_kept, keep) — the C4 cleaning report;
+    the corpus-transform form is
+    ``df.where(m['keep']).withColumn(text_col, m['clean_text'])``."""
+    m = c4_clean(F.col(text_col))
+    return df.select(F.col(id_col),
+                     *[v.alias(k) for k, v in m.items()])
+
+
+def c4_select_sql(table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id") -> str:
+    """DuckDB SQL twin of :func:`c4_select` (oracle)."""
+    m = c4_clean_sql(text_col)
+    cols = ", ".join(f"{v} AS {k}" for k, v in m.items())
+    return f"SELECT {id_col}, {cols} FROM {table}"
+
+
 # -- language identification ----------------------------------------------
 
 def lang_scores(text: Column) -> dict[str, Column]:

@@ -370,6 +370,84 @@ def test_fuzz_gopher_cross_engine(spark):
     con.close()
 
 
+def test_c4_clean_hand_computed(spark):
+    """Each C4 rule on a crafted page; the transform re-joins only the
+    retained lines; NULL/empty text drops."""
+    from flink_sql_security_spark.functions.text import c4_select
+
+    good = "This is a sensible sentence with enough words to keep."
+    rows = [
+        (1, "\n".join([good] * 4)),                        # keep, 4 lines
+        (2, "\n".join([good] * 2)),                        # < 3 lines
+        (3, "\n".join([good] * 3) + "\nshort line."),      # 4-word line out
+        (4, "\n".join([good] * 3) + "\nPlease enable JavaScript now ok."),
+        (5, "\n".join([good] * 4) + "\nlorem ipsum dolor sit amet."),
+        (6, "\n".join([good] * 4) + "\nvar x = { a: 1 };"),
+        (7, "no terminal punctuation in this line\n" + good),
+        (8, None),
+        (9, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in c4_select(df).collect()}
+    assert out[1]["keep"] is True and out[1]["n_lines_kept"] == 4
+    assert out[1]["clean_text"] == "\n".join([good] * 4)
+    assert out[2]["keep"] is False          # page gate: < 3 lines
+    assert out[3]["keep"] is True and out[3]["n_lines_kept"] == 3
+    assert "short line." not in out[3]["clean_text"]
+    assert out[4]["n_lines_kept"] == 3      # javascript line dropped
+    assert out[5]["keep"] is False          # lorem ipsum page gate
+    assert out[6]["keep"] is False          # '{' page gate
+    assert out[7]["keep"] is False and out[7]["n_lines_kept"] == 1
+    assert out[8]["keep"] is False and out[8]["n_lines_kept"] is None
+    assert out[9]["keep"] is False and out[9]["n_lines_kept"] == 0
+    for d in (2, 5, 6, 7, 8, 9):
+        assert out[d]["clean_text"] is None, d
+
+
+def test_fuzz_c4_cross_engine(spark):
+    """Random multi-line pages (terminal punct, short lines,
+    javascript/lorem/brace triggers, NULLs) bit-equal vs the DuckDB
+    oracle, via a registered frame (newline-safe). Seed 832040."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from flink_sql_security_spark.functions.text import (
+        c4_select, c4_select_sql)
+
+    rng = random.Random(832040)
+    enders = ["", ".", "!", "?", '"']
+    extras = ["", " javascript", " lorem ipsum", " {brace}"]
+    docs = []
+    for i in range(60):
+        if rng.random() < 0.05:
+            docs.append((i, None))
+            continue
+        lines = []
+        for _ in range(rng.randrange(1, 7)):
+            n = rng.randrange(2, 9)
+            line = (" ".join(rng.choice(["alpha", "beta", "gamma"])
+                             for _ in range(n))
+                    + rng.choice(extras) + rng.choice(enders))
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = (c4_select(df).toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = (con.execute(c4_select_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert list(got.columns) == list(want.columns)
+    for c in got.columns:
+        for i, (x, y) in enumerate(zip(got[c], want[c])):
+            assert (pd.isna(x) and pd.isna(y)) or str(x) == str(y), \
+                (c, i, x, y, docs[i])
+    con.close()
+
+
 def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "other")],

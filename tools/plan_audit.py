@@ -75,6 +75,10 @@ NLJ_OK = {
     # quantized total into the |V|-row score rebuild (same shape as
     # pagerank's redistribute dq) — tiny side by construction.
     "graph_hits",
+    # t-closeness: the 1-ROW table total crossJoins into the
+    # class-value table (|classes·values| rows) before the TVD agg —
+    # the HITS/pagerank scalar-total shape, tiny side by construction.
+    "privacy_t_closeness",
     "zorder_orders", "q11_important_parts", "q22_global_sales",
     "q15_top_supplier", "q17_small_qty_revenue", "sample_token_budget",
     "emb_kmeans_cells", "emb_quantize_int8", "dedup_span_stats",
