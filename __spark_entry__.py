@@ -1666,6 +1666,29 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
             f"(SELECT doc_id, regexp_replace(text, '{_C4_SENT_RE}', "
             f"'.' || chr(10), 'g') || '.' AS text FROM documents)"),
     )
+
+    # within-document duplicate-line removal (operators/corpus.py
+    # dedup_lines): the RefinedWeb-class boilerplate scrub — repeated
+    # lines after their first occurrence drop, survivors re-join in
+    # position order, so the oracle hashes the REWRITTEN text. Same
+    # derived multi-line input as text_c4_clean (single-line sf docs);
+    # the injected line breaks produce genuinely repeated short lines
+    # within documents, so the transform bites. ONE doc-key exchange.
+    def line_dedup(s):
+        from flink_sql_security_spark.operators.corpus import dedup_lines
+        lined = docs(s).select(
+            "doc_id",
+            F.regexp_replace("text", _C4_SENT_RE, "\n").alias("text"))
+        return dedup_lines(lined)
+
+    from flink_sql_security_spark.operators.corpus import (
+        dedup_lines_duckdb_sql)
+    out["text_line_dedup"] = (
+        with_tables(line_dedup),
+        dedup_lines_duckdb_sql(
+            f"(SELECT doc_id, regexp_replace(text, '{_C4_SENT_RE}', "
+            f"chr(10), 'g') AS text FROM documents)"),
+    )
     out["text_fingerprint"] = (
         with_tables(lambda s: docs(s).select(
             "doc_id", T.fingerprint(F.col("text")).alias("fp"))),

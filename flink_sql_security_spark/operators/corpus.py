@@ -518,3 +518,79 @@ def chunk_content_defined_duckdb_sql(w: int = 3, mask_bits: int = 4,
         f"string_agg(tok, ' ' ORDER BY pos) AS chunk_text "
         f"FROM assigned GROUP BY {id_col}, chunk_id"
     )
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Within-document duplicate-LINE removal, order-preserving: every
+    repeated line after its first occurrence is dropped and the
+    survivors re-join in original position order — the boilerplate
+    scrub (repeated nav/footer/cookie banners) the RefinedWeb-class
+    pipelines run between line filtering (c4_clean) and document-level
+    dedup; cross-document exact/near dedup cannot see WITHIN-page
+    repetition. ``normalize=True`` compares lines case/whitespace-
+    folded (the fingerprint convention) while EMITTING the original
+    line; False compares verbatim.
+
+    Shape: posexplode → one (id, line-key) window for first-occurrence
+    rank → position-ordered re-assembly — exactly ONE exchange on the
+    document key, and every per-line operation is JVM expression work.
+    Rows with NULL text are dropped on both engines (gate NULLs
+    upstream — c4_clean/gopher already do). Output: (id, text) with
+    the text column rewritten — drop-in for the pipeline position
+    ``clean → dedup_lines → cross-doc dedup``.
+
+    100 TB note: the explode multiplies rows by lines-per-doc but the
+    exchange key stays the document id, so partitions hold whole
+    documents and the window/agg pair pipelines in one stage; no skew
+    beyond the largest single document.
+    """
+    from pyspark.sql.window import Window
+
+    key = (T.fingerprint(F.col("_line")) if normalize
+           else F.col("_line"))
+    lines = (df.select(F.col(id_col), F.col(text_col))
+             .select(id_col,
+                     F.posexplode(F.split(F.col(text_col), "\n"))
+                     .alias("_pos", "_line")))
+    w = Window.partitionBy(id_col, "_key").orderBy("_pos")
+    kept = (lines.withColumn("_key", key)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("_pos"), F.col("_line")))),
+                    lambda s: s["_line"]),
+                "\n").alias(text_col)))
+
+
+def dedup_lines_duckdb_sql(table: str = "documents",
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           normalize: bool = True) -> str:
+    """DuckDB SQL twin of :func:`dedup_lines` (oracle): identical
+    explode / first-occurrence window / position-ordered re-join.
+    (DuckDB has no WITH ORDINALITY; parallel unnests of the list and
+    generate_series zip positionally — verified behavior.)"""
+    # one definition: the fingerprint normalization (functions/text.py)
+    key = T.fingerprint_sql("_line") if normalize else "_line"
+    return f"""
+WITH exploded AS (
+  SELECT {id_col},
+         unnest(generate_series(1, len(_l))) - 1 AS _pos,
+         unnest(_l) AS _line
+  FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS _l
+        FROM {table} WHERE {text_col} IS NOT NULL)
+), ranked AS (
+  SELECT {id_col}, _pos, _line,
+         row_number() OVER (PARTITION BY {id_col}, {key}
+                            ORDER BY _pos) AS _rn
+  FROM exploded
+)
+SELECT {id_col},
+       string_agg(_line, chr(10) ORDER BY _pos) AS {text_col}
+FROM ranked WHERE _rn = 1 GROUP BY {id_col}
+"""

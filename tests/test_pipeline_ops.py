@@ -448,6 +448,63 @@ def test_fuzz_c4_cross_engine(spark):
     con.close()
 
 
+def test_dedup_lines_hand_computed(spark):
+    """First occurrence survives in position order; normalize=True
+    folds case/whitespace (emitting the ORIGINAL line); verbatim mode
+    keeps case variants; NULL text drops; single line passes through."""
+    from flink_sql_security_spark.operators.corpus import dedup_lines
+
+    rows = [
+        (1, "Accept cookies.\nReal content here.\nAccept cookies.\n"
+            "More content.\naccept   cookies."),
+        (2, "only line"),
+        (3, None),
+        (4, "a\nb\na\nb\na"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines(df).collect()}
+    assert out[1] == "Accept cookies.\nReal content here.\nMore content."
+    assert out[2] == "only line"
+    assert 3 not in out                       # NULL text dropped
+    assert out[4] == "a\nb"
+    verbatim = {r["doc_id"]: r["text"] for r in dedup_lines(
+        df, normalize=False).collect()}
+    # case variant survives verbatim comparison
+    assert verbatim[1].count("ccept") == 3
+
+
+def test_fuzz_dedup_lines_cross_engine(spark):
+    """Random multi-line docs (repeats, case/space variants, empties)
+    bit-equal vs the DuckDB oracle via a registered frame. Seed
+    1346269."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from flink_sql_security_spark.operators.corpus import (
+        dedup_lines, dedup_lines_duckdb_sql)
+
+    rng = random.Random(1346269)
+    base = ["alpha beta", "Alpha  Beta", "gamma", "", "delta e"]
+    for norm in (True, False):
+        docs = []
+        for i in range(50):
+            docs.append((i, "\n".join(
+                rng.choice(base) for _ in range(rng.randrange(1, 8)))))
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        got = sorted(map(tuple, dedup_lines(
+            df, normalize=norm).collect()))
+        con = duckdb.connect()
+        con.register("documents",
+                     pd.DataFrame(docs, columns=["doc_id", "text"]))
+        want = sorted(map(tuple, con.execute(dedup_lines_duckdb_sql(
+            normalize=norm)).fetchall()))
+        assert got == want and len(got) == 50, norm
+        con.close()
+
+
 def test_fingerprint_normalizes(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "other")],
