@@ -1671,14 +1671,17 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     # dedup_lines): the RefinedWeb-class boilerplate scrub — repeated
     # lines after their first occurrence drop, survivors re-join in
     # position order, so the oracle hashes the REWRITTEN text. Same
-    # derived multi-line input as text_c4_clean (single-line sf docs);
-    # the injected line breaks produce genuinely repeated short lines
-    # within documents, so the transform bites. ONE doc-key exchange.
+    # derivation idea as text_c4_clean (single-line sf docs), with a
+    # DENSER 8-token break set so the short lines genuinely repeat
+    # within documents — 87/500 docs shrink at sf0.01 (the C4 3-token
+    # set left only 3 biting docs). ONE doc-key exchange.
+    _LINE_BREAK_RE = " (table|query|window|value|scan|fast|key|row) "
+
     def line_dedup(s):
         from flink_sql_security_spark.operators.corpus import dedup_lines
         lined = docs(s).select(
             "doc_id",
-            F.regexp_replace("text", _C4_SENT_RE, "\n").alias("text"))
+            F.regexp_replace("text", _LINE_BREAK_RE, "\n").alias("text"))
         return dedup_lines(lined)
 
     from flink_sql_security_spark.operators.corpus import (
@@ -1686,7 +1689,7 @@ def _pipeline_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFra
     out["text_line_dedup"] = (
         with_tables(line_dedup),
         dedup_lines_duckdb_sql(
-            f"(SELECT doc_id, regexp_replace(text, '{_C4_SENT_RE}', "
+            f"(SELECT doc_id, regexp_replace(text, '{_LINE_BREAK_RE}', "
             f"chr(10), 'g') AS text FROM documents)"),
     )
     out["text_fingerprint"] = (
@@ -3097,7 +3100,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 11 + 4 + 21 =
+    # round 1): 11 + 3 + 12 + 4 + 20 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
@@ -3118,14 +3121,16 @@ _CHECK_ORDER = [
     #      and ratio machinery the in-window gopher entry re-pins),
     #      text_c4_clean (published C4 line recipe, late r11 — slot
     #      from r7-veteran text_repetition, pinned by its own fuzz +
-    #      goldens),
+    #      goldens), text_line_dedup (within-doc boilerplate scrub,
+    #      late r11 — slot from r7-veteran fuzzy_title_pairs, pinned
+    #      by its own fuzz + probe),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   21 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+7) plus 2 family-diverse r8 veterans and
+    #   20 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+6) plus 2 family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:
@@ -3153,6 +3158,7 @@ _CHECK_ORDER = [
     "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
     "privacy_t_closeness", "text_gopher_quality", "graph_kcore",
     "privacy_dp_release", "streaming_dedup_state", "text_c4_clean",
+    "text_line_dedup",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -3164,7 +3170,7 @@ _CHECK_ORDER = [
     "sketch_cms_tokens", "split_hash_assign", "text_pii_redact",
     # last row r7
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
-    "emb_pq_codes", "fuzzy_title_pairs", "sketch_hist_quantiles",
+    "emb_pq_codes", "sketch_hist_quantiles",
     "zorder_orders",
     # last row r8 (family-diverse two: components driver-path, exact
     # ANN; text_tfidf_terms, bpe_tokens, cdc_upsert_latest,

@@ -534,8 +534,9 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     line; False compares verbatim.
 
     Shape: posexplode → one (id, line-key) window for first-occurrence
-    rank → position-ordered re-assembly — exactly ONE exchange on the
-    document key, and every per-line operation is JVM expression work.
+    rank → position-ordered re-assembly — two exchanges ((id, key) for
+    the window, id for the re-join; both carry only exploded lines),
+    and every per-line operation is JVM expression work.
     Rows with NULL text are dropped on both engines (gate NULLs
     upstream — c4_clean/gopher already do). Output: (id, text) with
     the text column rewritten — drop-in for the pipeline position

@@ -470,8 +470,9 @@ def test_dedup_lines_hand_computed(spark):
     assert out[4] == "a\nb"
     verbatim = {r["doc_id"]: r["text"] for r in dedup_lines(
         df, normalize=False).collect()}
-    # case variant survives verbatim comparison
-    assert verbatim[1].count("ccept") == 3
+    # the identical pair still dedups verbatim; the case/space
+    # variant survives (normalize=True had folded it away)
+    assert verbatim[1].count("ccept") == 2
 
 
 def test_fuzz_dedup_lines_cross_engine(spark):
