@@ -2397,6 +2397,28 @@ FROM orders WHERE o_orderkey % 100 = 0
             ["view", "click", "purchase"], within_hours=72),
     )
 
+    # SECURED ε-DP release: the reference's RLS rewrite feeding the
+    # DP tier — the rows the consent gate removes (user_id % 10 = 0)
+    # change the TRUE counts before the seeded noise lands, so the
+    # two release-privacy layers compose: who may be counted (RLS),
+    # then how the counts leave (DP). Same rewrite path as
+    # secured_funnel; oracle applies the identical predicate to the
+    # source subquery.
+    def secured_dp(s):
+        from flink_sql_security_spark.operators.privacy import dp_count
+        from flink_sql_security_spark.presets import USER_EVENTS
+        ev = demo_context(s).table(USER_EVENTS, "events")
+        return dp_count(ev, ["event_type"], epsilon=1.0,
+                        seed="r11-consented", threshold=5.0)
+
+    out["secured_dp_release"] = (
+        with_tables(secured_dp),
+        dp_count_duckdb_sql(
+            "(SELECT * FROM events WHERE user_id % 10 != 0)",
+            ["event_type"], epsilon=1.0, seed="r11-consented",
+            threshold=5.0),
+    )
+
     # pairwise Pearson correlation matrix (operators/profile.py
     # profile_correlations): ONE groupless agg computes every
     # decimal-exact Σx/Σx²/Σxy; the matrix is per-pair expressions over
@@ -3100,7 +3122,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 12 + 4 + 20 =
+    # round 1): 11 + 3 + 13 + 4 + 19 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
@@ -3123,14 +3145,16 @@ _CHECK_ORDER = [
     #      from r7-veteran text_repetition, pinned by its own fuzz +
     #      goldens), text_line_dedup (within-doc boilerplate scrub,
     #      late r11 — slot from r7-veteran fuzzy_title_pairs, pinned
-    #      by its own fuzz + probe),
+    #      by its own fuzz + probe), secured_dp_release (RLS → DP
+    #      composition, late r11 — slot from r7-veteran emb_pq_codes,
+    #      pinned by the PQ probes + pytest),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   20 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+6) plus 2 family-diverse r8 veterans and
+    #   19 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+5) plus 2 family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:
@@ -3158,7 +3182,7 @@ _CHECK_ORDER = [
     "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
     "privacy_t_closeness", "text_gopher_quality", "graph_kcore",
     "privacy_dp_release", "streaming_dedup_state", "text_c4_clean",
-    "text_line_dedup",
+    "text_line_dedup", "secured_dp_release",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -3170,7 +3194,7 @@ _CHECK_ORDER = [
     "sketch_cms_tokens", "split_hash_assign", "text_pii_redact",
     # last row r7
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
-    "emb_pq_codes", "sketch_hist_quantiles",
+    "sketch_hist_quantiles",
     "zorder_orders",
     # last row r8 (family-diverse two: components driver-path, exact
     # ANN; text_tfidf_terms, bpe_tokens, cdc_upsert_latest,

@@ -3606,6 +3606,28 @@ def test_fuzz_dp_release_cross_engine(spark):
     con.close()
 
 
+def test_secured_dp_release_composes(spark):
+    """RLS → DP composition: the secured release equals DP over the
+    hand-filtered source (same seed → same noise per surviving group)
+    and differs from the unsecured release (the consent gate changes
+    the true counts under identical noise)."""
+    from flink_sql_security_spark.operators.privacy import dp_count
+    from flink_sql_security_spark.presets import USER_EVENTS, demo_context
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.createOrReplaceTempView("events")
+    sec = {r["event_type"]: r["n_noisy"] for r in dp_count(
+        demo_context(spark).table(USER_EVENTS, "events"),
+        ["event_type"], epsilon=1.0, seed="t").collect()}
+    hand = {r["event_type"]: r["n_noisy"] for r in dp_count(
+        ev.where("user_id % 10 != 0"),
+        ["event_type"], epsilon=1.0, seed="t").collect()}
+    raw = {r["event_type"]: r["n_noisy"] for r in dp_count(
+        ev, ["event_type"], epsilon=1.0, seed="t").collect()}
+    assert sec == hand
+    assert sec != raw                     # the gate bites pre-noise
+
+
 def test_basket_rules_3to1_hand_computed(spark):
     """Baskets {a,b,c,d}×2, {a,b,c}×1, {d}×1 (4 baskets): quad
     {a,b,c,d} support 2, triple (a,b,c) support 3 →
