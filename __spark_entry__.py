@@ -2419,6 +2419,86 @@ FROM orders WHERE o_orderkey % 100 = 0
             threshold=5.0),
     )
 
+    # STREAMING stream-stream interval join end state
+    # (streaming/interval_join.py interval_join_streams), the fourth
+    # driver-checkable streaming twin and the first JOIN one: clicks
+    # and purchases stream as SEPARATE file sources, purchases split
+    # by user hash, clicks by REVERSED user hash — so most matches
+    # pair rows from different micro-batches and the state store must
+    # hold each side until its partner arrives. The watermark delay
+    # deliberately covers the whole event-time horizon (no eviction):
+    # with eviction live, which matches survive depends on arrival
+    # order — the non-determinism the delay removes; production uses
+    # tight delays and accepts the documented drop semantics. The
+    # drained match SET equals the batch interval join, so the entry
+    # answers the interval_click_purchase oracle verbatim.
+    def stream_interval_end_state(spark):
+        import os
+        import shutil
+        import tempfile
+
+        from flink_sql_security_spark.streaming.interval_join import (
+            interval_join_streams)
+
+        ev = spark.table("events")
+        # watermarks demand TIMESTAMP (LTZ) event time — the parquet
+        # ts is NTZ; cast in, cast back out before hashing
+        clicks = (ev.where("event_type = 'click'")
+                  .select(F.col("event_id").alias("click_id"),
+                          "user_id",
+                          F.col("ts").cast("timestamp")
+                          .alias("click_ts")))
+        purchases = (ev.where("event_type = 'purchase'")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             F.col("user_id").alias("p_user_id"),
+                             F.col("ts").cast("timestamp")
+                             .alias("purchase_ts")))
+        path = tempfile.mkdtemp(prefix="fss_stream_ij_")
+        _STREAM_SINK_SEQ[0] += 1
+        name = f"fss_stream_ij_sink_{_STREAM_SINK_SEQ[0]}"
+        try:
+            for i in range(3):
+                (clicks.where(F.pmod(F.col("user_id"), F.lit(3))
+                              == (2 - i)).coalesce(1)
+                 .write.parquet(os.path.join(path, "c", f"b{i}")))
+                (purchases.where(F.pmod(F.col("p_user_id"), F.lit(3))
+                                 == i).coalesce(1)
+                 .write.parquet(os.path.join(path, "p", f"b{i}")))
+            src_c = (spark.readStream.schema(clicks.schema)
+                     .option("maxFilesPerTrigger", "1")
+                     .parquet(os.path.join(path, "c", "b*")))
+            src_p = (spark.readStream.schema(purchases.schema)
+                     .option("maxFilesPerTrigger", "1")
+                     .parquet(os.path.join(path, "p", "b*")))
+            joined = interval_join_streams(
+                src_c.withColumn("user_key", F.col("user_id")),
+                src_p.withColumn("user_key", F.col("p_user_id")),
+                on="user_key", left_ts="click_ts",
+                right_ts="purchase_ts", window="1 hour",
+                delay="87600 hours")
+            q = (joined.select(
+                     "click_id", "purchase_id", "user_id",
+                     F.col("click_ts").cast("timestamp_ntz")
+                     .alias("click_ts"),
+                     F.col("purchase_ts").cast("timestamp_ntz")
+                     .alias("purchase_ts"))
+                 .writeStream.format("memory").queryName(name)
+                 .outputMode("append").start())
+            q.processAllAvailable()
+            q.stop()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        return spark.table(name)
+
+    out["streaming_interval_state"] = (
+        with_tables(stream_interval_end_state),
+        "SELECT a.event_id AS click_id, b.event_id AS purchase_id, "
+        "a.user_id, a.ts AS click_ts, b.ts AS purchase_ts "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '1' HOUR "
+        "WHERE a.event_type = 'click' AND b.event_type = 'purchase'",
+    )
+
     # pairwise Pearson correlation matrix (operators/profile.py
     # profile_correlations): ONE groupless agg computes every
     # decimal-exact Σx/Σx²/Σxy; the matrix is per-pair expressions over
@@ -3122,7 +3202,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 13 + 4 + 19 =
+    # round 1): 11 + 3 + 14 + 4 + 18 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
@@ -3148,13 +3228,16 @@ _CHECK_ORDER = [
     #      by its own fuzz + probe), secured_dp_release (RLS → DP
     #      composition, late r11 — slot from r7-veteran emb_pq_codes,
     #      pinned by the PQ probes + pytest),
+    #      streaming_interval_state (fourth streaming twin — the
+    #      first stream-stream JOIN one; slot from r7-veteran
+    #      zorder_orders, pytest-pinned),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   19 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+5) plus 2 family-diverse r8 veterans and
+    #   18 stalest veterans — every entry whose most recent driver row
+    #      is r2/r4/r7 (2+9+4) plus 2 family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:
@@ -3182,7 +3265,7 @@ _CHECK_ORDER = [
     "privacy_generalize", "privacy_ladder_report", "basket_rules_3to1",
     "privacy_t_closeness", "text_gopher_quality", "graph_kcore",
     "privacy_dp_release", "streaming_dedup_state", "text_c4_clean",
-    "text_line_dedup", "secured_dp_release",
+    "text_line_dedup", "secured_dp_release", "streaming_interval_state",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -3195,7 +3278,6 @@ _CHECK_ORDER = [
     # last row r7
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
     "sketch_hist_quantiles",
-    "zorder_orders",
     # last row r8 (family-diverse two: components driver-path, exact
     # ANN; text_tfidf_terms, bpe_tokens, cdc_upsert_latest,
     # sessionize_events, retrieval_mmr_topk and sample_dsir_weights
