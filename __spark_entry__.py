@@ -2440,6 +2440,14 @@ FROM orders WHERE o_orderkey % 100 = 0
         from flink_sql_security_spark.streaming.interval_join import (
             interval_join_streams)
 
+        # pin the session zone for the NTZ→LTZ→NTZ round trip below:
+        # watermarks demand LTZ event time, and on a DST-observing
+        # host zone a data span crossing a transition would shift wall
+        # times (02:30→03:30) and split physical-vs-wall interval
+        # semantics between this entry and the NTZ batch oracle. UTC
+        # has no transitions, so the round trip is the identity.
+        tz_before = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         ev = spark.table("events")
         # watermarks demand TIMESTAMP (LTZ) event time — the parquet
         # ts is NTZ; cast in, cast back out before hashing
@@ -2488,6 +2496,7 @@ FROM orders WHERE o_orderkey % 100 = 0
             q.stop()
         finally:
             shutil.rmtree(path, ignore_errors=True)
+            spark.conf.set("spark.sql.session.timeZone", tz_before)
         return spark.table(name)
 
     out["streaming_interval_state"] = (
@@ -3209,7 +3218,7 @@ _CHECK_ORDER = [
     #      only ones without a driver row, union r01-r10 = 169/172
     #      (VERDICT-r10 task 1; after this window the ever-checked
     #      union is every pre-r11 entry),
-    #    6 r11 newcomers (birth-round window, the r7 lesson):
+    #   14 r11 newcomers (birth-round window, the r7 lesson):
     #      streaming_funnel_state + streaming_retention_state
     #      (task 5 — both driver-checkable streaming twins),
     #      privacy_generalize + privacy_ladder_report (task 6),
@@ -3236,8 +3245,12 @@ _CHECK_ORDER = [
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   18 stalest veterans — every entry whose most recent driver row
-    #      is r2/r4/r7 (2+9+4) plus 2 family-diverse r8 veterans and
+    #   18 stalest veterans — every r2/r4-stale entry (2+9), the 4
+    #      r7-stale entries that kept slots (cdc_snapshot_diff,
+    #      dedup_span_stats, emb_ann_pairs, sketch_hist_quantiles —
+    #      the other 5 r7 veterans ceded theirs to late-r11
+    #      newcomers, each holding a green r7 row + pins), plus 2
+    #      family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:

@@ -588,37 +588,35 @@ _DP_BUCKETS = 10_000
 _DP_NULL = "<NULL>"
 
 
-def _dp_key_spark(group_cols, seed: str):
-    return F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(_DP_NULL))
-               for c in group_cols],
-        F.lit(f":{seed}"))
+def _dp_noise_sql(group_cols, seed: str, scale: float,
+                  dialect: str) -> str:
+    """ONE emitter for the Laplace draw, both dialects: the
+    (group key, seed) string → the sampling family's shared
+    deterministic bucket (sampling.py::bucket_of_key_sql — the single
+    definition of the md5→hex8→BIGINT→%N fold) → inverse CDF. The two
+    dialects differ only in the string-cast keyword and the bucket
+    fold's hex cast, both delegated; every double literal and IEEE op
+    is textually identical, so parity is by construction."""
+    from .sampling import bucket_of_key_sql
 
-
-def _dp_noise_spark(group_cols, seed: str, scale: float) -> Column:
-    key = _dp_key_spark(group_cols, seed)
-    bucket = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
-              .cast("bigint") % _DP_BUCKETS)
-    u = (bucket.cast("double") + F.lit(0.5)) / F.lit(float(_DP_BUCKETS))
-    b = F.lit(float(scale))
-    return (F.when(u < 0.5, b * F.log(2.0 * u))
-            .otherwise(-b * F.log(2.0 * (F.lit(1.0) - u))))
-
-
-def _dp_key_duckdb(group_cols, seed: str) -> str:
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
     cols = ", ".join(
-        f"coalesce(CAST({c} AS VARCHAR), '{_DP_NULL}')"
+        f"coalesce(CAST({c} AS {cast}), '{_DP_NULL}')"
         for c in group_cols)
-    return f"concat_ws('|', {cols}, ':{seed}')"
-
-
-def _dp_noise_duckdb(group_cols, seed: str, scale: float) -> str:
-    key = _dp_key_duckdb(group_cols, seed)
-    bucket = f"(('0x' || substring(md5({key}), 1, 8))::BIGINT) % {_DP_BUCKETS}"
+    key = f"concat_ws('|', {cols}, ':{seed}')"
+    bucket = bucket_of_key_sql(key, dialect, _DP_BUCKETS)
     u = f"((CAST({bucket} AS DOUBLE) + 0.5) / {float(_DP_BUCKETS)!r})"
     b = repr(float(scale))
     return (f"(CASE WHEN {u} < 0.5 THEN {b} * ln(2.0 * {u}) "
             f"ELSE -{b} * ln(2.0 * (1.0 - {u})) END)")
+
+
+def _dp_noise_spark(group_cols, seed: str, scale: float) -> Column:
+    return F.expr(_dp_noise_sql(group_cols, seed, scale, "spark"))
+
+
+def _dp_noise_duckdb(group_cols, seed: str, scale: float) -> str:
+    return _dp_noise_sql(group_cols, seed, scale, "duckdb")
 
 
 def _dp_check(group_cols, epsilon: float, seed: str):

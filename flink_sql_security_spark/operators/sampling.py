@@ -39,20 +39,32 @@ __all__ = ["hash_split", "hash_split_duckdb_sql",
 _BUCKETS = 10_000
 
 
+def bucket_of_key_sql(key_sql: str, dialect: str = "spark",
+                      buckets: int = _BUCKETS) -> str:
+    """THE deterministic-bucket recipe, parameterized on an arbitrary
+    key expression: md5 → first 8 hex digits → BIGINT → % buckets.
+    One definition for both dialects so a change to the fold (hex
+    width, bucket count, hash) lands in one place — the sampling
+    family's id+salt forms below and the privacy tier's DP noise draw
+    (privacy.py) all delegate here. ``key_sql`` must already be a
+    string-typed SQL expression in the TARGET dialect."""
+    if dialect == "spark":
+        return (f"CAST(conv(substring(md5({key_sql}), 1, 8), 16, 10) "
+                f"AS BIGINT) % {buckets}")
+    return (f"(('0x' || substring(md5({key_sql}), 1, 8))::BIGINT) "
+            f"% {buckets}")
+
+
 def _bucket_expr(id_col: str, salt: str) -> str:
     """Spark SQL for the deterministic [0, 10000) bucket of a row id."""
-    return (
-        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
-        f"':{salt}')), 1, 8), 16, 10) AS BIGINT) % {_BUCKETS}"
-    )
+    return bucket_of_key_sql(
+        f"concat(CAST({id_col} AS STRING), ':{salt}')", "spark")
 
 
 def _bucket_duckdb(id_col: str, salt: str) -> str:
     """Identical bucket arithmetic in DuckDB."""
-    return (
-        f"(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || "
-        f"':{salt}'), 1, 8))::BIGINT) % {_BUCKETS}"
-    )
+    return bucket_of_key_sql(
+        f"CAST({id_col} AS VARCHAR) || ':{salt}'", "duckdb")
 
 
 def hash_split(df: DataFrame, id_col: str = "doc_id",
