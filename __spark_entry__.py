@@ -2448,6 +2448,14 @@ FROM orders WHERE o_orderkey % 100 = 0
         # has no transitions, so the round trip is the identity.
         tz_before = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # stream-stream joins allocate STATE tasks per shuffle
+        # partition per micro-batch on BOTH sides; at this data size
+        # the 32-partition default is pure scheduling overhead (~17 s
+        # → ~5 s at 4). Scoped to this query — the conf is read at
+        # stream start and restored after the drain; results are
+        # partition-count-invariant (the determinism suite's rule).
+        sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         ev = spark.table("events")
         # watermarks demand TIMESTAMP (LTZ) event time — the parquet
         # ts is NTZ; cast in, cast back out before hashing
@@ -2497,6 +2505,7 @@ FROM orders WHERE o_orderkey % 100 = 0
         finally:
             shutil.rmtree(path, ignore_errors=True)
             spark.conf.set("spark.sql.session.timeZone", tz_before)
+            spark.conf.set("spark.sql.shuffle.partitions", sp_before)
         return spark.table(name)
 
     out["streaming_interval_state"] = (
@@ -2584,6 +2593,24 @@ FROM orders WHERE o_orderkey % 100 = 0
         with_tables(gapfilled),
         resample_ffill_sql(
             "(SELECT * FROM events WHERE event_type = 'purchase')"),
+    )
+
+    # calendar-window rolling stats (operators/timeseries.py
+    # rolling_daily_stats): per-type daily counts/revenue with
+    # trailing-7-CALENDAR-day aggregates — the integer epoch-day RANGE
+    # frame, so missing days contribute nothing (a ROWS frame would
+    # silently stretch across gaps). DECIMAL(18,2) daily + rolling
+    # sums (order-independent), one exchange on the type key.
+    def rolling(s):
+        from flink_sql_security_spark.operators.timeseries import (
+            rolling_daily_stats)
+        return rolling_daily_stats(s.table("events"), window_days=7)
+
+    from flink_sql_security_spark.operators.timeseries import (
+        rolling_daily_stats_sql)
+    out["events_rolling_7d"] = (
+        with_tables(rolling),
+        rolling_daily_stats_sql("events", window_days=7),
     )
 
     # as-of join: each purchase attributed to the user's most recent prior
@@ -3211,7 +3238,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_ORDER = [
     # ------------------------------------------------------------------
     # r11 ROTATION — slot budget (50 = driver budget measured in
-    # round 1): 11 + 3 + 14 + 4 + 18 =
+    # round 1): 11 + 3 + 15 + 4 + 17 =
     #   11 security entries (the reference's whole surface — never
     #      rotated out),
     #    3 late-r10 entries born after the r10 window closed — the
@@ -3239,18 +3266,20 @@ _CHECK_ORDER = [
     #      pinned by the PQ probes + pytest),
     #      streaming_interval_state (fourth streaming twin — the
     #      first stream-stream JOIN one; slot from r7-veteran
-    #      zorder_orders, pytest-pinned),
+    #      zorder_orders, pytest-pinned), events_rolling_7d
+    #      (calendar-window rolling stats, late r11 — slot from
+    #      r7-veteran sketch_hist_quantiles, pinned by the quantile
+    #      pytest + probe suite),
     #    4 re-pins for entries whose IMPLEMENTATION changed in r11:
     #      events_funnel_attempts (built-in max_attempts cap, task 2),
     #      graph_hits (L1-total fusion, task 3), basket_rules +
     #      basket_rules_2to1 (_capped_items now carries the pre-cap
     #      basket size for the truncation warning),
-    #   18 stalest veterans — every r2/r4-stale entry (2+9), the 4
+    #   17 stalest veterans — every r2/r4-stale entry (2+9), the 3
     #      r7-stale entries that kept slots (cdc_snapshot_diff,
-    #      dedup_span_stats, emb_ann_pairs, sketch_hist_quantiles —
-    #      the other 5 r7 veterans ceded theirs to late-r11
-    #      newcomers, each holding a green r7 row + pins), plus 2
-    #      family-diverse r8 veterans and
+    #      dedup_span_stats, emb_ann_pairs — the other 6 r7 veterans
+    #      ceded theirs to late-r11 newcomers, each holding a green
+    #      r7 row + pins), plus 2 family-diverse r8 veterans and
     #      multimodal_features (stalest of its family, r9 — the window
     #      contract requires every core family present, and the first
     #      r11 cut dropped all multimodal entries:
@@ -3279,6 +3308,7 @@ _CHECK_ORDER = [
     "privacy_t_closeness", "text_gopher_quality", "graph_kcore",
     "privacy_dp_release", "streaming_dedup_state", "text_c4_clean",
     "text_line_dedup", "secured_dp_release", "streaming_interval_state",
+    "events_rolling_7d",
     # r11 implementation re-pins:
     "events_funnel_attempts", "graph_hits",
     "basket_rules", "basket_rules_2to1",
@@ -3290,7 +3320,6 @@ _CHECK_ORDER = [
     "sketch_cms_tokens", "split_hash_assign", "text_pii_redact",
     # last row r7
     "cdc_snapshot_diff", "dedup_span_stats", "emb_ann_pairs",
-    "sketch_hist_quantiles",
     # last row r8 (family-diverse two: components driver-path, exact
     # ANN; text_tfidf_terms, bpe_tokens, cdc_upsert_latest,
     # sessionize_events, retrieval_mmr_topk and sample_dsir_weights

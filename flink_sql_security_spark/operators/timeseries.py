@@ -228,3 +228,91 @@ SELECT cohort_period, period_offset, n_active, n_cohort,
        {rate} AS retention
 FROM active JOIN sizes USING (cohort_period)
 """.strip()
+
+
+def rolling_daily_stats(events, *, group_col: str = "event_type",
+                        ts_col: str = "ts", value_col: str = "value",
+                        window_days: int = 7):
+    """Per-group daily totals with CALENDAR-window trailing aggregates:
+    (group, day, n, total, n_roll, total_roll, avg_roll) where the
+    ``_roll`` columns cover the trailing ``window_days`` CALENDAR days
+    ending at ``day`` — the moving-average/trend primitive
+    (7-day actives, weekly revenue trend) between the lag/running
+    window entry and full resampling.
+
+    Calendar semantics without a gap-fill join: days quantize to an
+    INTEGER epoch-day and the frame is ``RANGE BETWEEN window_days-1
+    PRECEDING`` over that integer — a missing calendar day simply
+    contributes nothing, unlike a ``ROWS`` frame which would silently
+    stretch across gaps (the classic moving-average bug). Integer
+    range frames are dialect-common; interval frames on timestamps
+    are not.
+
+    Determinism: the daily value total is an exact DECIMAL(18,2) sum
+    (the skew_salted_agg cast-parity precedent) and the rolling total
+    a DECIMAL sum over those — both order-independent; counts are
+    BIGINT; one floor-rounded double division for the average.
+    Surfaces DOUBLE totals (stable pandas dtype across engines).
+    Shape: one wide exchange over the events (the daily groupBy on
+    (group, day)); the window's re-exchange on the group key alone
+    carries only the |groups × days| daily rows — negligible next to
+    the scan at any scale.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: {window_days}")
+    from ..functions.text import floor_round_col
+
+    # day stays TIMESTAMP on both sides (the events_daily precedent:
+    # Spark DATE → datetime.date vs DuckDB DATE → datetime64 stringify
+    # differently in pandas); the frame still orders by integer days
+    daily = (events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.datediff(F.to_date(ts_col),
+                   F.lit("1970-01-01").cast("date")).alias("_dn"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col(value_col).cast("decimal(18,2)"))
+             .alias("_tot")))
+    w = (Window.partitionBy("grp").orderBy("_dn")
+         .rangeBetween(-(window_days - 1), 0))
+    return (daily.select(
+        F.col("grp").alias(group_col), "day", "n",
+        F.col("_tot").cast("double").alias("total"),
+        F.sum("n").over(w).alias("n_roll"),
+        F.sum("_tot").over(w).cast("double").alias("total_roll"),
+        floor_round_col(
+            F.sum("_tot").over(w).cast("double")
+            / F.sum("n").over(w).cast("double")).alias("avg_roll")))
+
+
+def rolling_daily_stats_sql(table_sql: str, *,
+                            group_col: str = "event_type",
+                            ts_col: str = "ts",
+                            value_col: str = "value",
+                            window_days: int = 7) -> str:
+    """DuckDB SQL twin of :func:`rolling_daily_stats` (oracle):
+    identical epoch-day quantization, integer range frame, DECIMAL
+    sums, and floor-rounded division."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: {window_days}")
+    from ..functions.text import floor_round
+
+    avg = floor_round(
+        "CAST(sum(_tot) OVER w AS DOUBLE) "
+        "/ CAST(sum(n) OVER w AS DOUBLE)", 6, "duckdb")
+    return (
+        f"WITH daily AS (SELECT {group_col} AS grp, "
+        f"CAST(date_trunc('day', {ts_col}) AS TIMESTAMP) AS day, "
+        f"datediff('day', DATE '1970-01-01', CAST({ts_col} AS DATE)) "
+        f"AS _dn, "
+        f"CAST(count(*) AS BIGINT) AS n, "
+        f"sum(CAST({value_col} AS DECIMAL(18,2))) AS _tot "
+        f"FROM {table_sql} GROUP BY 1, 2, 3) "
+        f"SELECT grp AS {group_col}, day, n, "
+        f"CAST(_tot AS DOUBLE) AS total, "
+        f"CAST(sum(n) OVER w AS BIGINT) AS n_roll, "
+        f"CAST(sum(_tot) OVER w AS DOUBLE) AS total_roll, "
+        f"{avg} AS avg_roll "
+        f"FROM daily "
+        f"WINDOW w AS (PARTITION BY grp ORDER BY _dn "
+        f"RANGE BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)")

@@ -3606,6 +3606,75 @@ def test_fuzz_dp_release_cross_engine(spark):
     con.close()
 
 
+def test_rolling_daily_stats_hand_computed(spark):
+    """Calendar-gap semantics: days 1,2,3 then a jump to day 10 with a
+    3-day window — day 10's rolling stats must cover ONLY day 10 (a
+    ROWS frame would wrongly reach back to day 3)."""
+    import datetime as dt
+
+    from flink_sql_security_spark.operators.timeseries import (
+        rolling_daily_stats)
+
+    def t(d, h=0):
+        return dt.datetime(2024, 1, d, h)
+
+    rows = [("a", t(1), 10.0), ("a", t(1, 5), 20.0), ("a", t(2), 30.0),
+            ("a", t(3), 40.0), ("a", t(10), 50.0),
+            ("b", t(1), 7.5)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, "
+                                     "value double")
+    out = {(r["event_type"], r["day"].day): r
+           for r in rolling_daily_stats(df, window_days=3).collect()}
+    assert out[("a", 1)]["n"] == 2 and out[("a", 1)]["total"] == 30.0
+    assert out[("a", 3)]["n_roll"] == 4       # days 1+2+3
+    assert out[("a", 3)]["total_roll"] == 100.0
+    assert out[("a", 3)]["avg_roll"] == 25.0
+    # the calendar gap: day 10 sees only itself
+    assert out[("a", 10)]["n_roll"] == 1
+    assert out[("a", 10)]["total_roll"] == 50.0
+    assert out[("b", 1)]["n_roll"] == 1 and out[("b", 1)]["total"] == 7.5
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window_days"):
+        rolling_daily_stats(df, window_days=0)
+
+
+def test_fuzz_rolling_stats_cross_engine(spark):
+    """Random event tables × window widths (NULL values, day gaps)
+    bit-equal vs the DuckDB oracle. Seed 2178309."""
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    from flink_sql_security_spark.operators.timeseries import (
+        rolling_daily_stats, rolling_daily_stats_sql)
+
+    con = duckdb.connect()
+    rng = random.Random(2178309)
+    for trial in range(4):
+        n = rng.choice([40, 120])
+        wd = rng.choice([1, 3, 7])
+        rows = [(rng.choice(["x", "y"]),
+                 dt.datetime(2024, 1, rng.randrange(1, 28),
+                             rng.randrange(24)),
+                 rng.choice([None, -3.25, 10.0, 99.99]))
+                for _ in range(n)]
+        cfg = (trial, n, wd)
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double")
+        vals = ", ".join(
+            f"('{g}', TIMESTAMP '{ts}', "
+            f"{'NULL' if v is None else v})" for g, ts, v in rows)
+        tbl = (f"(SELECT event_type, ts, CAST(value AS DOUBLE) AS value "
+               f"FROM (VALUES {vals}) x(event_type, ts, value))")
+        got = sorted(tuple(map(str, r)) for r in rolling_daily_stats(
+            df, window_days=wd).collect())
+        want = sorted(tuple(map(str, r)) for r in con.execute(
+            rolling_daily_stats_sql(tbl, window_days=wd)).fetchall())
+        assert got == want and len(got) > 0, cfg
+    con.close()
+
+
 def test_secured_dp_release_composes(spark):
     """RLS → DP composition: the secured release equals DP over the
     hand-filtered source (same seed → same noise per surviving group)
