@@ -150,11 +150,20 @@ def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
              .groupBy(F.col("a.i").alias("x"), F.col("c.i").alias("y"))
              .agg(F.count("*").alias("n_pair"))
              .where(F.col("n_pair") >= min_support))
-    both = (pairs.select(F.col("x").alias("antecedent"),
-                         F.col("y").alias("consequent"), "n_pair")
-            .union(pairs.select(F.col("y").alias("antecedent"),
-                                F.col("x").alias("consequent"),
-                                "n_pair")))
+    # both directions via ONE explode over the aggregated pairs — a
+    # union of two selects re-executes the (expensive, basket-keyed)
+    # pair aggregation once per branch, because `pairs` is lazy and
+    # nothing below it is persisted (measured: the aggregation stage ran
+    # 2× per action). The explode is a narrow per-row map over a single
+    # computation of the aggregate; same rows, no extra exchange.
+    both = (pairs.select(F.explode(F.array(
+        F.struct(F.col("x").alias("antecedent"),
+                 F.col("y").alias("consequent"),
+                 F.col("n_pair")),
+        F.struct(F.col("y").alias("antecedent"),
+                 F.col("x").alias("consequent"),
+                 F.col("n_pair")))).alias("r"))
+        .select("r.antecedent", "r.consequent", "r.n_pair"))
     na = item_n.select(F.col("i").alias("antecedent"),
                        F.col("n_i").alias("n_ante"))
     nc = item_n.select(F.col("i").alias("consequent"),
@@ -275,17 +284,21 @@ def basket_rules_2to1(df: DataFrame, *, basket_col: str, item_col: str,
                .where(F.col("n_triple") >= min_support))
     # three 2→1 rules per frequent triple x<y<w; every antecedent pair
     # is emitted in its own sorted order, matching pair_n's (x<y) key.
-    rules = (
-        triples.select(F.col("x").alias("ante_1"),
-                       F.col("y").alias("ante_2"),
-                       F.col("w").alias("consequent"), "n_triple")
-        .union(triples.select(F.col("x").alias("ante_1"),
-                              F.col("w").alias("ante_2"),
-                              F.col("y").alias("consequent"), "n_triple"))
-        .union(triples.select(F.col("y").alias("ante_1"),
-                              F.col("w").alias("ante_2"),
-                              F.col("x").alias("consequent"),
-                              "n_triple")))
+    # ONE explode over the aggregated triples, not a 3-branch union —
+    # `triples` is lazy (the basket-keyed extension join + count), and a
+    # union re-executes that whole subtree once per branch (measured in
+    # the 3to1 twin: the quad stage ran 4×). The explode emits all
+    # three rules from a single computation, per-row, no extra exchange.
+    def _rule(a1, a2, cons):
+        return F.struct(F.col(a1).alias("ante_1"),
+                        F.col(a2).alias("ante_2"),
+                        F.col(cons).alias("consequent"),
+                        F.col("n_triple"))
+
+    rules = (triples.select(F.explode(F.array(
+        _rule("x", "y", "w"), _rule("x", "w", "y"),
+        _rule("y", "w", "x"))).alias("r"))
+        .select("r.ante_1", "r.ante_2", "r.consequent", "r.n_triple"))
     np_ = pair_n.select(F.col("x").alias("ante_1"),
                         F.col("y").alias("ante_2"),
                         F.col("n_pair").alias("n_ante_pair"))
@@ -439,17 +452,24 @@ def basket_rules_3to1(df: DataFrame, *, basket_col: str, item_col: str,
              .where(F.col("n_quad") >= min_support))
     # four 3→1 rules per frequent quad x<y<z<w; every antecedent
     # triple is emitted in its own sorted order, matching triple_n's
-    # (x<y<z) key.
-    def rule(a1, a2, a3, cons):
-        return quads.select(F.col(a1).alias("ante_1"),
-                            F.col(a2).alias("ante_2"),
-                            F.col(a3).alias("ante_3"),
-                            F.col(cons).alias("consequent"), "n_quad")
+    # (x<y<z) key. ONE explode over the aggregated quads, not a
+    # 4-branch union: the union re-executed the quad extension join +
+    # aggregation once per branch (measured: four identical ~6 s stages
+    # per action at sf0.1 — the single dominant cost of this operator);
+    # the explode emits all four rules from a single computation.
+    def _rule(a1, a2, a3, cons):
+        return F.struct(F.col(a1).alias("ante_1"),
+                        F.col(a2).alias("ante_2"),
+                        F.col(a3).alias("ante_3"),
+                        F.col(cons).alias("consequent"),
+                        F.col("n_quad"))
 
-    rules = (rule("x", "y", "z", "w")
-             .union(rule("x", "y", "w", "z"))
-             .union(rule("x", "z", "w", "y"))
-             .union(rule("y", "z", "w", "x")))
+    rules = (quads.select(F.explode(F.array(
+        _rule("x", "y", "z", "w"), _rule("x", "y", "w", "z"),
+        _rule("x", "z", "w", "y"), _rule("y", "z", "w", "x")))
+        .alias("r"))
+        .select("r.ante_1", "r.ante_2", "r.ante_3", "r.consequent",
+                "r.n_quad"))
     nt = triple_n.select(F.col("x").alias("ante_1"),
                          F.col("y").alias("ante_2"),
                          F.col("z").alias("ante_3"),

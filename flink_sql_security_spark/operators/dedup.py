@@ -99,6 +99,48 @@ def _with_words(df: DataFrame, text_col: str) -> DataFrame:
         "_ws", F.expr(f"split(lower(trim({text_col})), '\\\\s+')"))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition on id with an EXPLICIT partition count — the
+    parallelize-the-text-kernel exchange of the dedup/text family.
+
+    The explicit count is load-bearing: AQE honors user-specified
+    partition numbers but freely coalesces ``repartition(col)`` by
+    OUTPUT BYTES, and a per-doc shingle/token table is tiny in bytes
+    while every consumer explodes it ~100× in rows — byte-based
+    coalescing serialized exactly the expensive hashing work this
+    exchange exists to spread (measured: the 2 MB cached shingle-set
+    table collapsed to 1 partition and dedup_containment went 1.0 →
+    3.1 s once cached-plan coalescing was enabled). Count =
+    max(cluster cores, input size / maxPartitionBytes): a small corpus
+    spreads across every core; a large input keeps its natural split
+    count. The byte estimate is Catalyst's free plan statistic — no
+    job (deliberately NOT ``df.rdd.getNumPartitions()``, which under
+    AQE eagerly materializes upstream query stages); None ⇒ treat as
+    small and use the core count, the safe floor. Hash-by-id is
+    preserved, so downstream per-doc groupBys still reuse the
+    partitioning (ClusteredDistribution satisfied)."""
+    from .similarity import _plan_size_bytes
+
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    est = _plan_size_bytes(df)
+    if est is not None:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b").lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        mult = 1
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        if raw and raw[-1] in units:
+            mult, raw = units[raw[-1]], raw[:-1]
+        try:
+            split = max(int(raw) * mult, 1)
+        except ValueError:
+            split = 128 << 20
+        n = max(n, -(-est // split))
+    return df.repartition(n, F.col(id_col))
+
+
 def _grams_expr(n: int, words_col: str = "_ws"):
     """Array-of-shingles Column over a PRE-MATERIALIZED token-array column
     (see :func:`_with_words`): space-joined n-grams. The array form is the
@@ -136,7 +178,7 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # HashPartitioning(id) satisfies ClusteredDistribution(id, …), so no
     # further exchange.
     return (
-        _with_words(df.repartition(F.col(id_col)), text_col)
+        _with_words(_spread(df, id_col), text_col)
         .select(F.col(id_col), F.explode(grams).alias("shingle"))
     )
 
@@ -221,8 +263,8 @@ def minhash_signatures_narrow(df: DataFrame, text_col: str = "text",
     pre = df.where(
         F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= n)
     return (
-        _with_words(pre.repartition(F.col(id_col)), text_col)
-        # parallelize hashing on few-partition scans ^
+        _with_words(_spread(pre, id_col), text_col)
+        # parallelize hashing on few-partition scans ^ (_spread)
         .select(F.col(id_col), _grams_expr(n).alias("_grams"))
         .select(F.col(id_col), xs.alias("_xs"))
         .select(F.col(id_col), *mins)
@@ -341,8 +383,8 @@ def hashed_shingle_sets(df: DataFrame, text_col: str = "text",
     pre = df.where(
         F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= n)
     return (
-        _with_words(pre.repartition(F.col(id_col)), text_col)
-        # parallelize hashing on few-partition scans ^
+        _with_words(_spread(pre, id_col), text_col)
+        # parallelize hashing on few-partition scans ^ (_spread)
         .select(F.col(id_col), _grams_expr(n).alias("_grams"))
         .select(F.col(id_col), hs.alias("hs"))
         .select(F.col(id_col), "hs", F.size("hs").alias("n_sh"))
@@ -447,7 +489,7 @@ def shingle_profile(df: DataFrame, text_col: str = "text",
     pre = df.where(
         F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")) >= n)
     return (
-        _with_words(pre.repartition(F.col(id_col)), text_col)
+        _with_words(_spread(pre, id_col), text_col)
         .select(F.col(id_col), _grams_expr(n).alias("_grams"))
         .select(F.col(id_col), md5s.alias("_m"))
         .select(F.col(id_col), hs.alias("hs"), xs.alias("_xs"))
@@ -685,7 +727,7 @@ def simhash(df: DataFrame, text_col: str = "text",
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok = (
-        df.repartition(F.col(id_col))  # parallelize + pre-cluster for groupBy
+        _spread(df, id_col)  # parallelize + pre-cluster for groupBy
         .select(F.col(id_col), F.explode(words).alias("token"))
         .where(F.col("token") != "")
         .select(F.col(id_col), F.expr(
@@ -821,10 +863,18 @@ def _star_contraction(pairs: DataFrame, a, b,
               .where(F.col("u") != F.col("v"))
               .distinct())
         # small-star on the (already big→small) edges: every neighbor
-        # AND u itself hook to m = min(Γ(u)); m < u always holds
+        # AND u itself hook to m = min(Γ(u)); m < u always holds.
+        # Both output rows come from ONE explode over ss, not a
+        # 2-branch union — ss is lazy (large-star window + distinct +
+        # the small-star window), so a union re-executed that whole
+        # per-round subtree twice per round before the checkpoint.
         ss = ls.withColumn("m", F.min("v").over(wu))
-        edges = (ss.select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .union(ss.select("u", "m"))
+        edges = (ss.select(F.explode(F.array(
+                     F.struct(F.col("v").alias("u"),
+                              F.col("m").alias("v")),
+                     F.struct(F.col("u"),
+                              F.col("m").alias("v")))).alias("r"))
+                 .select("r.u", "r.v")
                  .where(F.col("u") != F.col("v"))
                  .distinct().localCheckpoint())
         rounds += 1
@@ -1236,7 +1286,7 @@ def trim_duplicate_spans(df: DataFrame, text_col: str = "text",
         _with_words(df.where(F.size(F.split(
             F.lower(F.trim(F.col(text_col))), r"\s+")) >= 1), text_col)
         .select(F.col(id_col), F.col("_ws"))
-        .repartition(F.col(id_col))
+        .transform(lambda d: _spread(d, id_col))
         .persist()
     )
     span_h = (
@@ -1490,12 +1540,18 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6)
     c_ba = _floor_round_col(
         F.col("n_inter").cast("double") / F.col("n_b").cast("double"), 6)
-    both = inter.select(
-        F.col("id_a").alias("id_sub"), F.col("id_b").alias("id_super"),
-        c_ab.alias("containment")
-    ).union(inter.select(
-        F.col("id_b").alias("id_sub"), F.col("id_a").alias("id_super"),
-        c_ba.alias("containment")))
+    # both directions from ONE computation of `inter` (explode, not a
+    # 2-branch union): `inter` is the expensive shingle-hash self-join +
+    # aggregation and nothing below it is persisted, so a union would
+    # re-execute that subtree once per branch. Per-row map, same rows.
+    both = inter.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("id_sub"),
+                 F.col("id_b").alias("id_super"),
+                 c_ab.alias("containment")),
+        F.struct(F.col("id_b").alias("id_sub"),
+                 F.col("id_a").alias("id_super"),
+                 c_ba.alias("containment")))).alias("r")
+    ).select("r.id_sub", "r.id_super", "r.containment")
     return attach(
         both.where(F.col("containment") >= threshold), sh)
 

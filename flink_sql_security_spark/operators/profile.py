@@ -453,12 +453,9 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
     for a, b in pairs:
         aggs.append(F.sum((dec[a] * dec[b]).cast("decimal(38,12)"))
                     .alias(f"sp_{a}_{b}"))
-    # ONE row, but referenced once per pair by the union below —
-    # unpersisted, every branch would replay the full table aggregation
-    # (measured: 6 exchanges for 4 columns → 1 after the persist)
-    stats = base.agg(*aggs).persist()
+    stats = base.agg(*aggs)
 
-    rows = []
+    structs = []
     for a, b in pairs:
         pa, pb = (a, b) if a < b else (b, a)
         n = F.col("_n").cast("double")
@@ -473,14 +470,17 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
             (va > 0) & (vb > 0),
             _floor_round_col((n * sp - sa * sb)
                              / (F.sqrt(va) * F.sqrt(vb)))).otherwise(None)
-        rows.append(stats.select(
+        structs.append(F.struct(
             F.lit(pa).alias("col_a"), F.lit(pb).alias("col_b"),
             F.col("_n").alias("n"), corr.alias("corr")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.union(r)
-    from .cache import attach
-    return attach(out, stats)
+    # ONE matrix row per pair via a single explode over the 1-row stats
+    # frame: the former per-pair select + union chain referenced the
+    # stats aggregate once per branch (needing a persist to avoid k²/2
+    # replays of the table pass) and paid one stage per pair; the
+    # explode builds every row in the same stage as the aggregate, so
+    # the persist (and its job/storage bookkeeping) is gone too.
+    return (stats.select(F.explode(F.array(*structs)).alias("r"))
+            .select("r.col_a", "r.col_b", "r.n", "r.corr"))
 
 
 def profile_correlations_duckdb_sql(table: str, cols: list[str]) -> str:

@@ -45,6 +45,7 @@ from flink_sql_security_spark.functions.text import (
     floor_round, floor_round_col, floor_round_py)
 
 from .cache import attach
+from .dedup import _spread
 
 _WS = r"\s+"
 
@@ -86,7 +87,7 @@ def bm25_topk(df, terms, k: int = 20, *, text_col: str = "text",
         n_docs, avgdl = int(stats[0]), float(stats[1])
 
     toks = (
-        with_dl.repartition(F.col(id_col))
+        _spread(with_dl, id_col)
         .select(F.col(id_col), F.col("dl"),
                 F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS))
                 .alias("token"))
@@ -169,7 +170,7 @@ def bm25_build_index(df, *, text_col: str = "text", id_col: str = "doc_id"):
     avgdl = int(row["total"]) / n_docs  # exact ints -> one IEEE divide
 
     postings = (
-        with_dl.repartition(F.col(id_col))
+        _spread(with_dl, id_col)
         .select(F.col(id_col), F.col("dl"),
                 F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS))
                 .alias("token"))

@@ -145,6 +145,21 @@ def build_session(app_name: str = "flink-sql-security-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE coalesce INSIDE cached plans too (default false): the
+        # operator library persists shuffled intermediates (graph edge
+        # tables, assoc pair occurrences, dedup shingle sets …), and with
+        # the default every such cache pins its pre-AQE partition count —
+        # measured 64 near-empty partitions on a 28 MB edge table, and
+        # every downstream stage over the cache pays that task count
+        # (graph_pagerank 5.2 → 3.8 s steady at sf0.1 from this conf
+        # alone). Partitioning never affects results here by the package
+        # determinism contract (quantized integer sums, integer counts,
+        # total-order tie-breaks — pinned by the AQE-off/local[7] pytest
+        # matrix). At cluster scale the coalesce target stays
+        # advisoryPartitionSizeInBytes, so large caches keep large-but-
+        # full partitions — the same setting serves both regimes.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # long multi-query sessions: dropped checkpoint RDDs / broadcasts
