@@ -1956,9 +1956,21 @@ FROM orders WHERE o_orderkey % 100 = 0
                 "o_orderstatus STRING, o_orderpriority STRING")
 
     def deb_state(s):
+        from flink_sql_security_spark.operators.skew import (
+            spread_partitions)
         from flink_sql_security_spark.sources.debezium import (
             debezium_state)
-        return debezium_state(s.sql(_DEB_CHANGELOG), row_ddl=_DEB_DDL,
+
+        # the envelope CONCAT is itself expensive narrow work and the
+        # single-row-group orders file scans as one task — serialize
+        # the changelog from a spread view so the JSON build
+        # parallelizes too (the decode's own spread covers only the
+        # from_json side); same strings, same rows
+        spread_partitions(s.table("orders")).createOrReplaceTempView(
+            "_deb_orders_spread")
+        raw = s.sql(_DEB_CHANGELOG.replace("FROM orders",
+                                           "FROM _deb_orders_spread"))
+        return debezium_state(raw, row_ddl=_DEB_DDL,
                               key_cols=["o_orderkey"],
                               tiebreak_field="pos")
 
@@ -2080,6 +2092,15 @@ FROM orders WHERE o_orderkey % 100 = 0
         path = tempfile.mkdtemp(prefix="fss_stream_entry_")
         _STREAM_SINK_SEQ[0] += 1
         name = f"fss_stream_funnel_sink_{_STREAM_SINK_SEQ[0]}"
+        # state tasks allocate per shuffle partition per micro-batch
+        # (and per-task the Python state runner pays a fixed worker
+        # round-trip); at this drain size the 32-partition default is
+        # pure scheduling overhead — the streaming_interval_state
+        # precedent, scoped to the drain and restored after. The end
+        # state is partition-count-invariant (pruning-exactness
+        # contract + the determinism suite's rule).
+        sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             for i, et in enumerate(["purchase", "click", "view"]):
                 (ev.where(F.col("event_type") == et).coalesce(1)
@@ -2094,6 +2115,7 @@ FROM orders WHERE o_orderkey % 100 = 0
             q.stop()
         finally:
             shutil.rmtree(path, ignore_errors=True)
+            spark.conf.set("spark.sql.shuffle.partitions", sp_before)
         # the memory sink holds the drained updates driver-side; the
         # compaction below is sink-shaped (≤ |users|·3 rows)
         return latest_funnel_state(spark.table(name))
@@ -2131,6 +2153,11 @@ FROM orders WHERE o_orderkey % 100 = 0
         path = tempfile.mkdtemp(prefix="fss_stream_ret_")
         _STREAM_SINK_SEQ[0] += 1
         name = f"fss_stream_retention_sink_{_STREAM_SINK_SEQ[0]}"
+        # scoped state-partition sizing — the streaming_interval_state
+        # precedent (see that entry); dropDuplicates state is
+        # partition-count-invariant
+        sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             for i in range(3):
                 (ev.where(F.pmod(F.col("user_id"), F.lit(3)) == i)
@@ -2146,6 +2173,7 @@ FROM orders WHERE o_orderkey % 100 = 0
             q.stop()
         finally:
             shutil.rmtree(path, ignore_errors=True)
+            spark.conf.set("spark.sql.shuffle.partitions", sp_before)
         return retention_cohorts(spark.table(name), ts_col="period")
 
     out["streaming_retention_state"] = (
@@ -2176,6 +2204,11 @@ FROM orders WHERE o_orderkey % 100 = 0
         path = tempfile.mkdtemp(prefix="fss_stream_dedup_")
         _STREAM_SINK_SEQ[0] += 1
         name = f"fss_stream_dedup_sink_{_STREAM_SINK_SEQ[0]}"
+        # scoped state-partition sizing — the streaming_interval_state
+        # precedent; dropDuplicates key-set state is partition-count-
+        # invariant
+        sp_before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
             for i in range(3):
                 (ds.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
@@ -2191,6 +2224,7 @@ FROM orders WHERE o_orderkey % 100 = 0
             q.stop()
         finally:
             shutil.rmtree(path, ignore_errors=True)
+            spark.conf.set("spark.sql.shuffle.partitions", sp_before)
         return spark.table(name).select("dup_key")
 
     from flink_sql_security_spark.functions.text import fingerprint_sql

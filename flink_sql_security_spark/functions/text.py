@@ -379,9 +379,14 @@ def gopher_flags_sql(c: str) -> dict[str, str]:
 def gopher_select(df, text_col: str = "text", id_col: str = "doc_id"):
     """(id, metrics…, keep) — the per-document Gopher quality report;
     ``df.where(gopher_flags(col)['keep'])`` is the filtering form."""
+    from ..operators.skew import spread_partitions
+
     flags = gopher_flags(F.col(text_col))
-    return df.select(F.col(id_col),
-                     *[v.alias(k) for k, v in flags.items()])
+    # the regex battery is expensive narrow work over a 1-task scan of
+    # a single-row-group file — spread when the input is small (no-op
+    # on a corpus-sized scan, preserving the zero-exchange shape)
+    return spread_partitions(df, key_col=id_col).select(
+        F.col(id_col), *[v.alias(k) for k, v in flags.items()])
 
 
 def gopher_select_sql(table: str = "documents", text_col: str = "text",
@@ -733,6 +738,12 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     """
     from pyspark.sql import functions as F
 
+    from ..operators.skew import spread_partitions
+
+    # single-row-group corpus files scan as ONE task; the bigram build
+    # below is the expensive narrow kernel, so spread it across cores
+    # (conditional: a corpus-sized scan skips the exchange entirely)
+    df = spread_partitions(df, key_col=id_col)
     words = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     toks = (
         df.where(F.size(words) >= 2)

@@ -119,26 +119,9 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     small and use the core count, the safe floor. Hash-by-id is
     preserved, so downstream per-doc groupBys still reuse the
     partitioning (ClusteredDistribution satisfied)."""
-    from .similarity import _plan_size_bytes
+    from .skew import spread_partitions
 
-    spark = df.sparkSession
-    n = spark.sparkContext.defaultParallelism
-    est = _plan_size_bytes(df)
-    if est is not None:
-        raw = spark.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728b").lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        mult = 1
-        if raw.endswith("b"):
-            raw = raw[:-1]
-        if raw and raw[-1] in units:
-            mult, raw = units[raw[-1]], raw[:-1]
-        try:
-            split = max(int(raw) * mult, 1)
-        except ValueError:
-            split = 128 << 20
-        n = max(n, -(-est // split))
-    return df.repartition(n, F.col(id_col))
+    return spread_partitions(df, key_col=id_col, always=True)
 
 
 def _grams_expr(n: int, words_col: str = "_ws"):

@@ -114,7 +114,13 @@ def rp_project(df: DataFrame, in_dim: int, out_dim: int = 16,
         s = _sum_expr(row, lambda i: f"element_at(_xd, {i})")
         comps.append(_floor_round(
             f"({s}) / CAST('{scale!r}' AS DOUBLE)", round_to, "spark"))
-    base = (df.withColumn("_xd", F.expr(guarded))
+    from .skew import spread_partitions
+
+    # the unrolled out_dim x in_dim +/- fold is the heavy narrow kernel
+    # and a single-row-group file scans as one task — spread small
+    # inputs across cores (no-op on a corpus-sized scan)
+    base = (spread_partitions(df, key_col=id_col)
+            .withColumn("_xd", F.expr(guarded))
             .withColumn("_xd", F.expr(
                 "CASE WHEN NOT exists(_xd, v -> v IS NULL OR isnan(v)) "
                 "THEN _xd ELSE assert_true(false, concat("
@@ -254,7 +260,10 @@ def pca_project(df: DataFrame, mean: list, components: list,
     for row in components:
         s = _wsum_expr(row, lambda i: f"element_at(_cd, {i})")
         comps.append(_floor_round(s, round_to, "spark"))
-    base = (df.withColumn("_xd", F.expr(guarded))
+    from .skew import spread_partitions
+
+    base = (spread_partitions(df, key_col=id_col)
+            .withColumn("_xd", F.expr(guarded))
             .withColumn("_xd", F.expr(
                 "CASE WHEN NOT exists(_xd, v -> v IS NULL OR isnan(v)) "
                 "THEN _xd ELSE assert_true(false, concat("

@@ -49,7 +49,8 @@ def _alpha_m(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}[m]
 
 
-def hll_registers(df: DataFrame, cols: list[str]) -> DataFrame:
+def hll_registers(df: DataFrame, cols: list[str],
+                  spread: bool = True) -> DataFrame:
     """(column, bucket, rho): merged HLL registers, one row per non-empty
     register. This is the mergeable sketch state — union two tables'
     registers and ``max`` again to sketch their union without rescanning
@@ -60,8 +61,18 @@ def hll_registers(df: DataFrame, cols: list[str]) -> DataFrame:
     engines (Spark ``1.0E7`` vs DuckDB ``10000000.0``) — cast doubles to
     DECIMAL/STRING explicitly upstream if you must sketch them.
     """
+    from .skew import spread_partitions
+
     stacked = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
     h = f"CAST(conv(substring(md5(val), 1, 15), 16, 10) AS BIGINT)"
+    # per-value md5 hashing is the heavy narrow kernel; a single-row-
+    # group file scans as one task, so spread small inputs (no-op on a
+    # corpus-sized scan) before the stack + map-side combine.
+    # ``spread=False`` lets a caller that already spread the input
+    # (approx_distinct_hll shares ONE exchange across its two branches)
+    # skip a second exchange.
+    if spread:
+        df = spread_partitions(df)
     return (
         df.select(F.expr(f"stack({len(cols)}, {stacked})").alias("column", "val"))
         .where(F.col("val").isNotNull())
@@ -85,6 +96,12 @@ def approx_distinct_hll(df: DataFrame, cols: list[str],
     display; production profiling at >10⁹ cardinality drops it (the exact
     branch is precisely the distinct-pair shuffle the sketch avoids).
     """
+    from .skew import spread_partitions
+
+    # ONE spread shared by the sketch and the exact branch: each branch
+    # re-reads the spread frame's exchange output instead of paying its
+    # own serial exchange off the 1-task scan
+    df = spread_partitions(df)
     # harmonic sum Z = Σ 2^(-M_j), kept exact: S = Z·2^RHO_MAX in BIGINT
     # (non-empty register: 2^(RHO_MAX-rho); empty: 2^RHO_MAX; S ≤ m·2^52 < 2^62)
     c_lit = repr(_alpha_m(HLL_M) * HLL_M * HLL_M * float(1 << _RHO_MAX))
@@ -95,7 +112,7 @@ def approx_distinct_hll(df: DataFrame, cols: list[str],
         f"ELSE {est_raw} END"
     )
     sketch = (
-        hll_registers(df, cols)
+        hll_registers(df, cols, spread=False)
         .groupBy("column").agg(
             F.expr(
                 f"sum(shiftleft(CAST(1 AS BIGINT), {_RHO_MAX} - rho))").alias("s0"),

@@ -77,3 +77,63 @@ def salted_join(left: DataFrame, right: DataFrame, on: str,
         salted_left.join(exploded_right, on=[on, "_salt"], how=how)
         .drop("_salt")
     )
+
+
+def spread_partitions(df: DataFrame, key_col: str | None = None,
+                      always: bool = False) -> DataFrame:
+    """Explicit-count repartition that parallelizes expensive NARROW
+    work when the input's own partitioning is too coarse — the inverse
+    of the hot-key problem above: not one partition too big by bytes,
+    but one partition owning all the per-row COMPUTE (a single-row-group
+    parquet file can only scan as ONE task no matter the split config,
+    and AQE byte-based coalescing shrinks small-but-compute-heavy
+    intermediates the same way).
+
+    The explicit count is load-bearing — AQE honors user-specified
+    partition numbers but freely re-coalesces keyless/keyed repartitions
+    by OUTPUT BYTES, which is exactly wrong when bytes are small and the
+    downstream per-row work (regex gates, n-gram hashing, JSON decode,
+    unrolled projection arithmetic) is large. Count = max(cluster
+    cores, Catalyst's size estimate / maxPartitionBytes): a small input
+    spreads across every core, a large one keeps its natural split
+    count, and the estimate is a free plan statistic (no job).
+
+    ``key_col``: hash-partition on that column (deterministic under
+    task retries, and downstream per-key groupBys reuse the
+    partitioning); None = round-robin, for inputs with no natural key.
+
+    ``always=False`` (the default) makes the exchange CONDITIONAL on
+    the input being estimated too small to carry natural parallelism
+    (est / maxPartitionBytes < cores): a corpus-sized scan already
+    yields one task per split, and repartitioning it would add a full
+    shuffle of the heavy payload for nothing — the no-op path is what
+    keeps "zero exchanges at 100 TB" claims true while the small local
+    corpus still spreads. An unavailable estimate (None) is treated as
+    LARGE — the scale-safe reading. ``always=True`` preserves the
+    dedup-family contract where the exchange also provides per-doc
+    clustering that downstream operators reuse.
+    """
+    from .similarity import _plan_size_bytes
+
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    est = _plan_size_bytes(df)
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b").lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    mult = 1
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    if raw and raw[-1] in units:
+        mult, raw = units[raw[-1]], raw[:-1]
+    try:
+        split = max(int(raw) * mult, 1)
+    except ValueError:
+        split = 128 << 20
+    est_parts = None if est is None else -(-est // split)
+    if not always and (est_parts is None or est_parts >= cores):
+        return df
+    n = cores if est_parts is None else max(cores, est_parts)
+    if key_col is None:
+        return df.repartition(n)
+    return df.repartition(n, F.col(key_col))

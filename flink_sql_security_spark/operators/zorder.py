@@ -56,13 +56,17 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = ZBITS,
     broadcast-joined onto the rows — at scale that agg is a footer-only
     parquet scan. The key computation itself is narrow per-row work.
     """
+    from .skew import spread_partitions
+
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
     bounds = df.agg(*aggs)
     scaled = [_scale_expr(c, f"_mn_{c}", f"_mx_{c}", bits) for c in cols]
+    # the interleave fold is the heavy narrow kernel — spread a small
+    # (single-row-group) input across cores; no-op at corpus scale
     return (
-        df.join(F.broadcast(bounds))
+        spread_partitions(df).join(F.broadcast(bounds))
         .withColumn(out_col, F.expr(_interleave_expr(scaled, bits)))
         .drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
     )

@@ -64,6 +64,16 @@ def debezium_decode(df: DataFrame, *, row_ddl: str,
     ``row_ddl``: the row-image schema as a DDL string, e.g.
     ``"id BIGINT, name STRING, price DECIMAL(12,2)"``.
     """
+    from ..operators.skew import spread_partitions
+
+    # the double from_json is the heavy narrow kernel; a changelog read
+    # from one small file (or a few) scans as that many tasks, so
+    # spread small BATCH inputs across cores before decoding
+    # (conditional: a corpus-sized scan — or a stream, whose plan has
+    # no size estimate — skips the exchange, keeping the documented
+    # narrow-map-over-the-scan shape at 100 TB)
+    if not df.isStreaming:
+        df = spread_partitions(df)
     src = (f", source STRUCT<{tiebreak_field}: BIGINT>"
            if tiebreak_field else "")
     env = (f"STRUCT<before: STRUCT<{row_ddl}>, after: STRUCT<{row_ddl}>, "
