@@ -150,8 +150,13 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     """(id, n_tokens, token_fp): BPE token count + md5 fingerprint of the
     encoded stream under ``merges``. Narrow per-row work — the merge
     chain is builtin ``replace`` calls, fully codegen, no shuffle."""
+    from .skew import spread_partitions
+
     s = _apply_merges(_stream_expr_spark(text_col), merges)
-    return df.select(
+    # the unrolled replace chain is the heavy narrow kernel over a
+    # 1-task single-row-group scan — spread small inputs (no-op at
+    # corpus scale)
+    return spread_partitions(df, key_col=id_col).select(
         F.col(id_col),
         F.expr(f"CAST((length({s}) - length(replace({s}, '  ', ''))) / 2 "
                f"AS BIGINT)").alias("n_tokens"),

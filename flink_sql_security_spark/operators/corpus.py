@@ -51,7 +51,13 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     (at cluster scale the same role is played by writing the stage to
     parquet).
     """
+    from .skew import spread_partitions
+
     text = F.col(text_col)
+    # the lang-id + quality regex gates are the expensive narrow kernel
+    # and a single-row-group corpus file scans as ONE task — spread
+    # small inputs across cores (conditional; no-op at corpus scale)
+    df = spread_partitions(df, key_col=id_col)
     gated = (
         df.select(F.col(id_col), text,
                   T.lang_id(text).alias("lang_pred"),
@@ -138,10 +144,13 @@ def chunk_tokens(df: DataFrame, size: int = 128, stride: int = 96,
     No shuffle at any scale; Catalyst pushes upstream filters below the
     generator.
     """
+    from .skew import spread_partitions
+
     if size < 1 or stride < 1:
         raise ValueError("size and stride must be >= 1")
     out = (
-        df.where(F.trim(F.col(text_col)) != "")
+        spread_partitions(df, key_col=id_col)
+        .where(F.trim(F.col(text_col)) != "")
         .select(
             F.col(id_col),
             F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_tk"))
@@ -325,8 +334,15 @@ def chunk_sentences(df: DataFrame, budget: int = 128,
     # literal-delimiter contract: regex-escape for Spark's split (the
     # pattern goes to F.split directly — no SQL-literal round trip, so
     # quotes need no escaping); DuckDB's string_split is literal already
+    from .skew import spread_partitions
+
+    # spread BEFORE the tokenize/count projections: the id-hash
+    # exchange the window needs anyway moves ahead of the heavy narrow
+    # work, so the kernel parallelizes and the window re-uses the
+    # partitioning — same exchange count (no-op at corpus scale)
     sent = (
-        df.where(F.trim(F.col(text_col)) != "")
+        spread_partitions(df, key_col=id_col)
+        .where(F.trim(F.col(text_col)) != "")
         .select(
             F.col(id_col),
             F.split(F.trim(F.col(text_col)),
@@ -455,8 +471,13 @@ def chunk_content_defined(df: DataFrame, w: int = 3,
     bounds = (f"transform(sequence(0, size(_tk) - 1), j -> "
               f"CASE WHEN j >= {w - 1} AND {h} % {m} = 0 "
               f"THEN 1 ELSE 0 END)")
+    from .skew import spread_partitions
+
+    # spread before the gram-hash projection (see chunk_sentences —
+    # same single-exchange argument; no-op at corpus scale)
     sent = (
-        df.where(F.trim(F.col(text_col)) != "")
+        spread_partitions(df, key_col=id_col)
+        .where(F.trim(F.col(text_col)) != "")
         .select(F.col(id_col),
                 F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_tk"))
         .select(F.col(id_col), F.col("_tk"),

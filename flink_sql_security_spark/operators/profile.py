@@ -62,6 +62,9 @@ def profile_numeric(df: DataFrame, cols: list[str],
             .withColumn("sum", F.round("sum", 2))  # native-round-ok
         )
 
+    # NOTE: deliberately NOT spread_partitions here — A/B measured the
+    # extra exchange a net loss (1.13 vs 1.43 s at sf0.1): the per-value
+    # partial aggregation is cheap enough that the serial map side wins.
     stacked = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
     long_df = df.select(
         F.expr(f"stack({len(cols)}, {stacked})").alias("column", "v"))
@@ -154,12 +157,17 @@ def profile_quantiles(df: DataFrame, cols: list[str],
             probe = df.agg(*[
                 F.approx_count_distinct(c).alias(c) for c in cols]).first()
             exact = max(probe[c] for c in cols) <= auto_distinct_limit
+    from .skew import spread_partitions
+
     plist = ", ".join(str(p) for p in ps)
     names = [f"p{int(p * 100)}" for p in ps]
     stacked = ", ".join(
         f"'{c}', CAST(CAST({c} AS DECIMAL(18,2)) AS DOUBLE)" for c in cols)
+    # spread a 1-task (single-row-group) scan so the k-wide unpivot and
+    # the first aggregation's map side parallelize; no-op at scale
     long_df = (
-        df.select(F.expr(f"stack({len(cols)}, {stacked})")
+        spread_partitions(df.select(*cols))
+        .select(F.expr(f"stack({len(cols)}, {stacked})")
                   .alias("column", "v"))
         .where(F.col("v").isNotNull())
     )
