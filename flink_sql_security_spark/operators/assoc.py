@@ -75,22 +75,28 @@ def _capped_items(df: DataFrame, basket_col: str, item_col: str,
     return bi
 
 
-def _eager_counts(bi: DataFrame, max_basket_items: int | None,
-                  op: str) -> tuple[int, int]:
-    """(n_baskets, n_items) from the persisted capped-items table —
-    the one eager aggregate both rule operators already pay. When the
-    cap is active, the same pass also reads max(_bsz) (pre-cap basket
-    size) and emits a one-time-per-call warning if any basket was
+def _truncation_check(bi: DataFrame, max_basket_items: int | None,
+                      op: str) -> None:
+    """Eager truncation warning on the persisted capped-items table
+    (ADVICE r10): when the cap is active, ONE scalar max(_bsz) pass
+    (map-side combined, no Expand) checks whether any basket was
     actually truncated — truncation silently changes support /
     confidence / lift, so callers with legitimately large baskets get
-    a signal instead of a semantics shift (ADVICE r10)."""
+    a signal instead of a semantics shift.
+
+    This used to be a 3-way aggregate that also collected
+    countDistinct(b)/countDistinct(i) for the lift literal and the
+    broadcast gate; both are gone from the blocking path (measured:
+    the 2-distinct Expand tripled the exchange and the collect
+    serialized the whole operator behind it). n_baskets now rides as a
+    1-row broadcast crossJoin INSIDE the main DAG — the oracle's own
+    ``CROSS JOIN nb`` shape — and the small-side joins are left to
+    AQE's runtime broadcast conversion, which sees the REAL aggregate
+    size instead of a plan-time guess (big item catalogs keep the
+    scale-safe shuffle join exactly as before)."""
     if max_basket_items is None:
-        n_baskets, n_items = bi.agg(
-            F.countDistinct("b"), F.countDistinct("i")).collect()[0]
-        return n_baskets, n_items
-    n_baskets, n_items, max_bsz = bi.agg(
-        F.countDistinct("b"), F.countDistinct("i"),
-        F.max("_bsz")).collect()[0]
+        return
+    max_bsz = bi.agg(F.max("_bsz")).collect()[0][0]
     if max_bsz is not None and max_bsz > max_basket_items:
         _log.warning(
             "%s: max_basket_items=%d truncated at least one basket "
@@ -98,7 +104,15 @@ def _eager_counts(bi: DataFrame, max_basket_items: int | None,
             "confidence/lift reflect the truncated baskets; pass "
             "max_basket_items=None for exact (unbounded) counting",
             op, max_basket_items, max_bsz)
-    return n_baskets, n_items
+
+
+def _n_baskets_col(bi: DataFrame):
+    """1-row (— broadcast) frame carrying the basket total as DOUBLE:
+    ``countDistinct(b)`` cast to double is bit-identical to the former
+    driver-collected ``float(n_baskets)`` literal (exact integers below
+    2^53 on both paths)."""
+    return bi.agg(
+        F.countDistinct("b").cast("double").alias("_nb"))
 
 
 def _capped_items_cte(table: str, basket_col: str, item_col: str,
@@ -128,22 +142,22 @@ def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
     smallest items before counting — the hot-basket guard documented
     in the module docstring. Pass ``None`` to count uncapped (only
     safe when the basket-size distribution is known bounded).
+    ``broadcast_items_limit`` is retained for API compatibility; the
+    small-side join strategy is now AQE's runtime decision from real
+    aggregate sizes (see :func:`_truncation_check`).
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1: {min_support}")
     bi = _capped_items(df, basket_col, item_col,
                        max_basket_items).persist()
-    # one pass over the persisted pairs for BOTH cardinalities: the
-    # basket total (a lift literal) and the item count (the broadcast
-    # gate — a billion-item catalog keeps the scale-safe shuffle join)
-    # — plus the truncation check, free in the same aggregate
-    n_baskets, n_items = _eager_counts(bi, max_basket_items,
-                                       "basket_rules")
+    _truncation_check(bi, max_basket_items, "basket_rules")
+    nb = _n_baskets_col(bi)
     item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
 
     def hint(frame):
-        return (F.broadcast(frame) if n_items <= broadcast_items_limit
-                else frame)
+        # AQE converts these joins to broadcast at runtime from the
+        # REAL aggregate size (see _truncation_check docstring)
+        return frame
     a, c = bi.alias("a"), bi.alias("c")
     pairs = (a.join(c, (F.col("a.b") == F.col("c.b"))
                     & (F.col("a.i") < F.col("c.i")))
@@ -170,6 +184,7 @@ def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
                        F.col("n_i").alias("n_cons"))
     out = (both.join(hint(na), "antecedent")
            .join(hint(nc), "consequent")
+           .crossJoin(F.broadcast(nb))
            .select(
                "antecedent", "consequent", "n_pair", "n_ante", "n_cons",
                floor_round_col(
@@ -177,7 +192,7 @@ def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
                    / F.col("n_ante").cast("double")).alias("confidence"),
                floor_round_col(
                    (F.col("n_pair").cast("double")
-                    * F.lit(float(n_baskets)))
+                    * F.col("_nb"))
                    / (F.col("n_ante").cast("double")
                       * F.col("n_cons").cast("double"))).alias("lift")))
     from .cache import attach
@@ -250,13 +265,13 @@ def basket_rules_2to1(df: DataFrame, *, basket_col: str, item_col: str,
         raise ValueError(f"min_support must be >= 1: {min_support}")
     bi = _capped_items(df, basket_col, item_col,
                        max_basket_items).persist()
-    n_baskets, n_items = _eager_counts(bi, max_basket_items,
-                                       "basket_rules_2to1")
+    _truncation_check(bi, max_basket_items, "basket_rules_2to1")
+    nb = _n_baskets_col(bi)
     item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
 
     def hint(frame):
-        return (F.broadcast(frame) if n_items <= broadcast_items_limit
-                else frame)
+        # AQE runtime broadcast from real sizes (see _truncation_check)
+        return frame
     a, c = bi.alias("a"), bi.alias("c")
     # frequent-pair OCCURRENCES (basket retained) — the triple seed;
     # the aggregated frequent-pair counts derive from the same frame.
@@ -306,6 +321,7 @@ def basket_rules_2to1(df: DataFrame, *, basket_col: str, item_col: str,
                        F.col("n_i").alias("n_cons"))
     out = (rules.join(np_, ["ante_1", "ante_2"])
            .join(hint(nc), "consequent")
+           .crossJoin(F.broadcast(nb))
            .select(
                "ante_1", "ante_2", "consequent", "n_triple",
                "n_ante_pair", "n_cons",
@@ -315,7 +331,7 @@ def basket_rules_2to1(df: DataFrame, *, basket_col: str, item_col: str,
                .alias("confidence"),
                floor_round_col(
                    (F.col("n_triple").cast("double")
-                    * F.lit(float(n_baskets)))
+                    * F.col("_nb"))
                    / (F.col("n_ante_pair").cast("double")
                       * F.col("n_cons").cast("double"))).alias("lift")))
     from .cache import attach
@@ -409,13 +425,13 @@ def basket_rules_3to1(df: DataFrame, *, basket_col: str, item_col: str,
         raise ValueError(f"min_support must be >= 1: {min_support}")
     bi = _capped_items(df, basket_col, item_col,
                        max_basket_items).persist()
-    n_baskets, n_items = _eager_counts(bi, max_basket_items,
-                                       "basket_rules_3to1")
+    _truncation_check(bi, max_basket_items, "basket_rules_3to1")
+    nb = _n_baskets_col(bi)
     item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
 
     def hint(frame):
-        return (F.broadcast(frame) if n_items <= broadcast_items_limit
-                else frame)
+        # AQE runtime broadcast from real sizes (see _truncation_check)
+        return frame
     a, c = bi.alias("a"), bi.alias("c")
     pair_occ = (a.join(c, (F.col("a.b") == F.col("c.b"))
                        & (F.col("a.i") < F.col("c.i")))
@@ -478,6 +494,7 @@ def basket_rules_3to1(df: DataFrame, *, basket_col: str, item_col: str,
                        F.col("n_i").alias("n_cons"))
     out = (rules.join(nt, ["ante_1", "ante_2", "ante_3"])
            .join(hint(nc), "consequent")
+           .crossJoin(F.broadcast(nb))
            .select(
                "ante_1", "ante_2", "ante_3", "consequent", "n_quad",
                "n_ante_triple", "n_cons",
@@ -487,7 +504,7 @@ def basket_rules_3to1(df: DataFrame, *, basket_col: str, item_col: str,
                .alias("confidence"),
                floor_round_col(
                    (F.col("n_quad").cast("double")
-                    * F.lit(float(n_baskets)))
+                    * F.col("_nb"))
                    / (F.col("n_ante_triple").cast("double")
                       * F.col("n_cons").cast("double"))).alias("lift")))
     from .cache import attach

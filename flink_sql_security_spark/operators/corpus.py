@@ -51,20 +51,23 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     (at cluster scale the same role is played by writing the stage to
     parquet).
     """
-    from .skew import spread_partitions
+    from .skew import pushdown_barrier, spread_partitions
 
     text = F.col(text_col)
     # the lang-id + quality regex gates are the expensive narrow kernel
     # and a single-row-group corpus file scans as ONE task — spread
-    # small inputs across cores (conditional; no-op at corpus scale)
+    # small inputs across cores (conditional; no-op at corpus scale).
+    # The pushdown barrier pins the gate evaluation ABOVE the spread:
+    # without it the keep-filter inlines both regex gates and pushes
+    # them below the exchange, re-running them serially on the scan
+    # (the debezium-decode lesson — same pattern).
     df = spread_partitions(df, key_col=id_col)
-    gated = (
+    gated = pushdown_barrier(
         df.select(F.col(id_col), text,
                   T.lang_id(text).alias("lang_pred"),
                   T.quality_score(text).alias("quality"))
-        .where((F.col("lang_pred") == lang)
-               & (F.col("quality") >= min_quality))
-    )
+    ).where((F.col("lang_pred") == lang)
+            & (F.col("quality") >= min_quality))
     deduped = D.exact_dedup(gated, text_col, id_col)
     handles = []
     if materialize:

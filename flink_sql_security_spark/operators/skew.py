@@ -130,10 +130,41 @@ def spread_partitions(df: DataFrame, key_col: str | None = None,
         split = max(int(raw) * mult, 1)
     except ValueError:
         split = 128 << 20
+    # a relation Catalyst cannot estimate reports defaultSizeInBytes
+    # (Long.MaxValue) — treat anything absurd as UNKNOWN, i.e. large
+    if est is not None and est >= (1 << 50):
+        est = None
     est_parts = None if est is None else -(-est // split)
     if not always and (est_parts is None or est_parts >= cores):
         return df
-    n = cores if est_parts is None else max(cores, est_parts)
+    # cap the explicit count: past ~32k partitions the input is
+    # corpus-sized and its natural split count should rule anyway
+    n = (cores if est_parts is None
+         else min(max(cores, est_parts), 32768))
     if key_col is None:
         return df.repartition(n)
     return df.repartition(n, F.col(key_col))
+
+
+def pushdown_barrier(df: DataFrame) -> DataFrame:
+    """Row-preserving Generate barrier against predicate pushdown.
+
+    Catalyst pushes any deterministic filter through projections,
+    unions and exchanges, INLINING the filtered column's defining
+    expression at every level it crosses — for a filter over an
+    expensively-derived column (regex quality gates, from_json decode)
+    that re-evaluates the heavy kernel below the exchange that was
+    supposed to parallelize it, serially, once for the filter and again
+    above for the projection. A filter on a generator's own output
+    cannot cross the Generate, so wrapping the computed columns in a
+    single-element ``explode(array(struct(*)))`` pins evaluation
+    exactly where the projection sits. One-element non-null array ⇒
+    identical rows; the explode itself is a per-row no-op.
+
+    Use between an expensive projection and its filter; do NOT use
+    where pushdown is wanted (a cheap filter pushing to the scan is the
+    point of predicate pushdown).
+    """
+    return (df.select(F.explode(F.array(F.struct(
+        *[F.col(c) for c in df.columns]))).alias("_pb"))
+            .select("_pb.*"))

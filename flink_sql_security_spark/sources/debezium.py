@@ -17,12 +17,14 @@ with or without the ``payload`` schema wrapper (Kafka Connect's
 ``value.converter.schemas.enable`` toggles it; both shapes occur in the
 wild, so the decoder accepts both).
 
-Spark-first design: the decode is TWO ``from_json`` applications (one
-per wrapper shape, coalesced) — whole-stage-codegen JVM expressions, no
-Python in the path, and Catalyst prunes unreferenced envelope fields
-straight through ``from_json`` (JsonExpressionOptimization), so a query
-that only needs two columns never materializes the full ``before``
-struct. Row payloads are typed by a caller-supplied DDL string exactly
+Spark-first design: the decode is ONE ``from_json`` whose schema
+carries both wrapper shapes (the ``payload`` field AND the bare
+envelope fields — the parser null-fills whichever half is absent), so
+every value is parsed once, not once per shape — whole-stage-codegen
+JVM expressions, no Python in the path, and Catalyst prunes
+unreferenced envelope fields straight through ``from_json``
+(JsonExpressionOptimization), so a query that only needs two columns
+never materializes the full ``before`` struct. Row payloads are typed by a caller-supplied DDL string exactly
 like ``spark.read.schema``. Compaction reuses
 :func:`..operators.cdc.upsert_latest` — one window exchange — so the
 end state is definitionally consistent with the JDBC-emulated path
@@ -66,7 +68,7 @@ def debezium_decode(df: DataFrame, *, row_ddl: str,
     """
     from ..operators.skew import spread_partitions
 
-    # the double from_json is the heavy narrow kernel; a changelog read
+    # the from_json decode is the heavy narrow kernel; a changelog read
     # from one small file (or a few) scans as that many tasks, so
     # spread small BATCH inputs across cores before decoding
     # (conditional: a corpus-sized scan — or a stream, whose plan has
@@ -76,22 +78,44 @@ def debezium_decode(df: DataFrame, *, row_ddl: str,
         df = spread_partitions(df)
     src = (f", source STRUCT<{tiebreak_field}: BIGINT>"
            if tiebreak_field else "")
-    env = (f"STRUCT<before: STRUCT<{row_ddl}>, after: STRUCT<{row_ddl}>, "
-           f"op: STRING, ts_ms: BIGINT{src}>")
+    env_fields = (f"before: STRUCT<{row_ddl}>, after: STRUCT<{row_ddl}>, "
+                  f"op: STRING, ts_ms: BIGINT{src}")
     v = F.col(value_col)
-    wrapped = F.from_json(v, f"STRUCT<payload: {env}>")["payload"]
-    bare = F.from_json(v, env)
-    # schemas.enable=true wraps the envelope under "payload"; decode
-    # both shapes and take whichever parsed an op (coalesce on the
-    # struct itself would pick a non-null all-NULL struct).
+    # schemas.enable=true wraps the envelope under "payload"; ONE
+    # from_json whose schema carries BOTH the "payload" field and the
+    # bare envelope fields parses either shape in a single pass (the
+    # JSON parser null-fills whichever half is absent) — the former
+    # two-from_json form parsed every value twice, and the parse is
+    # the operator's dominant per-row cost. Take whichever half
+    # carries an op (selecting on the struct itself would pick a
+    # non-null all-NULL struct).
+    both = F.from_json(
+        v, f"STRUCT<payload: STRUCT<{env_fields}>, {env_fields}>")
+    wrapped = both["payload"]
+    bare = F.struct(*[
+        both[f].alias(f)
+        for f in (["before", "after", "op", "ts_ms"]
+                  + (["source"] if tiebreak_field else []))])
     e = F.when(wrapped["op"].isNotNull(), wrapped).otherwise(bare)
     image = F.when(e["op"] == DELETE_OP,
                    e["before"]).otherwise(e["after"])
     tie = (e["source"][tiebreak_field].cast("bigint")
            if tiebreak_field else F.lit(0).cast("bigint"))
-    return (df.select(image.alias("_row"), e["op"].alias("_op"),
-                      e["ts_ms"].cast("bigint").alias("_seq"),
-                      tie.alias("_tie"))
+    # Single-element explode as a PUSHDOWN BARRIER: the op-whitelist
+    # filter below references a decode-derived column, and Catalyst
+    # happily pushes such filters through exchanges/unions, INLINING the
+    # whole from_json (plus whatever expensive expression feeds
+    # value_col) into every upstream branch — measured: the entry's
+    # envelope-concat + parse ran a second time, serially, below the
+    # spread exchange just to evaluate the pushed filter. A filter on a
+    # generator's own output cannot cross the Generate, so the parse
+    # runs exactly once, after the exchange. One-element array ⇒ same
+    # rows (an explode of a non-null literal array never drops rows).
+    rec = F.explode(F.array(F.struct(
+        image.alias("_row"), e["op"].alias("_op"),
+        e["ts_ms"].cast("bigint").alias("_seq"), tie.alias("_tie"))))
+    return (df.select(rec.alias("_rec"))
+            .select("_rec.*")
             .where(F.col("_op").isin(list(_UPSERT_OPS) + [DELETE_OP]))
             .select("_row.*", "_op", "_seq", "_tie"))
 

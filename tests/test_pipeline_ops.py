@@ -1874,7 +1874,13 @@ def test_rp_project_is_narrow_and_loud(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = RP.rp_project(emb, in_dim=64, out_dim=8) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning" not in plan and "InPandas" not in plan
+    # the projection math itself stays narrow JVM work: the ONLY
+    # exchange allowed is the explicit small-input spread (an r11
+    # REPARTITION_BY_NUM that parallelizes the fold on tiny scans and
+    # is a no-op at corpus scale); nothing may REQUIRE a distribution
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert plan.count("Exchange") <= 1
+    assert "InPandas" not in plan
     assert "EvalPython" not in plan
     # wrong length and NULL element both fail loudly
     bad_len = spark.createDataFrame([(1, [0.5] * 8)],
@@ -2012,7 +2018,11 @@ def test_pca_project_is_narrow_and_loud(spark):
     mean, comps = RP.pca_train(emb, out_dim=4, sample=128)
     plan = RP.pca_project(emb, mean, comps) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "hashpartitioning" not in plan and "InPandas" not in plan
+    # see test_rp_project_is_narrow_and_loud: one explicit spread
+    # exchange allowed, no required distribution, no Python
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert plan.count("Exchange") <= 1
+    assert "InPandas" not in plan
     assert "EvalPython" not in plan
     bad_len = spark.createDataFrame([(1, [0.5] * 8)],
                                     "vec_id long, embedding array<double>")

@@ -45,22 +45,34 @@ BUDGETS = {
     "emb_pq_topk": 2,
     "emb_ivfpq_topk": 2,
     # composite pipelines (round-3 exchange diet results)
-    "text_lm_score": 4,
-    "sample_quality_curriculum": 6,
+    "text_lm_score": 6,
+    "sample_quality_curriculum": 8,
     "sample_dsir_weights": 5,
     "pack_sequences": 4,
+    # r11 optimization round: +1 on the entries whose operators gained
+    # an EXPLICIT small-input spread exchange (skew.spread_partitions —
+    # parallelizes the heavy narrow kernel when a single-row-group scan
+    # would otherwise run it on one task; a no-op at corpus scale, but
+    # the budget runs at sf0.001 where it fires): clean_corpus (both),
+    # profile_quantiles, sketch_distinct_hll, text_lm_score,
+    # zorder_orders, sample_quality_curriculum. Where the spread frame
+    # feeds TWO consumers (lm_score's bigram+unigram branches, the HLL
+    # sketch+exact branches) the STATIC plan prints the exchange once
+    # per reference (+2 here) — at runtime AQE's stage reuse executes
+    # it once (measured: sharing one spread cut sketch_distinct_hll
+    # 2.25 -> 1.87 s vs two independent spreads).
     # round-5 widening: every remaining top-10 bench heavy plus the
     # zero-exchange narrow ops (a regression to ANY exchange there is a
     # design break, not a tuning matter)
-    "pipeline_clean_corpus": 5,
-    "secured_clean_corpus": 5,
-    "profile_quantiles": 2,
-    "sketch_distinct_hll": 4,
+    "pipeline_clean_corpus": 6,
+    "secured_clean_corpus": 6,
+    "profile_quantiles": 3,
+    "sketch_distinct_hll": 6,
     "sketch_hist_quantiles": 6,
     "emb_kmeans_cells": 0,
     "emb_quantize_int8": 0,
     "emb_ann_pairs": 1,
-    "zorder_orders": 1,
+    "zorder_orders": 2,
     "sessionize_events": 1,
     "cdc_snapshot_diff": 2,
     # round-5 additions: BM25 = repartition + token-df agg + top-k

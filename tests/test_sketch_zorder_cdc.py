@@ -71,11 +71,16 @@ def test_hll_linear_counting_small_range(spark):
 
 
 def test_hll_single_shuffle_register_build(spark):
-    """The register build must be ONE exchange (map-side-combined max) —
-    the whole point of sketching at 100 TB."""
+    """The register build must be ONE required exchange (map-side-
+    combined max) — the whole point of sketching at 100 TB. The r11
+    small-input spread (an explicit REPARTITION that parallelizes the
+    md5 kernel on 1-task scans; no-op at corpus scale) may add at most
+    one more, and nothing beyond the register agg may REQUIRE a
+    distribution."""
     plan = sketch.hll_registers(
         _ints(spark, 100), ["v"])._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("ENSURE_REQUIREMENTS") <= 1, plan
 
 
 # ---------------------------------------------------------------------------
