@@ -761,14 +761,19 @@ def lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     # bigram's space IS w1 — fold off c2 (vocab-sized), not the tokens
     c1 = (c2.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
           .agg(F.sum("c2").alias("c1")))
+    # vocabulary size rides as a 1-row broadcast crossJoin INSIDE the
+    # main DAG (the oracle's own CROSS JOIN uni shape) instead of a
+    # blocking driver collect — same exact integer, same
+    # ``CAST(c1 + v AS DOUBLE)`` arithmetic, one fewer serialized job
+    # ahead of the scoring plan
     uni = (df.select(F.explode(words).alias("t")).where(F.col("t") != "")
-           .agg(F.count_distinct("t").alias("v")))
-    v = uni.collect()[0]["v"]
+           .agg(F.count_distinct("t").alias("_v")))
     logp = F.expr(
-        "CAST(" + floor_round(f"ln((c2 + 1) / CAST(c1 + {v} AS DOUBLE))", 6) + " "
-        "AS DECIMAL(18,6))")
+        "CAST(" + floor_round("ln((c2 + 1) / CAST(c1 + _v AS DOUBLE))", 6)
+        + " AS DECIMAL(18,6))")
     return (
         toks.join(c2, "bg").join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(uni))
         .select(F.col(id_col), logp.alias("_lp"))
         .groupBy(id_col)
         .agg(F.count("*").alias("n_bigrams"),
