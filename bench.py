@@ -328,8 +328,18 @@ def main() -> None:
     # line gets its head cut off and fails to parse (BENCH_r01 "parsed":
     # null). Keep the stdout line comfortably inside that window by
     # dropping the fastest per-query entries first; the corpus total and
-    # every slow/interesting query survive.
+    # every slow/interesting query survive. The verbose bookkeeping
+    # lists shrink FIRST (r11 measurement fix: the retried-name list had
+    # grown past the point where it pushed every per-query entry out of
+    # the line — BENCH_FULL.json keeps the complete record either way,
+    # but the stdout line should spend its budget on query seconds, not
+    # retry names).
     line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1800:
+        payload["retried"] = len(retried)
+        payload["dedicated_rerun"] = len(dedicated)
+        payload["retry_policy"] = "see BENCH_FULL.json"
+        line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1800:
         kept = sorted(per_query.items(), key=lambda kv: (-kv[1], kv[0]))
         while len(line) > 1800 and kept:

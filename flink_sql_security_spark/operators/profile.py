@@ -174,8 +174,22 @@ def profile_quantiles(df: DataFrame, cols: list[str],
     if exact:
         per_val = long_df.groupBy("column", "v").agg(
             F.count("*").alias("cnt"))
-        agg = per_val.groupBy("column").agg(
-            F.expr(f"percentile(v, array({plist}), cnt)").alias("_qs"))
+        # the final percentile merge is keyed by `column` — k groups,
+        # and the per-group finalization (sorting the whole per-column
+        # value histogram) is the expensive part. AQE's byte-based
+        # coalescing sees a tiny shuffle and collapses it to ONE task,
+        # serializing all k histogram sorts (measured: 1.8 s in one
+        # task at sf0.1); an explicit k-way hash repartition on the
+        # key pins up to one task per column (AQE honors explicit
+        # counts — the spread_partitions lesson), and k IS the
+        # parallelism unit of this aggregate at any scale. Same rows
+        # over the same single exchange; percentile's histogram merge
+        # is order-independent, so values are unchanged on any
+        # partitioning (the determinism-suite rule).
+        agg = (per_val.repartition(len(cols), "column")
+               .groupBy("column").agg(
+                   F.expr(f"percentile(v, array({plist}), cnt)")
+                   .alias("_qs")))
     else:
         agg = long_df.groupBy("column").agg(
             F.expr(f"approx_percentile(v, array({plist}), {accuracy})")
