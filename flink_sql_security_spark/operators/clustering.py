@@ -109,11 +109,19 @@ def kmeans_fit(df: DataFrame, k: int = 8, iters: int = 3,
     Each round: one narrow assignment pass + one (cell, dim) partial-agg
     shuffle + a k·d-row collect; empty cells keep their centroid.
     """
+    from .skew import spread_partitions
+
     # persist: every Lloyd round (and the seed scan) re-reads this
     # projection — caching it trades one materialization for iters+1
-    # source scans, the standard iterative-algorithm pattern
-    base = df.select(id_col, F.expr(
-        f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("_xd")).persist()
+    # source scans, the standard iterative-algorithm pattern. Spread a
+    # too-coarse input first (a single-row-group file scans as ONE
+    # task, and the cache inherits that), or every round's assignment
+    # + partial-agg map side serializes; decimal sums are
+    # order-independent, so the centroids are partitioning-invariant.
+    base = spread_partitions(
+        df.select(id_col, F.expr(
+            f"transform({vec_col}, v -> CAST(v AS DOUBLE))").alias("_xd")),
+        key_col=id_col).persist()
     seed_rows = base.orderBy(id_col).limit(k).collect()
     centroids = [list(r["_xd"]) for r in seed_rows]
     d = len(centroids[0])
