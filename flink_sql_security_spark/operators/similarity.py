@@ -858,7 +858,15 @@ def lsh_buckets(df: DataFrame, vec_col: str = "embedding",
                 "bucket": buckets.ravel().astype("int64"),
             })
 
-    return df.select(id_col, vec_col).mapInPandas(
+    from .skew import spread_partitions
+
+    # the hyperplane matmul is the heavy narrow kernel here, and a
+    # single-row-group scan feeds it exactly ONE Arrow batch on one
+    # task (measured: the whole bucket build serialized, 1.8 s at
+    # sf0.1) — spread small inputs across cores; no-op on corpus-sized
+    # scans. Per-row map output, so partitioning cannot change results.
+    return spread_partitions(
+        df.select(id_col, vec_col), key_col=id_col).mapInPandas(
         gen, f"{id_col} long, table int, bucket long")
 
 

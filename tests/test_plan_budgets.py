@@ -45,8 +45,15 @@ BUDGETS = {
     "emb_pq_topk": 2,
     "emb_ivfpq_topk": 2,
     # composite pipelines (round-3 exchange diet results)
-    "text_lm_score": 6,
-    "sample_quality_curriculum": 8,
+    # +3 each r11: the vocab-size V no longer comes from a driver
+    # collect() (a separate pre-plan job whose exchanges this count
+    # never saw) — it rides as a 1-row aggregate crossJoin'd into the
+    # scoring plan, so the unigram-count branch's exchanges now PRINT
+    # inside the measured plan (distinct plan_ids per reference;
+    # runtime reuses the shuffle stages). Entry wall time DROPPED
+    # (2.16 -> 1.57 s): plan-print accounting, not new shuffles.
+    "text_lm_score": 9,
+    "sample_quality_curriculum": 11,
     "sample_dsir_weights": 5,
     "pack_sequences": 4,
     # r11 optimization round: +1 on the entries whose operators gained
@@ -71,7 +78,10 @@ BUDGETS = {
     "sketch_hist_quantiles": 6,
     "emb_kmeans_cells": 0,
     "emb_quantize_int8": 0,
-    "emb_ann_pairs": 1,
+    # +1 r11: lsh_buckets gained the conditional small-input spread
+    # (the hyperplane-matmul Arrow kernel ran on ONE task off a
+    # single-row-group scan); fires at this sf, no-op at corpus scale
+    "emb_ann_pairs": 2,
     "zorder_orders": 2,
     "sessionize_events": 1,
     "cdc_snapshot_diff": 2,
