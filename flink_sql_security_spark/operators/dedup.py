@@ -958,8 +958,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         pairs.unpersist()  # edges consumed by the collect above — release
         for d in upstream:
             d.unpersist()
-        return spark.createDataFrame(
-            sorted((x, find(x)) for x in parent), out_schema)
+        # broadcast hint: this label map is driver-resident and bounded
+        # (≤ 2·driver_threshold rows), but createDataFrame yields an
+        # ExistingRDD with UNKNOWN stats — Spark's default reading is
+        # "huge", so joins against it broadcast the OTHER side instead
+        # (measured: keep_best broadcast the full scored-corpus
+        # projection, serializing the quality-score regex pass on one
+        # task — and at scale that side is the corpus). The star path
+        # below returns checkpointed frames with real stats and keeps
+        # the planner's choice.
+        return F.broadcast(spark.createDataFrame(
+            sorted((x, find(x)) for x in parent), out_schema))
 
     if distributed_algorithm == "star":
         labels, _ = _star_contraction(pairs, a, b, max_iter)
@@ -1442,9 +1451,15 @@ def keep_best_per_component(df: DataFrame, pairs: DataFrame, score,
     """
     from pyspark.sql import Window
 
+    from .skew import spread_partitions
+
     comp = connected_components(pairs, max_iter=50)
-    scored = df.select(F.col(id_col).alias("_kid"),
-                       score.alias("_score"))
+    # the quality-score Column is the heavy narrow kernel (regex
+    # passes over full text) and a single-row-group scan feeds it one
+    # task — spread small inputs first (column pruning still pushes the
+    # needed-columns projection below the exchange; no-op at scale)
+    scored = spread_partitions(df, key_col=id_col).select(
+        F.col(id_col).alias("_kid"), score.alias("_score"))
     j = comp.join(scored, comp["doc_id"] == scored["_kid"])
     w_rank = (Window.partitionBy("component_id")
               .orderBy(F.desc("_score"), F.asc("doc_id")))
