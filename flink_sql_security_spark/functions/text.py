@@ -602,7 +602,13 @@ def top_tokens(df, text_col: str = "text", k: int = 100,
     single ordered limit (Spark plans TakeOrderedAndProject — no global
     sort materialization). Ties break lexicographically for determinism.
     The pre-explode repartition parallelizes single-file scans and is the
-    cheaper exchange (doc-sized rows, not token-sized).
+    cheaper exchange (doc-sized rows, not token-sized). AQE's byte-based
+    re-coalescing of this keyed repartition is the RIGHT behavior here:
+    the plan is consumed once and the per-row work (split + lower) is
+    light, so task count should track bytes (measured: forcing an
+    explicit 32-way spread cost +13% at sf0.1). Contrast
+    ``tfidf_top_terms`` below, whose replayed doc-frequency subtree does
+    need the explicit count.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -660,8 +666,17 @@ def tfidf_top_terms(df, text_col: str = "text", k: int = 3,
 
     if n_docs is None:
         n_docs = df.count()
+    from flink_sql_security_spark.operators.skew import spread_partitions
+
+    # explicit-count id-hash spread, not repartition(col): AQE
+    # re-coalesces keyed repartitions by OUTPUT BYTES, which collapsed
+    # the tokenize to one task on a single-row-group scan — measured:
+    # the un-persisted document-frequency broadcast subtree re-ran the
+    # whole tokenize serialized (1.8 s at sf0.1). Same id-hash
+    # clustering the groupBy(id, token) reuses; counts are
+    # partitioning-invariant.
     toks = (
-        df.repartition(F.col(id_col))
+        spread_partitions(df, key_col=id_col, always=True)
         .select(F.col(id_col),
                 F.explode(F.split(F.lower(F.trim(F.col(text_col))), _WS))
                 .alias("token"))

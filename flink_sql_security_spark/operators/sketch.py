@@ -403,10 +403,18 @@ def cms_token_counts(df: DataFrame, text_col: str = "text",
     candidate list (the exact branch IS the shuffle the sketch avoids).
     Guarantee surfaced: n_est ≥ n_exact always.
     """
+    from flink_sql_security_spark.operators.skew import spread_partitions
+
     # both the counters and the exact branch read the token stream —
-    # lazy persist() runs the tokenize/explode once (the super-stage rule)
-    words = df.select(F.explode(F.expr(
-        f"split(lower(trim({text_col})), '\\\\s+')")).alias("token")) \
+    # lazy persist() runs the tokenize/explode once (the super-stage
+    # rule). Spread a too-coarse input FIRST: a single-row-group scan
+    # caches as ONE partition, serializing the tokenize (measured:
+    # three concurrent 1-task first-reader stages at ~1.7 s each racing
+    # to fill the cache at sf0.1); token counts are partitioning-
+    # invariant, and the spread is a no-op on corpus-sized scans.
+    words = spread_partitions(df.select(text_col)) \
+        .select(F.explode(F.expr(
+            f"split(lower(trim({text_col})), '\\\\s+')")).alias("token")) \
         .persist()
     counters = cms_counters(words, "token", width, depth)
     exact = (
