@@ -108,7 +108,15 @@ def _exact_rerank(df: DataFrame, queries_df: DataFrame, shortlist,
     rule or rounding fix lands in exactly one place."""
     from pyspark.sql.window import Window
 
-    units = unit_vectors(df, vec_col, id_col)
+    from .skew import spread_partitions
+
+    # the unit-normalization fold over the full corpus is narrow; off a
+    # single-row-group scan it evaluates in ONE task (and at sf scale
+    # Spark builds it as the broadcast side, serializing the whole
+    # rerank behind that build) — conditional spread, no-op at scale
+    units = unit_vectors(
+        spread_partitions(df.select(id_col, vec_col), key_col=id_col),
+        vec_col, id_col)
     qunits = unit_vectors(queries_df, vec_col, id_col) \
         .select(F.col(id_col).alias("q_id"), F.col("unit").alias("qunit"))
     dot = _UNIT_DOT.format(a="qunit", b="unit")
@@ -200,7 +208,7 @@ def _rerank_sql_parts(table: str, vec_col: str, id_col: str, k: int,
 
 def binary_codes(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id", d: int | None = None,
-                 prefix: str = "w") -> DataFrame:
+                 prefix: str = "w", spread: bool = True) -> DataFrame:
     """(id, w0..w{W-1}): sign-bit codes packed 32 bits per BIGINT word.
 
     Plain integer columns (not an array) so downstream xor/bit_count
@@ -216,12 +224,23 @@ def binary_codes(df: DataFrame, vec_col: str = "embedding",
     NULL vectors should gate with ``pq_encode``'s validation or a
     ``WHERE`` upstream.
     """
+    from .skew import spread_partitions
+
     if d is None:
         d = _dim(df, vec_col)
     cols = [F.col(id_col)] + [
         F.expr(_word_expr(vec_col, j, d, "spark")).alias(f"{prefix}{j}")
         for j in range(_n_words(d))
     ]
+    # the d-element CASE fold per word is heavy narrow compute; a
+    # single-row-group scan runs it in ONE task (measured: the whole
+    # flat hamming scan serialized behind it) — conditional spread,
+    # no-op on corpus-sized inputs; packing is per-row, so results
+    # are partitioning-invariant. ``spread=False`` is for QUERY-batch
+    # callers whose output feeds a broadcast build (spreading a
+    # handful of query rows buys nothing and costs an exchange).
+    if spread:
+        df = spread_partitions(df, key_col=id_col)
     return df.select(*cols)
 
 
@@ -286,7 +305,8 @@ def hamming_topk(df: DataFrame, queries_df: DataFrame,
     W = _n_words(d)
     codes = codes_df if codes_df is not None \
         else binary_codes(df, vec_col, id_col, d=d)
-    qcodes = binary_codes(queries_df, vec_col, id_col, d=d, prefix="qw") \
+    qcodes = binary_codes(queries_df, vec_col, id_col, d=d, prefix="qw",
+                          spread=False) \
         .withColumnRenamed(id_col, "q_id")
     ham = _hamming_expr([f"w{j}" for j in range(W)],
                         [f"qw{j}" for j in range(W)], "spark")
@@ -367,9 +387,16 @@ def binary_codes_with_cell(df: DataFrame, coarse: list,
     never vanish.
     """
     from .clustering import _dists_expr
+    from .skew import spread_partitions
 
     if d is None:
         d = _dim(df, vec_col)
+    # coarse-cell argmin (interpreted L2 fold to every centroid) plus
+    # the word packing is the heaviest narrow kernel in this tier; a
+    # single-row-group scan runs it in ONE task (measured 1.5 s
+    # serialized at sf0.1) — conditional spread, no-op at corpus scale;
+    # per-row output, partitioning-invariant
+    df = spread_partitions(df, key_col=id_col)
     xd = f"transform({vec_col}, v -> CAST(v AS DOUBLE))"
     # the IS NULL disjunct must come FIRST: under ANSI mode
     # size(NULL) is NULL and a NULL `bad` would fall through the CASE

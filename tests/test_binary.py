@@ -108,7 +108,11 @@ def test_scan_plan_shape(emb):
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
-    assert len(re.findall(r"Exchange (hash|range)", plan)) == 1
+    # r11: 3 = the top-k window's q_id exchange + the two conditional
+    # spreads (corpus code-pack, rerank unit-norm) that parallelize the
+    # heavy narrow kernels off a single-row-group scan; both spreads
+    # are no-ops on corpus-sized inputs (the at-scale count stays 1)
+    assert len(re.findall(r"Exchange (hash|range)", plan)) == 3
 
 
 def test_odd_dim_packing(spark):

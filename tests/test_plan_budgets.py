@@ -100,7 +100,11 @@ BUDGETS = {
     # before the plan exists, so the scored plan must stay exchange-
     # free); MMR = the shortlist window's q_id exchange + the
     # applyInPandas regroup
-    "emb_binary_topk": 1,
+    # r11: +2 conditional spreads (corpus code-pack, rerank unit-norm)
+    # — explicit-count repartitions that parallelize the two heavy
+    # narrow kernels off a single-row-group scan; both are no-ops on
+    # corpus-sized inputs, so the at-scale shape stays 1
+    "emb_binary_topk": 3,
     "classifier_probe_score": 0,
     "retrieval_mmr_topk": 2,
     # leakage-safe split: the pair-graph build's shuffle + the
@@ -109,7 +113,9 @@ BUDGETS = {
     "split_component_safe": 2,
     # IVF-binary: the probe side broadcasts (a hash join on cell, no
     # cartesian), leaving only the top-k window's q_id exchange
-    "emb_binary_ivf_topk": 1,
+    # r11: +2 conditional spreads (cell-assign/code-pack, rerank
+    # unit-norm) — see emb_binary_topk; no-ops at corpus scale
+    "emb_binary_ivf_topk": 3,
     # round-9 triangles: the shuffles the algorithm owns — edge
     # distinct, degree agg, wedge self-join (both sides), closure
     # probe, corner count — with e/o/tri persisted once and the
