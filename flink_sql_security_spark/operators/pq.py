@@ -283,7 +283,15 @@ def _encode_arrow(df: DataFrame, codebooks: list, vec_col: str,
     codes_type = "string" if stringify_codes else "array<int>"
     schema = (f"{id_col} {id_type}, {cell_part}"
               f"codes {codes_type}, err double")
-    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+    # a single-row-group scan delivers the whole corpus as ONE Arrow
+    # batch on one task, serializing the encode (the lsh_buckets
+    # pattern) — conditional round-robin spread, no-op on corpus-sized
+    # inputs; per-row kernel, so codes are partitioning-invariant, and
+    # no downstream consumer keys on id, so a hash spread buys nothing
+    from .skew import spread_partitions
+
+    return (spread_partitions(df.select(id_col, vec_col))
+            .mapInPandas(gen, schema))
 
 
 def _encoded_frame(df: DataFrame, codebooks: list, vec_col: str,
@@ -428,7 +436,11 @@ def _reconstruct_arrow(df: DataFrame, codebooks: list, vec_col: str,
 
     cell_part = "cell int, " if coarse is not None else ""
     schema = (f"{id_col} {id_type}, {cell_part}approx array<double>")
-    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+    # same 1-Arrow-batch serialization as _encode_arrow — see there
+    from .skew import spread_partitions
+
+    return (spread_partitions(df.select(id_col, vec_col))
+            .mapInPandas(gen, schema))
 
 
 def pq_reconstruct(df: DataFrame, codebooks: list,
