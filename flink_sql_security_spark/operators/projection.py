@@ -70,11 +70,22 @@ def _maybe_explode(df: DataFrame, id_col: str, comps: list,
     the unrolled multiply-add chains straight into the Generate node
     blows janino's method-size limit (measured: whole-stage codegen
     falls back to interpreted eval at 16×64), while the two-step shape
-    keeps the projection in its own compiled unit."""
+    keeps the projection in its own compiled unit.
+
+    The barrier ahead of the posexplode is load-bearing: the Generate's
+    inferred ``size(proj) > 0`` filter otherwise inlines the FULL
+    out_dim × in_dim fold and pushes it below the small-input spread
+    exchange — re-running the whole projection serially in the 1-task
+    scan stage (measured 2.1 s at sf0.1) before the parallel stage
+    evaluates it again. Post-barrier the filter references only the
+    materialized array — a per-row length check."""
+    from .skew import pushdown_barrier
+
     arr = F.array(*[F.expr(c) for c in comps])
     out = df.select(id_col, arr.alias("proj"))
     if explode:
-        return out.select(id_col, F.posexplode("proj").alias("dim", "val"))
+        return (pushdown_barrier(out)
+                .select(id_col, F.posexplode("proj").alias("dim", "val")))
     return out
 
 
@@ -114,7 +125,7 @@ def rp_project(df: DataFrame, in_dim: int, out_dim: int = 16,
         s = _sum_expr(row, lambda i: f"element_at(_xd, {i})")
         comps.append(_floor_round(
             f"({s}) / CAST('{scale!r}' AS DOUBLE)", round_to, "spark"))
-    from .skew import spread_partitions
+    from .skew import pushdown_barrier, spread_partitions
 
     # the unrolled out_dim x in_dim +/- fold is the heavy narrow kernel
     # and a single-row-group file scans as one task — spread small
@@ -126,6 +137,11 @@ def rp_project(df: DataFrame, in_dim: int, out_dim: int = 16,
                 "THEN _xd ELSE assert_true(false, concat("
                 f"'rp_project: NULL/NaN element in vector for ', "
                 f"CAST({id_col} AS STRING))) END")))
+    # materialize the guarded _xd once: CollapseProject otherwise
+    # inlines the double CASE/transform guard into every one of the
+    # out_dim × in_dim element_at terms (a 1.1 MB analyzed plan at
+    # 16×64 — multi-second driver build before any task runs)
+    base = pushdown_barrier(base.select(id_col, "_xd"))
     return _maybe_explode(base, id_col, comps, explode)
 
 
@@ -260,7 +276,7 @@ def pca_project(df: DataFrame, mean: list, components: list,
     for row in components:
         s = _wsum_expr(row, lambda i: f"element_at(_cd, {i})")
         comps.append(_floor_round(s, round_to, "spark"))
-    from .skew import spread_partitions
+    from .skew import pushdown_barrier, spread_partitions
 
     base = (spread_partitions(df, key_col=id_col)
             .withColumn("_xd", F.expr(guarded))
@@ -271,6 +287,9 @@ def pca_project(df: DataFrame, mean: list, components: list,
                 f"CAST({id_col} AS STRING))) END"))
             .withColumn("_cd", F.expr(
                 f"zip_with(_xd, array({mus}), (v, m) -> v - m)")))
+    # materialize the guarded+centered _cd once — see rp_project (the
+    # same CollapseProject inlining blow-up, one guard per chain term)
+    base = pushdown_barrier(base.select(id_col, "_cd"))
     return _maybe_explode(base, id_col, comps, explode)
 
 
