@@ -152,16 +152,101 @@ def _rotate_expr(xd: str, R: list, dialect: str, round_to: int) -> str:
                 "p -> p[1] * p[2]))", round_to, "duckdb") + ")")
 
 
+def _rotate_arrow(df: DataFrame, R: list, vec_col: str,
+                  id_col: str, round_to: int,
+                  spread: bool = True) -> DataFrame:
+    """Arrow-kernel rotation: one ``mapInPandas`` against the broadcast
+    matrix. Bit-exact twin of the expression path: per output component
+    the accumulator starts at 0.0 and adds ``c·x`` terms in index order
+    (vectorized ACROSS rows, sequential WITHIN the fold — the
+    ``_subspace_dists_np`` recipe), then the shared floor rule. Spark
+    interprets the d×d HOF fold per row (~20 executor-s at sf0.1 64×64)
+    and carries the d² literal matrix in the plan; the kernel runs the
+    same arithmetic as d² numpy array ops with the matrix on a
+    broadcast, off the plan."""
+    import numpy as np
+
+    d = len(R)
+    bc = df.sparkSession.sparkContext.broadcast(_r_cols(R))
+    id_type = [f.dataType.simpleString() for f in df.schema.fields
+               if f.name == id_col][0]
+    scale = 10.0 ** round_to
+
+    def gen(batches):
+        import pandas as pd
+
+        cols = bc.value
+        for chunk in batches:
+            vecs = chunk[vec_col].tolist()
+            if not vecs:
+                continue
+            for vid, v in zip(chunk[id_col].tolist(), vecs):
+                if v is None or len(v) != d or any(
+                        x is None for x in v):
+                    raise ValueError(
+                        f"opq_rotate: bad vector for {vid} (size "
+                        f"{'NULL' if v is None else len(v)}, expected "
+                        f"{d}, or NULL/NaN element)")
+            X = np.asarray(vecs, dtype=np.float64)
+            if np.isnan(X).any():
+                raise ValueError(
+                    "opq_rotate: bad vector (NaN element)")
+            n = X.shape[0]
+            out = []
+            for col in cols:
+                acc = np.zeros(n, dtype=np.float64)
+                for i, c in enumerate(col):
+                    acc = acc + c * X[:, i]
+                # floor_round_py's exact IEEE ops, vectorized (values
+                # bounded far below 2^53/scale, so np.floor == floor)
+                out.append(np.floor(acc * scale + 0.5) / scale)
+            rot = np.stack(out, axis=1)
+            yield pd.DataFrame({
+                id_col: chunk[id_col],
+                "rot": pd.Series([[float(x) for x in row]
+                                  for row in rot], dtype="object"),
+            })
+
+    from .skew import spread_partitions
+
+    # single-row-group scans deliver the corpus as ONE Arrow batch on
+    # one task (the pq._encode_arrow pattern) — conditional round-robin
+    # spread, no-op on corpus-sized inputs; per-row kernel, so the
+    # rotated vectors are partitioning-invariant. ``spread=False`` for
+    # query-batch callers whose output feeds a broadcast LUT build
+    # (the binary_codes opt-out): spreading ~10 rows over 32 partitions
+    # costs 32 near-empty Python worker round-trips in THIS kernel and
+    # again in every downstream kernel that inherits the partitioning.
+    narrow = df.select(id_col, vec_col)
+    if spread:
+        narrow = spread_partitions(narrow)
+    return narrow.mapInPandas(gen, f"{id_col} {id_type}, rot array<double>")
+
+
 def opq_rotate(df: DataFrame, R: list, vec_col: str = "embedding",
-               id_col: str = "vec_id", round_to: int = 6) -> DataFrame:
+               id_col: str = "vec_id", round_to: int = 6,
+               impl: str = "arrow", spread: bool = True) -> DataFrame:
     """(id, rot): the rotated double vectors, one narrow projection.
 
-    Zero shuffle, zero Python: the rotation matrix is a plan literal
-    and each component is a sequential fold. The guarded input vector
-    is bound ONCE per row with the ``transform(array(..), xd -> ..)[0]``
+    ``impl="arrow"`` (default) rotates in one Arrow-batched numpy
+    kernel (:func:`_rotate_arrow`) — bit-identical folds via the
+    sequential-order accumulator, the matrix rides a broadcast instead
+    of d² plan literals; ``impl="expr"`` keeps the pure-JVM expression
+    path (zero Python anywhere — the ``pq_encode`` twin convention,
+    row-for-row interchangeable, pytest-pinned).
+
+    Expression path: zero shuffle, zero Python: the rotation matrix is
+    a plan literal and each component is a sequential fold. The guarded
+    input vector is bound ONCE per row with the
+    ``transform(array(..), xd -> ..)[0]``
     idiom (the round-2 lesson: a derived column referenced inside a
     HOF lambda re-inlines and re-evaluates per outer iteration — here
     the d-element guard+cast would run d× per row)."""
+    if impl == "arrow":
+        return _rotate_arrow(df, R, vec_col, id_col, round_to,
+                             spread=spread)
+    if impl != "expr":
+        raise ValueError(f"opq_rotate: unknown impl {impl!r}")
     d = len(R)
     guarded = (
         f"CASE WHEN size({vec_col}) = {d} AND NOT exists({vec_col}, "
@@ -212,14 +297,30 @@ def opq_topk(df: DataFrame, queries_df: DataFrame, R: list,
     the rotation is a 1:1 projection, so the corpus row count is the
     input's) all operate on the rotated frames. ``codes_df``
     (a prebuilt :func:`opq_encode` output) skips the corpus rotate +
-    encode entirely — the build-once/probe-many serving shape."""
-    rot_q = opq_rotate(queries_df, R, vec_col, id_col, round_to)
+    encode entirely — the build-once/probe-many serving shape.
+
+    The broadcast gate and the auto-route row count both resolve HERE,
+    on the pre-rotation frames: the Arrow rotate kernel is opaque to
+    Catalyst (no size estimate, no column pruning through it), so
+    gating/counting the rotated frames would read "unknown → huge" and
+    pay the whole rotation just to count rows. Rotation is 1:1, so the
+    input frames carry the same row count and the honest size proxy."""
+    from .pq import _gate_lut_broadcast
+
+    if broadcast_queries is None:
+        broadcast_queries = _gate_lut_broadcast(
+            queries_df, id_col, vec_col, codebooks, None,
+            broadcast_limit_bytes)
+    rot_q = opq_rotate(queries_df, R, vec_col, id_col, round_to,
+                       spread=False)
     if codes_df is not None:
         return pq_topk(df, rot_q, codebooks, vec_col="rot",
                        id_col=id_col, k=k, round_to=round_to,
                        broadcast_queries=broadcast_queries,
                        broadcast_limit_bytes=broadcast_limit_bytes,
                        codes_df=codes_df)
+    if mode == "auto" and corpus_rows is None:
+        corpus_rows = df.select(id_col).count()
     rot_corpus = opq_rotate(df, R, vec_col, id_col, round_to)
     return pq_topk(rot_corpus, rot_q, codebooks, vec_col="rot",
                    id_col=id_col, k=k, round_to=round_to,
@@ -372,9 +473,16 @@ def opq_ivf_topk(df: DataFrame, queries_df: DataFrame, R: list,
     ~n_probe/n_cells of the rotated code table per query). ``codes_df``
     must be a CELL-KEYED index — ``opq_encode(..., coarse=coarse,
     residual=residual)`` with this call's settings."""
-    from .pq import ivfpq_topk
+    from .pq import _gate_lut_broadcast, ivfpq_topk
 
-    rot_q = opq_rotate(queries_df, R, vec_col, id_col, round_to)
+    # resolve the gate on the pre-rotation query frame — see opq_topk
+    # (the Arrow rotate kernel hides plan stats; rotation is 1:1)
+    if broadcast_queries is None:
+        broadcast_queries = _gate_lut_broadcast(
+            queries_df, id_col, vec_col, codebooks, None,
+            broadcast_limit_bytes, n_probe=n_probe)
+    rot_q = opq_rotate(queries_df, R, vec_col, id_col, round_to,
+                       spread=False)
     rot_c = (df if codes_df is not None
              else opq_rotate(df, R, vec_col, id_col, round_to))
     return ivfpq_topk(rot_c, rot_q, coarse, codebooks, vec_col="rot",

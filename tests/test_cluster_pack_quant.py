@@ -1029,19 +1029,49 @@ def test_opq_cuts_quantization_distortion():
 
 
 def test_opq_rotate_is_narrow_and_loud(spark):
+    """Per-row work only on BOTH implementations: no keyed shuffle.
+    The default arrow path is one sanctioned Arrow kernel behind the
+    documented conditional RoundRobin parallelism lift (no-op at scale
+    where inputs carry enough partitions); the expr path keeps zero
+    Python AND zero exchanges."""
     from flink_sql_security_spark.operators import opq as O
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     R, _ = O.opq_train(emb, m=4, k=8, iters=1, opq_iters=1)
-    rot = O.opq_rotate(emb, R)
-    plan = rot._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan  # one narrow projection
+    for impl in ("arrow", "expr"):
+        plan = O.opq_rotate(emb, R, impl=impl) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning" not in plan, plan
+        assert "rangepartitioning" not in plan, plan
+        assert plan.count("RoundRobinPartitioning") <= 1, plan
+        if impl == "expr":
+            assert "Exchange" not in plan, plan  # one narrow projection
+            assert "EvalPython" not in plan and "InPandas" not in plan
+        else:
+            assert plan.count("InPandas") == 1, plan
 
     bad = spark.createDataFrame([(1, [1.0, 2.0])],
                                 "vec_id long, embedding array<double>")
     import pytest as _pt
-    with _pt.raises(Exception, match="opq_rotate"):
-        O.opq_rotate(bad, R).collect()
+    for impl in ("arrow", "expr"):
+        with _pt.raises(Exception, match="opq_rotate"):
+            O.opq_rotate(bad, R, impl=impl).collect()
+
+
+def test_opq_rotate_arrow_expr_interchangeable(spark):
+    """The Arrow rotation kernel replicates the expression fold
+    bit-exactly: same sequential accumulation order, same floor rule —
+    row-for-row identical output."""
+    from flink_sql_security_spark.operators import opq as O
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    R, _ = O.opq_train(emb, m=8, k=8, iters=2, opq_iters=2)
+
+    def rows(df):
+        return sorted((r["vec_id"], tuple(r["rot"])) for r in df.collect())
+
+    assert rows(O.opq_rotate(emb, R, impl="arrow")) == \
+        rows(O.opq_rotate(emb, R, impl="expr"))
 
 
 def test_fuzz_opq_configs_cross_engine(spark):
