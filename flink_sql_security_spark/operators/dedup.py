@@ -1659,14 +1659,25 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
     plen = (F.col("n_sh")
             - F.ceil(F.col("n_sh") * F.lit(float(threshold))
                      - F.lit(1e-9)) + 1)
-    prefix = (tok.join(df_h, "h")
+    # The explicit keyed spread BELOW the window replaces the exchange
+    # ENSURE_REQUIREMENTS would insert for partitionBy(id) anyway (same
+    # key, so no extra shuffle) — but with an explicit count AQE cannot
+    # byte-coalesce the persisted fill to one task
+    # (canChangeCachedPlanOutputPartitioning is on session-wide).
+    prefix = (_spread(tok.join(df_h, "h"), "id")
               .withColumn("_rnk", F.row_number().over(w))
               .where(F.col("_rnk") <= plen)
               .select("id", "n_sh", "h"))
-    extra_deps: tuple = ()
+    # The candidate self-join references `prefix` TWICE (sides a and b):
+    # left un-persisted (the pre-r11 mode='prefix' shape), the whole
+    # chain above — the df_h aggregation, its broadcast, and the
+    # per-doc rank window — executes once PER SIDE (the replayed-
+    # subtree pattern of OPTIMIZATION_r11 Change 12). Persist in BOTH
+    # modes and materialize with exactly one job before the join forks;
+    # in auto mode the hot-token probe is that materializing job.
+    prefix = prefix.persist()
+    extra_deps: tuple = (prefix,)
     if mode == "auto":
-        prefix = prefix.persist()
-        extra_deps = (prefix,)
         hot = prefix.groupBy("h").agg(
             F.count("*").alias("p")).agg(F.max("p")).collect()[0][0]
         if hot is not None and hot > hot_posting_limit:
@@ -1683,6 +1694,8 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
             return lsh_verified_jaccard_pairs(
                 df, text_col, id_col, n=n, num_hashes=num_hashes,
                 bands=bands, threshold=threshold)
+    else:
+        prefix.count()  # fill the shared cache once (count unused)
     a = prefix.select(F.col("id").alias("id_a"),
                       F.col("n_sh").alias("n_a"), "h")
     b = prefix.select(F.col("id").alias("id_b"),
