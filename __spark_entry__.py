@@ -2079,6 +2079,18 @@ FROM orders WHERE o_orderkey % 100 = 0
     # verbatim — the strictest check the streaming twin can get.
     _STREAM_SINK_SEQ = [0]
 
+    def _parallel_writes(write_fns):
+        """Run the independent batch-file prep writes of a streaming
+        drain concurrently: each is a single-task job owning its own
+        directory, and submitting them from one thread serialized the
+        job-scheduling round-trips behind each other (measured ~0.2 s
+        per write at sf0.1). Spark's scheduler is thread-safe; the
+        produced file layout is byte-identical either way."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(write_fns)) as pool:
+            list(pool.map(lambda f: f(), write_fns))
+
     def stream_funnel_end_state(spark):
         import os
         import shutil
@@ -2098,13 +2110,20 @@ FROM orders WHERE o_orderkey % 100 = 0
         # pure scheduling overhead — the streaming_interval_state
         # precedent, scoped to the drain and restored after. The end
         # state is partition-count-invariant (pruning-exactness
-        # contract + the determinism suite's rule).
+        # contract + the determinism suite's rule). 8, not 4, for THIS
+        # drain: the per-micro-batch cost here is ~|users| sequential
+        # per-group Python state calls divided across the state tasks
+        # (the JVM-native dropDuplicates drains keep 4) — measured
+        # sweep 4/8/16 → drain 4.2/3.2/3.2 s, so 8 captures the
+        # parallelism win and 16 only adds task startups.
         sp_before = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            for i, et in enumerate(["purchase", "click", "view"]):
-                (ev.where(F.col("event_type") == et).coalesce(1)
+            _parallel_writes([
+                (lambda et=et, i=i:
+                 ev.where(F.col("event_type") == et).coalesce(1)
                  .write.parquet(os.path.join(path, f"b{i}")))
+                for i, et in enumerate(["purchase", "click", "view"])])
             src = (spark.readStream.schema(ev.schema)
                    .option("maxFilesPerTrigger", "1")
                    .parquet(os.path.join(path, "b*")))
@@ -2159,10 +2178,12 @@ FROM orders WHERE o_orderkey % 100 = 0
         sp_before = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
-            for i in range(3):
-                (ev.where(F.pmod(F.col("user_id"), F.lit(3)) == i)
+            _parallel_writes([
+                (lambda i=i:
+                 ev.where(F.pmod(F.col("user_id"), F.lit(3)) == i)
                  .coalesce(1)
                  .write.parquet(os.path.join(path, f"b{i}")))
+                for i in range(3)])
             src = (spark.readStream.schema(ev.schema)
                    .option("maxFilesPerTrigger", "1")
                    .parquet(os.path.join(path, "b*")))
@@ -2210,10 +2231,12 @@ FROM orders WHERE o_orderkey % 100 = 0
         sp_before = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
-            for i in range(3):
-                (ds.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+            _parallel_writes([
+                (lambda i=i:
+                 ds.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
                  .coalesce(1)
                  .write.parquet(os.path.join(path, f"b{i}")))
+                for i in range(3)])
             src = (spark.readStream.schema(ds.schema)
                    .option("maxFilesPerTrigger", "1")
                    .parquet(os.path.join(path, "b*")))
@@ -2490,6 +2513,19 @@ FROM orders WHERE o_orderkey % 100 = 0
         # partition-count-invariant (the determinism suite's rule).
         sp_before = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # the drain ends with a NO-DATA micro-batch (watermark advance
+        # + state eviction only): an APPEND-mode INNER stream-stream
+        # join emits rows exclusively from data batches, so that final
+        # batch writes nothing to the sink by construction — measured
+        # 0.8 s of pure trigger overhead. Scoped + restored, same rule
+        # as shuffle.partitions above. (Do NOT blanket this for the
+        # applyInPandasWithState twins: an event-time timeout there
+        # could flush state from a no-data batch; the funnel twin is
+        # NoTimeout today, but each drain opts in deliberately.)
+        ndb_before = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled")
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "false")
         ev = spark.table("events")
         # watermarks demand TIMESTAMP (LTZ) event time — the parquet
         # ts is NTZ; cast in, cast back out before hashing
@@ -2507,13 +2543,17 @@ FROM orders WHERE o_orderkey % 100 = 0
         _STREAM_SINK_SEQ[0] += 1
         name = f"fss_stream_ij_sink_{_STREAM_SINK_SEQ[0]}"
         try:
-            for i in range(3):
-                (clicks.where(F.pmod(F.col("user_id"), F.lit(3))
-                              == (2 - i)).coalesce(1)
-                 .write.parquet(os.path.join(path, "c", f"b{i}")))
-                (purchases.where(F.pmod(F.col("p_user_id"), F.lit(3))
-                                 == i).coalesce(1)
-                 .write.parquet(os.path.join(path, "p", f"b{i}")))
+            _parallel_writes(
+                [(lambda i=i:
+                  clicks.where(F.pmod(F.col("user_id"), F.lit(3))
+                               == (2 - i)).coalesce(1)
+                  .write.parquet(os.path.join(path, "c", f"b{i}")))
+                 for i in range(3)]
+                + [(lambda i=i:
+                    purchases.where(F.pmod(F.col("p_user_id"),
+                                           F.lit(3)) == i).coalesce(1)
+                    .write.parquet(os.path.join(path, "p", f"b{i}")))
+                   for i in range(3)])
             src_c = (spark.readStream.schema(clicks.schema)
                      .option("maxFilesPerTrigger", "1")
                      .parquet(os.path.join(path, "c", "b*")))
@@ -2540,6 +2580,9 @@ FROM orders WHERE o_orderkey % 100 = 0
             shutil.rmtree(path, ignore_errors=True)
             spark.conf.set("spark.sql.session.timeZone", tz_before)
             spark.conf.set("spark.sql.shuffle.partitions", sp_before)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled",
+                ndb_before)
         return spark.table(name)
 
     out["streaming_interval_state"] = (
