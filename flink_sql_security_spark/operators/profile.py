@@ -172,28 +172,123 @@ def profile_quantiles(df: DataFrame, cols: list[str],
         .where(F.col("v").isNotNull())
     )
     if exact:
+        # PARALLEL exact percentile by distributed SELECTION. The
+        # former shape — one `percentile(v, ps, cnt)` aggregate per
+        # column — sorts each column's whole value histogram inside a
+        # single task, so the widest column is a straggler no
+        # partitioning can split (measured at sf0.1: the final stage
+        # ran 1.7 s ≈ one l_extendedprice task while the other three
+        # columns finished in 30 ms). A percentile only needs the two
+        # values bracketing each target rank, and ranks are globally
+        # addressable once the histogram is range-partitioned:
+        #   1. range-partition (column, v) and freeze the layout with
+        #      a persist (range bounds come from sampling; two jobs
+        #      must see the SAME partitioning for offsets to be
+        #      meaningful);
+        #   2. one tiny aggregate (≤ partitions × k rows, collected)
+        #      yields each partition's per-column row-count → driver
+        #      computes every partition's global start offset, each
+        #      column's total weight W, and — exactly as Spark's
+        #      Percentile.getPercentile does — position = p·(W−1),
+        #      lower/higher = floor/ceil, and the two interpolation
+        #      weights (higher−position), (position−lower) in IEEE
+        #      doubles;
+        #   3. a per-partition running sum (window over (_pid, column)
+        #      — parallel across partitions, NOT one window per
+        #      column) assigns each value its global index range
+        #      [start, end), and a broadcast join against the ≤ k·|ps|
+        #      selector rows picks the bracketing values a, b;
+        #   4. result = (higher−position)·a + (position−lower)·b —
+        #      operand-for-operand the Spark built-in's expression, so
+        #      values are bit-identical to the former path (and to the
+        #      oracle under the shared 6-digit floor-round).
+        # The global index is defined by the total order (column, v)
+        # alone — unique since per_val is distinct on it — so the
+        # result is partitioning-invariant (determinism-suite rule).
+        import math
+
+        from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                       StringType, StructField, StructType)
+        from pyspark.sql.window import Window
+
+        from .cache import attach
+
         per_val = long_df.groupBy("column", "v").agg(
             F.count("*").alias("cnt"))
-        # the final percentile merge is keyed by `column` — k groups,
-        # and the per-group finalization (sorting the whole per-column
-        # value histogram) is the expensive part. AQE's byte-based
-        # coalescing sees a tiny shuffle and collapses it to ONE task,
-        # serializing all k histogram sorts (measured: 1.8 s in one
-        # task at sf0.1); an explicit k-way hash repartition on the
-        # key pins up to one task per column (AQE honors explicit
-        # counts — the spread_partitions lesson), and k IS the
-        # parallelism unit of this aggregate at any scale. Same rows
-        # over the same single exchange; percentile's histogram merge
-        # is order-independent, so values are unchanged on any
-        # partitioning (the determinism-suite rule).
-        agg = (per_val.repartition(len(cols), "column")
-               .groupBy("column").agg(
-                   F.expr(f"percentile(v, array({plist}), cnt)")
-                   .alias("_qs")))
-    else:
-        agg = long_df.groupBy("column").agg(
-            F.expr(f"approx_percentile(v, array({plist}), {accuracy})")
-            .alias("_qs"))
+        spark = df.sparkSession
+        k_par = max(spark.sparkContext.defaultParallelism, 1)
+        ranged = (per_val.repartitionByRange(k_par, "column", "v")
+                  .withColumn("_pid", F.spark_partition_id())
+                  .persist())
+        offs = sorted(
+            ((r["_pid"], r["column"], r["pc"]) for r in
+             ranged.groupBy("_pid", "column")
+             .agg(F.sum("cnt").alias("pc")).collect()),
+            key=lambda t: (t[1], t[0]))
+        starts_rows: list = []
+        totals: dict = {}
+        for pid, col_name, pc in offs:
+            starts_rows.append((pid, col_name, totals.get(col_name, 0)))
+            totals[col_name] = totals.get(col_name, 0) + pc
+        sel_rows: list = []
+        for col_name, w_total in totals.items():
+            for i, p in enumerate(ps):
+                pos = p * float(w_total - 1)
+                lp, hp = math.floor(pos), math.ceil(pos)
+                sel_rows.append((col_name, i, lp, hp,
+                                 float(hp) - pos, pos - float(lp)))
+        starts = spark.createDataFrame(
+            starts_rows,
+            StructType([StructField("_pid", IntegerType()),
+                        StructField("column", StringType()),
+                        StructField("_start", LongType())]))
+        sel = spark.createDataFrame(
+            sel_rows,
+            StructType([StructField("column", StringType()),
+                        StructField("_p_idx", IntegerType()),
+                        StructField("_lp", LongType()),
+                        StructField("_hp", LongType()),
+                        StructField("_w_lo", DoubleType()),
+                        StructField("_w_hi", DoubleType())]))
+        win = (Window.partitionBy("_pid", "column").orderBy("v")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cum = (ranged.join(F.broadcast(starts), ["_pid", "column"])
+               .withColumn("_endi",
+                           F.col("_start") + F.sum("cnt").over(win))
+               .withColumn("_begini", F.col("_endi") - F.col("cnt")))
+        lo_hit = ((F.col("_lp") >= F.col("_begini"))
+                  & (F.col("_lp") < F.col("_endi")))
+        hi_hit = ((F.col("_hp") >= F.col("_begini"))
+                  & (F.col("_hp") < F.col("_endi")))
+        # ONE groupBy(column) with per-p conditional aggregates (the
+        # hit rows are ≤ 2·|ps| per column, exactly one per (p, side))
+        # — a (column, p) pre-aggregate would just add an exchange
+        aggs = []
+        for i in range(len(ps)):
+            pi = F.col("_p_idx") == i
+            aggs += [
+                F.max(F.when(lo_hit & pi, F.col("v"))).alias(f"_a{i}"),
+                F.max(F.when(hi_hit & pi, F.col("v"))).alias(f"_b{i}"),
+                F.max(F.when(pi, F.col("_lp"))).alias(f"_l{i}"),
+                F.max(F.when(pi, F.col("_hp"))).alias(f"_h{i}"),
+                F.max(F.when(pi, F.col("_w_lo"))).alias(f"_wl{i}"),
+                F.max(F.when(pi, F.col("_w_hi"))).alias(f"_wh{i}")]
+        agg = (cum.join(F.broadcast(sel), "column")
+               .where(lo_hit | hi_hit)
+               .groupBy("column").agg(*aggs))
+        out = agg.select(
+            "column",
+            *[_floor_round_col(
+                F.when(F.col(f"_l{i}") == F.col(f"_h{i}"),
+                       F.col(f"_a{i}"))
+                .otherwise(F.col(f"_wl{i}") * F.col(f"_a{i}")
+                           + F.col(f"_wh{i}") * F.col(f"_b{i}")),
+                6).alias(n)
+              for i, n in enumerate(names)])
+        return attach(out, ranged)
+    agg = long_df.groupBy("column").agg(
+        F.expr(f"approx_percentile(v, array({plist}), {accuracy})")
+        .alias("_qs"))
     return agg.select(
         "column",
         *[_floor_round_col(F.col("_qs").getItem(i), 6).alias(n)

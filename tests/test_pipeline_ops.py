@@ -1072,7 +1072,10 @@ def test_profile_quantiles_auto_switchover(spark):
 
     auto = profile_quantiles(li, cols)                   # small → exact
     assert "approx_percentile" not in plan(auto)
-    assert "percentile(" in plan(auto)
+    # the exact path is the distributed-selection plan (range-
+    # partitioned histogram + broadcast selector rows), recognizable
+    # by its selector column — not a percentile() aggregate
+    assert "_p_idx" in plan(auto)
     forced = profile_quantiles(li, cols, auto_small_bytes=0,
                                auto_distinct_limit=0)    # → approx
     assert "approx_percentile" in plan(forced)

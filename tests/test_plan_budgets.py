@@ -73,7 +73,16 @@ BUDGETS = {
     # design break, not a tuning matter)
     "pipeline_clean_corpus": 6,
     "secured_clean_corpus": 6,
-    "profile_quantiles": 3,
+    # r11 opt round: the exact path became the distributed-selection
+    # percentile (range-partitioned histogram + per-partition offsets
+    # + broadcast selector rows) — 5 real shuffles (spread, per-value
+    # agg, range partition, per-partition window, final per-column
+    # agg) and the PERSISTED histogram subtree reprints its 3 upstream
+    # exchanges under new plan_ids. The former 3-exchange plan hid a
+    # 1-task straggler sorting the widest column's whole histogram
+    # (1.7 s at sf0.1); the new shuffles move the same ~5 MB and every
+    # stage is bounded by histogram/partitions.
+    "profile_quantiles": 8,
     "sketch_distinct_hll": 6,
     "sketch_hist_quantiles": 6,
     "emb_kmeans_cells": 0,
