@@ -641,8 +641,24 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
              .otherwise(
                     F.struct(F.col("b").alias("u"), F.col("a").alias("v"),
                              F.col("da.degree").alias("dv"))).alias("s"))
-         .select("s.u", "s.v", "s.dv")
-         .persist())
+         .select("s.u", "s.v", "s.dv"))
+    # the oriented table is small in BYTES but the wedge self-join
+    # below explodes it in ROWS, and with cached-plan coalescing its
+    # persist materialized at 2 partitions — the whole O(m^{3/2})
+    # wedge stage ran on 2 tasks (~0.5 s/task serial at sf0.1).
+    # spread_partitions' estimate gate is useless here (a join-derived
+    # plan reports an absurd size → treated LARGE → no-op), but the
+    # operator holds an EXACT |V| from the broadcast-gate count — so
+    # the spread rides the same small_v gate as every broadcast: an
+    # explicit apex-keyed repartition AQE keeps (the e1⋈e2 self-join
+    # then reads both sides co-partitioned by u straight from the
+    # cache), skipped entirely past broadcast_degrees_limit where the
+    # oriented table is corpus-sized and owns its natural split.
+    if small_v:
+        o = o.repartition(
+            edges.sparkSession.sparkContext.defaultParallelism,
+            F.col("u"))
+    o = o.persist()
     # wedges at the lowest-rank apex u: out-neighbors (v, w) ordered by
     # (deg, id); the closing edge, if present, is oriented v→w
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
@@ -656,10 +672,12 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
         .select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"),
                 F.col("e2.v").alias("z"))
         .persist())
+    # one explode, not a 3-branch union: the union read the persisted
+    # corner list once PER CORNER (3 × tasks and a 3-way first-reader
+    # race on the cache fill); the explode emits the same three corner
+    # rows per triangle in a single pass (OPTIMIZATION_r11 Change 2)
     per_node = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node").agg(F.count("*").alias("triangles")))
     out = (
         deg.join(hint(per_node), "node", "left")

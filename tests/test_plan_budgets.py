@@ -130,7 +130,13 @@ BUDGETS = {
     # probe, corner count — with e/o/tri persisted once and the
     # degree table broadcast into the orientation join (measured 9;
     # the unpersisted/unbroadcast first cut was 22)
-    "graph_triangles": 9,
+    # r11 opt round: +1 — the small_v-gated apex-keyed repartition of
+    # the oriented table (cached-plan coalescing materialized it at 2
+    # partitions, serializing the O(m^{3/2}) wedge join; gated on the
+    # EXACT |V| count like the broadcasts, so no exchange past
+    # broadcast_degrees_limit). The 3-branch corner union became one
+    # explode (no exchange either way, one cache read instead of 3).
+    "graph_triangles": 10,
 }
 
 
