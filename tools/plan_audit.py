@@ -106,6 +106,17 @@ NLJ_OK = {
     # broadcast code-word scan; the fusion stage itself never joins
     # the corpus.
     "retrieval_rrf_grouped",
+    # basket rules (r11 opt Changes 2/pushed-filter): the 1-ROW basket
+    # total `nb` crossJoins into the support/confidence projection
+    # (assoc.py:187,324,497) — the former driver-side count() became
+    # this in-plan scalar, the HITS/pagerank shape; tiny side by
+    # construction.
+    "basket_rules", "basket_rules_2to1", "basket_rules_3to1",
+    # lm_score (r11 opt Change 5): the 1-ROW vocabulary-size aggregate
+    # crossJoins into the scoring plan (functions/text.py:791) — the
+    # exact CROSS JOIN the DuckDB oracle always used; tiny side by
+    # construction. quality_curriculum composes lm_score.
+    "text_lm_score", "sample_quality_curriculum",
 }
 
 
