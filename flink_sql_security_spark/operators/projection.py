@@ -97,10 +97,97 @@ def _explode_duckdb(inner: str, id_col: str, out_dim: int) -> str:
             f"FROM p, UNNEST(range(1, {out_dim + 1})) AS t(i)")
 
 
+def _project_arrow(df: DataFrame, id_col: str, vec_col: str,
+                   in_dim: int, rows: list, *, mean: list | None,
+                   scale: float | None, round_to: int, explode: bool,
+                   op_name: str) -> DataFrame:
+    """Arrow-kernel twin of the unrolled projection chains — the
+    ``opq._rotate_arrow`` recipe. Bit-exact with the expression path:
+    per output component the fold runs vectorized ACROSS rows but
+    sequential WITHIN the chain, replicating the left-associated IEEE
+    ops operand-for-operand — rp: ``acc = ±x_1`` then ``acc ± x_i``
+    then ``/ scale``; pca: ``acc = w_1·c_1`` then ``acc + (w_i·c_i)``
+    over the centered ``c = x − μ`` — and finishes with the shared
+    floor rule (``floor_round_py``'s exact ops, vectorized; values are
+    bounded far below 2^53/scale so ``np.floor == floor``). The
+    coefficient matrix rides a broadcast instead of the plan (the
+    16×64 literal chains were the multi-second driver-build cost
+    Change 15 shrank but could not remove), and the same loud-failure
+    contract holds: wrong-length / NULL / NaN vectors raise."""
+    import numpy as np
+
+    from .skew import spread_partitions
+
+    id_type = [f.dataType.simpleString() for f in df.schema.fields
+               if f.name == id_col][0]
+    fscale = 10.0 ** round_to
+    bc = df.sparkSession.sparkContext.broadcast((rows, mean, scale))
+
+    def gen(batches):
+        import pandas as pd
+
+        t_rows, t_mean, t_scale = bc.value
+        for chunk in batches:
+            vecs = chunk[vec_col].tolist()
+            if not vecs:
+                continue
+            for vid, v in zip(chunk[id_col].tolist(), vecs):
+                if v is None or len(v) != in_dim:
+                    raise ValueError(
+                        f"{op_name}: vector for {vid} has size "
+                        f"{'NULL' if v is None else len(v)}, "
+                        f"expected {in_dim}")
+                if any(x is None for x in v):
+                    raise ValueError(
+                        f"{op_name}: NULL/NaN element in vector "
+                        f"for {vid}")
+            X = np.asarray(vecs, dtype=np.float64)
+            if np.isnan(X).any():
+                raise ValueError(
+                    f"{op_name}: NULL/NaN element in vector")
+            if t_mean is not None:
+                X = X - np.asarray(t_mean, dtype=np.float64)
+            outs = []
+            for row in t_rows:
+                if t_mean is None:          # rp: left-assoc ± chain
+                    acc = X[:, 0] if row[0] > 0 else -X[:, 0]
+                    for i, s in enumerate(row[1:], start=1):
+                        acc = (acc + X[:, i] if s > 0
+                               else acc - X[:, i])
+                    acc = acc / t_scale
+                else:                       # pca: left-assoc Σ w·c
+                    acc = row[0] * X[:, 0]
+                    for i, w in enumerate(row[1:], start=1):
+                        acc = acc + (w * X[:, i])
+                outs.append(np.floor(acc * fscale + 0.5) / fscale)
+            P = np.stack(outs, axis=1)
+            if explode:
+                n, k = P.shape
+                yield pd.DataFrame({
+                    id_col: chunk[id_col].repeat(k)
+                    .reset_index(drop=True),
+                    "dim": np.tile(np.arange(k, dtype=np.int32), n),
+                    "val": P.reshape(-1),
+                })
+            else:
+                yield pd.DataFrame({
+                    id_col: chunk[id_col],
+                    "proj": pd.Series(
+                        [[float(x) for x in r] for r in P],
+                        dtype="object"),
+                })
+
+    narrow = spread_partitions(df.select(id_col, vec_col),
+                               key_col=id_col)
+    schema = (f"{id_col} {id_type}, dim int, val double" if explode
+              else f"{id_col} {id_type}, proj array<double>")
+    return narrow.mapInPandas(gen, schema)
+
+
 def rp_project(df: DataFrame, in_dim: int, out_dim: int = 16,
                vec_col: str = "embedding", id_col: str = "vec_id",
                salt: str = "rp", round_to: int = 6,
-               explode: bool = False) -> DataFrame:
+               explode: bool = False, impl: str = "arrow") -> DataFrame:
     """(id, proj) — or (id, dim, val) with ``explode=True``: k-dim
     sign-projection of a d-dim embedding column.
 
@@ -112,8 +199,22 @@ def rp_project(df: DataFrame, in_dim: int, out_dim: int = 16,
     """
     if out_dim < 1 or in_dim < 1:
         raise ValueError(f"rp_project: bad dims ({out_dim}, {in_dim})")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"rp_project: impl must be 'arrow' or "
+                         f"'expr': {impl!r}")
     signs = rp_signs(out_dim, in_dim, salt)
     scale = float(out_dim) ** 0.5
+    if impl == "arrow":
+        # default since the r11 optimization round: one mapInPandas
+        # against the broadcast sign matrix — bit-exact with the expr
+        # path (pinned by test_projection_arrow_expr_interchangeable)
+        # and the 1024-term chain stays off the plan. ``impl='expr'``
+        # keeps the zero-Python codegen path (the pq_encode twin
+        # convention).
+        return _project_arrow(df, id_col, vec_col, in_dim, signs,
+                              mean=None, scale=scale,
+                              round_to=round_to, explode=explode,
+                              op_name="rp_project")
     guarded = (
         f"CASE WHEN size({vec_col}) = {in_dim} THEN "
         f"transform({vec_col}, v -> CAST(v AS DOUBLE)) "
@@ -244,7 +345,8 @@ def _wsum_expr(weights: list, elem) -> str:
 
 def pca_project(df: DataFrame, mean: list, components: list,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                round_to: int = 6, explode: bool = False) -> DataFrame:
+                round_to: int = 6, explode: bool = False,
+                impl: str = "arrow") -> DataFrame:
     """(id, proj) — or (id, dim, val) with ``explode=True``: project
     embeddings onto trained PCA components.
 
@@ -265,6 +367,17 @@ def pca_project(df: DataFrame, mean: list, components: list,
             raise ValueError(
                 f"pca_project: component {j} has {len(row)} coefficients, "
                 f"mean has {in_dim}")
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"pca_project: impl must be 'arrow' or "
+                         f"'expr': {impl!r}")
+    if impl == "arrow":
+        # see rp_project: bit-exact kernel twin, coefficients off the
+        # plan; impl='expr' keeps the zero-Python codegen path
+        return _project_arrow(df, id_col, vec_col, in_dim,
+                              [list(r) for r in components],
+                              mean=list(mean), scale=None,
+                              round_to=round_to, explode=explode,
+                              op_name="pca_project")
     mus = ", ".join(f"CAST('{m!r}' AS DOUBLE)" for m in mean)
     guarded = (
         f"CASE WHEN size({vec_col}) = {in_dim} THEN "

@@ -1875,16 +1875,23 @@ def test_rp_project_is_narrow_and_loud(spark):
     from flink_sql_security_spark.operators import projection as RP
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    plan = RP.rp_project(emb, in_dim=64, out_dim=8) \
+    # impl='expr': the zero-Python codegen path keeps its narrow pins;
+    # the ONLY exchange allowed is the explicit small-input spread (an
+    # r11 REPARTITION_BY_NUM that parallelizes the fold on tiny scans
+    # and is a no-op at corpus scale)
+    plan = RP.rp_project(emb, in_dim=64, out_dim=8, impl="expr") \
         ._jdf.queryExecution().executedPlan().toString()
-    # the projection math itself stays narrow JVM work: the ONLY
-    # exchange allowed is the explicit small-input spread (an r11
-    # REPARTITION_BY_NUM that parallelizes the fold on tiny scans and
-    # is a no-op at corpus scale); nothing may REQUIRE a distribution
     assert "ENSURE_REQUIREMENTS" not in plan
     assert plan.count("Exchange") <= 1
     assert "InPandas" not in plan
     assert "EvalPython" not in plan
+    # default (arrow): ONE documented MapInPandas kernel, matrix off
+    # the plan, still no required distribution and only the spread
+    plan_a = RP.rp_project(emb, in_dim=64, out_dim=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ENSURE_REQUIREMENTS" not in plan_a
+    assert plan_a.count("Exchange") <= 1
+    assert plan_a.count("MapInPandas") == 1
     # wrong length and NULL element both fail loudly
     bad_len = spark.createDataFrame([(1, [0.5] * 8)],
                                     "vec_id long, embedding array<double>")
@@ -1981,6 +1988,27 @@ def test_pca_beats_rp_at_equal_dim_on_neighbor_recall(spark):
     assert r_pca > r_rp, (r_pca, r_rp)
 
 
+def test_projection_arrow_expr_interchangeable(spark):
+    """The Arrow kernel (default since the r11 optimization round) and
+    the unrolled-expression path are bit-identical — same left-
+    associated IEEE folds, same floor rule — for RP and PCA, array and
+    exploded shapes."""
+    from flink_sql_security_spark.operators import projection as RP
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comps = RP.pca_train(emb, out_dim=4, sample=128)
+    for make in [
+        lambda ex, impl: RP.rp_project(emb, in_dim=64, out_dim=8,
+                                       explode=ex, impl=impl),
+        lambda ex, impl: RP.pca_project(emb, mean, comps,
+                                        explode=ex, impl=impl),
+    ]:
+        for ex in (False, True):
+            a = sorted(tuple(r) for r in make(ex, "arrow").collect())
+            e = sorted(tuple(r) for r in make(ex, "expr").collect())
+            assert a == e  # exact — doubles compare bit-for-bit
+
+
 def test_projection_exploded_form_matches_array_form(spark):
     """explode=True (the window-safe (id, dim, val) shape — the driver
     canonicalizer cannot sort list cells) carries exactly the array
@@ -2019,14 +2047,19 @@ def test_pca_project_is_narrow_and_loud(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     mean, comps = RP.pca_train(emb, out_dim=4, sample=128)
-    plan = RP.pca_project(emb, mean, comps) \
+    # see test_rp_project_is_narrow_and_loud: expr = zero-Python
+    # codegen pins; default (arrow) = one documented MapInPandas
+    plan = RP.pca_project(emb, mean, comps, impl="expr") \
         ._jdf.queryExecution().executedPlan().toString()
-    # see test_rp_project_is_narrow_and_loud: one explicit spread
-    # exchange allowed, no required distribution, no Python
     assert "ENSURE_REQUIREMENTS" not in plan
     assert plan.count("Exchange") <= 1
     assert "InPandas" not in plan
     assert "EvalPython" not in plan
+    plan_a = RP.pca_project(emb, mean, comps) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ENSURE_REQUIREMENTS" not in plan_a
+    assert plan_a.count("Exchange") <= 1
+    assert plan_a.count("MapInPandas") == 1
     bad_len = spark.createDataFrame([(1, [0.5] * 8)],
                                     "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="has size"):

@@ -67,6 +67,13 @@ PYTHON_OK = {
     # over the PREFIX slices (half the vector bytes); stage 2 rerank is
     # pure JVM expression work (the shared _exact_rerank refine).
     "emb_matryoshka_topk",
+    # rp/pca projection (r11 opt continued): ONE mapInPandas Arrow
+    # kernel over the spread corpus — the 16×64 left-associated folds
+    # bit-exactly in sequential numpy column ops with the coefficient
+    # matrix on a broadcast instead of 1024 plan literals;
+    # impl="expr" remains the zero-Python path (pytest-pinned
+    # interchangeable, test_projection_arrow_expr_interchangeable).
+    "emb_rp_project", "emb_pca_project",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
