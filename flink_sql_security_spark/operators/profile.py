@@ -193,11 +193,21 @@ def profile_quantiles(df: DataFrame, cols: list[str],
         #      lower/higher = floor/ceil, and the two interpolation
         #      weights (higher−position), (position−lower) in IEEE
         #      doubles;
-        #   3. a per-partition running sum (window over (_pid, column)
-        #      — parallel across partitions, NOT one window per
-        #      column) assigns each value its global index range
-        #      [start, end), and a broadcast join against the ≤ k·|ps|
-        #      selector rows picks the bracketing values a, b;
+        #   3. a per-partition running sum assigns each value its
+        #      global index range [start, end). The histogram is
+        #      already range-partitioned AND locally sorted (the sort
+        #      lives inside the cache fill), so the running sum is ONE
+        #      order-preserving streaming pass per partition — an
+        #      Arrow kernel carrying a per-column cumulative across
+        #      batches, O(batch) memory — instead of a window whose
+        #      (_pid, column) clustering requirement re-shuffles the
+        #      whole histogram (Catalyst cannot see that the range
+        #      layout already satisfies it; measured at sf0.1 the
+        #      window's exchange+sort stage was the main job's
+        #      dominant cost at 8 cores). The kernel emits ONLY the
+        #      ≤ 2·|ps| bracketing rows per column; the broadcast
+        #      join against the ≤ k·|ps| selector rows then picks the
+        #      values a, b exactly as before;
         #   4. result = (higher−position)·a + (position−lower)·b —
         #      operand-for-operand the Spark built-in's expression, so
         #      values are bit-identical to the former path (and to the
@@ -209,7 +219,6 @@ def profile_quantiles(df: DataFrame, cols: list[str],
 
         from pyspark.sql.types import (DoubleType, IntegerType, LongType,
                                        StringType, StructField, StructType)
-        from pyspark.sql.window import Window
 
         from .cache import attach
 
@@ -217,7 +226,12 @@ def profile_quantiles(df: DataFrame, cols: list[str],
             F.count("*").alias("cnt"))
         spark = df.sparkSession
         k_par = max(spark.sparkContext.defaultParallelism, 1)
+        # sortWithinPartitions is a LOCAL sort (no exchange) folded
+        # into the cache fill: both consumers below need (column, v)
+        # order, and sorting once here is what lets the running-sum
+        # pass stream the cache without its own exchange+sort.
         ranged = (per_val.repartitionByRange(k_par, "column", "v")
+                  .sortWithinPartitions("column", "v")
                   .withColumn("_pid", F.spark_partition_id())
                   .persist())
         offs = sorted(
@@ -237,11 +251,6 @@ def profile_quantiles(df: DataFrame, cols: list[str],
                 lp, hp = math.floor(pos), math.ceil(pos)
                 sel_rows.append((col_name, i, lp, hp,
                                  float(hp) - pos, pos - float(lp)))
-        starts = spark.createDataFrame(
-            starts_rows,
-            StructType([StructField("_pid", IntegerType()),
-                        StructField("column", StringType()),
-                        StructField("_start", LongType())]))
         sel = spark.createDataFrame(
             sel_rows,
             StructType([StructField("column", StringType()),
@@ -250,12 +259,64 @@ def profile_quantiles(df: DataFrame, cols: list[str],
                         StructField("_hp", LongType()),
                         StructField("_w_lo", DoubleType()),
                         StructField("_w_hi", DoubleType())]))
-        win = (Window.partitionBy("_pid", "column").orderBy("v")
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        cum = (ranged.join(F.broadcast(starts), ["_pid", "column"])
-               .withColumn("_endi",
-                           F.col("_start") + F.sum("cnt").over(win))
-               .withColumn("_begini", F.col("_endi") - F.col("cnt")))
+        # streaming bracket pick: one ordered pass over the cached
+        # layout per partition. Offsets and target indices are the
+        # driver-known tiny artifacts computed above, so they ride the
+        # task closure (no broadcast-join against a starts frame). The
+        # emitted rows are the global bracketing rows — determined by
+        # the total (column, v) order and the targets alone, so the
+        # output is partitioning-invariant like the window it replaces.
+        starts_map = {(pid, col_name): start
+                      for pid, col_name, start in starts_rows}
+        targets: dict = {}
+        for col_name, _i, lp, hp, _wl, _wh in sel_rows:
+            targets.setdefault(col_name, set()).update((lp, hp))
+        targets = {c: sorted(t) for c, t in targets.items()}
+
+        def _pick_brackets(batches):
+            import numpy as np
+            import pandas as pd
+
+            carry: dict = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                cols_a = pdf["column"].to_numpy()
+                cnts_a = pdf["cnt"].to_numpy()
+                vs_a = pdf["v"].to_numpy()
+                # batch rows arrive (column, v)-sorted: column runs
+                # are contiguous slices
+                run = np.flatnonzero(cols_a[1:] != cols_a[:-1]) + 1
+                bounds = [0, *run.tolist(), len(cols_a)]
+                h_col: list = []
+                h_v: list = []
+                h_b: list = []
+                h_e: list = []
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    c = cols_a[s]
+                    base = carry.get(c)
+                    if base is None:
+                        base = starts_map[(pid, c)]
+                    ends = base + np.cumsum(cnts_a[s:e])
+                    carry[c] = int(ends[-1])
+                    for t in targets.get(c, ()):
+                        j = int(np.searchsorted(ends, t, side="right"))
+                        if j < e - s and ends[j] - cnts_a[s + j] <= t:
+                            h_col.append(c)
+                            h_v.append(vs_a[s + j])
+                            h_b.append(int(ends[j] - cnts_a[s + j]))
+                            h_e.append(int(ends[j]))
+                if h_col:
+                    yield pd.DataFrame({
+                        "column": h_col,
+                        "v": np.asarray(h_v, dtype="float64"),
+                        "_begini": np.asarray(h_b, dtype="int64"),
+                        "_endi": np.asarray(h_e, dtype="int64")})
+
+        cum = ranged.mapInPandas(
+            _pick_brackets,
+            "column string, v double, _begini long, _endi long")
         lo_hit = ((F.col("_lp") >= F.col("_begini"))
                   & (F.col("_lp") < F.col("_endi")))
         hi_hit = ((F.col("_hp") >= F.col("_begini"))

@@ -4,6 +4,8 @@ Oracle-grade equivalence runs in the driver harness (__spark_entry__); these
 tests pin operator semantics on small controlled inputs.
 """
 
+import math
+
 import pytest
 from pyspark.sql import Row, functions as F
 
@@ -1053,6 +1055,31 @@ def test_profile_quantiles_shape_and_order(spark):
         assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"]
     # l_quantity is integral 1..50ish: quartiles must sit inside
     assert 1 <= rows["l_quantity"]["p25"] <= rows["l_quantity"]["p95"] <= 50
+
+
+def test_profile_quantiles_exact_matches_builtin(spark):
+    """The distributed-selection exact path (streaming bracket-pick
+    kernel over the range-partitioned sorted histogram) must equal
+    Spark's own sort-based percentile() bit-for-bit — the selection
+    reproduces the built-in's interpolation operands exactly, so any
+    drift here means the global index bookkeeping broke."""
+    from flink_sql_security_spark.operators.profile import (
+        QUANTILE_PS, profile_quantiles)
+    from flink_sql_security_spark.sources import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    got = {r["column"]: r for r in profile_quantiles(
+        spark.table("lineitem"), cols, exact=True).collect()}
+    plist = ", ".join(str(p) for p in QUANTILE_PS)
+    for c in cols:
+        want = spark.sql(
+            f"SELECT percentile(CAST(CAST({c} AS DECIMAL(18,2)) AS"
+            f" DOUBLE), array({plist})) AS qs FROM lineitem"
+            f" WHERE {c} IS NOT NULL").first()["qs"]
+        for i, p in enumerate(QUANTILE_PS):
+            exp = math.floor(want[i] * 1000000.0 + 0.5) / 1000000.0
+            assert got[c][f"p{int(p * 100)}"] == exp, (c, p)
 
 
 def test_profile_quantiles_auto_switchover(spark):

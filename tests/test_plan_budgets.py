@@ -75,14 +75,16 @@ BUDGETS = {
     "secured_clean_corpus": 6,
     # r11 opt round: the exact path became the distributed-selection
     # percentile (range-partitioned histogram + per-partition offsets
-    # + broadcast selector rows) — 5 real shuffles (spread, per-value
-    # agg, range partition, per-partition window, final per-column
-    # agg) and the PERSISTED histogram subtree reprints its 3 upstream
-    # exchanges under new plan_ids. The former 3-exchange plan hid a
+    # + broadcast selector rows) — the former 3-exchange plan hid a
     # 1-task straggler sorting the widest column's whole histogram
-    # (1.7 s at sf0.1); the new shuffles move the same ~5 MB and every
-    # stage is bounded by histogram/partitions.
-    "profile_quantiles": 8,
+    # (1.7 s at sf0.1). 8 → 7 late-r11: the running-sum window's
+    # (_pid, column) exchange is gone — the histogram cache is sorted
+    # within its range partitions at fill time and a streaming Arrow
+    # kernel carries the cumulative instead (4 real shuffles: spread,
+    # per-value agg, range partition, final per-column agg; the
+    # PERSISTED subtree reprints its 3 upstream exchanges under new
+    # plan_ids). Every stage is bounded by histogram/partitions.
+    "profile_quantiles": 7,
     "sketch_distinct_hll": 6,
     "sketch_hist_quantiles": 6,
     "emb_kmeans_cells": 0,

@@ -74,6 +74,14 @@ PYTHON_OK = {
     # impl="expr" remains the zero-Python path (pytest-pinned
     # interchangeable, test_projection_arrow_expr_interchangeable).
     "emb_rp_project", "emb_pca_project",
+    # exact-percentile bracket pick (r11 opt continued): ONE streaming
+    # mapInPandas pass over the range-partitioned, partition-sorted
+    # histogram CACHE — carries the per-column running index across
+    # Arrow batches (O(batch) memory) and emits only the ≤ 2·|ps|
+    # bracketing rows per column; replaces the window whose
+    # (_pid, column) clustering requirement re-shuffled the whole
+    # histogram. Interpolation math stays in JVM expressions.
+    "profile_quantiles",
 }
 # Nested-loop broadcasts of provably tiny sides (bounds rows, scalar
 # subquery results). The big side is never shuffled by these.
