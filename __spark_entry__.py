@@ -2110,14 +2110,21 @@ FROM orders WHERE o_orderkey % 100 = 0
         # pure scheduling overhead — the streaming_interval_state
         # precedent, scoped to the drain and restored after. The end
         # state is partition-count-invariant (pruning-exactness
-        # contract + the determinism suite's rule). 8, not 4, for THIS
-        # drain: the per-micro-batch cost here is ~|users| sequential
-        # per-group Python state calls divided across the state tasks
-        # (the JVM-native dropDuplicates drains keep 4) — measured
-        # sweep 4/8/16 → drain 4.2/3.2/3.2 s, so 8 captures the
-        # parallelism win and 16 only adds task startups.
+        # contract + the determinism suite's rule). Floor 8, not 4,
+        # for THIS drain: the per-micro-batch cost here is ~|users|
+        # sequential per-group Python state calls divided across the
+        # state tasks (the JVM-native dropDuplicates drains keep 4) —
+        # measured sweep 4/8/16 → drain 4.2/3.2/3.2 s, so 8 captures
+        # the parallelism win and 16 only adds task startups. The
+        # count itself DERIVES from the drained input's size estimate
+        # (drain_state_partitions): same number at the local SFs, and
+        # a corpus-sized drain scales its state store up to the
+        # cluster parallelism instead of funneling through the floor.
+        from flink_sql_security_spark.streaming import (
+            drain_state_partitions)
         sp_before = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(drain_state_partitions(ev, 8)))
         try:
             _parallel_writes([
                 (lambda et=et, i=i:
@@ -2174,9 +2181,14 @@ FROM orders WHERE o_orderkey % 100 = 0
         name = f"fss_stream_retention_sink_{_STREAM_SINK_SEQ[0]}"
         # scoped state-partition sizing — the streaming_interval_state
         # precedent (see that entry); dropDuplicates state is
-        # partition-count-invariant
+        # partition-count-invariant. Floor 4 (JVM-native state, no
+        # Python round-trip), derived so a corpus-sized drain scales
+        # (see the funnel twin's comment).
+        from flink_sql_security_spark.streaming import (
+            drain_state_partitions)
         sp_before = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(drain_state_partitions(ev, 4)))
         try:
             _parallel_writes([
                 (lambda i=i:
@@ -2227,9 +2239,12 @@ FROM orders WHERE o_orderkey % 100 = 0
         name = f"fss_stream_dedup_sink_{_STREAM_SINK_SEQ[0]}"
         # scoped state-partition sizing — the streaming_interval_state
         # precedent; dropDuplicates key-set state is partition-count-
-        # invariant
+        # invariant. Floor 4, derived (see the funnel twin's comment).
+        from flink_sql_security_spark.streaming import (
+            drain_state_partitions)
         sp_before = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(drain_state_partitions(ds, 4)))
         try:
             _parallel_writes([
                 (lambda i=i:
@@ -2511,8 +2526,14 @@ FROM orders WHERE o_orderkey % 100 = 0
         # → ~5 s at 4). Scoped to this query — the conf is read at
         # stream start and restored after the drain; results are
         # partition-count-invariant (the determinism suite's rule).
+        # Floor 4, derived from the drained input's size estimate
+        # (see the funnel twin's comment).
+        from flink_sql_security_spark.streaming import (
+            drain_state_partitions)
         sp_before = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(drain_state_partitions(
+                           spark.table("events"), 4)))
         # the drain ends with a NO-DATA micro-batch (watermark advance
         # + state eviction only): an APPEND-mode INNER stream-stream
         # join emits rows exclusively from data batches, so that final

@@ -76,6 +76,11 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # the core count this run measured under — the driver re-runs the
+    # bench at a lower count to measure scaling, and without this field
+    # a full record cannot be told apart from the main run's (the r11
+    # scaling run silently overwrote the 32-core BENCH_FULL.json)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     def fresh_session(old=None):
         """(Re)build the session and re-run the standard warmup: one
@@ -299,6 +304,7 @@ def main() -> None:
         "rerank_recall": rerank_recall,
         "binary_recall": binary_recall,
         "sf": sf,
+        "cpus": cpus,
         "rewrite_median_ms": rewrite_ms,
         "security_tax_ratio": tax,
         "secured_sql_sec": round(secured_t, 3),
@@ -316,12 +322,18 @@ def main() -> None:
     # The complete per-query map, committed at the repo root: the stdout
     # line below must fit the driver's tail window and may drop the
     # fastest entries, so this file is the full record the judge can read.
+    # TWO files: the cpus-suffixed one is the durable per-core-count
+    # record (the driver's 8-core scaling pass used to overwrite the
+    # 32-core record — BENCH_FULL.json in r11 ended up holding the c8
+    # run with nothing saying so); BENCH_FULL.json stays the
+    # latest-run pointer and is now self-describing via "cpus".
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json"), "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-        payload["queries_full"] = "BENCH_FULL.json"
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        for fname in (f"BENCH_FULL_c{cpus}.json", "BENCH_FULL.json"):
+            with open(os.path.join(repo_dir, fname), "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        payload["queries_full"] = f"BENCH_FULL_c{cpus}.json"
     except OSError:
         pass  # read-only checkout: the stdout line still carries the core
     # The driver keeps only the last 2000 chars of stdout; a longer JSON

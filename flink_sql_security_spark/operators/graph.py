@@ -61,7 +61,8 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
              damping: float = 0.85, n_nodes: int | None = None,
              broadcast_ranks_limit: int = 5_000_000,
              dangling: str = "leak", checkpoint_every: int = 0,
-             seeds: list | None = None, weight_col: str | None = None):
+             seeds: list | None = None, weight_col: str | None = None,
+             driver_edges_limit: int = 4_000_000):
     """Ranks after ``iters`` synchronous PageRank iterations.
 
     ``edges`` is a DataFrame of DISTINCT directed (src, dst) pairs.
@@ -114,6 +115,25 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     pass per iteration instead of an edge shuffle). Graphs with more
     nodes than the limit keep the scale-safe shuffle join — at billions
     of vertices the rank table is itself distributed state.
+
+    ``driver_edges_limit``: when the EXACT edge count (the cache-fill
+    count the operator runs anyway) is at or under this bound, the
+    power iteration runs as ONE driver-side numpy kernel over the
+    collected (src, dst, outdeg|frac) table instead of ``iters``
+    distributed rounds — the :func:`connected_components`
+    driver-threshold convention. A broadcast-scale graph (the limit is
+    ~100 MB of edge triples) pays ~0.35 s of fixed job/stage cadence
+    PER ITERATION in the distributed loop while the actual per-round
+    compute is milliseconds; collecting once and iterating locally
+    removes every per-iteration job. Bit-exact by construction: the
+    per-source shares (including the weighted DECIMAL(18,6) fractions)
+    are computed by the SAME Spark expressions before collection, the
+    quantized contributions are int64 sums (order-independent), and
+    every remaining float op is an elementwise IEEE double with the
+    identical operand order — pinned by the driver-vs-distributed
+    parity pytest. 0 disables (tests use it to pin the distributed
+    loop); past the limit the scale-safe distributed iteration is
+    unchanged.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -149,6 +169,33 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
         outdeg = edges.groupBy(src).agg(
             F.sum(F.col(weight_col).cast("decimal(18,6)"))
             .alias("out_w"))
+    # driver-kernel gate on the EXACT edge count; the count doubles as
+    # the edge-cache fill job (the distributed path's nodes.count()
+    # then reads the warm cache)
+    if driver_edges_limit and edges.count() <= driver_edges_limit:
+        # the per-edge share operands (outdeg counts / decimal-exact
+        # weight fractions) come from the SAME Spark expressions the
+        # distributed loop consumes — collected once, iterated locally
+        if weight_col is None:
+            ed_plan = (edges.join(F.broadcast(outdeg), src)
+                       .select(F.col(src).alias("e_src"),
+                               F.col(dst).alias("e_dst"), "outdeg"))
+        else:
+            ed_plan = (edges.join(F.broadcast(outdeg), src)
+                       .select(F.col(src).alias("e_src"),
+                               F.col(dst).alias("e_dst"),
+                               (F.col(weight_col).cast("decimal(18,6)")
+                                .cast("double")
+                                / F.col("out_w").cast("double"))
+                               .alias("frac")))
+        out = _pagerank_driver(
+            ed_plan, node_type=edges.schema[src].dataType,
+            iters=iters, damping=damping, n_nodes=n_nodes,
+            dangling=dangling, seeds=seeds,
+            weighted=weight_col is not None)
+        w = Window.orderBy(F.desc("rank"), F.asc("node"))
+        out = out.withColumn("rank_pos", F.row_number().over(w))
+        return attach(out, edges, nodes)
     if n_nodes is None:
         n_nodes = nodes.count()
     init = 1.0 / n_nodes                       # same IEEE divide as oracle
@@ -188,75 +235,107 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     if seeds is not None:
         tshare = 1.0 / len(seeds)
 
-        def tele():
-            return (F.when(F.col("node").isin(seeds), F.lit(tshare))
+        def tele(nc):
+            return (F.when(nc.isin(seeds), F.lit(tshare))
                     .otherwise(F.lit(0.0)))
 
-        def base_col():
-            return F.lit(1.0 - damping) * tele()
+        def base_col(nc):
+            return F.lit(1.0 - damping) * tele(nc)
 
-        init_col = tele()
+        def init_col(nc):
+            return tele(nc)
     else:
-        def base_col():
+        def base_col(nc):
             return F.lit(base)
 
-        init_col = F.lit(init)
+        def init_col(nc):
+            return F.lit(init)
 
-    ranks = nodes.select("node", init_col.alias("rank"))
+    # Fused iteration state (r12 opt round): the loop carries the
+    # per-iteration contribution-SUM table (and, with redistribute,
+    # the 1-row dangling total) instead of a materialized |V|-row rank
+    # table. rank_i is a cheap affine per-row expression over
+    # csum_{i-1} (+ dq_{i-1}), so inlining it wherever a rank is
+    # consumed removes the nodes-rebuild join AND its broadcast from
+    # every iteration — one broadcast-build job per iteration instead
+    # of two (the job cadence, not the data, dominated the loop at
+    # small scale; at cluster scale it is one fewer |V|-row exchange
+    # per iteration). Bit-exact by construction: the inlined
+    # expression is operand-for-operand the one the former rank
+    # rebuild materialized (coalesce(csum,0) covers nodes absent from
+    # the sum table exactly as the former left join did), and floats
+    # are never reassociated.
+    sums = None     # feeds the CURRENT ranks; None = uniform/tele init
+    dq = None       # 1-row dangling total alongside sums
+
+    def rank_expr(nc):
+        """Rank of node column ``nc`` given the carried state."""
+        if sums is None:
+            return init_col(nc)
+        csum = (F.coalesce(F.col("csum"), F.lit(0)).cast("double")
+                / F.lit(_QUANTUM))
+        if dangling == "redistribute":
+            # dangling mass returns via the teleport distribution:
+            # /N uniform, ·tele(v) personalized
+            dterm = F.col("dq").cast("double") / F.lit(_QUANTUM)
+            dterm = (dterm * tele(nc) if seeds is not None
+                     else dterm / F.lit(float(n_nodes)))
+            return (base_col(nc) + (F.lit(damping) * (csum + dterm)))
+        return base_col(nc) + (F.lit(damping) * csum)
+
+    def with_state(df, node_col):
+        """Attach the carried sums (+ dq) to ``df`` keyed on
+        ``node_col`` — the left join the rank expression reads."""
+        if sums is None:
+            return df
+        j = df.join(hint(sums), F.col(node_col) == sums["s_node"],
+                    "left").drop("s_node")
+        if dangling == "redistribute":
+            j = j.crossJoin(F.broadcast(dq))
+        return j
+
     for it in range(iters):
-        share = (F.col("rank") * F.col("frac") if weight_col is not None
-                 else F.col("rank") / F.col("outdeg"))
+        rank = rank_expr(F.col("e_src"))
+        share = (rank * F.col("frac") if weight_col is not None
+                 else rank / F.col("outdeg"))
         contribs = (
-            ed.join(hint(ranks), ed["e_src"] == ranks["node"])
+            with_state(ed, "e_src")
             .select(F.col("e_dst"),
                     F.floor(share * F.lit(_QUANTUM))
                     .cast("long").alias("c")))
-        sums = contribs.groupBy("e_dst").agg(F.sum("c").alias("csum"))
-        new_rank = (base_col() + (F.lit(damping)
-                    * (F.coalesce(F.col("csum"), F.lit(0)).cast("double")
-                       / F.lit(_QUANTUM))))
+        new_sums = (contribs.groupBy("e_dst").agg(F.sum("c").alias("csum"))
+                    .select(F.col("e_dst").alias("s_node"), "csum"))
+        new_dq = None
         if dangling == "redistribute":
             # total dangling rank, quantized to the SAME integer
             # micro-units as the edge contributions — an exact,
             # order-independent 1-row aggregate that cross-joins
-            # (broadcasts) into the |V|-row rank rebuild
-            dq = (dang_nodes.join(hint(ranks), "node")
-                  .agg(F.coalesce(
-                      F.sum(F.floor(F.col("rank") * F.lit(_QUANTUM))
-                            .cast("long")), F.lit(0)).alias("dq")))
-            # dangling mass returns via the teleport distribution:
-            # /N uniform, ·tele(v) personalized
-            dterm = F.col("dq").cast("double") / F.lit(_QUANTUM)
-            dterm = (dterm * tele() if seeds is not None
-                     else dterm / F.lit(float(n_nodes)))
-            new_rank = (base_col() + (F.lit(damping)
-                        * ((F.coalesce(F.col("csum"), F.lit(0))
-                            .cast("double") / F.lit(_QUANTUM))
-                           + dterm)))
-            ranks = (
-                nodes.join(hint(sums), nodes["node"] == sums["e_dst"],
-                           "left")
-                .crossJoin(F.broadcast(dq))
-                .select("node", new_rank.alias("rank")))
-        else:
-            ranks = (
-                nodes.join(hint(sums), nodes["node"] == sums["e_dst"],
-                           "left")
-                .select("node", new_rank.alias("rank")))
+            # (broadcasts) into the next iteration's rank expression
+            new_dq = (with_state(dang_nodes, "node")
+                      .agg(F.coalesce(
+                          F.sum(F.floor(rank_expr(F.col("node"))
+                                        * F.lit(_QUANTUM))
+                                .cast("long")), F.lit(0)).alias("dq")))
         # lineage truncation for DEEP iteration counts: localCheckpoint
-        # materializes the |V|-row rank table and cuts the growing plan.
+        # materializes the carried sum table and cuts the growing plan.
         # Values are unchanged (a materialization boundary, not math).
-        # Measured sf0.1/local[32] (SCALING.md): a 2× LOSS at iters=5
-        # (2.58 s → 5.12 s min-of-3) and 3.5× at iters=20 (4.10 →
-        # 14.37 s) — each eager checkpoint is a full materialization
-        # job, while the fused DAG's broadcast rank joins stay cheap.
-        # 0 = off is the default; reach for it only when the growing
-        # plan itself becomes the bottleneck (analysis time / driver
-        # memory at 50+ iterations), not for speed.
+        # Measured sf0.1/local[32] (SCALING.md, pre-fusion shape): a 2×
+        # LOSS at iters=5 and 3.5× at iters=20 — each eager checkpoint
+        # is a full materialization job, while the fused DAG's
+        # broadcast joins stay cheap. 0 = off is the default; reach
+        # for it only when the growing plan itself becomes the
+        # bottleneck (analysis time / driver memory at 50+
+        # iterations), not for speed.
         if checkpoint_every and (it + 1) % checkpoint_every == 0 \
                 and it + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            new_sums = new_sums.localCheckpoint(eager=True)
+            if new_dq is not None:
+                new_dq = new_dq.localCheckpoint(eager=True)
+        sums = new_sums
+        dq = new_dq
 
+    ranks = (with_state(nodes, "node")
+             .select("node", rank_expr(F.col("node")).alias("rank")))
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     out = ranks.withColumn("rank_pos", F.row_number().over(w))
     if dangling == "redistribute":
@@ -264,9 +343,121 @@ def pagerank(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     return attach(out, ed, nodes, edges)
 
 
+def _pagerank_driver(ed, *, node_type, iters: int, damping: float,
+                     n_nodes: int | None, dangling: str,
+                     seeds: list | None, weighted: bool):
+    """Driver-side numpy twin of the distributed PageRank loop.
+
+    Bit-exactness contract (the distributed loop's, restated in numpy):
+    contributions quantize to int64 micro-units
+    (``floor(share · 1e12)``) and sum exactly (``np.add.at`` on int64 —
+    order-independent like Spark's BIGINT sum); every float op is an
+    elementwise IEEE double with the identical operand order
+    (``base + (d · (csum/1e12))``, the redistribute/teleport variants
+    likewise), so the ranks match the distributed path bit-for-bit —
+    pinned by ``test_pagerank_driver_vs_distributed_parity``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = ed.sparkSession
+    tbl = ed.toArrow()
+    s_vals = tbl.column("e_src").to_pandas()
+    d_vals = tbl.column("e_dst").to_pandas()
+    codes, uniques = pd.factorize(
+        pd.concat([s_vals, d_vals], ignore_index=True), sort=False)
+    m = len(s_vals)
+    si = codes[:m].astype(np.int64)
+    di = codes[m:].astype(np.int64)
+    n = len(uniques)
+    if n_nodes is None:
+        n_nodes = n
+    init = 1.0 / n_nodes                   # same IEEE divide either path
+    base = (1.0 - damping) / n_nodes
+    if weighted:
+        share_base = tbl.column("frac").to_numpy(zero_copy_only=False)
+    else:
+        share_base = tbl.column("outdeg").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+    if seeds is not None:
+        tshare = 1.0 / len(seeds)
+        tele = np.where(pd.Index(uniques).isin(seeds), tshare, 0.0)
+        base_vec = (1.0 - damping) * tele
+        rank = tele.copy()
+    else:
+        base_vec = np.full(n, base)
+        rank = np.full(n, init)
+    if dangling == "redistribute":
+        has_out = np.zeros(n, dtype=bool)
+        has_out[si] = True
+        dang = ~has_out
+    for _ in range(iters):
+        share = (rank[si] * share_base if weighted
+                 else rank[si] / share_base)
+        contrib = np.floor(share * _QUANTUM).astype(np.int64)
+        csum = np.zeros(n, dtype=np.int64)
+        np.add.at(csum, di, contrib)
+        csum_t = csum.astype(np.float64) / _QUANTUM
+        if dangling == "redistribute":
+            dq = np.floor(rank[dang] * _QUANTUM).astype(np.int64).sum()
+            dterm = np.float64(dq) / _QUANTUM
+            dterm = (dterm * tele if seeds is not None
+                     else dterm / float(n_nodes))
+            rank = base_vec + (damping * (csum_t + dterm))
+        else:
+            rank = base_vec + (damping * csum_t)
+    out_schema = StructType([StructField("node", node_type),
+                             StructField("rank", DoubleType())])
+    return spark.createDataFrame(
+        pd.DataFrame({"node": uniques, "rank": rank}), out_schema)
+
+
+def _hits_driver(e, *, node_type, iters: int, n_nodes: int | None):
+    """Driver-side numpy twin of the distributed HITS loop — the
+    :func:`_pagerank_driver` contract: int64-quantized contribution
+    sums (order-independent), L1 totals as exact int64 sums, one
+    elementwise IEEE divide per score, identical operand order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = e.sparkSession
+    tbl = e.toArrow()
+    s_vals = tbl.column("e_src").to_pandas()
+    d_vals = tbl.column("e_dst").to_pandas()
+    codes, uniques = pd.factorize(
+        pd.concat([s_vals, d_vals], ignore_index=True), sort=False)
+    m = len(s_vals)
+    si = codes[:m].astype(np.int64)
+    di = codes[m:].astype(np.int64)
+    n = len(uniques)
+    if n_nodes is None:
+        n_nodes = n
+    init = 1.0 / n_nodes
+    hub = np.full(n, init)
+    auth = None
+    for _ in range(iters):
+        araw = np.zeros(n, dtype=np.int64)
+        np.add.at(araw, di, np.floor(hub[si] * _QUANTUM).astype(np.int64))
+        atot = araw.sum()          # == coalesce(sum over a_sums, 0)
+        auth = araw.astype(np.float64) / np.float64(atot)
+        hraw = np.zeros(n, dtype=np.int64)
+        np.add.at(hraw, si, np.floor(auth[di] * _QUANTUM).astype(np.int64))
+        htot = hraw.sum()
+        hub = hraw.astype(np.float64) / np.float64(htot)
+    out_schema = StructType([StructField("node", node_type),
+                             StructField("hub", DoubleType()),
+                             StructField("auth", DoubleType())])
+    return spark.createDataFrame(
+        pd.DataFrame({"node": uniques, "hub": hub, "auth": auth}),
+        out_schema)
+
+
 def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
          n_nodes: int | None = None,
-         broadcast_scores_limit: int = 5_000_000):
+         broadcast_scores_limit: int = 5_000_000,
+         driver_edges_limit: int = 4_000_000):
     """(node, hub, auth, auth_pos) after ``iters`` HITS iterations
     (Kleinberg 1999, "Authoritative sources in a hyperlinked
     environment") — the two-score companion to :func:`pagerank` for
@@ -297,6 +488,16 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     has hub 0, no in-edges auth 0 — with ≥1 edge the totals stay
     positive (initial hub 1/N quantizes to ≥1 unit for N ≤ 1e12), so
     the divides never see zero.
+
+    ``driver_edges_limit``: the :func:`pagerank` driver-kernel gate —
+    at broadcast-scale EXACT edge counts the mutual recursion runs as
+    one numpy kernel over the collected edge list (HITS pays the
+    per-iteration job cadence TWICE per round, plus a checkpoint job,
+    so the fixed-cost saving is even larger than pagerank's);
+    bit-exact by the same int64-quantized-sum / elementwise-IEEE
+    argument, pinned by the driver-vs-distributed parity pytest. 0
+    disables; past the limit the distributed loop below (with its
+    load-bearing materialization discipline) is unchanged.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -304,6 +505,17 @@ def hits(edges, *, src: str = "src", dst: str = "dst", iters: int = 5,
     nodes = (edges.select(F.col(src).alias("node"))
              .union(edges.select(F.col(dst).alias("node")))
              .distinct().persist())
+    # driver-kernel gate on the EXACT edge count (doubles as the
+    # edge-cache fill; the distributed path's nodes.count() reads warm)
+    if driver_edges_limit and edges.count() <= driver_edges_limit:
+        out = _hits_driver(
+            edges.select(F.col(src).alias("e_src"),
+                         F.col(dst).alias("e_dst")),
+            node_type=edges.schema[src].dataType,
+            iters=iters, n_nodes=n_nodes)
+        w = Window.orderBy(F.desc("auth"), F.asc("node"))
+        out = out.withColumn("auth_pos", F.row_number().over(w))
+        return attach(out, edges, nodes)
     if n_nodes is None:
         n_nodes = nodes.count()
     init = 1.0 / n_nodes
@@ -750,9 +962,50 @@ FROM deg LEFT JOIN per_node t ON deg.node = t.node
 """.strip()
 
 
+def _lpa_driver(und, *, node_type, iters: int):
+    """Driver-side numpy twin of the distributed LPA loop. Nodes are
+    factorized in SORTED order so label-index comparisons reproduce
+    the (cnt DESC, community ASC) value tie-break exactly; counts are
+    exact integers, so the rounds are deterministic on both paths."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    spark = und.sparkSession
+    tbl = und.toArrow()
+    a_vals = tbl.column("a").to_pandas()
+    b_vals = tbl.column("b").to_pandas()
+    codes, uniques = pd.factorize(
+        pd.concat([a_vals, b_vals], ignore_index=True), sort=True)
+    m = len(a_vals)
+    ai = codes[:m].astype(np.int64)
+    bi = codes[m:].astype(np.int64)
+    n = len(uniques)
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        # count per (a, neighbor-label); pick max count, ties to the
+        # smallest label — index order == value order (sorted factorize)
+        key = ai * n + lab[bi]
+        uk, cnt = np.unique(key, return_counts=True)
+        ua, ul = uk // n, uk % n
+        order = np.lexsort((ul, -cnt, ua))
+        ua_s, ul_s = ua[order], ul[order]
+        first = np.empty(len(ua_s), dtype=bool)
+        first[0] = True
+        first[1:] = ua_s[1:] != ua_s[:-1]
+        lab = lab.copy()
+        lab[ua_s[first]] = ul_s[first]
+    out_schema = StructType([StructField("node", node_type),
+                             StructField("community", node_type)])
+    return spark.createDataFrame(
+        pd.DataFrame({"node": uniques, "community": uniques[lab]}),
+        out_schema)
+
+
 def label_propagation(edges, *, src: str = "src", dst: str = "dst",
                       iters: int = 3, n_nodes: int | None = None,
-                      broadcast_labels_limit: int = 5_000_000):
+                      broadcast_labels_limit: int = 5_000_000,
+                      driver_edges_limit: int = 4_000_000):
     """(node, community) after ``iters`` synchronous label-propagation
     rounds over the UNDIRECTED graph (Raghavan et al. 2007) — the
     community-detection companion to :func:`triangle_count`:
@@ -785,6 +1038,14 @@ def label_propagation(edges, *, src: str = "src", dst: str = "dst",
     und = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct().persist())
     nodes = und.select(F.col("a").alias("node")).distinct().persist()
+    # driver-kernel gate on the EXACT symmetrized edge count (the
+    # pagerank convention; doubles as the und cache fill) — integer
+    # counts + the (cnt DESC, label ASC) total order are exactly
+    # reproducible in numpy, pinned by the parity pytest
+    if driver_edges_limit and und.count() <= driver_edges_limit:
+        out = _lpa_driver(und, node_type=edges.schema[src].dataType,
+                          iters=iters)
+        return attach(out, und, nodes)
     if n_nodes is None:
         n_nodes = nodes.count()
     small_v = n_nodes <= broadcast_labels_limit
@@ -845,9 +1106,51 @@ def label_propagation_sql(edges_sql: str, *, iters: int = 3) -> str:
     )
 
 
+def _bfs_driver(e, seeds, *, node_type, max_hops: int):
+    """Driver-side numpy twin of the frontier expansion — min-hop
+    levels are small exact integers, so parity is by construction."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = e.sparkSession
+    tbl = e.toArrow()
+    s_vals = tbl.column("e_src").to_pandas()
+    d_vals = tbl.column("e_dst").to_pandas()
+    codes, uniques = pd.factorize(
+        pd.concat([s_vals, d_vals], ignore_index=True), sort=False)
+    m = len(s_vals)
+    si = codes[:m].astype(np.int64)
+    di = codes[m:].astype(np.int64)
+    n = len(uniques)
+    idx_of = pd.Index(uniques)
+    seed_pos = idx_of.get_indexer(pd.Index(seeds))
+    visited = np.zeros(n, dtype=bool)
+    frontier = seed_pos[seed_pos >= 0]
+    visited[frontier] = True
+    rows = [(s, 0) for s in seeds]
+    in_frontier = np.zeros(n, dtype=bool)
+    for hop in range(1, max_hops + 1):
+        if len(frontier) == 0:
+            break
+        in_frontier[:] = False
+        in_frontier[frontier] = True
+        reached = np.unique(di[in_frontier[si]])
+        nxt = reached[~visited[reached]]
+        if len(nxt) == 0:
+            break
+        visited[nxt] = True
+        rows.extend((v, hop) for v in uniques[nxt].tolist())
+        frontier = nxt
+    out_schema = StructType([StructField("node", node_type),
+                             StructField("hops", IntegerType())])
+    return spark.createDataFrame(rows, out_schema)
+
+
 def bfs_levels(edges, seeds, *, src: str = "src", dst: str = "dst",
                max_hops: int = 3,
-               broadcast_frontier_limit: int = 5_000_000):
+               broadcast_frontier_limit: int = 5_000_000,
+               driver_edges_limit: int = 4_000_000):
     """(node, hops) — every node reachable from ``seeds`` within
     ``max_hops`` directed hops, labeled with its MINIMUM hop distance.
 
@@ -880,6 +1183,13 @@ def bfs_levels(edges, seeds, *, src: str = "src", dst: str = "dst",
     e = (edges.select(F.col(src).alias("e_src"),
                       F.col(dst).alias("e_dst"))
          .distinct().persist())
+    # driver-kernel gate on the EXACT distinct edge count (the
+    # pagerank convention; doubles as the e cache fill) — min-hop
+    # levels are exact small integers, parity pinned in pytest
+    if driver_edges_limit and e.count() <= driver_edges_limit:
+        out = _bfs_driver(e, seeds, node_type=edges.schema[dst].dataType,
+                          max_hops=max_hops)
+        return attach(out, e)
     n_visited = len(seeds)
 
     def hint(df):
@@ -969,9 +1279,51 @@ def bfs_levels_sql(edges_sql: str, seeds, *, max_hops: int = 3) -> str:
             + f" SELECT node, hops FROM v{max_hops}")
 
 
+def _k_core_driver(und, *, node_type, k: int, max_rounds: int):
+    """Driver-side numpy twin of the iterative peel — degrees are
+    exact integers and the synchronous survivor set is unique, so
+    parity is by construction. Mirrors the distributed loop's exact
+    control flow (count-based convergence probe, ≤ max_rounds)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = und.sparkSession
+    tbl = und.toArrow()
+    a_vals = tbl.column("a").to_pandas()
+    b_vals = tbl.column("b").to_pandas()
+    codes, uniques = pd.factorize(
+        pd.concat([a_vals, b_vals], ignore_index=True), sort=False)
+    m = len(a_vals)
+    ai = codes[:m].astype(np.int64)
+    bi = codes[m:].astype(np.int64)
+    n = len(uniques)
+    alive = np.ones(m, dtype=bool)
+    prev = None
+    for _ in range(max_rounds):
+        deg = np.bincount(ai[alive], minlength=n)
+        surv = deg >= k
+        n_surv = int(surv.sum())
+        if n_surv == prev:
+            break
+        prev = n_surv
+        alive &= surv[ai] & surv[bi]
+        if n_surv == 0:
+            break
+    deg = np.bincount(ai[alive], minlength=n)
+    keep = deg > 0
+    out_schema = StructType([StructField("node", node_type),
+                             StructField("degree", LongType())])
+    return spark.createDataFrame(
+        pd.DataFrame({"node": pd.Index(uniques)[keep],
+                      "degree": deg[keep].astype(np.int64)}),
+        out_schema)
+
+
 def k_core(edges, *, src: str = "src", dst: str = "dst", k: int,
            max_rounds: int = 6,
-           broadcast_nodes_limit: int = 5_000_000):
+           broadcast_nodes_limit: int = 5_000_000,
+           driver_edges_limit: int = 4_000_000):
     """(node, degree) of the graph's k-CORE — the maximal subgraph in
     which every node keeps ≥ k neighbors (Seidman 1983) — by the
     classic iterative peel: drop all nodes of degree < k, recompute
@@ -1008,6 +1360,12 @@ def k_core(edges, *, src: str = "src", dst: str = "dst", k: int,
          .where(F.col("a") != F.col("b")))
     und = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct().persist())
+    # driver-kernel gate on the EXACT symmetrized edge count (the
+    # pagerank convention; doubles as the und cache fill)
+    if driver_edges_limit and und.count() <= driver_edges_limit:
+        out = _k_core_driver(und, node_type=edges.schema[src].dataType,
+                             k=k, max_rounds=max_rounds)
+        return attach(out, und)
     cur = und
     n_nodes = None
     for _ in range(max_rounds):

@@ -36,6 +36,47 @@ def secure_stream(ctx: SecurityContext, username: str, stream_df: DataFrame,
     return ctx.apply_policies(username, stream_df, table_name)
 
 
+def drain_state_partitions(df: DataFrame, floor_n: int,
+                           bytes_per_state_task: int = 64 << 20) -> int:
+    """State-task count for a bounded streaming drain over ``df``.
+
+    Stateful operators allocate one state task per shuffle partition
+    per micro-batch, and each task pays a fixed scheduling (and, for
+    Python state runners, worker round-trip) cost — so a drain wants
+    the FEWEST partitions that still hold a bounded volume of state
+    per task. Tuned constants alone don't scale: 4 partitions sized to
+    a test drain would serialize the state store under a production
+    key count. Derivation::
+
+        max(floor_n, min(defaultParallelism,
+                         ceil(plan_size_bytes / bytes_per_state_task)))
+
+    - ``floor_n`` is the measured per-drain floor (state volume at the
+      local SFs never justifies more than a handful of tasks; the
+      measured sweeps live at the call sites) — at the local corpus
+      the estimate term is ≤ floor, so local behavior is unchanged;
+    - the estimate term grows with the drained input (Catalyst's free
+      plan statistic — no job; unavailable ⇒ treated as LARGE, the
+      scale-safe reading), so a corpus-sized drain spreads its state
+      store up to the cluster's parallelism instead of funneling it
+      through the test-sized floor.
+    """
+    if floor_n < 1:
+        raise ValueError(f"floor_n must be >= 1, got {floor_n}")
+    from ..operators.similarity import _plan_size_bytes
+
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    est = _plan_size_bytes(df)
+    # a relation Catalyst cannot estimate reports defaultSizeInBytes
+    # (Long.MaxValue) — treat anything absurd as UNKNOWN, i.e. large
+    # (the spread_partitions convention)
+    if est is None or est >= (1 << 50):
+        est_tasks = cores
+    else:
+        est_tasks = -(-est // bytes_per_state_task)
+    return max(floor_n, min(cores, est_tasks))
+
+
 def fetch_stream_rows(result: DataFrame, size: int = 10,
                       timeout_sec: float = 30.0,
                       output_mode: str = "append") -> list[Row]:

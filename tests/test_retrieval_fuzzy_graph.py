@@ -1391,3 +1391,118 @@ def test_fuzz_k_core_cross_engine(spark):
             ref = sorted((u, len(vs)) for u, vs in adj.items())
             assert got == ref, cfg
     con.close()
+
+
+def test_pagerank_driver_vs_distributed_parity(spark):
+    """The r12 driver-kernel gate must be invisible in the values: the
+    numpy iteration (default at broadcast-scale edge counts) and the
+    distributed loop (forced via driver_edges_limit=0) produce
+    bit-identical (node, rank, rank_pos) across config space —
+    unweighted/weighted, leak/redistribute, uniform/personalized."""
+    import random
+
+    rng = random.Random(12121)
+    for trial in range(6):
+        n_nodes = rng.randint(5, 14)
+        raw = sorted({(rng.randint(1, n_nodes), rng.randint(1, n_nodes))
+                      for _ in range(rng.randint(n_nodes, 3 * n_nodes))})
+        raw = [(a, b) for a, b in raw if a != b] or [(1, 2)]
+        iters = rng.randint(1, 5)
+        damping = rng.choice([0.85, 0.5, 0.99])
+        dangling = rng.choice(["leak", "redistribute"])
+        seeds = (None if trial % 3 else [raw[0][0], raw[-1][1]]
+                 if raw[0][0] != raw[-1][1] else [raw[0][0]])
+        weighted = trial % 2 == 1
+        if weighted:
+            edges = [(a, b, rng.randint(1, 9)) for a, b in raw]
+            df = spark.createDataFrame(edges, ["src", "dst", "w"])
+            kw = dict(weight_col="w")
+        else:
+            df = spark.createDataFrame(raw, ["src", "dst"])
+            kw = {}
+        cfg = (trial, len(raw), iters, damping, dangling,
+               seeds, weighted)
+        a = pagerank(df, iters=iters, damping=damping,
+                     dangling=dangling, seeds=seeds, **kw)
+        got_drv = sorted(map(tuple, a.collect()))
+        release(a)
+        b = pagerank(df, iters=iters, damping=damping,
+                     dangling=dangling, seeds=seeds,
+                     driver_edges_limit=0, **kw)
+        got_dist = sorted(map(tuple, b.collect()))
+        release(b)
+        assert got_drv == got_dist, cfg  # exact, float bits included
+
+
+def test_hits_driver_vs_distributed_parity(spark):
+    """HITS driver kernel (default at broadcast-scale edge counts) vs
+    the distributed loop (driver_edges_limit=0): bit-identical
+    (node, hub, auth, auth_pos) across random graphs/depths."""
+    import random
+
+    rng = random.Random(23232)
+    for trial in range(5):
+        n_nodes = rng.randint(5, 14)
+        raw = sorted({(rng.randint(1, n_nodes), rng.randint(1, n_nodes))
+                      for _ in range(rng.randint(n_nodes, 3 * n_nodes))})
+        raw = [(a, b) for a, b in raw if a != b] or [(1, 2)]
+        iters = rng.randint(1, 4)
+        from flink_sql_security_spark.operators.graph import hits
+
+        df = spark.createDataFrame(raw, ["src", "dst"])
+        a = hits(df, iters=iters)
+        got_drv = sorted(map(tuple, a.collect()))
+        release(a)
+        b = hits(df, iters=iters, driver_edges_limit=0)
+        got_dist = sorted(map(tuple, b.collect()))
+        release(b)
+        assert got_drv == got_dist, (trial, len(raw), iters)
+
+
+def test_lpa_bfs_kcore_driver_vs_distributed_parity(spark):
+    """LPA / BFS / k-core driver kernels vs their distributed loops
+    (forced via driver_edges_limit=0): identical result sets across
+    random graphs — integer counts/levels/degrees, so equality is
+    exact."""
+    import random
+
+    from flink_sql_security_spark.operators.graph import (
+        bfs_levels, k_core, label_propagation)
+
+    rng = random.Random(34343)
+    for trial in range(4):
+        n_nodes = rng.randint(5, 14)
+        raw = sorted({(rng.randint(1, n_nodes), rng.randint(1, n_nodes))
+                      for _ in range(rng.randint(n_nodes, 3 * n_nodes))})
+        raw = [(a, b) for a, b in raw if a != b] or [(1, 2)]
+        df = spark.createDataFrame(raw, ["src", "dst"])
+        cfg = (trial, len(raw))
+
+        iters = rng.randint(1, 3)
+        a = label_propagation(df, iters=iters)
+        ga = sorted(map(tuple, a.collect()))
+        release(a)
+        b = label_propagation(df, iters=iters, driver_edges_limit=0)
+        gb = sorted(map(tuple, b.collect()))
+        release(b)
+        assert ga == gb, ("lpa", cfg, iters)
+
+        seeds = [raw[0][0]] if trial % 2 else [raw[0][0], 999]
+        hops = rng.randint(1, 3)
+        a = bfs_levels(df, seeds, max_hops=hops)
+        ga = sorted(map(tuple, a.collect()))
+        release(a)
+        b = bfs_levels(df, seeds, max_hops=hops, driver_edges_limit=0)
+        gb = sorted(map(tuple, b.collect()))
+        release(b)
+        assert ga == gb, ("bfs", cfg, seeds, hops)
+
+        kk = rng.randint(1, 4)
+        rounds = rng.randint(1, 4)
+        a = k_core(df, k=kk, max_rounds=rounds)
+        ga = sorted(map(tuple, a.collect()))
+        release(a)
+        b = k_core(df, k=kk, max_rounds=rounds, driver_edges_limit=0)
+        gb = sorted(map(tuple, b.collect()))
+        release(b)
+        assert ga == gb, ("kcore", cfg, kk, rounds)

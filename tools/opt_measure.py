@@ -4,7 +4,7 @@ For each named entry: ONE fresh-process-equivalent measurement under the
 BASELINE dedicated protocol (fresh SparkSession, untimed warm-up run,
 then N timed runs through the noop sink — guide §1.4 — with the cache
 hygiene bench.py applies between runs), and optionally the
-``explain("formatted")`` text written to ``plans/r11/<entry>_<tag>.txt``.
+``explain("formatted")`` text written to ``plans/$SPARK_GRAFT_PLAN_ROUND (default r12)/<entry>_<tag>.txt``.
 
 Machine drift on this host is large (BASELINE.md: same-code pagerank
 5.2 → 10.2 s across hours), so before/after numbers are only comparable
@@ -81,7 +81,7 @@ def main() -> int:
         spark.sparkContext.setJobDescription(f"opt:{name}:warmup")
         df = fn(spark, sf_dir)
         if plans_tag:
-            plan_dir = os.path.join(repo, "plans", "r11")
+            plan_dir = os.path.join(repo, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"))
             os.makedirs(plan_dir, exist_ok=True)
             txt = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution
