@@ -45,6 +45,26 @@ from ..functions.text import floor_round, floor_round_col
 
 _log = logging.getLogger(__name__)
 
+_BROADCAST_LIMIT_DEFAULT = 5_000_000
+_warned_broadcast_limit = False
+
+
+def _warn_broadcast_limit_ignored(value: int, op_name: str) -> None:
+    """One-time no-op warning (ADVICE r11): ``broadcast_items_limit``
+    stopped steering the plan when the family moved to AQE's runtime
+    broadcast decision from real aggregate sizes — a caller passing a
+    non-default value to force or suppress the plan-time broadcast
+    gets AQE's decision instead, and deserves a signal, not silence."""
+    global _warned_broadcast_limit
+    if value != _BROADCAST_LIMIT_DEFAULT and not _warned_broadcast_limit:
+        _warned_broadcast_limit = True
+        _log.warning(
+            "%s: broadcast_items_limit=%d is accepted for API "
+            "compatibility but NO LONGER steers the join strategy — "
+            "the small-side broadcast is AQE's runtime decision from "
+            "real aggregate sizes (this warning prints once)",
+            op_name, value)
+
 
 def _capped_items(df: DataFrame, basket_col: str, item_col: str,
                   max_basket_items: int | None) -> DataFrame:
@@ -150,6 +170,7 @@ def basket_rules(df: DataFrame, *, basket_col: str, item_col: str,
         raise ValueError(f"min_support must be >= 1: {min_support}")
     bi = _capped_items(df, basket_col, item_col,
                        max_basket_items).persist()
+    _warn_broadcast_limit_ignored(broadcast_items_limit, "basket_rules")
     _truncation_check(bi, max_basket_items, "basket_rules")
     nb = _n_baskets_col(bi)
     item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
@@ -265,6 +286,7 @@ def basket_rules_2to1(df: DataFrame, *, basket_col: str, item_col: str,
         raise ValueError(f"min_support must be >= 1: {min_support}")
     bi = _capped_items(df, basket_col, item_col,
                        max_basket_items).persist()
+    _warn_broadcast_limit_ignored(broadcast_items_limit, "basket_rules_2to1")
     _truncation_check(bi, max_basket_items, "basket_rules_2to1")
     nb = _n_baskets_col(bi)
     item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))
@@ -425,6 +447,7 @@ def basket_rules_3to1(df: DataFrame, *, basket_col: str, item_col: str,
         raise ValueError(f"min_support must be >= 1: {min_support}")
     bi = _capped_items(df, basket_col, item_col,
                        max_basket_items).persist()
+    _warn_broadcast_limit_ignored(broadcast_items_limit, "basket_rules_3to1")
     _truncation_check(bi, max_basket_items, "basket_rules_3to1")
     nb = _n_baskets_col(bi)
     item_n = bi.groupBy("i").agg(F.count("*").alias("n_i"))

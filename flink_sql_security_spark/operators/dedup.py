@@ -1643,6 +1643,16 @@ def prefix_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ``mode='prefix'`` (the driver entry does; on an exact-duplicate
     hot cluster the routed output is identical anyway — identical
     docs collide in every band).
+
+    **Laziness note (ADVICE r11):** BOTH modes materialize the shared
+    shingle/prefix pipeline at DataFrame-*construction* time — in
+    ``auto`` the hot-token probe is an aggregate over it, and in
+    ``prefix`` an explicit cache fill runs so the candidate
+    self-join's two sides (and the broadcast-build thread) read a warm
+    cache instead of re-executing the tokenize/df-count/rank chain
+    once per consumer. Composing callers that only want the plan
+    without executing it should build the un-pruned
+    :func:`ngram_jaccard_pairs` instead.
     """
     from pyspark.sql.window import Window
 

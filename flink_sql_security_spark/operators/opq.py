@@ -188,9 +188,13 @@ def _rotate_arrow(df: DataFrame, R: list, vec_col: str,
                         f"{'NULL' if v is None else len(v)}, expected "
                         f"{d}, or NULL/NaN element)")
             X = np.asarray(vecs, dtype=np.float64)
-            if np.isnan(X).any():
+            nan_rows = np.isnan(X).any(axis=1)
+            if nan_rows.any():
+                # name the offending row like the expr path's
+                # assert_true message did (ADVICE r11)
+                bad = chunk[id_col].tolist()[int(np.argmax(nan_rows))]
                 raise ValueError(
-                    "opq_rotate: bad vector (NaN element)")
+                    f"opq_rotate: bad vector for {bad} (NaN element)")
             n = X.shape[0]
             out = []
             for col in cols:

@@ -278,10 +278,37 @@ def profile_quantiles(df: DataFrame, cols: list[str],
             import pandas as pd
 
             carry: dict = {}
+            task_pid = None
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 pid = int(pdf["_pid"].iloc[0])
+                # Layout-drift guard (ADVICE r11): the offsets in
+                # starts_map assume each task streams EXACTLY the one
+                # cached range partition whose _pid its rows carry —
+                # true for a persisted frame read 1:1. If anything
+                # ever re-splits or coalesces between the cache and
+                # this kernel (a second _pid in the task, or mixed
+                # _pids in a batch), the carried offsets would
+                # silently skew every later bracket — fail loudly
+                # instead.
+                if (pdf["_pid"].to_numpy() != pid).any():
+                    raise RuntimeError(
+                        "exact-percentile bracket pick: mixed cache "
+                        "partition ids inside one Arrow batch "
+                        f"({sorted(set(pdf['_pid'].tolist()))}) — the "
+                        "persisted range layout was re-partitioned "
+                        "between cache and kernel; offsets no longer "
+                        "apply")
+                if task_pid is None:
+                    task_pid = pid
+                elif pid != task_pid:
+                    raise RuntimeError(
+                        "exact-percentile bracket pick: task streamed "
+                        f"cache partitions {task_pid} and {pid} — a "
+                        "coalesce was inserted between the persisted "
+                        "range layout and the kernel; per-partition "
+                        "offsets no longer apply")
                 cols_a = pdf["column"].to_numpy()
                 cnts_a = pdf["cnt"].to_numpy()
                 vs_a = pdf["v"].to_numpy()

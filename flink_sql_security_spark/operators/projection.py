@@ -142,9 +142,13 @@ def _project_arrow(df: DataFrame, id_col: str, vec_col: str,
                         f"{op_name}: NULL/NaN element in vector "
                         f"for {vid}")
             X = np.asarray(vecs, dtype=np.float64)
-            if np.isnan(X).any():
+            nan_rows = np.isnan(X).any(axis=1)
+            if nan_rows.any():
+                # name the offending row like the expr path's
+                # assert_true message does (ADVICE r11)
+                bad = chunk[id_col].tolist()[int(np.argmax(nan_rows))]
                 raise ValueError(
-                    f"{op_name}: NULL/NaN element in vector")
+                    f"{op_name}: NULL/NaN element in vector for {bad}")
             if t_mean is not None:
                 X = X - np.asarray(t_mean, dtype=np.float64)
             outs = []
