@@ -785,9 +785,109 @@ def pagerank_sql(edges_sql: str, *, iters: int = 5,
     )
 
 
+def _triangles_driver(e, *, node_type, wedge_limit: int):
+    """Driver-side numpy twin of the degree-oriented wedge count —
+    the :func:`_pagerank_driver` convention. Triangle counts are exact
+    integers (order-independent), the clustering coefficient is the
+    same two IEEE multiplies + one divide + the package floor rule in
+    the identical operand order, so parity is bit-exact — pinned by
+    ``test_triangles_driver_vs_distributed_parity``.
+
+    Returns ``None`` when the ORIENTED wedge count exceeds
+    ``wedge_limit``: the edge-count gate alone cannot bound wedge
+    volume (a near-clique at the edge limit holds ~1e9 wedges, too
+    much for one driver), so the kernel re-checks the true Σ c·(c−1)/2
+    after orientation — O(m) to compute — and cleanly falls back to
+    the distributed join, which streams the same volume across tasks.
+    Wedges are enumerated in bounded chunks either way, so peak driver
+    memory stays ~3 int64 arrays × chunk, never × total."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    spark = e.sparkSession
+    tbl = e.toArrow()
+    a_vals = tbl.column("a").to_pandas()
+    b_vals = tbl.column("b").to_pandas()
+    # sorted factorize: code order == value order, so the orientation
+    # tie-break (a < b on VALUES) is a code comparison
+    codes, uniques = pd.factorize(
+        pd.concat([a_vals, b_vals], ignore_index=True), sort=True)
+    m = len(a_vals)
+    ai = codes[:m].astype(np.int64)
+    bi = codes[m:].astype(np.int64)
+    n = len(uniques)
+    deg = (np.bincount(ai, minlength=n)
+           + np.bincount(bi, minlength=n)).astype(np.int64)
+    # orient a→b when (deg, value) of a precedes (deg, value) of b —
+    # identical CASE to the distributed orientation join
+    a_first = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+    u = np.where(a_first, ai, bi)
+    v = np.where(a_first, bi, ai)
+    # within-apex order (dv, v-value): the distributed wedge join's
+    # strict (e1.dv, e1.v) < (e2.dv, e2.v) becomes position i < j
+    order = np.lexsort((v, deg[v], u))
+    u, v = u[order], v[order]
+    grp_start = np.concatenate(
+        ([True], u[1:] != u[:-1])) if m else np.empty(0, dtype=bool)
+    # per-edge count of later same-apex edges = its wedge fan-out
+    c = np.bincount(u, minlength=n)[u]
+    pos = np.arange(m) - np.repeat(
+        np.flatnonzero(grp_start), np.diff(np.concatenate(
+            (np.flatnonzero(grp_start), [m]))))
+    reps = c - 1 - pos
+    total_wedges = int(reps.sum())
+    if total_wedges > wedge_limit:
+        return None
+    edge_keys = np.sort(u * n + v)
+    tri_cnt = np.zeros(n, dtype=np.int64)
+    # bounded-memory chunking over first-edges (each carries its whole
+    # same-apex block, so any boundary is safe)
+    budget = 20_000_000
+    cuts = np.searchsorted(np.cumsum(reps), np.arange(
+        budget, total_wedges, budget), side="left") + 1
+    for lo, hi in zip([0, *cuts.tolist()], [*cuts.tolist(), m]):
+        r = reps[lo:hi]
+        if r.sum() == 0:
+            continue
+        first = np.repeat(np.arange(lo, hi), r)
+        csum = np.concatenate(([0], np.cumsum(r)))
+        offs = np.arange(int(r.sum())) - np.repeat(csum[:-1], r)
+        second = first + 1 + offs
+        y = v[first]
+        z = v[second]
+        probe = y * n + z
+        idx = np.searchsorted(edge_keys, probe)
+        idx[idx >= len(edge_keys)] = 0
+        closed = edge_keys[idx] == probe
+        if closed.any():
+            tri_cnt += np.bincount(u[first][closed], minlength=n)
+            tri_cnt += np.bincount(y[closed], minlength=n)
+            tri_cnt += np.bincount(z[closed], minlength=n)
+    degf = deg.astype(np.float64)
+    trif = tri_cnt.astype(np.float64)
+    # floor_round_col's exact IEEE ops in the distributed operand
+    # order: (2.0 · T) / (d · (d−1)), then ·1e6 + 0.5, floor, /1e6
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coeff = (2.0 * trif) / (degf * (degf - 1.0))
+    clustering = np.where(
+        deg >= 2, np.floor(coeff * 1e6 + 0.5) / 1e6, 0.0)
+    out_schema = StructType([StructField("node", node_type),
+                             StructField("degree", LongType()),
+                             StructField("triangles", LongType()),
+                             StructField("clustering", DoubleType())])
+    return spark.createDataFrame(
+        pd.DataFrame({"node": uniques, "degree": deg,
+                      "triangles": tri_cnt, "clustering": clustering}),
+        out_schema)
+
+
 def triangle_count(edges, *, src: str = "src", dst: str = "dst",
                    n_nodes: int | None = None,
-                   broadcast_degrees_limit: int = 5_000_000):
+                   broadcast_degrees_limit: int = 5_000_000,
+                   driver_edges_limit: int = 4_000_000,
+                   driver_wedge_limit: int = 200_000_000):
     """(node, degree, triangles, clustering) — exact per-node triangle
     counts and local clustering coefficient over an UNDIRECTED simple
     graph (self-loops and duplicate/reverse edges collapsed).
@@ -820,6 +920,18 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
     the per-corner count. All counts are BIGINTs — exact on any
     partitioning — and the only float is the final clustering divide,
     quantized with the package floor rule, so the oracle is strict.
+
+    ``driver_edges_limit`` / ``driver_wedge_limit``: the
+    :func:`pagerank` driver-kernel gate — at broadcast-scale EXACT
+    edge counts the whole orient/wedge/closure/count chain runs as one
+    numpy kernel over the collected canonical edge list (the
+    distributed form pays ~8 fixed job/stage cadences while the actual
+    compute is milliseconds). Because edge count alone does not bound
+    wedge volume, the kernel re-checks Σ c·(c−1)/2 after orientation
+    and falls back to the distributed join past ``driver_wedge_limit``.
+    Bit-exact: integer counts, and the clustering divide runs the same
+    IEEE ops in the same operand order — pinned by the
+    driver-vs-distributed parity pytest. 0 disables.
     """
     from ..functions.text import floor_round_col
 
@@ -827,6 +939,17 @@ def triangle_count(edges, *, src: str = "src", dst: str = "dst",
                       F.greatest(src, dst).alias("b"))
          .where(F.col("a") != F.col("b"))
          .distinct().persist())
+    # driver-kernel gate on the EXACT canonical edge count (the
+    # pagerank convention; the count doubles as the e cache fill the
+    # degree union otherwise races). Unlike the iterative kernels this
+    # one ALSO re-checks the true oriented wedge count before
+    # committing (see _triangles_driver) — a None return falls through
+    # to the unchanged distributed join with e's cache warm.
+    if driver_edges_limit and e.count() <= driver_edges_limit:
+        out = _triangles_driver(e, node_type=edges.schema[src].dataType,
+                                wedge_limit=driver_wedge_limit)
+        if out is not None:
+            return attach(out, e)
     deg = (e.select(F.col("a").alias("node"))
            .union(e.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("degree"))

@@ -1506,3 +1506,48 @@ def test_lpa_bfs_kcore_driver_vs_distributed_parity(spark):
         gb = sorted(map(tuple, b.collect()))
         release(b)
         assert ga == gb, ("kcore", cfg, kk, rounds)
+
+
+def test_triangles_driver_vs_distributed_parity(spark):
+    """Triangle-count driver kernel vs the distributed wedge join
+    (forced via driver_edges_limit=0): bit-identical (node, degree,
+    triangles, clustering) — integer counts plus one floor-rounded
+    IEEE divide reproduced operand-for-operand. Includes a dense
+    near-clique (many wedges per apex) and the chunked-enumeration
+    path (driver_wedge_limit small enough to force multiple chunks is
+    exercised via a tiny budget fallback check)."""
+    import random
+
+    from flink_sql_security_spark.operators.graph import triangle_count
+
+    rng = random.Random(45454)
+    graphs = []
+    for trial in range(4):
+        n_nodes = rng.randint(5, 14)
+        raw = sorted({(rng.randint(1, n_nodes), rng.randint(1, n_nodes))
+                      for _ in range(rng.randint(n_nodes, 4 * n_nodes))})
+        raw = [(a, b) for a, b in raw if a != b] or [(1, 2)]
+        graphs.append(raw)
+    # dense near-clique: every pair of 9 nodes minus a few
+    clique = [(i, j) for i in range(1, 10) for j in range(i + 1, 10)
+              if (i, j) not in {(1, 2), (3, 7)}]
+    graphs.append(clique)
+    for gi, raw in enumerate(graphs):
+        df = spark.createDataFrame(raw, ["src", "dst"])
+        a = triangle_count(df)
+        ga = sorted(map(tuple, a.collect()))
+        release(a)
+        b = triangle_count(df, driver_edges_limit=0)
+        gb = sorted(map(tuple, b.collect()))
+        release(b)
+        assert ga == gb, ("tri", gi, len(raw))
+    # wedge-limit fallback: a limit of 0 wedges must route every
+    # non-trivial graph to the distributed join and still answer
+    df = spark.createDataFrame(graphs[-1], ["src", "dst"])
+    a = triangle_count(df, driver_wedge_limit=0)
+    ga = sorted(map(tuple, a.collect()))
+    release(a)
+    b = triangle_count(df, driver_edges_limit=0)
+    gb = sorted(map(tuple, b.collect()))
+    release(b)
+    assert ga == gb
