@@ -64,3 +64,41 @@ def test_broadcast_items_limit_warns_once(spark, caplog):
         A.basket_rules(df, basket_col="b", item_col="i").collect()
     assert not [r for r in caplog.records
                 if "broadcast_items_limit" in r.getMessage()]
+
+
+def test_capped_items_nonnullable_keys_and_null_drop(spark):
+    """The r12 nullability rebrand in _capped_items must (a) mark b/i
+    schema-non-nullable for numeric/string keys — what stops Catalyst
+    inferring isnotnull Filter chains over every cached scan in the
+    Apriori ladder — and (b) still DROP null-keyed input rows exactly
+    as before (the rebrand sits after the real null filter, so its
+    coalesce branch is dead)."""
+    from flink_sql_security_spark.operators.assoc import _capped_items
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (None, "b"), (2, "a"), (1, "c")],
+        "b long, i string")
+    bi = _capped_items(df, "b", "i", 1000)
+    assert not bi.schema["b"].nullable
+    assert not bi.schema["i"].nullable
+    rows = sorted((r["b"], r["i"]) for r in bi.collect())
+    assert rows == [(1, "a"), (1, "c"), (2, "a")]
+    # inferred-filter pin: the 3to1 ladder's executed plan must not
+    # carry isnotnull Filters over the cached intermediate keys
+    from flink_sql_security_spark.operators.assoc import basket_rules
+    from flink_sql_security_spark.operators.cache import release
+
+    big = spark.createDataFrame(
+        [(b, i) for b in range(30) for i in range(b % 5 + 2)],
+        "b long, i long")
+    out = basket_rules(big, basket_col="b", item_col="i")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    release(out)
+    import re
+    # the ONE legitimate isnotnull filter is the explicit null drop on
+    # the RAW input columns; the formerly-inferred chains referenced
+    # the derived pair keys x/y (and the capped b/i downstream of the
+    # rebrand, which share their expr ids with x/y's children)
+    bad = [l for l in plan.splitlines()
+           if "Filter" in l and re.search(r"isnotnull\((x|y)#", l)]
+    assert not bad, bad
