@@ -2123,8 +2123,8 @@ FROM orders WHERE o_orderkey % 100 = 0
         from flink_sql_security_spark.streaming import (
             drain_state_partitions)
         sp_before = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(drain_state_partitions(ev, 8)))
+        n_state = drain_state_partitions(ev, 8)
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
         try:
             _parallel_writes([
                 (lambda et=et, i=i:
@@ -2134,7 +2134,19 @@ FROM orders WHERE o_orderkey % 100 = 0
             src = (spark.readStream.schema(ev.schema)
                    .option("maxFilesPerTrigger", "1")
                    .parquet(os.path.join(path, "b*")))
-            q = (funnel_state_stream(src, steps, within_hours=72)
+            # coarse state keying (r12, VERDICT item 7): the Python
+            # state runner pays a fixed per-GROUP round-trip, so
+            # per-user keying costs ~0.16 ms · |users| per micro-batch
+            # (measured: trivial-fn drain 0.72 s/batch at 1.5k user
+            # groups vs 0.50 s at 64 coarse groups, same state
+            # volume). 8 groups per state task keeps every task fed
+            # while bounding the per-group tax by the group count —
+            # derived from the same scale-adaptive n_state, so a
+            # corpus-sized drain grows its group count with the
+            # cluster. Emitted rows are identical per the
+            # coarse-keying parity pytest.
+            q = (funnel_state_stream(src, steps, within_hours=72,
+                                     coarse_groups=8 * n_state)
                  .writeStream.format("memory").queryName(name)
                  .outputMode("update").start())
             q.processAllAvailable()

